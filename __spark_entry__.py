@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` / ``oracle_sql()`` — the declared-operator registry from
+``simple_stream_processor_spark.queries`` (SURVEY.md §2 coverage).
 """
 
 from __future__ import annotations
@@ -12,27 +10,33 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: scan events → filter →
+    tumbling 1-hour event-time window → aggregate → deterministic order.
+    Exercises the full lifecycle: pushdown-eligible filter, epoch-aligned
+    window bucketing, partial+final agg, top-level sort."""
+    from simple_stream_processor_spark.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    return (
+        ev.where(F.col("event_type").isin("purchase", "checkout", "view", "click"))
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start_s"), "event_type", "n", "sum_value")
+        .orderBy("window_start_s", "event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from simple_stream_processor_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from simple_stream_processor_spark.queries import ORACLES
+
+    return dict(ORACLES)

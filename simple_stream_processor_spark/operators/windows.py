@@ -1,0 +1,108 @@
+"""Windowing + event-time semantics (SURVEY §2.5, reference ADR-0006/0007).
+
+Re-expressed semantics:
+
+- **Count windows** (reference ``grouped``/``windowByCount``,
+  Stream.scala:230-256, Node.scala:276-280): chunk an *ordered* stream into
+  fixed-size groups, final partial chunk emitted (ADR-0006). Spark has no
+  order without a key, so the operator takes an explicit ordering column:
+  ``row_number() over (order by key)`` then ``(rn-1) div size``. The global
+  row_number is a single-partition window at the limit — fine for bounded
+  control streams; for 100 TB data the idiom is zipWithIndex-style
+  per-partition offsets (see ``count_window_scalable``).
+
+- **Tumbling event-time windows** (reference ``windowByEventTime``,
+  Node.scala:315-356): assignment ``start = (ts / size) * size``
+  (Node.scala:327) is exactly Spark's ``window(ts, size)`` bucketing
+  (epoch-aligned). Late-record dropping below the watermark is Spark's
+  ``withWatermark`` in streaming; in batch all records are in scope, which
+  matches the reference's oracle view (watermark MaxValue flush,
+  ADR-0006:18-19).
+
+- **Sliding / session windows**: reference non-goals (ADR-0006:50-53) that
+  Spark supplies natively — ``window(ts, size, slide)`` and
+  ``session_window(ts, gap)``.
+
+- **Watermark cadence** (reference ``withWatermarks(emitEveryN)``,
+  Node.scala:289-313): watermark = max event time seen, emitted every N
+  records. Batch emulation: block = (arrival_rank-1) div N; the watermark
+  in force for a record is the running max of event time over *completed*
+  blocks before its own. A record is late iff ts < that watermark
+  (drop policy ADR-0007:13-14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def count_window(df: DataFrame, order_col: str, size: int) -> DataFrame:
+    """Fixed-size count windows over an explicit order (reference
+    Node.scala:276-280). Adds ``window_no`` (0-based). Final partial chunk
+    kept — parity with ADR-0006:15 / test golden [[1,2,3],[4,5,6],[7]].
+
+    Global row_number = one-partition exchange: acceptable for the bounded
+    control-stream shapes this operator exists for; use
+    ``count_window_scalable`` when the input is large."""
+    if size <= 0:
+        raise ValueError(f"size must be > 0, got {size}")  # fail-fast parity, reference Stream.scala:234
+    w = Window.orderBy(order_col)
+    return df.withColumn("window_no", (F.row_number().over(w) - F.lit(1)).cast("long") / F.lit(size)).withColumn(
+        "window_no", F.floor("window_no")
+    )
+
+
+def count_window_scalable(df: DataFrame, order_col: str, size: int) -> DataFrame:
+    """Scale-path count windows: when the ordering key is already dense and
+    unique (e.g. event_id), window assignment is pure arithmetic — no
+    row_number, no single-partition exchange, fully parallel."""
+    if size <= 0:
+        raise ValueError(f"size must be > 0, got {size}")
+    return df.withColumn("window_no", F.floor(F.col(order_col) / F.lit(size)).cast("long"))
+
+
+def tumbling_window(df: DataFrame, ts_col: str, size: str) -> Column:
+    """Tumbling bucket column (reference Node.scala:327 assignment).
+    ``F.window`` start/end are epoch-aligned exactly like (ts/size)*size."""
+    return F.window(F.col(ts_col), size)
+
+
+def sliding_window(df: DataFrame, ts_col: str, size: str, slide: str) -> Column:
+    return F.window(F.col(ts_col), size, slide)
+
+
+def watermark_cadence(df: DataFrame, order_col: str, ts_col: str, emit_every_n: int) -> DataFrame:
+    """Batch emulation of per-N-record watermark emission + late-drop policy
+    (reference Node.scala:289-313 and 326-331).
+
+    Adds:
+      - ``block``: 0-based index of the N-record arrival block,
+      - ``wm_ms``: watermark (epoch ms) in force when the record arrived =
+        max event time over all *earlier completed* blocks (initial
+        watermark = Long.MinValue → null here, ADR-0007:16),
+      - ``is_late``: ts < wm_ms (the reference drops these and bumps
+        ssp_late_event_dropped_total).
+
+    Two cascaded windows, both bounded: a global rank (single-partition at
+    the limit — cadence is inherently sequential, same as the reference's
+    single-threaded pipe) then a per-block running max.
+    """
+    if emit_every_n <= 0:
+        raise ValueError(f"emit_every_n must be > 0, got {emit_every_n}")  # parity Node.scala:291
+    rank_w = Window.orderBy(order_col)
+    ranked = df.withColumn("_rn", F.row_number().over(rank_w)).withColumn(
+        "block", F.floor((F.col("_rn") - 1) / F.lit(emit_every_n)).cast("long")
+    )
+    ts_ms = (F.col(ts_col).cast("double") * 1000).cast("long")
+    ranked = ranked.withColumn("_ts_ms", ts_ms)
+    # Per-block max event time, then running max over strictly-earlier blocks
+    # = the watermark in force while a block's records arrive.
+    block_max = ranked.groupBy("block").agg(F.max("_ts_ms").alias("_block_max"))
+    running = block_max.withColumn(
+        "wm_ms", F.max("_block_max").over(Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1))
+    ).select("block", "wm_ms")
+    out = ranked.join(F.broadcast(running), "block", "left").withColumn(
+        "is_late", F.when(F.col("wm_ms").isNotNull() & (F.col("_ts_ms") < F.col("wm_ms")), F.lit(True)).otherwise(F.lit(False))
+    )
+    return out.drop("_rn")

@@ -1,0 +1,55 @@
+"""Parquet scan layer over the driver testdata (TESTDATA.md).
+
+Maps the reference's in-memory sources (``Stream.fromList``,
+reference Stream.scala:320-323; ``Source`` node, Node.scala:129-133) onto
+``spark.read.parquet`` — the idiomatic bounded source. Catalyst handles
+column pruning and predicate pushdown into the parquet scan, which is the
+scale-critical property the reference's cons-list source has no analog for.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Scan one testdata table. Plain parquet scan — no caching, no schema
+    override — so Catalyst sees the native parquet footer schema and can
+    push filters/projections down (check: .explain shows PushedFilters)."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
+    # (spark.sql.legacy.parquet.nanosAsLong); convert to Spark's micros
+    # timestamp with truncation (matches DuckDB's ns→ms truncation in the
+    # oracle comparisons).
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer div — ns epochs overflow double-precision mantissa
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so operators can be written in SQL
+    where that is clearer than the DataFrame API."""
+    for name in tables:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

@@ -1,0 +1,95 @@
+"""Local stand-in for the driver's correctness gate: run every declared
+query in Spark and its oracle in DuckDB at a given sf, compare row count,
+column names, and order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simple_stream_processor_spark.session import get_spark
+from simple_stream_processor_spark.tables import TABLES
+
+
+def normalize(df):
+    """Sort columns by name, canonicalize cell values, return sorted row tuples."""
+
+    def canon(v):
+        if v is None:
+            return "<null>"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "<nan>"
+            return f"{v:.6f}"
+        if isinstance(v, bool):
+            return str(bool(v))
+        return str(v)
+
+    cols = sorted(df.columns)
+    rows = [tuple(canon(r[c]) for c in cols) for _, r in df[cols].iterrows()]
+    return cols, sorted(rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        scols, srows = normalize(sdf)
+        ocols, orows = normalize(odf)
+        if scols != ocols:
+            failures.append(name)
+            print(f"FAIL  {name}: columns spark={scols} oracle={ocols}")
+            continue
+        if len(srows) != len(orows):
+            failures.append(name)
+            print(f"FAIL  {name}: rows spark={len(srows)} oracle={len(orows)}")
+            continue
+        if srows != orows:
+            failures.append(name)
+            diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+            print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
+            continue
+        print(f"OK    {name}: {len(srows)} rows")
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
