@@ -31,12 +31,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from simple_stream_processor_spark.queries import QUERIES
+    import simple_stream_processor_spark.queries  # noqa: F401  (registers core)
+    import simple_stream_processor_spark.queries_llmdata  # noqa: F401  (registers LLM-data)
+    from simple_stream_processor_spark.registry import QUERIES
 
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from simple_stream_processor_spark.queries import ORACLES
+    queries()  # ensure all query modules are registered
+    from simple_stream_processor_spark.registry import ORACLES
 
     return dict(ORACLES)

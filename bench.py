@@ -19,8 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import __spark_entry__
 from simple_stream_processor_spark.session import get_spark
-from simple_stream_processor_spark.queries import QUERIES
+
+QUERIES = __spark_entry__.queries()
 
 HEADLINE = [
     "q_sink_fold_sum",

@@ -1,0 +1,277 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding near-dup.
+
+Scale design (the reason these exist as *distributed* compositions):
+- Exact dedup: hash-groupBy on a content digest — shuffle volume bounded by
+  #distinct digests; no text comparison ever crosses the wire.
+- MinHash+LSH: the O(n²) pair space is never materialized. Shingles →
+  per-doc signature (one shuffle), signatures → band buckets (narrow),
+  candidate pairs only where a band collides (self-join on band value —
+  shuffle proportional to collisions, not n²), then exact Jaccard verify on
+  the candidates only.
+- SimHash: 60-bit signature per doc from token hashes (one aggregation);
+  Hamming-ball candidate generation via 4×15-bit bands (pigeonhole: any
+  pair within distance 3 shares ≥1 exact band).
+- Embedding near-dup: candidate blocking on a coarse partition (label —
+  stand-in for an IVF centroid id), cosine verify within blocks only.
+
+Determinism contract (oracle parity): hashing is md5-hex (identical in
+Spark and DuckDB); 60-bit ints come from the first 15 hex chars via
+base-16 conv (fits signed 64); min/argmin on hex strings is byte-order
+lexicographic in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 8  # 8 hash functions → 2 bands × 4 rows (threshold ≈ (1/2)^(1/4) ≈ 0.84 per-band)
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits in signed BIGINT
+
+
+def word_shingles(text_col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of a text column (array<string>).
+
+    Built as a zip_with fold over k shifted slices of the token array —
+    ~6x faster than transform(sequence, element_at) (indexed element_at
+    inside a lambda defeats codegen; slice+zip_with stays vectorized).
+    Guarded for docs shorter than k tokens (empty list, matching DuckDB's
+    empty range())."""
+    t = F.split(text_col, " ")
+    length = F.size(t) - k + 1
+    acc = F.slice(t, 1, length)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(t, j + 1, length), lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(t) >= k, F.array_distinct(acc)).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded table — the working set for MinHash and
+    exact-Jaccard verification.
+
+    Repartition on doc_id FIRST: a small parquet scan is often a single
+    partition, which would serialize all the explode+hash work; hashing on
+    doc_id both spreads it across every core and pre-aligns the downstream
+    groupBy(doc_id) aggregations so they reuse the partitioning instead of
+    shuffling the (much larger) shingle table."""
+    return docs.repartition(F.col("doc_id")).select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """Per-doc MinHash signature of ``n_hashes`` 32-bit min-hashes, derived
+    from just TWO md5 evaluations per shingle (md5 emits 128 bits = four
+    32-bit hash functions; a salted second md5 supplies four more). One
+    groupBy with n_hashes min-aggregates — a single shuffle regardless of
+    signature width, and integer mins instead of string mins."""
+    assert n_hashes <= 8, "derive more salted md5s for wider signatures"
+    h1 = F.md5(F.encode(F.col("shingle"), "UTF-8"))
+    h2 = F.md5(F.encode(F.concat(F.lit("x"), F.col("shingle")), "UTF-8"))
+    chunks = [F.conv(F.substring(h1, 1 + 8 * i, 8), 16, 10).cast("long") for i in range(4)] + [
+        F.conv(F.substring(h2, 1 + 8 * i, 8), 16, 10).cast("long") for i in range(4)
+    ]
+    aggs = [F.min(chunks[i]).alias(f"sig{i}") for i in range(n_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_table(sigs: DataFrame, n_hashes: int = N_MINHASH, rows_per_band: int = 4) -> DataFrame:
+    """Band table (doc_id, band_idx, band_key): band_key = md5 of the
+    concatenated signature rows. Docs sharing any band_key are candidates."""
+    n_bands = n_hashes // rows_per_band
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "_", *[F.col(f"sig{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+                    ),
+                    "UTF-8",
+                )
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*bands)).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs that collide in ≥1 band. The self-join
+    shuffles on (band_idx, band_key) — collision-proportional, never n²."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: intersection via shingle
+    equi-join restricted to the pair set, union by inclusion-exclusion."""
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # candidate set is collision-proportional (tiny) — broadcast it so the
+    # shingle table is filtered map-side and never shuffles for the pair join
+    inter = (
+        F.broadcast(pairs)
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
+    → exact-verify ≥ threshold. Returns (doc_a, doc_b, jaccard).
+
+    The shingle table feeds three branches (signatures + both sides of the
+    verify join); persist it so the scan+explode runs once. At 100 TB the
+    same role is played by a checkpointed intermediate table (shingles are
+    ~5-10× text size — MEMORY_AND_DISK spills rather than OOMs)."""
+    sh = shingle_table(docs).persist()
+    pairs = candidate_pairs(lsh_band_table(minhash_signatures(sh))).persist()
+    return verify_jaccard(pairs, sh, threshold)
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def _token_hash60(col: Column) -> Column:
+    """First 15 hex chars of md5 as a 60-bit BIGINT (base-16 conv)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Frequency-weighted 60-bit SimHash per document.
+
+    Single-pass formulation: explode tokens, hash each once, then ONE
+    groupBy(doc_id) computing all 60 bit-sums as separate aggregate
+    expressions (codegen handles wide aggregates well) and folding them
+    into the final signature — no 60× row blow-up, one shuffle."""
+    toks = docs.repartition(F.col("doc_id")).select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    hashed = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt")).withColumn("h", _token_hash60(F.col("tok")))
+    bit_sums = [
+        F.sum(F.col("cnt") * (F.shiftright(F.col("h"), p).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"s{p}")
+        for p in range(bits)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for p in range(bits):
+        term = F.when(F.col(f"s{p}") > 0, F.lit(1).cast("long") * (2**p)).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming, via 4-band
+    pigeonhole blocking (any pair within distance 3 agrees on ≥1 of 4
+    15-bit bands) then exact popcount verify on candidates."""
+    n_bands = 4
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = [
+        F.struct(F.lit(b).alias("band_idx"), F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"))
+        for b in range(n_bands)
+    ]
+    bt = sigs.select("doc_id", "simhash", F.explode(F.array(*bands)).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    a = bt.alias("a")
+    b = bt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a", "doc_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# --- n-gram Jaccard with length blocking ------------------------------------
+
+
+def ngram_jaccard_lsh(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Word-bigram (2-gram) Jaccard near-dup via the same MinHash-LSH
+    candidate machinery, at bigram granularity.
+
+    Why not length-blocking + exhaustive verify: bucket occupancy is
+    O(n / #buckets), so candidate pairs grow quadratically with corpus
+    size — and a gram-equality join is Σ(df(gram)²) which explodes when
+    the vocabulary is small relative to the corpus (every common bigram
+    joins thousands × thousands of docs). LSH candidates are
+    collision-proportional instead: the only shape that survives 100 TB.
+    Recall below the ≈0.84 LSH design threshold is partial but fully
+    deterministic (md5 banding, no RNG) — the oracle runs the identical
+    algorithm and must agree exactly."""
+    sh = shingle_table(docs, k=2).persist()
+    pairs = candidate_pairs(lsh_band_table(minhash_signatures(sh))).persist()
+    return verify_jaccard(pairs, sh, threshold)
+
+
+# --- Embedding near-dup ------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, computed with
+    sequential left-fold sums (bit-identical to DuckDB's list_dot_product)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding near-dup: block on the coarse partition column (label — the
+    IVF-centroid stand-in), cosine-verify within blocks. At 100 TB the
+    label comes from a k-means/IVF assignment; the join shape is identical."""
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.8 N11 +
+north-star extensions): tokenization, language-ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+All pure built-in column expressions — JVM-side, whole-stage-codegen'd, no
+Python in the hot path — so a 100 TB documents table processes at scan
+speed with zero shuffles until the (optional) aggregation.
+
+Determinism contract: every function here has an exact DuckDB-SQL
+equivalent (used by the oracle gate), so hashing/scoring must avoid
+engine-specific behavior: md5 (identical hex output), integer arithmetic,
+IEEE double division — no locale-dependent ops, no round() on
+midpoint-prone products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopword sets for the n-gram/stopword language heuristic.
+# Tiny by design: the operator demonstrates the blocking pattern (per-language
+# marker hit counts → argmax with deterministic tie-break), which is what a
+# real fastText-style scorer would slot into.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "le", "shi", "bu", "wo"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokenization (the corpus is pre-normalized; a BPE-ish
+    regex split is in ``regex_tokens``)."""
+    return F.split(text_col, " ")
+
+
+def regex_tokens(text_col: Column) -> Column:
+    """BPE-ish alnum-run tokenization: split on any non-alphanumeric run."""
+    return F.split(text_col, "[^a-z0-9]+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counting: whitespace tokens, regex tokens,
+    distinct tokens, char length. One narrow projection."""
+    t = tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(regex_tokens(F.col(text_col))).alias("n_regex_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_text"),
+    )
+
+
+def lang_score(text_col: Column, lang: str) -> Column:
+    """Marker-hit count for one language: |tokens ∩ markers| including
+    repeats (frequency-weighted, like an n-gram profile score)."""
+    markers = LANG_MARKERS[lang]
+    t = tokens(text_col)
+    return F.size(F.filter(t, lambda x: x.isin(*markers)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker-hit counts with
+    deterministic tie-break on language code ascending (so empty/ambiguous
+    docs resolve stably). Emits the per-language scores too, so downstream
+    filters can threshold on confidence."""
+    scored = df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[lang_score(F.col(text_col), lg).alias(f"score_{lg}") for lg in sorted(LANG_MARKERS)],
+    )
+    # argmax via greatest + case chain in lang-code order (deterministic)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):  # build CASE so FIRST (asc) match wins ties
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred).withColumn(
+        "lang_match", (F.col("pred_lang") == F.col("labeled_lang"))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length/stopword/diversity ratios + a composite.
+    All IEEE-double arithmetic on integer counts — bit-identical across
+    engines, no rounding needed."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    n_dist = F.size(F.array_distinct(t))
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (n_chars.cast("double") / n_tok.cast("double")).alias("avg_token_len"),
+        (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+        (n_dist.cast("double") / n_tok.cast("double")).alias("type_token_ratio"),
+        (
+            (n_dist.cast("double") / n_tok.cast("double"))
+            * (1 - n_stop.cast("double") / n_tok.cast("double"))
+        ).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: full-content md5 plus a shingle-anchored
+    min-hash fingerprint (min/max md5 over word 3-shingles) — the rolling-
+    hash analog that survives small edits at the ends. All string-domain
+    (hex), engine-portable."""
+    from simple_stream_processor_spark.operators.dedup import word_shingles
+
+    # distinct shingles give the same min/max anchors as the raw sequence
+    sh_hashes = F.transform(word_shingles(F.col(text_col), 3), lambda s: F.md5(F.encode(s, "UTF-8")))
+    return df.select(
+        "doc_id",
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("content_md5"),
+        F.array_min(sh_hashes).alias("min_shingle_md5"),
+        F.array_max(sh_hashes).alias("max_shingle_md5"),
+    )

@@ -18,8 +18,6 @@ Conventions (critical for hash parity — see SURVEY §7):
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -27,18 +25,7 @@ from pyspark.sql import functions as F
 from simple_stream_processor_spark.tables import load_table
 from simple_stream_processor_spark.operators import core, errors, parallel, relational, windows
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+from simple_stream_processor_spark.registry import ORACLES, QUERIES, query  # noqa: F401
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

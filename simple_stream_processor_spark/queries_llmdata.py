@@ -1,0 +1,415 @@
+"""LLM-training-data pipeline queries: dedup family, similarity search,
+text analysis, multimodal metadata (SURVEY §2.8 N10-N12 + north-star
+extensions). Every query pairs with a DuckDB oracle that runs the SAME
+algorithm (same md5 hashing, same banding, same blocking), so the
+correctness gate verifies the distributed implementation end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_stream_processor_spark.operators import dedup, multimodal, similarity, text
+from simple_stream_processor_spark.registry import query
+from simple_stream_processor_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N11: corpus token frequencies — tokenize (narrow explode) + hash agg;
+    shuffle bounded by vocabulary size, not corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(string_split_regex(text, '[^a-z0-9]+')) AS n_regex_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           length(text) AS n_chars_text
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document (whitespace + BPE-ish regex runs) —
+    one narrow projection, scan-speed at any scale."""
+    return text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({markers}))) AS score_{lang}"
+
+
+_LANGS = sorted(text.LANG_MARKERS)
+_PRED_CASE = "CASE " + " ".join(f"WHEN score_{lg} = best THEN '{lg}'" for lg in _LANGS) + " END"
+
+_LANG_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {", ".join(_lang_score_sql(lg) for lg in _LANGS)}
+      FROM documents
+    ), withbest AS (
+      SELECT *, greatest({", ".join("score_" + lg for lg in _LANGS)}) AS best FROM scored
+    )
+    SELECT doc_id, labeled_lang, {", ".join("score_" + lg for lg in _LANGS)},
+           {_PRED_CASE} AS pred_lang,
+           ({_PRED_CASE}) = labeled_lang AS lang_match
+    FROM withbest
+    """
+
+
+@query("q_lang_id", oracle=_LANG_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language marker-token hit counts, argmax
+    with deterministic ascending tie-break (operators/text.py:lang_id)."""
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n_chars FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           n_chars::DOUBLE / len(toks)::DOUBLE AS avg_token_len,
+           len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE / len(toks)::DOUBLE AS stopword_ratio,
+           len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS type_token_ratio,
+           (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+             * (1 - len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE / len(toks)::DOUBLE) AS quality
+    FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/type-token ratios + composite —
+    raw IEEE arithmetic, bit-identical across engines."""
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, text,
+             list_transform(range(1, len(tk) - 1), i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS hs
+      FROM t
+    )
+    SELECT doc_id, md5(text) AS content_md5,
+           list_aggregate(hs, 'min') AS min_shingle_md5,
+           list_aggregate(hs, 'max') AS max_shingle_md5
+    FROM sh
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content md5 + min/max 3-shingle md5
+    (rolling-hash-style anchors, survives edits at one end)."""
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_text_exact",
+    oracle="""
+    SELECT md5(text) AS content_md5, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_text_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(text) with deterministic
+    keep-first (min doc_id). Shuffle carries 16-byte digests, not text —
+    the only strategy that works when `text` is megabytes."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.encode(F.col("text"), "UTF-8")).alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+_MINHASH_SIGS = ",\n             ".join(
+    [f"min(('0x' || substr(md5(shingle), {1 + 8 * i}, 8))::BIGINT) AS sig{i}" for i in range(4)]
+    + [f"min(('0x' || substr(md5('x' || shingle), {1 + 8 * i}, 8))::BIGINT) AS sig{i + 4}" for i in range(4)]
+)
+
+@query(
+    "q_minhash_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {_MINHASH_SIGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx,
+             md5(sig0::VARCHAR || '_' || sig1::VARCHAR || '_' || sig2::VARCHAR || '_' || sig3::VARCHAR) AS band_key
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx,
+             md5(sig4::VARCHAR || '_' || sig5::VARCHAR || '_' || sig6::VARCHAR || '_' || sig7::VARCHAR) AS band_key
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           i.inter::DOUBLE / (ca.n + cb.n - i.inter)::DOUBLE AS jaccard
+    FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
+    WHERE i.inter::DOUBLE / (ca.n + cb.n - i.inter)::DOUBLE >= 0.5
+    """,
+)
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection (operators/dedup.py): shingle → 8-way
+    MinHash signature → 2×4 LSH bands → candidate pairs on band collision →
+    exact Jaccard ≥ 0.5 verify. The pair space is never materialized —
+    candidates are collision-proportional."""
+    return dedup.minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_SIMHASH_SUMS = ",\n             ".join(
+    f"sum(cnt * (((h >> {p}) & 1) * 2 - 1)) AS s{p}" for p in range(dedup.SIMHASH_BITS)
+)
+_SIMHASH_SIG = " + ".join(
+    f"CASE WHEN s{p} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for p in range(dedup.SIMHASH_BITS)
+)
+_SIMHASH_BANDS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, simhash, {b} AS band_idx, (simhash >> {b * 15}) & 32767 AS band_key FROM sig"
+    for b in range(4)
+)
+
+@query(
+    "q_simhash_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+    h AS (SELECT doc_id, cnt, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tc),
+    sums AS (
+      SELECT doc_id,
+             {_SIMHASH_SUMS}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {_SIMHASH_SIG} AS simhash FROM sums),
+    bands AS (
+{_SIMHASH_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: frequency-weighted 60-bit signature per doc, 4-band
+    pigeonhole candidate generation (any pair ≤ Hamming 3 shares a 15-bit
+    band exactly), popcount verify. One groupBy for signatures, one
+    collision-proportional self-join."""
+    sigs = dedup.simhash(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(sigs, max_hamming=3)
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1]))) AS shingle
+      FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {_MINHASH_SIGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx,
+             md5(sig0::VARCHAR || '_' || sig1::VARCHAR || '_' || sig2::VARCHAR || '_' || sig3::VARCHAR) AS band_key
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx,
+             md5(sig4::VARCHAR || '_' || sig5::VARCHAR || '_' || sig6::VARCHAR || '_' || sig7::VARCHAR) AS band_key
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           i.inter::DOUBLE / (ca.n + cb.n - i.inter)::DOUBLE AS jaccard
+    FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
+    WHERE i.inter::DOUBLE / (ca.n + cb.n - i.inter)::DOUBLE >= 0.4
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup: MinHash-LSH candidates at bigram
+    granularity, exact Jaccard ≥ 0.4 verify (see
+    operators/dedup.py:ngram_jaccard_lsh for why length-blocking +
+    exhaustive verify can't scale)."""
+    return dedup.ngram_jaccard_lsh(_t(spark, sf_dir, "documents"), threshold=0.4)
+
+
+_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+@query(
+    "q_embedding_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           {_COS} AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS} >= 0.4
+    """,
+)
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with coarse-partition blocking (label =
+    IVF-centroid stand-in): pairs only form inside a block, cosine verified
+    exactly. At 100 TB the block assignment comes from k-means; the join
+    shape — shuffle on block id, compare within — is identical."""
+    return dedup.embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS probe_v FROM e WHERE vec_id = 0)
+    SELECT vec_id, label,
+           list_dot_product(v, probe_v)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(probe_v, probe_v))) AS cos_sim
+    FROM e, p
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N12 baseline: brute-force cosine top-k vs probe vec_id=0. Broadcast
+    1-row probe → narrow scoring → TakeOrderedAndProject; corpus never
+    shuffles."""
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), probe_id=0, k=10)
+
+
+_BUCKET_SQL = " + ".join(f"(CASE WHEN v[{i+1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(similarity.N_LSH_BITS))
+
+@query(
+    "q_ann_bucketed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, label, v, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM e),
+    p AS (SELECT v AS probe_v, bucket AS probe_bucket FROM b WHERE vec_id = 0)
+    SELECT vec_id, label, bucket,
+           list_dot_product(v, probe_v)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(probe_v, probe_v))) AS cos_sim
+    FROM b, p
+    WHERE vec_id <> 0 AND bit_count(xor(bucket, probe_bucket)) <= 1
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N12 scale path: deterministic sign-LSH bucketed ANN — probe bucket +
+    Hamming-1 neighbors (nprobe=7 of 64 buckets), cosine top-k within
+    candidates. ~9% of the corpus scored instead of 100%."""
+    return similarity.ann_bucketed_topk(_t(spark, sf_dir, "embeddings"), probe_id=0, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id, 'text-blob' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           n_chars AS duration_ms
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path: binary payload column + typed metadata;
+    this projection computes size/digest WITHOUT decoding (and in a real
+    media table, without even reading the payload when meta is enough).
+    The Pandas-UDF decode plumbing (stubbed codecs) is exercised in
+    tests/test_multimodal.py."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return media.select(
+        "media_id",
+        "media_type",
+        F.octet_length(F.col("payload")).alias("n_bytes"),
+        F.md5(F.col("payload")).alias("content_md5"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )

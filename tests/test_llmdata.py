@@ -1,0 +1,134 @@
+"""Tests for the LLM-training-data operators: dedup family, similarity
+search, text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_stream_processor_spark.operators import dedup, multimodal, similarity, text
+from simple_stream_processor_spark.tables import load_table
+
+
+def docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir)
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    pairs = dedup.minhash_dedup(docs(spark, sf_dir), threshold=0.5).collect()
+    assert len(pairs) > 0  # the corpus has planted near-duplicates
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert 0.5 <= r.jaccard <= 1.0
+
+
+def test_minhash_candidates_superset_of_verified(spark, sf_dir):
+    sh = dedup.shingle_table(docs(spark, sf_dir))
+    cands = dedup.candidate_pairs(dedup.lsh_band_table(dedup.minhash_signatures(sh)))
+    verified = dedup.verify_jaccard(cands, sh, 0.5)
+    assert cands.count() >= verified.count()
+
+
+def test_simhash_signature_deterministic(spark, sf_dir):
+    s1 = {r.doc_id: r.simhash for r in dedup.simhash(docs(spark, sf_dir)).collect()}
+    s2 = {r.doc_id: r.simhash for r in dedup.simhash(docs(spark, sf_dir)).collect()}
+    assert s1 == s2
+    assert all(0 <= v < (1 << 60) for v in s1.values())
+
+
+def test_simhash_near_dup_pairs_have_close_signatures(spark, sf_dir):
+    sigs = dedup.simhash(docs(spark, sf_dir))
+    pairs = dedup.simhash_pairs(sigs, max_hamming=3).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r.hamming <= 3
+
+
+def test_identical_texts_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")], "doc_id long, text string"
+    )
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    mh = dedup.minhash_signatures(dedup.shingle_table(df)).collect()
+    by_id = {r.doc_id: tuple(r[f"sig{i}"] for i in range(dedup.N_MINHASH)) for r in mh}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_embedding_near_dup_blocked(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = dedup.embedding_near_dup(emb, threshold=0.4)
+    rows = out.collect()
+    for r in rows:
+        assert r.vec_a < r.vec_b and r.cos_sim >= 0.4
+
+
+def test_cosine_topk_baseline(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    top = similarity.cosine_topk(emb, probe_id=0, k=10).collect()
+    assert len(top) == 10
+    sims = [r.cos_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r.vec_id != 0 for r in top)
+
+
+def test_ann_results_are_subset_quality(spark, sf_dir):
+    """ANN top-k cosines can't exceed brute-force; overlap should be
+    nonzero (probe's own bucket contains its neighbors more often than
+    random)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    brute = similarity.cosine_topk(emb, probe_id=0, k=10).collect()
+    ann = similarity.ann_bucketed_topk(emb, probe_id=0, k=10).collect()
+    assert len(ann) >= 1
+    assert max(r.cos_sim for r in ann) <= max(r.cos_sim for r in brute) + 1e-12
+
+
+def test_lang_id_deterministic_tiebreak(spark):
+    # no marker hits → all scores 0 → tie → lowest lang code wins ('de')
+    df = spark.createDataFrame([(1, "zzz qqq www", "en")], "doc_id long, text string, lang string")
+    out = text.lang_id(df).collect()[0]
+    assert out.pred_lang == "de"
+    # clear German markers win
+    df2 = spark.createDataFrame([(2, "der und das ist der", "de")], "doc_id long, text string, lang string")
+    out2 = text.lang_id(df2).collect()[0]
+    assert out2.pred_lang == "de" and out2.lang_match
+
+
+def test_quality_score_ranges(spark, sf_dir):
+    rows = text.quality_score(docs(spark, sf_dir)).collect()
+    for r in rows:
+        assert 0 <= r.stopword_ratio <= 1
+        assert 0 < r.type_token_ratio <= 1
+        assert 0 <= r.quality <= 1
+
+
+def test_multimodal_stub_raises_without_fake(spark):
+    df = multimodal.documents_as_media(
+        spark.createDataFrame([(1, "hello world", "en", "s", 11)], "doc_id long, text string, lang string, source string, n_chars long")
+    )
+    out = multimodal.decode_features(df, fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        out.collect()
+
+
+def test_multimodal_fake_decoder_features(spark):
+    df = multimodal.documents_as_media(
+        spark.createDataFrame(
+            [(1, "ab", "en", "s", 2), (2, "", "en", "s", 0)], "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    rows = {r.media_id: r for r in multimodal.decode_features(df, fake=True).collect()}
+    assert rows[1].n_bytes == 2
+    assert rows[1].byte_min == ord("a") and rows[1].byte_max == ord("b")
+    assert rows[1].byte_mean == (ord("a") + ord("b")) / 2
+    assert rows[1].feature_ok
+    assert rows[2].n_bytes == 0 and not rows[2].feature_ok
+
+
+def test_media_metadata_prunes_payload(spark):
+    df = multimodal.documents_as_media(
+        spark.createDataFrame([(1, "hello", "en", "s", 5)], "doc_id long, text string, lang string, source string, n_chars long")
+    )
+    meta = multimodal.media_metadata(df)
+    assert "payload" not in meta.columns
+    assert meta.collect()[0].duration_ms == 5
