@@ -1,0 +1,132 @@
+"""Streaming + lifecycle declared queries (SURVEY §2.1 S3/S5/S7, §2.5
+streaming twins). These run a real Structured Streaming query (AvailableNow
+→ memory sink) or a managed-resource action inside the query callable and
+return the materialized result — so the driver's oracle gate verifies the
+*streaming* path against the same batch SQL.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_stream_processor_spark.registry import query
+from simple_stream_processor_spark.streaming.lifecycle import consume_managed, managed_source_run
+from simple_stream_processor_spark.streaming.runner import TMP_ROOT, run_stream_to_memory, stream_events
+from simple_stream_processor_spark.streaming.windows import streaming_tumbling_window
+from simple_stream_processor_spark.streaming.dedup import streaming_dedup
+from simple_stream_processor_spark.tables import load_table
+
+
+@query(
+    "q_stream_read",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def q_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: unbounded source read (reference Stream.fromBlockingQueue,
+    Stream.scala:330-348): file streaming source drained with
+    Trigger.AvailableNow (the queue's end-of-stream signal) into a memory
+    sink. The oracle proves the streaming read is value-identical to the
+    batch scan."""
+    sdf = stream_events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    out, _ = run_stream_to_memory(sdf, output_mode="append")
+    return out
+
+
+@query(
+    "q_streaming_tumbling",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 streaming twin: watermarked tumbling windows executed by the
+    incremental engine, ``complete`` output = the reference's
+    Watermark(MaxValue) end-of-stream flush (ADR-0006:18-19) — all windows
+    emitted, hash-equal to the batch oracle."""
+    sdf = streaming_tumbling_window(stream_events(spark, sf_dir), "ts", "1 hour", "0 seconds")
+    out, _ = run_stream_to_memory(sdf, output_mode="complete")
+    return out
+
+
+@query(
+    "q_streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N10 streaming twin: dropDuplicatesWithinWatermark — bounded-state
+    first-arrival dedup. Key-only projection keeps the result deterministic
+    (which physical row arrives first per key is scheduler-dependent)."""
+    sdf = streaming_dedup(stream_events(spark, sf_dir), ["user_id", "event_type"], "ts", "10 minutes")
+    out, _ = run_stream_to_memory(sdf.select("user_id", "event_type"), output_mode="append")
+    return out
+
+
+@query(
+    "q_managed_source",
+    oracle="SELECT s_suppkey, s_name FROM supplier",
+)
+def q_managed_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: ManagedSource (reference Node.scala:135-171) — open a resource,
+    stream from it, close exactly once on success/error/cancel. The
+    resource here is a manifest file handle that yields the table path;
+    lifecycle invariants (close-once, suppression) are pytest-asserted in
+    tests/test_lifecycle.py."""
+
+    class Manifest:
+        def __init__(self) -> None:
+            self.path = os.path.join(sf_dir, "supplier.parquet")
+            self.closed = False
+
+        def close(self) -> None:
+            self.closed = True
+
+    rows = managed_source_run(
+        Manifest,
+        lambda m: load_table(spark, "supplier", os.path.dirname(m.path)).select("s_suppkey", "s_name"),
+        lambda df: df.collect(),
+    )
+    return spark.createDataFrame(rows, "s_suppkey long, s_name string")
+
+
+@query(
+    "q_managed_sink",
+    oracle="SELECT event_id, event_type FROM events",
+)
+def q_managed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: ManagedSink (reference Node.scala:370-437) — consume every row
+    into a per-partition AutoCloseable resource (a CSV writer here), close
+    always, then prove no row was lost by reading the files back. The
+    error-precedence matrix is pytest-asserted in tests/test_lifecycle.py."""
+    out_dir = os.path.join(TMP_ROOT, "managed_sink", uuid.uuid4().hex[:12])
+    os.makedirs(out_dir, exist_ok=True)
+
+    class CsvResource:
+        def __init__(self) -> None:
+            self._f = open(os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.csv"), "w", newline="")
+            self._w = csv.writer(self._f)
+
+        def write(self, row) -> None:
+            self._w.writerow([row["event_id"], row["event_type"]])
+
+        def close(self) -> None:
+            self._f.close()
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type")
+    consume_managed(ev, CsvResource, lambda r, row: r.write(row))
+
+    records = []
+    for path in glob.glob(os.path.join(out_dir, "*.csv")):
+        with open(path, newline="") as f:
+            records.extend((int(a), b) for a, b in csv.reader(f))
+    return spark.createDataFrame(records, "event_id long, event_type string")

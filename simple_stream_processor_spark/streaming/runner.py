@@ -1,0 +1,71 @@
+"""Streaming execution helpers: file-based sources over the testdata
+parquet (rate-limited = backpressure boundary) and memory-sink collection.
+
+``Stream.fromBlockingQueue`` (reference Stream.scala:330-348) maps to a
+rate-limited ``readStream``: the queue's end-of-stream signal becomes
+``Trigger.AvailableNow`` (drain everything, then stop), the error signal
+becomes a source exception failing the query, and the bounded-queue
+admission becomes ``maxFilesPerTrigger``/``maxOffsetsPerTrigger``.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+
+def _tmpdir(kind: str) -> str:
+    path = os.path.join(TMP_ROOT, kind, uuid.uuid4().hex[:12])
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Unbounded view of the events table via the file streaming source.
+    ``max_files_per_trigger`` is the admission-control knob — the Spark
+    form of the reference's bounded queue capacity (ADR-0004: block, never
+    drop: unread files simply wait for the next trigger)."""
+    from simple_stream_processor_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    schema = load_table(spark, "events", sf_dir).schema
+    # the parquet file stores ts as TIMESTAMP(NANOS) → long (see tables.py);
+    # reconstruct the timestamp column identically on the streaming path
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # the file streaming source requires a directory; narrow to the events
+    # file with a glob filter
+    reader = spark.readStream.schema(raw_schema).option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def run_stream_to_memory(
+    sdf: DataFrame,
+    output_mode: str = "append",
+    timeout_s: int = 120,
+) -> tuple[DataFrame, list[dict]]:
+    """Run a streaming DataFrame to completion (AvailableNow) into a memory
+    sink; return (result DataFrame, progress dicts). The progress list is
+    the metrics surface — ``stateOperators[].numRowsDroppedByWatermark``
+    is the reference's ``ssp_late_event_dropped_total``."""
+    spark = sdf.sparkSession
+    name = "mem_" + uuid.uuid4().hex[:12]
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", _tmpdir("chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    progress = [p.asDict() if hasattr(p, "asDict") else p for p in query.recentProgress]
+    return spark.table(name), progress

@@ -3,7 +3,15 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_TESTS)
+sys.path.insert(0, _REPO)
+# executor Python workers are separate processes: they need the repo AND the
+# tests dir on PYTHONPATH to unpickle test-defined classes (must be set
+# before the SparkSession/JVM starts)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (_REPO, _TESTS, os.environ.get("PYTHONPATH")) if p
+)
 
 from simple_stream_processor_spark.session import get_spark
 

@@ -1,0 +1,176 @@
+"""Managed resource lifecycle + async execution/cancellation tests —
+the reference's suppression matrix and outcome classification
+(reference docs/adr/error-and-cancellation-matrix.md:5-14,
+SimpleStreamProcessorTest.scala:157-266, 355-498).
+"""
+
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_stream_processor_spark import metrics
+from simple_stream_processor_spark.execution import (
+    CancellableIterator,
+    ExecutionHandle,
+    Outcome,
+    run_to_list_async,
+)
+from simple_stream_processor_spark.streaming.lifecycle import consume_managed, managed_source_run
+from simple_stream_processor_spark.streaming.runner import TMP_ROOT
+
+
+def _marker_dir() -> str:
+    d = os.path.join(TMP_ROOT, "markers", uuid.uuid4().hex[:12])
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+class FileResource:
+    """AutoCloseable stand-in writing rows + lifecycle markers to disk
+    (executor-side side effects must be observable from the driver)."""
+
+    def __init__(self, d: str, fail_close: bool = False):
+        self.d = d
+        self.fail_close = fail_close
+        self.path = os.path.join(d, f"r-{uuid.uuid4().hex[:8]}")
+        self._f = open(self.path + ".rows", "w")
+
+    def write(self, value) -> None:
+        self._f.write(f"{value}\n")
+
+    def close(self) -> None:
+        self._f.close()
+        open(self.path + ".closed", "w").close()
+        if self.fail_close:
+            raise OSError("close failed")
+
+
+def _rows_written(d: str) -> list[str]:
+    out = []
+    for name in os.listdir(d):
+        if name.endswith(".rows"):
+            out.extend(line.strip() for line in open(os.path.join(d, name)) if line.strip())
+    return out
+
+
+def _n_closed(d: str) -> int:
+    return sum(1 for n in os.listdir(d) if n.endswith(".closed"))
+
+
+def _n_opened(d: str) -> int:
+    return sum(1 for n in os.listdir(d) if n.endswith(".rows"))
+
+
+def test_managed_sink_success_closes_all(spark):
+    # matrix row 1: processing ok, close ok → success, resource closed
+    d = _marker_dir()
+    df = spark.range(0, 100).repartition(4)
+    consume_managed(df, lambda: FileResource(d), lambda r, row: r.write(row["id"]))
+    assert sorted(int(v) for v in _rows_written(d)) == list(range(100))
+    assert _n_closed(d) == _n_opened(d) > 0
+
+
+def test_managed_sink_processing_error_primary_close_runs(spark):
+    # matrix row 2: processing fails, close ok → processing error raised,
+    # close still ran on the failing partition
+    d = _marker_dir()
+    df = spark.range(0, 100).coalesce(1)
+
+    def consume(r, row):
+        if row["id"] == 50:
+            raise ValueError("boom at 50")
+        r.write(row["id"])
+
+    with pytest.raises(Exception, match="boom at 50"):
+        consume_managed(df, lambda: FileResource(d), consume)
+    assert _n_closed(d) == _n_opened(d) > 0
+
+
+def test_managed_sink_close_error_raised_when_processing_ok(spark):
+    # matrix row 3: processing ok, close fails → close error raised + metric
+    d = _marker_dir()
+    before = metrics.GLOBAL.snapshot().values["ssp_resource_close_fail_total"]
+    df = spark.range(0, 10).coalesce(1)
+    with pytest.raises(Exception, match="close failed"):
+        consume_managed(df, lambda: FileResource(d, fail_close=True), lambda r, row: r.write(row["id"]))
+    assert metrics.GLOBAL.snapshot().values["ssp_resource_close_fail_total"] == before + 1
+
+
+def test_managed_sink_both_fail_processing_error_wins(spark):
+    # matrix row 4: both fail → processing error primary, close suppressed
+    d = _marker_dir()
+    df = spark.range(0, 10).coalesce(1)
+
+    def consume(r, row):
+        if row["id"] == 5:
+            raise ValueError("processing boom")
+        r.write(row["id"])
+
+    with pytest.raises(Exception, match="processing boom"):
+        consume_managed(df, lambda: FileResource(d, fail_close=True), consume)
+
+
+def test_managed_source_close_on_success_and_error(spark):
+    closed = []
+
+    class Res:
+        def close(self):
+            closed.append(1)
+
+    out = managed_source_run(Res, lambda r: spark.range(5), lambda df: df.count())
+    assert out == 5 and len(closed) == 1
+
+    def bad_action(df):
+        raise RuntimeError("action boom")
+
+    with pytest.raises(RuntimeError, match="action boom"):
+        managed_source_run(Res, lambda r: spark.range(5), bad_action)
+    assert len(closed) == 2  # closed exactly once more, despite the error
+
+
+def test_execution_completed(spark):
+    h = run_to_list_async(spark.range(1, 11).select(F.sum("id").alias("s")))
+    outcome, result = h.outcome(timeout_s=60)
+    assert outcome == Outcome.COMPLETED
+    assert result[0].s == 55  # reference fold-sum golden
+
+
+def test_execution_failed_counts_unhandled_error(spark):
+    before = metrics.GLOBAL.snapshot().values["ssp_unhandled_error_total"]
+    df = spark.range(1).select(F.expr("raise_error('deliberate')").alias("x"))
+    h = ExecutionHandle(spark, lambda: df.collect())
+    outcome, err = h.outcome(timeout_s=60)
+    assert outcome == Outcome.FAILED
+    assert "deliberate" in str(err)
+    assert h.metrics_snapshot().values["ssp_unhandled_error_total"] == 1  # scoped
+    assert metrics.GLOBAL.snapshot().values["ssp_unhandled_error_total"] == before + 1
+
+
+def test_execution_cancelled(spark):
+    # a deliberately slow job: per-row sleep via pandas_udf across few tasks
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def slow(s: pd.Series) -> pd.Series:
+        time.sleep(2)
+        return s
+
+    df = spark.range(0, 64, 1, 8).select(slow(F.col("id")).alias("x"))
+    h = ExecutionHandle(spark, lambda: df.collect())
+    time.sleep(1.0)  # let tasks start
+    h.cancel()
+    h.cancel()  # idempotent (reference Execution.scala:32-39)
+    outcome, err = h.outcome(timeout_s=120)
+    assert outcome == Outcome.CANCELLED
+
+
+def test_cancellable_iterator(spark):
+    it = CancellableIterator(spark.range(0, 1000, 1, 10).select("id"))
+    first = next(it)
+    assert first["id"] == 0
+    it.cancel()
+    with pytest.raises(StopIteration):
+        next(it)

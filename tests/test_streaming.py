@@ -1,0 +1,163 @@
+"""Structured Streaming twins of the reference's event-time goldens
+(FIXTURES.md §C): watermark late-drop, streaming dedup, stateful count
+windows, and batch/stream equivalence.
+"""
+
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_stream_processor_spark.streaming.runner import TMP_ROOT, run_stream_to_memory, stream_events
+from simple_stream_processor_spark.streaming.windows import (
+    streaming_count_window,
+    streaming_tumbling_window,
+)
+from simple_stream_processor_spark.streaming.dedup import streaming_dedup
+from simple_stream_processor_spark import metrics
+
+
+def _micro_batch_dir() -> str:
+    d = os.path.join(TMP_ROOT, "mb", uuid.uuid4().hex[:12])
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _write_batch(spark, d: str, rows, batch_no: int) -> None:
+    # one parquet file per micro-batch; the file source picks up new files
+    # per trigger, advancing the watermark between batches
+    df = spark.createDataFrame(rows, "value string, ts_ms long").select(
+        "value", F.timestamp_millis(F.col("ts_ms")).alias("ts")
+    )
+    df.coalesce(1).write.mode("append").parquet(d)
+
+
+def _drive(spark, d: str, make_query, batches, output_mode="append"):
+    """Write batch 1, start the query, then feed remaining batches one
+    trigger at a time (processAllAvailable commits the watermark between
+    batches — the streaming analog of the reference's in-band Watermark
+    rows arriving in sequence)."""
+    _write_batch(spark, d, batches[0], 0)
+    schema = spark.read.parquet(d).schema
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    out = make_query(sdf)
+    name = "t_" + uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(d, "_chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, b in enumerate(batches[1:], start=1):
+            _write_batch(spark, d, b, i)
+            q.processAllAvailable()
+        progress = [p.asDict() if hasattr(p, "asDict") else p for p in q.recentProgress]
+        return spark.table(name).collect(), progress
+    finally:
+        q.stop()
+
+
+def test_streaming_late_event_dropped_golden(spark):
+    """reference SimpleStreamProcessorTest.scala:294-310 / event-time
+    example: a@1s..d@8s arrive, watermark advances to 8, then late@4s
+    arrives → dropped; window [0,5) closes with exactly {a, b};
+    numRowsDroppedByWatermark == 1 ≙ ssp_late_event_dropped_total."""
+    d = _micro_batch_dir()
+
+    def make(sdf):
+        return (
+            sdf.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "5 seconds").alias("w"))
+            .agg(F.sort_array(F.collect_list("value")).alias("vals"))
+            .select(F.unix_timestamp("w.start").alias("start_s"), "vals")
+        )
+
+    rows, progress = _drive(
+        spark,
+        d,
+        make,
+        [
+            [("a", 1000), ("b", 3000), ("c", 7000), ("d", 8000)],
+            [("late", 4000)],
+            [("flush", 20000)],  # advances the watermark so [5,10) also closes
+        ],
+    )
+    by_start = {r.start_s: list(r.vals) for r in rows}
+    assert by_start[0] == ["a", "b"]  # late-x NOT in the closed window
+    assert by_start[5] == ["c", "d"]
+    snap = metrics.snapshot_from_streaming_progress(progress)
+    assert snap.values["ssp_late_event_dropped_total"] == 1
+    assert snap.values["ssp_watermark_regression_total"] == 0  # monotonic by construction
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """N10 streaming: same key in a later batch is dropped; first arrival
+    survives."""
+    d = _micro_batch_dir()
+
+    def make(sdf):
+        return streaming_dedup(sdf.withColumn("k", F.col("value")), ["k"], "ts", "1 minute").select("k", "ts")
+
+    rows, _ = _drive(
+        spark,
+        d,
+        make,
+        [
+            [("k1", 1000), ("k2", 2000)],
+            [("k1", 30000), ("k3", 31000)],  # k1 is a dup within the horizon
+        ],
+    )
+    keys = sorted(r.k for r in rows)
+    assert keys == ["k1", "k2", "k3"]
+
+
+def test_streaming_count_window_state(spark):
+    """reference grouped(3) golden, streaming form: 7 events for one key →
+    two full windows emitted, 1-element remainder held in state (a stream
+    has no halt; the reference's final partial chunk emits only at
+    end-of-stream, ADR-0006:15)."""
+    d = _micro_batch_dir()
+
+    def make(sdf):
+        ev = sdf.select(F.col("ts").cast("long").alias("event_id"), F.lit(1).cast("long").alias("user_id"))
+        return streaming_count_window(ev, size=3)
+
+    batches = [
+        [(f"e{i}", (i + 1) * 1000) for i in range(4)],  # ids 1..4
+        [(f"e{i}", (i + 1) * 1000) for i in range(4, 7)],  # ids 5..7
+    ]
+    rows, _ = _drive(spark, d, make, batches)
+    rows = sorted(rows, key=lambda r: r.window_no)
+    assert len(rows) == 2
+    assert (rows[0].first_id, rows[0].last_id, rows[0].n) == (1, 3, 3)
+    assert (rows[1].first_id, rows[1].last_id, rows[1].n) == (4, 6, 3)
+
+
+def test_stream_batch_equivalence_tumbling(spark, sf_dir):
+    """The streaming tumbling aggregation over the events table (complete
+    mode = end-of-stream flush) must equal the batch computation exactly."""
+    sdf = streaming_tumbling_window(stream_events(spark, sf_dir), "ts", "1 hour", "0 seconds")
+    stream_rows, _ = run_stream_to_memory(sdf, output_mode="complete")
+    from simple_stream_processor_spark.queries import q_tumbling_window
+
+    batch_rows = q_tumbling_window(spark, sf_dir)
+    got = sorted(tuple(r) for r in stream_rows.collect())
+    want = sorted(tuple(r) for r in batch_rows.collect())
+    assert got == want
+
+
+def test_backpressure_rate_limited_drain(spark, sf_dir):
+    """BASELINE.md parity: rate-limited source (admission control) drains
+    the full table without unbounded state — every trigger processes at
+    most the admitted batch, and all rows arrive exactly once."""
+    sdf = stream_events(spark, sf_dir, max_files_per_trigger=1).select("event_id")
+    out, progress = run_stream_to_memory(sdf, output_mode="append")
+    n = out.count()
+    from simple_stream_processor_spark.tables import load_table
+
+    assert n == load_table(spark, "events", sf_dir).count()
