@@ -65,7 +65,13 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     from just TWO md5 evaluations per shingle (md5 emits 128 bits = four
     32-bit hash functions; a salted second md5 supplies four more). One
     groupBy with n_hashes min-aggregates — a single shuffle regardless of
-    signature width, and integer mins instead of string mins."""
+    signature width, and integer mins instead of string mins.
+
+    The same aggregation also carries ``n_sh`` (distinct-shingle count per
+    doc): the exact-Jaccard verify needs it, and folding it in here means
+    the corpus-wide shingle stream is consumed in exactly ONE pass — no
+    persisted multi-TB shingle intermediate, no second corpus scan for
+    counts."""
     assert n_hashes <= 8, "derive more salted md5s for wider signatures"
     h1 = F.md5(F.encode(F.col("shingle"), "UTF-8"))
     h2 = F.md5(F.encode(F.concat(F.lit("x"), F.col("shingle")), "UTF-8"))
@@ -73,6 +79,7 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
         F.conv(F.substring(h2, 1 + 8 * i, 8), 16, 10).cast("long") for i in range(4)
     ]
     aggs = [F.min(chunks[i]).alias(f"sig{i}") for i in range(n_hashes)]
+    aggs.append(F.count(F.lit(1)).alias("n_sh"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -116,14 +123,25 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard on candidate pairs only: intersection via shingle
-    equi-join restricted to the pair set, union by inclusion-exclusion."""
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # candidate set is collision-proportional (tiny) — broadcast it so the
-    # shingle table is filtered map-side and never shuffles for the pair join
+def verify_jaccard(pairs: DataFrame, sh: DataFrame, sigs: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: intersect via shingle
+    equi-join restricted to candidate docs, union by inclusion-exclusion
+    using the per-doc shingle counts already carried on the signature table.
+
+    Shuffle discipline: the candidate set is collision-proportional (tiny),
+    so the shingle table is broadcast-semi-filtered to candidate docs ONCE
+    (both join sides reuse the same filtered subtree → ReusedExchange)
+    before the (doc, shingle) equi-join — only candidate shingles are ever
+    shuffled, never the corpus. Per-doc set sizes ride along on ``sigs``
+    (computed in the signature aggregation), so no extra corpus pass for
+    counts. At 100 TB, where persisting the shingle stream is impractical,
+    swap ``sh`` for a recompute-on-candidates scan (filter docs on the
+    broadcast candidate ids *before* exploding shingles) — same plan shape,
+    bounded by candidate volume."""
+    cand = pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    csh = sh.join(F.broadcast(cand), "doc_id")
+    sa = csh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = csh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         F.broadcast(pairs)
         .join(sa, "doc_a")
@@ -131,11 +149,12 @@ def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFra
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    counts = sigs.join(F.broadcast(cand), "doc_id").select("doc_id", "n_sh")
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -147,17 +166,19 @@ def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     )
 
 
-def minhash_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_dedup(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
     → exact-verify ≥ threshold. Returns (doc_a, doc_b, jaccard).
 
-    The shingle table feeds three branches (signatures + both sides of the
-    verify join); persist it so the scan+explode runs once. At 100 TB the
-    same role is played by a checkpointed intermediate table (shingles are
-    ~5-10× text size — MEMORY_AND_DISK spills rather than OOMs)."""
-    sh = shingle_table(docs).persist()
-    pairs = candidate_pairs(lsh_band_table(minhash_signatures(sh))).persist()
-    return verify_jaccard(pairs, sh, threshold)
+    The corpus is exploded and hashed once into the persisted shingle
+    table; signatures + per-doc set sizes come out of ONE aggregation over
+    it; bands/pairs/verify all reuse cached intermediates. shingles are
+    ~5-10× text size — MEMORY_AND_DISK spills rather than OOMs; at 100 TB
+    replace the persist with recompute-on-candidates (see verify_jaccard)."""
+    sh = shingle_table(docs, k=k).persist()
+    sigs = minhash_signatures(sh).persist()
+    pairs = candidate_pairs(lsh_band_table(sigs)).persist()
+    return verify_jaccard(pairs, sh, sigs, threshold)
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -242,8 +263,9 @@ def ngram_jaccard_lsh(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     deterministic (md5 banding, no RNG) — the oracle runs the identical
     algorithm and must agree exactly."""
     sh = shingle_table(docs, k=2).persist()
-    pairs = candidate_pairs(lsh_band_table(minhash_signatures(sh))).persist()
-    return verify_jaccard(pairs, sh, threshold)
+    sigs = minhash_signatures(sh).persist()
+    pairs = candidate_pairs(lsh_band_table(sigs)).persist()
+    return verify_jaccard(pairs, sh, sigs, threshold)
 
 
 # --- Embedding near-dup ------------------------------------------------------

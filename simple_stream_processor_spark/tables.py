@@ -30,12 +30,23 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (session id, sf_dir, table) → DataFrame. A DataFrame is just a logical
+# plan; reusing it reuses the resolved file index + footer schema (driver-side
+# listing/inference cost) while keeping every per-query optimization intact —
+# Catalyst re-prunes columns and re-pushes filters per consuming plan.
+_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Scan one testdata table. Plain parquet scan — no caching, no schema
-    override — so Catalyst sees the native parquet footer schema and can
-    push filters/projections down (check: .explain shows PushedFilters)."""
+    """Scan one testdata table. Plain parquet scan — no caching of data, no
+    schema override — so Catalyst sees the native parquet footer schema and
+    can push filters/projections down (check: .explain shows PushedFilters)."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (id(spark), sf_dir, name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
     # (spark.sql.legacy.parquet.nanosAsLong); convert to Spark's micros
@@ -45,6 +56,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             # integer div — ns epochs overflow double-precision mantissa
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _SCAN_CACHE[key] = df
     return df
 
 
