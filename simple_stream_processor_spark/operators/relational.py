@@ -76,3 +76,71 @@ def rank_window(df: DataFrame, partition: Sequence[str], order: Sequence[Column]
     from pyspark.sql import Window
 
     return Window.partitionBy(*partition).orderBy(*order)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """As-of join (left): attach the most recent ``right.value_col`` with
+    ``right.ts <= left.ts`` per ``on`` key; NULL when no prior right row.
+
+    Implementation is union + partition-local carry-forward, not a join:
+    both inputs shuffle ONCE on the key, then a single window sort carries
+    the last right-side value forward (``is_l`` breaks ts ties so a right
+    row at the same timestamp is visible — the inclusive <= of ASOF). This
+    is the scale shape: no range-join blowup, no per-row probe; cost is one
+    exchange + one sort regardless of time-density. Right side must be
+    unique per (key, ts) for determinism — pre-aggregate it."""
+    from pyspark.sql import Window
+
+    lcols = [c for c in left.columns if c not in (on, ts)]
+    l = left.select(
+        on, ts, *lcols, F.lit(1).alias("is_l"), F.lit(None).cast(right.schema[value_col].dataType).alias(out_col)
+    )
+    r = right.select(
+        on, ts, *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.lit(0).alias("is_l"), F.col(value_col).alias(out_col),
+    )
+    w = Window.partitionBy(on).orderBy(ts, "is_l").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        l.unionByName(r)
+        .withColumn(out_col, F.last(out_col, ignorenulls=True).over(w))
+        .where(F.col("is_l") == 1)
+        .drop("is_l")
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    range_s: int,
+) -> DataFrame:
+    """Interval join as a bucketized equi-join: pair each left row with the
+    right rows of the same key in ``(left.ts, left.ts + range_s]``.
+
+    The naive form is an inequality join — O(n·m) per key, unusable at
+    scale. Bucketing time into ``range_s``-wide bins makes it an equi-join:
+    a right row lands in exactly one bucket, a left row's window spans at
+    most two (b, b+1), so the left explodes 2 candidate buckets and joins
+    on (key, bucket); an exact range filter then prunes false candidates.
+    Shuffle volume is 2x left + 1x right — linear, skew-handled by AQE.
+    Left-outer keeps zero-match left rows (count 0 downstream)."""
+    lb = F.floor(F.unix_micros(F.col(ts)) / F.lit(range_s * 1_000_000)).cast("long")
+    l = left.withColumn("bucket", F.explode(F.array(lb, lb + 1))).alias("l")
+    r = right.withColumn("bucket", F.floor(F.unix_micros(F.col(ts)) / F.lit(range_s * 1_000_000)).cast("long")).alias(
+        "r"
+    )
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"r.{ts}") > F.col(f"l.{ts}"))
+        & (F.col(f"r.{ts}") <= F.col(f"l.{ts}") + F.expr(f"INTERVAL {range_s} SECOND"))
+    )
+    return l.join(r, cond, "left_outer")

@@ -1,0 +1,171 @@
+"""Relational extension queries beyond SURVEY §2.8 N1-N13: as-of join,
+bucketized range join, rollup/cube grouping, pivot. These are the analytic
+surfaces a complete engine needs that neither the reference (SURVEY §2.7 —
+explicitly absent) nor plain TPC-H shapes cover; each maps to the idiomatic
+Spark primitive with the 100 TB shuffle story in the operator docstring
+(operators/relational.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_stream_processor_spark.operators import relational
+from simple_stream_processor_spark.registry import query
+from simple_stream_processor_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_ms(p.ts) AS ts_ms,
+           round(p.value, 2) AS purchase_value,
+           round(v.view_value, 2) AS last_view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the value of the user's most
+    recent view event at-or-before it (NULL when none). Spark has no ASOF
+    join operator; operators/relational.py:asof_join re-expresses it as
+    union + one keyed window carry-forward — one shuffle, no range-join
+    blowup. Right side is pre-aggregated per (user, ts) for determinism."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    joined = relational.asof_join(p, v, on="user_id", ts="ts", value_col="view_value", out_col="last_view_value")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 1000").alias("ts_ms"),
+        F.round(F.col("value"), 2).alias("purchase_value"),
+        F.round(F.col("last_view_value"), 2).alias("last_view_value"),
+    )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT c.event_id, count(p.event_id) AS n_follow
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    WHERE c.event_type = 'click'
+    GROUP BY c.event_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: purchases following each click within 10
+    minutes, same user. The oracle is the naive inequality join; the Spark
+    plan is the bucketized equi-join from
+    operators/relational.py:range_join_bucketed — linear shuffle, no
+    per-key quadratic probe."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts"
+    )
+    j = relational.range_join_bucketed(clicks, purchases, on="user_id", ts="ts", range_s=600)
+    return j.groupBy(F.col("l.event_id").alias("event_id")).agg(F.count(F.col("r.p_event_id")).alias("n_follow"))
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping (hierarchical subtotals + grand total). Physically
+    Spark expands the grouping sets BEFORE the exchange, so partial
+    aggregation still combines map-side — the shuffle carries
+    #keys x #levels rows, not raw data. (l_returnflag/l_linestatus are
+    non-null in this data, so the 'ALL' sentinel is unambiguous.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           round(sum(o_totalprice), 2) AS sum_price,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping (all 2^k grouping sets in one pass over the data)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("sum_price"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("orderpriority"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event-type counts as columns. The
+    explicit value list keeps the schema static (no extra distinct pass to
+    discover pivot values — the scale-correct form); missing combinations
+    coalesce to 0 to match SQL's FILTER counts."""
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", list(EVENT_TYPES)).agg(F.count(F.lit(1)))
+    return wide.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )

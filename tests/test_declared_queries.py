@@ -7,11 +7,14 @@ spot values so regressions fail fast in pytest.
 
 import pytest
 
-from simple_stream_processor_spark.queries import ORACLES, QUERIES
+import __spark_entry__ as _entry
+
+QUERIES = _entry.queries()
+ORACLES = _entry.oracle_sql()
 
 
 def test_every_query_has_callable():
-    assert len(QUERIES) >= 24
+    assert len(QUERIES) >= 50
     # every oracle key must have a query
     assert set(ORACLES) <= set(QUERIES)
 
