@@ -69,6 +69,8 @@ def main() -> int:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    baseline = _baseline_pipeline_metrics(spark)
+
     print(
         json.dumps(
             {
@@ -77,10 +79,44 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "baseline_pipeline": baseline,
             }
         )
     )
     return 0
+
+
+def _baseline_pipeline_metrics(spark) -> dict:
+    """The reference's canonical baseline pipeline (BASELINE.md:
+    Source(1..N) → parMap(4)(_*2) → asyncBoundary(16) → Sink(sum),
+    PerformanceBaselineReport defaults N=20000) re-expressed on Spark:
+    range source → Arrow pandas-UDF double → decoupling exchange → sum.
+    Correctness spot value: sum = 2*N*(N+1)/2. Reported at the reference's
+    N and at 1000x to show the throughput the distributed form buys."""
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.operators import parallel
+
+    def pipeline(n, use_udf):
+        src = spark.range(1, n + 1).select(F.col("id").alias("x"))
+        if use_udf:
+            doubled = parallel.par_map_ordered(src, "x", lambda s: s * 2, "x", "y", "long")
+        else:
+            doubled = src.withColumn("y", F.col("x") * 2)
+        return parallel.async_boundary(doubled, 16).agg(F.sum("y").alias("s"))
+
+    pipeline(1000, True).collect()  # spin up Python workers (reference JVM is warm too)
+
+    out = {}
+    for n in (20_000, 20_000_000):
+        for use_udf, label in ((True, "parmap_udf"), (False, "builtin")):
+            t0 = time.perf_counter()
+            row = pipeline(n, use_udf).collect()[0]
+            dt = time.perf_counter() - t0
+            assert row["s"] == n * (n + 1), f"baseline sum mismatch at N={n}"
+            out[f"n{n}_{label}"] = {"elapsed_ms": round(dt * 1000, 1), "throughput_per_sec": round(n / dt)}
+            print(f"# baseline_pipeline N={n} {label}: {dt*1000:.0f}ms ({n/dt:,.0f} el/s)", file=sys.stderr)
+    return out
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from simple_stream_processor_spark.registry import query
 from simple_stream_processor_spark.streaming.lifecycle import consume_managed, managed_source_run
 from simple_stream_processor_spark.streaming.runner import TMP_ROOT, run_stream_to_memory, stream_events
-from simple_stream_processor_spark.streaming.windows import streaming_tumbling_window
+from simple_stream_processor_spark.streaming.windows import streaming_count_window, streaming_tumbling_window
 from simple_stream_processor_spark.streaming.dedup import streaming_dedup
 from simple_stream_processor_spark.tables import load_table
 
@@ -69,6 +69,33 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which physical row arrives first per key is scheduler-dependent)."""
     sdf = streaming_dedup(stream_events(spark, sf_dir), ["user_id", "event_type"], "ts", "10 minutes")
     out, _ = run_stream_to_memory(sdf.select("user_id", "event_type"), output_mode="append")
+    return out
+
+
+@query(
+    "q_streaming_count_window",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+      FROM events
+    )
+    SELECT user_id, rn // 5 AS window_no, count(*) AS n,
+           min(event_id) AS first_id, max(event_id) AS last_id
+    FROM numbered
+    GROUP BY user_id, rn // 5
+    HAVING count(*) = 5
+    """,
+)
+def q_streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 streaming twin: per-key count windows via applyInPandasWithState
+    (reference windowByCount, Node.scala:276-280, over a keyed stream).
+    Full windows emit as they fill; the in-progress remainder stays in
+    group state (the reference emits the final partial chunk only at halt —
+    a stream has no halt, so the oracle keeps full windows only:
+    HAVING count(*) = size)."""
+    sdf = streaming_count_window(stream_events(spark, sf_dir), size=5)
+    out, _ = run_stream_to_memory(sdf, output_mode="append")
     return out
 
 
