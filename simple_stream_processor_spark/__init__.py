@@ -17,9 +17,10 @@ Design stance (see SURVEY.md):
   the reference's ordered-parMap contract, reference Stream.scala:103-186).
 """
 
+from simple_stream_processor_spark.pipeline import Pipeline
 from simple_stream_processor_spark.session import get_spark
 from simple_stream_processor_spark.tables import load_table, register_views
 
-__all__ = ["get_spark", "load_table", "register_views"]
+__all__ = ["Pipeline", "get_spark", "load_table", "register_views"]
 
 __version__ = "0.1.0"
