@@ -297,3 +297,55 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# --- Dedup cluster resolution (connected components) --------------------------
+
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components by
+    iterative min-label propagation, returning (doc_id, cluster_rep) where
+    cluster_rep = the smallest doc_id reachable (the canonical "keep" doc).
+
+    This is the step a real dedup pipeline needs after pair detection —
+    A~B and B~C must collapse to ONE representative even though A~C was
+    never compared. Each iteration is one shuffle (groupBy node of the
+    neighbor-label min); convergence takes O(graph diameter) rounds, and
+    near-dup graphs are overwhelmingly tiny star/clique components
+    (diameter ≤ 3-4). Labels persist per round and the previous round is
+    explicitly unpersisted — bounded memory, same discipline as GraphX's
+    Pregel loop. Fails loudly rather than silently truncating if the
+    diameter exceeds ``max_iterations`` (pathological chain components)."""
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
+    # localCheckpoint (not persist): truncates the LINEAGE each round, so the
+    # logical plan stays O(1) deep across iterations instead of compounding
+    # one join per round. On a cluster use reliable checkpoint() to survive
+    # executor loss over a long convergence.
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node")).localCheckpoint()
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+    raise RuntimeError(f"dedup_clusters did not converge in {max_iterations} iterations")

@@ -413,3 +413,71 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("payload")).alias("content_md5"),
         F.col("meta.duration_ms").alias("duration_ms"),
     )
+
+
+_MINHASH_PAIRS_PREFIX = f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {_MINHASH_SIGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx,
+             md5(sig0::VARCHAR || '_' || sig1::VARCHAR || '_' || sig2::VARCHAR || '_' || sig3::VARCHAR) AS band_key
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx,
+             md5(sig4::VARCHAR || '_' || sig5::VARCHAR || '_' || sig6::VARCHAR || '_' || sig7::VARCHAR) AS band_key
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
+      WHERE i.inter::DOUBLE / (ca.n + cb.n - i.inter)::DOUBLE >= 0.5
+    )"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=_MINHASH_PAIRS_PREFIX
+    + """,
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_rep FROM reach GROUP BY a
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over MinHash near-dup pairs: connected components
+    by iterative min-label propagation (operators/dedup.py:dedup_clusters) —
+    A~B, B~C collapse to one canonical keep-doc even though A,C were never
+    compared. The oracle computes the identical pair set then takes the
+    transitive closure with a recursive CTE; the Spark side converges in
+    O(component diameter) shuffles, each round a single keyed min-agg."""
+    pairs = dedup.minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup.dedup_clusters(pairs)

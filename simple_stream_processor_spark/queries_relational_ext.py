@@ -169,3 +169,25 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
     )
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey AS c_custkey, c_nationkey,
+           round(o_totalprice, 2) AS totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (operators/relational.py:salted_join):
+    fact keys spread over 8 salts, dim replicated per salt, join on
+    (key, salt). Value-identical to the plain equi-join — the oracle IS the
+    plain join — while bounding any hot key's per-task volume to 1/8 of its
+    total at scale."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = relational.salted_join(o, c, "c_custkey", salt_n=8)
+    return j.select("o_orderkey", "c_custkey", "c_nationkey", F.round(F.col("o_totalprice"), 2).alias("totalprice"))

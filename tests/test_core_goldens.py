@@ -134,3 +134,13 @@ def test_append_order_and_content(spark):
 def test_take_ordered(spark):
     out = core.take_ordered(ints(spark, 100), [F.col("value").desc()], 5)
     assert [r.value for r in out.collect()] == [100, 99, 98, 97, 96]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from simple_stream_processor_spark.operators import relational
+
+    fact = spark.createDataFrame([(i % 3, i) for i in range(100)], "k int, v int")
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, name string")
+    salted = sorted((r.k, r.v, r.name) for r in relational.salted_join(fact, dim, "k", salt_n=4).collect())
+    plain = sorted((r.k, r.v, r.name) for r in fact.join(dim, "k").collect())
+    assert salted == plain

@@ -133,3 +133,17 @@ def test_media_metadata_prunes_payload(spark):
     meta = multimodal.media_metadata(df)
     assert "payload" not in meta.columns
     assert meta.collect()[0].duration_ms == 5
+
+
+def test_dedup_clusters_transitive(spark):
+    # A~B and B~C (A never compared to C) must land in one cluster, rep = min
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_rep for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_chain_converges(spark):
+    # a path graph is the worst-case diameter; still converges
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_rep for r in dedup.dedup_clusters(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
