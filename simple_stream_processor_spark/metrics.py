@@ -91,3 +91,24 @@ def snapshot_from_streaming_progress(progress: list[dict]) -> Snapshot:
             late += int(op.get("numRowsDroppedByWatermark", 0) or 0)
     snap.values["ssp_late_event_dropped_total"] = late
     return snap
+
+
+def observed_action(df, action, **metric_exprs):
+    """Row-level metrics that ride the job (reference per-execution scoped
+    Collector, Metrics.scala:96-111; scoping golden
+    SimpleStreamProcessorTest.scala:527-546).
+
+    Attaches a ``pyspark.sql.Observation`` with the given aliased aggregate
+    expressions, runs ``action(observed_df)``, and returns
+    ``(result, metrics_dict)``. The metrics are computed by the SAME job
+    that produces the result — no second pass over the data, which is the
+    property that makes per-query observability free at 100 TB (a separate
+    metrics query would re-scan the input). Each call owns a fresh
+    Observation, so concurrent executions are isolated exactly like the
+    reference's ThreadLocal collector scopes."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[expr.alias(name) for name, expr in metric_exprs.items()])
+    result = action(observed)
+    return result, obs.get

@@ -174,3 +174,32 @@ def test_cancellable_iterator(spark):
     it.cancel()
     with pytest.raises(StopIteration):
         next(it)
+
+
+def test_observed_metrics_ride_the_job(spark):
+    # reference metric-scoping golden (SimpleStreamProcessorTest.scala:527-546):
+    # metrics are per-execution, computed by the executing job itself
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark import metrics as M
+
+    df = spark.range(1, 101).select(F.col("id").alias("v"))
+    rows, m = M.observed_action(
+        df,
+        lambda d: d.where(F.col("v") > 50).collect(),
+        n_input=F.count(F.lit(1)),
+        sum_input=F.sum("v"),
+    )
+    assert len(rows) == 50
+    assert m == {"n_input": 100, "sum_input": 5050}
+
+
+def test_observed_metrics_scoped_per_execution(spark):
+    # two executions over different data: each observation sees only its own
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark import metrics as M
+
+    _, m1 = M.observed_action(spark.range(10), lambda d: d.collect(), n=F.count(F.lit(1)))
+    _, m2 = M.observed_action(spark.range(33), lambda d: d.collect(), n=F.count(F.lit(1)))
+    assert (m1["n"], m2["n"]) == (10, 33)
