@@ -1,0 +1,128 @@
+"""Property-based tests (Hypothesis): operator equivalence against
+brute-force references on randomized inputs. The reference repo has no
+property tests (SURVEY §5); these guard the operators whose correctness
+argument is an equivalence ("salted == plain", "bucketed == naive",
+"carry-forward == per-row max") rather than a golden value."""
+
+import bisect
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from simple_stream_processor_spark.operators import dedup, relational, windows
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 5), st.integers(-100, 100)), min_size=0, max_size=60),
+    salt_n=st.integers(1, 6),
+)
+@settings(**SETTINGS)
+def test_salted_join_equivalence(spark, rows, salt_n):
+    fact = spark.createDataFrame(rows or [(None, None)], "k int, v int").where(F.col("k").isNotNull())
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "k int, name string")
+    salted = sorted((r.k, r.v, r.name) for r in relational.salted_join(fact, dim, "k", salt_n).collect())
+    plain = sorted((r.k, r.v, r.name) for r in fact.join(dim, "k").collect())
+    assert salted == plain
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=30),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)), min_size=0, max_size=30),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    # dedupe right per (key, ts): keep max value (the operator's determinism contract)
+    rdedup = {}
+    for k, ts, v in right:
+        rdedup[(k, ts)] = max(rdedup.get((k, ts), v), v)
+    l_df = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "lid long, k int, ts long"
+    )
+    r_df = spark.createDataFrame(
+        [(k, ts, v) for (k, ts), v in rdedup.items()] or [(None, None, None)],
+        "k int, ts long, val int",
+    ).where(F.col("k").isNotNull())
+    got = {
+        r.lid: r.asof_val
+        for r in relational.asof_join(l_df, r_df, on="k", ts="ts", value_col="val", out_col="asof_val").collect()
+    }
+    by_key = {}
+    for (k, ts), v in rdedup.items():
+        by_key.setdefault(k, []).append((ts, v))
+    for lst in by_key.values():
+        lst.sort()
+    for i, (k, ts) in enumerate(left):
+        cands = [(t, v) for t, v in by_key.get(k, []) if t <= ts]
+        expect = max(cands)[1] if cands else None  # greatest ts <= left ts
+        assert got[i] == expect, (i, k, ts, got[i], expect)
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 3000)), min_size=1, max_size=25),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 3000)), min_size=0, max_size=25),
+    range_s=st.sampled_from([60, 600]),
+)
+@settings(**SETTINGS)
+def test_range_join_bucketed_matches_naive(spark, left, right, range_s):
+    l_df = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "lid long, k int, ts_s long"
+    ).select("lid", "k", F.timestamp_seconds(F.col("ts_s")).alias("ts"))
+    r_df = spark.createDataFrame(
+        [(j, k, ts) for j, (k, ts) in enumerate(right)] or [(None, None, None)], "rid long, k int, ts_s long"
+    ).where(F.col("k").isNotNull()).select("rid", "k", F.timestamp_seconds(F.col("ts_s")).alias("ts"))
+    j = relational.range_join_bucketed(l_df, r_df, on="k", ts="ts", range_s=range_s)
+    got = sorted(
+        (r["l.lid"] if "l.lid" in r else r.lid, r.rid)
+        for r in j.select(F.col("l.lid").alias("lid"), F.col("r.rid").alias("rid")).collect()
+        if r.rid is not None
+    )
+    expect = sorted(
+        (i, jdx)
+        for i, (lk, lts) in enumerate(left)
+        for jdx, (rk, rts) in enumerate(right)
+        if lk == rk and lts < rts <= lts + range_s
+    )
+    assert got == expect
+
+
+@given(n=st.integers(1, 40), size=st.integers(1, 7))
+@settings(**SETTINGS)
+def test_count_window_chunks(spark, n, size):
+    df = spark.range(1, n + 1).select(F.col("id").alias("value"))
+    out = windows.count_window(df, "value", size).groupBy("window_no").agg(
+        F.count(F.lit(1)).alias("c"), F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    rows = sorted((r.window_no, r.c, r.lo, r.hi) for r in out.collect())
+    expect = []
+    for w in range((n + size - 1) // size):
+        lo, hi = w * size + 1, min((w + 1) * size, n)
+        expect.append((w, hi - lo + 1, lo, hi))
+    assert rows == expect
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(2, 3),
+)
+@settings(**SETTINGS)
+def test_word_shingles_match_python(spark, texts, k):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r.doc_id: sorted(r.sh)
+        for r in df.select("doc_id", dedup.word_shingles(F.col("text"), k).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")  # includes empty tokens, same as F.split
+        expect = sorted({" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}) if len(toks) >= k else []
+        assert got[i] == expect, (i, t, got[i], expect)
