@@ -157,3 +157,44 @@ def q_managed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(path, newline="") as f:
             records.extend((int(a), b) for a, b in csv.reader(f))
     return spark.createDataFrame(records, "event_id long, event_type string")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts <= p.ts
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (purchases x views of the same user within
+    the preceding 10 minutes), executed by the incremental engine: both
+    sides watermarked, the time-bound condition lets Spark evict left/right
+    state once the watermark passes the bound — WITHOUT the bound the state
+    grows forever, which is the property that separates a toy streaming
+    join from one that survives an unbounded stream. Oracle = the batch
+    interval join."""
+    ev = stream_events(spark, sf_dir)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("v_id"), F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+    )
+    j = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out, _ = run_stream_to_memory(j.select("p_id", "v_id", "user_id"), output_mode="append")
+    return out
