@@ -27,6 +27,7 @@ full-stream shuffle at any size.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -72,3 +73,42 @@ def recover_with_stream(df_with_err: DataFrame, fallback_stream: DataFrame) -> D
     """reference ``recoverWith`` (Stream.scala:95-101): prefix before first
     error, then the whole fallback stream."""
     return recover_value(df_with_err, fallback_stream)
+
+
+def map_with_error_capture(df, fn, in_col: str, out_col: str, out_type: str, order_col: str):
+    """In-band error capture for ARBITRARY Python functions — the general
+    form of the reference's "exception inside map's f becomes an in-band
+    Error" (reference Stream.scala:17-18), where ``try_*`` expressions only
+    cover SQL-expressible computations.
+
+    Runs ``fn`` element-wise inside an Arrow-batched pandas UDF, catching
+    per-element exceptions into an error-message column instead of failing
+    the task: the row-level Either as a (value, err) pair. Feeds directly
+    into ``truncate_at_first_error``/``recover_value`` via the same
+    ``is_err`` convention. Batch stays vectorized when ``fn`` is; the
+    per-element fallback path only pays for rows near an error."""
+
+    @F.pandas_udf(f"struct<value:{out_type},err:string>")
+    def capture(s: pd.Series) -> pd.DataFrame:
+        try:
+            # fast path: whole-batch vectorized apply
+            return pd.DataFrame({"value": fn(s), "err": [None] * len(s)})
+        except Exception:  # noqa: BLE001 — fall back to per-element capture
+            values, errs = [], []
+            for x in s:
+                try:
+                    values.append(fn(pd.Series([x])).iloc[0])
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001
+                    values.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            return pd.DataFrame({"value": values, "err": errs})
+
+    out = df.withColumn("_r", capture(F.col(in_col)))
+    return (
+        out.withColumn(out_col, F.col("_r.value"))
+        .withColumn("err", F.col("_r.err"))
+        .withColumn("is_err", F.col("err").isNotNull())
+        .withColumn("_ord", F.col(order_col))
+        .drop("_r")
+    )

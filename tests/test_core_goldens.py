@@ -144,3 +144,22 @@ def test_salted_join_equals_plain_join(spark):
     salted = sorted((r.k, r.v, r.name) for r in relational.salted_join(fact, dim, "k", salt_n=4).collect())
     plain = sorted((r.k, r.v, r.name) for r in fact.join(dim, "k").collect())
     assert salted == plain
+
+
+def test_map_with_error_capture_golden(spark):
+    # arbitrary-Python form of the recover golden: f raises on 0
+    def f(s):
+        if (s == 0).any():
+            raise ValueError("div by zero")
+        return 10 / s
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 0), (3, 4)], "ord int, d int")
+    withe = errors.map_with_error_capture(df, f, "d", "value", "double", "ord")
+    rows = {r.ord: (r.value, r.err) for r in withe.collect()}
+    assert rows[0][0] == 10.0 and rows[0][1] is None
+    assert rows[1][0] == 5.0
+    assert rows[2][0] is None and "ValueError" in rows[2][1]
+    # and it composes with recover: prefix + one fallback
+    fallback = spark.createDataFrame([(-1, -1.0)], "ord int, value double")
+    out = errors.recover_value(withe.select("ord", "value", "is_err", "_ord"), fallback)
+    assert sorted(r.value for r in out.collect()) == [-1.0, 5.0, 10.0]

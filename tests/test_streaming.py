@@ -161,3 +161,29 @@ def test_backpressure_rate_limited_drain(spark, sf_dir):
     from simple_stream_processor_spark.tables import load_table
 
     assert n == load_table(spark, "events", sf_dir).count()
+
+
+def test_streaming_query_failure_surfaces_exception(spark, sf_dir):
+    """X3 streaming outcome parity (reference Execution.scala:77-82): a
+    failing query classifies as Failed with the error retrievable — the
+    reference's error-signal-fails-the-query contract (S3)."""
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from simple_stream_processor_spark.streaming.runner import _tmpdir, stream_events
+
+    sdf = stream_events(spark, sf_dir).select("event_id")
+
+    def boom(batch_df, batch_id):
+        raise RuntimeError("sink boom")
+
+    q = (
+        sdf.writeStream.foreachBatch(boom)
+        .option("checkpointLocation", _tmpdir("chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="sink boom"):
+        q.awaitTermination(120)
+    assert q.exception() is not None and "sink boom" in str(q.exception())
+    assert not q.isActive  # terminal state, like Outcome.FAILED
