@@ -116,3 +116,89 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.col("n_chars").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+RESIZE_SCHEMA = "media_id long, media_type string, width int, height int, payload binary, resize_ok boolean"
+
+
+def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize each image payload to (width, height) via ``mapInPandas``.
+
+    Plumbing is real (Arrow batches, 1→1 payload transform, typed output
+    schema); the codec is stubbed: ``fake=True`` substitutes a deterministic
+    byte-resample (stride-sample/pad to width*height bytes) standing in for
+    a real bilinear resize, ``fake=False`` raises at execution time."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs (PIL) are not installed in this container; "
+                    "pass fake=True for the deterministic stub resizer"
+                )
+            out = []
+            for _, row in pdf.iterrows():
+                src = bytes(row["payload"] or b"")
+                if src:
+                    # deterministic stride resample, padded cyclically
+                    resized = bytes(src[(i * len(src)) // target] for i in range(target))
+                else:
+                    resized = b"\x00" * target
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "media_type": row["media_type"],
+                        "width": width,
+                        "height": height,
+                        "payload": resized,
+                        "resize_ok": bool(src),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(do_resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_payload binary, n_frames int"
+
+
+def sample_frames(df: DataFrame, n_frames: int, fake: bool = False) -> DataFrame:
+    """Sample ``n_frames`` evenly-spaced frames from each video payload —
+    a 1→N ``mapInPandas`` (the multimodal analog of flatMap): each input
+    row yields up to n_frames output rows, so downstream per-frame
+    operators (dedup, embedding) see one row per frame.
+
+    ``fake=True`` chunks the payload into n_frames equal slices
+    (deterministic stand-in for ffmpeg keyframe extraction); empty payloads
+    yield zero rows (the empty-sub-stream skip of flatMap, reference
+    SimpleStreamProcessorTest.scala:37-43)."""
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video codecs (ffmpeg) are not installed in this container; "
+                    "pass fake=True for the deterministic stub sampler"
+                )
+            out = []
+            for _, row in pdf.iterrows():
+                src = bytes(row["payload"] or b"")
+                if not src:
+                    continue  # 0-row emission for empty media
+                step = max(1, len(src) // n_frames)
+                for i in range(min(n_frames, len(src))):
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": i,
+                            "frame_payload": src[i * step : (i + 1) * step],
+                            "n_frames": min(n_frames, len(src)),
+                        }
+                    )
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                {"media_id": pd.Series(dtype="int64"), "frame_idx": pd.Series(dtype="int32"),
+                 "frame_payload": pd.Series(dtype="object"), "n_frames": pd.Series(dtype="int32")}
+            )
+
+    return df.mapInPandas(do_sample, FRAME_SCHEMA)

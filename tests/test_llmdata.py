@@ -147,3 +147,41 @@ def test_dedup_clusters_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "doc_a long, doc_b long")
     got = {r.doc_id: r.cluster_rep for r in dedup.dedup_clusters(pairs).collect()}
     assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_resize_stub_deterministic_shape(spark):
+    df = multimodal.documents_as_media(
+        spark.createDataFrame(
+            [(1, "hello world payload", "en", "s", 19), (2, "", "en", "s", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    rows = {r.media_id: r for r in multimodal.resize_images(df, 4, 3, fake=True).collect()}
+    assert len(rows[1].payload) == 12 and rows[1].resize_ok
+    assert len(rows[2].payload) == 12 and not rows[2].resize_ok
+    again = {r.media_id: r for r in multimodal.resize_images(df, 4, 3, fake=True).collect()}
+    assert bytes(rows[1].payload) == bytes(again[1].payload)  # deterministic
+
+
+def test_frame_sample_one_to_n_and_empty_skip(spark):
+    df = multimodal.documents_as_media(
+        spark.createDataFrame(
+            [(1, "abcdefghij", "en", "s", 10), (2, "", "en", "s", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    frames = multimodal.sample_frames(df, 4, fake=True).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert len(by_media.get(1, [])) == 4  # 1 -> N rows
+    assert 2 not in by_media  # empty payload -> zero rows (flatMap skip)
+    assert b"".join(bytes(r.frame_payload) for r in sorted(by_media[1], key=lambda r: r.frame_idx)) != b""
+
+
+def test_frame_sample_raises_without_fake(spark):
+    df = multimodal.documents_as_media(
+        spark.createDataFrame([(1, "abc", "en", "s", 3)], "doc_id long, text string, lang string, source string, n_chars long")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.sample_frames(df, 2, fake=False).collect()
