@@ -77,3 +77,64 @@ def ann_bucketed_topk(emb: DataFrame, probe_id: int, k: int = 10, n_bits: int = 
     )
     scored = cand.select("vec_id", "label", "bucket", cosine(F.col("v"), F.col("probe_v")).alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic coarse-quantizer centroids: per-label dimension means
+    (the label is the training assignment a k-means would produce; using it
+    keeps the quantizer engine-portable — no RNG, no iteration — while the
+    query shape is exactly IVF). posexplode → (label, pos) mean → ordered
+    re-assembly; centroid components round to 6dp so Spark's partial-agg
+    summation order and the oracle's sequential sum agree exactly."""
+    ex = emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"))
+    long = ex.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
+    return (
+        long.groupBy("label")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]).alias("cv"))
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Inverted lists: each vector joins its nearest centroid (cosine,
+    c_label tie-break). Centroids broadcast (they are k rows); the argmax
+    is one keyed window — at petabyte scale swap for a max-by-struct
+    aggregation to skip the per-key sort."""
+    from pyspark.sql import Window
+
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    sims = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "label", "v", "c_label", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("c_label").asc())
+    return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
+        "vec_id", "label", "v", "c_label"
+    )
+
+
+def ann_ivf_topk(emb: DataFrame, probe_id: int, k: int = 10, nprobe: int = 3) -> DataFrame:
+    """IVF ANN top-k: rank centroids against the probe, search only the
+    ``nprobe`` nearest inverted lists, exact cosine within them.
+
+    This is the serving shape that scales: the corpus is scanned once to
+    build lists (amortized across probes in production — the lists are the
+    index), and each probe touches nprobe/k_clusters of the data. Recall
+    is partial by design; the oracle runs the identical algorithm, so the
+    gate verifies the distributed implementation."""
+    cents = ivf_centroids(emb).persist()
+    inv = ivf_assign(emb, cents)
+    probe = emb.where(F.col("vec_id") == probe_id).select(
+        F.col("embedding").cast("array<double>").alias("pv")
+    )
+    pc = (
+        cents.crossJoin(F.broadcast(probe))
+        .select("c_label", cosine(F.col("cv"), F.col("pv")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("c_label").asc())
+        .limit(nprobe)
+        .select("c_label")
+    )
+    cand = inv.join(F.broadcast(pc), "c_label").where(F.col("vec_id") != probe_id)
+    scored = cand.crossJoin(F.broadcast(probe)).select(
+        "vec_id", "label", cosine(F.col("v"), F.col("pv")).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)

@@ -481,3 +481,44 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(component diameter) shuffles, each round a single keyed min-agg."""
     pairs = dedup.minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
     return dedup.dedup_clusters(pairs)
+
+
+@query(
+    "q_ann_ivf",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (
+      SELECT label, t.i AS pos, v[t.i] AS x
+      FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+    ),
+    cent_long AS (SELECT label, pos, round(avg(x), 6) AS c FROM ex GROUP BY label, pos),
+    cent AS (SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cent_long GROUP BY label),
+    sims AS (
+      SELECT e.vec_id, e.label, e.v, c.c_label,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+               c.c_label ASC) AS rn
+      FROM e CROSS JOIN cent c
+    ),
+    inv AS (SELECT vec_id, label, v, c_label FROM sims WHERE rn = 1),
+    probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    pc AS (
+      SELECT c_label FROM cent, probe
+      ORDER BY list_dot_product(pv, cv) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) DESC, c_label ASC
+      LIMIT 3
+    )
+    SELECT i.vec_id, i.label,
+           list_dot_product(i.v, p.pv) / (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos_sim
+    FROM inv i JOIN pc ON i.c_label = pc.c_label, probe p
+    WHERE i.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/similarity.py:ann_ivf_topk): deterministic
+    per-label centroids (the engine-portable stand-in for k-means) →
+    nearest-centroid inverted lists → probe the 3 nearest lists → exact
+    cosine top-10. The oracle runs the identical quantize-assign-probe
+    algorithm in SQL."""
+    return similarity.ann_ivf_topk(_t(spark, sf_dir, "embeddings"), probe_id=0, k=10, nprobe=3)

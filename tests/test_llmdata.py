@@ -185,3 +185,14 @@ def test_frame_sample_raises_without_fake(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         multimodal.sample_frames(df, 2, fake=False).collect()
+
+
+def test_ann_ivf_quality_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    brute = similarity.cosine_topk(emb, probe_id=0, k=10).collect()
+    ivf = similarity.ann_ivf_topk(emb, probe_id=0, k=10, nprobe=3).collect()
+    assert 1 <= len(ivf) <= 10
+    assert max(r.cos_sim for r in ivf) <= max(r.cos_sim for r in brute) + 1e-12
+    # nprobe = all clusters degenerates to exact search over all assigned vecs
+    ivf_all = similarity.ann_ivf_topk(emb, probe_id=0, k=10, nprobe=10).collect()
+    assert [r.vec_id for r in ivf_all] == [r.vec_id for r in brute]
