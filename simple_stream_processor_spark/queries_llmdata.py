@@ -522,3 +522,50 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine top-10. The oracle runs the identical quantize-assign-probe
     algorithm in SQL."""
     return similarity.ann_ivf_topk(_t(spark, sf_dir, "embeddings"), probe_id=0, k=10, nprobe=3)
+
+
+@query(
+    "q_training_pipeline",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, lang, source, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id, text, source,
+             len(toks) AS n_tokens,
+             (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+               * (1 - len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE / len(toks)::DOUBLE) AS quality
+      FROM t WHERE lang = 'en'
+    ),
+    filt AS (SELECT * FROM q WHERE quality >= 0.3),
+    ded AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM filt GROUP BY 1),
+    kept AS (SELECT f.* FROM filt f JOIN ded d ON f.doc_id = d.keep_id)
+    SELECT source, count(*) AS n_docs, round(avg(quality), 4) AS avg_quality,
+           sum(n_tokens)::BIGINT AS total_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline — the end-to-end shape this engine
+    exists for, as ONE declarative plan: language filter → quality gate →
+    exact dedup (keep-first per content digest) → per-source corpus stats.
+    Catalyst fuses the scoring projections into the scan stage; the only
+    shuffles are the dedup groupBy (16-byte digests) and the final tiny
+    aggregate — at 100 TB this runs as: one corpus scan, one digest-bounded
+    exchange, one k-row exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        text.quality_score(docs.where(F.col("lang") == "en"))
+        .join(docs.select("doc_id", "text", "source"), "doc_id")
+        .where(F.col("quality") >= 0.3)
+    )
+    keep = (
+        scored.select(F.md5(F.encode(F.col("text"), "UTF-8")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select(F.col("keep_id").alias("doc_id"))
+    )
+    kept = scored.join(keep, "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
