@@ -41,6 +41,12 @@ HEADLINE = [
     "q_cosine_topk",
     "q_minhash_dedup",
     "q_topk",
+    "q_asof_join",
+    "q_range_join",
+    "q_rollup",
+    "q_ann_ivf",
+    "q_dedup_clusters",
+    "q_training_pipeline",
 ]
 
 

@@ -302,20 +302,53 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
 # --- Dedup cluster resolution (connected components) --------------------------
 
 
-def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
-    """Resolve near-dup pairs into clusters: connected components by
-    iterative min-label propagation, returning (doc_id, cluster_rep) where
-    cluster_rep = the smallest doc_id reachable (the canonical "keep" doc).
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20, driver_threshold: int = 200_000) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components, returning
+    (doc_id, cluster_rep) where cluster_rep = the smallest doc_id reachable
+    (the canonical "keep" doc).
 
     This is the step a real dedup pipeline needs after pair detection —
     A~B and B~C must collapse to ONE representative even though A~C was
-    never compared. Each iteration is one shuffle (groupBy node of the
-    neighbor-label min); convergence takes O(graph diameter) rounds, and
-    near-dup graphs are overwhelmingly tiny star/clique components
-    (diameter ≤ 3-4). Labels persist per round and the previous round is
-    explicitly unpersisted — bounded memory, same discipline as GraphX's
-    Pregel loop. Fails loudly rather than silently truncating if the
-    diameter exceeds ``max_iterations`` (pathological chain components)."""
+    never compared. Size-adaptive execution:
+
+    - pair set ≤ ``driver_threshold``: union-find on the driver. The pair
+      set is collision-proportional by construction (it already fit through
+      a broadcast in the verify step), and a few hundred thousand edges
+      resolve in milliseconds — spending ~10 Spark jobs on label
+      propagation for that is pure scheduler overhead.
+    - larger: distributed iterative min-label propagation. Each iteration
+      is one shuffle (groupBy node of the neighbor-label min); convergence
+      takes O(graph diameter) rounds, and near-dup graphs are
+      overwhelmingly tiny star/clique components (diameter ≤ 3-4).
+      Fails loudly rather than silently truncating if the diameter exceeds
+      ``max_iterations`` (pathological chain components).
+
+    Both paths produce identical output (min-reachable representative)."""
+    spark = pairs.sparkSession
+    n_pairs = pairs.limit(driver_threshold + 1).count()
+    if n_pairs <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in pairs.select("doc_a", "doc_b").collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min — the smaller id becomes the root, so the
+                # root IS the min-reachable representative
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(node, find(node)) for node in parent]
+        return spark.createDataFrame(rows, "doc_id long, cluster_rep long")
+
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
     # localCheckpoint (not persist): truncates the LINEAGE each round, so the
@@ -323,13 +356,17 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     # one join per round. On a cluster use reliable checkpoint() to survive
     # executor loss over a long convergence.
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node")).localCheckpoint()
+    # Labels only ever decrease (min-propagation is monotone), so the sum of
+    # all labels is a strictly decreasing convergence witness: one cheap
+    # one-row aggregate per round instead of a join-based change detector.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iterations):
         neigh = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        labels = (
             labels.join(neigh, labels["node"] == neigh["a"], "left")
             .select(
                 F.col("node"),
@@ -337,15 +374,9 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             edges.unpersist()
             return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+        prev_sum = cur_sum
     raise RuntimeError(f"dedup_clusters did not converge in {max_iterations} iterations")

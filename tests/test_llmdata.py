@@ -143,9 +143,10 @@ def test_dedup_clusters_transitive(spark):
 
 
 def test_dedup_clusters_chain_converges(spark):
-    # a path graph is the worst-case diameter; still converges
+    # a path graph is the worst-case diameter; force the DISTRIBUTED
+    # label-propagation path (driver_threshold=0) and check it converges
     pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "doc_a long, doc_b long")
-    got = {r.doc_id: r.cluster_rep for r in dedup.dedup_clusters(pairs).collect()}
+    got = {r.doc_id: r.cluster_rep for r in dedup.dedup_clusters(pairs, driver_threshold=0).collect()}
     assert set(got.values()) == {0} and len(got) == 13
 
 
