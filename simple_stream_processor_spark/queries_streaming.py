@@ -198,3 +198,52 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out, _ = run_stream_to_memory(j.select("p_id", "v_id", "user_id"), output_mode="append")
     return out
+
+
+@query(
+    "q_streaming_session",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev_ts) >= 600000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N13 streaming twin: gap-merged session windows on the INCREMENTAL
+    engine — session state merges as events arrive, watermark bounds it;
+    ``complete`` output = end-of-stream flush. The oracle is the batch
+    gaps-and-islands SQL, so the hash check proves the streaming session
+    merge is value-identical to the analytic-window formulation."""
+    sdf = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window(F.col("ts"), "10 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(w.start) div 1000").alias("session_start_ms"),
+            "n",
+            "sum_value",
+        )
+    )
+    out, _ = run_stream_to_memory(sdf, output_mode="complete")
+    return out

@@ -187,3 +187,25 @@ def test_streaming_query_failure_surfaces_exception(spark, sf_dir):
         q.awaitTermination(120)
     assert q.exception() is not None and "sink boom" in str(q.exception())
     assert not q.isActive  # terminal state, like Outcome.FAILED
+
+
+def test_streaming_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
+    """File sink with checkpoint: the commit log makes output files
+    atomic/exactly-once per batch — re-reading the directory yields exactly
+    the input rows (the durable-sink counterpart of the memory sink)."""
+    from simple_stream_processor_spark.streaming.runner import _tmpdir, stream_events
+
+    out_dir = str(tmp_path / "out")
+    sdf = stream_events(spark, sf_dir).select("event_id", "event_type")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", _tmpdir("chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from simple_stream_processor_spark.tables import load_table
+
+    expected = load_table(spark, "events", sf_dir).count()
+    assert spark.read.parquet(out_dir).count() == expected
