@@ -203,3 +203,25 @@ def test_observed_metrics_scoped_per_execution(spark):
     _, m1 = M.observed_action(spark.range(10), lambda d: d.collect(), n=F.count(F.lit(1)))
     _, m2 = M.observed_action(spark.range(33), lambda d: d.collect(), n=F.count(F.lit(1)))
     assert (m1["n"], m2["n"]) == (10, 33)
+
+
+def test_concurrent_executions_both_complete(spark):
+    """X5 scheduler parity (reference JobManager slot scheduling,
+    JobManager.scala:6-24; behavior test SimpleStreamProcessorTest.scala:
+    567-601): two pipelines submitted concurrently run in independent job
+    groups on Spark's scheduler and both complete with isolated results
+    and isolated metric scopes."""
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark import execution
+
+    df_a = spark.range(1, 1001).select(F.sum("id").alias("s"))
+    df_b = spark.range(1, 101).select(F.sum("id").alias("s"))
+    ha = execution.run_to_list_async(df_a, spark)
+    hb = execution.run_to_list_async(df_b, spark)
+    oa, ra = ha.outcome(120)
+    ob, rb = hb.outcome(120)
+    assert oa == execution.Outcome.COMPLETED and ra[0].s == 500500
+    assert ob == execution.Outcome.COMPLETED and rb[0].s == 5050
+    assert ha.metrics_snapshot().as_dict()["ssp_unhandled_error_total"] == 0
+    assert hb.metrics_snapshot().as_dict()["ssp_unhandled_error_total"] == 0
