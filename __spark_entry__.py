@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import simple_stream_processor_spark.queries  # noqa: F401  (registers core)
     import simple_stream_processor_spark.queries_llmdata  # noqa: F401  (registers LLM-data)
     import simple_stream_processor_spark.queries_relational_ext  # noqa: F401  (registers asof/range/rollup/cube/pivot)
+    import simple_stream_processor_spark.queries_tpch  # noqa: F401  (registers TPC-H shapes + SQL surface)
     import simple_stream_processor_spark.queries_streaming  # noqa: F401  (registers streaming/lifecycle)
     from simple_stream_processor_spark.registry import QUERIES
 
