@@ -703,6 +703,21 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(F.approx_count_distinct("user_id").alias("approx_users"))
 
 
+@query("q_approx_quantiles")  # rows-only: GK sketch is engine-specific by design
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N9b: approximate quantiles via the Greenwald-Khanna sketch
+    (percentile_approx) — bounded-memory rank statistics per group. No
+    oracle: DuckDB's approx_quantile is a t-digest (different sketch
+    family); rank-error bounds vs EXACT percentiles are pytest-asserted in
+    tests/test_declared_queries.py. At 100 TB exact percentiles need a full
+    sort per group; the sketch is one pass, O(1/eps) memory."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000).alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @query(
     "q_dedup",
     oracle="""

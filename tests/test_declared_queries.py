@@ -32,3 +32,24 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert df.columns == ["window_start_s", "event_type", "n", "sum_value"]
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    """The real correctness check for the GK sketch: each approximate
+    quantile must land within the sketch's rank-error bound of the exact
+    order statistics (accuracy 10000 -> eps = 1/10000)."""
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    got = {r.l_returnflag: r.price_quantiles for r in QUERIES["q_approx_quantiles"](spark, sf_dir).collect()}
+    li = load_table(spark, "lineitem", sf_dir)
+    for flag, approx in got.items():
+        vals = sorted(
+            r.l_extendedprice for r in li.where(F.col("l_returnflag") == flag).select("l_extendedprice").collect()
+        )
+        n = len(vals)
+        for q, a in zip([0.25, 0.5, 0.75, 0.95], approx):
+            lo = vals[max(0, int((q - 0.001) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.001) * n) + 1)]
+            assert lo <= a <= hi, (flag, q, a, lo, hi)
