@@ -9,26 +9,28 @@ import __spark_entry__ as _entry
 QUERIES = _entry.queries()
 
 
-def plan_of(spark, sf_dir, name) -> str:
+def plan_of(spark, sf_dir, name, mode: str = "extended") -> str:
     df = QUERIES[name](spark, sf_dir)
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "extended")
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
 
 def test_filter_predicates_reach_parquet_scan(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q_filter_predicate")
-    # PushedFilters renders truncated for long lists; DataFilters (the
-    # scan-level filter set) carries the full conjunction
-    scan = [ln for ln in plan.splitlines() if "DataFilters" in ln][0]
-    assert "PushedFilters: [IsNotNull(l_quantity)" in plan
-    assert "l_quantity#" in scan and "> 45.0" in scan and "= R" in scan
+    # "formatted" prints each scan's PushedFilters on its own untruncated
+    # line ("extended" elides long attribute lists once exprIds grow)
+    plan = plan_of(spark, sf_dir, "q_filter_predicate", "formatted")
+    assert "GreaterThan(l_quantity,45.0)" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
 
 
 def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q_tpch_q6")
-    scan = [ln for ln in plan.splitlines() if "DataFilters" in ln][0]
-    for frag in ("l_shipdate#", "l_discount#", "l_quantity#"):
-        assert frag in scan, f"predicate on {frag} not at the scan"
-    assert "PushedFilters: [IsNotNull" in plan
+    plan = plan_of(spark, sf_dir, "q_tpch_q6", "formatted")
+    for pushed in (
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+        "GreaterThanOrEqual(l_shipdate,",
+    ):
+        assert pushed in plan, f"missing pushed predicate {pushed}"
 
 
 def test_multiway_join_is_all_broadcast(spark, sf_dir):
