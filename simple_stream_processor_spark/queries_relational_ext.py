@@ -191,3 +191,69 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     j = relational.salted_join(o, c, "c_custkey", salt_n=8)
     return j.select("o_orderkey", "c_custkey", "c_nationkey", F.round(F.col("o_totalprice"), 2).alias("totalprice"))
+
+
+@query(
+    "q_window_frames",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running_sum,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_avg_5
+    FROM events
+    """,
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based analytic windows (running sum + 5-row moving average per
+    user): one hash exchange on the partition key, partition-local sort,
+    both frames computed in the same Window pass."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_sum"),
+        F.round(F.avg("value").over(w.rowsBetween(-4, 0)), 4).alias("moving_avg_5"),
+    )
+
+
+@query(
+    "q_grouped_udaf",
+    oracle="""
+    SELECT user_id,
+           round(regr_slope(value, (epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-01')) / 86400000.0), 4)
+             AS slope_per_day,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via grouped-map applyInPandas: per-user least-squares
+    slope of event value over time (days) — the reference's whole API is
+    arbitrary-user-function operators; this is the keyed-aggregation form
+    Spark expresses as a pandas group map (one shuffle on the key, Arrow
+    batch per group). Centered covariance formula (numerically stable at
+    epoch magnitudes) matches SQL regr_slope exactly at 4dp."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.expr("unix_micros(ts) div 1000") - F.lit(1704067200000)).cast("double").alias("ms"),
+        "value",
+    )
+
+    def slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["ms"] / 86400000.0
+        y = pdf["value"]
+        xc = x - x.mean()
+        denom = (xc * xc).sum()
+        s = float((xc * (y - y.mean())).sum() / denom) if denom > 0 else None
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "slope_per_day": [round(s, 4) if s is not None else None], "n": [len(pdf)]}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(slope, "user_id long, slope_per_day double, n long")
