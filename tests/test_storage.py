@@ -1,0 +1,66 @@
+"""Bucketed-layout tests: the write-side strategy SCALE.md promises,
+verified against the physical plan — a fact-fact join over co-bucketed
+tables must run with NO shuffle exchange on either side."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_stream_processor_spark import storage
+from simple_stream_processor_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    storage.write_bucketed(li, "li_bucketed", "l_orderkey", 8)
+    storage.write_bucketed(o, "o_bucketed", "o_orderkey", 8)
+    yield "li_bucketed", "o_bucketed"
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed_tables):
+    li_t, o_t = bucketed_tables
+    li = storage.read_table(spark, li_t)
+    o = storage.read_table(spark, o_t)
+    # disable broadcast so the plan MUST choose a co-bucketed join strategy
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "extended")
+        phys = plan.split("== Physical Plan ==")[-1]
+        assert "Exchange hashpartitioning" not in phys, "bucketed join still shuffles"
+        assert "SortMergeJoin" in phys or "ShuffledHashJoin" in phys
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_join_values_match_plain_join(spark, sf_dir, bucketed_tables):
+    li_t, o_t = bucketed_tables
+    li = storage.read_table(spark, li_t)
+    o = storage.read_table(spark, o_t)
+    bucketed_rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("r"))
+        .collect()[0]
+        .r
+    )
+    li_p = load_table(spark, "lineitem", sf_dir)
+    o_p = load_table(spark, "orders", sf_dir)
+    plain_rev = (
+        li_p.join(o_p, li_p.l_orderkey == o_p.o_orderkey)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("r"))
+        .collect()[0]
+        .r
+    )
+    assert bucketed_rev == plain_rev
+
+
+def test_bucketed_agg_avoids_exchange(spark, bucketed_tables):
+    li_t, _ = bucketed_tables
+    li = storage.read_table(spark, li_t)
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_extendedprice").alias("s"))
+    plan = agg._sc._jvm.PythonSQLUtils.explainString(agg._jdf.queryExecution(), "extended")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange hashpartitioning" not in phys, "groupBy on bucket key still shuffles"
