@@ -247,3 +247,33 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out, _ = run_stream_to_memory(sdf, output_mode="complete")
     return out
+
+
+@query(
+    "q_streaming_sliding",
+    oracle="""
+    WITH grid AS (
+      SELECT event_id, value,
+             unnest([epoch_ms(ts) // 1000 // 1800 * 1800,
+                     epoch_ms(ts) // 1000 // 1800 * 1800 - 1800]) AS window_start_s
+      FROM events
+    )
+    SELECT window_start_s, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM grid
+    GROUP BY 1
+    """,
+)
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N13 streaming twin: sliding windows (1 h / 30 min) on the
+    incremental engine — each record updates size/slide = 2 window states;
+    watermark evicts closed ones; ``complete`` output = end-of-stream
+    flush. Hash-equal to the batch 2-window grid oracle."""
+    sdf = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start_s"), "n", "sum_value")
+    )
+    out, _ = run_stream_to_memory(sdf, output_mode="complete")
+    return out

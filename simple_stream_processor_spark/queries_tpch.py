@@ -184,3 +184,82 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
     return j.agg(F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_revenue"))
+
+
+@query(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c_custkey, n_name,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))::BIGINT
+             AS revenue_cents
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, n_name
+    ORDER BY revenue_cents DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): both filters pushed to
+    their scans, quarter-pruned orders and the two dims broadcast, top-20
+    via TakeOrderedAndProject. Revenue is summed in integer cents
+    (per-term round, exact integer sum) — double-sum order differs between
+    engines and a 2dp round of the float total can flip on a .005
+    boundary; integer cents are order-independent."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    return (
+        j.groupBy("c_custkey", "n_name")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 90
+    )
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM orders
+    JOIN big ON o_orderkey = big.l_orderkey
+    JOIN lineitem ON lineitem.l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_custkey, o_totalprice
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the HAVING subquery is a
+    pre-aggregation whose (small) result broadcasts back against both
+    facts — the aggregate acts as its own semi-join filter, so the wide
+    join only ever sees qualifying orders."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).where(F.col("q") > 90).select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    j = li.join(F.broadcast(big), "l_orderkey").join(
+        F.broadcast(o), F.col("l_orderkey") == o.o_orderkey
+    )
+    return j.groupBy("o_orderkey", "o_custkey", "o_totalprice").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty")
+    ).select(
+        "o_orderkey", "o_custkey", F.round(F.col("o_totalprice"), 2).alias("totalprice"), "total_qty"
+    )
