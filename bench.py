@@ -47,6 +47,11 @@ HEADLINE = [
     "q_ann_ivf",
     "q_dedup_clusters",
     "q_training_pipeline",
+    "q_tpch_q1",
+    "q_tpch_q8",
+    "q_tpch_q18",
+    "q_tpch_q21",
+    "q_tfidf_topterms",
 ]
 
 

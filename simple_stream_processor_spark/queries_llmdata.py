@@ -585,3 +585,55 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 4).alias("avg_quality"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "q_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, token, tfidf
+    FROM (
+      SELECT doc_id, tf.token AS token,
+             round(tf * (n_docs + 1.0) / (df + 1), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf * (n_docs + 1.0) / (df + 1) DESC, tf.token ASC
+             ) AS rn
+      FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+    ) scored
+    WHERE rn <= 3
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document relevance scoring: top-3 terms per document by TF-IDF with
+    smoothed reciprocal-df weighting `tf * (N+1) / (df+1)` — rational in
+    exact integers, so the double division is bit-identical across engines
+    (a log-idf would hinge on libm ulps; the per-term ranking it induces
+    is the same monotone order in df). Shuffle story at 100 TB: term
+    frequencies combine map-side on (doc, token); the document-frequency
+    table is vocabulary-sized and broadcasts back against tf; the top-k
+    is a bounded per-doc window, rank-truncated before any sort spills."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token").asc())
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "token", F.round(score, 6).alias("tfidf"))
+    )

@@ -257,3 +257,66 @@ def q_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return ev.groupBy("user_id").applyInPandas(slope, "user_id long, slope_per_day double, n long")
+
+
+@query(
+    "q_hash_sample",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_sampled,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))::BIGINT
+             AS revenue_cents
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY l_returnflag
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (~2/16 = 12.5% of order keys): the
+    reproducible alternative to `TABLESAMPLE` — md5 of the key is
+    engine-independent, so the sample is stable across runs, engines, and
+    partitionings (a rerun-safe property `rand()` sampling lacks, and the
+    standard way to carve experiment holdouts from a 100 TB corpus).
+    Key-level (not row-level) sampling keeps whole orders together.
+    The filter is a narrow projection evaluated at scan speed; no shuffle
+    until the final tiny per-flag aggregate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    bucket = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    return (
+        li.where(bucket.isin("0", "1"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum(rev).alias("revenue_cents"))
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form of rollup/cube —
+    q_rollup/q_cube cover the fixed lattices): detail, per-flag, and
+    grand-total levels in ONE scan. Spark expands the sets before the
+    exchange, so partial aggregation still applies and the shuffle carries
+    (rows × sets) pre-combined groups, not raw rows. The SQL surface is
+    the DataFrame surface: same Catalyst plan either way."""
+    from simple_stream_processor_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

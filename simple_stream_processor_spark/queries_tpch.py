@@ -263,3 +263,420 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderkey", "o_custkey", F.round(F.col("o_totalprice"), 2).alias("totalprice"), "total_qty"
     )
+
+
+def _cents(expr):
+    """Revenue in integer cents (per-term round, exact integer sum).
+
+    Double-sum order differs between engines (Spark sums per-partition,
+    DuckDB sequentially); a 2dp round of the float total can flip on a
+    .005 boundary. Rounding each term to cents first makes the sum exact
+    integer arithmetic — order-independent on both engines.
+    """
+    return F.round(expr * 100, 0).cast("long")
+
+
+_CENTS_SQL = "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
+
+
+@query(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n_name, sum({_CENTS_SQL})::BIGINT AS revenue_cents
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): five-way join where every
+    dimension (region-pruned nations, suppliers, customers, year-pruned
+    orders) broadcasts against the single lineitem scan — zero shuffles
+    before the final tiny per-nation aggregate. The c_nationkey =
+    s_nationkey "local" condition rides the supplier broadcast join."""
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    j = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.groupBy("n_name").agg(F.sum(rev).alias("revenue_cents"))
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, sum(cents)::BIGINT AS revenue_cents
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             {_CENTS_SQL} AS cents
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+          OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): nation dimension joined twice under
+    different roles (supplier side vs customer side) — two independent
+    broadcasts of the same tiny table; the disjunctive nation-pair
+    predicate is applied after both roles resolve, then a 2-year shipdate
+    prune rides the lineitem scan."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    j = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_10"))
+            | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_12"))
+        )
+    )
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(F.sum(rev).alias("revenue_cents"))
+
+
+@query(
+    "q_tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN cents ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(cents) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             {_CENTS_SQL} AS cents,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the most-joined query in the
+    suite — seven broadcast dims against one fact scan, a conditional-sum
+    ratio per year. Numerator and denominator are exact integer cents, so
+    the final double division is bit-identical across engines and the
+    6dp round is stable."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cust_nation_key"))
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nation_key"), F.col("n_name").alias("nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nation_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nation_key"))
+    )
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    num = F.sum(F.when(F.col("nation") == "NATION_3", cents).otherwise(F.lit(0)))
+    den = F.sum(cents)
+    return j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.round(num.cast("double") / den.cast("double"), 6).alias("mkt_share")
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): outer join
+    with the filter INSIDE the join condition (so zero-order customers
+    survive), per-customer count, then a second tiny aggregate over the
+    counts. The double aggregation reuses the same custkey partitioning
+    — AQE coalesces the second exchange to near-nothing."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, sum({_CENTS_SQL})::BIGINT AS total_revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue_cents
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarter-pruned per-supplier revenue, then
+    the scalar max re-joined as a one-row broadcast filter. Integer-cents
+    revenue makes the max-equality exact — a float `=` on a double sum is
+    an engine-dependent coin flip. The revenue subplan appears twice and
+    Catalyst reuses the exchange rather than rescanning."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue_cents")
+    )
+    mx = rev.agg(F.max("total_revenue_cents").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue_cents == mx.max_rev)
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 700.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS agg_pk, count(*) AS cnt, CAST(sum(l_quantity) AS DOUBLE) AS sq
+      FROM lineitem GROUP BY l_partkey
+    ) agg ON agg_pk = l_partkey
+    WHERE p_brand = 'Brand#12' AND p_size < 10
+      AND l_quantity * cnt * 5 < sq
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    `l_quantity < 0.2 * avg(l_quantity per part)` subquery decorrelated
+    into a per-part pre-aggregate joined back to the fact. The threshold
+    compare is restated as `5 * qty * cnt < sum_qty` — all integer-valued
+    doubles, exact on both engines, where `0.2 * avg` would hinge on a
+    float ulp. Brand+size prune broadcasts; only matching parts' lines
+    reach the per-part aggregate join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    agg = li.groupBy(F.col("l_partkey").alias("agg_pk")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").cast("double").alias("sq")
+    )
+    j = (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(agg, F.col("agg_pk") == F.col("l_partkey"))
+        .where(F.col("l_quantity") * F.col("cnt") * 5 < F.col("sq"))
+    )
+    return j.agg(
+        F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 700.0, 2).alias("avg_yearly")
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT sum({_CENTS_SQL})::BIGINT AS revenue_cents
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): a
+    three-branch OR spanning both join sides. The common quantity bound
+    (1..30) and the part-side brand/size disjunction are each separable —
+    Catalyst derives the part-only and lineitem-only conjuncts and pushes
+    them below the broadcast join, so the OR only evaluates on
+    already-thinned rows."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15) & qty.between(20, 30))
+    )
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.where(branch).agg(F.sum(rev).alias("revenue_cents"))
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting, adapted: the
+    fixture has no commit/receipt dates, so "waiting" = the sole returned
+    line in a multi-supplier finalized order). The oracle states it as
+    EXISTS / NOT EXISTS self-joins; the Spark plan decorrelates BOTH into
+    ONE per-order aggregate — n_suppliers and n_suppliers-with-R — then a
+    single keyed join: `n_supp > 1 AND n_rsupp = 1` ⇔ "another supplier
+    exists, none of them returned". Two semi-join passes over the fact
+    become one shuffle, the scalable form at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("n_rsupp"),
+    )
+    qualifying = per_order.where((F.col("n_supp") > 1) & (F.col("n_rsupp") == 1)).select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = li.where(F.col("l_returnflag") == "R")
+    j = (
+        l1.join(qualifying, "l_orderkey")
+        .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+    )
+    return (
+        j.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      FROM customer
+    ), pos AS (
+      SELECT CAST(sum(bal_cents) AS BIGINT) AS s, count(*) AS c FROM cust WHERE bal_cents > 0
+    )
+    SELECT c_mktsegment, count(*) AS numcust, sum(bal_cents)::BIGINT AS totacctbal_cents
+    FROM cust, pos
+    WHERE bal_cents * c > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity, adapted: no phone column
+    — country-code grouping becomes market segment, "no orders" becomes
+    "no orders since 1999"). The scalar avg-balance subquery is a one-row
+    broadcast; `bal > avg(bal)` is restated in integer cents as
+    `bal_cents * count > sum_cents` — exact on both engines. The NOT
+    EXISTS is a left-anti join against date-pruned orders."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents")
+    )
+    pos = cust.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(pos))
+        .where(F.col("bal_cents") * F.col("c") > F.col("s"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"), F.sum("bal_cents").alias("totacctbal_cents"))
+    )
