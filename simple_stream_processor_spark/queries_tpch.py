@@ -492,10 +492,14 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): quarter-pruned per-supplier revenue, then
-    the scalar max re-joined as a one-row broadcast filter. Integer-cents
-    revenue makes the max-equality exact — a float `=` on a double sum is
-    an engine-dependent coin flip. The revenue subplan appears twice and
-    Catalyst reuses the exchange rather than rescanning."""
+    the scalar-max filter expressed as a global window over the ALREADY
+    AGGREGATED rev table (supplier cardinality, not fact cardinality) —
+    one lineitem scan total, where a naive `rev JOIN (SELECT max FROM
+    rev)` scans the fact twice unless exchange reuse happens to fire.
+    Integer-cents revenue makes the max-equality exact — a float `=` on
+    a double sum is an engine-dependent coin flip."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -503,10 +507,11 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue_cents")
     )
-    mx = rev.agg(F.max("total_revenue_cents").alias("max_rev"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy()  # global: one task over |suppliers| rows, never fact rows
     return (
-        rev.join(F.broadcast(mx), rev.total_revenue_cents == mx.max_rev)
+        rev.withColumn("max_rev", F.max("total_revenue_cents").over(w))
+        .where(F.col("total_revenue_cents") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue_cents")
     )

@@ -60,3 +60,51 @@ def test_parmap_uses_arrow_not_row_python(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_parmap_ordered")
     assert "ArrowEvalPython" in plan  # vectorized, never BatchEvalPython
     assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q5_is_all_broadcast_single_fact_scan(spark, sf_dir):
+    """Q5's five dims (pruned orders, customer, supplier, ASIA nations)
+    must all broadcast — one lineitem scan, no SortMergeJoin, and the
+    only exchange after the joins is the tiny per-nation aggregate."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q19_derives_pushed_conjuncts_from_disjunction(spark, sf_dir):
+    """The three-branch OR spans both join sides; Catalyst must still
+    derive the lineitem-only bound (l_quantity <= 30 appears in every
+    branch) and push it into the scan rather than evaluating the whole
+    OR post-join."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q19", "formatted")
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+
+
+def test_tpch_q21_single_shuffle_decorrelation(spark, sf_dir):
+    """EXISTS + NOT EXISTS are decorrelated into one per-order aggregate:
+    exactly one set of exchanges keyed on l_orderkey, never two semi-join
+    passes (no left-semi/anti operators in the plan)."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q21")
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-10, not a global sort
+
+
+def test_tpch_q15_scans_lineitem_once(spark, sf_dir):
+    """The scalar-max filter is a window over the aggregated rev table,
+    so the fact is scanned exactly once (the naive max-subquery form
+    duplicates the whole rev subplan when exchange reuse doesn't fire)."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q15")
+    assert plan.count("lineitem.parquet]") == 1
+
+
+def test_hash_sample_filter_is_scan_side(spark, sf_dir):
+    """The md5-bucket sample must evaluate in the scan stage (narrow,
+    pre-shuffle): the plan has exactly one exchange — the final per-flag
+    aggregate — so sampling cost is scan speed at any corpus size."""
+    plan = plan_of(spark, sf_dir, "q_hash_sample")
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange (?:hashpartitioning|SinglePartition)", plan))
+    assert n_exchanges <= 2  # partial->final agg exchange only (AQE may print both specs)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
