@@ -138,3 +138,28 @@ def ann_ivf_topk(emb: DataFrame, probe_id: int, k: int = 10, nprobe: int = 3) ->
         "vec_id", "label", cosine(F.col("v"), F.col("pv")).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def quantize_int8_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector scalar quantization (8-bit min/max) with reconstruction
+    error — the storage-compression step for embedding columns at corpus
+    scale (4 bytes/dim float32 → 1 byte/dim, 4x smaller shuffle/scan for
+    the ANN paths that tolerate ~scale/2 absolute error).
+
+    Every operand is cast to double BEFORE any arithmetic: float32 math
+    then promotion gives different bits than promotion then math, and the
+    oracle compare needs bit-identical doubles across engines. Pure
+    column expressions (transform/aggregate) — narrow, scan-speed, no
+    Python boundary."""
+    d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mn, mx = F.array_min(d), F.array_max(d)
+    scale = (mx - mn) / F.lit(255.0)
+    q = F.transform(d, lambda x: F.round((x - mn) / scale, 0))
+    errs = F.zip_with(q, d, lambda qi, xi: F.abs(mn + qi * scale - xi))
+    n = F.size(errs).cast("double")
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        F.round(F.array_max(errs), 9).alias("max_abs_err"),
+        F.round(F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x) / n, 9).alias("mean_abs_err"),
+    )

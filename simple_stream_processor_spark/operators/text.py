@@ -123,3 +123,27 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.array_min(sh_hashes).alias("min_shingle_md5"),
         F.array_max(sh_hashes).alias("max_shingle_md5"),
     )
+
+
+def chunk_words_udtf():
+    """Python UDTF (Arrow-batched) chunking a document into fixed-size
+    word windows — the context-window chunking step of an LLM training
+    pipeline, and the engine's arbitrary-1→N-function surface (reference
+    ``flatMap``, Stream.scala:25-34, generalized to a table function
+    usable from SQL via LATERAL).
+
+    Built-in ``explode`` covers array expansion (q_flatmap_explode); a
+    UDTF is the escape hatch when the expansion logic is imperative
+    Python. Per-row cost stays Arrow-batched; the expansion is a narrow
+    operation — no shuffle at any corpus size."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_id: bigint, chunk_text: string, n_words: bigint")
+    class ChunkWords:
+        def eval(self, doc_id, text, size):  # noqa: ANN001
+            words = (text or "").split(" ")
+            for i in range(0, len(words), size):
+                chunk = words[i : i + size]
+                yield doc_id, i // size, " ".join(chunk), len(chunk)
+
+    return ChunkWords

@@ -637,3 +637,64 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "token", F.round(score, 6).alias("tfidf"))
     )
+
+
+@query(
+    "q_udtf_chunks",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), c AS (
+      SELECT doc_id, words,
+             unnest(range(0, CAST(ceil(len(words) / 20.0) AS INT))) AS chunk_id
+      FROM w
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(words[chunk_id * 20 + 1 : chunk_id * 20 + 20], ' ') AS chunk_text,
+           least(20, len(words) - chunk_id * 20) AS n_words
+    FROM c
+    """,
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking via a Python UDTF invoked through SQL
+    LATERAL — each document expands to ceil(n_words/20) fixed-size chunks
+    (the pre-tokenization step of a training pipeline, and the arbitrary
+    imperative-1→N surface that generalizes reference flatMap,
+    Stream.scala:25-34). The UDTF is registered per-session and the
+    expansion is narrow: chunking 100 TB is scan-bound, no shuffle."""
+    from simple_stream_processor_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    spark.udtf.register("chunk_words", text.chunk_words_udtf())
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_id, c.chunk_text, c.n_words "
+        "FROM documents, LATERAL chunk_words(doc_id, text, 20) c"
+    )
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v, list_min(v) AS mn, (list_max(v) - list_min(v)) / 255.0 AS scale FROM d
+    ), e AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> abs(mn + round((x - mn) / scale, 0) * scale - x)) AS errs
+      FROM s
+    )
+    SELECT vec_id, round(scale, 9) AS scale,
+           round(list_max(errs), 9) AS max_abs_err,
+           round(list_aggregate(errs, 'sum') / len(errs), 9) AS mean_abs_err
+    FROM e
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization of the embedding column with per-vector
+    reconstruction-error stats (operators/similarity.py:
+    quantize_int8_stats): the 4x storage/shuffle compression an ANN index
+    applies before scale-out. Oracle runs the identical double-math
+    pipeline; max reconstruction error is bounded by scale/2 by
+    construction."""
+    return similarity.quantize_int8_stats(_t(spark, sf_dir, "embeddings"))

@@ -197,3 +197,36 @@ def test_ann_ivf_quality_vs_bruteforce(spark, sf_dir):
     # nprobe = all clusters degenerates to exact search over all assigned vecs
     ivf_all = similarity.ann_ivf_topk(emb, probe_id=0, k=10, nprobe=10).collect()
     assert [r.vec_id for r in ivf_all] == [r.vec_id for r in brute]
+
+
+def test_quantize_error_bounded_by_half_scale(spark, sf_dir):
+    """SQ8 guarantee: round-to-nearest level => |x' - x| <= scale/2."""
+    import __spark_entry__ as _entry
+
+    rows = _entry.queries()["q_embedding_quantize"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.max_abs_err <= r.scale / 2 + 1e-9, (r.vec_id, r.max_abs_err, r.scale)
+
+
+def test_udtf_chunks_reassemble_to_documents(spark, sf_dir):
+    """Chunking is lossless: concatenating chunks in order rebuilds text."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as _entry
+    from simple_stream_processor_spark.tables import load_table
+
+    chunks = _entry.queries()["q_udtf_chunks"](spark, sf_dir)
+    # collect_list order is NOT preserved across the groupBy shuffle —
+    # sort the (chunk_id, text) structs inside the row instead
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))).alias("cs"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.transform(F.col("cs"), lambda c: c.chunk_text)).alias("rebuilt"),
+        )
+    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    n_bad = rebuilt.join(docs, "doc_id").where(F.col("rebuilt") != F.col("text")).count()
+    assert n_bad == 0
