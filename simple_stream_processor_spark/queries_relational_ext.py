@@ -320,3 +320,102 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@query(
+    "q_full_outer_reconcile",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, date_trunc('day', ts) AS d, count(*) AS n_signup
+      FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    ), e AS (
+      SELECT user_id, date_trunc('day', ts) AS d, count(*) AS n_error
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    )
+    SELECT coalesce(s.user_id, e.user_id) AS user_id,
+           CAST(epoch_ms(coalesce(s.d, e.d)) AS BIGINT) AS day_ms,
+           coalesce(n_signup, 0) AS n_signup,
+           coalesce(n_error, 0) AS n_error
+    FROM s FULL OUTER JOIN e ON s.user_id = e.user_id AND s.d = e.d
+    """,
+)
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (the one join type the suite didn't yet cover):
+    reconciling two sparse per-user-day aggregates where either side may
+    be absent — the audit/anti-drift shape of pipeline reconciliation.
+    Both inputs pre-aggregate BEFORE the join, so the full-outer shuffle
+    carries group-cardinality rows, never raw events; at 100 TB the join
+    keys are already partitioned identically from the two aggs and AQE
+    plans a no-regret sort-merge on the shared (user, day) key."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy(F.col("user_id").alias("s_uid"), day.alias("s_d"))
+        .agg(F.count(F.lit(1)).alias("n_signup"))
+    )
+    e = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").alias("e_uid"), day.alias("e_d"))
+        .agg(F.count(F.lit(1)).alias("n_error"))
+    )
+    j = s.join(e, (s.s_uid == e.e_uid) & (s.s_d == e.e_d), "full_outer")
+    return j.select(
+        F.coalesce("s_uid", "e_uid").alias("user_id"),
+        (F.unix_micros(F.coalesce("s_d", "e_d")) / F.lit(1000)).cast("long").alias("day_ms"),
+        F.coalesce("n_signup", F.lit(0)).alias("n_signup"),
+        F.coalesce("n_error", F.lit(0)).alias("n_error"),
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, round(max(value), 2) AS v
+      FROM events WHERE user_id < 5 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+    )
+    SELECT spine.user_id,
+           CAST(epoch_ms(spine.h) AS BIGINT) AS hour_ms,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY spine.user_id ORDER BY spine.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           (v IS NULL) AS is_gap
+    FROM spine LEFT JOIN e ON spine.user_id = e.user_id AND spine.h = e.h
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per-user hourly spine (`sequence` +
+    explode between observed bounds) left-joined to observations, missing
+    hours carried forward with `last(ignorenulls)` — the
+    regularization step before any rolling-window feature at scale. The
+    spine explode is narrow (each user's row expands locally); the fill
+    window partitions by user, so state is one value per user — no
+    global sort. Spark's `sequence` and DuckDB's `generate_series` agree
+    on inclusive bounds."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    hour = F.date_trunc("hour", F.col("ts"))
+    e = ev.groupBy("user_id", hour.alias("h")).agg(F.round(F.max("value"), 2).alias("v"))
+    spine = (
+        e.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    j = spine.join(e, ["user_id", "h"], "left_outer")
+    w = Window.partitionBy("user_id").orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "user_id",
+        (F.unix_micros("h") / F.lit(1000)).cast("long").alias("hour_ms"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("v").isNull().alias("is_gap"),
+    )
