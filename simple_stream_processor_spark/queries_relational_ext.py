@@ -419,3 +419,39 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "q_analytic_distribution",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist,
+           lead(c_custkey) OVER w AS next_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def q_analytic_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics (the window-function family q_rank_window's
+    row_number/lag doesn't cover): quartile bucketing (ntile), relative
+    rank (percent_rank), cumulative share (cume_dist), and forward
+    navigation (lead) in ONE window pass — one exchange on the partition
+    key, partition-local sort. The tie-breaking custkey in the ORDER BY
+    makes every function deterministic; percent_rank and cume_dist are
+    ratios of exact integer ranks, so the 6dp round is cross-engine
+    stable."""
+    c = _t(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.lead("c_custkey").over(w).alias("next_custkey"),
+    )
