@@ -455,3 +455,44 @@ def q_analytic_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
         F.lead("c_custkey").over(w).alias("next_custkey"),
     )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    WITH b AS (
+      SELECT lang, doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS bucket
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 32 WHEN 'de' THEN 128 ELSE 256 END
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling — per-class rates from one
+    md5-bucket column (en 32/256 = 12.5%, de 50%, everything else kept):
+    the class-rebalancing step of corpus curation (downsample the
+    dominant language, keep the tail), reproducible across engines, runs,
+    and partitionings where `sampleBy(fractions)` is seed-and-partition
+    dependent. Still a narrow scan-stage filter: rate lookup is a CASE
+    on the stratum column, no join, no shuffle before the per-class
+    audit aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(32))
+        .when(F.col("lang") == "de", F.lit(128))
+        .otherwise(F.lit(256))
+    )
+    return (
+        docs.where(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
