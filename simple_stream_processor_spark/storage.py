@@ -37,3 +37,34 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     bucket-local joins/aggregations when keys line up
     (spark.sql.sources.bucketing.enabled, on by default)."""
     return spark.table(table)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    partition_col: str = "event_date",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a time-series table hive-partitioned by calendar date —
+    SCALE.md §2's layout for event data: a time-window query then prunes
+    to the matching date directories at PLANNING time (`PartitionFilters`
+    in the scan, untouched dates never opened). At 100 TB with ~3 years
+    of events, a one-week dashboard query reads ~0.6% of the files
+    instead of all of them.
+
+    The partition column is DERIVED (date(ts)) and additive — the
+    original timestamp stays in the data files, so intra-day predicates
+    still push down as ordinary row-group filters."""
+    from pyspark.sql import functions as F
+
+    df.withColumn(partition_col, F.to_date(F.col(ts_col))).write.mode(mode).partitionBy(
+        partition_col
+    ).parquet(path)
+
+
+def read_date_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a date-partitioned table. Filters on the partition column
+    (or expressions Catalyst can rewrite onto it) prune directories before
+    any I/O is scheduled."""
+    return spark.read.parquet(path)

@@ -64,3 +64,31 @@ def test_bucketed_agg_avoids_exchange(spark, bucketed_tables):
     plan = agg._sc._jvm.PythonSQLUtils.explainString(agg._jdf.queryExecution(), "extended")
     phys = plan.split("== Physical Plan ==")[-1]
     assert "Exchange hashpartitioning" not in phys, "groupBy on bucket key still shuffles"
+
+
+def test_date_partitioned_write_prunes_at_planning_time(spark, sf_dir, tmp_path):
+    """SCALE.md §2: a date filter on the partition column must become a
+    PartitionFilter (directory pruning), not a data filter — and the
+    pruned read must agree with the unpartitioned read."""
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark import storage
+    from simple_stream_processor_spark.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    path = str(tmp_path / "events_by_date")
+    storage.write_date_partitioned(ev, path)
+
+    back = storage.read_date_partitioned(spark, path)
+    lo, hi = "2024-01-08", "2024-01-15"
+    pruned = back.where((F.col("event_date") >= lo) & (F.col("event_date") < hi))
+
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(pruned._jdf.queryExecution(), "formatted")
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "event_date" in scan[0], plan
+    # no residual event_date predicate on the data side
+    data_filters = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert all("event_date" not in ln for ln in data_filters)
+
+    expect = ev.where((F.to_date("ts") >= F.lit(lo)) & (F.to_date("ts") < F.lit(hi))).count()
+    assert pruned.count() == expect and expect > 0
