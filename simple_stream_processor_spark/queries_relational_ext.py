@@ -496,3 +496,31 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "q_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(var_samp(l_quantity), 6) AS qty_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar_samp / stddev_samp /
+    var_samp) per group — the moments family a feature-engineering pass
+    needs, all JVM-side single-pass partial aggregates (Welford-style
+    merge), one tiny exchange. Rounding absorbs the partial-sum
+    reassociation ulps (values are O(1)-O(1e4); double noise is ~1e-10
+    relative), the same tolerance as TPC-H Q1's avg columns."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+    )
