@@ -524,3 +524,41 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
         F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
     )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '1996-12-01'
+    )
+    SELECT CAST(epoch_ms(m) AS BIGINT) AS month_ms, count(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (SQL:1999 WITH RECURSIVE, native in Spark 4): a
+    24-month calendar spine generated by recursion, left-joined to
+    month-truncated order counts — the fixed-point surface the iterative
+    operators (dedup_clusters) use imperatively, now available
+    declaratively. The recursion happens on the driver-side plan (24
+    one-row steps, trivially cheap); the join and aggregate stay
+    distributed. Months with zero orders survive via the left join."""
+    from simple_stream_processor_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '1996-12-01'
+        )
+        SELECT unix_micros(m) div 1000 AS month_ms, count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        GROUP BY m
+        """
+    )
