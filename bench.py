@@ -116,7 +116,11 @@ def _baseline_pipeline_metrics(spark) -> dict:
             doubled = src.withColumn("y", F.col("x") * 2)
         return parallel.async_boundary(doubled, 16).agg(F.sum("y").alias("s"))
 
-    pipeline(1000, True).collect()  # spin up Python workers (reference JVM is warm too)
+    # Warm BOTH paths (Python workers for the UDF form, codegen for the
+    # builtin form) so the timed runs compare engines, not first-run costs —
+    # the reference's JVM is warm when its baseline runner times itself.
+    pipeline(1000, True).collect()
+    pipeline(1000, False).collect()
 
     out = {}
     for n in (20_000, 20_000_000):
