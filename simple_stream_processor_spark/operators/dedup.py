@@ -299,6 +299,45 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     )
 
 
+# --- Benchmark decontamination ------------------------------------------------
+
+
+def ngram_hash_table(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
+    """(doc_id, gh) table of distinct word n-gram 60-bit hashes.
+
+    Hashing n-grams to fixed-width BIGINTs before the join keeps the
+    shuffle payload at 8 bytes/gram instead of the gram string — at
+    100 TB the contamination join moves hashes, never text.
+    """
+    from simple_stream_processor_spark.operators.text import word_ngrams
+
+    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+    return docs.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id", _token_hash60(F.col("gram")).alias("gh")
+    )
+
+
+def decontaminate(train: DataFrame, bench: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with a held-out benchmark/eval set (the standard n-gram-overlap
+    decontamination step of LLM training pipelines, cf. GPT-3 appendix C /
+    Dolma §4). Returns (doc_id, n_overlap) for contaminated docs only.
+
+    Scale shape: the benchmark side (eval suites) is tiny relative to the
+    corpus, so its distinct gram-hash set is BROADCAST — the corpus-side
+    gram table never shuffles; contamination detection runs at scan speed
+    plus a map-side hash probe, then one aggregate bounded by the number
+    of contaminated (doc, gram) hits, not corpus size.
+    """
+    tg = ngram_hash_table(train, text_col, n)
+    bg = ngram_hash_table(bench, text_col, n).select("gh").distinct()
+    return (
+        tg.join(F.broadcast(bg), "gh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("gh")).alias("n_overlap"))
+    )
+
+
 # --- Dedup cluster resolution (connected components) --------------------------
 
 

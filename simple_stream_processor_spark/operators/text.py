@@ -108,6 +108,59 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Positional word n-grams (``array<string>``, duplicates preserved —
+    order matters for repetition metrics; wrap in ``array_distinct`` for
+    set semantics). Documents shorter than ``n`` words yield an empty
+    array (``sequence`` would otherwise run descending)."""
+    w = tokens(text_col)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.array_join(F.slice(w, i + F.lit(1), F.lit(n)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document: top-word
+    fraction (most frequent word's share of tokens) and duplicate-bigram
+    fraction (1 - distinct/total bigrams). Mirrors the repetition filters
+    of Rae et al. 2021 (Gopher) §A1.1, applied before LLM training.
+
+    Entirely narrow array higher-order functions — zero shuffle, scan
+    speed at 100 TB. The flag thresholds are exact integer comparisons
+    (100·top > 14·n ; 100·dup > 8·n_bigrams), so the decision is
+    bit-identical across engines; the reported fractions are IEEE-double
+    ratios of exact integers, safe to round.
+
+    Reference parity: generalizes the reference's per-element `filter`
+    (Stream.scala:36-47) to a content-quality predicate family.
+    """
+    w = tokens(F.col(text_col))
+    n_words = F.size(w)
+    top_word_n = F.array_max(
+        F.transform(F.array_distinct(w), lambda d: F.size(F.filter(w, lambda x: x == d)))
+    )
+    bi = word_ngrams(F.col(text_col), 2)
+    n_bi = F.size(bi)
+    dist_bi = F.size(F.array_distinct(bi))
+    dup_bi = n_bi - dist_bi
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        top_word_n.alias("top_word_n"),
+        n_bi.alias("n_bigrams"),
+        dist_bi.alias("distinct_bigrams"),
+        F.round(top_word_n.cast("double") / n_words.cast("double"), 4).alias("top_word_frac"),
+        F.round(dup_bi.cast("double") / n_bi.cast("double"), 4).alias("dup_bigram_frac"),
+        ((F.lit(100) * top_word_n > F.lit(14) * n_words) | (F.lit(100) * dup_bi > F.lit(8) * n_bi)).alias(
+            "flagged"
+        ),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: full-content md5 plus a shingle-anchored
     min-hash fingerprint (min/max md5 over word 3-shingles) — the rolling-

@@ -135,6 +135,66 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "q_repetition_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), m AS (
+      SELECT doc_id,
+        len(words) AS n_words,
+        list_max(list_transform(list_distinct(words),
+                                d -> len(list_filter(words, x -> x = d)))) AS top_word_n,
+        len(words) - 1 AS n_bigrams,
+        len(list_distinct(list_transform(range(len(words) - 1),
+                                         i -> words[i+1] || ' ' || words[i+2]))) AS distinct_bigrams
+      FROM w
+    )
+    SELECT doc_id, n_words, top_word_n, n_bigrams, distinct_bigrams,
+      round(top_word_n / (1.0 * n_words), 4) AS top_word_frac,
+      round((n_bigrams - distinct_bigrams) / (1.0 * n_bigrams), 4) AS dup_bigram_frac,
+      (100 * top_word_n > 14 * n_words
+       OR 100 * (n_bigrams - distinct_bigrams) > 8 * n_bigrams) AS flagged
+    FROM m
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: per-doc top-word fraction
+    and duplicate-bigram fraction, flag thresholds as exact integer
+    comparisons. Zero-shuffle narrow plan — scan speed at 100 TB."""
+    return text.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(len(words) - 3),
+               i -> ('0x' || substr(md5(array_to_string(words[i+1:i+4], ' ')), 1, 15))::BIGINT))) AS gh
+      FROM w WHERE len(words) >= 4
+    ), bench AS (
+      SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id, count(DISTINCT g.gh) AS n_overlap
+    FROM g JOIN bench USING (gh)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 4-gram
+    with the held-out benchmark slice (doc_id % 97 == 0 stands in for an
+    eval suite). Benchmark gram-hash set is broadcast; the corpus side
+    never shuffles raw text — only 60-bit gram hashes of contaminated
+    hits reach the final aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate(train, bench, n=4)
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------

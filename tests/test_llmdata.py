@@ -230,3 +230,50 @@ def test_udtf_chunks_reassemble_to_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     n_bad = rebuilt.join(docs, "doc_id").where(F.col("rebuilt") != F.col("text")).count()
     assert n_bad == 0
+
+
+def test_repetition_signals_golden(spark):
+    """Hand-computed metrics: 'a a a b' → top_word_n=3, bigrams
+    [aa,aa,ab] → 2 distinct, dup frac 1/3; both thresholds exceeded."""
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c d e f g h")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.repetition_signals(df).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.top_word_n, r1.n_bigrams, r1.distinct_bigrams) == (4, 3, 3, 2)
+    assert r1.top_word_frac == 0.75 and r1.flagged
+    r2 = out[2]  # 8 distinct words: top frac 0.125 < 0.14, no dup bigrams
+    assert r2.top_word_n == 1 and r2.dup_bigram_frac == 0.0 and not r2.flagged
+
+
+def test_repetition_signals_zero_shuffle(spark, sf_dir):
+    """The quality filter must stay narrow: no Exchange in the plan."""
+    plan = text.repetition_signals(docs(spark, sf_dir))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], "doc_id long, text string")
+    out = {r.doc_id: r.g for r in df.select("doc_id", text.word_ngrams(F.col("text"), 3).alias("g")).collect()}
+    assert out[1] == []
+    assert out[2] == ["a b c", "b c d"]
+
+
+def test_decontaminate_flags_known_overlap(spark):
+    """Doc 10 shares the benchmark 4-gram 'a b c d'; doc 11 shares none."""
+    train = spark.createDataFrame(
+        [(10, "x a b c d y"), (11, "p q r s t u")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(99, "a b c d e")], "doc_id long, text string")
+    rows = dedup.decontaminate(train, bench, n=4).collect()
+    assert [(r.doc_id, r.n_overlap) for r in rows] == [(10, 1)]
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """Scale shape: the benchmark gram set must be broadcast — the corpus
+    side must not shuffle for the join."""
+    d = docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    plan = dedup.decontaminate(train, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
