@@ -169,3 +169,84 @@ def salted_join(
     salts = dim.sparkSession.range(salt_n).select(F.col("id").cast("int").alias("_salt"))
     salted_dim = dim.crossJoin(F.broadcast(salts))
     return salted_fact.join(salted_dim, [key, "_salt"], how).drop("_salt")
+
+
+def funnel(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel progression: per user, the timestamp at which each
+    stage was first reached *strictly after* the previous stage (the
+    sequence-pattern / MATCH_RECOGNIZE shape of event analytics). Returns
+    one row per user with a ``t_<stage>`` timestamp column per stage
+    (NULL once the funnel breaks).
+
+    Scale shape: ONE shuffle — a single groupBy(user) collects each
+    stage's timestamps as a sorted array (map-side combine on the
+    conditional collects), then the stage walk is narrow array math
+    (``array_min(filter(arr, x > t_prev))``) on the aggregated row.
+    Per-user state is bounded by that user's event count, never corpus
+    size; no self-joins, no N-pass scans — an N-stage funnel over 100 TB
+    costs the same single scan + shuffle as a 2-stage one.
+
+    Reference parity: generalizes the reference's windowed event-time
+    accumulation (Node.scala:315-356) to cross-event sequence state.
+    """
+    if not stages:
+        raise ValueError("funnel requires at least one stage")
+    per_user = events.groupBy(user_col).agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+            ).alias(f"_arr_{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    def _first_after(arr: Column, t_prev: Column) -> Column:
+        return F.array_min(F.filter(arr, lambda x: x > t_prev))
+
+    prev = None
+    cols = [F.col(user_col)]
+    for i, s in enumerate(stages):
+        arr = F.col(f"_arr_{i}")
+        t = F.array_min(arr) if prev is None else _first_after(arr, prev)
+        # materialize each stage once so later stages reference the alias, not a re-computation
+        per_user = per_user.withColumn(f"t_{s}", t)
+        prev = F.col(f"t_{s}")
+        cols.append(F.col(f"t_{s}"))
+    return per_user.select(*cols)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of their
+    first event; for every (cohort_week, week_offset) the count of
+    distinct cohort members active that week.
+
+    Scale shape: the per-user first-week is a partition-only window
+    (``min over (partition by user)``) — ONE shuffle on user, no
+    self-join, no sort (unbounded frame needs no ordering). The final
+    aggregate's exchange carries (cohort, offset) group cardinality —
+    weeks², not events. Week arithmetic stays in exact integer days
+    (``datediff div 7``) so the offset is bit-identical cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    wk = events.select(
+        F.col(user_col), F.date_trunc("week", F.col(ts_col)).alias("wk")
+    )
+    w = Window.partitionBy(user_col)
+    c = wk.withColumn("cohort_wk", F.min("wk").over(w))
+    return (
+        c.groupBy(
+            F.expr("unix_micros(cohort_wk) div 1000").alias("cohort_ms"),
+            F.expr("datediff(wk, cohort_wk) div 7").alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("active_users"))
+    )

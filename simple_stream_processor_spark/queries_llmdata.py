@@ -758,3 +758,36 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline; max reconstruction error is bounded by scale/2 by
     construction."""
     return similarity.quantize_int8_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q_ngram_heavy_hitters",
+    oracle="""
+    WITH w AS (
+      SELECT string_split(text, ' ') AS words FROM documents
+    ), g AS (
+      SELECT unnest(list_transform(range(len(words) - 1),
+                                   i -> words[i+1] || ' ' || words[i+2])) AS gram
+      FROM w WHERE len(words) >= 2
+    )
+    SELECT gram, count(*)::BIGINT AS n
+    FROM g GROUP BY gram
+    ORDER BY n DESC, gram LIMIT 20
+    """,
+)
+def q_ngram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: the 20 most frequent word bigrams
+    (the boilerplate-detection pass of LLM corpus curation — the top
+    grams at 100 TB are nav bars, license headers, and spam templates).
+    groupBy(gram) gets automatic map-side partial aggregation, so the
+    exchange carries per-partition distinct grams, not corpus volume;
+    the top-20 compiles to TakeOrderedAndProject (per-partition heaps
+    + driver merge of 20-row heads, never a global sort). Deterministic
+    total order via the (count desc, gram asc) tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(F.explode(text.word_ngrams(F.col("text"), 2)).alias("gram"))
+    return (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20)
+    )

@@ -562,3 +562,69 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+        list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS views,
+        list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS clicks,
+        list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS purchases
+      FROM events GROUP BY user_id
+    ), s1 AS (
+      SELECT user_id, clicks, purchases, list_min(views) AS t_view FROM u
+    ), s2 AS (
+      SELECT user_id, purchases, t_view,
+             list_min(list_filter(clicks, c -> c > t_view)) AS t_click
+      FROM s1
+    ), s3 AS (
+      SELECT user_id, t_view, t_click,
+             list_min(list_filter(purchases, p -> p > t_click)) AS t_purchase
+      FROM s2
+    )
+    SELECT count(t_view)::BIGINT AS users_viewed,
+           count(t_click)::BIGINT AS users_clicked,
+           count(t_purchase)::BIGINT AS users_purchased
+    FROM s3
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): how many users reached
+    each stage strictly after the previous one — the sequence-pattern
+    shape of event analytics. operators/relational.py:funnel does the
+    whole walk in ONE shuffle (groupBy user collects per-stage sorted
+    ts arrays; the stage progression is narrow array math), so an
+    N-stage funnel over 100 TB costs one scan + one exchange. Counts
+    are exact integers — bit-identical cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    f = relational.funnel(ev, ["view", "click", "purchase"])
+    return f.agg(
+        F.count("t_view").alias("users_viewed"),
+        F.count("t_click").alias("users_clicked"),
+        F.count("t_purchase").alias("users_purchased"),
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('week', ts) AS wk FROM events
+    ), c AS (
+      SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_wk FROM e
+    )
+    SELECT epoch_ms(cohort_wk) AS cohort_ms,
+           date_diff('day', cohort_wk::DATE, wk::DATE) // 7 AS week_offset,
+           count(DISTINCT user_id)::BIGINT AS active_users
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users cohorted by first-event
+    week, distinct actives per (cohort, week offset). One shuffle on
+    user (partition-only window, no sort, no self-join); the final
+    exchange carries weeks² groups, not events. Offsets are exact
+    integer day arithmetic — bit-identical cross-engine."""
+    return relational.cohort_retention(_t(spark, sf_dir, "events"))

@@ -108,3 +108,30 @@ def test_hash_sample_filter_is_scan_side(spark, sf_dir):
     n_exchanges = len(re.findall(r"Exchange (?:hashpartitioning|SinglePartition)", plan))
     assert n_exchanges <= 2  # partial->final agg exchange only (AQE may print both specs)
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_funnel_is_single_user_shuffle(spark, sf_dir):
+    """The 3-stage funnel must cost exactly one data shuffle (groupBy
+    user collects all stage arrays at once) plus the 1-row final-count
+    exchange — no per-stage passes, no self-joins."""
+    plan = plan_of(spark, sf_dir, "q_funnel")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan.split("Exchange hashpartitioning", 1)[1].split("\n", 1)[0]
+
+
+def test_cohort_retention_no_self_join(spark, sf_dir):
+    """Cohorting uses a partition-only window, not the naive first-event
+    self-join: no Join nodes, two exchanges total (user window + final
+    weeks-squared aggregate)."""
+    plan = plan_of(spark, sf_dir, "q_cohort_retention")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_heavy_hitters_topk_is_take_ordered(spark, sf_dir):
+    """Corpus top-20 bigrams: partial (map-side) aggregation before the
+    gram exchange, then TakeOrderedAndProject — never a global sort."""
+    plan = plan_of(spark, sf_dir, "q_ngram_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial count" in plan

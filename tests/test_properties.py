@@ -126,3 +126,38 @@ def test_word_shingles_match_python(spark, texts, k):
         toks = t.split(" ")  # includes empty tokens, same as F.split
         expect = sorted({" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}) if len(toks) >= k else []
         assert got[i] == expect, (i, t, got[i], expect)
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 50), st.integers(0, 2)),
+        min_size=0,
+        max_size=80,
+    ),
+)
+@settings(**SETTINGS)
+def test_funnel_matches_bruteforce(spark, events):
+    """funnel == per-user brute-force stage walk: t_i is the first ts of
+    stage i strictly after t_{i-1} (None once the funnel breaks)."""
+    stages = ["s0", "s1", "s2"]
+    rows = [(u, ts, stages[k]) for u, ts, k in events]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        r.user_id: (r.t_s0, r.t_s1, r.t_s2)
+        for r in relational.funnel(df, stages).collect()
+    }
+    expected = {}
+    for u in {r[0] for r in rows}:
+        mine = sorted((ts, s) for uu, ts, s in rows if uu == u)
+        prev, out = None, []
+        for s in stages:
+            cand = [ts for ts, ss in mine if ss == s and (prev is None or ts > prev)] if (
+                prev is not None or s == stages[0]
+            ) else []
+            t = min(cand) if cand and (s == stages[0] or prev is not None) else None
+            out.append(t)
+            prev = t
+        expected[u] = tuple(out)
+    assert got == expected
