@@ -733,3 +733,61 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark (bounded state), in streaming/dedup.py."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id", "event_type").agg(F.min("event_id").alias("first_event_id"))
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(round(value * 100) AS BIGINT) // 1000 AS bucket,
+           count(*)::BIGINT AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact histogram binning per event type ($10-wide value buckets).
+    Bucket assignment happens in EXACT integer cents (round to cents,
+    integer-divide by 1000) — narrow scan-side math, bit-identical
+    cross-engine where float bucket edges would straddle. The groupBy
+    gets map-side partial aggregation: the exchange carries
+    (type × bucket) group cardinality — bounded by the value range,
+    never event volume. The distribution twin of q_approx_quantiles:
+    this is the fixed-width-bucket shape dashboards use at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT) div 1000").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_exact_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (sort-based `percentile`, linear
+    interpolation — the same formula as DuckDB's quantile_cont, so the
+    values match bit-for-bit before rounding). The exact twin of the
+    q_approx_quantiles sketch: at 100 TB you pay a per-group sort for
+    exactness where the GK sketch pays one pass — the engine offers
+    both and the docstrings tell you which to reach for. Per-group
+    state is that group's value list; use the sketch when groups are
+    corpus-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 4).alias(f"p{int(q*100)}")
+            for q in (0.25, 0.5, 0.75, 0.95)
+        ]
+    )
