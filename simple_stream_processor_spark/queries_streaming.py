@@ -277,3 +277,32 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out, _ = run_stream_to_memory(sdf, output_mode="complete")
     return out
+
+
+@query(
+    "q_streaming_enrich",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    customer dimension per micro-batch (the canonical streaming
+    dimension-lookup shape), then aggregates per (segment, type). The
+    static side is explicitly broadcast — each micro-batch pays a hash
+    probe, never a stream-side shuffle; at 100 TB/day of events the
+    dimension refreshes by swapping the static table between restarts.
+    Hash-equal to the batch join oracle."""
+    sdf = stream_events(spark, sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    joined = sdf.join(F.broadcast(cust), sdf.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    out, _ = run_stream_to_memory(agg, output_mode="complete")
+    return out
