@@ -135,3 +135,43 @@ def test_heavy_hitters_topk_is_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_ngram_heavy_hitters")
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan or "partial count" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning (SCALE.md §6): when a fact-fact
+    join's build side carries a selective predicate, Catalyst injects a
+    bloom filter of the build keys into the probe side's scan stage —
+    at 100 TB this drops most fact rows BEFORE the shuffle instead of
+    after it. The default thresholds target cluster sizes (probe scan
+    > 10 GB); pinned here with thresholds scaled to the fixture so the
+    injection machinery itself is proven."""
+    from simple_stream_processor_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100GB")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        li = load_table(spark, "lineitem", sf_dir)
+        orders = load_table(spark, "orders", sf_dir).where(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "extended")
+        assert "might_contain" in plan  # bloom probe injected into the fact scan stage
+        # and it must sit below the join, filtering l_orderkey
+        probe_line = next(ln for ln in plan.splitlines() if "might_contain" in ln)
+        assert "l_orderkey" in probe_line
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
