@@ -68,3 +68,75 @@ def read_date_partitioned(spark: SparkSession, path: str) -> DataFrame:
     (or expressions Catalyst can rewrite onto it) prune directories before
     any I/O is scheduled."""
     return spark.read.parquet(path)
+
+
+def zorder_value(x, y, bits: int = 16, x_domain: int | None = None, y_domain: int | None = None):
+    """Morton (Z-order) interleave of two integer columns into one sort
+    key: bit i of x lands at position 2i, bit i of y at 2i+1, so sorting
+    by the z-value clusters rows that are close in BOTH dimensions.
+
+    ``x_domain``/``y_domain`` (exclusive upper bounds) rescale each input
+    to the full ``bits`` resolution — REQUIRED for good clustering when
+    the two domains differ in bit width, else the wider column's high
+    bits dominate every split and the narrow column degrades to noise.
+
+    Pure JVM bitwise math (shift/and/or — whole-stage-codegen'd): the
+    classic bit-spreading sequence widens each ``bits``-bit input to
+    2·``bits`` with zero gaps, then the two spreads are OR-merged.
+    Inputs are clamped to [0, 2^bits).
+    """
+    from pyspark.sql import functions as F
+
+    def norm(c, domain):
+        c = c.cast("long")
+        if domain is not None:
+            c = F.shiftleft(c, bits) / F.lit(int(domain))
+            c = c.cast("long")
+        return c
+
+    def spread(c):
+        c = F.least(F.greatest(c.cast("long"), F.lit(0)), F.lit((1 << bits) - 1))
+        # 16-bit spread: 0x0000FFFF -> 0x55555555 (each step doubles the gap granularity)
+        c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
+        c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+        c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
+        c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+        return c
+
+    return spread(norm(x, x_domain)).bitwiseOR(F.shiftleft(spread(norm(y, y_domain)), 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+    x_domain: int | None = None,
+    y_domain: int | None = None,
+) -> None:
+    """Write parquet Z-ordered on two integer dimensions: range-partition
+    then sort by the Morton code, so every parquet row group's min/max
+    stats are tight in BOTH columns — predicate pushdown on EITHER
+    dimension skips most row groups at scan time.
+
+    This is the layout answer when a 100 TB table is filtered sometimes
+    by user and sometimes by value band: a single-column sort gives
+    perfect skipping on one dimension and none on the other; the Z-order
+    trades a little of each for useful skipping on both (verified
+    quantitatively against parquet footer stats in
+    tests/test_storage.py). Linear scaling: one range exchange + local
+    sort, identical cost shape to any sorted write.
+    """
+    from pyspark.sql import functions as F
+
+    z = zorder_value(F.col(x_col), F.col(y_col), x_domain=x_domain, y_domain=y_domain).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

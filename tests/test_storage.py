@@ -92,3 +92,54 @@ def test_date_partitioned_write_prunes_at_planning_time(spark, sf_dir, tmp_path)
 
     expect = ev.where((F.to_date("ts") >= F.lit(lo)) & (F.to_date("ts") < F.lit(hi))).count()
     assert pruned.count() == expect and expect > 0
+
+
+def _row_group_ranges(path: str, col: str) -> list[int]:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        pf = pq.ParquetFile(f)
+        for i in range(pf.metadata.num_row_groups):
+            rg = pf.metadata.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema == col:
+                    out.append(c.statistics.max - c.statistics.min)
+    return out
+
+
+def test_zorder_write_tightens_stats_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered layout must yield parquet row-group min/max stats that
+    are tight in BOTH clustering columns (≈ sqrt(n_rg) cells per dim),
+    where a single-column sort leaves the other column at ~full domain —
+    the quantitative basis for two-dimensional row-group skipping."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.col("value").cast("int").alias("val")
+    )
+    lo_u, hi_u, lo_v, hi_v = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("val"), F.max("val")
+    ).collect()[0]
+    zp, sp = str(tmp_path / "z"), str(tmp_path / "s")
+    storage.write_zordered(
+        ev, zp, "user_id", "val", n_files=8, x_domain=hi_u + 1, y_domain=hi_v + 1
+    )
+    ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id").write.parquet(sp)
+
+    def mean(xs):
+        return sum(xs) / len(xs)
+
+    zu, zv = mean(_row_group_ranges(zp, "user_id")), mean(_row_group_ranges(zp, "val"))
+    su, sv = mean(_row_group_ranges(sp, "user_id")), mean(_row_group_ranges(sp, "val"))
+    du, dv = hi_u - lo_u, hi_v - lo_v
+    # z-order: useful skipping on BOTH dims
+    assert zu < 0.5 * du and zv < 0.5 * dv, (zu, du, zv, dv)
+    # single-column sort: great on its key, none on the other
+    assert su < 0.2 * du and sv > 0.6 * dv, (su, sv)
+    # layout change must not change the data
+    back = spark.read.parquet(zp)
+    assert back.count() == ev.count()
+    assert back.groupBy().agg(F.sum("user_id"), F.sum("val")).collect() == \
+        ev.groupBy().agg(F.sum("user_id"), F.sum("val")).collect()
