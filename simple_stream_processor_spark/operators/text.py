@@ -200,3 +200,35 @@ def chunk_words_udtf():
                 yield doc_id, i // size, " ".join(chunk), len(chunk)
 
     return ChunkWords
+
+
+PII_PATTERNS = {
+    # character-class-only patterns — identical semantics in Java regex
+    # (Spark) and RE2 (DuckDB); no lookaround, no \b, no unicode classes
+    "email": ("[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]", "<EMAIL>"),
+    "phone": ("[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    "id16": ("[0-9]{16}", "<ID>"),
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing: mask emails, phone numbers, and 16-digit IDs with
+    typed placeholder tokens, reporting per-document match counts — the
+    pre-training privacy pass every LLM corpus pipeline runs (cf. the
+    C4/Dolma PII masking steps).
+
+    Entirely narrow regexp_replace/regexp_count column expressions —
+    zero shuffle, scan speed at 100 TB; patterns restricted to plain
+    character classes so the masking is byte-identical across regex
+    engines (no lookaround/boundary constructs, which RE2 and Java
+    disagree on).
+
+    Reference parity: the per-element rewrite family of `Stream.map`
+    (Stream.scala:14-23) applied to a compliance transform.
+    """
+    out = F.col(text_col)
+    counts = []
+    for name, (pat, token) in PII_PATTERNS.items():
+        counts.append(F.regexp_count(out, F.lit(pat)).alias(f"n_{name}"))
+        out = F.regexp_replace(out, pat, token)
+    return df.select("doc_id", *counts, out.alias("redacted"), F.md5(out).alias("redacted_md5"))

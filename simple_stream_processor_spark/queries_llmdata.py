@@ -791,3 +791,59 @@ def q_ngram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("gram"))
         .limit(20)
     )
+
+
+@query(
+    "q_pii_redact",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id,
+        text || ' contact user' || doc_id || '@mail.com phone 555-867-'
+             || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+      FROM documents
+    ), e AS (
+      SELECT doc_id,
+        len(regexp_extract_all(t, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]')) AS n_email,
+        regexp_replace(t, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]', '<EMAIL>', 'g') AS t1
+      FROM injected
+    ), p AS (
+      SELECT doc_id, n_email,
+        len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        regexp_replace(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t2
+      FROM e
+    ), i AS (
+      SELECT doc_id, n_email, n_phone,
+        len(regexp_extract_all(t2, '[0-9]{16}')) AS n_id16,
+        regexp_replace(t2, '[0-9]{16}', '<ID>', 'g') AS t3
+      FROM p
+    )
+    SELECT doc_id, n_email::BIGINT AS n_email, n_phone::BIGINT AS n_phone,
+           n_id16::BIGINT AS n_id16, md5(t3) AS redacted_md5
+    FROM i
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus: deterministic synthetic PII
+    (an email and a phone derived from doc_id) is appended to each
+    document, then operators/text.py:redact_pii masks emails, phones,
+    and 16-digit IDs with typed tokens. Zero-shuffle narrow regex
+    pipeline; patterns are plain character classes so Java regex and
+    RE2 mask byte-identically (verified by the md5 of the redacted
+    text). Counts prove every injected item was found."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.com phone 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return text.redact_pii(d).select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_id16").cast("long").alias("n_id16"),
+        "redacted_md5",
+    )

@@ -277,3 +277,25 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     train = d.where(F.col("doc_id") % 97 != 0)
     plan = dedup.decontaminate(train, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_redact_pii_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.com and c@y.org, call 555-123-4567, card 1234567812345678"),
+            (2, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1.n_email, r1.n_phone, r1.n_id16) == (2, 1, 1)
+    assert r1.redacted == "mail <EMAIL> and <EMAIL>, call <PHONE>, card <ID>"
+    r2 = out[2]
+    assert (r2.n_email, r2.n_phone, r2.n_id16) == (0, 0, 0)
+    assert r2.redacted == "clean text only"
+
+
+def test_redact_pii_zero_shuffle(spark, sf_dir):
+    plan = text.redact_pii(docs(spark, sf_dir))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
