@@ -161,3 +161,40 @@ def test_funnel_matches_bruteforce(spark, events):
             prev = t
         expected[u] = tuple(out)
     assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(**SETTINGS)
+def test_cohort_retention_matches_bruteforce(spark, events):
+    """cohort_retention == brute-force: cohort by first-event week,
+    distinct actives per (cohort, offset)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = [(u, base + datetime.timedelta(days=d)) for u, d in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_ms, r.week_offset): r.active_users
+        for r in relational.cohort_retention(df).collect()
+    }
+    def week(dt):
+        monday = dt.date() - datetime.timedelta(days=dt.weekday())
+        return datetime.datetime.combine(monday, datetime.time())
+    first = {}
+    for u, ts in rows:
+        w = week(ts)
+        if u not in first or w < first[u]:
+            first[u] = w
+    expected = {}
+    for u, ts in rows:
+        cw = first[u]
+        off = (week(ts) - cw).days // 7
+        key = (int(cw.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000), off)
+        expected.setdefault(key, set()).add(u)
+    assert got == {k: len(v) for k, v in expected.items()}
