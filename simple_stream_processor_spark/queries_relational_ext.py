@@ -628,3 +628,38 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange carries weeks² groups, not events. Offsets are exact
     integer day arithmetic — bit-identical cross-engine."""
     return relational.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           epoch_ms(ts) AS valid_from_ms,
+           epoch_ms(lead(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id)) AS valid_to_ms,
+           CAST(round(value * 100) AS BIGINT) AS val_cents
+    FROM events
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction: each
+    (user, attribute) change event becomes a [valid_from, valid_to)
+    row, valid_to = the next change's timestamp (NULL while current) —
+    the event-log-to-dimension-table materialization every warehouse
+    runs. ONE shuffle on the (user, type) key + an in-partition sort;
+    per-key state is that key's history, never table size. The
+    (ts, event_id) tie-break makes interval edges deterministic;
+    values are exact integer cents."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    to_ms = lambda c: (F.unix_micros(c) / 1000).cast("long")  # noqa: E731
+    return ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        to_ms(F.col("ts")).alias("valid_from_ms"),
+        to_ms(F.lead("ts").over(w)).alias("valid_to_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("val_cents"),
+    )
