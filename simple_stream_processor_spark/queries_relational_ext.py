@@ -663,3 +663,40 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_ms(F.lead("ts").over(w)).alias("valid_to_ms"),
         F.round(F.col("value") * 100).cast("long").alias("val_cents"),
     )
+
+
+@query(
+    "q_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           epoch_ms(ts) AS ts_ms,
+           CAST(round(value * 100) AS BIGINT) AS val_cents
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state snapshot (the SCD read side of q_scd2_intervals):
+    the current row per (user, attribute) — last-writer-wins keyed
+    dedup with a deterministic (ts, event_id) winner. One shuffle +
+    in-partition top-1 (rank filter prunes before any further stage);
+    at 100 TB this is the compaction query that turns an append-only
+    event log into a serving table."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("ts_ms"),
+            F.round(F.col("value") * 100).cast("long").alias("val_cents"),
+        )
+    )
