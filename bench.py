@@ -52,6 +52,12 @@ HEADLINE = [
     "q_tpch_q18",
     "q_tpch_q21",
     "q_tfidf_topterms",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_ngram_heavy_hitters",
+    "q_decontaminate",
+    "q_pii_redact",
+    "q_scd2_intervals",
 ]
 
 
