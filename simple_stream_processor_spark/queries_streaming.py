@@ -306,3 +306,52 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out, _ = run_stream_to_memory(agg, output_mode="complete")
     return out
+
+
+@query(
+    "q_streaming_funnel",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+        list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS views,
+        list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS clicks,
+        list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS purchases
+      FROM events GROUP BY user_id
+    ), s1 AS (
+      SELECT user_id, clicks, purchases, list_min(views) AS t_view FROM u
+    ), s2 AS (
+      SELECT user_id, purchases, t_view,
+             list_min(list_filter(clicks, c -> c > t_view)) AS t_click
+      FROM s1
+    ), s3 AS (
+      SELECT user_id, t_view, t_click,
+             list_min(list_filter(purchases, p -> p > t_click)) AS t_purchase
+      FROM s2
+    )
+    SELECT count(t_view)::BIGINT AS users_viewed,
+           count(t_click)::BIGINT AS users_clicked,
+           count(t_purchase)::BIGINT AS users_purchased
+    FROM s3
+    """,
+)
+def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel: per-user sequence-pattern state maintained
+    incrementally by applyInPandasWithState (streaming/funnel.py); the
+    final per-user update (highest n_seen) is aggregated into the same
+    stage counts as the batch funnel — the oracle IS q_funnel's. Proves
+    the engine's arbitrary-stateful-operator surface computes the exact
+    cross-event answer the declarative form does."""
+    from simple_stream_processor_spark.streaming.funnel import streaming_funnel
+
+    sdf = stream_events(spark, sf_dir)
+    out, _ = run_stream_to_memory(
+        streaming_funnel(sdf, ["view", "click", "purchase"]), output_mode="update"
+    )
+    final = out.groupBy("user_id").agg(
+        F.max_by(F.struct("t_view", "t_click", "t_purchase"), "n_seen").alias("s")
+    )
+    return final.agg(
+        F.count("s.t_view").alias("users_viewed"),
+        F.count("s.t_click").alias("users_clicked"),
+        F.count("s.t_purchase").alias("users_purchased"),
+    )

@@ -256,3 +256,59 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == ev.count()  # A exactly once + B exactly once
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_funnel_incremental_across_batches(spark, tmp_path):
+    """The stateful funnel must give the same answer as the batch walk
+    even when a user's stages arrive OUT OF ORDER across micro-batches:
+    batch 1 delivers the purchase, batch 2 the earlier view+click. The
+    sorted per-stage state makes the walk order-independent."""
+    import datetime
+
+    from simple_stream_processor_spark.operators.relational import funnel
+    from simple_stream_processor_spark.streaming.funnel import streaming_funnel
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows1 = [(1, 30_000_000, "purchase"), (2, 10_000_000, "view")]
+    rows2 = [(1, 10_000_000, "view"), (1, 20_000_000, "click"), (2, 5_000_000, "click")]
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(
+            [(u, datetime.datetime.fromtimestamp(t / 1e6, datetime.timezone.utc).replace(tzinfo=None), s) for u, t, s in rows],
+            "user_id long, ts timestamp, event_type string",
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+    sdf = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out, progress = run_stream_to_memory(
+        streaming_funnel(sdf, ["view", "click", "purchase"]), output_mode="update"
+    )
+    final = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase)
+        for r in out.groupBy("user_id")
+        .agg(F.max_by(F.struct("t_view", "t_click", "t_purchase"), "n_seen").alias("s"))
+        .select("user_id", "s.*")
+        .collect()
+    }
+    # user 1: view@10 < click@20 < purchase@30 completes despite purchase-first arrival
+    assert final[1] == (10_000_000, 20_000_000, 30_000_000)
+    # user 2: click arrived before view in event time -> funnel breaks at click
+    assert final[2] == (10_000_000, None, None)
+    # and the stream really ran more than one micro-batch
+    assert len([p for p in progress if p.get("numInputRows", 0) > 0]) >= 2
+    # agreement with the batch operator on the same data
+    all_rows = rows1 + rows2
+    bdf = spark.createDataFrame(
+        [(u, datetime.datetime.fromtimestamp(t / 1e6, datetime.timezone.utc).replace(tzinfo=None), s) for u, t, s in all_rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    batch = {
+        r.user_id: tuple(
+            None if v is None else int(v.timestamp() * 1_000_000)
+            for v in (r.t_view, r.t_click, r.t_purchase)
+        )
+        for r in funnel(bdf, ["view", "click", "purchase"]).collect()
+    }
+    assert final == batch
