@@ -700,3 +700,39 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("long").alias("val_cents"),
         )
     )
+
+
+@query(
+    "q_rolling_time_window",
+    oracle="""
+    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+           (count(*) OVER w)::BIGINT AS n_7d,
+           (sum(CAST(round(value * 100) AS BIGINT)) OVER w)::BIGINT AS cents_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day per-user aggregates via a time-RANGE window frame —
+    the value-based sibling of q_window_frames' ROWS frames: the frame
+    is bounded by event-time distance, not row count, so gaps and
+    bursts are handled exactly. One shuffle on user + in-partition
+    sort; frame evaluation is a sliding two-pointer over the sorted
+    partition (linear, no per-row rescan). Sums are exact integer
+    cents. NOTE: ties at identical ts are frame-equivalent (RANGE
+    includes peers), so the result is deterministic without a
+    tie-break."""
+    from simple_stream_processor_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT user_id, event_id, unix_micros(ts) div 1000 AS ts_ms,
+               count(*) OVER w AS n_7d,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER w AS cents_7d
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        """
+    )
