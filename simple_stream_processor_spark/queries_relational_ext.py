@@ -736,3 +736,68 @@ def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@query(
+    "q_schema_evolution_union",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0
+    ), new AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 2 = 1
+    ), unioned AS (
+      SELECT doc_id, text, lang, NULL AS source, NULL AS n_chars FROM old
+      UNION ALL
+      SELECT * FROM new
+    )
+    SELECT lang, coalesce(source, '<missing>') AS source,
+           count(*)::BIGINT AS n, sum(len(text))::BIGINT AS chars
+    FROM unioned GROUP BY 1, 2
+    """,
+)
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (`unionByName(allowMissingColumns=True)`):
+    an old ingest batch lacking the source/n_chars columns unions with
+    the current schema by NAME — missing columns null-fill instead of
+    silently mis-binding by position (what plain UNION ALL does when a
+    column was added mid-history). The ingest-reconciliation shape of
+    any long-lived 100 TB table; the union itself is narrow (no
+    shuffle) and the aggregate exchange carries group cardinality."""
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+    new = d.where(F.col("doc_id") % 2 == 1)
+    u = old.unionByName(new, allowMissingColumns=True)
+    return u.groupBy(
+        "lang", F.coalesce(F.col("source"), F.lit("<missing>")).alias("source")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+    )
+
+
+@query("q_hll_mergeable")  # rows-only: Datasketches HLL binary is engine-specific
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): per-source user sketches are built
+    ONCE, then unioned into a global estimate WITHOUT re-scanning raw
+    data — the pre-aggregation pattern that makes 100 TB dashboards
+    cheap (store per-partition sketch bytes ~KB each; any rollup is a
+    sketch union, not a corpus scan). No oracle: the sketch binary is
+    engine-specific; the estimate-vs-exact error bound is pinned in
+    tests/test_declared_queries.py."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_type.select(
+        "event_type",
+        "n_rows",
+        F.hll_sketch_estimate("sk").alias("distinct_users_est"),
+    ).unionByName(
+        per_type.agg(
+            F.lit("<all>").alias("event_type"),
+            F.sum("n_rows").alias("n_rows"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
+        )
+    )

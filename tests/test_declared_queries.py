@@ -53,3 +53,24 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
             lo = vals[max(0, int((q - 0.001) * n) - 1)]
             hi = vals[min(n - 1, int((q + 0.001) * n) + 1)]
             assert lo <= a <= hi, (flag, q, a, lo, hi)
+
+
+def test_hll_mergeable_within_error_bound(spark, sf_dir):
+    """The real correctness check for the HLL sketch rollup: per-type and
+    merged estimates must match the exact distinct counts within the
+    sketch's relative standard error (lgK=12 -> RSE ~1.6%; allow 3σ),
+    and the merged estimate must equal estimating over raw data — the
+    union loses nothing."""
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    got = {r.event_type: r.distinct_users_est for r in QUERIES["q_hll_mergeable"](spark, sf_dir).collect()}
+    ev = load_table(spark, "events", sf_dir)
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    exact["<all>"] = ev.select("user_id").distinct().count()
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
