@@ -801,3 +801,58 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
         )
     )
+
+
+@query(
+    "q_dynamic_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN 1800000 ELSE 600000 END AS gap_ms
+      FROM events
+    ), o AS (
+      SELECT *, max(epoch_ms(ts) + gap_ms)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM g
+    ), f AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR epoch_ms(ts) >= prev_end
+                     THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ), s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+           count(*)::BIGINT AS n,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows: each event extends its session by a
+    PER-EVENT timeout (purchases keep sessions alive 30 min, everything
+    else 10) — the data-dependent sessionization fixed-gap windows
+    can't express. Spark merges overlapping per-event windows in one
+    pass; the oracle reproduces that with a running-max-of-window-end
+    islands computation. Same single user-keyed shuffle as the fixed
+    form; session state per key, never stream length."""
+    ev = _t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.expr("make_interval(0,0,0,0,0,30,0)")
+    ).otherwise(F.expr("make_interval(0,0,0,0,0,10,0)"))
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.expr("unix_micros(w.start) div 1000").alias("session_start_ms"),
+            "n",
+            "cents",
+        )
+    )
