@@ -856,3 +856,98 @@ def q_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
+
+
+@query(
+    "q_linear_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts,
+             CAST(round(value * 100) AS BIGINT) AS p_cents
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT p.p_id, p.p_cents, c.event_id AS click_id
+      FROM p JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+       AND c.ts < p.p_ts AND c.ts >= p.p_ts - INTERVAL 30 MINUTE
+    ), n AS (
+      SELECT *, count(*) OVER (PARTITION BY p_id) AS n_touches FROM touches
+    )
+    SELECT click_id,
+           count(*)::BIGINT AS n_purchases,
+           sum(p_cents // n_touches)::BIGINT AS credit_cents
+    FROM n GROUP BY click_id
+    """,
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear marketing attribution: each purchase's value is split
+    equally across the user's clicks in the preceding 30 minutes
+    (credit = cents div n_touches — exact integer division, so the
+    split is bit-identical cross-engine). The touch join is an
+    equi-join on user (one linear shuffle) with the 30-minute bound as
+    a join residual — per-user probe cost is clicks×purchases for that
+    user only; swap in relational.range_join_bucketed when per-user
+    volumes are heavy. The per-purchase touch count is a
+    partition-only window over the join output — no second scan."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("p_cents"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    touches = p.join(
+        c,
+        (p.user_id == c.user_id)
+        & (c.c_ts < p.p_ts)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 30 MINUTE")),
+    )
+    from pyspark.sql.window import Window
+
+    n = touches.withColumn("n_touches", F.count(F.lit(1)).over(Window.partitionBy("p_id")))
+    return n.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.expr("p_cents div n_touches")).alias("credit_cents"),
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS rk,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    WHERE rk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (top-3 events by value per user) — the grouped
+    sibling of the global TakeOrdered top-k: one shuffle on the group
+    key, in-partition sort, rank filter prunes to k rows per key
+    BEFORE anything downstream. Deterministic (value desc, event_id)
+    tie-break. At 100 TB the WindowGroupLimit optimization pushes the
+    k-filter into the sort itself (per-partition heaps), so no
+    partition ever materializes fully sorted."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            "rk",
+        )
+    )

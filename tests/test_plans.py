@@ -175,3 +175,11 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """Grouped top-k must engage WindowGroupLimit: the rank filter is
+    pushed into the sort as per-partition group limits, so no partition
+    materializes fully sorted at 100 TB."""
+    plan = plan_of(spark, sf_dir, "q_topk_per_group")
+    assert "WindowGroupLimit" in plan
