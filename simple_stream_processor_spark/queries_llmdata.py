@@ -847,3 +847,37 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_id16").cast("long").alias("n_id16"),
         "redacted_md5",
     )
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id, 'text-blob' AS media_type,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           round(list_sum(list_transform(regexp_extract_all(text, '.'), c -> ord(c)))
+                 / (1.0 * octet_length(encode(text))), 4) AS byte_mean,
+           list_min(list_transform(regexp_extract_all(text, '.'), c -> ord(c)))::BIGINT AS byte_min,
+           list_max(list_transform(regexp_extract_all(text, '.'), c -> ord(c)))::BIGINT AS byte_max
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path, value-checked end to end: the Arrow-batched
+    mapInPandas decoder (deterministic byte-statistics stub standing in
+    for a real codec — the container has none) must produce the same
+    per-payload features the oracle computes byte-by-byte in SQL. Proves
+    the binary-column plumbing — schema, batching, 1→1 row contract —
+    not just that it runs. At 100 TB the decode is the narrow, scan-bound
+    stage; batch size is the only knob (spark.sql.execution.arrow.
+    maxRecordsPerBatch)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.decode_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round(F.col("byte_mean"), 4).alias("byte_mean"),
+        F.col("byte_min").cast("long").alias("byte_min"),
+        F.col("byte_max").cast("long").alias("byte_max"),
+    )
