@@ -951,3 +951,50 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, count(*)::BIGINT AS obs FROM documents GROUP BY 1, 2
+    ), m AS (
+      SELECT o.*,
+             sum(obs) OVER (PARTITION BY lang) AS row_n,
+             sum(obs) OVER (PARTITION BY source) AS col_n,
+             sum(obs) OVER () AS total_n
+      FROM o
+    )
+    SELECT round(sum(
+             (obs - (1.0 * row_n * col_n) / total_n)
+             * (obs - (1.0 * row_n * col_n) / total_n)
+             / ((1.0 * row_n * col_n) / total_n)
+           ), 4) AS chi2,
+           count(*)::BIGINT AS n_cells,
+           max(total_n)::BIGINT AS n_docs
+    FROM m
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over the lang × source contingency
+    table (the distribution-drift check of corpus curation: did a crawl
+    snapshot shift the language mix per source?). Observed and marginal
+    counts are exact integers; expected counts and the statistic are the
+    same double expression tree on both engines, so the rounded value is
+    stable. One groupBy exchange carrying cells (langs × sources), then
+    window marginals over that tiny table — corpus cost is the scan."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    m = (
+        o.withColumn("row_n", F.sum("obs").over(Window.partitionBy("lang")))
+        .withColumn("col_n", F.sum("obs").over(Window.partitionBy("source")))
+        .withColumn("total_n", F.sum("obs").over(Window.partitionBy()))
+    )
+    e = (F.lit(1.0) * F.col("row_n") * F.col("col_n")) / F.col("total_n")
+    return m.agg(
+        F.round(F.sum((F.col("obs") - e) * (F.col("obs") - e) / e), 4).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("total_n").alias("n_docs"),
+    )
