@@ -198,3 +198,23 @@ def test_cohort_retention_matches_bruteforce(spark, events):
         key = (int(cw.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000), off)
         expected.setdefault(key, set()).add(u)
     assert got == {k: len(v) for k, v in expected.items()}
+
+
+@given(xy=st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_zorder_value_matches_python_interleave(spark, xy):
+    """zorder_value == reference Python bit interleave (x even bits,
+    y odd bits)."""
+    from simple_stream_processor_spark.storage import zorder_value
+
+    df = spark.createDataFrame(xy, "x long, y long")
+    got = [r.z for r in df.select(zorder_value(F.col("x"), F.col("y")).alias("z")).collect()]
+
+    def interleave(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [interleave(x, y) for x, y in xy]
