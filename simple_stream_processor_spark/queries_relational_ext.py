@@ -998,3 +998,52 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         F.max("total_n").alias("n_docs"),
     )
+
+
+@query(
+    "q_integrity_audit",
+    oracle="""
+    SELECT 'orders->customer' AS fk,
+           count(*)::BIGINT AS n_rows,
+           count(c_custkey)::BIGINT AS n_matched,
+           (count(*) - count(c_custkey))::BIGINT AS n_orphans
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders',
+           count(*)::BIGINT, count(o_orderkey)::BIGINT,
+           (count(*) - count(o_orderkey))::BIGINT
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign-key
+    edge in one pass each — the ingest-validation query a 100 TB
+    warehouse runs after every load. The dim probe (orders→customer)
+    broadcasts the key column only; the fact-fact edge
+    (lineitem→orders) shuffles the two KEY columns, never payloads
+    (column pruning reaches the scan); each audit collapses to a
+    one-row aggregate before unioning."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    ok = _t(spark, sf_dir, "orders").select("o_orderkey")
+    a1 = (
+        o.select("o_custkey")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .agg(
+            F.lit("orders->customer").alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("c_custkey").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("c_custkey")).alias("n_orphans"),
+        )
+    )
+    a2 = (
+        li.join(ok, li.l_orderkey == ok.o_orderkey, "left")
+        .agg(
+            F.lit("lineitem->orders").alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("o_orderkey")).alias("n_orphans"),
+        )
+    )
+    return a1.unionByName(a2)
