@@ -169,11 +169,15 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decontaminate",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            t -> ('0x' || substr(md5(t), 1, 10))::BIGINT) AS wh
+      FROM documents
     ), g AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(range(len(words) - 3),
-               i -> ('0x' || substr(md5(array_to_string(words[i+1:i+4], ' ')), 1, 15))::BIGINT))) AS gh
-      FROM w WHERE len(words) >= 4
+      SELECT doc_id, unnest(list_distinct(list_transform(range(len(wh) - 3),
+               i -> ((((wh[i+1] * 131 + wh[i+2]) % 35184372088832) * 131 + wh[i+3])
+                      % 35184372088832 * 131 + wh[i+4]) % 35184372088832))) AS gh
+      FROM w WHERE len(wh) >= 4
     ), bench AS (
       SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0
     )
