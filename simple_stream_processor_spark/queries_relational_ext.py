@@ -1047,3 +1047,38 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return a1.unionByName(a2)
+
+
+@query(
+    "q_robust_stats_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(any_value(med.m), 4) AS median_price,
+           round(quantile_cont(abs(l.l_extendedprice - med.m), 0.5), 4) AS mad_price,
+           count(*)::BIGINT AS n
+    FROM lineitem l JOIN med USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: median absolute deviation per group (the
+    outlier-resistant twin of q_stats_agg's stddev — the right spread
+    measure for heavy-tailed 100 TB value columns). Two-level exact
+    percentile: group medians (tiny result) BROADCAST back onto the
+    fact for the deviation pass — two scans, one broadcast, no
+    fact-side re-shuffle for the join. Interpolation is quantile_cont
+    on both engines — bit-identical before rounding."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("m")
+    )
+    j = li.join(F.broadcast(med), "l_returnflag")
+    return j.groupBy("l_returnflag").agg(
+        F.round(F.any_value("m"), 4).alias("median_price"),
+        F.round(F.expr("percentile(abs(l_extendedprice - m), 0.5)"), 4).alias("mad_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
