@@ -1082,3 +1082,51 @@ def q_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(abs(l_extendedprice - m), 0.5)"), 4).alias("mad_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_funnel_by_segment",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+        list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS views,
+        list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS clicks,
+        list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS purchases
+      FROM events GROUP BY user_id
+    ), s1 AS (
+      SELECT user_id, clicks, purchases, list_min(views) AS t_view FROM u
+    ), s2 AS (
+      SELECT user_id, purchases, t_view,
+             list_min(list_filter(clicks, c -> c > t_view)) AS t_click
+      FROM s1
+    ), s3 AS (
+      SELECT user_id, t_view, t_click,
+             list_min(list_filter(purchases, p -> p > t_click)) AS t_purchase
+      FROM s2
+    )
+    SELECT c.c_mktsegment AS segment,
+           count(t_view)::BIGINT AS users_viewed,
+           count(t_click)::BIGINT AS users_clicked,
+           count(t_purchase)::BIGINT AS users_purchased,
+           (10000 * count(t_purchase) // count(t_view))::BIGINT AS conv_bp
+    FROM s3 JOIN customer c ON s3.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion by customer segment: the one-shuffle funnel
+    composes with a broadcast dimension join and a segment rollup —
+    still exactly ONE fact exchange end to end (the per-user funnel
+    table is already user-keyed; the dim broadcasts; the final
+    aggregate carries segments). Conversion reported in exact integer
+    basis points (10000·purchased div viewed)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    f = relational.funnel(ev, ["view", "click", "purchase"])
+    j = f.join(F.broadcast(cust), f.user_id == cust.c_custkey)
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("t_view").alias("users_viewed"),
+        F.count("t_click").alias("users_clicked"),
+        F.count("t_purchase").alias("users_purchased"),
+        F.expr("10000 * count(t_purchase) div count(t_view)").alias("conv_bp"),
+    )
