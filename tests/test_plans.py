@@ -183,3 +183,25 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     materializes fully sorted at 100 TB."""
     plan = plan_of(spark, sf_dir, "q_topk_per_group")
     assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.parametrize(
+    "name,max_data_exchanges",
+    [
+        ("q_scd2_intervals", 1),    # one user/type shuffle, no final agg
+        ("q_latest_snapshot", 1),   # one shuffle + in-partition top-1
+        ("q_rolling_time_window", 1),
+        ("q_topk_per_group", 1),
+        ("q_funnel_by_segment", 2),  # funnel exchange + segment agg (dim broadcasts)
+        ("q_linear_attribution", 3),  # two event slices by user + click agg
+    ],
+)
+def test_exchange_budget(spark, sf_dir, name, max_data_exchanges):
+    """Shuffle budgets for the event-analytics family: a refactor that
+    adds a hidden exchange (lost broadcast, re-partition, second scan)
+    fails here instead of at 100 TB."""
+    plan = plan_of(spark, sf_dir, name)
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= max_data_exchanges, f"{name}: {n} > {max_data_exchanges}"
+    if name == "q_funnel_by_segment":
+        assert "BroadcastHashJoin" in plan  # the dim must never shuffle the funnel side
