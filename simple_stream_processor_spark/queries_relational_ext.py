@@ -1130,3 +1130,64 @@ def q_funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_purchase").alias("users_purchased"),
         F.expr("10000 * count(t_purchase) div count(t_view)").alias("conv_bp"),
     )
+
+
+@query(
+    "q_timeseries_similarity",
+    oracle="""
+    WITH c AS (
+      SELECT date_trunc('day', ts) AS d, extract(hour FROM ts) AS h, count(*) AS n
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), days AS (SELECT DISTINCT d FROM c),
+    grid AS (SELECT days.d, t.h FROM days, (SELECT unnest(range(24)) AS h) t),
+    dense AS (
+      SELECT g.d, g.h, coalesce(c.n, 0)::BIGINT AS n
+      FROM grid g LEFT JOIN c ON g.d = c.d AND g.h = c.h
+    ), probe AS (
+      SELECT h, n FROM dense WHERE d = (SELECT min(d) FROM days)
+    )
+    SELECT CAST(epoch_ms(dense.d) AS BIGINT) AS day_ms,
+           sum((dense.n - probe.n) * (dense.n - probe.n))::BIGINT AS dist2
+    FROM dense JOIN probe USING (h)
+    WHERE dense.d <> (SELECT min(d) FROM days)
+    GROUP BY dense.d
+    ORDER BY dist2, day_ms LIMIT 5
+    """,
+)
+def q_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: each day's hourly click-count
+    profile is a dense 24-vector; find the 5 days most similar to the
+    first day by squared euclidean distance (cf. distributed
+    subsequence matching, EDBT 2019 — PAPERS.md). Counts are exact
+    integers, so distances are bit-identical cross-engine. Scale
+    shape: the day×hour grid densifies per key (narrow spine), the
+    probe vector is a 24-row broadcast, distances reduce per day
+    before the TakeOrdered top-5 — the corpus is scanned once."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.hour(F.col("ts")).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    days = c.select("d").distinct()
+    hours = days.sparkSession.range(24).select(F.col("id").cast("int").alias("h"))
+    grid = days.crossJoin(F.broadcast(hours))
+    dense = grid.join(c, ["d", "h"], "left").select(
+        "d", "h", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    first_day = days.agg(F.min("d").alias("d0"))
+    probe = (
+        dense.join(F.broadcast(first_day), dense.d == F.col("d0"))
+        .select("h", F.col("n").alias("pn"))
+    )
+    return (
+        dense.join(F.broadcast(first_day), dense.d != F.col("d0"))
+        .join(F.broadcast(probe), "h")
+        .groupBy(F.expr("unix_micros(d) div 1000").alias("day_ms"))
+        .agg(F.sum((F.col("n") - F.col("pn")) * (F.col("n") - F.col("pn"))).alias("dist2"))
+        .orderBy("dist2", "day_ms")
+        .limit(5)
+    )
