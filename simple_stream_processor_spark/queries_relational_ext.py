@@ -1191,3 +1191,72 @@ def q_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist2", "day_ms")
         .limit(5)
     )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(DISTINCT n.n_name, ',' ORDER BY n.n_name) AS nations,
+           count(DISTINCT c.c_custkey)::BIGINT AS n_customers
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY r.r_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): per region the
+    alphabetized nation list plus customer counts. collect_set gives
+    NO cross-partition order guarantee, so the deterministic form is
+    array_join(array_sort(collect_set(...))) — the engine's canonical
+    answer to SQL string_agg ... ORDER BY. Dims broadcast; one
+    customer-side exchange carrying (region, nation) group rows."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.groupBy(F.col("r_name").alias("region")).agg(
+        F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
+        F.count_distinct("c_custkey").alias("n_customers"),
+    )
+
+
+@query(
+    "q_absence_pattern",
+    oracle="""
+    SELECT v.event_id, v.user_id, epoch_ms(v.ts) AS ts_ms
+    FROM events v
+    LEFT JOIN events p
+      ON p.user_id = v.user_id AND p.event_type = 'purchase'
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view'
+    GROUP BY v.event_id, v.user_id, v.ts
+    HAVING count(p.event_id) = 0
+    """,
+)
+def q_absence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence-pattern detection (negative CEP): views NOT followed by a
+    purchase within 30 minutes by the same user — the abandonment /
+    timeout-alert shape of complex event processing (cf. CEP-on-stream
+    bridging, EDBT 2024 — PAPERS.md). Expressed as a left anti join
+    with the time bound in the join condition: one user-keyed
+    exchange, per-user probe cost, and the anti semantics prune
+    matched rows at the join — no HAVING re-aggregation pass."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    anti = v.join(
+        p,
+        (v.user_id == p.p_user)
+        & (p.p_ts > v.ts)
+        & (p.p_ts <= v.ts + F.expr("INTERVAL 30 MINUTE")),
+        "left_anti",
+    )
+    return anti.select(
+        "event_id", "user_id", (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("ts_ms")
+    )
