@@ -163,3 +163,38 @@ def quantize_int8_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame
         F.round(F.array_max(errs), 9).alias("max_abs_err"),
         F.round(F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x) / n, 9).alias("mean_abs_err"),
     )
+
+
+def batch_cosine_topk(emb: DataFrame, n_probes: int = 5, k: int = 3) -> DataFrame:
+    """Batch-probe cosine top-k: score ``n_probes`` query vectors against
+    the corpus in ONE pass, returning each probe's top-``k`` — the
+    online-serving shape (requests arrive in batches; scoring the batch
+    amortizes the corpus scan across all probes).
+
+    Plan: the probe set broadcasts (rows × dim floats — KB), the corpus
+    side computes all probe scores in a narrow crossJoin stage (corpus
+    never shuffles), and the per-probe top-k is a WindowGroupLimit rank
+    filter — per-partition heaps per probe, no global sort. Scaling in
+    batch size is linear in FLOPs, constant in data movement.
+    """
+    probes = (
+        emb.where(F.col("vec_id") < n_probes)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").cast("array<double>").alias("probe_v"),
+        )
+    )
+    scored = (
+        emb.where(F.col("vec_id") >= n_probes)
+        .crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding").cast("array<double>"), F.col("probe_v")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

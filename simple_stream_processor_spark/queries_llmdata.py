@@ -885,3 +885,29 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("byte_min").cast("long").alias("byte_min"),
         F.col("byte_max").cast("long").alias("byte_max"),
     )
+
+
+@query(
+    "q_batch_ann",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5)
+    SELECT probe_id, vec_id, label,
+           list_dot_product(v, pv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS cos_sim,
+           row_number() OVER (PARTITION BY probe_id ORDER BY
+             list_dot_product(v, pv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) DESC,
+             vec_id) AS rk
+    FROM e, p WHERE vec_id >= 5
+    QUALIFY rk <= 3
+    """,
+)
+def q_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-probe similarity serving: 5 query vectors scored against
+    the corpus in one pass, per-probe top-3
+    (operators/similarity.py:batch_cosine_topk). The probe batch
+    broadcasts; the corpus never shuffles; per-probe top-k rides the
+    WindowGroupLimit rank filter. Double-cast-first dot products keep
+    the scores bit-identical cross-engine."""
+    return similarity.batch_cosine_topk(_t(spark, sf_dir, "embeddings"), n_probes=5, k=3)
