@@ -355,3 +355,30 @@ def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("s.t_click").alias("users_clicked"),
         F.count("s.t_purchase").alias("users_purchased"),
     )
+
+
+@query(
+    "q_streaming_topk",
+    oracle="""
+    SELECT user_id, count(*)::BIGINT AS n,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY n DESC, user_id LIMIT 10
+    """,
+)
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous top-k (streaming heavy hitters): per-user counters
+    maintained by the incremental engine, top-10 read from the complete
+    sink after the AvailableNow drain — the live-leaderboard shape.
+    State is one counter row per user (bounded by key cardinality, not
+    stream length); the sort runs over the k-proportional sink table,
+    never the stream. Deterministic (count desc, user) tie-break,
+    exact-integer cents."""
+    sdf = stream_events(spark, sf_dir)
+    agg = sdf.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    out, _ = run_stream_to_memory(agg, output_mode="complete")
+    return out.orderBy(F.desc("n"), F.asc("user_id")).limit(10)
