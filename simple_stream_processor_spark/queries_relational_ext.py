@@ -1260,3 +1260,39 @@ def q_absence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anti.select(
         "event_id", "user_id", (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("ts_ms")
     )
+
+
+@query(
+    "q_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, count(*)::BIGINT AS n
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition (Markov) matrix: counts of consecutive
+    (from → to) event-type pairs per user timeline — the user-journey
+    model behind next-action prediction and anomaly detection. One
+    shuffle on user + in-partition sort for the lead(); the final
+    exchange carries types² rows. Deterministic (ts, event_id)
+    ordering; exact integer counts."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        o.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
