@@ -74,19 +74,28 @@ def main() -> int:
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in QUERIES:
             continue
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+        except Exception as exc:  # never let one query zero the whole bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
-    baseline = _baseline_pipeline_metrics(spark)
+    try:
+        baseline = _baseline_pipeline_metrics(spark)
+    except Exception as exc:
+        baseline = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
     print(
         json.dumps(
@@ -96,6 +105,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "errors": errors,
                 "baseline_pipeline": baseline,
             }
         )

@@ -712,8 +712,13 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_declared_queries.py. At 100 TB exact percentiles need a full
     sort per group; the sketch is one pass, O(1/eps) memory."""
     li = _t(spark, sf_dir, "lineitem")
+    # scalar columns (not an array) so the driver's pandas canonicalizer can
+    # sort/hash the frame — lists are unhashable in its value pass
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000).alias("price_quantiles"),
+        *[
+            F.percentile_approx("l_extendedprice", q, 10000).alias(f"ap{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75, 0.95)
+        ],
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -29,12 +29,11 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     ``max_files_per_trigger`` is the admission-control knob — the Spark
     form of the reference's bounded queue capacity (ADR-0004: block, never
     drop: unread files simply wait for the next trigger)."""
-    from simple_stream_processor_spark.tables import load_table
-    from pyspark.sql import functions as F
+    from simple_stream_processor_spark.tables import _normalize_timestamps
 
-    schema = load_table(spark, "events", sf_dir).schema
-    # the parquet file stores ts as TIMESTAMP(NANOS) → long (see tables.py);
-    # reconstruct the timestamp column identically on the streaming path
+    # the parquet file stores ts with isAdjustedToUTC=false → TIMESTAMP_NTZ
+    # (or long under legacy nanosAsLong); reconstruct the plain-TIMESTAMP
+    # column identically on the streaming path (see tables._normalize_timestamps)
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the file streaming source requires a directory; narrow to the events
     # file with a glob filter
@@ -42,9 +41,7 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_timestamps(spark, df)
 
 
 def run_stream_to_memory(

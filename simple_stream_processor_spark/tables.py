@@ -48,15 +48,32 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if cached is not None:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
-    # (spark.sql.legacy.parquet.nanosAsLong); convert to Spark's micros
-    # timestamp with truncation (matches DuckDB's ns→ms truncation in the
-    # oracle comparisons).
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            # integer div — ns epochs overflow double-precision mantissa
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = _normalize_timestamps(spark, df)
     _SCAN_CACHE[key] = df
+    return df
+
+
+def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Testdata parquet stores timestamps with isAdjustedToUTC=false, which
+    Spark reads as TIMESTAMP_NTZ (and, under legacy nanosAsLong with NANOS
+    data, as bigint). Normalize every such column to plain TIMESTAMP with the
+    session timezone pinned to UTC, so the NTZ wall-clock value equals the
+    UTC instant — the same convention DuckDB's epoch_ms() applies to naive
+    timestamps. This runs under ANY SparkSession (ours or the driver's), so
+    downstream unix_micros/window/withWatermark code sees one stable type."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    legacy_ns = [f.name for f in df.schema.fields if f.name == "ts" and f.dataType.simpleString() == "bigint"]
+    if ntz or legacy_ns:
+        # runtime-mutable conf; NTZ→TIMESTAMP cast interprets wall time in the
+        # session tz, so UTC makes the cast value-preserving in epoch terms.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    for c in legacy_ns:
+        # integer div — ns epochs overflow double-precision mantissa
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
 
 

@@ -42,7 +42,10 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
 
     from simple_stream_processor_spark.tables import load_table
 
-    got = {r.l_returnflag: r.price_quantiles for r in QUERIES["q_approx_quantiles"](spark, sf_dir).collect()}
+    got = {
+        r.l_returnflag: [r.ap25, r.ap50, r.ap75, r.ap95]
+        for r in QUERIES["q_approx_quantiles"](spark, sf_dir).collect()
+    }
     li = load_table(spark, "lineitem", sf_dir)
     for flag, approx in got.items():
         vals = sorted(

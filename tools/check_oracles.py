@@ -3,6 +3,9 @@ query in Spark and its oracle in DuckDB at a given sf, compare row count,
 column names, and order-insensitive values.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Env:   ORACLE_VANILLA=1  — use a default-config SparkSession (like the
+       driver's harness) instead of our tuned factory, to catch bugs that
+       only appear without our session confs (e.g. timestamp_ntz reads).
 """
 
 from __future__ import annotations
@@ -10,6 +13,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 import duckdb
 
@@ -17,6 +21,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from simple_stream_processor_spark.session import get_spark
 from simple_stream_processor_spark.tables import TABLES
+
+
+def _vanilla_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[32]")
+        .appName("oracle_check_vanilla")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
 
 
 def normalize(df):
@@ -47,23 +63,32 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    spark = get_spark("oracle_check")
+    spark = _vanilla_spark() if os.environ.get("ORACLE_VANILLA") else get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = []
+    t_all = time.perf_counter()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: spark error: {e}", flush=True)
+            continue
+        dt = time.perf_counter() - t0
+        # the driver's canonicalizer sorts the pandas frame by every column;
+        # list/array cells make that throw — treat as a failure here
+        if len(sdf) and any(isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray" for v in sdf.iloc[0]):
+            failures.append(name)
+            print(f"FAIL  {name}: array-typed output column (unhashable for driver canon)", flush=True)
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{dt:.1f}s]", flush=True)
             continue
         try:
             odf = con.execute(oracles[name]).df()
@@ -84,10 +109,11 @@ def main() -> int:
         if srows != orows:
             failures.append(name)
             diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
-            print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
+            print(f"FAIL  {name}: value mismatch, first diffs: {diff}", flush=True)
             continue
-        print(f"OK    {name}: {len(srows)} rows")
-    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+        print(f"OK    {name}: {len(srows)} rows [{dt:.1f}s]", flush=True)
+    print(f"\ntotal wall: {time.perf_counter() - t_all:.1f}s")
+    print(f"{len(failures)} failures: {failures}" if failures else "all green")
     return 1 if failures else 0
 
 
