@@ -54,6 +54,13 @@ def run_stream_to_memory(
     the metrics surface — ``stateOperators[].numRowsDroppedByWatermark``
     is the reference's ``ssp_late_event_dropped_total``."""
     spark = sdf.sparkSession
+    # State-store partition count is frozen to spark.sql.shuffle.partitions at
+    # first checkpoint, and AQE never applies to streaming — under a
+    # default-config session every micro-batch would pay 200 state tasks.
+    # Pin it to the actual core count before start (runtime-mutable conf;
+    # checkpoints here are always fresh). On a real cluster this would be
+    # sized to total-cores × small-factor instead.
+    spark.conf.set("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
     name = "mem_" + uuid.uuid4().hex[:12]
     query = (
         sdf.writeStream.format("memory")
