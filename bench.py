@@ -125,7 +125,12 @@ def _baseline_pipeline_metrics(spark) -> dict:
     from simple_stream_processor_spark.operators import parallel
 
     def pipeline(n, use_udf):
-        src = spark.range(1, n + 1).select(F.col("id").alias("x"))
+        # Partition the source by data volume (~500k rows/task), the same
+        # sizing rule spark.sql.files.maxPartitionBytes applies to file scans.
+        # local[32] over 20k rows in 32 partitions would pay 32 Python-worker
+        # round-trips of 625 rows each — all overhead, no parallelism gain.
+        parts = min(32, max(1, n // 500_000))
+        src = spark.range(1, n + 1, numPartitions=parts).select(F.col("id").alias("x"))
         if use_udf:
             doubled = parallel.par_map_ordered(src, "x", lambda s: s * 2, "x", "y", "long")
         else:
