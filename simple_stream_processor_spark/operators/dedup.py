@@ -325,6 +325,10 @@ def ngram_hash_table(docs: DataFrame, text_col: str = "text", n: int = 4) -> Dat
     """
     from simple_stream_processor_spark.operators.text import tokens
 
+    # align on doc_id BEFORE exploding grams — the consumer's groupBy(doc_id)
+    # then reuses the partitioning instead of shuffling the (much larger)
+    # gram table; also spreads the single-row-group testdata scan across cores
+    docs = docs.repartition(F.col("doc_id"))
     ws = tokens(F.col(text_col))
     wh = F.transform(
         ws, lambda w: F.conv(F.substring(F.md5(F.encode(w, "UTF-8")), 1, 10), 16, 10).cast("long")

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from simple_stream_processor_spark.operators.dedup import cosine
+from simple_stream_processor_spark.tables import spread
 
 N_LSH_BITS = 6
 
@@ -38,7 +39,7 @@ def cosine_topk(emb: DataFrame, probe_id: int, k: int = 10) -> DataFrame:
     No shuffle of the corpus at any scale."""
     probe = probe_vector(emb, probe_id)
     scored = (
-        emb.where(F.col("vec_id") != probe_id)
+        spread(emb, "vec_id").where(F.col("vec_id") != probe_id)
         .join(F.broadcast(probe))
         .select(
             "vec_id",
@@ -64,7 +65,7 @@ def ann_bucketed_topk(emb: DataFrame, probe_id: int, k: int = 10, n_bits: int = 
     """Bucketed ANN top-k: search the probe's bucket plus Hamming-1
     neighbors. Candidate filter is a broadcast semi-join on bucket id —
     the corpus is scanned once, with (n_bits+1)/2^n_bits selectivity."""
-    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v")).withColumn(
+    e = spread(emb, "vec_id").select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v")).withColumn(
         "bucket", lsh_bucket(F.col("v"), n_bits)
     )
     probe = e.where(F.col("vec_id") == probe_id).select(
@@ -86,7 +87,7 @@ def ivf_centroids(emb: DataFrame) -> DataFrame:
     query shape is exactly IVF). posexplode → (label, pos) mean → ordered
     re-assembly; centroid components round to 6dp so Spark's partial-agg
     summation order and the oracle's sequential sum agree exactly."""
-    ex = emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"))
+    ex = spread(emb, "vec_id").select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"))
     long = ex.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
     return (
         long.groupBy("label")
@@ -102,7 +103,7 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     aggregation to skip the per-key sort."""
     from pyspark.sql import Window
 
-    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    e = spread(emb, "vec_id").select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
     sims = e.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "label", "v", "c_label", cosine(F.col("v"), F.col("cv")).alias("sim")
     )
@@ -185,7 +186,7 @@ def batch_cosine_topk(emb: DataFrame, n_probes: int = 5, k: int = 3) -> DataFram
         )
     )
     scored = (
-        emb.where(F.col("vec_id") >= n_probes)
+        spread(emb, "vec_id").where(F.col("vec_id") >= n_probes)
         .crossJoin(F.broadcast(probes))
         .select(
             "probe_id",

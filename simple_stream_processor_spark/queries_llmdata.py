@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from simple_stream_processor_spark.operators import dedup, multimodal, similarity, text
 from simple_stream_processor_spark.registry import query
+from simple_stream_processor_spark import tables
 from simple_stream_processor_spark.tables import load_table
 
 
@@ -788,7 +789,7 @@ def q_ngram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-20 compiles to TakeOrderedAndProject (per-partition heaps
     + driver merge of 20-row heads, never a global sort). Deterministic
     total order via the (count desc, gram asc) tie-break."""
-    d = _t(spark, sf_dir, "documents")
+    d = tables.spread(_t(spark, sf_dir, "documents"), "doc_id")
     grams = d.select(F.explode(text.word_ngrams(F.col("text"), 2)).alias("gram"))
     return (
         grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))

@@ -77,6 +77,21 @@ def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Guarantee compute parallelism behind a scan: hash-repartition on
+    ``key`` ONLY when the plan has fewer partitions than the session's
+    cores. The testdata files are single-row-group parquet, so their scans
+    can never exceed one task — without this, per-row-heavy operators
+    (explode+hash, regex, array math) serialize on one core. On a real
+    cluster the scan is already split by maxPartitionBytes into >= cores
+    partitions and this is a no-op, preserving narrow (never-shuffle)
+    operator shapes at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLES) -> None:
     """Register each table as a temp view so operators can be written in SQL
     where that is clearer than the DataFrame API."""
