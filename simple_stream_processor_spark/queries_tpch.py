@@ -615,10 +615,19 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     single keyed join: `n_supp > 1 AND n_rsupp = 1` ⇔ "another supplier
     exists, none of them returned". Two semi-join passes over the fact
     become one shuffle, the scalable form at 100 TB."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("n_rsupp"),
+    from simple_stream_processor_spark.tables import spread
+
+    # One exchange on l_orderkey up front; the two-level aggregate
+    # ((orderkey,suppkey) dedup → orderkey counts) and the R-lines join
+    # below all reuse that partitioning. Two countDistincts in one agg
+    # would instead plan an Expand (2× the fact rows through the shuffle).
+    li = spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag"), "l_orderkey")
+    per_ls = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    per_order = per_ls.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_rsupp"),
     )
     qualifying = per_order.where((F.col("n_supp") > 1) & (F.col("n_rsupp") == 1)).select("l_orderkey")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
