@@ -912,3 +912,163 @@ def q_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit rank filter. Double-cast-first dot products keep
     the scores bit-identical cross-engine."""
     return similarity.batch_cosine_topk(_t(spark, sf_dir, "embeddings"), n_probes=5, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation lifecycle: keep-rule, incremental delta, packing, mixing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_keep_rule",
+    oracle=_MINHASH_PAIRS_PREFIX
+    + """,
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep FROM reach GROUP BY a),
+    ranked AS (
+      SELECT c.cluster_rep, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_rep ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY c.cluster_rep) AS n_docs
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_rep, doc_id AS keep_doc_id, n_docs FROM ranked WHERE rk = 1
+    """,
+)
+def q_dedup_keep_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the decision step that turns near-dup
+    clusters into an actual corpus edit: per cluster keep the highest-quality
+    member (longest text, doc_id tie-break), drop the rest. Completes the
+    dedup lifecycle pairs → clusters → keep/drop. The cluster table is tiny
+    (collision-proportional) so it broadcasts into the documents join; the
+    per-cluster argmax is one rank over cluster-sized windows. At 100 TB the
+    expensive inputs (pairs) are already bounded; this step never touches
+    text beyond the quality column."""
+    from pyspark.sql.window import Window
+
+    clusters = dedup.dedup_clusters(_minhash_pairs(spark, sf_dir))
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = d.join(F.broadcast(clusters), "doc_id")
+    w = Window.partitionBy("cluster_rep").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("cluster_rep")))
+        .where(F.col("rk") == 1)
+        .select("cluster_rep", F.col("doc_id").alias("keep_doc_id"), "n_docs")
+    )
+
+
+@query(
+    "q_corpus_delta",
+    oracle="""
+    WITH snapshot AS (
+      SELECT DISTINCT md5(text) AS content_md5 FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS content_md5 FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT b.doc_id, b.content_md5
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM snapshot s WHERE s.content_md5 = b.content_md5)
+    """,
+)
+def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion delta: new-batch documents whose content digest
+    is absent from the existing corpus snapshot (even doc_ids stand in for
+    the snapshot, odd for the arriving batch). This is how a production
+    corpus absorbs a crawl increment without re-deduplicating the world: the
+    snapshot side is a persisted digest INDEX (16 bytes/doc, not text), the
+    anti join shuffles digests only, and the batch side is
+    partition-pruned to the increment. Same-batch exact dups collapse
+    separately via q_dedup_text_exact."""
+    d = _t(spark, sf_dir, "documents")
+    digest = F.md5(F.encode(F.col("text"), "UTF-8"))
+    snapshot = d.where(F.col("doc_id") % 2 == 0).select(digest.alias("content_md5")).distinct()
+    batch = d.where(F.col("doc_id") % 2 == 1).select("doc_id", digest.alias("content_md5"))
+    return batch.join(snapshot, "content_md5", "left_anti").select("doc_id", "content_md5")
+
+
+@query(
+    "q_sequence_pack",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      FROM tok
+    )
+    SELECT source, cum_before // 2048 AS bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+    FROM packed
+    GROUP BY source, cum_before // 2048
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed-size context windows
+    (2048 tokens) by running token count per source, the concat-then-chunk
+    sample-packing step of LLM training-data prep. One shuffle on source;
+    the running sum is a partition-local frame (no global sort), bin
+    assignment is exact integer division, and the output exchange carries
+    (source × bin) cardinality. Deterministic: (source, doc_id) is a total
+    order."""
+    from pyspark.sql.window import Window
+
+    d = tables.spread(_t(spark, sf_dir, "documents"), "doc_id")
+    tok = d.select("doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tok"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    packed = tok.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        packed.withColumn("bin", F.expr("cum_before div 2048"))
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("sum_tokens"))
+    )
+
+
+@query(
+    "q_mixture_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_s
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(tok_s) AS BIGINT) AS total, count(*) AS n_src FROM tok)
+    SELECT source, tok_s,
+           least(10000, ((total // 2) * 10000) // (n_src * tok_s)) AS weight_bp,
+           (tok_s * least(10000, ((total // 2) * 10000) // (n_src * tok_s))) // 10000 AS expected_tokens
+    FROM tok, tot
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture weights — per-source sampling rates that rebalance the
+    corpus toward a uniform share of a global token budget (half the corpus
+    here), capped at 1.0 (no oversampling): the data-mixing step that turns
+    curated sources into a training distribution. All arithmetic in exact
+    integer basis points, so the weights are bit-identical cross-engine.
+    One aggregation bounded by source cardinality + a one-row broadcast of
+    the total — never a corpus reshuffle."""
+    d = tables.spread(_t(spark, sf_dir, "documents"), "doc_id")
+    tok = d.groupBy("source").agg(F.sum(F.size(F.split(F.col("text"), " "))).alias("tok_s"))
+    tot = tok.agg(F.sum("tok_s").alias("total"), F.count(F.lit(1)).alias("n_src"))
+    weighted = tok.crossJoin(F.broadcast(tot)).withColumn(
+        "weight_bp",
+        F.least(F.lit(10000).cast("long"), F.expr("((total div 2) * 10000) div (n_src * tok_s)")),
+    )
+    return weighted.select(
+        "source",
+        "tok_s",
+        "weight_bp",
+        F.expr("(tok_s * weight_bp) div 10000").alias("expected_tokens"),
+    )
