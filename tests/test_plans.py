@@ -205,3 +205,40 @@ def test_exchange_budget(spark, sf_dir, name, max_data_exchanges):
     assert n <= max_data_exchanges, f"{name}: {n} > {max_data_exchanges}"
     if name == "q_funnel_by_segment":
         assert "BroadcastHashJoin" in plan  # the dim must never shuffle the funnel side
+
+
+def test_spread_noops_when_scan_already_parallel(spark, sf_dir):
+    """tables.spread must add its exchange ONLY below the parallelism floor:
+    on a cluster (scan already split across >= cores partitions) the
+    similarity/gram operators stay genuinely narrow. A spread that
+    repartitions an already-parallel input would silently add a corpus
+    shuffle at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000).repartition(target, F.col("id"))
+    assert spread(wide, "id") is wide  # no new plan node at all
+    narrow = spark.range(0, 10_000).coalesce(1)
+    assert spread(narrow, "id").rdd.getNumPartitions() == target
+
+
+def test_sequence_pack_single_fact_exchange(spark, sf_dir):
+    """Packing = one hash exchange on source; the running-sum window and the
+    (source, bin) aggregate both reuse it (subset-key distribution). A
+    second fact exchange would double the corpus shuffle at scale."""
+    plan = plan_of(spark, sf_dir, "q_sequence_pack")
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2  # spread's id exchange + the source window exchange
+    assert "Exchange rangepartitioning" not in plan  # never a global sort
+
+
+def test_corpus_delta_shuffles_digests_only(spark, sf_dir):
+    """The snapshot anti join must move 16-byte digests, not text: no plan
+    stage may carry the text column past its md5 projection."""
+    plan = plan_of(spark, sf_dir, "q_corpus_delta", "formatted")
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "text" not in m.group(1)
