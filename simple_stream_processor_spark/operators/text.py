@@ -191,7 +191,9 @@ def chunk_words_udtf():
     operation — no shuffle at any corpus size."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id: bigint, chunk_id: bigint, chunk_text: string, n_words: bigint")
+    # useArrow: without it Spark plans BatchEvalPythonUDTF (pickled rows one
+    # at a time over the Python boundary); Arrow batches are the 10-100x path
+    @udtf(returnType="doc_id: bigint, chunk_id: bigint, chunk_text: string, n_words: bigint", useArrow=True)
     class ChunkWords:
         def eval(self, doc_id, text, size):  # noqa: ANN001
             words = (text or "").split(" ")
