@@ -58,6 +58,8 @@ HEADLINE = [
     "q_decontaminate",
     "q_pii_redact",
     "q_scd2_intervals",
+    "q_sequence_pack",
+    "q_corpus_delta",
 ]
 
 

@@ -166,9 +166,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_signals(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "q_decontaminate",
-    oracle="""
+_DECON_ORACLE = """
     WITH w AS (
       SELECT doc_id,
              list_transform(string_split(text, ' '),
@@ -186,8 +184,10 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g JOIN bench USING (gh)
     WHERE g.doc_id % 97 <> 0
     GROUP BY g.doc_id
-    """,
-)
+    """
+
+
+@query("q_decontaminate", oracle=_DECON_ORACLE)
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word 4-gram
     with the held-out benchmark slice (doc_id % 97 == 0 stands in for an
