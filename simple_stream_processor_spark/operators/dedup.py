@@ -124,43 +124,37 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
 
 
 def verify_jaccard(pairs: DataFrame, sh: DataFrame, sigs: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard on candidate pairs only: intersect via shingle
-    equi-join restricted to candidate docs, union by inclusion-exclusion
-    using the per-doc shingle counts already carried on the signature table.
+    """Exact Jaccard on candidate pairs only: the shingle stream is
+    broadcast-semi-filtered to candidate docs, re-aggregated into per-doc
+    shingle SETS (one exchange bounded by candidate volume), and each pair
+    scores with a narrow array_intersect — intersection by array math, union
+    by inclusion-exclusion on the set sizes.
 
-    Shuffle discipline: the candidate set is collision-proportional (tiny),
-    so the shingle table is broadcast-semi-filtered to candidate docs ONCE
-    (both join sides reuse the same filtered subtree → ReusedExchange)
-    before the (doc, shingle) equi-join — only candidate shingles are ever
-    shuffled, never the corpus. Per-doc set sizes ride along on ``sigs``
-    (computed in the signature aggregation), so no extra corpus pass for
-    counts. At 100 TB, where persisting the shingle stream is impractical,
-    swap ``sh`` for a recompute-on-candidates scan (filter docs on the
-    broadcast candidate ids *before* exploding shingles) — same plan shape,
-    bounded by candidate volume."""
+    Shuffle discipline: the candidate set is collision-proportional (tiny);
+    only candidate shingles are ever moved, never the corpus, and they move
+    ONCE (the set aggregation) instead of twice (a per-side equi-join). The
+    set tables broadcast into the pair join. At 100 TB, (a) swap ``sh`` for
+    a recompute-on-candidates scan (filter docs on the broadcast candidate
+    ids *before* exploding shingles), and (b) if a pathological corpus makes
+    the candidate sets exceed broadcast size, replace the two broadcast
+    joins with hash joins on doc_a/doc_b — same bounded volume, one
+    exchange each."""
     cand = pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
-    csh = sh.join(F.broadcast(cand), "doc_id")
-    sa = csh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = csh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        F.broadcast(pairs)
-        .join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    csets = (
+        sh.join(F.broadcast(cand), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shset"), F.count(F.lit(1)).alias("n_sh"))
     )
-    counts = sigs.join(F.broadcast(cand), "doc_id").select("doc_id", "n_sh")
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    a = csets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    b = csets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")).alias(
-                "jaccard"
-            ),
+            (inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -544,7 +544,9 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed on orderkey at write time to make it shuffle-free) then a
     cascade of broadcast dims. The region filter prunes before the join
     (Catalyst pushes it through the join chain)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    from simple_stream_processor_spark.tables import spread
+
+    li = spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
