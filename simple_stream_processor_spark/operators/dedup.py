@@ -416,7 +416,12 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20, driver_threshold:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = [(node, find(node)) for node in parent]
-        return spark.createDataFrame(rows, "doc_id long, cluster_rep long")
+        # one slice: the label table is component-count-sized (tiny); the
+        # default defaultParallelism slices would pay one Python-worker task
+        # per core to ship a few hundred rows
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, numSlices=1), "doc_id long, cluster_rep long"
+        )
 
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
