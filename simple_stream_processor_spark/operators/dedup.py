@@ -65,22 +65,16 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     from just TWO md5 evaluations per shingle (md5 emits 128 bits = four
     32-bit hash functions; a salted second md5 supplies four more). One
     groupBy with n_hashes min-aggregates — a single shuffle regardless of
-    signature width, and integer mins instead of string mins.
-
-    The same aggregation also carries ``n_sh`` (distinct-shingle count per
-    doc): the exact-Jaccard verify needs it, and folding it in here means
-    the corpus-wide shingle stream is consumed in exactly ONE pass — no
-    persisted multi-TB shingle intermediate, no second corpus scan for
-    counts."""
+    signature width, and integer mins instead of string mins. (Per-doc set
+    sizes for the exact-Jaccard verify come out of the candidate-bounded
+    set aggregation in ``verify_jaccard``, not from here.)"""
     assert n_hashes <= 8, "derive more salted md5s for wider signatures"
     h1 = F.md5(F.encode(F.col("shingle"), "UTF-8"))
     h2 = F.md5(F.encode(F.concat(F.lit("x"), F.col("shingle")), "UTF-8"))
     chunks = [F.conv(F.substring(h1, 1 + 8 * i, 8), 16, 10).cast("long") for i in range(4)] + [
         F.conv(F.substring(h2, 1 + 8 * i, 8), 16, 10).cast("long") for i in range(4)
     ]
-    aggs = [F.min(chunks[i]).alias(f"sig{i}") for i in range(n_hashes)]
-    aggs.append(F.count(F.lit(1)).alias("n_sh"))
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*[F.min(chunks[i]).alias(f"sig{i}") for i in range(n_hashes)])
 
 
 def lsh_band_table(sigs: DataFrame, n_hashes: int = N_MINHASH, rows_per_band: int = 4) -> DataFrame:
@@ -123,7 +117,7 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def verify_jaccard(pairs: DataFrame, sh: DataFrame, sigs: DataFrame, threshold: float) -> DataFrame:
+def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard on candidate pairs only: the shingle stream is
     broadcast-semi-filtered to candidate docs, re-aggregated into per-doc
     shingle SETS (one exchange bounded by candidate volume), and each pair
@@ -172,7 +166,7 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> DataFr
     sh = shingle_table(docs, k=k).persist()
     sigs = minhash_signatures(sh).persist()
     pairs = candidate_pairs(lsh_band_table(sigs)).persist()
-    return verify_jaccard(pairs, sh, sigs, threshold)
+    return verify_jaccard(pairs, sh, threshold)
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -259,7 +253,7 @@ def ngram_jaccard_lsh(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     sh = shingle_table(docs, k=2).persist()
     sigs = minhash_signatures(sh).persist()
     pairs = candidate_pairs(lsh_band_table(sigs)).persist()
-    return verify_jaccard(pairs, sh, sigs, threshold)
+    return verify_jaccard(pairs, sh, threshold)
 
 
 # --- Embedding near-dup ------------------------------------------------------

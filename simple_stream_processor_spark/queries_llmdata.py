@@ -956,7 +956,10 @@ def q_dedup_keep_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clusters = dedup.dedup_clusters(_minhash_pairs(spark, sf_dir))
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    joined = d.join(F.broadcast(clusters), "doc_id")
+    # no explicit broadcast: the cluster table is USUALLY tiny, but above
+    # dedup_clusters' driver threshold it is exactly the thing too big for
+    # the driver — AQE's runtime size check makes the broadcast decision
+    joined = d.join(clusters, "doc_id")
     w = Window.partitionBy("cluster_rep").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (
         joined.withColumn("rk", F.row_number().over(w))

@@ -57,19 +57,25 @@ def run_stream_to_memory(
     # State-store partition count is frozen to spark.sql.shuffle.partitions at
     # first checkpoint, and AQE never applies to streaming — under a
     # default-config session every micro-batch would pay 200 state tasks.
-    # Pin it to the actual core count before start (runtime-mutable conf;
-    # checkpoints here are always fresh). On a real cluster this would be
-    # sized to total-cores × small-factor instead.
+    # Pin it to the actual core count for the stream's lifetime (the plan
+    # captures it at start; checkpoints here are always fresh), then RESTORE
+    # the caller's value — this helper must not leak tuning into the
+    # session's batch queries. On a real cluster this would be sized to
+    # total-cores × small-factor instead.
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
     name = "mem_" + uuid.uuid4().hex[:12]
-    query = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", _tmpdir("chk"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(timeout_s)
+    try:
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", _tmpdir("chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     progress = [p.asDict() if hasattr(p, "asDict") else p for p in query.recentProgress]
     return spark.table(name), progress

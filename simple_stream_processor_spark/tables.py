@@ -68,6 +68,11 @@ def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
     if ntz or legacy_ns:
         # runtime-mutable conf; NTZ→TIMESTAMP cast interprets wall time in the
         # session tz, so UTC makes the cast value-preserving in epoch terms.
+        # INVARIANT: the cast's zone is frozen into the plan when the analyzer
+        # resolves it (ResolveTimeZone), i.e. immediately below — a later
+        # session-tz change does not re-interpret these cached scans, but any
+        # NEW tz-sensitive expressions (date_trunc etc.) would pick up the new
+        # zone, so nothing in this package changes the session tz afterwards.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
@@ -85,7 +90,12 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     (explode+hash, regex, array math) serialize on one core. On a real
     cluster the scan is already split by maxPartitionBytes into >= cores
     partitions and this is a no-op, preserving narrow (never-shuffle)
-    operator shapes at scale."""
+    operator shapes at scale.
+
+    CONTRACT: call this on scan-stage DataFrames only. The parallelism
+    probe (df.rdd) finalizes the physical plan, and under AQE that EXECUTES
+    any upstream exchange stages at build time — free for plain scans (no
+    exchanges), a hidden double-execution for shuffled inputs."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, F.col(key))

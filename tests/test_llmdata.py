@@ -24,7 +24,7 @@ def test_minhash_candidates_superset_of_verified(spark, sf_dir):
     sh = dedup.shingle_table(docs(spark, sf_dir))
     sigs = dedup.minhash_signatures(sh)
     cands = dedup.candidate_pairs(dedup.lsh_band_table(sigs))
-    verified = dedup.verify_jaccard(cands, sh, sigs, 0.5)
+    verified = dedup.verify_jaccard(cands, sh, 0.5)
     assert cands.count() >= verified.count()
 
 
