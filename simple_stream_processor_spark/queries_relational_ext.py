@@ -1296,3 +1296,49 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS p01,
+             quantile_cont(l_extendedprice, 0.99) AS p99
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           count(*) AS n,
+           CAST(sum(CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+           CAST(sum(CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+           CAST(sum(CAST(round(least(greatest(l_extendedprice, p01), p99) * 100, 0) AS BIGINT)) AS BIGINT)
+             AS win_sum_cents
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — clamp a numeric column to its per-group exact
+    [p01, p99] band, the outlier-handling step of feature cleaning. Two
+    passes over the fact: the percentile pass reduces to group cardinality
+    (tiny) and broadcasts back, so the clamp pass is a narrow map + one
+    aggregate exchange — no fact re-shuffle. Exact interpolated
+    percentile (Spark ``percentile`` ≡ DuckDB quantile_cont bit-for-bit,
+    proven by q_exact_percentile) and integer-cents sums keep the values
+    engine-exact."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99"))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_extendedprice") < F.col("p01"), 1).otherwise(0)).cast("long").alias("n_clamped_low"),
+            F.sum(F.when(F.col("l_extendedprice") > F.col("p99"), 1).otherwise(0)).cast("long").alias("n_clamped_high"),
+            F.sum(F.round(clamped * 100, 0).cast("long")).cast("long").alias("win_sum_cents"),
+        )
+    )
