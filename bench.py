@@ -62,6 +62,7 @@ HEADLINE = [
     "q_scd2_intervals",
     "q_sequence_pack",
     "q_corpus_delta",
+    "q_winsorize",
 ]
 
 
