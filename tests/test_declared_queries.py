@@ -77,3 +77,44 @@ def test_hll_mergeable_within_error_bound(spark, sf_dir):
     exact["<all>"] = ev.select("user_id").distinct().count()
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_winsorize_matches_bruteforce_pandas(spark, sf_dir):
+    """q_winsorize vs a pandas recompute: numpy 'linear' percentile is the
+    same interpolation Spark's percentile() uses, so bounds, clamp counts,
+    and the integer-cents sum must agree exactly."""
+    import pandas as pd
+
+    from simple_stream_processor_spark.tables import load_table
+
+    got = {r.l_returnflag: r for r in QUERIES["q_winsorize"](spark, sf_dir).collect()}
+    li = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_extendedprice").toPandas()
+    for flag, grp in li.groupby("l_returnflag"):
+        v = grp["l_extendedprice"]
+        p01, p99 = v.quantile(0.01, interpolation="linear"), v.quantile(0.99, interpolation="linear")
+        r = got[flag]
+        assert r.n == len(v)
+        assert r.n_clamped_low == int((v < p01).sum())
+        assert r.n_clamped_high == int((v > p99).sum())
+        win_cents = v.clip(p01, p99).mul(100).round(0).astype("int64").sum()
+        assert r.win_sum_cents == win_cents
+
+
+def test_sequence_pack_conserves_docs_and_tokens(spark, sf_dir):
+    """Packing is a partition of each source's doc sequence: bins cover
+    every doc exactly once, token totals are conserved, and bin ids match
+    a brute-force running-sum walk."""
+    from simple_stream_processor_spark.tables import load_table
+
+    got = {(r.source, r.bin): (r.n_docs, r.sum_tokens) for r in QUERIES["q_sequence_pack"](spark, sf_dir).collect()}
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text").toPandas()
+    docs["n_tok"] = docs["text"].str.split(" ").str.len()
+    expect = {}
+    for source, grp in docs.sort_values("doc_id").groupby("source"):
+        cum = 0
+        for _, row in grp.iterrows():
+            b = cum // 2048
+            n, t = expect.get((source, b), (0, 0))
+            expect[(source, b)] = (n + 1, t + row.n_tok)
+            cum += row.n_tok
+    assert got == expect
