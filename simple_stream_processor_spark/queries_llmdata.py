@@ -1075,3 +1075,29 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight_bp",
         F.expr("(tok_s * weight_bp) div 10000").alias("expected_tokens"),
     )
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[ ]+', ' ', 'g'))) AS norm_md5,
+           length(trim(regexp_replace(lower(text), '[ ]+', ' ', 'g'))) AS n_chars_norm,
+           length(text) - length(trim(regexp_replace(lower(text), '[ ]+', ' ', 'g'))) AS n_chars_removed
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization — lowercase, collapse runs of spaces, trim —
+    the normalization pass that runs BEFORE exact dedup so trivially
+    different copies (case, spacing) hash identically. Pure narrow
+    expressions, scan speed at any corpus size; the digest of the
+    canonical form is what the dedup index stores. Character-class-only
+    regex masks byte-identically in Java regex and RE2."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[ ]+", " "))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("norm_md5"),
+        F.length(norm).alias("n_chars_norm"),
+        (F.length(F.col("text")) - F.length(norm)).alias("n_chars_removed"),
+    )
