@@ -164,7 +164,9 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> DataFr
     ~5-10× text size — MEMORY_AND_DISK spills rather than OOMs; at 100 TB
     replace the persist with recompute-on-candidates (see verify_jaccard)."""
     sh = shingle_table(docs, k=k).persist()
-    sigs = minhash_signatures(sh).persist()
+    # sigs has a single consumer (the band table) — persisting it would
+    # only add a materialization pass
+    sigs = minhash_signatures(sh)
     pairs = candidate_pairs(lsh_band_table(sigs)).persist()
     return verify_jaccard(pairs, sh, threshold)
 
@@ -251,7 +253,9 @@ def ngram_jaccard_lsh(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     deterministic (md5 banding, no RNG) — the oracle runs the identical
     algorithm and must agree exactly."""
     sh = shingle_table(docs, k=2).persist()
-    sigs = minhash_signatures(sh).persist()
+    # sigs has a single consumer (the band table) — persisting it would
+    # only add a materialization pass
+    sigs = minhash_signatures(sh)
     pairs = candidate_pairs(lsh_band_table(sigs)).persist()
     return verify_jaccard(pairs, sh, threshold)
 
