@@ -1101,3 +1101,40 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).alias("n_chars_norm"),
         (F.length(F.col("text")) - F.length(norm)).alias("n_chars_removed"),
     )
+
+
+@query(
+    "q_quality_prune",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id, source,
+             (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+               * (1 - len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE / len(toks)::DOUBLE) AS quality
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS pr
+      FROM q
+    )
+    SELECT doc_id, source, quality, pr FROM r WHERE pr <= 0.5
+    """,
+)
+def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality pruning — keep each source's top half by composite quality
+    score (percent_rank cutoff, deterministic (quality desc, doc_id) order):
+    the select-the-best curation step between scoring and training. One
+    source-keyed exchange; the rank is a partition-local sort, the filter
+    happens before anything else is carried. Quality and percent_rank are
+    raw IEEE arithmetic on integer counts — bit-identical cross-engine."""
+    from pyspark.sql.window import Window
+
+    d = tables.spread(_t(spark, sf_dir, "documents"), "doc_id")
+    t = text.tokens(F.col("text"))
+    n_tok = F.size(t).cast("double")
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*text.STOPWORDS))).cast("double")
+    n_dist = F.size(F.array_distinct(t)).cast("double")
+    q = d.select("doc_id", "source", ((n_dist / n_tok) * (1 - n_stop / n_tok)).alias("quality"))
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return q.withColumn("pr", F.percent_rank().over(w)).where(F.col("pr") <= 0.5)
