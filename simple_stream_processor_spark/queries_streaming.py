@@ -20,6 +20,7 @@ from simple_stream_processor_spark.streaming.lifecycle import consume_managed, m
 from simple_stream_processor_spark.streaming.runner import TMP_ROOT, run_stream_to_memory, stream_events
 from simple_stream_processor_spark.streaming.windows import streaming_count_window, streaming_tumbling_window
 from simple_stream_processor_spark.streaming.dedup import streaming_dedup
+from simple_stream_processor_spark.operators.text import STOPWORDS
 from simple_stream_processor_spark.tables import load_table
 
 
@@ -382,3 +383,52 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out, _ = run_stream_to_memory(agg, output_mode="complete")
     return out.orderBy(F.desc("n"), F.asc("user_id")).limit(10)
+
+
+_STOP_IN_STREAM = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@query(
+    "q_streaming_quality_gate",
+    oracle=f"""
+    WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT source,
+             (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+               * (1 - len(list_filter(toks, x -> x IN ({_STOP_IN_STREAM})))::DOUBLE / len(toks)::DOUBLE) AS quality
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE quality > 0.4) AS BIGINT) AS n_kept,
+           count(*) AS n_seen
+    FROM q GROUP BY source
+    """,
+)
+def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion with a quality gate: documents arrive
+    through the file streaming source (the continuous crawl-absorption
+    shape), the composite quality score evaluates in the narrow stream
+    stage, and per-source kept/seen counters aggregate incrementally in
+    the state store — `complete` mode emits the final ledger. Ties the
+    incremental engine to the curation pipeline: at scale this runs
+    forever, admitting batches under maxFilesPerTrigger backpressure,
+    and the gate's cost stays scan-bound per micro-batch."""
+    from simple_stream_processor_spark.operators import text as text_ops
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = spark.readStream.schema(raw_schema).option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    t = text_ops.tokens(F.col("text"))
+    n_tok = F.size(t).cast("double")
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*text_ops.STOPWORDS))).cast("double")
+    n_dist = F.size(F.array_distinct(t)).cast("double")
+    quality = (n_dist / n_tok) * (1 - n_stop / n_tok)
+    agg = (
+        sdf.select("source", quality.alias("quality"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("quality") > 0.4, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.count(F.lit(1)).alias("n_seen"),
+        )
+    )
+    out, _ = run_stream_to_memory(agg, output_mode="complete")
+    return out
