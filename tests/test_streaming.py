@@ -312,3 +312,17 @@ def test_streaming_funnel_incremental_across_batches(spark, tmp_path):
         for r in funnel(bdf, ["view", "click", "purchase"]).collect()
     }
     assert final == batch
+
+
+def test_run_stream_to_memory_restores_shuffle_partitions(spark, sf_dir):
+    """The streaming runner pins shuffle partitions for the state store but
+    must RESTORE the caller's value afterwards — leaking the streaming
+    setting into subsequent batch queries was a real review finding."""
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "57")
+    try:
+        sdf = stream_events(spark, sf_dir).select("event_id")
+        run_stream_to_memory(sdf, output_mode="append")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "57"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
