@@ -63,6 +63,8 @@ HEADLINE = [
     "q_sequence_pack",
     "q_corpus_delta",
     "q_winsorize",
+    "q_text_normalize",
+    "q_quality_prune",
 ]
 
 
