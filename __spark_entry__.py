@@ -31,35 +31,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness walks the dict in insertion order under a
-# budget (round 1 covered exactly the first 50 entries), so order the registry
-# to put a family-spanning, oracle-hash-checkable set first: reference-parity
-# stream semantics, then relational/TPC-H/LLM-data highlights, then the rest.
+# 50-entry budget.  Rounds 1+2 verified 65 distinct queries; this round the
+# window rotates to the queries that have NEVER had a driver-verified
+# CORRECTNESS row (green in the full local oracle gate, but outside the
+# budget so far).  The first 50 entries below are exactly that set, ordered
+# TPC-H → curation lifecycle → streaming twins → relational extensions;
+# the remaining never-verified 11 queue right behind for round 4, then the
+# already-driver-green queries in their original order.
 _PRIORITY = [
-    # reference parity: sources/sinks, stateless transforms, ordering, errors
+    # --- never driver-verified: TPC-H shapes (local-green in r2) ---
+    "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q21",
+    "q_tpch_q22",
+    # --- never driver-verified: corpus-curation lifecycle ---
+    "q_text_normalize", "q_quality_prune", "q_dedup_keep_rule",
+    "q_corpus_delta", "q_sequence_pack", "q_mixture_weights", "q_pii_redact",
+    # --- never driver-verified: SQL surface + multimodal ---
+    "q_recursive_cte", "q_multimodal_decode",
+    # --- never driver-verified: streaming engine twins ---
+    "q_stream_read", "q_streaming_count_window", "q_managed_source",
+    "q_managed_sink", "q_stream_stream_join", "q_streaming_tumbling",
+    "q_streaming_dedup", "q_streaming_session", "q_streaming_sliding",
+    "q_streaming_enrich", "q_streaming_funnel", "q_streaming_topk",
+    "q_streaming_quality_gate",
+    # --- never driver-verified: relational extensions ---
+    "q_cube", "q_grouped_udaf", "q_hash_sample", "q_full_outer_reconcile",
+    "q_gap_fill", "q_stratified_sample", "q_scd2_intervals",
+    "q_latest_snapshot", "q_rolling_time_window", "q_schema_evolution_union",
+    "q_dynamic_session_window", "q_linear_attribution", "q_topk_per_group",
+    "q_funnel_by_segment", "q_analytic_distribution", "q_stats_agg",
+    "q_chi_square",
+    # ---------- window boundary (~50) ----------
+    # never driver-verified, queued for the next rotation
+    "q_robust_stats_mad", "q_winsorize", "q_integrity_audit",
+    "q_timeseries_similarity", "q_string_agg", "q_absence_pattern",
+    "q_transition_matrix", "q_embedding_quantize", "q_ngram_heavy_hitters",
+    "q_batch_ann", "q_hll_mergeable",
+    # --- driver-verified in r1/r2 (keep their relative order) ---
     "q_source_scan", "q_sink_fold_sum", "q_map_project", "q_filter_predicate",
     "q_flatmap_explode", "q_union_append", "q_take_limit", "q_parmap_ordered",
     "q_async_boundary", "q_recover_value", "q_recover_with_stream",
-    # windows & event time
     "q_count_window", "q_tumbling_window", "q_sliding_window",
     "q_session_window", "q_watermark_cadence",
-    # relational core
     "q_group_agg", "q_join_orders_customer", "q_join_multiway", "q_semi_anti",
     "q_topk", "q_distinct", "q_set_ops", "q_rank_window", "q_scalar_funcs",
     "q_dedup", "q_exact_percentile", "q_histogram",
-    # relational extensions
     "q_asof_join", "q_range_join", "q_rollup", "q_pivot", "q_window_frames",
     "q_salted_join", "q_grouping_sets", "q_funnel", "q_cohort_retention",
-    # TPC-H shapes + SQL surface
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q6", "q_tpch_q5", "q_tpch_q18",
     "q_sql_surface",
-    # LLM-data pipeline
     "q_dedup_text_exact", "q_minhash_dedup", "q_simhash_dedup",
     "q_embedding_dedup", "q_cosine_topk", "q_ann_ivf", "q_lang_id",
     "q_quality_score", "q_token_stats", "q_tfidf_topterms",
     "q_training_pipeline", "q_dedup_clusters", "q_text_tokens",
-    "q_decontaminate", "q_pii_redact", "q_repetition_filter",
-    # streaming engine (incremental execution, oracle-checked)
-    "q_streaming_tumbling", "q_streaming_dedup",
+    "q_decontaminate", "q_repetition_filter",
 ]
 
 
