@@ -117,7 +117,7 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float, broadcast_threshold: int = 100_000) -> DataFrame:
     """Exact Jaccard on candidate pairs only: the shingle stream is
     broadcast-semi-filtered to candidate docs, re-aggregated into per-doc
     shingle SETS (one exchange bounded by candidate volume), and each pair
@@ -127,15 +127,19 @@ def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     Shuffle discipline: the candidate set is collision-proportional (tiny);
     only candidate shingles are ever moved, never the corpus, and they move
     ONCE (the set aggregation) instead of twice (a per-side equi-join). The
-    set tables broadcast into the pair join. At 100 TB, (a) swap ``sh`` for
-    a recompute-on-candidates scan (filter docs on the broadcast candidate
-    ids *before* exploding shingles), and (b) if a pathological corpus makes
-    the candidate sets exceed broadcast size, replace the two broadcast
-    joins with hash joins on doc_a/doc_b — same bounded volume, one
-    exchange each."""
+    set tables broadcast into the pair join ONLY while the candidate count
+    stays under ``broadcast_threshold`` (one cheap count on the bounded pair
+    table — same gate pattern as dedup_clusters' driver_threshold); past it
+    the hints are dropped and the joins fall back to hash joins on
+    doc_a/doc_b (AQE picks the strategy), so a pathological corpus degrades
+    to one exchange per side instead of failing at the broadcast limit. At
+    100 TB, also swap ``sh`` for a recompute-on-candidates scan (filter docs
+    on the candidate ids *before* exploding shingles)."""
+    n_pairs = pairs.count()  # bounded: collision-proportional candidate set
+    hint = F.broadcast if n_pairs <= broadcast_threshold else (lambda d: d)
     cand = pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
     csets = (
-        sh.join(F.broadcast(cand), "doc_id")
+        sh.join(hint(cand), "doc_id")
         .groupBy("doc_id")
         .agg(F.collect_list("shingle").alias("shset"), F.count(F.lit(1)).alias("n_sh"))
     )
@@ -143,8 +147,8 @@ def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     b = csets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b"), F.col("n_sh").alias("n_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        pairs.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        pairs.join(hint(a), "doc_a")
+        .join(hint(b), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -40,7 +40,16 @@ _SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Scan one testdata table. Plain parquet scan — no caching of data, no
     schema override — so Catalyst sees the native parquet footer schema and
-    can push filters/projections down (check: .explain shows PushedFilters)."""
+    can push filters/projections down (check: .explain shows PushedFilters).
+
+    SESSION INVARIANT (explicit, not a side effect to discover later): this
+    package pins ``spark.sql.session.timeZone=UTC`` on the session the first
+    time a table with naive (NTZ / legacy-nanos) timestamps is loaded, and
+    every event-time operator in the package (date_trunc, window, hour, ...)
+    assumes that zone stays in force — the DuckDB oracles interpret naive
+    timestamps as UTC, so restoring a non-UTC caller zone mid-stream would
+    silently shift day/hour bucket boundaries. Embedders that need another
+    session timezone should use a separate SparkSession for this package."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     key = (id(spark), sf_dir, name)
@@ -68,11 +77,11 @@ def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
     if ntz or legacy_ns:
         # runtime-mutable conf; NTZ→TIMESTAMP cast interprets wall time in the
         # session tz, so UTC makes the cast value-preserving in epoch terms.
-        # INVARIANT: the cast's zone is frozen into the plan when the analyzer
-        # resolves it (ResolveTimeZone), i.e. immediately below — a later
-        # session-tz change does not re-interpret these cached scans, but any
-        # NEW tz-sensitive expressions (date_trunc etc.) would pick up the new
-        # zone, so nothing in this package changes the session tz afterwards.
+        # The cast's zone is frozen at analysis (ResolveTimeZone) immediately
+        # below, but the pin must NOT be restored afterwards: downstream
+        # tz-sensitive expressions (date_trunc/hour/window) resolve lazily at
+        # query-build time and must see the same UTC zone the oracles assume.
+        # This is the documented session invariant in load_table's docstring.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))

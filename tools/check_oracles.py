@@ -82,8 +82,13 @@ def main() -> int:
             continue
         dt = time.perf_counter() - t0
         # the driver's canonicalizer sorts the pandas frame by every column;
-        # list/array cells make that throw — treat as a failure here
-        if len(sdf) and any(isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray" for v in sdf.iloc[0]):
+        # list/array cells make that throw — treat as a failure here. Scan
+        # every row, not just the first: a null in row 0 of an array column
+        # must not let the column slip past.
+        if len(sdf) and any(
+            sdf[c].map(lambda v: isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray").any()
+            for c in sdf.columns
+        ):
             failures.append(name)
             print(f"FAIL  {name}: array-typed output column (unhashable for driver canon)", flush=True)
             continue
