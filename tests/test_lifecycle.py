@@ -225,3 +225,32 @@ def test_concurrent_executions_both_complete(spark):
     assert ob == execution.Outcome.COMPLETED and rb[0].s == 5050
     assert ha.metrics_snapshot().as_dict()["ssp_unhandled_error_total"] == 0
     assert hb.metrics_snapshot().as_dict()["ssp_unhandled_error_total"] == 0
+
+
+def test_parmap_inflight_gauge_nonzero_during_slow_parmap(spark):
+    """X7 gauge parity (reference metric schema docs/adr/metric-schema.md:
+    5-13): ssp_parmap_inflight observes tasks currently executing inside
+    parMap. A deliberately slow Arrow-batched map across all slots must be
+    seen by the statusTracker sampler: peak in-flight > 0 while the job
+    runs, bounded by the session's task slots, and the gauge returns to 0
+    at quiescence."""
+    import time
+
+    from simple_stream_processor_spark import metrics as M
+    from simple_stream_processor_spark.operators.parallel import par_map_ordered
+
+    def slow_double(s):
+        time.sleep(0.3)
+        return s * 2
+
+    df = spark.range(0, 64).withColumnRenamed("id", "v")
+    out = par_map_ordered(df, "v", slow_double, "v", "doubled", "long", parallelism=8)
+    coll = M.Collector()
+    with M.track_inflight(spark, coll, interval=0.02) as t:
+        assert out.count() == 64
+    # the sampler reads per-stage counters non-atomically, so a stage handoff
+    # can transiently double-count — bound loosely, the signal is peak > 0
+    slots = spark.sparkContext.defaultParallelism
+    assert 1 <= t.peak <= 2 * slots
+    snap = coll.snapshot().as_dict()
+    assert snap["ssp_parmap_inflight"] == 0  # quiescent after the action

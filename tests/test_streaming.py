@@ -326,3 +326,31 @@ def test_run_stream_to_memory_restores_shuffle_partitions(spark, sf_dir):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "57"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_boundary_queue_depth_bounded_by_admission(spark):
+    """X7 gauge parity: under micro-batch admission control the trigger
+    batch IS the boundary queue, so ssp_boundary_queue_depth_max must never
+    exceed the admission capacity (maxFilesPerTrigger=1 → the largest
+    single file's rows) — the reference harness invariant depth <= capacity
+    (BackpressureStressHarness.scala:53). Producer block time maps to
+    cumulative trigger drain time and must be observed > 0."""
+    d = _micro_batch_dir()
+
+    def make(sdf):
+        return sdf.select("value", "ts")
+
+    _, progress = _drive(
+        spark,
+        d,
+        make,
+        [
+            [("a", 1000), ("b", 2000), ("c", 3000)],  # capacity: largest file = 3 rows
+            [("d", 4000), ("e", 5000)],
+            [("f", 6000)],
+        ],
+    )
+    snap = metrics.snapshot_from_streaming_progress(progress)
+    assert 1 <= snap.values["ssp_boundary_queue_depth_max"] <= 3
+    assert snap.values["ssp_boundary_producer_block_ms"] > 0
+    assert snap.values["ssp_boundary_queue_depth"] <= snap.values["ssp_boundary_queue_depth_max"]
