@@ -45,7 +45,13 @@ class ExecutionHandle:
     its token between elements — same granularity idea, reference
     Node.scala:52-55)."""
 
-    def __init__(self, spark: SparkSession, action: Callable[[], Any], group: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        action: Callable[[], Any],
+        group: str | None = None,
+        pool: str | None = None,
+    ):
         self._spark = spark
         self._group = group or f"ssp-exec-{uuid.uuid4().hex[:12]}"
         self._cancelled = threading.Event()
@@ -57,6 +63,12 @@ class ExecutionHandle:
         def run() -> None:
             sc = spark.sparkContext
             sc.setJobGroup(self._group, "ssp execution", interruptOnCancel=True)
+            if pool is not None:
+                # FAIR pool placement (reference JobManager slot scheduling,
+                # JobManager.scala:11-20): local properties are thread-local,
+                # and each handle owns its thread, so pools never leak
+                # between concurrent executions.
+                sc.setLocalProperty("spark.scheduler.pool", pool)
             try:
                 self._result = action()
             except BaseException as e:  # noqa: BLE001
@@ -91,10 +103,12 @@ class ExecutionHandle:
         return self.metrics.snapshot()
 
 
-def run_to_list_async(df, spark: SparkSession | None = None) -> ExecutionHandle:
+def run_to_list_async(df, spark: SparkSession | None = None, pool: str | None = None) -> ExecutionHandle:
     """reference runToListAsync (Node.scala:44-65): collect on a background
-    thread with a cancellable handle."""
-    return ExecutionHandle(spark or df.sparkSession, lambda: df.collect())
+    thread with a cancellable handle. ``pool`` places the job in a FAIR
+    scheduler pool (conf/fairscheduler.xml) for slot-sharing with other
+    concurrent handles."""
+    return ExecutionHandle(spark or df.sparkSession, lambda: df.collect(), pool=pool)
 
 
 def run_foreach_async(df, fn: Callable[[Any], None], spark: SparkSession | None = None) -> ExecutionHandle:

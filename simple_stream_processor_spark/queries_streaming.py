@@ -432,3 +432,38 @@ def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out, _ = run_stream_to_memory(agg, output_mode="complete")
     return out
+
+
+@query(
+    "q_streaming_watermark_cadence",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, epoch_ms(ts) AS ts_ms,
+             (row_number() OVER (ORDER BY event_id) - 1) // 100 AS block
+      FROM events
+    ), block_max AS (
+      SELECT block, max(ts_ms) AS block_max FROM ranked GROUP BY block
+    ), running AS (
+      SELECT block,
+             max(block_max) OVER (ORDER BY block
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_ms
+      FROM block_max
+    )
+    SELECT r.event_id, CAST(r.ts_ms AS BIGINT) AS ts_ms, g.wm_ms,
+           CASE WHEN g.wm_ms IS NOT NULL AND r.ts_ms < g.wm_ms THEN TRUE ELSE FALSE END AS is_late
+    FROM ranked r JOIN running g USING (block)
+    """,
+)
+def q_streaming_watermark_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 streaming twin with true per-N CADENCE (reference WatermarkPipe,
+    Node.scala:289-313), not just policy: watermark state (count, running
+    max, in-force value) lives in keyed group state and is re-emitted every
+    100 records; a record is late iff ts < the watermark in force at its
+    arrival. The batch emulation (q_watermark_cadence) is the oracle —
+    identical blocks because arrival order is the dense event_id order."""
+    from simple_stream_processor_spark.streaming.windows import streaming_watermark_cadence
+
+    sdf = stream_events(spark, sf_dir)
+    out = streaming_watermark_cadence(sdf, "event_id", "ts", 100)
+    rows, _ = run_stream_to_memory(out, output_mode="append")
+    return rows

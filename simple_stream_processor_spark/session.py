@@ -45,6 +45,14 @@ def get_spark(app_name: str = "simple_stream_processor_spark", cpus: str | None 
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # X5 scheduler parity (reference JobManager.scala:6-24): concurrent
+        # ExecutionHandles share task slots fairly across pools instead of
+        # FIFO-queueing — see conf/fairscheduler.xml and execution.py `pool`.
+        .config("spark.scheduler.mode", "FAIR")
+        .config(
+            "spark.scheduler.allocation.file",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf", "fairscheduler.xml"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -106,3 +106,65 @@ def streaming_count_window(sdf: DataFrame, size: int, key: str = "user_id") -> D
     return sdf.groupBy(F.col(key)).applyInPandasWithState(
         chunk, COUNT_WINDOW_OUTPUT, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+CADENCE_OUTPUT = "{order_col} long, ts_ms long, wm_ms long, is_late boolean"
+
+
+def streaming_watermark_cadence(sdf: DataFrame, order_col: str, ts_col: str, emit_every_n: int, key: str | None = None) -> DataFrame:
+    """W1 streaming twin — the reference's per-N-record watermark CADENCE,
+    not just its policy (reference WatermarkPipe, Node.scala:289-313):
+    watermark = max event time seen, (re)emitted after every N records; a
+    record is late iff its ts is below the watermark in force when it
+    arrives (drop policy ADR-0007:13-14; initial watermark Long.MinValue →
+    null wm_ms here). Spark's engine advances watermarks per *trigger*, so
+    the per-N cadence runs in keyed group state instead
+    (applyInPandasWithState) — count, running max, and the in-force
+    watermark survive across micro-batches.
+
+    ``key=None`` reproduces the reference exactly: ONE cadence for the
+    whole stream (a single state key — inherently sequential, same as the
+    reference's single-threaded pipe; bounded control streams only).
+    Passing a column name gives per-key cadences — the form that
+    distributes across the state store at scale.
+
+    Output: (event_id, ts_ms, wm_ms, is_late); late records are FLAGGED,
+    not swallowed, so callers choose drop vs audit and the late count is
+    ``sum(is_late)`` ≙ ssp_late_event_dropped_total."""
+    if emit_every_n <= 0:
+        raise ValueError(f"emit_every_n must be > 0, got {emit_every_n}")  # parity Node.scala:291
+
+    state_schema = StructType(
+        [
+            StructField("count", LongType()),
+            StructField("max_ts", LongType()),
+            StructField("wm", LongType()),
+        ]
+    )
+
+    def cadence(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            count, max_ts, wm = state.get
+        else:
+            count, max_ts, wm = 0, None, None
+        rows = []
+        for pdf in pdfs:
+            # arrival order: batch sequence between triggers, order_col within
+            pdf = pdf.sort_values(order_col)
+            for eid, ts in zip(pdf[order_col], pdf["_ts_ms"]):
+                eid, ts = int(eid), int(ts)
+                rows.append((eid, ts, wm, wm is not None and ts < wm))
+                count += 1
+                max_ts = ts if max_ts is None else max(max_ts, ts)
+                if count % emit_every_n == 0:
+                    wm = max_ts
+        state.update((count, max_ts, wm))
+        if rows:
+            yield pd.DataFrame(rows, columns=[order_col, "ts_ms", "wm_ms", "is_late"])
+
+    ts_ms = (F.col(ts_col).cast("double") * 1000).cast("long").alias("_ts_ms")
+    group = F.col(key) if key is not None else F.lit(0)
+    prepared = sdf.select(F.col(order_col), ts_ms, group.alias("_g"))
+    return prepared.groupBy("_g").applyInPandasWithState(
+        cadence, CADENCE_OUTPUT.format(order_col=order_col), state_schema, "append", GroupStateTimeout.NoTimeout
+    )

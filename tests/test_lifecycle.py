@@ -240,17 +240,62 @@ def test_parmap_inflight_gauge_nonzero_during_slow_parmap(spark):
     from simple_stream_processor_spark.operators.parallel import par_map_ordered
 
     def slow_double(s):
-        time.sleep(0.3)
+        time.sleep(0.5)
         return s * 2
 
     df = spark.range(0, 64).withColumnRenamed("id", "v")
     out = par_map_ordered(df, "v", slow_double, "v", "doubled", "long", parallelism=8)
     coll = M.Collector()
     with M.track_inflight(spark, coll, interval=0.02) as t:
-        assert out.count() == 64
+        # the action must CONSUME the UDF column: a bare count() lets
+        # Catalyst prune the ArrowEvalPython node and the job finishes in
+        # milliseconds with nothing in flight
+        assert out.agg(F.sum("doubled")).collect()[0][0] == sum(2 * v for v in range(64))
     # the sampler reads per-stage counters non-atomically, so a stage handoff
     # can transiently double-count — bound loosely, the signal is peak > 0
     slots = spark.sparkContext.defaultParallelism
     assert 1 <= t.peak <= 2 * slots
     snap = coll.snapshot().as_dict()
     assert snap["ssp_parmap_inflight"] == 0  # quiescent after the action
+
+
+def test_fair_pools_interleave_concurrent_executions(spark):
+    """X5 scheduler parity, demonstrated (reference JobManager.scala:11-20
+    greedy slot placement; scheduler golden SimpleStreamProcessorTest.scala:
+    567-601): under FAIR pools, a short job submitted while a long job
+    occupies every slot still gets its share at the next task boundary —
+    its stages interleave with the long job's instead of FIFO-queueing
+    behind all of its pending tasks.
+
+    The workloads sleep JVM-side (Thread.sleep via reflect), which isolates
+    the property under test: task *scheduling*. (A Python-UDF sleep would
+    measure the Python worker pool on top of the scheduler — a different
+    layer.) Sleeps also make the timing robust to ambient CPU load. FIFO
+    floor: the short job would queue behind both 3 s waves of the long
+    job (>= 6 s); FAIR must land well under half of that."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark import execution
+
+    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
+
+    slots = spark.sparkContext.defaultParallelism  # 4 in the test session
+    slow = F.expr("reflect('java.lang.Thread','sleep', 3000L)")
+    fast = F.expr("reflect('java.lang.Thread','sleep', 100L)")
+    # long job: 2 waves of sleep(3) tasks filling every slot (~6 s minimum)
+    long_df = spark.range(0, 2 * slots, numPartitions=2 * slots).select(slow.alias("x"), "id")
+    # short job: one wave of sleep(0.1) tasks
+    short_df = spark.range(0, slots, numPartitions=slots).select(fast.alias("x"), "id")
+
+    ha = execution.run_to_list_async(long_df, spark, pool="batch")
+    time.sleep(0.4)  # let the long job occupy the slots first
+    t0 = time.perf_counter()
+    hb = execution.run_to_list_async(short_df, spark, pool="interactive")
+    ob, rb = hb.outcome(60)
+    short_wall = time.perf_counter() - t0
+    oa, ra = ha.outcome(60)
+    assert oa == execution.Outcome.COMPLETED and sorted(r.id for r in ra) == list(range(2 * slots))
+    assert ob == execution.Outcome.COMPLETED and sorted(r.id for r in rb) == list(range(slots))
+    assert short_wall < 4.0, f"short job took {short_wall:.2f}s — not interleaved (FIFO floor ~6s)"

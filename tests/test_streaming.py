@@ -354,3 +354,55 @@ def test_boundary_queue_depth_bounded_by_admission(spark):
     assert 1 <= snap.values["ssp_boundary_queue_depth_max"] <= 3
     assert snap.values["ssp_boundary_producer_block_ms"] > 0
     assert snap.values["ssp_boundary_queue_depth"] <= snap.values["ssp_boundary_queue_depth_max"]
+
+
+def test_streaming_watermark_cadence_adr_example(spark):
+    """W1 cadence twin, reference ADR worked example
+    (docs/adr/event-time-example.md:10-24) with per-N emission across
+    micro-batches (reference WatermarkPipe, Node.scala:289-313):
+    a@1s,b@3s arrive (N=2 → WM 3s emitted), then c@7s,d@8s (→ WM 8s),
+    then late-x@4s — late because 4 < 8, counter +1. The watermark in
+    force, the per-N emission points, AND the cadence state must survive
+    micro-batch boundaries."""
+    import pandas as pd
+
+    from simple_stream_processor_spark.streaming.windows import streaming_watermark_cadence
+
+    d = _micro_batch_dir()
+
+    def write(rows, _spark=spark):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts_ms"])
+        df = _spark.createDataFrame(pdf).select(
+            F.col("event_id").cast("long"), F.timestamp_millis(F.col("ts_ms").cast("long")).alias("ts")
+        )
+        df.coalesce(1).write.mode("append").parquet(d)
+
+    write([(1, 1000), (2, 3000)])
+    schema = spark.read.parquet(d).schema
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    out = streaming_watermark_cadence(sdf, "event_id", "ts", emit_every_n=2)
+    name = "t_" + uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "_chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write([(3, 7000), (4, 8000)])
+        q.processAllAvailable()
+        write([(5, 4000)])  # late-x
+        q.processAllAvailable()
+        rows = {r.event_id: (r.wm_ms, r.is_late) for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    assert rows == {
+        1: (None, False),  # initial watermark Long.MinValue -> null
+        2: (None, False),
+        3: (3000, False),  # WM 3s emitted after the 2nd record
+        4: (3000, False),
+        5: (8000, True),  # WM 8s in force; 4 < 8 -> dropped, counter +1
+    }
+    assert sum(1 for wm, late in rows.values() if late) == 1  # ssp_late_event_dropped_total
