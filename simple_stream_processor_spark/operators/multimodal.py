@@ -2,12 +2,17 @@
 payloads with typed metadata, processed by Arrow-batched Pandas UDFs.
 
 The Spark-side architecture here is real and tested — schema, partitioning,
-``mapInPandas`` batch shape, metadata extraction — while the actual
-codec work (JPEG decode, audio resample, video frame-sample) is STUBBED:
-the container deliberately ships no image/audio libraries, so the decode
-step raises ``NotImplementedError`` unless ``fake=True``, which substitutes
-a deterministic fake decoder (byte-statistics features) that exercises the
-identical plumbing.
+``mapInPandas`` batch shape, metadata extraction. Codec status:
+
+- **netpbm (PPM P6 / PGM P5) is a REAL codec** (``decode_image`` +
+  ``_parse_netpbm`` below): genuine header parse, raster validation, and
+  numpy pixel statistics, value-checked against a byte-level SQL oracle
+  (q_multimodal_decode).
+- Library-dependent codec work (JPEG decode, audio resample, video
+  frame-sample) is STUBBED: the container deliberately ships no
+  image/audio libraries, so those steps raise ``NotImplementedError``
+  unless ``fake=True``, which substitutes a deterministic fake decoder
+  (byte-statistics features) that exercises the identical plumbing.
 
 100 TB design notes:
 - payloads stay in the executor: no collect, no driver round-trip; the
@@ -202,3 +207,105 @@ def sample_frames(df: DataFrame, n_frames: int, fake: bool = False) -> DataFrame
             )
 
     return df.mapInPandas(do_sample, FRAME_SCHEMA)
+
+
+# --- Real codec: netpbm (PPM P6 / PGM P5) ------------------------------------
+#
+# The one decode path that is NOT a stub: netpbm is a real, published image
+# format (binary header + raw raster) parseable without any image library,
+# so the full decode contract — header parse, raster validation, pixel
+# statistics — is value-checked end to end. PIL/ffmpeg formats stay behind
+# the NotImplementedError guards above.
+
+IMAGE_SCHEMA = (
+    "media_id long, format string, width int, height int, n_pixels long, "
+    "px_mean double, px_min long, px_max long, decode_ok boolean"
+)
+
+_PPM_FAIL = ("invalid", 0, 0, 0, 0.0, 0, 0, False)
+
+
+def _parse_netpbm(payload: bytes):
+    """Parse one binary netpbm image: magic (P5 gray / P6 rgb), whitespace-
+    and-comment-tolerant header tokens (width, height, maxval), a single
+    whitespace byte, then the raw raster. Returns
+    (format, width, height, n_pixels, px_mean, px_min, px_max, decode_ok);
+    malformed payloads return decode_ok=False instead of raising — one bad
+    blob must not fail a 100 TB scan."""
+    import numpy as np
+
+    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in (b"5", b"6"):
+        return _PPM_FAIL
+    fmt = "P" + payload[1:2].decode()
+    channels = 3 if fmt == "P6" else 1
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":  # header comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tok = payload[start:pos]
+            if not tok.isdigit():
+                return _PPM_FAIL
+            tokens.append(int(tok))
+    if len(tokens) < 3 or pos >= len(payload):
+        return _PPM_FAIL
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0 or not (0 < maxval < 65536):
+        return _PPM_FAIL
+    pos += 1  # exactly one whitespace byte separates header from raster
+    bytes_per_sample = 1 if maxval < 256 else 2
+    need = width * height * channels * bytes_per_sample
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        return _PPM_FAIL
+    arr = np.frombuffer(raster, dtype=">u2" if bytes_per_sample == 2 else "u1")
+    return (
+        fmt,
+        width,
+        height,
+        width * height,
+        float(arr.mean()),
+        int(arr.min()),
+        int(arr.max()),
+        True,
+    )
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """REAL image decode via ``mapInPandas`` — no fake flag: netpbm payloads
+    are actually parsed (header + raster) and their pixel statistics
+    computed with numpy over the raw raster. Input needs (media_id,
+    payload); everything else is pruned before the Arrow transfer so only
+    the bytes that must cross to Python do."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "format", "width", "height", "n_pixels", "px_mean", "px_min", "px_max", "decode_ok"]
+        for pdf in batches:
+            out = [
+                (int(mid), *_parse_netpbm(bytes(p or b"")))
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(parse, IMAGE_SCHEMA)
+
+
+def documents_as_ppm(docs: DataFrame, width: int = 16, height: int = 8) -> DataFrame:
+    """Render each document into a REAL binary PPM (P6) image whose raster
+    is the text's bytes cycled to width*height*3 — a deterministic,
+    SQL-mirrorable payload builder, so the decode path has an exact DuckDB
+    oracle. The construction is pure Spark expressions (repeat + substr +
+    encode): payload bytes never touch Python on the build side."""
+    n = width * height * 3
+    body = F.expr(f"substr(repeat(text, CAST(ceil({n}.0 / length(text)) AS INT)), 1, {n})")
+    return docs.where(F.length("text") > 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.encode(F.lit(f"P6\n{width} {height}\n255\n"), "UTF-8"), F.encode(body, "UTF-8")).alias("payload"),
+    )

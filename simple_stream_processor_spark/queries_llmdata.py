@@ -857,34 +857,47 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_decode",
     oracle="""
-    SELECT doc_id AS media_id, 'text-blob' AS media_type,
-           octet_length(encode(text))::BIGINT AS n_bytes,
-           round(list_sum(list_transform(regexp_extract_all(text, '.'), c -> ord(c)))
-                 / (1.0 * octet_length(encode(text))), 4) AS byte_mean,
-           list_min(list_transform(regexp_extract_all(text, '.'), c -> ord(c)))::BIGINT AS byte_min,
-           list_max(list_transform(regexp_extract_all(text, '.'), c -> ord(c)))::BIGINT AS byte_max
-    FROM documents
+    WITH px AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(384.0 / length(text)) AS INT)), 1, 384) AS p
+      FROM documents WHERE length(text) > 0
+    ), vals AS (
+      SELECT doc_id, list_transform(regexp_extract_all(p, '.'), c -> ord(c)) AS v FROM px
+    )
+    SELECT doc_id AS media_id, 'P6' AS format, 16 AS width, 8 AS height,
+           CAST(128 AS BIGINT) AS n_pixels,
+           round(list_sum(v) / 384.0, 4) AS px_mean,
+           CAST(list_min(v) AS BIGINT) AS px_min,
+           CAST(list_max(v) AS BIGINT) AS px_max,
+           TRUE AS decode_ok
+    FROM vals
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode path, value-checked end to end: the Arrow-batched
-    mapInPandas decoder (deterministic byte-statistics stub standing in
-    for a real codec — the container has none) must produce the same
-    per-payload features the oracle computes byte-by-byte in SQL. Proves
-    the binary-column plumbing — schema, batching, 1→1 row contract —
-    not just that it runs. At 100 TB the decode is the narrow, scan-bound
-    stage; batch size is the only knob (spark.sql.execution.arrow.
-    maxRecordsPerBatch)."""
+    """Multimodal decode with a REAL codec, value-checked end to end: each
+    document renders into an actual binary PPM (P6) image (header + raw
+    raster, built with pure Spark expressions), and the Arrow-batched
+    mapInPandas decoder genuinely parses the format — magic, comment-
+    tolerant header, raster-length validation, numpy pixel stats. The
+    oracle recomputes the same pixel statistics byte-by-byte in SQL, so a
+    header-parse off-by-one or raster truncation is a hash mismatch, not a
+    silent pass. (PIL/ffmpeg formats remain honestly stubbed —
+    operators/multimodal.py guards.) At 100 TB the decode is the narrow,
+    scan-bound stage; batch size is the only knob
+    (spark.sql.execution.arrow.maxRecordsPerBatch)."""
     docs = _t(spark, sf_dir, "documents")
-    media = multimodal.documents_as_media(docs)
-    feats = multimodal.decode_features(media, fake=True)
+    media = multimodal.documents_as_ppm(docs, width=16, height=8)
+    feats = multimodal.decode_image(media)
     return feats.select(
         "media_id",
-        "media_type",
-        F.col("n_bytes").cast("long").alias("n_bytes"),
-        F.round(F.col("byte_mean"), 4).alias("byte_mean"),
-        F.col("byte_min").cast("long").alias("byte_min"),
-        F.col("byte_max").cast("long").alias("byte_max"),
+        "format",
+        "width",
+        "height",
+        "n_pixels",
+        F.round(F.col("px_mean"), 4).alias("px_mean"),
+        "px_min",
+        "px_max",
+        "decode_ok",
     )
 
 

@@ -299,3 +299,54 @@ def test_redact_pii_golden(spark):
 def test_redact_pii_zero_shuffle(spark, sf_dir):
     plan = text.redact_pii(docs(spark, sf_dir))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_netpbm_parser_goldens():
+    """The real codec (operators/multimodal.py:_parse_netpbm) against
+    hand-built binary netpbm images: P6 rgb, P5 gray, header comments,
+    16-bit maxval (big-endian samples), and the malformed family — every
+    bad payload classifies decode_ok=False instead of raising."""
+    from simple_stream_processor_spark.operators.multimodal import _parse_netpbm
+
+    # 2x1 P6: red, green
+    fmt, w, h, npx, mean, lo, hi, ok = _parse_netpbm(b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0]))
+    assert (fmt, w, h, npx, ok) == ("P6", 2, 1, 2, True)
+    assert (lo, hi) == (0, 255) and abs(mean - 510 / 6) < 1e-9
+
+    # 3x2 P5 grayscale with a header comment
+    gray = bytes([10, 20, 30, 40, 50, 60])
+    fmt, w, h, npx, mean, lo, hi, ok = _parse_netpbm(b"P5\n# a comment\n3 2\n255\n" + gray)
+    assert (fmt, w, h, npx, lo, hi, ok) == ("P5", 3, 2, 6, 10, 60, True)
+    assert abs(mean - 35.0) < 1e-9
+
+    # 1x1 P5 16-bit: one big-endian sample 0x0102 = 258
+    fmt, w, h, npx, mean, lo, hi, ok = _parse_netpbm(b"P5\n1 1\n65535\n" + bytes([1, 2]))
+    assert (npx, lo, hi, ok) == (1, 258, 258, True)
+
+    bad = [
+        b"",  # empty
+        b"JFIF....",  # wrong magic
+        b"P6\n2 1\n255\n" + bytes([255, 0, 0]),  # truncated raster
+        b"P6\n2 x\n255\n" + bytes(6),  # non-numeric dimension
+        b"P6\n2 1\n",  # header cut short
+        b"P6\n0 1\n255\n",  # zero width
+    ]
+    assert all(_parse_netpbm(p)[-1] is False for p in bad)
+
+
+def test_decode_image_real_codec_distributed(spark):
+    """decode_image over a mixed DataFrame: valid PPMs decode with exact
+    stats; a malformed payload in the same batch comes back decode_ok=False
+    without poisoning its neighbors."""
+    from simple_stream_processor_spark.operators import multimodal
+
+    rows = [
+        (1, bytearray(b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0]))),
+        (2, bytearray(b"P5\n2 2\n255\n" + bytes([1, 2, 3, 4]))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in multimodal.decode_image(df).collect()}
+    assert got[1].decode_ok and (got[1].width, got[1].height, got[1].px_max) == (2, 1, 255)
+    assert got[2].decode_ok and (got[2].format, got[2].n_pixels, got[2].px_mean) == ("P5", 4, 2.5)
+    assert not got[3].decode_ok and got[3].format == "invalid"
