@@ -94,8 +94,13 @@ def asof_join(
     the last right-side value forward (``is_l`` breaks ts ties so a right
     row at the same timestamp is visible — the inclusive <= of ASOF). This
     is the scale shape: no range-join blowup, no per-row probe; cost is one
-    exchange + one sort regardless of time-density. Right side must be
-    unique per (key, ts) for determinism — pre-aggregate it."""
+    exchange + one sort regardless of time-density.
+
+    Right-side duplicates per (key, ts) resolve DETERMINISTICALLY to the
+    maximum value at that timestamp: the value column participates in the
+    window sort, so the tie-break is total and free (no pre-aggregation
+    pass, no extra exchange) instead of a documented-but-unenforced
+    uniqueness precondition."""
     from pyspark.sql import Window
 
     lcols = [c for c in left.columns if c not in (on, ts)]
@@ -106,7 +111,9 @@ def asof_join(
         on, ts, *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         F.lit(0).alias("is_l"), F.col(value_col).alias(out_col),
     )
-    w = Window.partitionBy(on).orderBy(ts, "is_l").rowsBetween(Window.unboundedPreceding, 0)
+    # (ts, is_l, out_col) is a total order over observationally-distinct
+    # rows: right dupes at one ts sort ascending by value, so last() = max.
+    w = Window.partitionBy(on).orderBy(ts, "is_l", out_col).rowsBetween(Window.unboundedPreceding, 0)
     return (
         l.unionByName(r)
         .withColumn(out_col, F.last(out_col, ignorenulls=True).over(w))

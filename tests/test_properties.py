@@ -38,7 +38,9 @@ def test_salted_join_equivalence(spark, rows, salt_n):
 )
 @settings(**SETTINGS)
 def test_asof_join_matches_bruteforce(spark, left, right):
-    # dedupe right per (key, ts): keep max value (the operator's determinism contract)
+    # the operator gets the RAW right side, duplicates and all; only the
+    # brute-force reference dedups to max-per-(key, ts) — this property IS
+    # the operator's determinism contract for duplicate right rows
     rdedup = {}
     for k, ts, v in right:
         rdedup[(k, ts)] = max(rdedup.get((k, ts), v), v)
@@ -46,7 +48,7 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         [(i, k, ts) for i, (k, ts) in enumerate(left)], "lid long, k int, ts long"
     )
     r_df = spark.createDataFrame(
-        [(k, ts, v) for (k, ts), v in rdedup.items()] or [(None, None, None)],
+        right or [(None, None, None)],
         "k int, ts long, val int",
     ).where(F.col("k").isNotNull())
     got = {
