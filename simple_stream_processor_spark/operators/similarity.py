@@ -203,3 +203,36 @@ def batch_cosine_topk(emb: DataFrame, n_probes: int = 5, k: int = 3) -> DataFram
 
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def hard_negatives(emb: DataFrame, n_probes: int = 5, k: int = 3) -> DataFrame:
+    """Hard-negative mining for contrastive training: per probe, the top-k
+    most-similar corpus vectors whose label DIFFERS from the probe's — the
+    near-miss examples a retrieval/embedding trainer wants in the batch.
+
+    Same scale shape as batch_cosine_topk (probes broadcast, corpus never
+    shuffles, per-probe top-k is a WindowGroupLimit rank filter); the label
+    inequality rides the narrow scoring stage, so mining cost equals one
+    corpus scan regardless of probe count."""
+    probes = emb.where(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").cast("array<double>").alias("probe_v"),
+    )
+    scored = (
+        spread(emb, "vec_id")
+        .where(F.col("vec_id") >= n_probes)
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("label") != F.col("probe_label"))
+        .select(
+            "probe_id",
+            "probe_label",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding").cast("array<double>"), F.col("probe_v")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -1151,3 +1151,137 @@ def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = d.select("doc_id", "source", ((n_dist / n_tok) * (1 - n_stop / n_tok)).alias("quality"))
     w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
     return q.withColumn("pr", F.percent_rank().over(w)).where(F.col("pr") <= 0.5)
+
+
+@query(
+    "q_bm25_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl FROM documents
+    )
+    SELECT doc_id, token, bm25
+    FROM (
+      SELECT tf.doc_id AS doc_id, tf.token AS token,
+             round(((n_docs + 1.0) / (df + 1))
+                   * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 6) AS bm25,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ((n_docs + 1.0) / (df + 1))
+                        * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) DESC,
+                        tf.token ASC
+             ) AS rn
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN dfreq ON tf.token = dfreq.token
+      CROSS JOIN stats
+    ) scored
+    WHERE rn <= 3
+    """,
+)
+def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 term scoring (k1=1.2, b=0.75), top-3 terms per document — the
+    retrieval-grade refinement of q_tfidf_topterms: term-frequency
+    SATURATION (tf*(k1+1)/(tf+k1·norm)) and document-length normalization
+    (norm = 1-b+b·dl/avgdl), which plain TF-IDF lacks. The idf keeps the
+    rational smoothed-reciprocal form (N+1)/(df+1) so every factor is
+    rational in exact integers and the double arithmetic is bit-identical
+    cross-engine (a log-idf would hinge on libm ulps; it induces the same
+    per-term ranking). Shuffle story at 100 TB: tf combines map-side on
+    (doc, token); dl is a narrow per-doc projection joined on the tf
+    exchange; df and the corpus stats broadcast; top-k is a bounded
+    per-doc WindowGroupLimit."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = docs.select("doc_id", F.size(text.tokens(F.col("text"))).alias("dl"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(text.tokens(F.col("text")))).alias("avgdl"),
+    )
+    idf = (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1))
+    sat = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+    )
+    score = idf * sat
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token").asc())
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "token", F.round(score, 6).alias("bm25"))
+    )
+
+
+@query(
+    "q_hard_negatives",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, label AS probe_label, v AS pv FROM e WHERE vec_id < 5)
+    SELECT probe_id, probe_label, vec_id, label,
+           list_dot_product(v, pv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS cos_sim,
+           row_number() OVER (PARTITION BY probe_id ORDER BY
+             list_dot_product(v, pv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) DESC,
+             vec_id) AS rk
+    FROM e, p WHERE vec_id >= 5 AND label != probe_label
+    QUALIFY rk <= 3
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:hard_negatives): per
+    probe, the top-3 most-cosine-similar corpus vectors with a DIFFERENT
+    label — the near-miss negatives a contrastive trainer packs into each
+    batch. Probes broadcast; the corpus never shuffles; the label
+    inequality is evaluated inside the narrow scoring stage so mining is
+    one corpus scan."""
+    return similarity.hard_negatives(_t(spark, sf_dir, "embeddings"), n_probes=5, k=3)
+
+
+@query(
+    "q_source_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY source) AS n_source
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, rk, n_source FROM ranked WHERE rk <= 5
+    """,
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap — the curation step that stops overrepresented
+    sources from dominating a training mix: keep the top-5 documents per
+    source by length (doc_id tie-break), carrying each source's total so
+    downstream mixing can see what was dropped. The total is a separate
+    aggregate broadcast back in — stacked as a second window over the same
+    key it would block Spark's WindowGroupLimit pushdown and fully sort
+    every source group. As written: per-partition top-k heaps per source,
+    one shuffle of the id/length projection (never the text), a
+    source-cardinality aggregate, no global sort."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .join(F.broadcast(counts), "source")
+        .select("source", "doc_id", "n_chars", "rk", "n_source")
+    )

@@ -255,3 +255,32 @@ def test_watermark_cadence_no_global_rank(spark, sf_dir):
 
     assert "row_number" not in plan
     assert len(re.findall(r"Exchange SinglePartition", plan)) <= 1
+
+
+def test_source_cap_single_exchange_window_group_limit(spark, sf_dir):
+    """Per-source cap: the rank filter must stay WindowGroupLimit-eligible
+    (per-source totals broadcast in from a separate aggregate — stacking a
+    count window on top would disable the pushdown and fully sort every
+    group), with only the source-keyed window + tiny agg exchanges."""
+    plan = plan_of(spark, sf_dir, "q_source_cap")
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_hard_negatives_corpus_never_shuffles(spark, sf_dir):
+    """Hard-negative mining: probes broadcast into a nested-loop scoring
+    stage; the only hash exchange is the per-probe top-k window on the
+    (tiny) scored side — the corpus itself never hash-partitions."""
+    plan = plan_of(spark, sf_dir, "q_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_bm25_has_mapside_combine(spark, sf_dir):
+    """BM25: term frequencies must combine map-side before the (doc,token)
+    exchange; df and corpus stats broadcast back."""
+    plan = plan_of(spark, sf_dir, "q_bm25_topterms")
+    assert "partial_count" in plan or "partial count" in plan
+    assert "BroadcastHashJoin" in plan
