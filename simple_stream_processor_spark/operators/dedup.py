@@ -264,6 +264,49 @@ def ngram_jaccard_lsh(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     return verify_jaccard(pairs, sh, threshold)
 
 
+def verify_containment(pairs: DataFrame, sh: DataFrame, threshold: float, broadcast_threshold: int = 100_000) -> DataFrame:
+    """Exact max-containment on candidate pairs: |A∩B| / min(|A|, |B|) —
+    the ASYMMETRIC near-dup measure. Jaccard misses subset duplication (a
+    paragraph quoted inside a 100× larger page scores |∩|/|∪| ≈ 0.01);
+    containment scores it 1.0, which is what a curation pipeline needs to
+    catch wrapper pages and quote farms. Same bounded shuffle discipline
+    as verify_jaccard: candidate shingles move once, sets broadcast under
+    the same count gate."""
+    n_pairs = pairs.count()
+    hint = F.broadcast if n_pairs <= broadcast_threshold else (lambda d: d)
+    cand = pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    csets = (
+        sh.join(hint(cand), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shset"), F.count(F.lit(1)).alias("n_sh"))
+    )
+    a = csets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    b = csets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(hint(a), "doc_a")
+        .join(hint(b), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / F.least(F.col("n_a"), F.col("n_b")).cast("double")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
+def ngram_containment_lsh(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Word-bigram max-containment near-dup over the SAME MinHash-LSH
+    candidate machinery as ngram_jaccard_lsh — one candidate generation,
+    two verification semantics. Recall inherits LSH's Jaccard-tuned
+    banding (a tiny-subset-of-huge-doc pair may not collide; catching
+    those needs asymmetric sketches — documented limit, not hidden)."""
+    sh = shingle_table(docs, k=2).persist()
+    sigs = minhash_signatures(sh)
+    pairs = candidate_pairs(lsh_band_table(sigs)).persist()
+    return verify_containment(pairs, sh, threshold)
+
+
 # --- Embedding near-dup ------------------------------------------------------
 
 

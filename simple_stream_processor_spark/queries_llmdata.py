@@ -1285,3 +1285,129 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(counts), "source")
         .select("source", "doc_id", "n_chars", "rk", "n_source")
     )
+
+
+@query(
+    "q_ngram_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1]))) AS shingle
+      FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {_MINHASH_SIGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx,
+             md5(sig0::VARCHAR || '_' || sig1::VARCHAR || '_' || sig2::VARCHAR || '_' || sig3::VARCHAR) AS band_key
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx,
+             md5(sig4::VARCHAR || '_' || sig5::VARCHAR || '_' || sig6::VARCHAR || '_' || sig7::VARCHAR) AS band_key
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           i.inter::DOUBLE / least(ca.n, cb.n)::DOUBLE AS containment
+    FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
+    WHERE i.inter::DOUBLE / least(ca.n, cb.n)::DOUBLE >= 0.6
+    """,
+)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: max-containment |A∩B| / min(|A|,|B|) over
+    word-bigram sets (operators/dedup.py:ngram_containment_lsh). Jaccard
+    misses subset duplication — a paragraph quoted inside a 100× larger
+    page scores ~0.01 Jaccard but 1.0 containment, exactly the wrapper-
+    page/quote-farm case a curation pipeline must catch. Same LSH
+    candidate machinery as q_ngram_jaccard (one candidate generation, two
+    verification semantics; the oracle runs the identical algorithm)."""
+    return dedup.ngram_containment_lsh(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@query(
+    "q_pq_codes",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    subs AS (
+      SELECT vec_id, label, t.s AS s, v[t.s*16+1 : t.s*16+16] AS sv
+      FROM e, unnest(range(0, 4)) AS t(s)
+    ),
+    ex AS (
+      SELECT label, s, u.i AS pos, sv[u.i] AS x
+      FROM subs, unnest(range(1, len(sv) + 1)) AS u(i)
+    ),
+    cbl AS (SELECT label, s, pos, round(avg(x), 6) AS c FROM ex GROUP BY label, s, pos),
+    cb AS (SELECT label AS cb_label, s, list(c ORDER BY pos) AS cv FROM cbl GROUP BY label, s),
+    scored AS (
+      SELECT subs.vec_id, subs.s AS s, cb.cb_label,
+             list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv) + list_dot_product(cv, cv) AS d2,
+             row_number() OVER (
+               PARTITION BY subs.vec_id, subs.s
+               ORDER BY list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv) + list_dot_product(cv, cv) ASC,
+                        cb.cb_label ASC
+             ) AS rn
+      FROM subs JOIN cb ON subs.s = cb.s
+    )
+    SELECT vec_id, s, cb_label AS code, round(d2, 6) AS sq_err
+    FROM scored WHERE rn = 1
+    """,
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (M=4 subspaces × per-label codebooks): each
+    64-dim embedding compresses to 4 codebook ids + per-subspace squared
+    reconstruction error — the index-compression step that makes
+    billion-vector ANN RAM-resident (codes are 4 bytes vs 256). Deterministic
+    codebooks (per-label subvector means, the same engine-portable k-means
+    stand-in as IVF); distances use the 3-dot-product expansion
+    |a-b|² = a·a - 2a·b + b·b with sequential-fold dots so Spark and DuckDB
+    agree bitwise. One posexplode aggregation builds all M codebooks
+    (map-side combined, k×d partials on the wire); codebooks broadcast into
+    a narrow assignment stage; argmin is a per-(vec,subspace) rank window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    m, w = 4, 16
+    e = tables.spread(emb, "vec_id").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subs = e.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(*[F.struct(F.lit(s).alias("s"), F.slice("v", s * w + 1, w).alias("sv")) for s in range(m)])
+        ).alias("t"),
+    ).select("vec_id", "label", F.col("t.s").alias("s"), F.col("t.sv").alias("sv"))
+    ex = subs.select("label", "s", F.posexplode("sv").alias("pos", "x"))
+    cbl = ex.groupBy("label", "s", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
+    cb = (
+        cbl.groupBy("label", "s")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda st: st["c"]).alias("cv"))
+        .select(F.col("label").alias("cb_label"), "s", "cv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+    d2 = dot(F.col("sv"), F.col("sv")) - F.lit(2.0) * dot(F.col("sv"), F.col("cv")) + dot(F.col("cv"), F.col("cv"))
+    from pyspark.sql import Window
+
+    scored = subs.join(F.broadcast(cb), "s").withColumn("d2", d2)
+    rw = Window.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("cb_label").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("cb_label").alias("code"), F.round("d2", 6).alias("sq_err"))
+    )
