@@ -68,6 +68,12 @@ HEADLINE = [
     "q_winsorize",
     "q_text_normalize",
     "q_quality_prune",
+    "q_bm25_topterms",
+    "q_hard_negatives",
+    "q_source_cap",
+    "q_pq_codes",
+    "q_ngram_containment",
+    "q_multimodal_decode",
 ]
 
 

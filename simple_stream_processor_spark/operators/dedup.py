@@ -135,6 +135,17 @@ def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float, broadcast_
     to one exchange per side instead of failing at the broadcast limit. At
     100 TB, also swap ``sh`` for a recompute-on-candidates scan (filter docs
     on the candidate ids *before* exploding shingles)."""
+    scored, inter = _scored_pairs(pairs, sh, broadcast_threshold)
+    jaccard = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")
+    return scored.select("doc_a", "doc_b", jaccard.alias("jaccard")).where(F.col("jaccard") >= threshold)
+
+
+def _scored_pairs(pairs: DataFrame, sh: DataFrame, broadcast_threshold: int):
+    """Shared candidate-verification plumbing for the set-overlap verifiers:
+    aggregate candidate docs' shingle sets once (gated broadcast, see
+    verify_jaccard), join both sides onto the pair table, and hand back the
+    joined frame plus the intersection-size column — the verifier applies
+    its own similarity formula (Jaccard, containment, ...) on top."""
     n_pairs = pairs.count()  # bounded: collision-proportional candidate set
     hint = F.broadcast if n_pairs <= broadcast_threshold else (lambda d: d)
     cand = pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
@@ -146,16 +157,7 @@ def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float, broadcast_
     a = csets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a"), F.col("n_sh").alias("n_a"))
     b = csets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b"), F.col("n_sh").alias("n_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
-        pairs.join(hint(a), "doc_a")
-        .join(hint(b), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return pairs.join(hint(a), "doc_a").join(hint(b), "doc_b"), inter
 
 
 def minhash_dedup(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> DataFrame:
@@ -270,29 +272,11 @@ def verify_containment(pairs: DataFrame, sh: DataFrame, threshold: float, broadc
     paragraph quoted inside a 100× larger page scores |∩|/|∪| ≈ 0.01);
     containment scores it 1.0, which is what a curation pipeline needs to
     catch wrapper pages and quote farms. Same bounded shuffle discipline
-    as verify_jaccard: candidate shingles move once, sets broadcast under
-    the same count gate."""
-    n_pairs = pairs.count()
-    hint = F.broadcast if n_pairs <= broadcast_threshold else (lambda d: d)
-    cand = pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
-    csets = (
-        sh.join(hint(cand), "doc_id")
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("shset"), F.count(F.lit(1)).alias("n_sh"))
-    )
-    a = csets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a"), F.col("n_sh").alias("n_a"))
-    b = csets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b"), F.col("n_sh").alias("n_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
-        pairs.join(hint(a), "doc_a")
-        .join(hint(b), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter.cast("double") / F.least(F.col("n_a"), F.col("n_b")).cast("double")).alias("containment"),
-        )
-        .where(F.col("containment") >= threshold)
-    )
+    as verify_jaccard (shared via _scored_pairs): candidate shingles move
+    once, sets broadcast under the same count gate."""
+    scored, inter = _scored_pairs(pairs, sh, broadcast_threshold)
+    containment = inter.cast("double") / F.least(F.col("n_a"), F.col("n_b")).cast("double")
+    return scored.select("doc_a", "doc_b", containment.alias("containment")).where(F.col("containment") >= threshold)
 
 
 def ngram_containment_lsh(docs: DataFrame, threshold: float = 0.6) -> DataFrame:

@@ -284,3 +284,13 @@ def test_bm25_has_mapside_combine(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_bm25_topterms")
     assert "partial_count" in plan or "partial count" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_codebooks_broadcast_into_assignment(spark, sf_dir):
+    """Product quantization: the posexplode codebook aggregate must combine
+    map-side, and the k×M codebook table must broadcast into the narrow
+    assignment stage — the corpus subvectors never hash-shuffle for it."""
+    plan = plan_of(spark, sf_dir, "q_pq_codes")
+    assert "partial_avg" in plan or "partial avg" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
