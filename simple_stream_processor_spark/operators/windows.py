@@ -136,3 +136,55 @@ def watermark_cadence(df: DataFrame, order_col: str, ts_col: str, emit_every_n: 
         "is_late", F.when(F.col("wm_ms").isNotNull() & (F.col("_ts_ms") < F.col("wm_ms")), F.lit(True)).otherwise(F.lit(False))
     )
     return out
+
+
+def sweep_concurrency(
+    df: DataFrame,
+    ts_col: str,
+    duration_ms_col: Column,
+    id_col: str,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Sweep-line interval concurrency: how many intervals
+    ``[ts, ts + duration)`` are open at each boundary event — the classic
+    concurrent-sessions / open-connections analytic.
+
+    The textbook form is a GLOBAL running sum over +1/-1 boundary events —
+    a single-partition window, the exact shape this module's cadence
+    rewrite eliminated. Scalable two-level formulation instead:
+
+    1. boundaries bucket by ``floor(t / bucket_s)``;
+    2. per-bucket delta sums (one small aggregate) prefix-sum ONCE over the
+       bucket table (rows/bucket_size rows — the only single-partition
+       step) and broadcast back as each bucket's starting offset;
+    3. within a bucket the running sum is a partition-local window.
+
+    Concurrency(row) = bucket_offset + intra-bucket running sum, exact for
+    any tie pattern because the order (t, delta, id) is total: at equal t,
+    ends (-1) apply before starts (+1) — half-open interval semantics.
+    """
+    t_ms = (F.col(ts_col).cast("double") * 1000).cast("long")
+    # duration_ms_col must already be integral milliseconds: a double->long
+    # cast TRUNCATES in Spark while SQL round() rounds, so callers do the
+    # rounding explicitly where the oracle can mirror it exactly
+    starts = df.select(t_ms.alias("t_ms"), F.lit(1).alias("delta"), F.col(id_col).alias("iid"))
+    ends = df.select(
+        (t_ms + duration_ms_col).alias("t_ms"),
+        F.lit(-1).alias("delta"),
+        F.col(id_col).alias("iid"),
+    )
+    bounds = starts.unionByName(ends).withColumn("bucket", F.floor(F.col("t_ms") / F.lit(bucket_s * 1000)).cast("long"))
+    per_bucket = bounds.groupBy("bucket").agg(F.sum("delta").alias("bucket_sum"))
+    offsets = per_bucket.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("bucket_sum").over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("bucket", "offset")
+    intra = Window.partitionBy("bucket").orderBy("t_ms", "delta", "iid").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bounds.join(F.broadcast(offsets), "bucket")
+        .withColumn("concurrency", (F.col("offset") + F.sum("delta").over(intra)).cast("long"))
+        .select("t_ms", "delta", "iid", "concurrency")
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simple_stream_processor_spark.operators import relational
+from simple_stream_processor_spark.operators import relational, windows
 from simple_stream_processor_spark.registry import query
 from simple_stream_processor_spark.tables import load_table
 
@@ -1342,3 +1342,32 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(clamped * 100, 0).cast("long")).cast("long").alias("win_sum_cents"),
         )
     )
+
+
+@query(
+    "q_interval_concurrency",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch_ms(ts) AS t_ms, 1 AS delta, event_id AS iid FROM events
+      UNION ALL
+      SELECT epoch_ms(ts) + CAST(round(value * 1000, 0) AS BIGINT), -1, event_id FROM events
+    )
+    SELECT CAST(t_ms AS BIGINT) AS t_ms, CAST(delta AS BIGINT) AS delta,
+           CAST(iid AS BIGINT) AS iid,
+           CAST(sum(delta) OVER (ORDER BY t_ms, delta, iid
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
+    FROM bounds
+    """,
+)
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency (operators/windows.py:sweep_concurrency):
+    each event opens an interval of ``value`` seconds; the output is the
+    number of concurrently-open intervals at every boundary — concurrent
+    sessions / open connections over time. The oracle is the textbook
+    global running sum; the Spark plan is the two-level prefix sum (bucket
+    partials + broadcast offsets + partition-local windows), so the only
+    single-partition step touches rows/bucket_size rows. Ties are exact:
+    (t, delta, id) is a total order with ends applying before starts."""
+    ev = _t(spark, sf_dir, "events")
+    dur_ms = F.round(F.col("value") * 1000, 0).cast("long")  # mirrors the oracle's round-then-cast
+    return windows.sweep_concurrency(ev, "ts", dur_ms, "event_id", bucket_s=3600)

@@ -294,3 +294,14 @@ def test_pq_codebooks_broadcast_into_assignment(spark, sf_dir):
     assert "partial_avg" in plan or "partial avg" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sweep_concurrency_no_global_running_sum(spark, sf_dir):
+    """Interval concurrency must use the two-level prefix sum: the only
+    single-partition window is over the per-bucket table (rows/bucket_size
+    rows); record-level running sums are partition-local per bucket."""
+    plan = plan_of(spark, sf_dir, "q_interval_concurrency")
+    import re
+
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 1
+    assert "row_number" not in plan
