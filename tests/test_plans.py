@@ -305,3 +305,32 @@ def test_sweep_concurrency_no_global_running_sum(spark, sf_dir):
 
     assert len(re.findall(r"Exchange SinglePartition", plan)) <= 1
     assert "row_number" not in plan
+
+
+def test_plan_audit_whole_repo(spark, sf_dir):
+    """Global plan lint (tools/plan_audit.py) over every non-streaming
+    declared query: no row-at-a-time Python eval, no non-broadcast
+    cartesian product, and single-partition exchanges within the
+    per-query budget (default 1; explicit justified allowances only)."""
+    import re as _re
+
+    from tools.plan_audit import (
+        FORBIDDEN,
+        SINGLE_PARTITION_ALLOWANCE,
+        SINGLE_PARTITION_BUDGET,
+        STREAMING_PREFIXES,
+    )
+
+    failures = {}
+    for name in QUERIES:
+        if name.startswith(STREAMING_PREFIXES):
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        problems = [pat for pat in FORBIDDEN if pat in plan]
+        n_single = len(_re.findall(r"Exchange SinglePartition", plan))
+        budget = SINGLE_PARTITION_ALLOWANCE.get(name, SINGLE_PARTITION_BUDGET)
+        if n_single > budget:
+            problems.append(f"{n_single} single-partition exchanges > {budget}")
+        if problems:
+            failures[name] = problems
+    assert not failures, failures

@@ -1,0 +1,108 @@
+"""Repo-wide physical-plan linter: build every declared query's plan and
+flag scale anti-patterns before they reach a cluster.
+
+Rules (SCALE.md §1 discipline):
+- FORBIDDEN  BatchEvalPython      — row-at-a-time Python UDF in any plan
+                                    (Arrow/pandas is the only sanctioned
+                                    Python boundary: ArrowEvalPython,
+                                    MapInPandas, FlatMapGroupsInPandas*).
+- FORBIDDEN  CartesianProduct     — a non-broadcast cross join; every
+                                    intentional cross join in this repo
+                                    broadcasts one side
+                                    (BroadcastNestedLoopJoin).
+- BUDGETED   Exchange SinglePartition ≤ 1 — at most one single-partition
+                                    exchange per plan, and only for
+                                    provably-small inputs (final global
+                                    aggregates, block/bucket tables).
+
+Streaming queries are skipped: they execute a stream into a memory sink
+inside the builder, so their returned "plan" is a local table scan (their
+plan discipline is asserted by the streaming tests instead).
+
+Usage: python tools/plan_audit.py [sf_dir]    # default /root/testdata/sf0.001
+Exit 1 if any rule fails; one JSON summary line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
+SINGLE_PARTITION_BUDGET = 1
+
+# Explicit, justified allowances above the default budget. Every entry must
+# be a plan whose single-partition exchanges each carry only
+# partial-aggregated rows (#tasks rows or one row), never record-level data.
+SINGLE_PARTITION_ALLOWANCE = {
+    # two FK audits union two one-row aggregates (each final agg is a
+    # SinglePartition exchange over #tasks partial rows)
+    "q_integrity_audit": 2,
+    # the scalar first-day aggregate feeds two consumers (probe build +
+    # exclusion filter); exchange reuse does not fire across the differing
+    # filters, so the one-row agg materializes twice
+    "q_timeseries_similarity": 2,
+    # the one-row first-error aggregate is joined into the prefix filter
+    # AND projected into the fallback row — two one-row exchanges
+    "q_recover_value": 2,
+    "q_recover_with_stream": 2,
+}
+
+STREAMING_PREFIXES = ("q_stream", "q_streaming", "q_managed")
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "extended")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    import __spark_entry__ as entrymod
+    from simple_stream_processor_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    qs = entrymod.queries()
+
+    failures: dict[str, list[str]] = {}
+    skipped: list[str] = []
+    t0 = time.perf_counter()
+    for name, fn in qs.items():
+        if name.startswith(STREAMING_PREFIXES):
+            skipped.append(name)
+            continue
+        try:
+            plan = plan_of(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            failures[name] = [f"plan build error: {type(e).__name__}: {e}"[:200]]
+            continue
+        problems = [pat for pat in FORBIDDEN if pat in plan]
+        n_single = len(re.findall(r"Exchange SinglePartition", plan))
+        budget = SINGLE_PARTITION_ALLOWANCE.get(name, SINGLE_PARTITION_BUDGET)
+        if n_single > budget:
+            problems.append(f"{n_single} single-partition exchanges (budget {budget})")
+        if problems:
+            failures[name] = problems
+            print(f"FAIL  {name}: {problems}", file=sys.stderr)
+        else:
+            print(f"ok    {name}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "audited": len(qs) - len(skipped),
+                "skipped_streaming": len(skipped),
+                "failures": failures,
+                "wall_s": round(time.perf_counter() - t0, 1),
+            }
+        )
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
