@@ -220,3 +220,73 @@ def test_zorder_value_matches_python_interleave(spark, xy):
         return z
 
     assert got == [interleave(x, y) for x, y in xy]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50_000), st.integers(0, 20_000)),  # (start_ms, dur_ms)
+        min_size=1,
+        max_size=40,
+    ),
+    bucket_s=st.integers(1, 20),
+)
+@settings(**SETTINGS)
+def test_sweep_concurrency_matches_bruteforce(spark, rows, bucket_s):
+    """Two-level prefix sum == textbook global running sum, for any tie
+    pattern and any bucket width (including buckets holding one boundary
+    and buckets holding all of them)."""
+    from pyspark.sql.types import StructType, StructField, LongType, TimestampType
+    import datetime
+
+    data = [
+        (i, datetime.datetime.utcfromtimestamp(start / 1000.0), start, dur)
+        for i, (start, dur) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, dur) for i, ts, start, dur in data], "iid long, ts timestamp, dur_ms long"
+    )
+    got = {
+        (r.t_ms, r.delta, r.iid): r.concurrency
+        for r in windows.sweep_concurrency(df, "ts", F.col("dur_ms"), "iid", bucket_s=bucket_s).collect()
+    }
+    bounds = sorted(
+        [(start, 1, i) for i, _, start, dur in data] + [(start + dur, -1, i) for i, _, start, dur in data]
+    )
+    running, want = 0, {}
+    for t, delta, i in bounds:
+        running += delta
+        want[(t, delta, i)] = running
+    assert got == want
+
+
+@given(
+    perm=st.permutations(range(12)),
+    gaps=st.booleans(),
+    n=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_watermark_cadence_dense_and_fallback_agree(spark, perm, gaps, n):
+    """The arithmetic (dense-key) block path and the rank fallback must
+    implement the same cadence: blocks of N in order-key order, watermark =
+    running max of completed blocks. With gaps forced into the key space the
+    operator takes the fallback path; both must match the brute force."""
+    ids = [i * 3 + 1 for i in perm] if gaps else list(perm)
+    rows = [(iid, float(((iid * 7) % 13) + 1)) for iid in ids]
+    df = spark.createDataFrame(rows, "arrival long, ts double").select(
+        "arrival", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        r.arrival: (r.block, r.wm_ms, r.is_late)
+        for r in windows.watermark_cadence(df, "arrival", "ts", n).collect()
+    }
+    want = {}
+    ordered = sorted(rows)
+    wm = None
+    block_max = {}
+    for rank, (iid, ts) in enumerate(ordered):
+        block = rank // n
+        wm_in_force = max((m for b, m in block_max.items() if b < block), default=None)
+        ts_ms = int(ts * 1000)
+        want[iid] = (block, wm_in_force, wm_in_force is not None and ts_ms < wm_in_force)
+        block_max[block] = max(block_max.get(block, 0), ts_ms)
+    assert out == want
