@@ -1411,3 +1411,60 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "s", F.col("cb_label").alias("code"), F.round("d2", 6).alias("sq_err"))
     )
+
+
+@query(
+    "q_lang_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {", ".join(_lang_score_sql(lg) for lg in _LANGS)}
+      FROM documents
+    ), withbest AS (
+      SELECT *, greatest({", ".join("score_" + lg for lg in _LANGS)}) AS best FROM scored
+    ), pred AS (
+      SELECT labeled_lang, {_PRED_CASE} AS pred_lang FROM withbest
+    )
+    SELECT labeled_lang, pred_lang, count(*) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY labeled_lang), 4) AS row_frac
+    FROM pred GROUP BY labeled_lang, pred_lang
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation for the lang-ID heuristic: the labeled-vs-
+    predicted confusion matrix with per-label row fractions — the measure-
+    don't-guess step before trusting a filter at corpus scale. One narrow
+    scoring pass (the lang-ID expressions), one languages²-bounded
+    aggregate, a label-partitioned window over the tiny matrix."""
+    from pyspark.sql import Window
+
+    scored = text.lang_id(_t(spark, sf_dir, "documents")).select("labeled_lang", "pred_lang")
+    m = scored.groupBy("labeled_lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("labeled_lang")
+    return m.withColumn("row_frac", F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(w), 4))
+
+
+@query(
+    "q_dedup_rate_report",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_dup_rows,
+           round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4) AS dup_frac
+    FROM documents GROUP BY source
+    """,
+)
+def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report — the health metric that tells a
+    curation pipeline WHERE its exact-dup mass lives before it deletes
+    anything. Digest-groupBy discipline: the exchange carries (source,
+    16-byte md5) pairs for the distinct count, never text."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("source", F.md5(F.encode(F.col("text"), "UTF-8")).alias("digest"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("digest").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("digest")).alias("n_dup_rows"),
+        F.round(F.lit(1.0) - F.countDistinct("digest") * F.lit(1.0) / F.count(F.lit(1)), 4).alias("dup_frac"),
+    )
