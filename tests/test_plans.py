@@ -334,3 +334,48 @@ def test_plan_audit_whole_repo(spark, sf_dir):
         if problems:
             failures[name] = problems
     assert not failures, failures
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """AQE skew-join handling, proven live (SCALE.md §3): a fact table
+    where ONE key owns half the rows, sort-merge-joined under thresholds
+    scaled to the fixture, must come out of adaptive execution with the
+    skewed partition split (skew=true in the final plan) — the runtime
+    half of the skew story (salting, q_salted_join, is the deterministic
+    half)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        n = 200_000
+        fact = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            # the payload must SURVIVE the join (max(pay) below): column
+            # pruning would otherwise shrink the hot partition under the
+            # skew threshold and nothing would trigger
+            F.concat(F.lit("payload_"), F.col("id"), F.lit("x" * 40)).alias("pay"),
+        )
+        dim = spark.range(1000).select(F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name"))
+        j = fact.join(dim, "k").groupBy("name").agg(F.count(F.lit(1)).alias("c"), F.max("pay").alias("mp"))
+        rows = j.collect()  # execute THIS plan so AQE finalizes it
+        assert sum(r.c for r in rows) == n  # correctness under the split
+        final_plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "simple")
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -406,3 +406,56 @@ def test_streaming_watermark_cadence_adr_example(spark):
         5: (8000, True),  # WM 8s in force; 4 < 8 -> dropped, counter +1
     }
     assert sum(1 for wm, late in rows.values() if late) == 1  # ssp_late_event_dropped_total
+
+
+def test_streaming_restart_from_checkpoint_recovers_offsets_and_state(spark):
+    """Fault tolerance at the engine level (the 100 TB operational story —
+    a 1000-executor job WILL lose its driver eventually): a stateful
+    streaming query stopped and restarted from its checkpoint must
+    (a) not reprocess already-committed input (offset log recovery: no
+    duplicate output rows), and (b) keep its dedup state across the
+    restart (state-store recovery: a key first seen before the stop is
+    still a duplicate after it)."""
+    d = _micro_batch_dir()
+    out_dir = os.path.join(d, "_out")
+    chk = os.path.join(d, "_chk")
+
+    def write(rows):
+        _write_batch(spark, d, rows, 0)
+
+    def start():
+        sdf = (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(d)
+        )
+        dd = streaming_dedup(sdf.withColumn("k", F.col("value")), ["k"], "ts", "1 minute").select("k", "ts")
+        return (
+            dd.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+
+    write([("k1", 1000), ("k2", 2000)])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # driver goes down
+
+    # input arrives while the query is down: k1 is a dup within the horizon
+    write([("k1", 30000), ("k3", 31000)])
+
+    q = start()  # restart from the SAME checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted((r.k, r.ts.second) for r in spark.read.parquet(out_dir).collect())
+    # exactly once: k1@1s survives (not reprocessed, not re-emitted), the
+    # post-restart k1@30s was deduped by RECOVERED state, k3 is new
+    assert got == [("k1", 1), ("k2", 2), ("k3", 31)]
