@@ -379,3 +379,25 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_plan_audit_rules_are_not_vacuous(spark):
+    """The linter must actually fire: a deliberately row-at-a-time Python
+    UDF plan contains BatchEvalPython, and a non-broadcast cross join
+    contains CartesianProduct — the two patterns tools/plan_audit.py
+    forbids across the registry."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    def explain(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "extended")
+
+    bad_udf = F.udf(lambda x: x + 1, LongType(), useArrow=False)
+    assert "BatchEvalPython" in explain(spark.range(5).select(bad_udf(F.col("id"))))
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert "CartesianProduct" in explain(spark.range(3).crossJoin(spark.range(3)))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

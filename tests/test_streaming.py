@@ -459,3 +459,31 @@ def test_streaming_restart_from_checkpoint_recovers_offsets_and_state(spark):
     # exactly once: k1@1s survives (not reprocessed, not re-emitted), the
     # post-restart k1@30s was deduped by RECOVERED state, k3 is new
     assert got == [("k1", 1), ("k2", 2), ("k3", 31)]
+
+
+def test_streaming_watermark_cadence_per_key(spark):
+    """The distributed form: key=... gives each key its own cadence state.
+    Two interleaved keys with N=2 must each see their OWN watermark, not a
+    global one."""
+    import pandas as pd
+
+    from simple_stream_processor_spark.streaming.windows import streaming_watermark_cadence
+
+    d = _micro_batch_dir()
+    pdf = pd.DataFrame(
+        # key A: ts 1s,5s then late 2s; key B: ts 100s,200s (never late)
+        [(1, 1000, 0), (2, 5000, 0), (3, 100000, 1), (4, 200000, 1), (5, 2000, 0)],
+        columns=["event_id", "ts_ms", "k"],
+    )
+    spark.createDataFrame(pdf).select(
+        F.col("event_id").cast("long"),
+        F.timestamp_millis(F.col("ts_ms").cast("long")).alias("ts"),
+        F.col("k").cast("long"),
+    ).coalesce(1).write.mode("append").parquet(d)
+    sdf = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    out = streaming_watermark_cadence(sdf, "event_id", "ts", emit_every_n=2, key="k")
+    rows, _ = run_stream_to_memory(out, output_mode="append")
+    got = {r.event_id: (r.wm_ms, r.is_late) for r in rows.collect()}
+    assert got[1] == (None, False) and got[2] == (None, False)
+    assert got[3] == (None, False) and got[4] == (None, False)  # key B: own cadence, no WM yet
+    assert got[5] == (5000, True)  # key A's WM 5s dropped its late 2s record
