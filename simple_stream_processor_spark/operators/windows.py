@@ -124,8 +124,9 @@ def watermark_cadence(df: DataFrame, order_col: str, ts_col: str, emit_every_n: 
             .withColumn("block", F.floor((F.col("_rn") - 1) / F.lit(emit_every_n)).cast("long"))
             .drop("_rn")
         )
-    ts_ms = (F.col(ts_col).cast("double") * 1000).cast("long")
-    ranked = ranked.withColumn("_ts_ms", ts_ms)
+    # exact integer epoch-ms (unix_millis), never cast-to-double*1000:
+    # the double path truncates (1001 ms -> 1000.999... -> 1000)
+    ranked = ranked.withColumn("_ts_ms", F.unix_millis(F.col(ts_col)))
     # Per-block max event time, then running max over strictly-earlier blocks
     # = the watermark in force while a block's records arrive.
     block_max = ranked.groupBy("block").agg(F.max("_ts_ms").alias("_block_max"))
@@ -163,7 +164,7 @@ def sweep_concurrency(
     any tie pattern because the order (t, delta, id) is total: at equal t,
     ends (-1) apply before starts (+1) — half-open interval semantics.
     """
-    t_ms = (F.col(ts_col).cast("double") * 1000).cast("long")
+    t_ms = F.unix_millis(F.col(ts_col))  # exact ms; double*1000 truncates
     # duration_ms_col must already be integral milliseconds: a double->long
     # cast TRUNCATES in Spark while SQL round() rounds, so callers do the
     # rounding explicitly where the oracle can mirror it exactly

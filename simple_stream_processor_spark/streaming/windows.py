@@ -162,7 +162,7 @@ def streaming_watermark_cadence(sdf: DataFrame, order_col: str, ts_col: str, emi
         if rows:
             yield pd.DataFrame(rows, columns=[order_col, "ts_ms", "wm_ms", "is_late"])
 
-    ts_ms = (F.col(ts_col).cast("double") * 1000).cast("long").alias("_ts_ms")
+    ts_ms = F.unix_millis(F.col(ts_col)).alias("_ts_ms")  # exact ms; double*1000 truncates
     group = F.col(key) if key is not None else F.lit(0)
     prepared = sdf.select(F.col(order_col), ts_ms, group.alias("_g"))
     return prepared.groupBy("_g").applyInPandasWithState(
