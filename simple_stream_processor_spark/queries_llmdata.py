@@ -244,6 +244,21 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PAIRS_MEMO[key] = dedup.minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.5).persist()
     return _PAIRS_MEMO[key]
 
+
+# Same shared-intermediate pattern at bigram granularity: the shingle table
+# and LSH candidate pairs feed BOTH verification semantics (Jaccard +
+# containment) — one candidate generation, two consumers.
+_NGRAM_CAND_MEMO: dict = {}
+
+
+def _ngram_candidates(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _NGRAM_CAND_MEMO:
+        sh = dedup.shingle_table(_t(spark, sf_dir, "documents"), k=2).persist()
+        pairs = dedup.candidate_pairs(dedup.lsh_band_table(dedup.minhash_signatures(sh))).persist()
+        _NGRAM_CAND_MEMO[key] = (sh, pairs)
+    return _NGRAM_CAND_MEMO[key]
+
 @query(
     "q_minhash_dedup",
     oracle=f"""
@@ -385,8 +400,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard near-dup: MinHash-LSH candidates at bigram
     granularity, exact Jaccard ≥ 0.4 verify (see
     operators/dedup.py:ngram_jaccard_lsh for why length-blocking +
-    exhaustive verify can't scale)."""
-    return dedup.ngram_jaccard_lsh(_t(spark, sf_dir, "documents"), threshold=0.4)
+    exhaustive verify can't scale). Candidates come from the session memo
+    shared with q_ngram_containment — one generation, two verifiers."""
+    sh, pairs = _ngram_candidates(spark, sf_dir)
+    return dedup.verify_jaccard(pairs, sh, threshold=0.4)
 
 
 _COS = (
@@ -1334,9 +1351,11 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses subset duplication — a paragraph quoted inside a 100× larger
     page scores ~0.01 Jaccard but 1.0 containment, exactly the wrapper-
     page/quote-farm case a curation pipeline must catch. Same LSH
-    candidate machinery as q_ngram_jaccard (one candidate generation, two
-    verification semantics; the oracle runs the identical algorithm)."""
-    return dedup.ngram_containment_lsh(_t(spark, sf_dir, "documents"), threshold=0.6)
+    candidate machinery as q_ngram_jaccard — literally the same session-
+    memoized candidate tables (one generation, two verification
+    semantics); the oracle runs the identical algorithm."""
+    sh, pairs = _ngram_candidates(spark, sf_dir)
+    return dedup.verify_containment(pairs, sh, threshold=0.6)
 
 
 @query(
