@@ -62,7 +62,12 @@ _PRIORITY = [
     "q_funnel_by_segment", "q_analytic_distribution", "q_stats_agg",
     "q_chi_square",
     # ---------- window boundary (~50) ----------
-    # never driver-verified, queued for the next rotation
+    # Never driver-verified, queued for the ROUND-4 rotation: move these 11
+    # plus the round-3 additions (q_streaming_watermark_cadence,
+    # q_bm25_topterms, q_hard_negatives, q_source_cap, q_ngram_containment,
+    # q_pq_codes, q_interval_concurrency, q_lang_confusion,
+    # q_dedup_rate_report — currently at the registry tail) into the first
+    # 50 next round; everything above will have driver-green rows by then.
     "q_robust_stats_mad", "q_winsorize", "q_integrity_audit",
     "q_timeseries_similarity", "q_string_agg", "q_absence_pattern",
     "q_transition_matrix", "q_embedding_quantize", "q_ngram_heavy_hitters",

@@ -290,3 +290,66 @@ def test_watermark_cadence_dense_and_fallback_agree(spark, perm, gaps, n):
         want[iid] = (block, wm_in_force, wm_in_force is not None and ts_ms < wm_in_force)
         block_max[block] = max(block_max.get(block, 0), ts_ms)
     assert out == want
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(st.integers(0, 2), st.lists(st.integers(-5, 5), min_size=8, max_size=8)),
+        min_size=2,
+        max_size=12,
+    ),
+)
+@settings(**SETTINGS)
+def test_pq_assignment_matches_bruteforce(spark, vecs):
+    """PQ code assignment == numpy brute force: per-label subspace
+    codebooks (means rounded to 6dp), argmin by squared distance with
+    label tie-break, for random small vector sets."""
+    rows = [(i, lbl, [float(x) for x in v]) for i, (lbl, v) in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, v array<double>")
+    m, w = 2, 4
+
+    subs = df.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(*[F.struct(F.lit(s).alias("s"), F.slice("v", s * w + 1, w).alias("sv")) for s in range(m)])
+        ).alias("t"),
+    ).select("vec_id", "label", F.col("t.s").alias("s"), F.col("t.sv").alias("sv"))
+    ex = subs.select("label", "s", F.posexplode("sv").alias("pos", "x"))
+    cbl = ex.groupBy("label", "s", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
+    cb = (
+        cbl.groupBy("label", "s")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda t: t["c"]).alias("cv"))
+        .select(F.col("label").alias("cb_label"), "s", "cv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v_: acc + v_)
+
+    d2 = dot(F.col("sv"), F.col("sv")) - F.lit(2.0) * dot(F.col("sv"), F.col("cv")) + dot(F.col("cv"), F.col("cv"))
+    from pyspark.sql import Window as W
+
+    rw = W.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("cb_label").asc())
+    got = {
+        (r.vec_id, r.s): r.cb_label
+        for r in subs.join(F.broadcast(cb), "s")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+
+    # numpy brute force with the same rounding + tie-break
+    import numpy as np
+
+    labels = sorted({lbl for _, lbl, _ in rows})
+    books = {}
+    for s in range(m):
+        for lbl in labels:
+            members = np.array([v[s * w : (s + 1) * w] for _, l2, v in rows if l2 == lbl])
+            books[(lbl, s)] = np.round(members.mean(axis=0), 6)
+    for i, _, v in rows:
+        for s in range(m):
+            sv = np.array(v[s * w : (s + 1) * w])
+            best = min(labels, key=lambda lbl: (float(((sv - books[(lbl, s)]) ** 2).sum()), lbl))
+            assert got[(i, s)] == best, (i, s, got[(i, s)], best)
