@@ -4,14 +4,17 @@ payloads with typed metadata, processed by Arrow-batched Pandas UDFs.
 The Spark-side architecture here is real and tested — schema, partitioning,
 ``mapInPandas`` batch shape, metadata extraction. Codec status:
 
-- **netpbm (PPM P6 / PGM P5) is a REAL codec** (``decode_image`` +
-  ``_parse_netpbm`` below): genuine header parse, raster validation, and
-  numpy pixel statistics, value-checked against a byte-level SQL oracle
-  (q_multimodal_decode).
-- Library-dependent codec work (JPEG decode, audio resample, video
-  frame-sample) is STUBBED: the container deliberately ships no
-  image/audio libraries, so those steps raise ``NotImplementedError``
-  unless ``fake=True``, which substitutes a deterministic fake decoder
+- **netpbm (PPM P6 / PGM P5) is a REAL codec family**: decode
+  (``decode_image`` + ``_parse_netpbm``, value-checked against a
+  byte-level SQL oracle via q_multimodal_decode), resize
+  (``resize_ppm`` — numpy nearest-neighbor over the parsed raster,
+  re-emitting valid P6), and video-frame sampling (``sample_ppm_frames``
+  — walks ppm-pipe payloads, the consecutive-P6 byte format ffmpeg's
+  image2pipe emits).
+- Library-dependent codec work (JPEG decode, audio resample, generic
+  video) is STUBBED: the container deliberately ships no image/audio
+  libraries, so those steps raise ``NotImplementedError`` unless
+  ``fake=True``, which substitutes a deterministic fake decoder
   (byte-statistics features) that exercises the identical plumbing.
 
 100 TB design notes:
@@ -309,3 +312,109 @@ def documents_as_ppm(docs: DataFrame, width: int = 16, height: int = 8) -> DataF
         F.col("doc_id").alias("media_id"),
         F.concat(F.encode(F.lit(f"P6\n{width} {height}\n255\n"), "UTF-8"), F.encode(body, "UTF-8")).alias("payload"),
     )
+
+
+def _parse_ppm_p6_raw(payload: bytes, pos: int = 0):
+    """Parse ONE binary P6 image starting at ``pos``; return
+    (width, height, maxval, raster_start, raster_end) or None if malformed.
+    Shared by the real resize and the ppm-pipe frame splitter."""
+    if payload[pos : pos + 2] != b"P6":
+        return None
+    p, tokens = pos + 2, []
+    while len(tokens) < 3 and p < len(payload):
+        c = payload[p : p + 1]
+        if c.isspace():
+            p += 1
+        elif c == b"#":
+            while p < len(payload) and payload[p : p + 1] not in (b"\n", b"\r"):
+                p += 1
+        else:
+            start = p
+            while p < len(payload) and not payload[p : p + 1].isspace():
+                p += 1
+            tok = payload[start:p]
+            if not tok.isdigit():
+                return None
+            tokens.append(int(tok))
+    if len(tokens) < 3 or p >= len(payload):
+        return None
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0 or not (0 < maxval < 256):
+        return None
+    p += 1
+    end = p + width * height * 3
+    if end > len(payload):
+        return None
+    return width, height, maxval, p, end
+
+
+def resize_ppm(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize for P6 payloads — no fake flag: parse the header,
+    reshape the raster with numpy, nearest-neighbor sample to the target
+    grid, and re-emit a VALID P6 payload (decode_image can verify it).
+    Malformed inputs come back resize_ok=False with an empty payload."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        out_cols = ["media_id", "media_type", "width", "height", "payload", "resize_ok"]
+        for pdf in batches:
+            out = []
+            for mid, mtype, payload in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                src = bytes(payload or b"")
+                parsed = _parse_ppm_p6_raw(src)
+                if parsed is None:
+                    out.append((int(mid), mtype, width, height, b"", False))
+                    continue
+                sw, sh, maxval, rs, re_ = parsed
+                img = np.frombuffer(src[rs:re_], dtype="u1").reshape(sh, sw, 3)
+                ys = (np.arange(height) * sh) // height
+                xs = (np.arange(width) * sw) // width
+                resized = img[ys][:, xs]
+                hdr = f"P6\n{width} {height}\n{maxval}\n".encode()
+                out.append((int(mid), mtype, width, height, hdr + resized.tobytes(), True))
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return df.mapInPandas(do_resize, RESIZE_SCHEMA)
+
+
+PPM_FRAME_SCHEMA = "media_id long, frame_idx int, frame_payload binary, n_frames int"
+
+
+def sample_ppm_frames(df: DataFrame, n_frames: int) -> DataFrame:
+    """REAL frame sampling for ppm-pipe payloads (consecutive P6 images —
+    the byte format ffmpeg's image2pipe emits): walk the payload image by
+    image, then emit ``n_frames`` evenly-spaced frames, each a standalone
+    valid P6. A payload with no parseable frame yields zero rows (the
+    empty-sub-stream skip of flatMap)."""
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "frame_payload", "n_frames"]
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                src = bytes(payload or b"")
+                frames, pos = [], 0
+                while pos < len(src):
+                    parsed = _parse_ppm_p6_raw(src, pos)
+                    if parsed is None:
+                        break
+                    _, _, _, rs, re_ = parsed
+                    frames.append(src[pos:re_])
+                    pos = re_
+                if not frames:
+                    continue
+                take = min(n_frames, len(frames))
+                step = len(frames) / take
+                for i in range(take):
+                    out.append((int(mid), i, frames[int(i * step)], len(frames)))
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+                {
+                    "media_id": pd.Series(dtype="int64"),
+                    "frame_idx": pd.Series(dtype="int32"),
+                    "frame_payload": pd.Series(dtype="object"),
+                    "n_frames": pd.Series(dtype="int32"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(do_sample, PPM_FRAME_SCHEMA)

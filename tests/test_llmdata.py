@@ -350,3 +350,56 @@ def test_decode_image_real_codec_distributed(spark):
     assert got[1].decode_ok and (got[1].width, got[1].height, got[1].px_max) == (2, 1, 255)
     assert got[2].decode_ok and (got[2].format, got[2].n_pixels, got[2].px_mean) == ("P5", 4, 2.5)
     assert not got[3].decode_ok and got[3].format == "invalid"
+
+
+def test_resize_ppm_real_nearest_neighbor(spark):
+    """Real resize: a 2x2 P6 image upsampled to 4x4 must repeat each source
+    pixel in a 2x2 block (nearest neighbor), come back as a VALID P6 that
+    decode_image accepts, and downsample back to the original corners."""
+    from simple_stream_processor_spark.operators import multimodal
+
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])  # R G / B Y
+    src = b"P6\n2 2\n255\n" + px
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(src)), (2, "image", bytearray(b"junk"))],
+        "media_id long, media_type string, payload binary",
+    )
+    up = {r.media_id: r for r in multimodal.resize_ppm(df, 4, 4).collect()}
+    assert not up[2].resize_ok and bytes(up[2].payload) == b""
+    assert up[1].resize_ok
+    dec = {r.media_id: r for r in multimodal.decode_image(
+        spark.createDataFrame([(1, bytearray(up[1].payload))], "media_id long, payload binary")
+    ).collect()}
+    assert (dec[1].format, dec[1].width, dec[1].height, dec[1].decode_ok) == ("P6", 4, 4, True)
+    raster = bytes(up[1].payload)[len(b"P6\n4 4\n255\n"):]
+    # row 0 must be R R G G
+    assert raster[:12] == bytes([255, 0, 0, 255, 0, 0, 0, 255, 0, 0, 255, 0])
+
+    # downsample 4x4 -> 2x2 returns the original corner pixels
+    down = multimodal.resize_ppm(
+        spark.createDataFrame([(1, "image", bytearray(up[1].payload))], "media_id long, media_type string, payload binary"),
+        2,
+        2,
+    ).collect()[0]
+    assert bytes(down.payload) == src
+
+
+def test_sample_ppm_frames_ppm_pipe(spark):
+    """Real frame sampling: a ppm-pipe payload of 4 concatenated 1x1 P6
+    frames — sampling 2 picks evenly-spaced standalone frames, each a
+    valid P6; an unparseable payload yields zero rows."""
+    from simple_stream_processor_spark.operators import multimodal
+
+    def frame(r):
+        return b"P6\n1 1\n255\n" + bytes([r, 0, 0])
+
+    pipe = b"".join(frame(r) for r in (10, 20, 30, 40))
+    df = spark.createDataFrame(
+        [(1, bytearray(pipe)), (2, bytearray(b"not ppm"))],
+        "media_id long, payload binary",
+    )
+    rows = multimodal.sample_ppm_frames(df, 2).collect()
+    assert {r.media_id for r in rows} == {1}
+    got = sorted((r.frame_idx, bytes(r.frame_payload)[-3]) for r in rows)
+    assert [r.n_frames for r in rows] == [4, 4]
+    assert got == [(0, 10), (1, 30)]  # frames 0 and 2 of 4
