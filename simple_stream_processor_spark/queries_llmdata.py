@@ -1487,3 +1487,58 @@ def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.countDistinct("digest")).alias("n_dup_rows"),
         F.round(F.lit(1.0) - F.countDistinct("digest") * F.lit(1.0) / F.count(F.lit(1)), 4).alias("dup_frac"),
     )
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(384.0 / length(text)) AS INT)), 1, 384) AS p
+      FROM documents WHERE length(text) > 0
+    ), vals AS (
+      -- nearest-neighbor 16x8 -> 8x4: target pixel i=(ty*8+tx) samples
+      -- source pixel (2*ty)*16 + 2*tx; 3 channel bytes per pixel
+      SELECT doc_id,
+             flatten(list_transform(range(0, 32), i -> [
+               ord(substr(p, 3 * ((2 * (i // 8)) * 16 + 2 * (i % 8)) + 1, 1)),
+               ord(substr(p, 3 * ((2 * (i // 8)) * 16 + 2 * (i % 8)) + 2, 1)),
+               ord(substr(p, 3 * ((2 * (i // 8)) * 16 + 2 * (i % 8)) + 3, 1))
+             ])) AS v
+      FROM px
+    )
+    SELECT doc_id AS media_id, 'P6' AS format, 8 AS width, 4 AS height,
+           CAST(32 AS BIGINT) AS n_pixels,
+           round(list_sum(v) / 96.0, 4) AS px_mean,
+           CAST(list_min(v) AS BIGINT) AS px_min,
+           CAST(list_max(v) AS BIGINT) AS px_max,
+           TRUE AS decode_ok
+    FROM vals
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize, value-checked end to end: render documents into 16x8
+    PPMs, nearest-neighbor resize to 8x4 with the actual raster math
+    (operators/multimodal.py:resize_ppm), decode the RESIZED payloads
+    back (decode_image), and hash-match the pixel statistics against an
+    oracle that replays the identical sampling arithmetic in SQL — a
+    wrong stride, header, or channel offset is a value mismatch. The
+    whole path is narrow mapInPandas; payload bytes never leave the
+    executors."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_ppm(docs, width=16, height=8).withColumn(
+        "media_type", F.lit("image")
+    )
+    resized = multimodal.resize_ppm(media, 8, 4)
+    feats = multimodal.decode_image(resized.select("media_id", "payload"))
+    return feats.select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "n_pixels",
+        F.round(F.col("px_mean"), 4).alias("px_mean"),
+        "px_min",
+        "px_max",
+        "decode_ok",
+    )
