@@ -1542,3 +1542,56 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "px_max",
         "decode_ok",
     )
+
+
+@query(
+    "q_embedding_drift",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (
+      SELECT label, vec_id % 2 AS half, t.i AS pos, v[t.i] AS x, vec_id
+      FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+    ),
+    cl AS (SELECT label, half, pos, round(avg(x), 6) AS c FROM ex GROUP BY label, half, pos),
+    cent AS (SELECT label, half, list(c ORDER BY pos) AS cv FROM cl GROUP BY label, half),
+    cnt AS (SELECT label, vec_id % 2 AS half, count(*) AS n FROM e GROUP BY label, vec_id % 2)
+    SELECT a.label,
+           ca.n AS n_ref, cb.n AS n_cand,
+           round(list_dot_product(a.cv, b.cv)
+                 / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))), 6) AS centroid_cos
+    FROM cent a JOIN cent b ON a.label = b.label AND a.half = 0 AND b.half = 1
+    JOIN cnt ca ON ca.label = a.label AND ca.half = 0
+    JOIN cnt cb ON cb.label = b.label AND cb.half = 1
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift report — the model-monitoring check a production
+    embedding pipeline runs when the encoder (or the corpus) changes: per
+    label, the cosine between the reference half's centroid and the
+    candidate half's centroid (vec_id parity stands in for the old/new
+    snapshot split), with both sample sizes. Same engine-portable
+    centroid machinery as IVF (posexplode partial means, 6dp rounding so
+    partial-agg order matches the oracle's sequential sum); the k×2×d
+    centroid table is tiny — joins are trivially broadcast."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = tables.spread(emb, "vec_id").select(
+        "vec_id", "label", (F.col("vec_id") % 2).alias("half"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select("label", "half", F.posexplode("v").alias("pos", "x"))
+    cl = ex.groupBy("label", "half", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
+    cent = (
+        cl.groupBy("label", "half")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda t: t["c"]).alias("cv"))
+    )
+    cnt = e.groupBy("label", "half").agg(F.count(F.lit(1)).alias("n"))
+    a = cent.where(F.col("half") == 0).select(F.col("label"), F.col("cv").alias("cva"))
+    b = cent.where(F.col("half") == 1).select(F.col("label"), F.col("cv").alias("cvb"))
+    na = cnt.where(F.col("half") == 0).select("label", F.col("n").alias("n_ref"))
+    nb = cnt.where(F.col("half") == 1).select("label", F.col("n").alias("n_cand"))
+    cos = dedup.cosine(F.col("cva"), F.col("cvb"))
+    return (
+        a.join(b, "label")
+        .join(na, "label")
+        .join(nb, "label")
+        .select("label", "n_ref", "n_cand", F.round(cos, 6).alias("centroid_cos"))
+    )
