@@ -467,3 +467,51 @@ def q_streaming_watermark_cadence(spark: SparkSession, sf_dir: str) -> DataFrame
     out = streaming_watermark_cadence(sdf, "event_id", "ts", 100)
     rows, _ = run_stream_to_memory(out, output_mode="append")
     return rows
+
+
+@query(
+    "q_streaming_multimodal_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(384.0 / length(text)) AS INT)), 1, 384) AS p
+      FROM documents WHERE length(text) > 0
+    ), vals AS (
+      SELECT doc_id, list_transform(regexp_extract_all(p, '.'), c -> ord(c)) AS v FROM px
+    )
+    SELECT doc_id AS media_id, 'P6' AS format, 16 AS width, 8 AS height,
+           CAST(128 AS BIGINT) AS n_pixels,
+           round(list_sum(v) / 384.0, 4) AS px_mean,
+           CAST(list_min(v) AS BIGINT) AS px_min,
+           CAST(list_max(v) AS BIGINT) AS px_max,
+           TRUE AS decode_ok
+    FROM vals
+    """,
+)
+def q_streaming_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming × multimodal: the REAL netpbm decode running
+    incrementally — payload build (pure expressions) and mapInPandas
+    decode both execute per micro-batch on an unbounded source, proving
+    the binary-column path is not batch-only. Value-identical to the
+    batch q_multimodal_decode oracle. At scale this is the continuous
+    ingest shape: new media files land, the trigger admits them, decode
+    stays narrow in the executors."""
+    from simple_stream_processor_spark.operators import multimodal
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = spark.readStream.schema(raw_schema).option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    media = multimodal.documents_as_ppm(sdf, width=16, height=8)
+    feats = multimodal.decode_image(media)
+    out = feats.select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "n_pixels",
+        F.round(F.col("px_mean"), 4).alias("px_mean"),
+        "px_min",
+        "px_max",
+        "decode_ok",
+    )
+    rows, _ = run_stream_to_memory(out, output_mode="append")
+    return rows
