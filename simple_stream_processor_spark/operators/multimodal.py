@@ -11,6 +11,10 @@ The Spark-side architecture here is real and tested — schema, partitioning,
   re-emitting valid P6), and video-frame sampling (``sample_ppm_frames``
   — walks ppm-pipe payloads, the consecutive-P6 byte format ffmpeg's
   image2pipe emits).
+- **WAV (RIFF PCM16) is a REAL codec** (``text_to_wav`` +
+  ``decode_audio`` / ``_parse_wav``): genuine chunk walk, fmt validation,
+  int16-LE sample statistics, value-checked against a sample-arithmetic
+  SQL oracle (q_multimodal_audio).
 - Library-dependent codec work (JPEG decode, audio resample, generic
   video) is STUBBED: the container deliberately ships no image/audio
   libraries, so those steps raise ``NotImplementedError`` unless
@@ -418,3 +422,99 @@ def sample_ppm_frames(df: DataFrame, n_frames: int) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(do_sample, PPM_FRAME_SCHEMA)
+
+
+# --- Real codec #2: WAV (RIFF PCM16) -----------------------------------------
+
+AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "amp_min long, amp_max long, amp_mean double, decode_ok boolean"
+)
+
+_WAV_FAIL = (0, 0, 0, 0, 0, 0.0, False)
+
+
+def text_to_wav(docs: DataFrame, sample_rate: int = 8000, max_samples: int = 256) -> DataFrame:
+    """Synthesize a REAL RIFF/WAV (PCM16 mono LE) payload per document:
+    samples are the text's first ``max_samples`` bytes recentered to int16
+    ((b-128)*256) — deterministic from the text, so a SQL oracle can
+    replay the exact sample arithmetic without parsing RIFF itself."""
+    import struct
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = (text or "").encode("utf-8")[:max_samples]
+                if not b:
+                    continue
+                samples = ((np.frombuffer(b, dtype="u1").astype("i4") - 128) * 256).astype("<i2")
+                data = samples.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                out.append((int(did), hdr + data))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(build, "media_id long, payload binary")
+
+
+def _parse_wav(payload: bytes):
+    """Genuine RIFF walk: verify RIFF/WAVE magic, iterate chunks to find
+    fmt (must be PCM16) and data, then numpy int16-LE sample statistics.
+    Malformed payloads classify decode_ok=False instead of raising."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return _WAV_FAIL
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return _WAV_FAIL
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return _WAV_FAIL
+    audio_format, channels, rate, _byte_rate, _block, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format != 1 or bits != 16 or channels < 1 or len(data) % (2 * channels) != 0:
+        return _WAV_FAIL
+    samples = np.frombuffer(data, dtype="<i2")
+    if samples.size == 0:
+        return _WAV_FAIL
+    return (
+        int(rate),
+        int(channels),
+        int(samples.size // channels),
+        int(samples.min()),
+        int(samples.max()),
+        float(samples.astype("f8").mean()),
+        True,
+    )
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """REAL audio decode via ``mapInPandas``: parse the RIFF container and
+    PCM16 samples for each payload; per-payload sample statistics."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "sample_rate", "n_channels", "n_samples", "amp_min", "amp_max", "amp_mean", "decode_ok"]
+        for pdf in batches:
+            out = [(int(mid), *_parse_wav(bytes(p or b""))) for mid, p in zip(pdf["media_id"], pdf["payload"])]
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(parse, AUDIO_SCHEMA)

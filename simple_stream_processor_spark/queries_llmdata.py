@@ -1595,3 +1595,47 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "label")
         .select("label", "n_ref", "n_cand", F.round(cos, 6).alias("centroid_cos"))
     )
+
+
+@query(
+    "q_multimodal_audio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, substr(text, 1, 256) AS tx FROM documents WHERE length(text) > 0
+    ), vals AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(tx, '.'), c -> (ord(c) - 128) * 256) AS v
+      FROM t
+    )
+    SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS n_channels,
+           CAST(len(v) AS BIGINT) AS n_samples,
+           CAST(list_min(v) AS BIGINT) AS amp_min,
+           CAST(list_max(v) AS BIGINT) AS amp_max,
+           round(list_sum(v) / (1.0 * len(v)), 4) AS amp_mean,
+           TRUE AS decode_ok
+    FROM vals
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec, value-checked end to end: each document
+    synthesizes a genuine RIFF/WAV payload (PCM16 mono, samples =
+    (byte-128)*256 over the first 256 text bytes), and decode_audio
+    genuinely walks the RIFF container — magic, chunk iteration, fmt
+    validation (PCM/16-bit), word alignment — before computing int16
+    sample statistics with numpy. The oracle replays the sample
+    arithmetic from the text; a header mis-pack, chunk-walk bug, or
+    endianness slip is a hash mismatch. Both sides are narrow
+    mapInPandas stages: audio at 100 TB is scan-bound."""
+    docs = _t(spark, sf_dir, "documents")
+    wav = multimodal.text_to_wav(docs, sample_rate=8000, max_samples=256)
+    feats = multimodal.decode_audio(wav)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "amp_min",
+        "amp_max",
+        F.round(F.col("amp_mean"), 4).alias("amp_mean"),
+        "decode_ok",
+    )

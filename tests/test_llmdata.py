@@ -403,3 +403,49 @@ def test_sample_ppm_frames_ppm_pipe(spark):
     got = sorted((r.frame_idx, bytes(r.frame_payload)[-3]) for r in rows)
     assert [r.n_frames for r in rows] == [4, 4]
     assert got == [(0, 10), (1, 30)]  # frames 0 and 2 of 4
+
+
+def test_wav_parser_goldens():
+    """The real WAV parser against hand-packed RIFF bytes: a valid PCM16
+    file parses exactly; the malformed family (bad magic, truncated chunk,
+    non-PCM format, odd data length) classifies decode_ok=False."""
+    import struct
+
+    from simple_stream_processor_spark.operators.multimodal import _parse_wav
+
+    def wav(samples, rate=44100, channels=1, audio_format=1, bits=16):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, audio_format, channels, rate, rate * 2 * channels, 2 * channels, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rate, ch, n, lo, hi, mean, ok = _parse_wav(wav([-100, 0, 300], rate=8000))
+    assert (rate, ch, n, lo, hi, ok) == (8000, 1, 3, -100, 300, True)
+    assert abs(mean - 200 / 3) < 1e-9
+
+    # stereo: n_samples is per channel
+    assert _parse_wav(wav([1, 2, 3, 4], channels=2))[2] == 2
+
+    bad = [
+        b"",
+        b"RIFX" + b"\x00" * 40,  # wrong magic
+        wav([1, 2, 3])[:30],  # truncated
+        wav([1, 2], audio_format=3),  # non-PCM
+        wav([1, 2], bits=8),  # non-16-bit
+    ]
+    assert all(_parse_wav(p)[-1] is False for p in bad)
+
+
+def test_text_to_wav_roundtrip(spark):
+    """Build→decode round trip on a tiny corpus: the decoded sample stats
+    equal the (byte-128)*256 arithmetic computed in plain Python."""
+    from simple_stream_processor_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(1, "AB"), (2, "~")], "doc_id long, text string")
+    got = {r.media_id: r for r in multimodal.decode_audio(multimodal.text_to_wav(docs)).collect()}
+    a = [(ord(c) - 128) * 256 for c in "AB"]
+    assert (got[1].n_samples, got[1].amp_min, got[1].amp_max) == (2, min(a), max(a))
+    assert got[1].sample_rate == 8000 and got[1].decode_ok
+    assert got[2].n_samples == 1 and got[2].amp_min == (ord("~") - 128) * 256
