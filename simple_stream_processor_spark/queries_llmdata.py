@@ -1639,3 +1639,67 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("amp_mean"), 4).alias("amp_mean"),
         "decode_ok",
     )
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+    WITH posts AS (
+      SELECT DISTINCT doc_id, token
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    ),
+    ranked AS (
+      SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY token) AS df
+      FROM posts
+    )
+    SELECT token, CAST(max(df) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_head
+    FROM ranked WHERE rn <= 5
+    GROUP BY token
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: token -> document frequency + the head of
+    the (sorted) posting list — the core retrieval structure behind BM25
+    serving and decontamination lookups. The posting head is capped via
+    a per-token row_number window BEFORE any collect, so a 100 TB-corpus
+    stopword ('the': ~every doc) never materializes an unbounded
+    collect_list — per-token state in the window stage is one heap row,
+    and the final aggregate carries at most 5 postings per token. Two
+    keyed exchanges: distinct(token, doc) and the token window; the
+    distinct's partial combine deduplicates map-side within each doc so
+    repeated tokens never shuffle more than once per (doc, token)."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    posts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    ranked = posts.select(
+        "token",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("token").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("df"),
+    )
+    return (
+        ranked.where(F.col("rn") <= 5)
+        .groupBy("token")
+        .agg(
+            F.max("df").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                    lambda x: x["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+    )

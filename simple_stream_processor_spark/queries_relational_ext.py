@@ -1371,3 +1371,174 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     dur_ms = F.round(F.col("value") * 1000, 0).cast("long")  # mirrors the oracle's round-then-cast
     return windows.sweep_concurrency(ev, "ts", dur_ms, "event_id", bucket_s=3600)
+
+
+@query(
+    "q_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT count(*) AS n_keys,
+             sum(n) AS total_rows,
+             max(n) AS max_n,
+             round(avg(n), 4) AS avg_n,
+             round(max(n) / avg(n), 4) AS skew_ratio
+      FROM c
+    )
+    SELECT t.o_custkey, t.n,
+           round(100.0 * t.n / s.total_rows, 4) AS share_pct,
+           s.n_keys, s.total_rows, s.max_n, s.avg_n, s.skew_ratio
+    FROM (SELECT * FROM c ORDER BY n DESC, o_custkey LIMIT 10) t
+    CROSS JOIN s
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: per-key row counts on the join/agg
+    key, the top-10 heaviest keys with their share of the table, and the
+    global skew ratio max/avg — the report you run BEFORE deciding whether
+    a 100 TB join needs salting (operators/relational.py:salted_join) or
+    AQE skew splitting. One keyed exchange builds the histogram; the
+    summary is a single-row aggregate broadcast back to the (limit-10)
+    head, so nothing beyond the per-key counts ever shuffles. At 1000
+    executors the count table is ~n_keys rows — trivially spillable —
+    and TakeOrdered handles the head without a global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_n"),
+        F.round(F.avg("n"), 4).alias("avg_n"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+    )
+    top = counts.orderBy(F.col("n").desc(), "o_custkey").limit(10)
+    return top.join(F.broadcast(stats)).select(
+        "o_custkey",
+        "n",
+        F.round(F.lit(100.0) * F.col("n") / F.col("total_rows"), 4).alias("share_pct"),
+        "n_keys",
+        "total_rows",
+        "max_n",
+        "avg_n",
+        "skew_ratio",
+    )
+
+
+@query(
+    "q_rolling_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, sum(value) AS revenue
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, epoch_ms(day) / 1000 AS day_s, revenue,
+             avg(revenue) OVER win AS mu,
+             stddev_samp(revenue) OVER win AS sigma,
+             count(*) OVER win AS n_prior
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(day_s AS BIGINT) AS day_s,
+           round(revenue, 2) AS revenue,
+           round(mu, 2) AS mu,
+           CAST(n_prior AS BIGINT) AS n_prior,
+           round((revenue - mu) / sigma, 3) AS zscore,
+           CASE WHEN abs((revenue - mu) / sigma) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
+    FROM w
+    WHERE n_prior >= 3 AND sigma > 1e-9
+    """,
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: daily revenue per event type
+    scored against the trailing 7-day window (6 preceding closed days),
+    flagging |z| > 2 — the standard ops-metric anomaly monitor. Two
+    exchanges total: the daily pre-aggregate (partial map-side combine
+    shrinks events to types x days rows BEFORE the shuffle) and the
+    per-type window partition; the frame is ROWS-bounded so state per
+    key is 7 rows regardless of history length. At 100 TB the daily
+    table is tiny — the window stage is never the bottleneck; the
+    pre-aggregate carries it. Sample stddev on both engines; the
+    sigma > 0 guard and n_prior >= 3 gate make the score well-defined."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum("value").alias("revenue"))
+    )
+    win = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, -1)
+    )
+    z = (F.col("revenue") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.select(
+            "event_type",
+            F.unix_timestamp("day").alias("day_s"),
+            "revenue",
+            F.avg("revenue").over(win).alias("mu"),
+            F.stddev_samp("revenue").over(win).alias("sigma"),
+            F.count(F.lit(1)).over(win).alias("n_prior"),
+        )
+        .where((F.col("n_prior") >= 3) & (F.col("sigma") > 1e-9))
+        .select(
+            "event_type",
+            "day_s",
+            F.round("revenue", 2).alias("revenue"),
+            F.round("mu", 2).alias("mu"),
+            "n_prior",
+            F.round(z, 3).alias("zscore"),
+            F.when(F.abs(z) > 2.0, F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),
+        )
+    )
+
+
+@query(
+    "q_entity_match",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, count(*) AS n_parts,
+             regexp_extract(p_name, '([a-z]+)$', 1) AS block
+      FROM part GROUP BY 1
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b, a.block,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution over the product catalog:
+    candidate duplicate listings are name pairs sharing a blocking key
+    (the head noun) within edit distance 4 — the classic block-then-
+    compare shape. The scale design is the point: the catalog first
+    collapses to DISTINCT names with their occurrence counts (100 TB of
+    listings -> unique-name table, shrunk BEFORE any pairing), then the
+    self-join runs per block, so comparisons are sum(block_size^2) not
+    n^2 — blocking is what makes linkage feasible at scale, exactly like
+    LSH banding in operators/dedup.py. Levenshtein is engine-exact on
+    both sides; `<` on the name pair gives each candidate once."""
+    part = _t(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("block", F.regexp_extract("p_name", r"([a-z]+)$", 1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a"), "block"
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b"),
+        F.col("block").alias("block_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("name_a") < F.col("name_b")))
+        .where(dist <= 4)
+        .select("name_a", "name_b", "block", dist.alias("dist"), "n_parts_a", "n_parts_b")
+    )
