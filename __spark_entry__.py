@@ -68,9 +68,10 @@ _PRIORITY = [
     # q_pq_codes, q_interval_concurrency, q_lang_confusion,
     # q_dedup_rate_report, q_embedding_drift, q_multimodal_resize,
     # q_multimodal_audio, q_streaming_multimodal_decode, q_skew_report,
-    # q_rolling_zscore, q_entity_match, q_inverted_index — currently at the
-    # registry tail) into the first 50 next round; everything above will
-    # have driver-green rows by then.
+    # q_rolling_zscore, q_entity_match, q_inverted_index,
+    # q_cms_heavy_hitters, q_bpe_merges — currently at the registry tail)
+    # into the first 50 next round; everything above will have
+    # driver-green rows by then.
     "q_robust_stats_mad", "q_winsorize", "q_integrity_audit",
     "q_timeseries_similarity", "q_string_agg", "q_absence_pattern",
     "q_transition_matrix", "q_embedding_quantize", "q_ngram_heavy_hitters",

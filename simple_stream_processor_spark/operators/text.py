@@ -234,3 +234,88 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         counts.append(F.regexp_count(out, F.lit(pat)).alias(f"n_{name}"))
         out = F.regexp_replace(out, pat, token)
     return df.select("doc_id", *counts, out.alias("redacted"), F.md5(out).alias("redacted_md5"))
+
+
+def bpe_merges(df: DataFrame, text_col: str = "text", rounds: int = 5) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction: learn the first ``rounds``
+    BPE merges from the corpus (most-frequent adjacent symbol pair per
+    round, greedy left-to-right application, deterministic (count desc,
+    pair asc) tie-break). Returns one row per learned merge:
+    (round, left, right, merged, pair_count).
+
+    Scale design — the textbook BPE trainer maps onto Spark exactly as
+    the classic single-node algorithm maps onto a hash map:
+    - The corpus collapses ONCE to the distinct-word frequency table
+      (100 TB of text -> vocab-sized table, the only thing the loop
+      touches). That exchange is the same one every tokenizer trainer
+      pays; afterwards frequency weights stand in for corpus re-scans.
+    - Each round is one pair-explode + pair-count aggregate over the
+      word table (map-side combine; the exchange carries distinct
+      adjacent pairs, bounded by vocab x max_word_len), then a one-row
+      argmax collect — the same bounded driver witness the dedup
+      convergence loop uses (operators/dedup.py).
+    - The merge application is a JVM-side F.aggregate fold over each
+      word's symbol array (greedy adjacent-pair rewrite) — no Python
+      UDF in the loop.
+    The word table is persisted and re-checkpointed each round so the
+    lineage stays O(1) across rounds rather than O(rounds).
+
+    Not SQL-expressible (iterative argmax-dependent rewriting), so the
+    declared query is rows-only; tests/test_llmdata.py pins the full
+    merge table against a pure-Python reference BPE trainer on the same
+    corpus."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # limit=-1 keeps Java-split trailing empties; drop them — a ""
+        # symbol would otherwise join pair counts after the first merge
+        .select(
+            F.filter(F.split("word", "(?!^)"), lambda s: s != "").alias("syms"),
+            "freq",
+        )
+    )
+    words = words.persist()
+    out_rows = []
+    for r in range(1, rounds + 1):
+        n = F.size("syms")
+        pairs = words.where(n >= 2).select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", 1, n - 1).alias("l"),
+                    F.slice("syms", 2, n - 1).alias("r"),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["pair_count"])
+        out_rows.append((r, left, right, left + right, cnt))
+        fold = F.aggregate(
+            F.slice("syms", 2, F.size("syms") - 1),
+            F.slice("syms", 1, 1),
+            lambda acc, s: F.when(
+                (F.element_at(acc, -1) == F.lit(left)) & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        old = words
+        words = words.select(
+            F.when(F.size("syms") >= 2, fold).otherwise(F.col("syms")).alias("syms"),
+            "freq",
+        ).localCheckpoint()  # O(1) lineage per round; vocab-sized table
+        old.unpersist()
+    schema = "round INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    return spark.createDataFrame(out_rows, schema=schema)

@@ -1703,3 +1703,84 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings_head"),
         )
     )
+
+
+@query(
+    "q_cms_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    exact AS (SELECT token, count(*) AS true_n FROM tok GROUP BY 1),
+    top AS (SELECT * FROM exact ORDER BY true_n DESC, token LIMIT 10),
+    tb AS (
+      SELECT (('0x' || substr(md5(token), 1 + 8 * i, 8))::BIGINT) % 1024 AS bucket, i
+      FROM tok, (SELECT unnest([0, 1, 2, 3]) AS i)
+    ),
+    cms AS (SELECT i, bucket, count(*) AS cnt FROM tb GROUP BY 1, 2),
+    probe AS (
+      SELECT t.token, t.true_n, i,
+             (('0x' || substr(md5(t.token), 1 + 8 * i, 8))::BIGINT) % 1024 AS bucket
+      FROM top t, (SELECT unnest([0, 1, 2, 3]) AS i)
+    )
+    SELECT p.token, CAST(p.true_n AS BIGINT) AS true_n,
+           CAST(min(c.cnt) AS BIGINT) AS est_n,
+           CAST(min(c.cnt) - p.true_n AS BIGINT) AS overcount
+    FROM probe p JOIN cms c ON p.i = c.i AND p.bucket = c.bucket
+    GROUP BY p.token, p.true_n
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: a d=4 x w=1024 counter
+    table built in ONE aggregate over the token stream, probed for the
+    true top-10 tokens (est = min over the 4 rows; overcount >= 0 always,
+    bounded by N/w per row in expectation). The third mergeable-sketch
+    family next to HLL (q_hll_mergeable) and GK quantiles
+    (q_approx_quantiles) — per-source CMS tables ADD cell-wise, so corpus
+    rollups at 100 TB are d x w integer adds, never token re-scans, and
+    the sketch exchange carries 4096 cells regardless of corpus size.
+    Unlike library sketches the hashes are md5-chunk arithmetic (the
+    operators/dedup.py determinism contract), so the entire estimate is
+    engine-exact and hash-matched against the SQL oracle, not rows-only.
+    The probe side broadcasts (10 tokens x 4 cells vs the CMS table)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    h = F.md5(F.encode(F.col("token"), "UTF-8"))
+    buckets = [
+        (F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % F.lit(1024)).alias("bucket")
+        for i in range(4)
+    ]
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    top = exact.orderBy(F.col("true_n").desc(), "token").limit(10)
+    cms = (
+        tok.select(F.posexplode(F.array(*buckets)).alias("i", "bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe = top.select(
+        "token", "true_n", F.posexplode(F.array(*buckets)).alias("i", "bucket")
+    )
+    return (
+        F.broadcast(probe)
+        .join(cms, ["i", "bucket"])
+        .groupBy("token", "true_n")
+        .agg(
+            F.min("cnt").alias("est_n"),
+            (F.min("cnt") - F.first("true_n")).alias("overcount"),
+        )
+        .select("token", "true_n", "est_n", "overcount")
+    )
+
+
+@query("q_bpe_merges")  # rows-only: iterative argmax-dependent rewriting is not SQL-expressible
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer vocabulary induction (operators/text.py:bpe_merges):
+    the first 8 byte-pair merges learned from the corpus — the vocab-
+    construction step a training-data pipeline runs before token
+    counting and sequence packing are meaningful. Deterministic
+    (count desc, pair asc) tie-break; greedy left-to-right application
+    as a JVM-side array fold. Correctness is pinned by
+    tests/test_llmdata.py::test_bpe_merges_match_reference_trainer
+    against a pure-Python reference BPE trainer on the same corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_merges(docs, rounds=8)

@@ -449,3 +449,61 @@ def test_text_to_wav_roundtrip(spark):
     assert (got[1].n_samples, got[1].amp_min, got[1].amp_max) == (2, min(a), max(a))
     assert got[1].sample_rate == 8000 and got[1].decode_ok
     assert got[2].n_samples == 1 and got[2].amp_min == (ord("~") - 128) * 256
+
+
+def test_bpe_merges_match_reference_trainer(spark, sf_dir):
+    """The distributed BPE trainer must reproduce the textbook single-node
+    algorithm exactly: same merges, same order, same counts (greedy
+    left-to-right application, (count desc, pair asc) tie-break)."""
+    from collections import Counter
+
+    import duckdb
+
+    from simple_stream_processor_spark.operators import text
+
+    rounds = 8
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+
+    def ref_merges():
+        out = []
+        for r in range(1, rounds + 1):
+            pairs = Counter()
+            for w, syms in vocab.items():
+                f = words[w]
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += f
+            if not pairs:
+                break
+            (l, rgt), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((r, l, rgt, l + rgt, cnt))
+            for w, syms in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if merged and merged[-1] == l and syms[i] == rgt:
+                        merged[-1] = l + rgt
+                    else:
+                        merged.append(syms[i])
+                    i += 1
+                vocab[w] = merged
+        return out
+
+    expected = ref_merges()
+    got = [
+        (r["round"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in text.bpe_merges(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), rounds=rounds
+        ).collect()
+    ]
+    assert got == expected
