@@ -189,3 +189,35 @@ def sweep_concurrency(
         .withColumn("concurrency", (F.col("offset") + F.sum("delta").over(intra)).cast("long"))
         .select("t_ms", "delta", "iid", "concurrency")
     )
+
+
+def rolling_zscore(daily: DataFrame, key_col: str = "event_type", day_col: str = "day",
+                   value_col: str = "revenue") -> DataFrame:
+    """Score each (key, day) value against its trailing 7-day window
+    (6 preceding closed rows): z = (x - mean) / stddev_samp, anomaly at
+    |z| > 2. Shared by the batch query (q_rolling_zscore) and its
+    streaming twin (q_streaming_zscore) so both paths are value-identical
+    by construction. Input must be the DAILY pre-aggregate — the window
+    stage then holds 7 rows of state per key regardless of history."""
+    win = Window.partitionBy(key_col).orderBy(day_col).rowsBetween(-6, -1)
+    z = (F.col(value_col) - F.col("mu")) / F.col("sigma")
+    return (
+        daily.select(
+            key_col,
+            F.unix_timestamp(day_col).alias("day_s"),
+            value_col,
+            F.avg(value_col).over(win).alias("mu"),
+            F.stddev_samp(value_col).over(win).alias("sigma"),
+            F.count(F.lit(1)).over(win).alias("n_prior"),
+        )
+        .where((F.col("n_prior") >= 3) & (F.col("sigma") > 1e-9))
+        .select(
+            key_col,
+            "day_s",
+            F.round(value_col, 2).alias(value_col),
+            F.round("mu", 2).alias("mu"),
+            "n_prior",
+            F.round(z, 3).alias("zscore"),
+            F.when(F.abs(z) > 2.0, F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),
+        )
+    )

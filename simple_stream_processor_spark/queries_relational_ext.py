@@ -1426,9 +1426,9 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_rolling_zscore",
-    oracle="""
+# shared with the streaming twin (queries_streaming.q_streaming_zscore):
+# both paths must hash-match the identical batch SQL
+ZSCORE_ORACLE = """
     WITH daily AS (
       SELECT event_type, date_trunc('day', ts) AS day, sum(value) AS revenue
       FROM events GROUP BY 1, 2
@@ -1450,8 +1450,10 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN abs((revenue - mu) / sigma) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
     FROM w
     WHERE n_prior >= 3 AND sigma > 1e-9
-    """,
-)
+    """
+
+
+@query("q_rolling_zscore", oracle=ZSCORE_ORACLE)
 def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection: daily revenue per event type
     scored against the trailing 7-day window (6 preceding closed days),
@@ -1462,38 +1464,15 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is 7 rows regardless of history length. At 100 TB the daily
     table is tiny — the window stage is never the bottleneck; the
     pre-aggregate carries it. Sample stddev on both engines; the
-    sigma > 0 guard and n_prior >= 3 gate make the score well-defined."""
-    from pyspark.sql.window import Window
-
+    sigma > 0 guard and n_prior >= 3 gate make the score well-defined.
+    The scoring stage is shared with the streaming twin
+    (q_streaming_zscore) via operators/windows.py:rolling_zscore."""
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(F.sum("value").alias("revenue"))
     )
-    win = (
-        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, -1)
-    )
-    z = (F.col("revenue") - F.col("mu")) / F.col("sigma")
-    return (
-        daily.select(
-            "event_type",
-            F.unix_timestamp("day").alias("day_s"),
-            "revenue",
-            F.avg("revenue").over(win).alias("mu"),
-            F.stddev_samp("revenue").over(win).alias("sigma"),
-            F.count(F.lit(1)).over(win).alias("n_prior"),
-        )
-        .where((F.col("n_prior") >= 3) & (F.col("sigma") > 1e-9))
-        .select(
-            "event_type",
-            "day_s",
-            F.round("revenue", 2).alias("revenue"),
-            F.round("mu", 2).alias("mu"),
-            "n_prior",
-            F.round(z, 3).alias("zscore"),
-            F.when(F.abs(z) > 2.0, F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),
-        )
-    )
+    return windows.rolling_zscore(daily)
 
 
 @query(
@@ -1541,4 +1520,90 @@ def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("block") == F.col("block_b")) & (F.col("name_a") < F.col("name_b")))
         .where(dist <= 4)
         .select("name_a", "name_b", "block", dist.alias("dist"), "n_parts_a", "n_parts_b")
+    )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, value, epoch_ms(ts) AS ts_ms FROM (
+        SELECT user_id, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-16'
+      ) WHERE rn = 1
+    ),
+    updates AS (
+      SELECT user_id, value, epoch_ms(ts) AS ts_ms,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      FROM (
+        SELECT user_id, value, ts, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+      ) WHERE rn = 1
+    )
+    SELECT coalesce(u.user_id, b.user_id) AS user_id,
+           round(coalesce(u.value, b.value), 2) AS value,
+           CAST(coalesce(u.ts_ms, b.ts_ms) AS BIGINT) AS last_ts_ms,
+           CASE WHEN u.user_id IS NULL THEN 'unchanged'
+                WHEN b.user_id IS NULL THEN 'inserted'
+                ELSE 'updated' END AS status
+    FROM base b FULL OUTER JOIN updates u ON b.user_id = u.user_id
+    WHERE u.op IS NULL OR u.op <> 'delete'
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (CDC apply): a change batch (latest event per
+    key after the cut, 'error' = tombstone) merges into the base snapshot
+    (latest state per key before the cut) — WHEN MATCHED AND op='delete'
+    DELETE / WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT, with each
+    surviving row labeled unchanged/updated/inserted. The lakehouse
+    upsert path without a table format: both sides compact to one row
+    per key via rank-filter windows (WindowGroupLimit-eligible) BEFORE
+    the full-outer join, so the join carries key-cardinality rows, not
+    history — at 100 TB the change batch is typically days smaller than
+    the base and AQE picks a broadcast merge. Deterministic latest via
+    (ts, event_id) total order."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    )
+
+    def latest(side):
+        return (
+            side.select("user_id", "value", "ts", "event_type", rn.alias("rn"))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    base = latest(ev.where(F.col("ts") < cut)).select(
+        "user_id", "value", F.unix_millis("ts").alias("ts_ms")
+    )
+    updates = latest(ev.where(F.col("ts") >= cut)).select(
+        "user_id",
+        "value",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    b = base.alias("b")
+    u = updates.alias("u")
+    return (
+        b.join(u, F.col("b.user_id") == F.col("u.user_id"), "full_outer")
+        .where(F.col("u.op").isNull() | (F.col("u.op") != "delete"))
+        .select(
+            F.coalesce(F.col("u.user_id"), F.col("b.user_id")).alias("user_id"),
+            F.round(F.coalesce(F.col("u.value"), F.col("b.value")), 2).alias("value"),
+            F.coalesce(F.col("u.ts_ms"), F.col("b.ts_ms")).alias("last_ts_ms"),
+            F.when(F.col("u.user_id").isNull(), F.lit("unchanged"))
+            .when(F.col("b.user_id").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("status"),
+        )
     )

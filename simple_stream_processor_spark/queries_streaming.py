@@ -515,3 +515,30 @@ def q_streaming_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     rows, _ = run_stream_to_memory(out, output_mode="append")
     return rows
+
+
+def _zscore_oracle() -> str:
+    from simple_stream_processor_spark.queries_relational_ext import ZSCORE_ORACLE
+
+    return ZSCORE_ORACLE
+
+
+@query("q_streaming_zscore", oracle=_zscore_oracle())
+def q_streaming_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_rolling_zscore: the daily revenue aggregate is
+    maintained INCREMENTALLY by the streaming engine (one counter row per
+    (type, day) of state, complete-mode sink), and the trailing-window
+    z-score scoring runs over the drained state table — the monitor
+    pattern where ingestion is continuous but anomaly scoring reads the
+    compacted per-day state, never raw events. Value-identical to the
+    batch path by construction: the scoring stage is the same
+    operators/windows.py:rolling_zscore call, and both hash-match the
+    identical batch SQL oracle."""
+    from simple_stream_processor_spark.operators import windows as W
+
+    sdf = stream_events(spark, sf_dir)
+    daily = sdf.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("revenue"))
+    state, _ = run_stream_to_memory(daily, output_mode="complete")
+    return W.rolling_zscore(state)
