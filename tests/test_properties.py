@@ -353,3 +353,118 @@ def test_pq_assignment_matches_bruteforce(spark, vecs):
             sv = np.array(v[s * w : (s + 1) * w])
             best = min(labels, key=lambda lbl: (float(((sv - books[(lbl, s)]) ** 2).sum()), lbl))
             assert got[(i, s)] == best, (i, s, got[(i, s)], best)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=24), min_size=1, max_size=8
+    ),
+    rounds=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_bpe_merges_match_python_reference(spark, texts, rounds):
+    """Distributed BPE == textbook single-node trainer on arbitrary tiny
+    corpora: same merges, same order, same counts (greedy left-to-right,
+    (count desc, pair asc) tie-break)."""
+    from collections import Counter
+
+    from simple_stream_processor_spark.operators import text as T
+
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {w: list(w) for w in words}
+    expected = []
+    for r in range(1, rounds + 1):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += words[w]
+        if not pairs:
+            break
+        (l, rgt), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((r, l, rgt, l + rgt, cnt))
+        for w, syms in vocab.items():
+            merged = []
+            for s in syms:
+                if merged and merged[-1] == l and s == rgt:
+                    merged[-1] = l + rgt
+                else:
+                    merged.append(s)
+            vocab[w] = merged
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["round"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in T.bpe_merges(df, rounds=rounds).collect()
+    ]
+    assert got == expected
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min guarantee: est >= true for EVERY token (not just the
+    probed top-10) — checked by probing all tokens at sf0.001."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                     FROM read_parquet('{sf_dir}/documents.parquet')),
+        exact AS (SELECT token, count(*) AS true_n FROM tok GROUP BY 1),
+        tb AS (SELECT (('0x' || substr(md5(token), 1 + 8 * i, 8))::BIGINT) % 1024 AS bucket, i
+               FROM tok, (SELECT unnest([0, 1, 2, 3]) AS i)),
+        cms AS (SELECT i, bucket, count(*) AS cnt FROM tb GROUP BY 1, 2),
+        probe AS (SELECT e.token, e.true_n, i,
+                         (('0x' || substr(md5(e.token), 1 + 8 * i, 8))::BIGINT) % 1024 AS bucket
+                  FROM exact e, (SELECT unnest([0, 1, 2, 3]) AS i))
+        SELECT p.token, p.true_n, min(c.cnt) AS est
+        FROM probe p JOIN cms c ON p.i = c.i AND p.bucket = c.bucket
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert rows, "corpus produced no tokens"
+    for token, true_n, est in rows:
+        assert est >= true_n, (token, true_n, est)
+
+
+def test_entity_match_complete_within_blocks(spark, sf_dir):
+    """Every same-block distinct-name pair within the edit-distance
+    threshold appears exactly once (a < b), with the right distance —
+    brute-forced in Python over the distinct names."""
+    import itertools
+    import re
+
+    import duckdb
+
+    from simple_stream_processor_spark.registry import QUERIES
+    import simple_stream_processor_spark.queries_relational_ext  # noqa: F401
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    names = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT DISTINCT p_name FROM read_parquet('{sf_dir}/part.parquet')")
+        .fetchall()
+    ]
+    blocks = {}
+    for n in names:
+        m = re.search(r"([a-z]+)$", n)
+        blocks.setdefault(m.group(1) if m else "", []).append(n)
+    expected = set()
+    for block, ns in blocks.items():
+        for a, b in itertools.combinations(sorted(ns), 2):
+            d = lev(a, b)
+            if d <= 4:
+                expected.add((a, b, block, d))
+    got = {
+        (r["name_a"], r["name_b"], r["block"], r["dist"])
+        for r in QUERIES["q_entity_match"](spark, sf_dir).collect()
+    }
+    assert got == expected
