@@ -74,6 +74,12 @@ HEADLINE = [
     "q_pq_codes",
     "q_ngram_containment",
     "q_multimodal_decode",
+    "q_inverted_index",
+    "q_cms_heavy_hitters",
+    "q_skew_report",
+    "q_rolling_zscore",
+    "q_entity_match",
+    "q_merge_upsert",
 ]
 
 

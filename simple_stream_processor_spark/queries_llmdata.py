@@ -1784,3 +1784,49 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a pure-Python reference BPE trainer on the same corpus."""
     docs = _t(spark, sf_dir, "documents")
     return text.bpe_merges(docs, rounds=8)
+
+
+@query(
+    "q_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+    tot AS (SELECT sum(n) AS total FROM c),
+    lp AS (SELECT token, ln(CAST(n AS DOUBLE) / total) AS logp FROM c CROSS JOIN tot)
+    SELECT tok.doc_id, count(*) AS n_tokens,
+           round(-avg(lp.logp), 4) AS mean_surprisal
+    FROM tok JOIN lp USING (token)
+    GROUP BY tok.doc_id
+    """,
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document: mean -ln p(token)
+    under the corpus unigram distribution — the perplexity-filter proxy
+    (CCNet/KenLM-style quality gates rank documents by LM score; the
+    unigram variant keeps it closed-form and engine-exact). Low scores =
+    generic/repetitive text, high = rare-token noise; pipelines prune
+    both tails. One token exchange builds the vocabulary-sized unigram
+    table (map-side combine), the corpus total is a one-row broadcast,
+    and the scoring join broadcasts the unigram table back into the
+    token stream — the corpus-side tokens never shuffle for scoring,
+    only for the per-doc average keyed by doc_id (which the explode
+    preserves, so AQE coalesces it to the scan partitioning). At 100 TB
+    the unigram table is vocab-sized (MBs) — the classic
+    small-model-big-corpus broadcast shape."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    lp = counts.join(F.broadcast(total)).select(
+        "token", F.log(F.col("n") / F.col("total")).alias("logp")
+    )
+    return (
+        tok.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg("logp"), 4).alias("mean_surprisal"),
+        )
+    )

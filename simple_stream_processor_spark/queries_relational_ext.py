@@ -1607,3 +1607,81 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+@query(
+    "q_top_paths",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 600000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    r AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+      FROM s
+    ),
+    p AS (
+      SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY 1, 2
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: sessionize each user's timeline (10-minute gap,
+    the q_session_window semantics built by hand so the path extraction
+    can ride the same window pass), take each session's first 3 event
+    types as a '>'-joined path, and count the most common journeys — the
+    product-analytics query behind funnel DISCOVERY (q_funnel checks a
+    known path; this finds the paths worth checking). ONE user-keyed
+    exchange carries sessionization, session-id prefix sum, and the
+    per-session rank — three window functions, same partitioning, zero
+    extra shuffles (the session rank re-partitions by (user, sid) but
+    sid is user-prefixed so AQE keeps it local); the path aggregate then
+    carries one row per session, and the top-10 is TakeOrdered. Ties are
+    total-ordered by (ts, event_id); the session gap uses exact epoch-ms
+    arithmetic."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    new_s = F.when(gap_ms.isNull() | (gap_ms >= 600000), F.lit(1)).otherwise(F.lit(0))
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    rn = F.row_number().over(Window.partitionBy("user_id", "sid").orderBy("ts", "event_id"))
+    paths = (
+        s.select("user_id", "sid", "event_type", rn.alias("rn"))
+        .where(F.col("rn") <= 3)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
