@@ -1645,10 +1645,12 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     product-analytics query behind funnel DISCOVERY (q_funnel checks a
     known path; this finds the paths worth checking). ONE user-keyed
     exchange carries sessionization, session-id prefix sum, and the
-    per-session rank — three window functions, same partitioning, zero
-    extra shuffles (the session rank re-partitions by (user, sid) but
-    sid is user-prefixed so AQE keeps it local); the path aggregate then
-    carries one row per session, and the top-10 is TakeOrdered. Ties are
+    per-session rank — three window functions, zero extra shuffles: the
+    user-keyed hash partitioning already satisfies the (user, sid)
+    window's clustered-distribution requirement, so the plan has exactly
+    two exchanges (user timeline + path counts), and the rn <= 3 filter
+    pushes down as a WindowGroupLimit. The path aggregate carries one
+    row per session; the top-10 is TakeOrdered. Ties are
     total-ordered by (ts, event_id); the session gap uses exact epoch-ms
     arithmetic."""
     from pyspark.sql.window import Window

@@ -401,3 +401,32 @@ def test_plan_audit_rules_are_not_vacuous(spark):
         assert "CartesianProduct" in explain(spark.range(3).crossJoin(spark.range(3)))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_top_paths_one_timeline_exchange(spark, sf_dir):
+    """All three window passes (sessionize lag, sid prefix sum, per-session
+    rank) must ride the single user-keyed exchange — the user-hash
+    partitioning satisfies the (user, sid) window's clustered-distribution
+    requirement, so adding a second timeline shuffle is a regression. The
+    rn <= 3 filter must also stay WindowGroupLimit-pushed."""
+    plan = plan_of(spark, sf_dir, "q_top_paths")
+    assert plan.count("Exchange hashpartitioning") == 2  # timeline + path counts
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_unigram_surprisal_corpus_never_shuffles_for_scoring(spark, sf_dir):
+    """The unigram table must broadcast back into the token stream: the
+    scoring join must be broadcast (corpus side stays narrow), with the
+    only exchanges being the vocab count aggregate and the per-doc avg."""
+    plan = plan_of(spark, sf_dir, "q_unigram_surprisal")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_merge_upsert_rank_filters_push_to_window_group_limit(spark, sf_dir):
+    """Both sides' latest-per-key compactions must stay rank-filter
+    (WindowGroupLimit) eligible so the merge join carries key cardinality,
+    not history."""
+    plan = plan_of(spark, sf_dir, "q_merge_upsert")
+    assert plan.count("WindowGroupLimit") >= 2
