@@ -192,30 +192,37 @@ def sweep_concurrency(
 
 
 def rolling_zscore(daily: DataFrame, key_col: str = "event_type", day_col: str = "day",
-                   value_col: str = "revenue") -> DataFrame:
+                   cents_col: str = "cents") -> DataFrame:
     """Score each (key, day) value against its trailing 7-day window
     (6 preceding closed rows): z = (x - mean) / stddev_samp, anomaly at
     |z| > 2. Shared by the batch query (q_rolling_zscore) and its
     streaming twin (q_streaming_zscore) so both paths are value-identical
-    by construction. Input must be the DAILY pre-aggregate — the window
-    stage then holds 7 rows of state per key regardless of history."""
+    by construction. Input must be the DAILY pre-aggregate in EXACT
+    INTEGER CENTS — double daily sums are partition-order-dependent and
+    flip round() at half boundaries between engines; on integers the
+    window avg is one exact-sum division, bit-identical everywhere. The
+    window stage holds 7 rows of state per key regardless of history."""
     win = Window.partitionBy(key_col).orderBy(day_col).rowsBetween(-6, -1)
-    z = (F.col(value_col) - F.col("mu")) / F.col("sigma")
+    z = (F.col(cents_col) - F.col("mu_c")) / F.col("sigma_c")
     return (
         daily.select(
             key_col,
-            F.unix_timestamp(day_col).alias("day_s"),
-            value_col,
-            F.avg(value_col).over(win).alias("mu"),
-            F.stddev_samp(value_col).over(win).alias("sigma"),
+            F.unix_millis(day_col).alias("day_ms"),
+            cents_col,
+            F.avg(cents_col).over(win).alias("mu_c"),
+            F.stddev_samp(cents_col).over(win).alias("sigma_c"),
             F.count(F.lit(1)).over(win).alias("n_prior"),
         )
-        .where((F.col("n_prior") >= 3) & (F.col("sigma") > 1e-9))
+        .where((F.col("n_prior") >= 3) & (F.col("sigma_c") > 1e-9))
         .select(
             key_col,
-            "day_s",
-            F.round(value_col, 2).alias(value_col),
-            F.round("mu", 2).alias("mu"),
+            "day_ms",
+            # round in the CENTS domain, then divide: avg-of-integers halves
+            # (sum/4, sum/6) are binary-exact, so both engines round the
+            # same value; rounding AFTER /100 hits the Spark-BigDecimal vs
+            # DuckDB-binary half divergence
+            (F.col(cents_col) / 100.0).alias("revenue"),
+            (F.round(F.col("mu_c"), 0) / 100.0).alias("mu"),
             "n_prior",
             F.round(z, 3).alias("zscore"),
             F.when(F.abs(z) > 2.0, F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),

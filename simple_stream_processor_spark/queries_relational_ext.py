@@ -1430,26 +1430,29 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both paths must hash-match the identical batch SQL
 ZSCORE_ORACLE = """
     WITH daily AS (
-      SELECT event_type, date_trunc('day', ts) AS day, sum(value) AS revenue
+      -- exact integer cents: double sums are partition-order-dependent,
+      -- which flips round() at half boundaries between engines
+      SELECT event_type, date_trunc('day', ts) AS day,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
       FROM events GROUP BY 1, 2
     ),
     w AS (
-      SELECT event_type, epoch_ms(day) / 1000 AS day_s, revenue,
-             avg(revenue) OVER win AS mu,
-             stddev_samp(revenue) OVER win AS sigma,
+      SELECT event_type, epoch_ms(day) AS day_ms, cents,
+             avg(cents) OVER win AS mu_c,
+             stddev_samp(cents) OVER win AS sigma_c,
              count(*) OVER win AS n_prior
       FROM daily
       WINDOW win AS (PARTITION BY event_type ORDER BY day
                      ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
     )
-    SELECT event_type, CAST(day_s AS BIGINT) AS day_s,
-           round(revenue, 2) AS revenue,
-           round(mu, 2) AS mu,
+    SELECT event_type, CAST(day_ms AS BIGINT) AS day_ms,
+           cents / 100.0 AS revenue,
+           round(mu_c, 0) / 100.0 AS mu,
            CAST(n_prior AS BIGINT) AS n_prior,
-           round((revenue - mu) / sigma, 3) AS zscore,
-           CASE WHEN abs((revenue - mu) / sigma) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
+           round((cents - mu_c) / sigma_c, 3) AS zscore,
+           CASE WHEN abs((cents - mu_c) / sigma_c) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
     FROM w
-    WHERE n_prior >= 3 AND sigma > 1e-9
+    WHERE n_prior >= 3 AND sigma_c > 1e-9
     """
 
 
@@ -1468,10 +1471,9 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scoring stage is shared with the streaming twin
     (q_streaming_zscore) via operators/windows.py:rolling_zscore."""
     ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
-        .agg(F.sum("value").alias("revenue"))
-    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
     return windows.rolling_zscore(daily)
 
 

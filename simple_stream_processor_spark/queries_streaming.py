@@ -539,6 +539,6 @@ def q_streaming_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = stream_events(spark, sf_dir)
     daily = sdf.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.sum("value").alias("revenue"))
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
     state, _ = run_stream_to_memory(daily, output_mode="complete")
     return W.rolling_zscore(state)
