@@ -1705,9 +1705,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_cms_heavy_hitters",
-    oracle="""
+CMS_ORACLE = """
     WITH tok AS (
       SELECT unnest(string_split(text, ' ')) AS token FROM documents
     ),
@@ -1728,8 +1726,21 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(c.cnt) - p.true_n AS BIGINT) AS overcount
     FROM probe p JOIN cms c ON p.i = c.i AND p.bucket = c.bucket
     GROUP BY p.token, p.true_n
-    """,
-)
+    """
+
+
+def cms_bucket_cols(token_col: str = "token", width: int = 1024) -> list:
+    """d=4 deterministic CMS bucket expressions from one md5 (the
+    operators/dedup.py md5-chunk determinism contract) — shared by the
+    batch query and the streaming twin so both match the same oracle."""
+    h = F.md5(F.encode(F.col(token_col), "UTF-8"))
+    return [
+        (F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % F.lit(width)).alias("bucket")
+        for i in range(4)
+    ]
+
+
+@query("q_cms_heavy_hitters", oracle=CMS_ORACLE)
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation: a d=4 x w=1024 counter
     table built in ONE aggregate over the token stream, probed for the
@@ -1745,11 +1756,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probe side broadcasts (10 tokens x 4 cells vs the CMS table)."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    h = F.md5(F.encode(F.col("token"), "UTF-8"))
-    buckets = [
-        (F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % F.lit(1024)).alias("bucket")
-        for i in range(4)
-    ]
+    buckets = cms_bucket_cols()
     exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
     top = exact.orderBy(F.col("true_n").desc(), "token").limit(10)
     cms = (

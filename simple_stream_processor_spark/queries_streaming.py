@@ -542,3 +542,56 @@ def q_streaming_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
     state, _ = run_stream_to_memory(daily, output_mode="complete")
     return W.rolling_zscore(state)
+
+
+def _cms_oracle() -> str:
+    from simple_stream_processor_spark.queries_llmdata import CMS_ORACLE
+
+    return CMS_ORACLE
+
+
+@query("q_streaming_cms", oracle=_cms_oracle())
+def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_cms_heavy_hitters: the d x w count-min cell
+    table is maintained INCREMENTALLY — the streaming aggregate's state
+    is the sketch itself, bounded at 4096 rows no matter how long the
+    stream runs (the whole point of sketching an unbounded token
+    stream). The drained cell table then serves the same top-10 probe as
+    the batch path and hash-matches the identical oracle. The exact
+    counts on the probe side are evaluation-only (you could not afford
+    them on a real unbounded stream — that is what the sketch is for)."""
+    from simple_stream_processor_spark.queries_llmdata import cms_bucket_cols
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tok_stream = sdf.select(F.explode(F.split("text", " ")).alias("token"))
+    cells = (
+        tok_stream.select(F.posexplode(F.array(*cms_bucket_cols())).alias("i", "bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cms, _ = run_stream_to_memory(cells, output_mode="complete")
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "token")
+        .limit(10)
+    )
+    probe = top.select("token", "true_n", F.posexplode(F.array(*cms_bucket_cols())).alias("i", "bucket"))
+    return (
+        F.broadcast(probe)
+        .join(cms, ["i", "bucket"])
+        .groupBy("token", "true_n")
+        .agg(
+            F.min("cnt").alias("est_n"),
+            (F.min("cnt") - F.first("true_n")).alias("overcount"),
+        )
+        .select("token", "true_n", "est_n", "overcount")
+    )
