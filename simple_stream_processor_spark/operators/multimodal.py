@@ -518,3 +518,52 @@ def decode_audio(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return df.select("media_id", "payload").mapInPandas(parse, AUDIO_SCHEMA)
+
+
+AHASH_SCHEMA = "media_id long, phash long, decode_ok boolean"
+
+
+def ahash_images(df: DataFrame, grid_w: int = 8, grid_h: int = 4) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL P6 payloads — the image
+    near-duplicate signature: parse the raster, sum the 3 channels per
+    pixel (grayscale SUM, no division — keeps every step exact integer
+    math), pool into a grid_w x grid_h grid of block sums, and set
+    bit j iff n_blocks * block_sum_j >= total_sum (the "above average"
+    test cleared of fractions). Two images whose rasters differ only by
+    noise/re-encode produce hashes within a small Hamming distance; the
+    exact-integer formulation makes the hash engine-replayable, so the
+    dedup query is HASH-matched against a SQL oracle, unlike typical
+    float-DCT perceptual hashes. Requires the raster dims to be grid
+    multiples; anything else (or malformed netpbm) → decode_ok=false."""
+    import numpy as np
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(p or b"")
+                parsed = _parse_ppm_p6_raw(payload)
+                phash, ok = 0, False
+                if parsed is not None:
+                    w, h, _maxval, rs, re_ = parsed
+                    if w % grid_w == 0 and h % grid_h == 0:
+                        arr = (
+                            np.frombuffer(payload[rs:re_], dtype="u1")
+                            .astype(np.int64)
+                            .reshape(h, w, 3)
+                        )
+                        gray = arr.sum(axis=2)
+                        bh, bw = h // grid_h, w // grid_w
+                        blocks = (
+                            gray.reshape(grid_h, bh, grid_w, bw)
+                            .sum(axis=(1, 3))
+                            .reshape(-1)
+                        )
+                        total = int(blocks.sum())
+                        bits = blocks.size * blocks >= total
+                        phash = int(sum(1 << j for j, b in enumerate(bits) if b))
+                        ok = True
+                rows.append((int(mid), phash, ok))
+            yield pd.DataFrame(rows, columns=["media_id", "phash", "decode_ok"])
+
+    return df.select("media_id", "payload").mapInPandas(hash_batches, AHASH_SCHEMA)

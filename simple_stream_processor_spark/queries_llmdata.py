@@ -1837,3 +1837,88 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.avg("logp"), 4).alias("mean_surprisal"),
         )
     )
+
+
+@query(
+    "q_image_phash_dedup",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(384.0 / length(text)) AS INT)), 1, 384) AS p
+      FROM documents WHERE length(text) > 0
+    ),
+    blocks AS (
+      -- 16x8 raster, 8x4 grid of 2x2-pixel blocks; block j sums 12 bytes
+      -- (2x2 pixels x 3 channels): exact integer grayscale-sum pooling
+      SELECT doc_id,
+             list_transform(range(0, 32), j ->
+               list_sum(list_transform(range(0, 12), k ->
+                 ord(substr(p,
+                   3 * ((2 * (j // 8) + (k // 6)) * 16 + 2 * (j % 8) + ((k // 3) % 2))
+                     + (k % 3) + 1,
+                 1))))) AS bs
+      FROM px
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32), j ->
+               CASE WHEN 32 * bs[j + 1] >= list_sum(bs)
+                    THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS phash
+      FROM blocks
+    ),
+    bands AS (
+      SELECT doc_id, phash, t.i AS band_idx,
+             CASE WHEN t.i = 0 THEN phash // 65536 ELSE phash % 65536 END AS band_val
+      FROM hashed, unnest([0, 1]) AS t(i)
+    )
+    SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 1
+    """,
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash: render each doc
+    into a REAL binary PPM, aHash it through the actual codec path
+    (operators/multimodal.py:ahash_images — parse raster, exact-integer
+    block pooling, above-average bits), then find pairs within Hamming
+    distance 1 via 2x16-bit pigeonhole bands — a pair at distance <= 1
+    must agree on at least one band, so candidates come from two
+    equality self-joins (collision-proportional, never n^2), exactly the
+    SimHash machinery applied to pixels instead of words. At 100 TB only
+    (media_id, 8-byte hash) shuffles — payloads stay in the executors
+    that decoded them. The integer-exact hash lets the whole pipeline
+    hash-match a SQL replay of the raster math (resize-oracle
+    precedent), which no float-DCT pHash could."""
+    docs = _t(spark, sf_dir, "documents")
+    ppm = multimodal.documents_as_ppm(docs)
+    hashes = multimodal.ahash_images(ppm).where(F.col("decode_ok"))
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(F.expr("phash div 65536"), F.col("phash") % 65536)
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("media_a"), F.col("phash").alias("pa"),
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"), F.col("phash").alias("pb"),
+        F.col("band_idx").alias("band_idx_b"), F.col("band_val").alias("band_val_b"),
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("media_a") < F.col("media_b")),
+        )
+        .where(ham <= 1)
+        .select("media_a", "media_b", ham.cast("long").alias("hamming"))
+        .distinct()
+    )

@@ -507,3 +507,28 @@ def test_bpe_merges_match_reference_trainer(spark, sf_dir):
         ).collect()
     ]
     assert got == expected
+
+
+def test_ahash_images_known_answer_and_malformed(spark):
+    """Bit-level known answer: a 16x8 P6 whose left half is bright and
+    right half dark must set exactly the 4x4 left-grid bits of each row
+    (blocks 0-3, 8-11, 16-19, 24-27); malformed and non-grid payloads
+    classify decode_ok=false instead of raising."""
+    import numpy as np
+
+    from simple_stream_processor_spark.operators import multimodal as M
+
+    raster = np.zeros((8, 16, 3), dtype=np.uint8)
+    raster[:, :8, :] = 200  # bright left half
+    payload = b"P6\n16 8\n255\n" + raster.tobytes()
+    bad = b"P6\n16 8\n255\nshort"
+    nongrid = b"P6\n3 3\n255\n" + bytes(27)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(bad)), (3, bytearray(nongrid))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in M.ahash_images(df).collect()}
+    expected = sum(1 << j for j in range(32) if (j % 8) < 4)
+    assert rows[1].decode_ok and rows[1].phash == expected
+    assert not rows[2].decode_ok and rows[2].phash == 0
+    assert not rows[3].decode_ok  # 3x3 not a multiple of the 8x4 grid
