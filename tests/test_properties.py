@@ -468,3 +468,99 @@ def test_entity_match_complete_within_blocks(spark, sf_dir):
         for r in QUERIES["q_entity_match"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 5),        # user_id
+            st.integers(0, 29),       # day offset from 2024-01-01
+            st.sampled_from(["view", "purchase", "error", "click"]),
+            st.integers(0, 500),      # value in whole units
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_merge_upsert_matches_dict_replay(spark, events):
+    """MERGE semantics == a per-key dict replay: base is the pre-cut
+    latest per key, the change batch is the post-cut latest per key
+    ('error' = tombstone), and the surviving rows carry the right
+    status labels."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    cut_day = 16
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d, seconds=i),
+            u,
+            t,
+            float(v),
+        )
+        for i, (u, d, t, v) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    cut = datetime.datetime(2024, 1, cut_day)
+
+    base, upd = {}, {}
+    for eid, ts, u, t, v in rows:
+        side = base if ts < cut else upd
+        if u not in side or (ts, eid) > (side[u][0], side[u][1]):
+            side[u] = (ts, eid, t, v)
+    expected = {}
+    for u, (ts, eid, t, v) in base.items():
+        expected[u] = (v, "unchanged")
+    for u, (ts, eid, t, v) in upd.items():
+        if t == "error":
+            expected.pop(u, None)
+        else:
+            expected[u] = (v, "updated" if u in base else "inserted")
+
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    )
+
+    def latest(side):
+        return (
+            side.select("user_id", "value", "ts", "event_type", rn.alias("rn"))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    cut_lit = F.lit(cut.strftime("%Y-%m-%d")).cast("timestamp")
+    b = latest(ev.where(F.col("ts") < cut_lit)).alias("b")
+    u = (
+        latest(ev.where(F.col("ts") >= cut_lit))
+        .select(
+            "user_id",
+            "value",
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+        )
+        .alias("u")
+    )
+    got = {
+        r.user_id: (r.value, r.status)
+        for r in (
+            b.join(u, F.col("b.user_id") == F.col("u.user_id"), "full_outer")
+            .where(F.col("u.op").isNull() | (F.col("u.op") != "delete"))
+            .select(
+                F.coalesce(F.col("u.user_id"), F.col("b.user_id")).alias("user_id"),
+                F.coalesce(F.col("u.value"), F.col("b.value")).alias("value"),
+                F.when(F.col("u.user_id").isNull(), F.lit("unchanged"))
+                .when(F.col("b.user_id").isNull(), F.lit("inserted"))
+                .otherwise(F.lit("updated"))
+                .alias("status"),
+            )
+            .collect()
+        )
+    }
+    assert got == {u_: (v, s) for u_, (v, s) in expected.items()}
