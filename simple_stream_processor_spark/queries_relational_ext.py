@@ -1525,9 +1525,7 @@ def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_merge_upsert",
-    oracle="""
+MERGE_ORACLE = """
     WITH base AS (
       SELECT user_id, value, epoch_ms(ts) AS ts_ms FROM (
         SELECT user_id, value, ts,
@@ -1554,48 +1552,43 @@ def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'updated' END AS status
     FROM base b FULL OUTER JOIN updates u ON b.user_id = u.user_id
     WHERE u.op IS NULL OR u.op <> 'delete'
-    """,
-)
-def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE INTO semantics (CDC apply): a change batch (latest event per
-    key after the cut, 'error' = tombstone) merges into the base snapshot
-    (latest state per key before the cut) — WHEN MATCHED AND op='delete'
-    DELETE / WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT, with each
-    surviving row labeled unchanged/updated/inserted. The lakehouse
-    upsert path without a table format: both sides compact to one row
-    per key via rank-filter windows (WindowGroupLimit-eligible) BEFORE
-    the full-outer join, so the join carries key-cardinality rows, not
-    history — at 100 TB the change batch is typically days smaller than
-    the base and AQE picks a broadcast merge. Deterministic latest via
-    (ts, event_id) total order."""
+    """
+
+
+MERGE_CUT = "2024-01-16"
+
+
+def merge_latest_per_key(side: DataFrame) -> DataFrame:
+    """Compact an event slice to its latest row per user via the
+    (ts, event_id) total order — rank-filter, WindowGroupLimit-eligible."""
     from pyspark.sql.window import Window
 
-    ev = _t(spark, sf_dir, "events")
-    cut = F.lit("2024-01-16").cast("timestamp")
     rn = F.row_number().over(
         Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     )
-
-    def latest(side):
-        return (
-            side.select("user_id", "value", "ts", "event_type", rn.alias("rn"))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
-
-    base = latest(ev.where(F.col("ts") < cut)).select(
-        "user_id", "value", F.unix_millis("ts").alias("ts_ms")
+    return (
+        side.select("user_id", "value", "ts", "event_id", "event_type", rn.alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
     )
-    updates = latest(ev.where(F.col("ts") >= cut)).select(
+
+
+def merge_apply(base_slice: DataFrame, updates_latest: DataFrame) -> DataFrame:
+    """Full-outer MERGE of a compacted change batch into the compacted base
+    snapshot: delete on tombstone, update on match, insert otherwise, with
+    status labels. Shared by the batch query and the foreachBatch streaming
+    twin so both hash-match the same oracle."""
+    b = merge_latest_per_key(base_slice).select(
+        "user_id", "value", F.unix_millis("ts").alias("ts_ms")
+    ).alias("b")
+    u = updates_latest.select(
         "user_id",
         "value",
         F.unix_millis("ts").alias("ts_ms"),
         F.when(F.col("event_type") == "error", F.lit("delete"))
         .otherwise(F.lit("upsert"))
         .alias("op"),
-    )
-    b = base.alias("b")
-    u = updates.alias("u")
+    ).alias("u")
     return (
         b.join(u, F.col("b.user_id") == F.col("u.user_id"), "full_outer")
         .where(F.col("u.op").isNull() | (F.col("u.op") != "delete"))
@@ -1608,6 +1601,27 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("updated"))
             .alias("status"),
         )
+    )
+
+
+@query("q_merge_upsert", oracle=MERGE_ORACLE)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (CDC apply): a change batch (latest event per
+    key after the cut, 'error' = tombstone) merges into the base snapshot
+    (latest state per key before the cut) — WHEN MATCHED AND op='delete'
+    DELETE / WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT, with each
+    surviving row labeled unchanged/updated/inserted. The lakehouse
+    upsert path without a table format: both sides compact to one row
+    per key via rank-filter windows (WindowGroupLimit-eligible) BEFORE
+    the full-outer join, so the join carries key-cardinality rows, not
+    history — at 100 TB the change batch is typically days smaller than
+    the base and AQE picks a broadcast merge. Deterministic latest via
+    (ts, event_id) total order."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit(MERGE_CUT).cast("timestamp")
+    return merge_apply(
+        ev.where(F.col("ts") < cut),
+        merge_latest_per_key(ev.where(F.col("ts") >= cut)),
     )
 
 

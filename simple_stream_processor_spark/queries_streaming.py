@@ -595,3 +595,77 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("token", "true_n", "est_n", "overcount")
     )
+
+
+def _merge_oracle() -> str:
+    from simple_stream_processor_spark.queries_relational_ext import MERGE_ORACLE
+
+    return MERGE_ORACLE
+
+
+@query("q_streaming_merge_upsert", oracle=_merge_oracle())
+def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_merge_upsert — the lakehouse incremental-MERGE
+    pattern: the post-cut change feed arrives in multiple micro-batches
+    (4 day-sliced parquet files, maxFilesPerTrigger=1) and a foreachBatch
+    loop maintains the compacted latest-per-key state, re-ranking by the
+    (ts, event_id) total order on every merge so batch ARRIVAL ORDER
+    cannot change the outcome (a late-replayed chunk merges to the same
+    winners). State stays key-cardinality-bounded via per-batch
+    compaction + localCheckpoint (O(1) lineage); the final state then
+    MERGEs into the base snapshot through the same merge_apply stage as
+    the batch query — hash-matching the identical oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import (
+        MERGE_CUT,
+        merge_apply,
+        merge_latest_per_key,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    cut = F.lit(MERGE_CUT).cast("timestamp")
+    post = ev.where(F.col("ts") >= cut).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    feed_dir = os.path.join(TMP_ROOT, "merge_feed", uuid.uuid4().hex[:12])
+    for lo, hi in ((16, 20), (20, 24), (24, 28), (28, 32)):
+        (
+            post.where((F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed_dir)
+        )
+
+    sdf = (
+        spark.readStream.schema(post.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    state: dict = {"df": None}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = merge_latest_per_key(batch_df)
+        cur = state["df"]
+        merged = latest if cur is None else cur.unionByName(latest)
+        state["df"] = merge_latest_per_key(merged).localCheckpoint()
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(feed_dir, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    updates = state["df"]
+    if updates is None:  # no post-cut rows: pure 'unchanged' snapshot
+        updates = spark.createDataFrame(
+            [], "user_id long, value double, ts timestamp, event_id long, event_type string"
+        )
+    return merge_apply(ev.where(F.col("ts") < cut), updates)
