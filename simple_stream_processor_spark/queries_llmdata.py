@@ -1922,3 +1922,97 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_a", "media_b", ham.cast("long").alias("hamming"))
         .distinct()
     )
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM e),
+    p AS (SELECT vec_id AS probe_id, v AS probe_v, bucket AS probe_bucket
+          FROM b WHERE vec_id < 5),
+    s AS (
+      SELECT p.probe_id, b.vec_id, b.bucket, p.probe_bucket,
+             list_dot_product(b.v, p.probe_v)
+               / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.probe_v, p.probe_v))) AS cos_sim
+      FROM b CROSS JOIN p WHERE b.vec_id <> p.probe_id
+    ),
+    exact AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM s
+      ) WHERE rn <= 10
+    ),
+    approx AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM s WHERE bit_count(xor(bucket, probe_bucket)) <= 1
+      ) WHERE rn <= 10
+    )
+    SELECT x.probe_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+           round(count(a.vec_id) / 10.0, 2) AS recall_at_10
+    FROM exact x LEFT JOIN approx a
+      ON x.probe_id = a.probe_id AND x.vec_id = a.vec_id
+    GROUP BY x.probe_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the sign-LSH bucketed search
+    (Hamming <= 1 candidate filter) against the exact brute-force top-10,
+    per probe — the measure-don't-guess harness for approximate search,
+    completing the evaluation family (lang-ID confusion matrix, embedding
+    drift, dedup-rate report). You run this on a SAMPLE of probes before
+    trusting the cheap path on a billion-vector corpus; the measured
+    recall tells you whether to widen the Hamming radius or add
+    hyperplanes. One corpus-x-probes scoring pass (probes broadcast, the
+    corpus never shuffles for scoring) feeds BOTH rankings; the per-probe
+    rank filters are WindowGroupLimit-eligible, and the final compare
+    joins two 50-row tables. The cosine arithmetic is the same
+    engine-exact formulation the existing ANN oracles hash-match."""
+    from simple_stream_processor_spark.operators.dedup import cosine
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = tables.spread(emb, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", similarity.lsh_bucket(F.col("v")))
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("probe_v"),
+        F.col("bucket").alias("probe_bucket"),
+    )
+    scored = (
+        e.join(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "bucket",
+            "probe_bucket",
+            cosine(F.col("v"), F.col("probe_v")).alias("cos_sim"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    )
+    exact = scored.select("probe_id", "vec_id", rn.alias("rn")).where(F.col("rn") <= 10)
+    approx = (
+        scored.where(F.bit_count(F.col("bucket").bitwiseXOR(F.col("probe_bucket"))) <= 1)
+        .select("probe_id", "vec_id", rn.alias("rn"))
+        .where(F.col("rn") <= 10)
+        .select(F.col("probe_id").alias("a_probe_id"), F.col("vec_id").alias("a_vec_id"))
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("probe_id") == F.col("a_probe_id")) & (F.col("vec_id") == F.col("a_vec_id")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("a_vec_id").alias("n_hits"),
+            F.round(F.count("a_vec_id") / 10.0, 2).alias("recall_at_10"),
+        )
+    )
