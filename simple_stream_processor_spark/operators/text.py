@@ -319,3 +319,47 @@ def bpe_merges(df: DataFrame, text_col: str = "text", rounds: int = 5) -> DataFr
         old.unpersist()
     schema = "round INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
     return spark.createDataFrame(out_rows, schema=schema)
+
+
+def bpe_encode_counts(df: DataFrame, merges: list, text_col: str = "text") -> DataFrame:
+    """Apply a learned BPE merge list (from ``bpe_merges``) and count the
+    resulting tokens per document: (doc_id, n_words, n_bpe_tokens) — the
+    encode half of the tokenizer loop, which is what sequence packing and
+    mixture weighting actually consume. Scale design: the merges are
+    applied to the DISTINCT-WORD vocabulary (vocab-sized, same collapse
+    as training), each merge as a JVM-side array fold, and the per-word
+    symbol count broadcasts back into the (doc, word) stream — the
+    corpus is never re-folded, only joined against the vocab-sized
+    lookup. 100 TB of text pays one token exchange for the per-doc sum;
+    the fold work is vocab x merges, independent of corpus size."""
+    tok = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.length("word") > 0)
+    vocab = tok.select("word").distinct().select(
+        "word",
+        F.filter(F.split("word", "(?!^)"), lambda s: s != "").alias("syms"),
+    )
+    for left, right in merges:
+        fold = F.aggregate(
+            F.slice("syms", 2, F.size("syms") - 1),
+            F.slice("syms", 1, 1),
+            lambda acc, s: F.when(
+                (F.element_at(acc, -1) == F.lit(left)) & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select(
+            "word",
+            F.when(F.size("syms") >= 2, fold).otherwise(F.col("syms")).alias("syms"),
+        )
+    lut = vocab.select("word", F.size("syms").alias("n_syms"))
+    return (
+        tok.join(F.broadcast(lut), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )

@@ -2016,3 +2016,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("a_vec_id") / 10.0, 2).alias("recall_at_10"),
         )
     )
+
+
+@query("q_bpe_encode")  # rows-only: depends on the learned (iterative) merge list
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode — the apply half of the tokenizer loop: learn 8 merges
+    from the corpus (q_bpe_merges), then count the resulting BPE tokens
+    per document. The merges fold over the DISTINCT-WORD vocabulary only
+    and the per-word symbol count broadcasts back into the (doc, word)
+    stream — the corpus is never re-folded
+    (operators/text.py:bpe_encode_counts). Pinned against a pure-Python
+    encoder in tests/test_llmdata.py::test_bpe_encode_matches_reference."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r["left"], r["right"]) for r in text.bpe_merges(docs, rounds=8).collect()]
+    return text.bpe_encode_counts(docs, merges)

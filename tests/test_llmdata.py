@@ -532,3 +532,53 @@ def test_ahash_images_known_answer_and_malformed(spark):
     assert rows[1].decode_ok and rows[1].phash == expected
     assert not rows[2].decode_ok and rows[2].phash == 0
     assert not rows[3].decode_ok  # 3x3 not a multiple of the 8x4 grid
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """Learn merges, encode the corpus, compare per-doc BPE token counts
+    against a pure-Python train+encode on the same text."""
+    from collections import Counter
+
+    import duckdb
+
+    from simple_stream_processor_spark.operators import text as T
+
+    rounds = 8
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    words = Counter(w for _, t in docs for w in t.split(" ") if w)
+    vocab = {w: list(w) for w in words}
+    merge_list = []
+    for _ in range(rounds):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += words[w]
+        if not pairs:
+            break
+        (l, r), _cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merge_list.append((l, r))
+        for w, syms in vocab.items():
+            merged = []
+            for s in syms:
+                if merged and merged[-1] == l and s == r:
+                    merged[-1] = l + r
+                else:
+                    merged.append(s)
+            vocab[w] = merged
+    expected = {
+        did: (
+            len([w for w in t.split(" ") if w]),
+            sum(len(vocab[w]) for w in t.split(" ") if w),
+        )
+        for did, t in docs
+    }
+
+    sdf = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [(r["left"], r["right"]) for r in T.bpe_merges(sdf, rounds=rounds).collect()]
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in T.bpe_encode_counts(sdf, merges).collect()
+    }
+    assert got == expected
