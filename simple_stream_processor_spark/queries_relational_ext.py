@@ -1703,3 +1703,71 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+@query(
+    "q_market_basket",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    np AS (SELECT l_partkey, count(*) AS n FROM items GROUP BY 1),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           na.n AS n_a, nb.n AS n_b,
+           round(CAST(p.n_ab AS DOUBLE) * t.n_orders / (na.n * nb.n), 4) AS lift
+    FROM pairs p
+    JOIN np na ON na.l_partkey = p.part_a
+    JOIN np nb ON nb.l_partkey = p.part_b
+    CROSS JOIN tot t
+    ORDER BY p.n_ab DESC, p.part_a, p.part_b
+    LIMIT 20
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis (association-rule mining): the top co-
+    purchased part pairs with support count and lift — the recsys /
+    cross-sell primitive. ONE l_orderkey exchange carries the distinct
+    (order, part) projection, the pair self-join, AND the per-order
+    pairing (same-key join needs no second shuffle); pair cardinality is
+    sum(basket_size^2) per order — bounded by the few-items-per-order
+    shape, the same collision-proportional argument as LSH banding. The
+    per-part counts broadcast back into the pair table (parts-cardinality
+    lookup), lift is exact-integer products under one IEEE division, and
+    the top-20 is TakeOrdered, never a global sort. At 100 TB you'd add
+    a min-support pre-filter on np before the join — the plan shape
+    stays identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    np_ = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = np_.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    nb = np_.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .join(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
+        .limit(20)
+    )
