@@ -80,6 +80,12 @@ HEADLINE = [
     "q_rolling_zscore",
     "q_entity_match",
     "q_merge_upsert",
+    "q_top_paths",
+    "q_unigram_surprisal",
+    "q_image_phash_dedup",
+    "q_ann_recall",
+    "q_market_basket",
+    "q_bpe_encode",
 ]
 
 

@@ -1771,3 +1771,137 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "q_expectations",
+    oracle="""
+    SELECT 'orders.o_orderkey.unique' AS check_name,
+           (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS n_violations
+    UNION ALL
+    SELECT 'orders.o_totalprice.positive',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+    UNION ALL
+    SELECT 'orders.o_orderstatus.enum',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+    UNION ALL
+    SELECT 'lineitem.l_discount.range_0_1',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'lineitem.l_quantity.min_1',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL OR l_quantity < 1)
+    UNION ALL
+    SELECT 'events.value.not_null',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) FROM events WHERE value IS NULL)
+    UNION ALL
+    SELECT 'events.event_type.enum',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) FROM events
+            WHERE event_type NOT IN ('view', 'click', 'purchase', 'signup', 'error'))
+    """,
+)
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (expectation suite): column-level checks —
+    uniqueness, positivity, value ranges, enum membership, non-null —
+    each reported as (check_name, n_rows, n_violations), the
+    Great-Expectations-style gate a pipeline runs BEFORE publishing a
+    table (complementing q_integrity_audit's cross-table FK checks). All
+    checks on one table fuse into a SINGLE scan-aggregate (conditional
+    sums ride one pass — adding a check costs one column expression, not
+    one scan), then unpivot via stack(); at 100 TB the whole suite is
+    three table scans and three one-row aggregates, no exchange of any
+    data rows."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_unique"),
+        viol(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).alias("v_pos"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("v_enum"),
+    ).selectExpr(
+        "stack(3, 'orders.o_orderkey.unique', n, v_unique,"
+        " 'orders.o_totalprice.positive', n, v_pos,"
+        " 'orders.o_orderstatus.enum', n, v_enum) AS (check_name, n_rows, n_violations)"
+    )
+    l = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(
+            F.col("l_discount").isNull() | (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).alias("v_disc"),
+        viol(F.col("l_quantity").isNull() | (F.col("l_quantity") < 1)).alias("v_qty"),
+    ).selectExpr(
+        "stack(2, 'lineitem.l_discount.range_0_1', n, v_disc,"
+        " 'lineitem.l_quantity.min_1', n, v_qty) AS (check_name, n_rows, n_violations)"
+    )
+    e = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("value").isNull()).alias("v_null"),
+        viol(~F.col("event_type").isin("view", "click", "purchase", "signup", "error")).alias(
+            "v_enum"
+        ),
+    ).selectExpr(
+        "stack(2, 'events.value.not_null', n, v_null,"
+        " 'events.event_type.enum', n, v_enum) AS (check_name, n_rows, n_violations)"
+    )
+    return o.unionByName(l).unionByName(e)
+
+
+@query(
+    "q_forecast_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, cents,
+             lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+      FROM daily
+    )
+    SELECT event_type, count(*) AS n_scored,
+           avg(abs(cents - fc)) AS mae_cents,
+           round(avg(abs(cents - fc) * 1.0 / cents), 4) AS mape
+    FROM l WHERE fc IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast baseline evaluation: seasonal-naive prediction (each day's
+    revenue forecast = the value 7 days earlier) scored with MAE and MAPE
+    per series — the sanity baseline every forecasting pipeline must beat
+    before a model earns its keep, and the evaluation harness that scores
+    the real model the same way. Exact-integer cents make the error terms
+    engine-exact; MAE is one exact-sum division (emitted unrounded — the
+    doubles are bit-identical), MAPE is rounded. Same two-exchange shape
+    as q_rolling_zscore: daily pre-aggregate with map-side combine, then
+    a ROWS-bounded per-series lag — 7 rows of window state per key at
+    any history length."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.select(
+        "event_type", "cents", F.lag("cents", 7).over(w).alias("fc")
+    ).where(F.col("fc").isNotNull())
+    abs_err = F.abs(F.col("cents") - F.col("fc"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.avg(abs_err).alias("mae_cents"),
+        F.round(F.avg(abs_err * F.lit(1.0) / F.col("cents")), 4).alias("mape"),
+    )
