@@ -278,6 +278,12 @@ def bpe_merges(df: DataFrame, text_col: str = "text", rounds: int = 5) -> DataFr
         )
     )
     words = words.persist()
+    # the per-round jobs touch only the vocab table: when it is small,
+    # 32-task stages are pure scheduler overhead (16+ micro-jobs at 8
+    # rounds) — collapse to one partition; a 100 TB corpus with a
+    # many-million-word vocab keeps its parallelism
+    if words.count() < 100_000:
+        words = words.coalesce(1)
     out_rows = []
     for r in range(1, rounds + 1):
         n = F.size("syms")
