@@ -1905,3 +1905,84 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(abs_err).alias("mae_cents"),
         F.round(F.avg(abs_err * F.lit(1.0) / F.col("cents")), 4).alias("mape"),
     )
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH ref AS (SELECT max(o_orderdate) AS ref_d FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT ref_d FROM ref)) AS r_days,
+             count(*) AS f,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS m_cents
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT quantile_cont(r_days, 0.2) AS r1, quantile_cont(r_days, 0.4) AS r2,
+             quantile_cont(r_days, 0.6) AS r3, quantile_cont(r_days, 0.8) AS r4,
+             quantile_cont(f, 0.2) AS f1, quantile_cont(f, 0.4) AS f2,
+             quantile_cont(f, 0.6) AS f3, quantile_cont(f, 0.8) AS f4,
+             quantile_cont(m_cents, 0.2) AS m1, quantile_cont(m_cents, 0.4) AS m2,
+             quantile_cont(m_cents, 0.6) AS m3, quantile_cont(m_cents, 0.8) AS m4
+      FROM rfm
+    )
+    SELECT CAST(1 + (r_days > r1)::INT + (r_days > r2)::INT + (r_days > r3)::INT + (r_days > r4)::INT AS BIGINT) AS r_q,
+           CAST(1 + (f > f1)::INT + (f > f2)::INT + (f > f3)::INT + (f > f4)::INT AS BIGINT) AS f_q,
+           CAST(1 + (m_cents > m1)::INT + (m_cents > m2)::INT + (m_cents > m3)::INT + (m_cents > m4)::INT AS BIGINT) AS m_q,
+           count(*) AS n_customers,
+           avg(m_cents) AS avg_m_cents
+    FROM rfm CROSS JOIN b
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles) — the CRM workhorse. The scalable formulation is the
+    point: a global ntile() would serialize every customer through ONE
+    window task, so instead the quintile BOUNDARIES come from one exact
+    percentile aggregate (a single row, broadcast back) and each
+    customer scores itself with four comparisons — narrow, scan-speed,
+    the same bounds-broadcast pattern as q_winsorize. Exact-integer
+    day/count/cents inputs; Spark percentile ≡ DuckDB quantile_cont
+    bit-for-bit (proven by q_exact_percentile); boundary comparisons on
+    exact values make every quintile assignment engine-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("ref_d"))
+    rfm = (
+        orders.join(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("ref_d"), F.max("o_orderdate")).alias("r_days"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("m_cents"),
+        )
+    )
+    bounds = rfm.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}{i}")
+            for c in ("r_days", "f", "m_cents")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+        ]
+    )
+
+    def score(col, pfx):
+        s = F.lit(1)
+        for i in (1, 2, 3, 4):
+            s = s + (F.col(col) > F.col(f"{pfx}{i}")).cast("int")
+        return s.cast("long")
+
+    return (
+        rfm.join(F.broadcast(bounds))
+        .select(
+            score("r_days", "r").alias("r_q"),
+            score("f", "f").alias("f_q"),
+            score("m_cents", "m").alias("m_q"),
+            "m_cents",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.avg("m_cents").alias("avg_m_cents"),
+        )
+    )
