@@ -51,6 +51,14 @@ SINGLE_PARTITION_ALLOWANCE = {
     # AND projected into the fallback row — two one-row exchanges
     "q_recover_value": 2,
     "q_recover_with_stream": 2,
+    # one expectation-suite scalar aggregate PER TABLE (orders, lineitem,
+    # events) — each is a one-row final agg over #tasks partial rows;
+    # adding a check reuses an existing table's aggregate
+    "q_expectations": 3,
+    # reference-date one-row agg + the quantile-bounds one-row agg (itself
+    # consumed via broadcast) + the final segment rollup's one-row side —
+    # all over partial rows, never customer data
+    "q_rfm_segmentation": 3,
 }
 
 STREAMING_PREFIXES = ("q_stream", "q_streaming", "q_managed")
