@@ -669,3 +669,49 @@ def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "user_id long, value double, ts timestamp, event_id long, event_type string"
         )
     return merge_apply(ev.where(F.col("ts") < cut), updates)
+
+
+@query(
+    "q_streaming_expectations",
+    oracle="""
+    SELECT 'events.value.not_null' AS check_name,
+           (SELECT count(*) FROM events) AS n_rows,
+           (SELECT count(*) FROM events WHERE value IS NULL) AS n_violations
+    UNION ALL
+    SELECT 'events.value.positive',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) FROM events WHERE value <= 0)
+    UNION ALL
+    SELECT 'events.event_type.enum',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) FROM events
+            WHERE event_type NOT IN ('view', 'click', 'purchase', 'signup', 'error'))
+    """,
+)
+def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_expectations for the unbounded table:
+    continuous data-contract monitoring — the violation counters are
+    maintained INCREMENTALLY by the streaming engine (state = one row of
+    counters, regardless of stream length), which is how a production
+    pipeline watches contract drift without re-scanning history. The
+    drained one-row state unpivots into the same (check_name, n_rows,
+    n_violations) shape and hash-matches the batch SQL."""
+    sdf = stream_events(spark, sf_dir)
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    counters = sdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("value").isNull()).alias("v_null"),
+        viol(F.col("value") <= 0).alias("v_pos"),
+        viol(
+            ~F.col("event_type").isin("view", "click", "purchase", "signup", "error")
+        ).alias("v_enum"),
+    )
+    state, _ = run_stream_to_memory(counters, output_mode="complete")
+    return state.selectExpr(
+        "stack(3, 'events.value.not_null', n, v_null,"
+        " 'events.value.positive', n, v_pos,"
+        " 'events.event_type.enum', n, v_enum) AS (check_name, n_rows, n_violations)"
+    )
