@@ -2030,3 +2030,73 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = [(r["left"], r["right"]) for r in text.bpe_merges(docs, rounds=8).collect()]
     return text.bpe_encode_counts(docs, merges)
+
+
+@query(
+    "q_mixture_resample",
+    oracle="""
+    WITH tok AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_s
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(tok_s) AS BIGINT) AS total, count(*) AS n_src FROM tok),
+    w AS (
+      SELECT source, tok_s,
+             least(10000, ((total // 2) * 10000) // (n_src * tok_s)) AS weight_bp
+      FROM tok, tot
+    ),
+    kept AS (
+      SELECT d.source, d.doc_id, len(string_split(d.text, ' ')) AS n_tok, w.weight_bp
+      FROM documents d JOIN w ON d.source = w.source
+      WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000
+            < w.weight_bp
+    )
+    SELECT w.source, w.weight_bp,
+           (SELECT count(*) FROM documents d2 WHERE d2.source = w.source) AS n_docs,
+           (SELECT count(*) FROM kept k WHERE k.source = w.source) AS n_kept,
+           (SELECT coalesce(CAST(sum(n_tok) AS BIGINT), 0) FROM kept k WHERE k.source = w.source) AS kept_tokens
+    FROM w
+    """,
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling — the apply half of q_mixture_weights (as
+    q_bpe_encode is to q_bpe_merges): enforce the computed per-source
+    token budget by deterministic hash-thresholding each document
+    (md5(doc_id) mod 10000 < weight_bp, the q_hash_sample coin), then
+    report per source what survived. The weights table is source-
+    cardinality and broadcasts into the corpus scan; the keep decision
+    is a narrow expression, so the resample is scan-speed at 100 TB —
+    no shuffle touches documents, only the per-source count rollup.
+    Deterministic: re-running selects the SAME documents (reproducible
+    training mixes), and the realized kept_tokens converges on
+    expected_tokens as documents per source grow."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tok_s")
+    )
+    tot = tok.agg(
+        F.sum("tok_s").cast("long").alias("total"), F.count(F.lit(1)).alias("n_src")
+    )
+    w = tok.join(F.broadcast(tot)).select(
+        "source",
+        "tok_s",
+        F.least(
+            F.lit(10000).cast("long"),
+            F.expr("((total div 2) * 10000) div (n_src * tok_s)"),
+        ).alias("weight_bp"),
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000
+    )
+    scored = docs.join(F.broadcast(w), "source").select(
+        "source",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        (coin < F.col("weight_bp")).alias("keep"),
+        "weight_bp",
+    )
+    return scored.groupBy("source", "weight_bp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0)).cast("long").alias("kept_tokens"),
+    )

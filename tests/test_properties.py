@@ -564,3 +564,24 @@ def test_merge_upsert_matches_dict_replay(spark, events):
         )
     }
     assert got == {u_: (v, s) for u_, (v, s) in expected.items()}
+
+
+@given(payload=st.binary(min_size=0, max_size=200))
+@settings(**SETTINGS)
+def test_binary_codecs_never_raise_on_fuzz(spark, payload):
+    """The netpbm and WAV parsers must classify arbitrary bytes as
+    malformed (decode_ok falsy) rather than raise — one bad blob must
+    not fail a 100 TB scan. Valid-prefix mutations are covered by the
+    codec goldens; this pins the no-throw contract on random input."""
+    from simple_stream_processor_spark.operators.multimodal import (
+        _parse_netpbm,
+        _parse_ppm_p6_raw,
+        _parse_wav,
+    )
+
+    out = _parse_netpbm(payload)
+    assert isinstance(out, tuple)
+    raw = _parse_ppm_p6_raw(payload)
+    assert raw is None or len(raw) == 5
+    wav = _parse_wav(payload)
+    assert isinstance(wav, tuple)
