@@ -73,8 +73,8 @@ _PRIORITY = [
     # q_merge_upsert, q_top_paths, q_unigram_surprisal, q_streaming_cms,
     # q_image_phash_dedup, q_streaming_merge_upsert, q_ann_recall,
     # q_bpe_encode, q_market_basket, q_expectations, q_forecast_eval,
-    # q_rfm_segmentation, q_streaming_expectations, q_mixture_resample —
-    # at the registry tail)
+    # q_rfm_segmentation, q_streaming_expectations, q_mixture_resample,
+    # q_auc_eval — at the registry tail)
     # into the first 50 next round; everything above will have
     # driver-green rows by then.
     "q_robust_stats_mad", "q_winsorize", "q_integrity_audit",

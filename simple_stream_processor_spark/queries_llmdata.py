@@ -2100,3 +2100,104 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0)).cast("long").alias("kept_tokens"),
     )
+
+
+@query(
+    "q_auc_eval",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             (len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' '))::DOUBLE)
+             * (1 - len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE) AS score
+      FROM documents
+    ),
+    g AS (
+      SELECT score, CAST(sum(pos) AS BIGINT) AS n_pos_s,
+             CAST(count(*) - sum(pos) AS BIGINT) AS n_neg_s
+      FROM scored GROUP BY score
+    ),
+    c AS (
+      SELECT n_pos_s, n_neg_s,
+             CAST(coalesce(sum(n_neg_s) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(sum(n_pos_s) AS BIGINT) AS n_pos,
+             CAST(sum(n_neg_s) AS BIGINT) AS n_neg,
+             CAST(sum(n_pos_s * (2 * neg_below + n_neg_s)) AS BIGINT) AS numer2
+      FROM c
+    )
+    SELECT n_pos, n_neg, numer2 * 1.0 / (2 * n_pos * n_neg) AS auc FROM t
+    """,
+)
+def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier ranking evaluation: AUC of the quality score as a
+    predictor of the en-language label (Mann-Whitney form, average-rank
+    tie handling) — closing the eval family alongside the confusion
+    matrix, ANN recall, and forecast MAE. The textbook formulation is a
+    GLOBAL running sum over distinct scores; here the cumulative
+    negatives-below come from the q_interval_concurrency two-level
+    prefix sum (scores bucket into ~1000 value ranges; only the bounded
+    bucket table crosses a single partition, intra-bucket sums are
+    partition-local). Arithmetic stays exact-integer (numer2 doubles the
+    0.5-tie credit) until ONE final division, so the AUC double is
+    engine-identical with no rounding."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    score = (F.size(F.array_distinct(toks)).cast("double") / n_tok) * (
+        F.lit(1)
+        - F.size(F.filter(toks, lambda x: x.isin(*text.STOPWORDS))).cast("double") / n_tok
+    )
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    g = (
+        docs.select(score.alias("score"), pos.alias("pos"))
+        .groupBy("score")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos_s"),
+            (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg_s"),
+        )
+        .withColumn("bucket", F.floor(F.col("score") * 1000).cast("long"))
+    )
+    per_bucket = g.groupBy("bucket").agg(F.sum("n_neg_s").alias("bucket_neg"))
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(
+            F.sum("bucket_neg").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    intra = (
+        Window.partitionBy("bucket")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        g.join(F.broadcast(offsets), "bucket")
+        .select(
+            "n_pos_s",
+            "n_neg_s",
+            (F.col("offset") + F.coalesce(F.sum("n_neg_s").over(intra), F.lit(0)))
+            .cast("long")
+            .alias("neg_below"),
+        )
+    )
+    return c.agg(
+        F.sum("n_pos_s").cast("long").alias("n_pos"),
+        F.sum("n_neg_s").cast("long").alias("n_neg"),
+        F.sum(F.col("n_pos_s") * (2 * F.col("neg_below") + F.col("n_neg_s")))
+        .cast("long")
+        .alias("numer2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        (F.col("numer2") * F.lit(1.0) / (2 * F.col("n_pos") * F.col("n_neg"))).alias("auc"),
+    )

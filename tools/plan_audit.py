@@ -59,6 +59,9 @@ SINGLE_PARTITION_ALLOWANCE = {
     # consumed via broadcast) + the final segment rollup's one-row side —
     # all over partial rows, never customer data
     "q_rfm_segmentation": 3,
+    # two-level prefix sum: the bucket-table offset window (bounded at
+    # ~1000 score-range rows) plus the final one-row AUC aggregate
+    "q_auc_eval": 2,
 }
 
 STREAMING_PREFIXES = ("q_stream", "q_streaming", "q_managed")
