@@ -585,3 +585,69 @@ def test_binary_codecs_never_raise_on_fuzz(spark, payload):
     assert raw is None or len(raw) == 5
     wav = _parse_wav(payload)
     assert isinstance(wav, tuple)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 5)),  # (label, score bucket)
+        min_size=2,
+        max_size=30,
+    ).filter(lambda r: any(l for l, _ in r) and any(1 - l for l, _ in r))
+)
+@settings(**SETTINGS)
+def test_auc_two_level_matches_bruteforce(spark, rows):
+    """The two-level-prefix-sum AUC must equal the O(n^2) pairwise
+    definition (P(score_pos > score_neg) + 0.5 P(=)) including ties."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    pos_scores = [s for l, s in rows if l == 1]
+    neg_scores = [s for l, s in rows if l == 0]
+    wins = sum(1 for p in pos_scores for n in neg_scores if p > n)
+    ties = sum(1 for p in pos_scores for n in neg_scores if p == n)
+    expected = (wins + 0.5 * ties) / (len(pos_scores) * len(neg_scores))
+
+    df = spark.createDataFrame(rows, "pos int, score int")
+    g = (
+        df.groupBy("score")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos_s"),
+            (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg_s"),
+        )
+        .withColumn("bucket", (F.col("score") / 2).cast("long"))
+    )
+    offsets = (
+        g.groupBy("bucket")
+        .agg(F.sum("n_neg_s").alias("bn"))
+        .select(
+            "bucket",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("offset"),
+        )
+    )
+    intra = (
+        Window.partitionBy("bucket")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.join(F.broadcast(offsets), "bucket").select(
+        "n_pos_s",
+        "n_neg_s",
+        (F.col("offset") + F.coalesce(F.sum("n_neg_s").over(intra), F.lit(0)))
+        .cast("long")
+        .alias("neg_below"),
+    )
+    row = (
+        c.agg(
+            F.sum("n_pos_s").alias("np"),
+            F.sum("n_neg_s").alias("nn"),
+            F.sum(F.col("n_pos_s") * (2 * F.col("neg_below") + F.col("n_neg_s"))).alias("numer2"),
+        )
+        .select((F.col("numer2") * 1.0 / (2 * F.col("np") * F.col("nn"))).alias("auc"))
+        .collect()[0]
+    )
+    assert abs(row.auc - expected) < 1e-12
