@@ -86,6 +86,11 @@ HEADLINE = [
     "q_ann_recall",
     "q_market_basket",
     "q_bpe_encode",
+    "q_expectations",
+    "q_forecast_eval",
+    "q_rfm_segmentation",
+    "q_mixture_resample",
+    "q_auc_eval",
 ]
 
 
