@@ -2201,3 +2201,54 @@ def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neg",
         (F.col("numer2") * F.lit(1.0) / (2 * F.col("n_pos") * F.col("n_neg"))).alias("auc"),
     )
+
+
+@query(
+    "q_calibration",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             (len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' '))::DOUBLE)
+             * (1 - len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE) AS score
+      FROM documents
+    )
+    SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+           count(*) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           sum(pos) * 1.0 / count(*) AS pos_rate,
+           round(avg(score), 4) AS mean_score
+    FROM scored GROUP BY 1
+    """,
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table: observed positive rate vs mean
+    predicted score per decile bin — the companion to q_auc_eval (AUC
+    measures ranking, calibration measures whether the score MEANS what
+    it says; both are read before trusting a filter threshold at corpus
+    scale). One scan-aggregate into 10 bins — zero data-row exchanges,
+    scan-speed at 100 TB. The positive rate is one exact-integer
+    division (engine-identical, emitted unrounded); the mean score is
+    rounded as an order-dependent double average."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    score = (F.size(F.array_distinct(toks)).cast("double") / n_tok) * (
+        F.lit(1)
+        - F.size(F.filter(toks, lambda x: x.isin(*text.STOPWORDS))).cast("double") / n_tok
+    )
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    return (
+        docs.select(score.alias("score"), pos.alias("pos"))
+        .groupBy(
+            F.least(F.lit(9).cast("long"), F.floor(F.col("score") * 10).cast("long")).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            (F.sum("pos") * F.lit(1.0) / F.count(F.lit(1))).alias("pos_rate"),
+            F.round(F.avg("score"), 4).alias("mean_score"),
+        )
+    )
