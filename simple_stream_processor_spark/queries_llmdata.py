@@ -2252,3 +2252,64 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("score"), 4).alias("mean_score"),
         )
     )
+
+
+@query(
+    "q_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, token ASC) AS rnk
+      FROM vocab
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(max(freq) AS BIGINT) AS max_freq,
+           round(regr_slope(ln(freq), ln(rnk)), 3) AS zipf_slope,
+           round(regr_r2(ln(freq), ln(rnk)), 3) AS fit_r2
+    FROM ranked
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: least-squares slope of ln(freq) vs ln(rank) over
+    the vocabulary, with R² — the corpus-health check (natural text runs
+    slope ≈ -1; synthetic, boilerplate-heavy, or template-generated
+    corpora deviate, making this a cheap generation-artifact detector).
+    The oracle ranks with a textbook global row_number; the Spark plan
+    must NOT — rank is decomposed as (count of strictly-higher
+    frequencies, a running sum over the DISTINCT-FREQUENCY table, which
+    the heavy-tailed freq distribution keeps far smaller than the vocab)
+    plus an intra-frequency partition-local row_number. The regression
+    itself is one aggregate (regr_slope/regr_r2 combine map-side)."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    per_freq = vocab.groupBy("freq").agg(F.count(F.lit(1)).alias("n_terms_f"))
+    higher = per_freq.select(
+        "freq",
+        F.coalesce(
+            F.sum("n_terms_f").over(
+                Window.orderBy(F.col("freq").desc()).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("n_higher"),
+    )
+    intra = Window.partitionBy("freq").orderBy("token")
+    ranked = (
+        vocab.join(F.broadcast(higher), "freq")
+        .select("freq", (F.col("n_higher") + F.row_number().over(intra)).alias("rnk"))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.max("freq").cast("long").alias("max_freq"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 3).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("freq"), F.log("rnk")), 3).alias("fit_r2"),
+    )

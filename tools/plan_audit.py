@@ -62,6 +62,9 @@ SINGLE_PARTITION_ALLOWANCE = {
     # two-level prefix sum: the bucket-table offset window (bounded at
     # ~1000 score-range rows) plus the final one-row AUC aggregate
     "q_auc_eval": 2,
+    # the distinct-frequency running sum (heavy-tailed: far smaller than
+    # the vocab) plus the final one-row regression aggregate
+    "q_zipf_fit": 2,
 }
 
 STREAMING_PREFIXES = ("q_stream", "q_streaming", "q_managed")
