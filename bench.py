@@ -91,6 +91,8 @@ HEADLINE = [
     "q_rfm_segmentation",
     "q_mixture_resample",
     "q_auc_eval",
+    "q_calibration",
+    "q_zipf_fit",
 ]
 
 
