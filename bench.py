@@ -93,6 +93,9 @@ HEADLINE = [
     "q_auc_eval",
     "q_calibration",
     "q_zipf_fit",
+    "q_kmeans",
+    "q_bloom_index",
+    "q_training_order",
 ]
 
 

@@ -483,3 +483,65 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20, driver_threshold:
             return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
         prev_sum = cur_sum
     raise RuntimeError(f"dedup_clusters did not converge in {max_iterations} iterations")
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership index (mergeable)
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1024  # 32 words x 32 bits
+BLOOM_K = 4
+
+
+def bloom_positions(key: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> Column:
+    """k deterministic bit positions in [0, m_bits) from one md5 of the key
+    (the md5-chunk determinism contract shared with the CMS and MinHash
+    machinery) — identical arithmetic is expressible in the SQL oracle, so
+    Bloom contents are engine-exact."""
+    h = F.md5(F.encode(key, "UTF-8"))
+    return F.array(
+        *[(F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits) for i in range(k)]
+    )
+
+
+def bloom_words(df: DataFrame, key: Column, group: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> DataFrame:
+    """Per-group Bloom filters as (group, word, bits) rows — 32-bit patterns
+    in 64-bit words so shifts never touch the sign bit in either engine.
+    Sparse by construction: a word with no set bits has no row, so probes
+    join on word and treat a missing row as all-zero. Mergeable: OR the
+    word tables (groupBy(word).agg(bit_or)) — rollups never re-scan data.
+    At scale each filter is m_bits/8 bytes on the wire regardless of input
+    cardinality; the build is one explode(k) + one (group, word) bit_or
+    aggregate that combines map-side."""
+    pos = df.select(group.alias("bloom_group"), F.explode(bloom_positions(key, m_bits, k)).alias("p"))
+    return (
+        pos.select(
+            "bloom_group",
+            F.expr("p div 32").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias("m"),
+        )
+        .groupBy("bloom_group", "word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_probe(words: DataFrame, probes: DataFrame, key: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> DataFrame:
+    """Probe every key in ``probes`` against every group's filter in
+    ``words``: returns (bloom_group, probe key, n_ok) where n_ok == k means
+    'possibly member' and anything less is a definite non-member (Bloom's
+    no-false-negative guarantee). The probe side broadcasts (k rows per
+    key); the filter side is groups×words rows — nothing record-level."""
+    pr = probes.select(key.alias("probe_key")).distinct()
+    pp = pr.select(
+        "probe_key",
+        F.explode(bloom_positions(F.col("probe_key"), m_bits, k)).alias("p"),
+    ).select(
+        "probe_key",
+        F.expr("p div 32").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias("m"),
+    )
+    return (
+        words.join(F.broadcast(pp), "word")
+        .groupBy("bloom_group", "probe_key")
+        .agg(F.sum(F.when(F.col("bits").bitwiseAND(F.col("m")) != 0, 1).otherwise(0)).alias("n_ok"))
+    )

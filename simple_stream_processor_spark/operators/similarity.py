@@ -236,3 +236,89 @@ def hard_negatives(emb: DataFrame, n_probes: int = 5, k: int = 3) -> DataFrame:
 
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — the same left-to-right expression tree
+    DuckDB's list_dot_product evaluates, so both engines produce
+    bit-identical doubles (the q_pq_codes determinism contract)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t)
+
+
+def kmeans_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Narrow Lloyd assignment: pack the k centroids into ONE row
+    (array<struct<cid,cv,cc>>), broadcast it, and argmin per vector with
+    array_sort over the per-centroid (d2, cid) structs — struct ordering
+    gives the deterministic (distance asc, cid asc) tie-break.
+
+    Distances use the 3-dot expansion |v-c|² = v·v − 2 v·c + c·c with the
+    loop-invariant dots hoisted: v·v once per row, c·c once per centroid at
+    packing time — bit-identical to recomputing them (same value, fewer
+    folds), so the oracle can still write plain list_dot_product three
+    times. Per-row work is k fold-dots instead of 3k.
+
+    Unlike the rank-window argmin in ivf_assign, this never shuffles the
+    corpus: assignment is pure array math in the scan stage, so each Lloyd
+    round costs one corpus scan plus a k×d aggregate. The packing aggregate
+    is the plan's only single-partition exchange and carries k rows.
+
+    ``e`` must have columns (vec_id, v: array<double>); ``cents`` must have
+    (cid: long, cv: array<double>)."""
+    with_cc = cents.select("cid", "cv", _dot(F.col("cv"), F.col("cv")).alias("cc"))
+    packed = with_cc.agg(F.array_sort(F.collect_list(F.struct("cid", "cv", "cc"))).alias("cs"))
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    (F.col("vv") - F.lit(2.0) * _dot(F.col("v"), c["cv"]) + c["cc"]).alias("d2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+    )
+    return (
+        e.crossJoin(F.broadcast(packed))
+        .withColumn("vv", _dot(F.col("v"), F.col("v")))
+        .withColumn("best", best)
+        .select("vec_id", "v", F.col("best.cid").alias("cluster"), F.col("best.d2").alias("d2"))
+    )
+
+
+def kmeans_update(assigned: DataFrame) -> DataFrame:
+    """Lloyd update: new centroid = per-cluster dimension mean, built with
+    the ivf_centroids posexplode shape (the n×d explode combines map-side;
+    the exchange carries k×d partial rows). Components round to 6dp so
+    Spark's partial-sum order and the oracle's sequential sum agree
+    exactly. Clusters that lost every member disappear (both engines drop
+    empty groups — deterministic)."""
+    ex = assigned.select(F.col("cluster").alias("cid"), F.posexplode("v").alias("pos", "x"))
+    long = ex.groupBy("cid", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
+    return long.groupBy("cid").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]).alias("cv")
+    )
+
+
+def kmeans_refine(emb: DataFrame, rounds: int = 2) -> DataFrame:
+    """Distributed k-means (Lloyd) refinement: seed from the deterministic
+    per-label means (ivf_centroids — the engine-portable init that needs
+    no RNG), then run ``rounds`` genuine assign→update iterations and
+    return the final per-vector assignment (vec_id, cluster, d2).
+
+    This is the semantic-clustering primitive (SemDeDup-style curation,
+    IVF codebook training) at its 100 TB shape: centroids are always k
+    rows broadcast outward; each round reads the corpus once for the
+    narrow assignment and once for the k×d update aggregate; nothing
+    record-level ever shuffles. Unrolling a fixed round count keeps the
+    whole refinement one declarative plan (no driver loop state), and
+    determinism end-to-end (mean rounding + struct tie-breaks) makes the
+    result hash-checkable against a SQL oracle that unrolls the same
+    rounds."""
+    e = spread(emb, "vec_id").select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = ivf_centroids(emb).select(F.col("c_label").cast("long").alias("cid"), "cv")
+    # rounds=2 ≡ assign(c0) → update → final assign: the returned d2 is
+    # measured against the last-updated centroids
+    for _ in range(rounds - 1):
+        cents = kmeans_update(kmeans_assign(e, cents))
+    return kmeans_assign(e, cents)

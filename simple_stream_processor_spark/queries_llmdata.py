@@ -2313,3 +2313,207 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 3).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("freq"), F.log("rnk")), 3).alias("fit_r2"),
     )
+
+
+@query(
+    "q_kmeans",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex0 AS (
+      SELECT label, u.i AS pos, v[u.i] AS x
+      FROM e, unnest(range(1, len(v) + 1)) AS u(i)
+    ),
+    cl0 AS (SELECT label AS cid, pos, round(avg(x), 6) AS c FROM ex0 GROUP BY 1, 2),
+    c0 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM cl0 GROUP BY cid),
+    a1 AS (
+      SELECT vec_id, v, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+                        + list_dot_product(cv, cv) ASC, cid ASC
+             ) AS rn
+      FROM e CROSS JOIN c0
+    ),
+    a1b AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+    ex1 AS (
+      SELECT cid, u.i AS pos, v[u.i] AS x
+      FROM a1b, unnest(range(1, len(v) + 1)) AS u(i)
+    ),
+    cl1 AS (SELECT cid, pos, round(avg(x), 6) AS c FROM ex1 GROUP BY 1, 2),
+    c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM cl1 GROUP BY cid),
+    a2 AS (
+      SELECT vec_id, cid,
+             list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+               + list_dot_product(cv, cv) AS d2,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+                        + list_dot_product(cv, cv) ASC, cid ASC
+             ) AS rn
+      FROM e CROSS JOIN c1
+    ),
+    a2b AS (SELECT vec_id, cid, d2 FROM a2 WHERE rn = 1)
+    SELECT cid AS cluster, count(*) AS n_members,
+           round(sum(d2), 4) AS inertia, round(avg(d2), 6) AS mean_d2
+    FROM a2b GROUP BY cid
+    """,
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means refinement (operators/similarity.py:
+    kmeans_refine): seed from the deterministic per-label means, run one
+    genuine Lloyd assign→update round, re-assign, and report per-cluster
+    membership + inertia — the semantic-clustering primitive behind
+    SemDeDup-style curation and IVF codebook training. 100 TB shape:
+    centroids are k rows broadcast outward; assignment is NARROW (packed
+    centroid struct array + array_sort argmin — no rank window, the
+    corpus never shuffles); each update is one k×d posexplode aggregate
+    that combines map-side. The oracle unrolls the identical two rounds
+    (3-dot-product distances, 6dp centroid rounding, (d2, cid)
+    tie-break), so the whole iterative refinement is hash-matched."""
+    emb = _t(spark, sf_dir, "embeddings")
+    final = similarity.kmeans_refine(emb, rounds=2)
+    return final.groupBy(F.col("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("d2"), 4).alias("inertia"),
+        F.round(F.avg("d2"), 6).alias("mean_d2"),
+    )
+
+
+BLOOM_ORACLE = """
+    WITH d AS (SELECT source, md5(text) AS h FROM documents),
+    pos AS (
+      SELECT source, h, u.i AS i,
+             (('0x' || substr(h, 1 + 8 * u.i, 8))::BIGINT) % 1024 AS p
+      FROM d, unnest([0, 1, 2, 3]) AS u(i)
+    ),
+    words AS (
+      SELECT source, p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+      FROM pos GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT '__all__' AS source, word, bit_or(bits) AS bits FROM words GROUP BY 2
+    ),
+    allw AS (SELECT * FROM words UNION ALL SELECT * FROM merged),
+    ndocs AS (
+      SELECT source, count(*) AS n_docs FROM d GROUP BY 1
+      UNION ALL SELECT '__all__', count(*) FROM d
+    ),
+    stats AS (SELECT source, sum(bit_count(bits)) AS bits_set FROM allw GROUP BY 1),
+    decoys AS (
+      SELECT g.id AS did, u.i AS i,
+             (('0x' || substr(md5('decoy-' || g.id), 1 + 8 * u.i, 8))::BIGINT) % 1024 AS p
+      FROM range(20) AS g(id), unnest([0, 1, 2, 3]) AS u(i)
+    ),
+    probe AS (
+      SELECT w.source, dk.did,
+             sum(CASE WHEN (w.bits & (1::BIGINT << CAST(dk.p % 32 AS INT))) <> 0
+                 THEN 1 ELSE 0 END) AS n_ok
+      FROM decoys dk JOIN allw w ON w.word = dk.p // 32
+      GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT source, sum(CASE WHEN n_ok = 4 THEN 1 ELSE 0 END) AS decoy_hits
+      FROM probe GROUP BY 1
+    )
+    SELECT s.source, CAST(n.n_docs AS BIGINT) AS n_docs,
+           CAST(s.bits_set AS BIGINT) AS bits_set,
+           round(pow(s.bits_set / 1024.0, 4), 6) AS fp_est,
+           CAST(coalesce(h.decoy_hits, 0) AS BIGINT) AS decoy_hits
+    FROM stats s JOIN ndocs n USING (source) LEFT JOIN hits h USING (source)
+    """
+
+
+@query("q_bloom_index", oracle=BLOOM_ORACLE)
+def q_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom membership index (operators/dedup.py:bloom_words):
+    per-source m=1024-bit filters (32x32-bit words, k=4 md5-chunk hashes —
+    the dedup determinism contract) over document content, plus a merged
+    __all__ filter built by OR-ing the per-source word tables — NOT by
+    re-scanning the corpus. The membership-index sibling of the CMS
+    (frequency) and HLL (cardinality) sketches: at 100 TB each source's
+    filter is 128 bytes on the wire, rollups are 32 integer ORs, and the
+    index exchange carries sources x 32 rows regardless of corpus size.
+    Each row reports saturation (bits_set), the textbook FP estimate
+    (bits_set/m)^k — an identical expression tree in both engines — and an
+    empirical probe: 20 held-out decoy keys tested via bloom_probe (a
+    decoy passes only if all 4 bits are set; the word table is sparse, so
+    a missing word row IS an unset bit). The per-source filters stay
+    honest (~100 bits, fp_est ~1e-4) while __all__ shows 2000 insertions
+    saturating 1024 bits — the capacity tradeoff made measurable.
+    Engine-exact integers end-to-end → hash-matched."""
+    docs = _t(spark, sf_dir, "documents")
+    words = dedup.bloom_words(docs, F.col("text"), F.col("source"))
+    merged = words.groupBy("word").agg(F.bit_or("bits").alias("bits")).select(
+        F.lit("__all__").alias("bloom_group"), "word", "bits"
+    )
+    allw = words.unionByName(merged)
+    ndocs = docs.groupBy(F.col("source").alias("bloom_group")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).unionByName(
+        docs.agg(F.count(F.lit(1)).alias("n_docs")).select(F.lit("__all__").alias("bloom_group"), "n_docs")
+    )
+    stats = allw.groupBy("bloom_group").agg(F.sum(F.bit_count("bits")).alias("bits_set"))
+    decoys = spark.range(20).select(F.concat(F.lit("decoy-"), F.col("id").cast("string")).alias("dk"))
+    probe = dedup.bloom_probe(allw, decoys, F.col("dk"))
+    hits = probe.groupBy("bloom_group").agg(
+        F.sum(F.when(F.col("n_ok") == dedup.BLOOM_K, 1).otherwise(0)).alias("decoy_hits")
+    )
+    return (
+        stats.join(ndocs, "bloom_group")
+        .join(hits, "bloom_group", "left")
+        .select(
+            F.col("bloom_group").alias("source"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("bits_set").cast("long").alias("bits_set"),
+            F.round(F.pow(F.col("bits_set") / F.lit(1024.0), 4), 6).alias("fp_est"),
+            F.coalesce(F.col("decoy_hits"), F.lit(0)).cast("long").alias("decoy_hits"),
+        )
+    )
+
+
+@query(
+    "q_training_order",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5('epoch-7:' || doc_id) AS oh FROM documents
+    )
+    SELECT doc_id,
+           row_number() OVER (ORDER BY oh, doc_id) AS ordinal,
+           (row_number() OVER (ORDER BY oh, doc_id) - 1) // 64 AS batch_id
+    FROM h
+    """,
+)
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: a reproducible global training order
+    from md5(seed:doc_id) — the every-epoch batching step a training
+    pipeline needs to be seed-stable across engines, partitionings, and
+    reruns (Spark's rand()/shuffle are neither). The oracle ranks with a
+    textbook global row_number; the Spark plan must NOT — the global
+    ordinal is decomposed with the two-level prefix sum (the q_auc_eval /
+    q_zipf_fit machinery): hash-prefix buckets (256) count rows, the
+    bucket table alone crosses one partition for the running offset,
+    offsets broadcast back, and the intra-bucket rank is a
+    partition-local row_number. batch_id = (ordinal-1) div 64 then feeds
+    the loader; at 100 TB the only single-partition step is 256 rows."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.md5(F.encode(F.concat(F.lit("epoch-7:"), F.col("doc_id").cast("string")), "UTF-8")).alias("oh"),
+    )
+    b = h.withColumn("bucket", F.conv(F.substring("oh", 1, 2), 16, 10).cast("long"))
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offs = counts.select(
+        "bucket",
+        F.coalesce(
+            F.sum("n").over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("off"),
+    )
+    intra = Window.partitionBy("bucket").orderBy("oh", "doc_id")
+    return (
+        b.join(F.broadcast(offs), "bucket")
+        .select("doc_id", (F.col("off") + F.row_number().over(intra)).alias("ordinal"))
+        .withColumn("batch_id", F.expr("(ordinal - 1) div 64"))
+    )

@@ -582,3 +582,58 @@ def test_bpe_encode_matches_reference(spark, sf_dir):
         for r in T.bpe_encode_counts(sdf, merges).collect()
     }
     assert got == expected
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Bloom's contract: a key that was inserted ALWAYS probes as present
+    (all k bits set) in its own group's filter."""
+    d = docs(spark, sf_dir).where(F.col("source") == "src0")
+    words = dedup.bloom_words(d, F.col("text"), F.col("source"))
+    probe = dedup.bloom_probe(words, d.select("text"), F.col("text"))
+    rows = probe.where(F.col("bloom_group") == "src0").collect()
+    assert len(rows) == d.select("text").distinct().count()
+    assert all(r.n_ok == dedup.BLOOM_K for r in rows)
+
+
+def test_bloom_merged_filter_is_superset(spark, sf_dir):
+    """OR-merging word tables yields a filter whose bit set contains every
+    source's bits — the mergeability that makes rollups 32 integer ORs."""
+    words = dedup.bloom_words(docs(spark, sf_dir), F.col("text"), F.col("source"))
+    merged = words.groupBy("word").agg(F.bit_or("bits").alias("mbits"))
+    viol = (
+        words.join(merged, "word")
+        .where(F.col("bits").bitwiseAND(F.col("mbits")) != F.col("bits"))
+        .count()
+    )
+    assert viol == 0
+
+
+def test_kmeans_refinement_does_not_increase_inertia(spark, sf_dir):
+    """Lloyd monotonicity: after one update+reassign round, total inertia
+    is <= the inertia of the initial (per-label-mean) assignment, modulo
+    the 6dp centroid rounding."""
+    from pyspark.sql import functions as SF
+    from simple_stream_processor_spark.tables import load_table, spread
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = spread(emb, "vec_id").select("vec_id", SF.col("embedding").cast("array<double>").alias("v"))
+    init = similarity.ivf_centroids(emb).select(SF.col("c_label").cast("long").alias("cid"), "cv")
+    j0 = similarity.kmeans_assign(e, init).agg(SF.sum("d2")).collect()[0][0]
+    j1 = similarity.kmeans_refine(emb, rounds=2).agg(SF.sum("d2")).collect()[0][0]
+    assert j1 <= j0 + 1e-3
+
+
+def test_training_order_is_a_permutation(spark, sf_dir):
+    """The two-level prefix-sum ordinal is a bijection onto 1..n and every
+    batch holds at most 64 docs (exactly 64 for all but the last)."""
+    from simple_stream_processor_spark.queries_llmdata import q_training_order
+
+    out = q_training_order(spark, sf_dir).collect()
+    n = len(out)
+    assert sorted(r.ordinal for r in out) == list(range(1, n + 1))
+    sizes = {}
+    for r in out:
+        sizes[r.batch_id] = sizes.get(r.batch_id, 0) + 1
+    last = max(sizes)
+    assert all(v == 64 for b, v in sizes.items() if b != last)
+    assert sizes[last] <= 64

@@ -65,6 +65,9 @@ SINGLE_PARTITION_ALLOWANCE = {
     # the distinct-frequency running sum (heavy-tailed: far smaller than
     # the vocab) plus the final one-row regression aggregate
     "q_zipf_fit": 2,
+    # one k-row centroid packing per Lloyd round (collect_list of the k
+    # centroids into the broadcast struct array) — never record-level data
+    "q_kmeans": 2,
 }
 
 STREAMING_PREFIXES = ("q_stream", "q_streaming", "q_managed")
