@@ -96,6 +96,7 @@ HEADLINE = [
     "q_kmeans",
     "q_bloom_index",
     "q_training_order",
+    "q_pagerank",
 ]
 
 

@@ -257,3 +257,54 @@ def cohort_retention(
         )
         .agg(F.count_distinct(F.col(user_col)).alias("active_users"))
     )
+
+
+def pagerank(edges: DataFrame, rounds: int = 3, damping: float = 0.85) -> DataFrame:
+    """PageRank power iteration over a directed edge table (src, dst) with
+    no dangling nodes (every src has out-edges — symmetric graphs satisfy
+    this by construction). Returns (node, r, n_nodes) after ``rounds``
+    iterations from the uniform 1/n start.
+
+    Scale shape: the rank vector is node-cardinality and joins the edge
+    table BROADCAST (r/deg shares); each iteration costs one dst-keyed
+    aggregate whose exchange carries node cardinality after map-side
+    combine — the edge table itself never re-shuffles. n_nodes (an exact
+    integer) rides along through every iteration so the one-row count
+    aggregate materializes exactly once — the plan's only single-partition
+    exchange. Per-iteration round(·,9) re-synchronizes engines, so
+    cross-engine double drift cannot compound and the fixed-point prefix
+    is hash-checkable. At corpus scale: persist the edge table (scanned
+    per iteration) and swap the broadcast for a src-bucketed
+    co-partitioned join once ranks outgrow the threshold."""
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(F.col("src").alias("dnode"), "d")
+    )
+    n = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    ranks = deg.select(F.col("dnode").alias("node")).crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("r"), "n_nodes"
+    )
+    teleport = F.lit(round(1.0 - damping, 9))
+    for _ in range(rounds):
+        shares = (
+            ranks.join(deg, ranks["node"] == deg["dnode"])
+            .select(
+                F.col("dnode").alias("e_src"),
+                (F.col("r") / F.col("d")).alias("share"),
+                "n_nodes",
+            )
+        )
+        ranks = (
+            edges.join(F.broadcast(shares), edges["src"] == F.col("e_src"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"), F.first("n_nodes").alias("n_nodes"))
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    teleport / F.col("n_nodes") + F.lit(damping) * F.col("contrib"), 9
+                ).alias("r"),
+                "n_nodes",
+            )
+        )
+    return ranks

@@ -2423,6 +2423,46 @@ BLOOM_ORACLE = """
     """
 
 
+def bloom_report(spark: SparkSession, words: DataFrame, docs: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Bloom queries: OR-merge the
+    per-source word tables into __all__ (32 integer ORs — never a corpus
+    re-scan), compute saturation + the (bits_set/m)^k FP estimate, and
+    probe 20 held-out decoys via bloom_probe. ``words`` is a static
+    (bloom_group, word, bits) table — from a batch build or a drained
+    streaming-state table; both hash-match the same oracle."""
+    merged = words.groupBy("word").agg(F.bit_or("bits").alias("bits")).select(
+        F.lit("__all__").alias("bloom_group"), "word", "bits"
+    )
+    allw = words.unionByName(merged)
+    ndocs = docs.groupBy(F.col("source").alias("bloom_group")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).unionByName(
+        docs.agg(F.count(F.lit(1)).alias("n_docs")).select(F.lit("__all__").alias("bloom_group"), "n_docs")
+    )
+    stats = allw.groupBy("bloom_group").agg(F.sum(F.bit_count("bits")).alias("bits_set"))
+    decoys = spark.range(20).select(F.concat(F.lit("decoy-"), F.col("id").cast("string")).alias("dk"))
+    probe = dedup.bloom_probe(allw, decoys, F.col("dk"))
+    hits = probe.groupBy("bloom_group").agg(
+        F.sum(F.when(F.col("n_ok") == dedup.BLOOM_K, 1).otherwise(0)).alias("decoy_hits")
+    )
+    # rename the join keys on the small sides: stats/hits share lineage
+    # (both derive from allw), and a memory-sink words table makes Spark's
+    # conflicting-reference check reject the raw self-join
+    nd = ndocs.select(F.col("bloom_group").alias("nd_group"), "n_docs")
+    ht = hits.select(F.col("bloom_group").alias("ht_group"), "decoy_hits")
+    return (
+        stats.join(F.broadcast(nd), stats["bloom_group"] == nd["nd_group"])
+        .join(F.broadcast(ht), stats["bloom_group"] == ht["ht_group"], "left")
+        .select(
+            F.col("bloom_group").alias("source"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("bits_set").cast("long").alias("bits_set"),
+            F.round(F.pow(F.col("bits_set") / F.lit(1024.0), 4), 6).alias("fp_est"),
+            F.coalesce(F.col("decoy_hits"), F.lit(0)).cast("long").alias("decoy_hits"),
+        )
+    )
+
+
 @query("q_bloom_index", oracle=BLOOM_ORACLE)
 def q_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Bloom membership index (operators/dedup.py:bloom_words):
@@ -2443,32 +2483,7 @@ def q_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-exact integers end-to-end → hash-matched."""
     docs = _t(spark, sf_dir, "documents")
     words = dedup.bloom_words(docs, F.col("text"), F.col("source"))
-    merged = words.groupBy("word").agg(F.bit_or("bits").alias("bits")).select(
-        F.lit("__all__").alias("bloom_group"), "word", "bits"
-    )
-    allw = words.unionByName(merged)
-    ndocs = docs.groupBy(F.col("source").alias("bloom_group")).agg(
-        F.count(F.lit(1)).alias("n_docs")
-    ).unionByName(
-        docs.agg(F.count(F.lit(1)).alias("n_docs")).select(F.lit("__all__").alias("bloom_group"), "n_docs")
-    )
-    stats = allw.groupBy("bloom_group").agg(F.sum(F.bit_count("bits")).alias("bits_set"))
-    decoys = spark.range(20).select(F.concat(F.lit("decoy-"), F.col("id").cast("string")).alias("dk"))
-    probe = dedup.bloom_probe(allw, decoys, F.col("dk"))
-    hits = probe.groupBy("bloom_group").agg(
-        F.sum(F.when(F.col("n_ok") == dedup.BLOOM_K, 1).otherwise(0)).alias("decoy_hits")
-    )
-    return (
-        stats.join(ndocs, "bloom_group")
-        .join(hits, "bloom_group", "left")
-        .select(
-            F.col("bloom_group").alias("source"),
-            F.col("n_docs").cast("long").alias("n_docs"),
-            F.col("bits_set").cast("long").alias("bits_set"),
-            F.round(F.pow(F.col("bits_set") / F.lit(1024.0), 4), 6).alias("fp_est"),
-            F.coalesce(F.col("decoy_hits"), F.lit(0)).cast("long").alias("decoy_hits"),
-        )
-    )
+    return bloom_report(spark, words, docs)
 
 
 @query(

@@ -1986,3 +1986,78 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("m_cents").alias("avg_m_cents"),
         )
     )
+
+
+@query(
+    "q_pagerank",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+    r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / n.n_nodes AS r FROM deg, n),
+    it1 AS (
+      SELECT e.dst AS node,
+             round(CAST(0.15 AS DOUBLE) / n.n_nodes
+                   + CAST(0.85 AS DOUBLE) * sum(r.r / g.d), 9) AS r
+      FROM e0 e JOIN r0 r ON r.node = e.src JOIN deg g ON g.src = e.src
+      CROSS JOIN n GROUP BY e.dst, n.n_nodes
+    ),
+    it2 AS (
+      SELECT e.dst AS node,
+             round(CAST(0.15 AS DOUBLE) / n.n_nodes
+                   + CAST(0.85 AS DOUBLE) * sum(r.r / g.d), 9) AS r
+      FROM e0 e JOIN it1 r ON r.node = e.src JOIN deg g ON g.src = e.src
+      CROSS JOIN n GROUP BY e.dst, n.n_nodes
+    ),
+    it3 AS (
+      SELECT e.dst AS node,
+             round(CAST(0.15 AS DOUBLE) / n.n_nodes
+                   + CAST(0.85 AS DOUBLE) * sum(r.r / g.d), 9) AS r
+      FROM e0 e JOIN it2 r ON r.node = e.src JOIN deg g ON g.src = e.src
+      CROSS JOIN n GROUP BY e.dst, n.n_nodes
+    )
+    SELECT it3.node AS part_key, CAST(g.d AS BIGINT) AS degree, it3.r AS pagerank
+    FROM it3 JOIN deg g ON g.src = it3.node
+    ORDER BY it3.r DESC, it3.node LIMIT 20
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (3 unrolled power
+    iterations, damping 0.85) — the link-centrality primitive for
+    catalog/graph analytics, and the repo's second iterative distributed
+    algorithm next to dedup_clusters' label propagation. Scale shape:
+    the rank vector is node-cardinality and joins the edge table
+    BROADCAST (r/deg shares, k rows per node); each iteration costs one
+    dst-keyed aggregate whose exchange carries node cardinality after
+    map-side combine — the 2.4M-edge table itself never re-shuffles
+    (same-key reuse). Per-iteration round(·,9) re-synchronizes both
+    engines, so cross-engine double drift cannot compound across
+    iterations and the whole fixed-point prefix is hash-matched
+    (operators/relational.py:pagerank). At
+    corpus scale: persist the edge table (it is scanned per iteration),
+    swap the broadcast for a src-bucketed co-partitioned join once ranks
+    outgrow the threshold, and min-support-filter the basket pairs
+    (the q_market_basket argument) to bound edge cardinality."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    ranks = relational.pagerank(edges, rounds=3, damping=0.85)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(F.col("src").alias("dnode"), "d")
+    )
+    return (
+        ranks.join(F.broadcast(deg), ranks["node"] == deg["dnode"])
+        .select(F.col("node").alias("part_key"), F.col("d").cast("long").alias("degree"), F.col("r").alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), F.col("part_key"))
+        .limit(20)
+    )

@@ -715,3 +715,51 @@ def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'events.value.positive', n, v_pos,"
         " 'events.event_type.enum', n, v_enum) AS (check_name, n_rows, n_violations)"
     )
+
+
+def _bloom_oracle() -> str:
+    from simple_stream_processor_spark.queries_llmdata import BLOOM_ORACLE
+
+    return BLOOM_ORACLE
+
+
+@query("q_streaming_bloom", oracle=_bloom_oracle())
+def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_bloom_index: the per-source Bloom word tables
+    are maintained INCREMENTALLY — the streaming aggregate's state IS the
+    filter (bit_or is commutative/idempotent, so arrival order and batch
+    boundaries cannot change a single bit), bounded at sources x 32 rows
+    no matter how long the document stream runs. The drained state table
+    then flows through the SAME bloom_report tail as the batch path
+    (merge, saturation, FP estimate, 20-decoy probe) and hash-matches the
+    identical oracle. This is the continuous-ingest membership index: the
+    crawl absorbs forever, rollups stay 32 integer ORs, and a probe never
+    touches history."""
+    import os as _os
+
+    from simple_stream_processor_spark.operators import dedup
+    from simple_stream_processor_spark.queries_llmdata import bloom_report
+    from simple_stream_processor_spark.tables import load_table
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    pos = sdf.select(
+        F.col("source").alias("bloom_group"),
+        F.explode(dedup.bloom_positions(F.col("text"))).alias("p"),
+    )
+    cells = (
+        pos.select(
+            "bloom_group",
+            F.expr("p div 32").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias("m"),
+        )
+        .groupBy("bloom_group", "word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    words, _ = run_stream_to_memory(cells, output_mode="complete")
+    docs = load_table(spark, "documents", sf_dir)
+    return bloom_report(spark, words, docs)

@@ -651,3 +651,33 @@ def test_auc_two_level_matches_bruteforce(spark, rows):
         .collect()[0]
     )
     assert abs(row.auc - expected) < 1e-12
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """operators/relational.py:pagerank equals a pure-Python power
+    iteration with the identical per-round 9dp rounding on a small
+    irregular graph — guards the share-broadcast/dst-aggregate plumbing
+    and the teleport arithmetic."""
+    from simple_stream_processor_spark.operators import relational
+
+    und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (1, 5)]
+    directed = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(directed, "src long, dst long")
+    got = {r.node: r.r for r in relational.pagerank(edges, rounds=3).collect()}
+
+    out = {}
+    for a, b in directed:
+        out.setdefault(a, set()).add(b)
+    nodes = sorted(out)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        new = {}
+        for v in nodes:
+            contrib = sum(r[u] / len(out[u]) for u in nodes if v in out[u])
+            new[v] = round(0.15 / n + 0.85 * contrib, 9)
+        r = new
+    assert got == r
+
+    # rank mass is conserved (no dangling nodes): sum ~ 1 up to rounding
+    assert abs(sum(got.values()) - 1.0) < 1e-6
