@@ -288,7 +288,10 @@ def pagerank(edges: DataFrame, rounds: int = 3, damping: float = 0.85) -> DataFr
     teleport = F.lit(round(1.0 - damping, 9))
     for _ in range(rounds):
         shares = (
-            ranks.join(deg, ranks["node"] == deg["dnode"])
+            # deg is node-cardinality but often sits on a stats-free lineage
+            # (checkpointed edges), so hint the broadcast explicitly — a
+            # node-table SortMergeJoin per iteration is a regression
+            ranks.join(F.broadcast(deg), ranks["node"] == deg["dnode"])
             .select(
                 F.col("dnode").alias("e_src"),
                 (F.col("r") / F.col("d")).alias("share"),

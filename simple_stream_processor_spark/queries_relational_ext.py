@@ -2049,6 +2049,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = a.join(b, "ok").where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    # materialize the edge table ONCE (lineage-truncating, per-invocation —
+    # not CacheManager-shared): every iteration re-reads the checkpointed
+    # RDD instead of re-running the basket self-join + distinct; the
+    # dedup_clusters iteration pattern, and what "persist the edges" means
+    # at cluster scale (there: reliable checkpoint to survive executor loss)
+    edges = edges.localCheckpoint(eager=False)
     ranks = relational.pagerank(edges, rounds=3, damping=0.85)
     deg = (
         edges.groupBy("src")

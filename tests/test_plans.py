@@ -430,3 +430,43 @@ def test_merge_upsert_rank_filters_push_to_window_group_limit(spark, sf_dir):
     not history."""
     plan = plan_of(spark, sf_dir, "q_merge_upsert")
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_kmeans_assignment_is_narrow_no_rank_window(spark, sf_dir):
+    """Lloyd assignment must stay an argmin over the broadcast packed
+    centroid array — a rank-window argmin (the ivf_assign shape) would
+    re-shuffle the corpus once per iteration. The only joins are the
+    one-row packed-centroid broadcasts."""
+    plan = plan_of(spark, sf_dir, "q_kmeans")
+    assert "Window" not in plan  # no rank-window argmin anywhere
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # one packed-centroid row per assignment pass
+
+
+def test_bloom_index_probes_broadcast(spark, sf_dir):
+    """Filter/probe joins ride word- and group-cardinality tables — a
+    SortMergeJoin would mean something record-level is shuffling."""
+    plan = plan_of(spark, sf_dir, "q_bloom_index")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # decoy probe + ndocs + hits
+
+
+def test_training_order_single_partition_is_bucket_table_only(spark, sf_dir):
+    """The global ordinal must come from the two-level prefix sum: exactly
+    ONE single-partition exchange (the 256-row bucket offset window), with
+    the intra-bucket rank partition-local and offsets broadcast back."""
+    plan = plan_of(spark, sf_dir, "q_training_order")
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_rank_joins_broadcast_and_edges_checkpointed(spark, sf_dir):
+    """Every per-iteration join must broadcast the node-cardinality side
+    (shares/deg) — a SortMergeJoin would re-shuffle the edge table each
+    round; the basket self-join runs once into the checkpointed edge RDD
+    and the scalar node count crosses one partition exactly once."""
+    plan = plan_of(spark, sf_dir, "q_pagerank")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "ExistingRDD" in plan  # edges materialized once, not per iteration
+    assert "TakeOrderedAndProject" in plan
