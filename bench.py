@@ -97,6 +97,8 @@ HEADLINE = [
     "q_bloom_index",
     "q_training_order",
     "q_pagerank",
+    "q_corpus_entropy",
+    "q_weighted_sample",
 ]
 
 

@@ -2532,3 +2532,115 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("off") + F.row_number().over(intra)).alias("ordinal"))
         .withColumn("batch_id", F.expr("(ordinal - 1) div 64"))
     )
+
+
+@query(
+    "q_corpus_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    totals AS (SELECT source, sum(c) AS n_s FROM st GROUP BY 1),
+    corpus AS (SELECT token, sum(c) AS ct FROM st GROUP BY 1),
+    n AS (SELECT sum(c) AS n_tot FROM st),
+    terms AS (
+      SELECT st.source,
+             (st.c * CAST(1 AS DOUBLE) / t.n_s) * ln(st.c * CAST(1 AS DOUBLE) / t.n_s) AS hterm,
+             (st.c * CAST(1 AS DOUBLE) / t.n_s)
+               * ln((st.c * CAST(1 AS DOUBLE) / t.n_s) / (cp.ct * CAST(1 AS DOUBLE) / nn.n_tot)) AS klterm
+      FROM st JOIN totals t USING (source)
+              JOIN corpus cp USING (token)
+              CROSS JOIN n nn
+    )
+    SELECT terms.source,
+           CAST(max(t.n_s) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           round(-sum(hterm), 6) AS entropy,
+           round(sum(klterm), 6) AS kl_vs_corpus
+    FROM terms JOIN totals t ON t.source = terms.source
+    GROUP BY terms.source
+    """,
+)
+def q_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram entropy + KL divergence against the whole-corpus
+    distribution — the information-theoretic corpus-health panel: entropy
+    collapse flags template/boilerplate generation inside one source, KL
+    drift flags a source whose vocabulary distribution has diverged from
+    the mix (the signal behind mixture re-weighting decisions). One
+    (source, token) count aggregate is the only corpus-sized exchange
+    (map-side combined, vocab×sources rows); corpus marginals re-aggregate
+    from that table (never a second corpus scan), broadcast back with the
+    per-source totals; the scalar grand total crosses one partition once.
+    All probabilities derive from exact integer counts through identical
+    expression trees; only the final order-dependent sums round (6dp)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    totals = st.groupBy("source").agg(F.sum("c").alias("n_s")).select(
+        F.col("source").alias("t_source"), "n_s"
+    )
+    corpus = st.groupBy("token").agg(F.sum("c").alias("ct")).select(
+        F.col("token").alias("c_token"), "ct"
+    )
+    n = st.agg(F.sum("c").alias("n_tot"))
+    p_s = F.col("c") * F.lit(1.0) / F.col("n_s")
+    p_c = F.col("ct") * F.lit(1.0) / F.col("n_tot")
+    terms = (
+        st.join(F.broadcast(totals), st["source"] == F.col("t_source"))
+        .join(F.broadcast(corpus), st["token"] == F.col("c_token"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "n_s",
+            (p_s * F.log(p_s)).alias("hterm"),
+            (p_s * F.log(p_s / p_c)).alias("klterm"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.round(-F.sum("hterm"), 6).alias("entropy"),
+        F.round(F.sum("klterm"), 6).alias("kl_vs_corpus"),
+    )
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             (('0x' || substr(md5('wsample:' || doc_id), 1, 8))::BIGINT + 1)
+               * CAST(1 AS DOUBLE) / 4294967297 AS u
+      FROM documents
+    ),
+    keyed AS (SELECT doc_id, source, n_chars, ln(u) / n_chars AS k FROM h)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight, round(k, 9) AS sample_key
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis): each doc draws u ∈ (0,1) from md5(seed:doc_id) and ranks by
+    key = ln(u)/w (⇔ u^(1/w); here w = n_chars, i.e. length-proportional
+    inclusion) — the reproducible weighted-subsample step for
+    quality-weighted corpus selection, where rand()-based sampleBy is
+    partition/seed-dependent. Narrow per-row arithmetic (exact-integer
+    hash → one division → one log → one division, identical expression
+    trees both engines, bit-exact so the top-k frontier cannot flicker);
+    the top-50 is TakeOrdered per-partition heaps — no global sort, no
+    exchange beyond k rows per task. A larger k or per-stratum quotas
+    change only the heap size."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        (F.conv(F.substring(F.md5(F.encode(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string")), "UTF-8")), 1, 8), 16, 10).cast("long") + 1)
+        * F.lit(1.0)
+        / F.lit(4294967297.0)
+    )
+    k = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "source", "n_chars", k.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("weight"), F.round("k", 9).alias("sample_key"))
+    )

@@ -637,3 +637,35 @@ def test_training_order_is_a_permutation(spark, sf_dir):
     last = max(sizes)
     assert all(v == 64 for b, v in sizes.items() if b != last)
     assert sizes[last] <= 64
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    """The Efraimidis-Spirakis top-50 equals a pure-Python replay of the
+    same md5-derived uniforms and ln(u)/w keys — guards the hash/key
+    arithmetic and the (key desc, doc_id) tie-break."""
+    import hashlib
+    import math
+
+    from simple_stream_processor_spark.queries_llmdata import q_weighted_sample
+
+    got = [r.doc_id for r in q_weighted_sample(spark, sf_dir).collect()]
+    rows = docs(spark, sf_dir).select("doc_id", "n_chars").collect()
+    keyed = []
+    for r in rows:
+        v = int(hashlib.md5(f"wsample:{r.doc_id}".encode()).hexdigest()[:8], 16)
+        u = (v + 1) / 4294967297
+        keyed.append((math.log(u) / r.n_chars, r.doc_id))
+    want = [d for _, d in sorted(keyed, key=lambda t: (-t[0], t[1]))[:50]]
+    assert got == want
+
+
+def test_corpus_entropy_information_inequalities(spark, sf_dir):
+    """Entropy is non-negative and bounded by ln(vocab); KL vs the corpus
+    mix obeys Gibbs' inequality (>= 0 up to the 6dp rounding)."""
+    import math
+
+    from simple_stream_processor_spark.queries_llmdata import q_corpus_entropy
+
+    for r in q_corpus_entropy(spark, sf_dir).collect():
+        assert -1e-6 <= r.entropy <= math.log(r.vocab_size) + 1e-6
+        assert r.kl_vs_corpus >= -1e-6
