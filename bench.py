@@ -99,6 +99,8 @@ HEADLINE = [
     "q_pagerank",
     "q_corpus_entropy",
     "q_weighted_sample",
+    "q_ann_pq",
+    "q_cross_source_overlap",
 ]
 
 

@@ -322,3 +322,54 @@ def kmeans_refine(emb: DataFrame, rounds: int = 2) -> DataFrame:
     for _ in range(rounds - 1):
         cents = kmeans_update(kmeans_assign(e, cents))
     return kmeans_assign(e, cents)
+
+
+def pq_subspaces(emb: DataFrame, m: int = 4, w: int = 16) -> DataFrame:
+    """Split each embedding into M contiguous subvectors: one row per
+    (vec_id, label, s, sv). Narrow explode of an M-element array."""
+    e = spread(emb, "vec_id").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(*[F.struct(F.lit(s).alias("s"), F.slice("v", s * w + 1, w).alias("sv")) for s in range(m)])
+        ).alias("t"),
+    ).select("vec_id", "label", F.col("t.s").alias("s"), F.col("t.sv").alias("sv"))
+
+
+def pq_codebooks(subs: DataFrame) -> DataFrame:
+    """Per-(label, subspace) codebook centroids — deterministic per-label
+    subvector means (the engine-portable k-means stand-in shared with
+    IVF). One posexplode aggregate builds all M codebooks map-side; the
+    exchange carries k×M×d partial rows. Components round to 6dp so both
+    engines agree exactly."""
+    ex = subs.select("label", "s", F.posexplode("sv").alias("pos", "x"))
+    cbl = ex.groupBy("label", "s", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
+    return (
+        cbl.groupBy("label", "s")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda st: st["c"]).alias("cv"))
+        .select(F.col("label").alias("cb_label"), "s", "cv")
+    )
+
+
+def pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Assign each (vec, subspace) to its nearest codebook entry (3-dot
+    expansion, (d2, cb_label) tie-break): returns (vec_id, s, code,
+    sq_err). Codebooks broadcast; the argmin is a per-(vec, s) rank
+    window."""
+    from pyspark.sql import Window
+
+    d2 = (
+        _dot(F.col("sv"), F.col("sv"))
+        - F.lit(2.0) * _dot(F.col("sv"), F.col("cv"))
+        + _dot(F.col("cv"), F.col("cv"))
+    )
+    scored = subs.join(F.broadcast(cb), "s").withColumn("d2", d2)
+    rw = Window.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("cb_label").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("cb_label").alias("code"), F.col("d2").alias("sq_err"))
+    )

@@ -1396,39 +1396,14 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     |a-b|² = a·a - 2a·b + b·b with sequential-fold dots so Spark and DuckDB
     agree bitwise. One posexplode aggregation builds all M codebooks
     (map-side combined, k×d partials on the wire); codebooks broadcast into
-    a narrow assignment stage; argmin is a per-(vec,subspace) rank window."""
+    a narrow assignment stage; argmin is a per-(vec,subspace) rank window.
+    Machinery shared with q_ann_pq via operators/similarity.py:
+    pq_subspaces/pq_codebooks/pq_assign."""
     emb = _t(spark, sf_dir, "embeddings")
-    m, w = 4, 16
-    e = tables.spread(emb, "vec_id").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
-    subs = e.select(
-        "vec_id",
-        "label",
-        F.explode(
-            F.array(*[F.struct(F.lit(s).alias("s"), F.slice("v", s * w + 1, w).alias("sv")) for s in range(m)])
-        ).alias("t"),
-    ).select("vec_id", "label", F.col("t.s").alias("s"), F.col("t.sv").alias("sv"))
-    ex = subs.select("label", "s", F.posexplode("sv").alias("pos", "x"))
-    cbl = ex.groupBy("label", "s", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
-    cb = (
-        cbl.groupBy("label", "s")
-        .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda st: st["c"]).alias("cv"))
-        .select(F.col("label").alias("cb_label"), "s", "cv")
-    )
-
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-
-    d2 = dot(F.col("sv"), F.col("sv")) - F.lit(2.0) * dot(F.col("sv"), F.col("cv")) + dot(F.col("cv"), F.col("cv"))
-    from pyspark.sql import Window
-
-    scored = subs.join(F.broadcast(cb), "s").withColumn("d2", d2)
-    rw = Window.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("cb_label").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(rw))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "s", F.col("cb_label").alias("code"), F.round("d2", 6).alias("sq_err"))
+    subs = similarity.pq_subspaces(emb)
+    cb = similarity.pq_codebooks(subs)
+    return similarity.pq_assign(subs, cb).select(
+        "vec_id", "s", "code", F.round("sq_err", 6).alias("sq_err")
     )
 
 
@@ -2643,4 +2618,149 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("k").desc(), "doc_id")
         .limit(50)
         .select("doc_id", "source", F.col("n_chars").cast("long").alias("weight"), F.round("k", 9).alias("sample_key"))
+    )
+
+
+@query(
+    "q_ann_pq",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    subs AS (
+      SELECT vec_id, label, t.s AS s, v[t.s*16+1 : t.s*16+16] AS sv
+      FROM e, unnest(range(0, 4)) AS t(s)
+    ),
+    ex AS (
+      SELECT label, s, u.i AS pos, sv[u.i] AS x
+      FROM subs, unnest(range(1, len(sv) + 1)) AS u(i)
+    ),
+    cbl AS (SELECT label, s, pos, round(avg(x), 6) AS c FROM ex GROUP BY label, s, pos),
+    cb AS (SELECT label AS cb_label, s, list(c ORDER BY pos) AS cv FROM cbl GROUP BY label, s),
+    psub AS (SELECT s, sv AS psv FROM subs WHERE vec_id = 0),
+    dtab AS (
+      SELECT cb.s, cb.cb_label,
+             list_dot_product(p.psv, p.psv) - 2 * list_dot_product(p.psv, cb.cv)
+               + list_dot_product(cb.cv, cb.cv) AS pd2
+      FROM cb JOIN psub p ON p.s = cb.s
+    ),
+    scored AS (
+      SELECT subs.vec_id, subs.s AS s, cb.cb_label,
+             row_number() OVER (
+               PARTITION BY subs.vec_id, subs.s
+               ORDER BY list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv) + list_dot_product(cv, cv) ASC,
+                        cb.cb_label ASC
+             ) AS rn
+      FROM subs JOIN cb ON subs.s = cb.s
+      WHERE subs.vec_id <> 0
+    ),
+    codes AS (SELECT vec_id, s, cb_label AS code FROM scored WHERE rn = 1),
+    est AS (
+      SELECT c.vec_id, round(sum(d.pd2), 6) AS est_d2
+      FROM codes c JOIN dtab d ON d.s = c.s AND d.cb_label = c.code
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, est_d2 FROM est ORDER BY est_d2 ASC, vec_id LIMIT 10
+    """,
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC similarity search (asymmetric distance computation): the
+    probe computes ONE k×M distance table against the codebooks (40 rows,
+    broadcast), and every corpus vector's estimated distance is the sum of
+    M table lookups over its 4-byte code — the serving path that makes
+    billion-vector ANN RAM-resident (no corpus floats touched at query
+    time; completes the repo's ANN ladder: brute → sign-LSH → IVF →
+    PQ-ADC, with q_ann_recall as the measure-don't-guess harness). Scale
+    shape: codes build narrow off the broadcast codebooks (in production
+    the codes ARE the stored index — amortized across probes); the lookup
+    join is broadcast; the per-vector sum's exchange carries one tiny row
+    per vector after map-side combine; top-10 is TakeOrdered on the
+    rounded estimate with vec_id tie-break (both engines order on the
+    same 6dp value, so the frontier cannot flicker)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    subs = similarity.pq_subspaces(emb)
+    cb = similarity.pq_codebooks(subs)
+    psub = subs.where(F.col("vec_id") == 0).select("s", F.col("sv").alias("psv"))
+    pd2 = (
+        similarity._dot(F.col("psv"), F.col("psv"))
+        - F.lit(2.0) * similarity._dot(F.col("psv"), F.col("cv"))
+        + similarity._dot(F.col("cv"), F.col("cv"))
+    )
+    dtab = cb.join(F.broadcast(psub), "s").select("s", "cb_label", pd2.alias("pd2"))
+    codes = similarity.pq_assign(subs.where(F.col("vec_id") != 0), cb).select("vec_id", "s", "code")
+    est = (
+        codes.join(F.broadcast(dtab), (codes["s"] == dtab["s"]) & (codes["code"] == dtab["cb_label"]))
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("pd2"), 6).alias("est_d2"))
+    )
+    return est.orderBy(F.col("est_d2").asc(), F.col("vec_id").asc()).limit(10)
+
+
+@query(
+    "q_cross_source_overlap",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_transform(string_split(text, ' '),
+                            t -> ('0x' || substr(md5(t), 1, 10))::BIGINT) AS wh
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source, unnest(list_distinct(list_transform(range(len(wh) - 3),
+               i -> ((((wh[i+1] * 131 + wh[i+2]) % 35184372088832) * 131 + wh[i+3])
+                      % 35184372088832 * 131 + wh[i+4]) % 35184372088832))) AS gh
+      FROM w WHERE len(wh) >= 4
+    ),
+    sg AS (SELECT DISTINCT source, gh FROM g),
+    ng AS (SELECT source, count(*) AS n_g FROM sg GROUP BY 1),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(na.n_g AS BIGINT) AS n_grams_a, CAST(nb.n_g AS BIGINT) AS n_grams_b,
+           round(s.n_shared * CAST(1 AS DOUBLE) / least(na.n_g, nb.n_g), 6) AS overlap_coef
+    FROM shared s JOIN ng na ON na.source = s.source_a JOIN ng nb ON nb.source = s.source_b
+    """,
+)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: for every source pair, the
+    count of shared distinct word 4-gram hashes and the overlap
+    coefficient |A∩B| / min(|A|,|B|) — the syndication/mirror detector
+    that tells a curation pipeline which sources republish each other's
+    content BEFORE near-dup dedup is run corpus-wide (prune whole mirror
+    sources first, then pay LSH only for the remainder). Reuses the
+    decontamination gram machinery (ngram_hash_table: per-word md5 once,
+    exact 45-bit modular combination — 8-byte payloads, never gram
+    strings). Scale shape: the (source, gram) distinct collapses each
+    source to its gram set (map-side combined); the self-join output is
+    bounded by sources² pairs per gram; the final matrix carries at most
+    sources² rows. Engine-exact integers; the coefficient is one exact
+    division (identical expression both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    gr = dedup.ngram_hash_table(docs, n=4)
+    src = docs.select("doc_id", "source")
+    sg = gr.join(src, "doc_id").select("source", "gh").distinct()
+    ng = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_g"))
+    a = sg.select(F.col("source").alias("source_a"), "gh")
+    b = sg.select(F.col("source").alias("source_b"), "gh")
+    shared = (
+        a.join(b, "gh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = ng.select(F.col("source").alias("sa"), F.col("n_g").alias("n_grams_a"))
+    nb = ng.select(F.col("source").alias("sb"), F.col("n_g").alias("n_grams_b"))
+    return (
+        shared.join(F.broadcast(na), F.col("source_a") == F.col("sa"))
+        .join(F.broadcast(nb), F.col("source_b") == F.col("sb"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_grams_a").cast("long").alias("n_grams_a"),
+            F.col("n_grams_b").cast("long").alias("n_grams_b"),
+            F.round(
+                F.col("n_shared") * F.lit(1.0) / F.least("n_grams_a", "n_grams_b"), 6
+            ).alias("overlap_coef"),
+        )
     )

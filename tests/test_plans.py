@@ -470,3 +470,13 @@ def test_pagerank_rank_joins_broadcast_and_edges_checkpointed(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") == 1
     assert "ExistingRDD" in plan  # edges materialized once, not per iteration
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_pq_lookup_is_broadcast_take_ordered(spark, sf_dir):
+    """ADC serving: the probe's distance table and the codebooks must
+    broadcast (the corpus side never SortMergeJoins), and the top-10 is a
+    TakeOrdered head, never a global sort."""
+    plan = plan_of(spark, sf_dir, "q_ann_pq")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
