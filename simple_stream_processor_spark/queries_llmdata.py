@@ -2509,6 +2509,40 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def entropy_report(st: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming entropy queries: from a
+    (source, token, c) count table, compute per-source entropy and KL vs
+    the corpus mix. Marginals re-aggregate from the count table (never a
+    second corpus scan); totals broadcast back; the scalar grand total
+    crosses one partition once."""
+    totals = st.groupBy("source").agg(F.sum("c").alias("n_s")).select(
+        F.col("source").alias("t_source"), "n_s"
+    )
+    corpus = st.groupBy("token").agg(F.sum("c").alias("ct")).select(
+        F.col("token").alias("c_token"), "ct"
+    )
+    n = st.agg(F.sum("c").alias("n_tot"))
+    p_s = F.col("c") * F.lit(1.0) / F.col("n_s")
+    p_c = F.col("ct") * F.lit(1.0) / F.col("n_tot")
+    terms = (
+        st.join(F.broadcast(totals), st["source"] == F.col("t_source"))
+        .join(F.broadcast(corpus), st["token"] == F.col("c_token"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "n_s",
+            (p_s * F.log(p_s)).alias("hterm"),
+            (p_s * F.log(p_s / p_c)).alias("klterm"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.round(-F.sum("hterm"), 6).alias("entropy"),
+        F.round(F.sum("klterm"), 6).alias("kl_vs_corpus"),
+    )
+
+
 @query(
     "q_corpus_entropy",
     oracle="""
@@ -2552,32 +2586,7 @@ def q_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
     st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
-    totals = st.groupBy("source").agg(F.sum("c").alias("n_s")).select(
-        F.col("source").alias("t_source"), "n_s"
-    )
-    corpus = st.groupBy("token").agg(F.sum("c").alias("ct")).select(
-        F.col("token").alias("c_token"), "ct"
-    )
-    n = st.agg(F.sum("c").alias("n_tot"))
-    p_s = F.col("c") * F.lit(1.0) / F.col("n_s")
-    p_c = F.col("ct") * F.lit(1.0) / F.col("n_tot")
-    terms = (
-        st.join(F.broadcast(totals), st["source"] == F.col("t_source"))
-        .join(F.broadcast(corpus), st["token"] == F.col("c_token"))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "source",
-            "n_s",
-            (p_s * F.log(p_s)).alias("hterm"),
-            (p_s * F.log(p_s / p_c)).alias("klterm"),
-        )
-    )
-    return terms.groupBy("source").agg(
-        F.max("n_s").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("vocab_size"),
-        F.round(-F.sum("hterm"), 6).alias("entropy"),
-        F.round(F.sum("klterm"), 6).alias("kl_vs_corpus"),
-    )
+    return entropy_report(st)
 
 
 @query(

@@ -763,3 +763,41 @@ def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     words, _ = run_stream_to_memory(cells, output_mode="complete")
     docs = load_table(spark, "documents", sf_dir)
     return bloom_report(spark, words, docs)
+
+
+def _entropy_oracle() -> str:
+    from simple_stream_processor_spark import queries_llmdata  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_corpus_entropy"]
+
+
+@query("q_streaming_entropy", oracle=_entropy_oracle())
+def q_streaming_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_corpus_entropy: the (source, token) count table
+    is maintained INCREMENTALLY in the streaming aggregate's state —
+    counts are commutative, so arrival order and batch boundaries cannot
+    change a cell, and state is bounded by sources × vocabulary (the
+    heavy-tailed vocab grows ~logarithmically with the stream, the same
+    bound that makes the batch exchange affordable). The drained count
+    table flows through the SAME entropy_report tail as the batch path
+    and hash-matches the identical oracle — a live corpus-health panel
+    over continuous ingest: entropy collapse or KL drift shows up
+    per-trigger without ever re-scanning history."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_llmdata import entropy_report
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    st = (
+        sdf.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    drained, _ = run_stream_to_memory(st, output_mode="complete")
+    return entropy_report(drained)
