@@ -101,6 +101,7 @@ HEADLINE = [
     "q_weighted_sample",
     "q_ann_pq",
     "q_cross_source_overlap",
+    "q_ks_drift",
 ]
 
 

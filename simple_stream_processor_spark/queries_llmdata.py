@@ -2773,3 +2773,117 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coef"),
         )
     )
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             CAST(floor(((len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' '))::DOUBLE)
+             * (1 - len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE)) * 10000) AS BIGINT) AS b
+      FROM documents
+    ),
+    cnt AS (SELECT source, b, count(*) AS n FROM scored GROUP BY 1, 2),
+    bins AS (SELECT DISTINCT b FROM cnt),
+    srcs AS (SELECT source, sum(n) AS n_s FROM cnt GROUP BY 1),
+    tot AS (SELECT sum(n) AS n_tot FROM cnt),
+    grid AS (
+      SELECT s.source, s.n_s, g.b, coalesce(c.n, 0) AS n
+      FROM srcs s CROSS JOIN bins g
+      LEFT JOIN cnt c ON c.source = s.source AND c.b = g.b
+    ),
+    cum AS (
+      SELECT source, n_s, b,
+             sum(n) OVER (PARTITION BY source ORDER BY b) AS s_cum
+      FROM grid
+    ),
+    corpus AS (
+      SELECT b, sum(n) AS cn FROM cnt GROUP BY 1
+    ),
+    ccum AS (
+      SELECT b, sum(cn) OVER (ORDER BY b) AS c_cum FROM corpus
+    ),
+    d AS (
+      SELECT cum.source, cum.n_s, (t.n_tot - cum.n_s) AS n_rest,
+             abs(cum.s_cum * CAST(1 AS DOUBLE) / cum.n_s
+                 - (ccum.c_cum - cum.s_cum) * CAST(1 AS DOUBLE) / (t.n_tot - cum.n_s)) AS gap
+      FROM cum JOIN ccum ON ccum.b = cum.b CROSS JOIN tot t
+    )
+    SELECT source, CAST(max(n_s) AS BIGINT) AS n_source,
+           CAST(max(n_rest) AS BIGINT) AS n_rest,
+           round(max(gap), 6) AS ks_d,
+           round(max(gap) * sqrt(max(n_s) * max(n_rest) * CAST(1 AS DOUBLE) / (max(n_s) + max(n_rest))), 4) AS ks_scaled
+    FROM d GROUP BY source
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample drift test per source: the max gap
+    between each source's quality-score ECDF and the rest-of-corpus ECDF
+    — the CONTINUOUS drift detector beside the categorical chi-square
+    (q_chi_square) and the distributional KL (q_corpus_entropy); ks_scaled
+    is D·sqrt(nm/(n+m)), the statistic compared against the KS critical
+    value. Scale shape: scores bin to a fixed 1e4 integer grid at the
+    scan (the ECDF is exact for the binned statistic and the grid bounds
+    every downstream table at sources × 10 k rows regardless of corpus
+    size); one (source, bin) count exchange; the dense grid is a
+    broadcast cross join; cumulative sums sort partition-locally within
+    each source; rest-ECDF = corpus-cum − source-cum, so no second corpus
+    pass. Exact integers until the final divisions (identical expression
+    trees both engines)."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    score = (F.size(F.array_distinct(toks)).cast("double") / n_tok) * (
+        F.lit(1)
+        - F.size(F.filter(toks, lambda x: x.isin(*text.STOPWORDS))).cast("double") / n_tok
+    )
+    scored = docs.select("source", F.floor(score * 10000).cast("long").alias("b"))
+    cnt = scored.groupBy("source", "b").agg(F.count(F.lit(1)).alias("n"))
+    bins = cnt.select("b").distinct()
+    srcs = cnt.groupBy("source").agg(F.sum("n").alias("n_s"))
+    tot = cnt.agg(F.sum("n").alias("n_tot"))
+    grid = (
+        srcs.crossJoin(F.broadcast(bins))
+        .join(cnt, ["source", "b"], "left")
+        .select("source", "n_s", "b", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    cum = grid.select(
+        "source",
+        "n_s",
+        "b",
+        F.sum("n").over(Window.partitionBy("source").orderBy("b")).alias("s_cum"),
+    )
+    corpus = cnt.groupBy("b").agg(F.sum("n").alias("cn"))
+    ccum = corpus.select(
+        F.col("b").alias("cb"),
+        F.sum("cn").over(Window.orderBy("b")).alias("c_cum"),
+    )
+    d = (
+        cum.join(F.broadcast(ccum), cum["b"] == F.col("cb"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_tot") - F.col("n_s")).alias("n_rest"),
+            F.abs(
+                F.col("s_cum") * F.lit(1.0) / F.col("n_s")
+                - (F.col("c_cum") - F.col("s_cum")) * F.lit(1.0) / (F.col("n_tot") - F.col("n_s"))
+            ).alias("gap"),
+        )
+    )
+    return d.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_source"),
+        F.max("n_rest").cast("long").alias("n_rest"),
+        F.round(F.max("gap"), 6).alias("ks_d"),
+        F.round(
+            F.max("gap")
+            * F.sqrt(F.max("n_s") * F.max("n_rest") * F.lit(1.0) / (F.max("n_s") + F.max("n_rest"))),
+            4,
+        ).alias("ks_scaled"),
+    )

@@ -669,3 +669,16 @@ def test_corpus_entropy_information_inequalities(spark, sf_dir):
     for r in q_corpus_entropy(spark, sf_dir).collect():
         assert -1e-6 <= r.entropy <= math.log(r.vocab_size) + 1e-6
         assert r.kl_vs_corpus >= -1e-6
+
+
+def test_ks_drift_bounds_and_self_consistency(spark, sf_dir):
+    """KS D is a probability-scale statistic: 0 <= D <= 1, and n_source +
+    n_rest equals the corpus size for every row."""
+    from simple_stream_processor_spark.queries_llmdata import q_ks_drift
+
+    rows = q_ks_drift(spark, sf_dir).collect()
+    n_tot = docs(spark, sf_dir).count()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.ks_d <= 1.0
+        assert r.n_source + r.n_rest == n_tot

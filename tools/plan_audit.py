@@ -68,6 +68,9 @@ SINGLE_PARTITION_ALLOWANCE = {
     # one k-row centroid packing per Lloyd round (collect_list of the k
     # centroids into the broadcast struct array) — never record-level data
     "q_kmeans": 2,
+    # the corpus-ECDF running sum over the bounded 1e4-bin grid plus the
+    # one-row grand-total aggregate — both over binned partials, never docs
+    "q_ks_drift": 2,
 }
 
 STREAMING_PREFIXES = ("q_stream", "q_streaming", "q_managed")
