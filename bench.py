@@ -102,6 +102,7 @@ HEADLINE = [
     "q_ann_pq",
     "q_cross_source_overlap",
     "q_ks_drift",
+    "q_pca_top_component",
 ]
 
 

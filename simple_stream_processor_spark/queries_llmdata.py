@@ -2887,3 +2887,117 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ks_scaled"),
     )
+
+
+@query(
+    "q_pca_top_component",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (
+      SELECT vec_id, u.i AS pos, v[u.i] AS x
+      FROM e, unnest(range(1, len(v) + 1)) AS u(i)
+    ),
+    mu AS (SELECT pos, round(avg(x), 6) AS m FROM ex GROUP BY pos),
+    cx AS (
+      SELECT ex.vec_id, ex.pos, ex.x - mu.m AS cx
+      FROM ex JOIN mu USING (pos)
+    ),
+    n AS (SELECT count(*) AS n_vec FROM e),
+    cov AS (
+      SELECT a.pos AS i, b.pos AS j,
+             round(sum(a.cx * b.cx) / (max(nn.n_vec) - 1), 6) AS c
+      FROM cx a JOIN cx b ON a.vec_id = b.vec_id CROSS JOIN n nn
+      GROUP BY a.pos, b.pos
+    ),
+    v0 AS (SELECT pos, round(1.0 / sqrt(64), 6)::DOUBLE AS vv FROM mu),
+    w1 AS (SELECT cov.i AS pos, sum(cov.c * v0.vv) AS w FROM cov JOIN v0 ON v0.pos = cov.j GROUP BY cov.i),
+    n1 AS (SELECT sqrt(sum(w * w)) AS nm FROM w1),
+    v1 AS (SELECT pos, round(w / nm, 6) AS vv FROM w1 CROSS JOIN n1),
+    w2 AS (SELECT cov.i AS pos, sum(cov.c * v1.vv) AS w FROM cov JOIN v1 ON v1.pos = cov.j GROUP BY cov.i),
+    n2 AS (SELECT sqrt(sum(w * w)) AS nm FROM w2),
+    v2 AS (SELECT pos, round(w / nm, 6) AS vv FROM w2 CROSS JOIN n2),
+    w3 AS (SELECT cov.i AS pos, sum(cov.c * v2.vv) AS w FROM cov JOIN v2 ON v2.pos = cov.j GROUP BY cov.i),
+    n3 AS (SELECT sqrt(sum(w * w)) AS nm FROM w3),
+    v3 AS (SELECT pos, round(w / nm, 6) AS vv FROM w3 CROSS JOIN n3),
+    lam AS (
+      SELECT round(sum(v3.vv * w3.w), 4) AS eigval
+      FROM v3 JOIN w3 USING (pos)
+    )
+    SELECT v3.pos AS pos, v3.vv AS loading, lam.eigval AS eigval
+    FROM v3 CROSS JOIN lam
+    """,
+)
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, top principal component: ONE Gram-matrix aggregate
+    builds the 64×64 covariance (the (i,j) pair explode combines
+    map-side — the exchange carries d² partial rows per task, never
+    vectors), then three power-iteration rounds run as declarative
+    d²-row joins against the 64-row eigenvector estimate — the variance-
+    structure primitive behind embedding whitening, drift detection, and
+    dimensionality pruning. The q_pagerank determinism trick applies:
+    per-round round(·,6) re-synchronizes both engines, so the iterated
+    eigenvector and the Rayleigh eigenvalue estimate are hash-matched
+    (sign is mathematically arbitrary but engine-identical — both sides
+    compute the same rounded fixed point from the same start). At corpus
+    scale the covariance exchange is d²×#tasks regardless of row count;
+    the iteration tables are d² and d rows — driver-free linear algebra.
+    For d beyond ~10³, switch the pair explode to a blocked outer-product
+    aggregate (same shape, tiled)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = tables.spread(emb, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    mu = ex.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("m"))
+    mu_row = mu.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda st: st["m"]).alias("mu")
+    )
+    # center narrowly against the broadcast mean vector, then emit the full
+    # outer product per vector (d² structs) — the X^T X map-side pattern:
+    # no self-join, no shuffle of vectors; the aggregate's exchange carries
+    # d² partial rows per task regardless of corpus size
+    cv = e.crossJoin(F.broadcast(mu_row)).select(
+        "vec_id", F.zip_with("v", "mu", lambda x, m: x - m).alias("cv")
+    )
+    prods = cv.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "cv",
+                    lambda x, i: F.transform(
+                        "cv", lambda y, j: F.struct(i.alias("i"), j.alias("j"), (x * y).alias("p"))
+                    ),
+                )
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    n = e.agg(F.count(F.lit(1)).alias("n_vec"))
+    cov = (
+        prods.crossJoin(F.broadcast(n))
+        .groupBy("i", "j")
+        .agg(F.round(F.sum("p") / (F.max("n_vec") - 1), 6).alias("c"))
+        # materialize the d² table ONCE: each unrolled round references cov
+        # (and every prior round) — without lineage truncation the plan
+        # tree replicates the corpus-sized Gram aggregate combinatorially
+        .localCheckpoint(eager=False)
+    )
+    v = mu.select("pos", F.round(F.lit(1.0) / F.sqrt(F.lit(64.0)), 6).alias("vv"))
+    w = None
+    for _ in range(3):
+        w = (
+            cov.join(F.broadcast(v.select(F.col("pos").alias("j"), "vv")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vv")).alias("w"))
+            .select(F.col("i").alias("pos"), "w")
+            .localCheckpoint(eager=False)  # d rows; keeps each round's plan shallow
+        )
+        nm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm"))
+        v = w.crossJoin(F.broadcast(nm)).select("pos", F.round(F.col("w") / F.col("nm"), 6).alias("vv"))
+    lam = (
+        v.join(F.broadcast(w.select(F.col("pos").alias("w_pos"), "w")), v["pos"] == F.col("w_pos"))
+        .agg(F.round(F.sum(F.col("vv") * F.col("w")), 4).alias("eigval"))
+    )
+    # posexplode is 0-based, the oracle's unnest(range) is 1-based — align
+    return v.crossJoin(F.broadcast(lam)).select(
+        (F.col("pos") + 1).alias("pos"), F.col("vv").alias("loading"), "eigval"
+    )

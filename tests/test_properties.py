@@ -681,3 +681,24 @@ def test_pagerank_matches_python_power_iteration(spark):
 
     # rank mass is conserved (no dangling nodes): sum ~ 1 up to rounding
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pca_matches_numpy_eigendecomposition(spark, sf_dir):
+    """The 3-round power-iteration eigenvalue is a Rayleigh quotient: it
+    must not exceed numpy's top eigenvalue of the same (rounded) covariance
+    and should be close to it; the loading vector is unit-norm."""
+    import numpy as np
+
+    from simple_stream_processor_spark.queries_llmdata import q_pca_top_component
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = q_pca_top_component(spark, sf_dir).collect()
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.pos)])
+    est = rows[0].eigval
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+
+    X = np.array(load_table(spark, "embeddings", sf_dir).select("embedding").toPandas()["embedding"].tolist(), dtype=np.float64)
+    C = np.round(np.cov(X, rowvar=False, ddof=1), 6)
+    l1 = float(np.linalg.eigvalsh(C)[-1])
+    assert est <= l1 + 1e-3
+    assert est >= 0.75 * l1  # 3 rounds from a uniform start get close to the top
