@@ -103,6 +103,8 @@ HEADLINE = [
     "q_cross_source_overlap",
     "q_ks_drift",
     "q_pca_top_component",
+    "q_label_noise",
+    "q_minhash_recall",
 ]
 
 

@@ -3001,3 +3001,197 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.crossJoin(F.broadcast(lam)).select(
         (F.col("pos") + 1).alias("pos"), F.col("vv").alias("loading"), "eigval"
     )
+
+
+@query(
+    "q_label_noise",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, label AS own_label, v AS pv FROM e WHERE vec_id < 20),
+    nn AS (
+      SELECT probe_id, own_label, label,
+             row_number() OVER (PARTITION BY probe_id ORDER BY
+               list_dot_product(v, pv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) DESC,
+               vec_id) AS rk
+      FROM e, p WHERE e.vec_id <> p.probe_id
+      QUALIFY rk <= 10
+    ),
+    votes AS (
+      SELECT probe_id, own_label, label, count(*) AS n
+      FROM nn GROUP BY 1, 2, 3
+    ),
+    maj AS (
+      SELECT probe_id, own_label, label AS majority_label,
+             row_number() OVER (PARTITION BY probe_id ORDER BY n DESC, label ASC) AS r
+      FROM votes
+    ),
+    diff AS (
+      SELECT probe_id, CAST(sum(CASE WHEN label <> own_label THEN n ELSE 0 END) AS BIGINT) AS n_diff
+      FROM votes GROUP BY 1
+    )
+    SELECT m.probe_id, CAST(m.own_label AS BIGINT) AS own_label,
+           CAST(m.majority_label AS BIGINT) AS majority_label,
+           d.n_diff,
+           round(d.n_diff * CAST(1 AS DOUBLE) / 10, 4) AS suspicion
+    FROM maj m JOIN diff d USING (probe_id) WHERE m.r = 1
+    """,
+)
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by kNN disagreement: for each probe, the
+    fraction of its 10 nearest neighbors (cosine) carrying a DIFFERENT
+    label, plus the neighborhood's majority label — the mislabeled-
+    example detector run before training a classifier on weak labels
+    (high suspicion + a different majority = probable annotation error).
+    Same scale shape as batch ANN serving (probes broadcast, corpus
+    never shuffles, per-probe top-k is a WindowGroupLimit rank filter);
+    the vote aggregates ride the tiny probes×k result. Deterministic
+    ties: (cos desc, vec_id) for neighbors, (count desc, label) for the
+    majority. Exact integers to one final division."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("own_label"),
+        F.col("embedding").cast("array<double>").alias("pv"),
+    )
+    scored = (
+        tables.spread(emb, "vec_id")
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "own_label",
+            "vec_id",
+            "label",
+            dedup.cosine(F.col("embedding").cast("array<double>"), F.col("pv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    nn = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10)
+    votes = nn.groupBy("probe_id", "own_label", "label").agg(F.count(F.lit(1)).alias("n"))
+    mw = Window.partitionBy("probe_id").orderBy(F.desc("n"), F.asc("label"))
+    maj = (
+        votes.withColumn("r", F.row_number().over(mw))
+        .where(F.col("r") == 1)
+        .select("probe_id", "own_label", F.col("label").alias("majority_label"))
+    )
+    diff = votes.groupBy(F.col("probe_id").alias("d_probe")).agg(
+        F.sum(F.when(F.col("label") != F.col("own_label"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_diff")
+    )
+    return maj.join(F.broadcast(diff), maj["probe_id"] == F.col("d_probe")).select(
+        "probe_id",
+        F.col("own_label").cast("long").alias("own_label"),
+        F.col("majority_label").cast("long").alias("majority_label"),
+        "n_diff",
+        F.round(F.col("n_diff") * F.lit(1.0) / 10, 4).alias("suspicion"),
+    )
+
+
+_RECALL_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 100),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {_MINHASH_SIGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx,
+             md5(sig0::VARCHAR || '_' || sig1::VARCHAR || '_' || sig2::VARCHAR || '_' || sig3::VARCHAR) AS band_key
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx,
+             md5(sig4::VARCHAR || '_' || sig5::VARCHAR || '_' || sig6::VARCHAR || '_' || sig7::VARCHAR) AS band_key
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+      FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.da, i.db, i.i * CAST(1 AS DOUBLE) / (ca.n + cb.n - i.i) AS j
+      FROM inter i JOIN cnt ca ON ca.doc_id = i.da JOIN cnt cb ON cb.doc_id = i.db
+      WHERE i.i * CAST(1 AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
+    ),
+    hits AS (
+      SELECT t.j, CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM truth t LEFT JOIN cand c ON c.doc_a = t.da AND c.doc_b = t.db
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(hit) AS BIGINT) AS n_caught,
+           round(sum(hit) * CAST(1 AS DOUBLE) / count(*), 4) AS recall,
+           CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_high,
+           CAST(sum(CASE WHEN j >= 0.8 THEN hit ELSE 0 END) AS BIGINT) AS n_caught_high,
+           round(sum(CASE WHEN j >= 0.8 THEN hit ELSE 0 END) * CAST(1 AS DOUBLE)
+                 / greatest(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END), 1), 4) AS recall_high
+    FROM hits
+    """
+
+
+@query("q_minhash_recall", oracle=_RECALL_ORACLE)
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding recall evaluation: on a 100-doc sample, brute-force
+    exact Jaccard finds ALL true near-dup pairs (affordable only on the
+    sample — that is the point), and the production MinHash band
+    machinery is scored against them — overall recall at J>=0.5 and
+    recall on the high-similarity J>=0.8 pairs the banding is tuned for.
+    The measure-don't-guess harness for dedup (the q_ann_recall analog):
+    run it on a sample before trusting 2-band/4-row LSH corpus-wide;
+    recall at the threshold boundary is expectedly partial (collision
+    prob 1-(1-J^4)^2), near 1.0 for true duplicates. Sample-sized tables
+    throughout; the only corpus-scale machinery exercised is the same
+    shingle/signature/band code the production path runs."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    sh = dedup.shingle_table(docs).persist()
+    cand = dedup.candidate_pairs(dedup.lsh_band_table(dedup.minhash_signatures(sh)))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.select(F.col("doc_id").alias("da"), "shingle")
+    y = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        x.join(y, "shingle")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("ka"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("kb"), F.col("n").alias("nb"))
+    j = F.col("i") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("i"))
+    truth = (
+        inter.join(F.broadcast(ca), F.col("da") == F.col("ka"))
+        .join(F.broadcast(cb), F.col("db") == F.col("kb"))
+        .select("da", "db", j.alias("j"))
+        .where(F.col("j") >= 0.5)
+    )
+    c = cand.select(F.col("doc_a").alias("ca_a"), F.col("doc_b").alias("ca_b"), F.lit(1).alias("hit"))
+    hits = truth.join(
+        F.broadcast(c), (F.col("da") == F.col("ca_a")) & (F.col("db") == F.col("ca_b")), "left"
+    ).select("j", F.coalesce("hit", F.lit(0)).alias("hit"))
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum("hit").cast("long").alias("n_caught"),
+        F.round(F.sum("hit") * F.lit(1.0) / F.count(F.lit(1)), 4).alias("recall"),
+        F.sum(F.when(F.col("j") >= 0.8, 1).otherwise(0)).cast("long").alias("n_true_high"),
+        F.sum(F.when(F.col("j") >= 0.8, F.col("hit")).otherwise(0)).cast("long").alias("n_caught_high"),
+        F.round(
+            F.sum(F.when(F.col("j") >= 0.8, F.col("hit")).otherwise(0))
+            * F.lit(1.0)
+            / F.greatest(F.sum(F.when(F.col("j") >= 0.8, 1).otherwise(0)), F.lit(1)),
+            4,
+        ).alias("recall_high"),
+    )

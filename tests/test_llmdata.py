@@ -682,3 +682,26 @@ def test_ks_drift_bounds_and_self_consistency(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.ks_d <= 1.0
         assert r.n_source + r.n_rest == n_tot
+
+
+def test_label_noise_bounds(spark, sf_dir):
+    from simple_stream_processor_spark.queries_llmdata import q_label_noise
+
+    rows = q_label_noise(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 <= r.suspicion <= 1.0
+        assert 0 <= r.n_diff <= 10
+
+
+def test_minhash_recall_consistency(spark, sf_dir):
+    """Caught counts can never exceed truth; high-J subset nests inside
+    the full truth set; banding catches the planted true duplicates."""
+    from simple_stream_processor_spark.queries_llmdata import q_minhash_recall
+
+    r = q_minhash_recall(spark, sf_dir).collect()[0]
+    assert 0 <= r.n_caught <= r.n_true
+    assert r.n_caught_high <= r.n_true_high <= r.n_true
+    assert 0.0 <= r.recall <= 1.0
+    if r.n_true_high:
+        assert r.recall_high >= 0.5  # high-similarity pairs are what banding is tuned for
