@@ -118,3 +118,24 @@ def test_sequence_pack_conserves_docs_and_tokens(spark, sf_dir):
             expect[(source, b)] = (n + 1, t + row.n_tok)
             cum += row.n_tok
     assert got == expect
+
+
+def test_priority_names_all_resolve_and_readme_count_matches():
+    """Registry-hygiene guards: every _PRIORITY name exists in the
+    registry (a typo would silently drop a query from the driver's
+    correctness window), and the README's declared-query count equals the
+    actual registry size (doc drift guard)."""
+    import re
+    from pathlib import Path
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    missing = [n for n in entry._PRIORITY if n not in qs]
+    assert missing == [], f"_PRIORITY names not in registry: {missing}"
+    dupes = {n for n in entry._PRIORITY if entry._PRIORITY.count(n) > 1}
+    assert dupes == set(), f"duplicate _PRIORITY entries: {dupes}"
+
+    readme = (Path(__file__).parent.parent / "README.md").read_text()
+    m = re.search(r"(\d+) declared queries", readme)
+    assert m and int(m.group(1)) == len(qs), f"README says {m and m.group(1)}, registry has {len(qs)}"
