@@ -2775,6 +2775,83 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ks_report(cnt: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming KS queries: from a
+    (source, b, n) binned-count table, compute each source's max ECDF gap
+    against the rest of the corpus plus the scaled statistic. All tables
+    bounded by sources × grid size; rest-ECDF = corpus-cum − source-cum."""
+    from pyspark.sql.window import Window
+
+    # every small side renames its join keys: all of bins/srcs/corpus share
+    # lineage with cnt, and a memory-sink cnt (the streaming twin) trips
+    # Spark's conflicting-reference check on raw self-joins
+    bins = cnt.select(F.col("b").alias("gb")).distinct()
+    srcs = cnt.groupBy("source").agg(F.sum("n").alias("n_s")).select(
+        F.col("source").alias("g_source"), "n_s"
+    )
+    tot = cnt.agg(F.sum("n").alias("n_tot"))
+    grid = (
+        srcs.crossJoin(F.broadcast(bins))
+        .join(
+            cnt,
+            (cnt["source"] == F.col("g_source")) & (cnt["b"] == F.col("gb")),
+            "left",
+        )
+        .select(
+            F.col("g_source").alias("source"),
+            "n_s",
+            F.col("gb").alias("b"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    cum = grid.select(
+        "source",
+        "n_s",
+        "b",
+        F.sum("n").over(Window.partitionBy("source").orderBy("b")).alias("s_cum"),
+    )
+    corpus = cnt.groupBy("b").agg(F.sum("n").alias("cn"))
+    ccum = corpus.select(
+        F.col("b").alias("cb"),
+        F.sum("cn").over(Window.orderBy("b")).alias("c_cum"),
+    )
+    d = (
+        cum.join(F.broadcast(ccum), cum["b"] == F.col("cb"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_tot") - F.col("n_s")).alias("n_rest"),
+            F.abs(
+                F.col("s_cum") * F.lit(1.0) / F.col("n_s")
+                - (F.col("c_cum") - F.col("s_cum")) * F.lit(1.0) / (F.col("n_tot") - F.col("n_s"))
+            ).alias("gap"),
+        )
+    )
+    return d.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_source"),
+        F.max("n_rest").cast("long").alias("n_rest"),
+        F.round(F.max("gap"), 6).alias("ks_d"),
+        F.round(
+            F.max("gap")
+            * F.sqrt(F.max("n_s") * F.max("n_rest") * F.lit(1.0) / (F.max("n_s") + F.max("n_rest"))),
+            4,
+        ).alias("ks_scaled"),
+    )
+
+
+def ks_score_bin() -> F.Column:
+    """The quality-score 1e4-grid bin expression shared by the batch and
+    streaming KS paths."""
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    score = (F.size(F.array_distinct(toks)).cast("double") / n_tok) * (
+        F.lit(1)
+        - F.size(F.filter(toks, lambda x: x.isin(*text.STOPWORDS))).cast("double") / n_tok
+    )
+    return F.floor(score * 10000).cast("long")
+
+
 @query(
     "q_ks_drift",
     oracle="""
@@ -2834,59 +2911,13 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     each source; rest-ECDF = corpus-cum − source-cum, so no second corpus
     pass. Exact integers until the final divisions (identical expression
     trees both engines)."""
-    from pyspark.sql.window import Window
-
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tok = F.size(toks).cast("double")
-    score = (F.size(F.array_distinct(toks)).cast("double") / n_tok) * (
-        F.lit(1)
-        - F.size(F.filter(toks, lambda x: x.isin(*text.STOPWORDS))).cast("double") / n_tok
+    cnt = (
+        docs.select("source", ks_score_bin().alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    scored = docs.select("source", F.floor(score * 10000).cast("long").alias("b"))
-    cnt = scored.groupBy("source", "b").agg(F.count(F.lit(1)).alias("n"))
-    bins = cnt.select("b").distinct()
-    srcs = cnt.groupBy("source").agg(F.sum("n").alias("n_s"))
-    tot = cnt.agg(F.sum("n").alias("n_tot"))
-    grid = (
-        srcs.crossJoin(F.broadcast(bins))
-        .join(cnt, ["source", "b"], "left")
-        .select("source", "n_s", "b", F.coalesce("n", F.lit(0)).alias("n"))
-    )
-    cum = grid.select(
-        "source",
-        "n_s",
-        "b",
-        F.sum("n").over(Window.partitionBy("source").orderBy("b")).alias("s_cum"),
-    )
-    corpus = cnt.groupBy("b").agg(F.sum("n").alias("cn"))
-    ccum = corpus.select(
-        F.col("b").alias("cb"),
-        F.sum("cn").over(Window.orderBy("b")).alias("c_cum"),
-    )
-    d = (
-        cum.join(F.broadcast(ccum), cum["b"] == F.col("cb"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "n_s",
-            (F.col("n_tot") - F.col("n_s")).alias("n_rest"),
-            F.abs(
-                F.col("s_cum") * F.lit(1.0) / F.col("n_s")
-                - (F.col("c_cum") - F.col("s_cum")) * F.lit(1.0) / (F.col("n_tot") - F.col("n_s"))
-            ).alias("gap"),
-        )
-    )
-    return d.groupBy("source").agg(
-        F.max("n_s").cast("long").alias("n_source"),
-        F.max("n_rest").cast("long").alias("n_rest"),
-        F.round(F.max("gap"), 6).alias("ks_d"),
-        F.round(
-            F.max("gap")
-            * F.sqrt(F.max("n_s") * F.max("n_rest") * F.lit(1.0) / (F.max("n_s") + F.max("n_rest"))),
-            4,
-        ).alias("ks_scaled"),
-    )
+    return ks_report(cnt)
 
 
 @query(

@@ -2067,3 +2067,114 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), F.col("part_key"))
         .limit(20)
     )
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT x AS node FROM e UNION ALL SELECT y FROM e
+      ) GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.x ELSE e.y END AS u,
+             CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.y ELSE e.x END AS v,
+             CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN dy.d ELSE dx.d END AS dv
+      FROM e JOIN deg dx ON dx.node = e.x JOIN deg dy ON dy.node = e.y
+    ),
+    wedge AS (
+      SELECT CASE WHEN (e1.dv, e1.v) < (e2.dv, e2.v) THEN e1.v ELSE e2.v END AS w1,
+             CASE WHEN (e1.dv, e1.v) < (e2.dv, e2.v) THEN e2.v ELSE e1.v END AS w2
+      FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v
+    ),
+    tri AS (
+      SELECT count(*) AS n_tri FROM wedge w JOIN o ON o.u = w.w1 AND o.v = w.w2
+    ),
+    stats AS (
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM e) AS n_edges,
+             (SELECT sum(d * (d - 1) / 2) FROM deg) AS n_wedges
+    )
+    SELECT CAST(s.n_nodes AS BIGINT) AS n_nodes, CAST(s.n_edges AS BIGINT) AS n_edges,
+           CAST(s.n_wedges AS BIGINT) AS n_wedges, CAST(t.n_tri AS BIGINT) AS n_triangles,
+           round(3 * t.n_tri * CAST(1 AS DOUBLE) / s.n_wedges, 6) AS clustering_coef
+    FROM stats s CROSS JOIN tri t
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with degree-ordered orientation + the global
+    clustering coefficient (3·triangles / wedges) over the part
+    co-purchase graph — the graph-density companion to q_pagerank
+    (community structure, recommendation quality, and near-clique
+    detection all start here). The orientation is the scale argument:
+    directing every edge from its lower-(degree, id) endpoint bounds
+    out-degrees at O(sqrt(m)), so the wedge self-join generates
+    Σ outdeg² candidates instead of Σ deg² — the classic distributed
+    triangle algorithm (each triangle counted exactly once from its
+    minimum-rank vertex, no post-hoc dedup). One edge-build exchange,
+    one u-keyed wedge join, one (w1, w2)-keyed closure probe; the wedge
+    pair is rank-canonicalized at emit so the closure is a plain
+    equi-join (no OR-condition nested loop). Exact integers throughout;
+    the coefficient is one final division."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))
+    e = a.join(b, "ok").where(F.col("x") < F.col("y")).select("x", "y").distinct().localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dx = deg.select(F.col("node").alias("nx"), F.col("d").alias("dxv"))
+    dy = deg.select(F.col("node").alias("ny"), F.col("d").alias("dyv"))
+    lower = (F.col("dxv") < F.col("dyv")) | ((F.col("dxv") == F.col("dyv")) & (F.col("x") < F.col("y")))
+    o = (
+        e.join(F.broadcast(dx), F.col("x") == F.col("nx"))
+        .join(F.broadcast(dy), F.col("y") == F.col("ny"))
+        .select(
+            F.when(lower, F.col("x")).otherwise(F.col("y")).alias("u"),
+            F.when(lower, F.col("y")).otherwise(F.col("x")).alias("v"),
+            F.when(lower, F.col("dyv")).otherwise(F.col("dxv")).alias("dv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1 = o.select(F.col("u").alias("u1"), F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    e2 = o.select(F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    first_lower = (F.col("dv1") < F.col("dv2")) | (
+        (F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2"))
+    )
+    wedge = (
+        e1.join(e2, (F.col("u1") == F.col("u2")) & (F.col("v1") < F.col("v2")))
+        .select(
+            F.when(first_lower, F.col("v1")).otherwise(F.col("v2")).alias("w1"),
+            F.when(first_lower, F.col("v2")).otherwise(F.col("v1")).alias("w2"),
+        )
+    )
+    o3 = o.select(F.col("u").alias("u3"), F.col("v").alias("v3"))
+    tri = wedge.join(o3, (F.col("w1") == F.col("u3")) & (F.col("w2") == F.col("v3"))).agg(
+        F.count(F.lit(1)).alias("n_tri")
+    )
+    stats = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+        )
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.col("n_tri").cast("long").alias("n_triangles"),
+        F.round(F.lit(3) * F.col("n_tri") * F.lit(1.0) / F.col("n_wedges"), 6).alias("clustering_coef"),
+    )

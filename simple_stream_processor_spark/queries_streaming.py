@@ -801,3 +801,39 @@ def q_streaming_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained, _ = run_stream_to_memory(st, output_mode="complete")
     return entropy_report(drained)
+
+
+def _ks_oracle() -> str:
+    from simple_stream_processor_spark import queries_llmdata  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_ks_drift"]
+
+
+@query("q_streaming_ks", oracle=_ks_oracle())
+def q_streaming_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_ks_drift: the (source, score-bin) count table
+    is maintained incrementally in streaming state — the score bins to
+    the fixed 1e4 integer grid INSIDE the narrow stream stage, so state
+    is bounded at sources × 10k cells regardless of how long the corpus
+    stream runs (and counts are commutative, so batching is invisible).
+    The drained table flows through the same ks_report tail as the batch
+    path and hash-matches the identical oracle — continuous
+    distribution-drift monitoring without history re-scans."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_llmdata import ks_report, ks_score_bin
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    cnt = (
+        sdf.select("source", ks_score_bin().alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    drained, _ = run_stream_to_memory(cnt, output_mode="complete")
+    return ks_report(drained)

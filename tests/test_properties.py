@@ -702,3 +702,56 @@ def test_pca_matches_numpy_eigendecomposition(spark, sf_dir):
     l1 = float(np.linalg.eigvalsh(C)[-1])
     assert est <= l1 + 1e-3
     assert est >= 0.75 * l1  # 3 rounds from a uniform start get close to the top
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-ordered orientation counts each triangle exactly once —
+    verified against a brute-force itertools count on a small irregular
+    graph (includes a 4-clique = 4 triangles, plus a pendant)."""
+    import itertools
+
+    from pyspark.sql import functions as SF
+
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (1, 6)]
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(
+        1
+        for x, y, z in itertools.combinations(sorted(adj), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+
+    e = spark.createDataFrame(und, "x long, y long")
+    deg = (
+        e.select(SF.col("x").alias("node"))
+        .unionAll(e.select(SF.col("y").alias("node")))
+        .groupBy("node")
+        .agg(SF.count(SF.lit(1)).alias("d"))
+    )
+    dx = deg.select(SF.col("node").alias("nx"), SF.col("d").alias("dxv"))
+    dy = deg.select(SF.col("node").alias("ny"), SF.col("d").alias("dyv"))
+    lower = (SF.col("dxv") < SF.col("dyv")) | ((SF.col("dxv") == SF.col("dyv")) & (SF.col("x") < SF.col("y")))
+    o = (
+        e.join(dx, SF.col("x") == SF.col("nx"))
+        .join(dy, SF.col("y") == SF.col("ny"))
+        .select(
+            SF.when(lower, SF.col("x")).otherwise(SF.col("y")).alias("u"),
+            SF.when(lower, SF.col("y")).otherwise(SF.col("x")).alias("v"),
+            SF.when(lower, SF.col("dyv")).otherwise(SF.col("dxv")).alias("dv"),
+        )
+    )
+    e1 = o.select(SF.col("u").alias("u1"), SF.col("v").alias("v1"), SF.col("dv").alias("dv1"))
+    e2 = o.select(SF.col("u").alias("u2"), SF.col("v").alias("v2"), SF.col("dv").alias("dv2"))
+    fl = (SF.col("dv1") < SF.col("dv2")) | ((SF.col("dv1") == SF.col("dv2")) & (SF.col("v1") < SF.col("v2")))
+    wedge = (
+        e1.join(e2, (SF.col("u1") == SF.col("u2")) & (SF.col("v1") < SF.col("v2")))
+        .select(
+            SF.when(fl, SF.col("v1")).otherwise(SF.col("v2")).alias("w1"),
+            SF.when(fl, SF.col("v2")).otherwise(SF.col("v1")).alias("w2"),
+        )
+    )
+    o3 = o.select(SF.col("u").alias("u3"), SF.col("v").alias("v3"))
+    got = wedge.join(o3, (SF.col("w1") == SF.col("u3")) & (SF.col("w2") == SF.col("v3"))).count()
+    assert got == want == 4  # the 4-clique contributes C(4,3) triangles

@@ -74,6 +74,9 @@ SINGLE_PARTITION_ALLOWANCE = {
     # the n_vec scalar, the last round's norm scalar, and the Rayleigh
     # eigenvalue — one-row aggregates over d- and d²-bounded tables
     "q_pca_top_component": 3,
+    # three one-row aggregates (triangle count, edge count, node/wedge
+    # stats) crossed into the single summary row — all over partials
+    "q_triangle_count": 3,
 }
 
 STREAMING_PREFIXES = ("q_stream", "q_streaming", "q_managed")
