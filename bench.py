@@ -105,6 +105,7 @@ HEADLINE = [
     "q_pca_top_component",
     "q_label_noise",
     "q_minhash_recall",
+    "q_changepoint_cusum",
 ]
 
 

@@ -2178,3 +2178,92 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tri").cast("long").alias("n_triangles"),
         F.round(F.lit(3) * F.col("n_tri") * F.lit(1.0) / F.col("n_wedges"), 6).alias("clustering_coef"),
     )
+
+
+@query(
+    "q_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, count(*) AS n_days, sum(cents) AS total
+      FROM daily GROUP BY 1
+    ),
+    pre AS (
+      SELECT d.event_type, d.day, t.n_days, t.total,
+             sum(d.cents) OVER (PARTITION BY d.event_type ORDER BY d.day) AS prefix,
+             row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS k
+      FROM daily d JOIN tot t USING (event_type)
+    ),
+    dev AS (
+      SELECT event_type, day, n_days, total,
+             abs(n_days * prefix - k * total) AS abs_num
+      FROM pre
+    ),
+    best AS (
+      SELECT event_type, day AS cp_day, n_days, total, abs_num,
+             row_number() OVER (PARTITION BY event_type ORDER BY abs_num DESC, day ASC) AS r
+      FROM dev
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days, CAST(total AS BIGINT) AS total_cents,
+           CAST(cp_day AS VARCHAR) AS cp_day, CAST(abs_num AS BIGINT) AS max_dev_num,
+           round(abs_num * CAST(1 AS DOUBLE) / n_days / 100, 2) AS max_dev_dollars
+    FROM best WHERE r = 1
+    """,
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event-type revenue series: the day
+    k maximizing |S_k| where S_k = Σ_{i≤k}(x_i − mean) — the level-shift
+    detector that localizes WHEN a metric moved (the companion to
+    q_rolling_zscore's does-today-look-wrong monitor). Exactness trick:
+    S_k = (n·prefix_k − k·total)/n, so the argmax runs entirely on the
+    exact integer numerator (integer-cents domain; no float ever enters
+    the comparison, so the chosen day cannot flicker cross-engine); the
+    reported magnitude is one final division. Scale shape: the daily
+    pre-aggregate shrinks events to types×days WITH map-side combine
+    before any shuffle (the rolling_zscore pattern); prefix sums and the
+    argmax rank sort partition-locally within each type."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    tot = daily.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pre = (
+        daily.join(F.broadcast(tot), daily["event_type"] == F.col("t_type"))
+        .select(
+            "event_type",
+            "day",
+            "n_days",
+            "total",
+            F.sum("cents").over(w).alias("prefix"),
+            F.row_number().over(w).alias("k"),
+        )
+    )
+    dev = pre.select(
+        "event_type",
+        "day",
+        "n_days",
+        "total",
+        F.abs(F.col("n_days") * F.col("prefix") - F.col("k") * F.col("total")).alias("abs_num"),
+    )
+    rw = Window.partitionBy("event_type").orderBy(F.col("abs_num").desc(), F.col("day").asc())
+    return (
+        dev.withColumn("r", F.row_number().over(rw))
+        .where(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("total").cast("long").alias("total_cents"),
+            F.col("day").cast("string").alias("cp_day"),
+            F.col("abs_num").cast("long").alias("max_dev_num"),
+            F.round(F.col("abs_num") * F.lit(1.0) / F.col("n_days") / 100, 2).alias("max_dev_dollars"),
+        )
+    )

@@ -755,3 +755,26 @@ def test_triangle_count_matches_bruteforce(spark):
     o3 = o.select(SF.col("u").alias("u3"), SF.col("v").alias("v3"))
     got = wedge.join(o3, (SF.col("w1") == SF.col("u3")) & (SF.col("w2") == SF.col("v3"))).count()
     assert got == want == 4  # the 4-clique contributes C(4,3) triangles
+
+
+def test_cusum_changepoint_localizes_planted_shift(spark):
+    """A series flat at 100 then flat at 200 must put the max-|CUSUM| day
+    exactly at the end of the first regime."""
+    import datetime
+
+    from pyspark.sql import functions as SF
+    from simple_stream_processor_spark.queries_relational_ext import q_changepoint_cusum  # noqa: F401
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i, 12, 0), 1, "a", 100.0 if i < 10 else 200.0, "{}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = q_changepoint_cusum(spark, d).collect()
+    assert len(out) == 1
+    assert out[0].cp_day == "2024-01-10"  # last day of the 100-regime (i=9)
