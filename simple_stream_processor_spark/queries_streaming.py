@@ -837,3 +837,124 @@ def q_streaming_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained, _ = run_stream_to_memory(cnt, output_mode="complete")
     return ks_report(drained)
+
+
+@query(
+    "q_streaming_pca",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (
+      SELECT vec_id, u.i AS pos, v[u.i] AS x
+      FROM e, unnest(range(1, len(v) + 1)) AS u(i)
+    ),
+    mom AS (
+      SELECT a.pos - 1 AS i, b.pos - 1 AS j, sum(a.x * b.x) AS s
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    sx AS (SELECT pos - 1 AS i, sum(x) AS sxv FROM ex GROUP BY 1),
+    n AS (SELECT count(*) AS nv FROM e),
+    mu AS (SELECT i, round(sxv / nn.nv, 6) AS m FROM sx, n nn),
+    cov AS (
+      SELECT m.i, m.j,
+             round((m.s - ma.m * sb.sxv - mb.m * sa.sxv + nn.nv * ma.m * mb.m)
+                   / (nn.nv - 1), 6) AS c
+      FROM mom m
+      JOIN mu ma ON ma.i = m.i JOIN mu mb ON mb.i = m.j
+      JOIN sx sa ON sa.i = m.i JOIN sx sb ON sb.i = m.j
+      CROSS JOIN n nn
+    ),
+    v0 AS (SELECT i AS pos, round(1.0 / sqrt(64), 6)::DOUBLE AS vv FROM mu),
+    w1 AS (SELECT cov.i AS pos, sum(cov.c * v0.vv) AS w FROM cov JOIN v0 ON v0.pos = cov.j GROUP BY cov.i),
+    n1 AS (SELECT sqrt(sum(w * w)) AS nm FROM w1),
+    v1 AS (SELECT pos, round(w / nm, 6) AS vv FROM w1 CROSS JOIN n1),
+    w2 AS (SELECT cov.i AS pos, sum(cov.c * v1.vv) AS w FROM cov JOIN v1 ON v1.pos = cov.j GROUP BY cov.i),
+    n2 AS (SELECT sqrt(sum(w * w)) AS nm FROM w2),
+    v2 AS (SELECT pos, round(w / nm, 6) AS vv FROM w2 CROSS JOIN n2),
+    w3 AS (SELECT cov.i AS pos, sum(cov.c * v2.vv) AS w FROM cov JOIN v2 ON v2.pos = cov.j GROUP BY cov.i),
+    n3 AS (SELECT sqrt(sum(w * w)) AS nm FROM w3),
+    v3 AS (SELECT pos, round(w / nm, 6) AS vv FROM w3 CROSS JOIN n3),
+    lam AS (SELECT round(sum(v3.vv * w3.w), 4) AS eigval FROM v3 JOIN w3 USING (pos))
+    SELECT v3.pos + 1 AS pos, v3.vv AS loading, lam.eigval AS eigval
+    FROM v3 CROSS JOIN lam
+    """,
+)
+def q_streaming_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PCA: the second-moment matrix accumulates INCREMENTALLY —
+    one streaming aggregate whose state is the d²+d+1 mergeable moment
+    cells (Σx_i x_j via a per-vector outer-product explode, Σx_i smuggled
+    as j=-1 rows, the count as the (-1,-1) cell — all in ONE explode so a
+    single stateful groupBy carries everything; sums are commutative, so
+    batch boundaries are invisible and state size is d²-bounded no matter
+    how long the vector stream runs). The drained moments finish into the
+    covariance by the raw-moment identity Σ(x−μ̂)(y−μ̂) = Σxy − μ̂ᵢSxⱼ −
+    μ̂ⱼSxᵢ + nμ̂ᵢμ̂ⱼ (the oracle computes the IDENTICAL expression, so the
+    6dp-rounded covariance is engine-exact), then flow through the same
+    pca_power_iterate tail as the batch path. This is how you keep a live
+    eigenvector over a growing corpus without ever re-scanning it."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_llmdata import pca_power_iterate
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    v = F.col("embedding").cast("array<double>")
+    entries = F.concat(
+        F.flatten(
+            F.transform(
+                v,
+                lambda x, i: F.transform(
+                    v, lambda y, j: F.struct(i.alias("i"), j.alias("j"), (x * y).alias("p"))
+                ),
+            )
+        ),
+        F.transform(v, lambda x, i: F.struct(i.alias("i"), F.lit(-1).alias("j"), x.alias("p"))),
+        F.array(F.struct(F.lit(-1).alias("i"), F.lit(-1).alias("j"), F.lit(1.0).alias("p"))),
+    )
+    cells = (
+        sdf.select(F.explode(entries).alias("t"))
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s"))
+    )
+    drained, _ = run_stream_to_memory(cells, output_mode="complete")
+    n = drained.where((F.col("i") == -1) & (F.col("j") == -1)).select(F.col("s").alias("nv"))
+    sx = drained.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("sx_i"), F.col("s").alias("sxv")
+    )
+    mu = sx.crossJoin(F.broadcast(n)).select(
+        F.col("sx_i").alias("mu_i"), F.round(F.col("sxv") / F.col("nv"), 6).alias("m")
+    )
+    mom = drained.where((F.col("i") >= 0) & (F.col("j") >= 0))
+    ma = mu.select(F.col("mu_i").alias("ia"), F.col("m").alias("m_a"))
+    mb = mu.select(F.col("mu_i").alias("ib"), F.col("m").alias("m_b"))
+    sa = sx.select(F.col("sx_i").alias("ja"), F.col("sxv").alias("sx_a"))
+    sb = sx.select(F.col("sx_i").alias("jb"), F.col("sxv").alias("sx_b"))
+    cov = (
+        mom.join(F.broadcast(ma), F.col("i") == F.col("ia"))
+        .join(F.broadcast(mb), F.col("j") == F.col("ib"))
+        .join(F.broadcast(sa), F.col("i") == F.col("ja"))
+        .join(F.broadcast(sb), F.col("j") == F.col("jb"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("s")
+                    - F.col("m_a") * F.col("sx_b")
+                    - F.col("m_b") * F.col("sx_a")
+                    + F.col("nv") * F.col("m_a") * F.col("m_b")
+                )
+                / (F.col("nv") - 1),
+                6,
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mu_pos = mu.select(F.col("mu_i").alias("pos"))
+    return pca_power_iterate(cov, mu_pos)
