@@ -106,6 +106,7 @@ HEADLINE = [
     "q_label_noise",
     "q_minhash_recall",
     "q_changepoint_cusum",
+    "q_survival_curve",
 ]
 
 

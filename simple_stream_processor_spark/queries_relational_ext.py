@@ -2267,3 +2267,104 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("abs_num") * F.lit(1.0) / F.col("n_days") / 100, 2).alias("max_dev_dollars"),
         )
     )
+
+
+@query(
+    "q_survival_curve",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(ts) AS f, max(ts) AS l
+      FROM events GROUP BY 1
+    ),
+    mx AS (SELECT max(ts) AS m FROM events),
+    lab AS (
+      SELECT user_id, date_diff('day', f, l) AS lt,
+             CASE WHEN l < mx.m - INTERVAL 1 DAY THEN 1 ELSE 0 END AS churned
+      FROM u, mx
+    ),
+    ev AS (
+      SELECT lt AS day, sum(churned) AS d, sum(1 - churned) AS c
+      FROM lab GROUP BY 1
+    ),
+    risk AS (
+      SELECT day, d, c,
+             sum(d + c) OVER (ORDER BY day DESC) AS n_risk
+      FROM ev
+    ),
+    f AS (
+      SELECT day, d, c, n_risk,
+             CASE WHEN d = n_risk THEN 0.0
+                  ELSE ln((n_risk - d) * CAST(1 AS DOUBLE) / n_risk) END AS lnf,
+             CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zero
+      FROM risk
+    ),
+    s AS (
+      SELECT day, d, c, n_risk,
+             sum(lnf) OVER (ORDER BY day) AS lns,
+             sum(zero) OVER (ORDER BY day) AS zeros
+      FROM f
+    )
+    SELECT CAST(day AS BIGINT) AS day, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_churned, CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN zeros > 0 THEN 0.0 ELSE round(exp(lns), 6) END AS survival
+    FROM s
+    """,
+)
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes (days from first to
+    last event), with right-censoring: users still active within a day of
+    the observation horizon are censored, not churned — the
+    retention-analysis estimator that q_cohort_retention's raw triangle
+    feeds into (KM is the principled answer when observation windows are
+    unequal). S(t) = Π_{k≤t}(1 − d_k/n_k) over the day-indexed event
+    table; the risk set n_k is a suffix sum over the bounded lifetime
+    table. Determinism: the product is computed as exp of a running sum
+    of ln-factors — the window adds rows in day order, so both engines
+    sum the identical sequence in the identical order, and a d=n_risk
+    terminal day (everyone at risk churns) short-circuits to exactly 0
+    through an integer flag instead of ln(0). Scale shape: one user-keyed
+    aggregate collapses events to users, one horizon scalar broadcasts;
+    everything after is lifetime-table-sized (≤ observation days)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    mx = ev.agg(F.max("ts").alias("m"))
+    lab = u.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("l").cast("date"), F.col("f").cast("date")).alias("day"),
+        F.when(F.col("l") < F.col("m") - F.expr("INTERVAL 1 DAY"), 1).otherwise(0).alias("churned"),
+    )
+    evt = lab.groupBy("day").agg(
+        F.sum("churned").alias("d"), F.sum(F.lit(1) - F.col("churned")).alias("c")
+    )
+    risk = evt.select(
+        "day",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(Window.orderBy(F.col("day").desc())).alias("n_risk"),
+    )
+    f = risk.select(
+        "day",
+        "d",
+        "c",
+        "n_risk",
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(F.log((F.col("n_risk") - F.col("d")) * F.lit(1.0) / F.col("n_risk")))
+        .alias("lnf"),
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0).alias("zero"),
+    )
+    s = f.select(
+        "day",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("lnf").over(Window.orderBy("day")).alias("lns"),
+        F.sum("zero").over(Window.orderBy("day")).alias("zeros"),
+    )
+    return s.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.when(F.col("zeros") > 0, F.lit(0.0)).otherwise(F.round(F.exp("lns"), 6)).alias("survival"),
+    )

@@ -778,3 +778,44 @@ def test_cusum_changepoint_localizes_planted_shift(spark):
     out = q_changepoint_cusum(spark, d).collect()
     assert len(out) == 1
     assert out[0].cp_day == "2024-01-10"  # last day of the 100-regime (i=9)
+
+
+def test_survival_curve_matches_manual_km(spark):
+    """KM estimator on a hand-built cohort: 4 users churn at known
+    lifetimes, 2 censored at the horizon — survival values equal the
+    textbook product computed by hand."""
+    import datetime
+
+    from simple_stream_processor_spark.queries_relational_ext import q_survival_curve
+
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+
+    def ev(eid, uid, day):
+        return (eid, base + datetime.timedelta(days=day), uid, "view", 1.0, "{}")
+
+    rows = [
+        # u1: days 0-1 (churn, lifetime 1); u2: days 0-2 (churn, lt 2)
+        ev(1, 1, 0), ev(2, 1, 1),
+        ev(3, 2, 0), ev(4, 2, 2),
+        # u3, u4: churn at lifetime 5
+        ev(5, 3, 0), ev(6, 3, 5),
+        ev(7, 4, 0), ev(8, 4, 5),
+        # u5, u6: active through day 10 (the horizon) -> censored, lt 10
+        ev(9, 5, 0), ev(10, 5, 10),
+        ev(11, 6, 0), ev(12, 6, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import os, tempfile
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r.day: r for r in q_survival_curve(spark, d).collect()}
+    # risk sets: day1: 6 at risk, 1 churns -> S=5/6; day2: 5 at risk, 1 churns
+    # -> S=5/6*4/5; day5: 4 at risk, 2 churn -> S=...*2/4; day10: censored only
+    assert got[1].n_risk == 6 and got[1].n_churned == 1
+    assert abs(got[1].survival - round(5 / 6, 6)) < 1e-9
+    assert abs(got[2].survival - round(5 / 6 * 4 / 5, 6)) < 1e-9
+    assert abs(got[5].survival - round(5 / 6 * 4 / 5 * 2 / 4, 6)) < 1e-9
+    assert got[10].n_censored == 2 and got[10].n_churned == 0
+    assert abs(got[10].survival - got[5].survival) < 1e-9  # censoring alone doesn't drop S

@@ -77,6 +77,9 @@ SINGLE_PARTITION_ALLOWANCE = {
     # three one-row aggregates (triangle count, edge count, node/wedge
     # stats) crossed into the single summary row — all over partials
     "q_triangle_count": 3,
+    # the horizon scalar plus the lifetime-table windows (suffix risk sum
+    # and the ln-product running sum) — all over the ≤observation-days table
+    "q_survival_curve": 2,
 }
 
 STREAMING_PREFIXES = ("q_stream", "q_streaming", "q_managed")
