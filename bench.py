@@ -107,6 +107,7 @@ HEADLINE = [
     "q_minhash_recall",
     "q_changepoint_cusum",
     "q_survival_curve",
+    "q_decision_stump",
 ]
 
 

@@ -3681,3 +3681,140 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall_high"),
     )
+
+
+@query(
+    "q_decision_stump",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             unnest(['n_chars', 'n_tokens', 'n_distinct', 'n_stop']) AS feature,
+             unnest([
+               n_chars,
+               len(string_split(text, ' ')),
+               len(list_distinct(string_split(text, ' '))),
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))
+             ]) AS val
+      FROM documents
+    ),
+    rng AS (
+      SELECT feature, min(val) AS lo, max(val) AS hi FROM feat GROUP BY 1
+    ),
+    binned AS (
+      SELECT f.feature, f.pos,
+             CAST((f.val - r.lo) * 32 // (r.hi - r.lo + 1) AS BIGINT) AS bin
+      FROM feat f JOIN rng r USING (feature)
+    ),
+    hist AS (
+      SELECT feature, bin, count(*) AS n, sum(pos) AS np
+      FROM binned GROUP BY 1, 2
+    ),
+    tot AS (SELECT feature, sum(n) AS nt, sum(np) AS pt FROM hist GROUP BY 1),
+    cum AS (
+      SELECT h.feature, h.bin, t.nt, t.pt,
+             sum(h.n) OVER (PARTITION BY h.feature ORDER BY h.bin) AS nl,
+             sum(h.np) OVER (PARTITION BY h.feature ORDER BY h.bin) AS pl
+      FROM hist h JOIN tot t USING (feature)
+    ),
+    gain AS (
+      SELECT feature, bin, nl, pl, nt, pt,
+             (1.0 - (pt * CAST(1 AS DOUBLE) / nt) ** 2 - ((nt - pt) * CAST(1 AS DOUBLE) / nt) ** 2)
+             - (nl * CAST(1 AS DOUBLE) / nt)
+               * (1.0 - (pl * CAST(1 AS DOUBLE) / nl) ** 2 - ((nl - pl) * CAST(1 AS DOUBLE) / nl) ** 2)
+             - ((nt - nl) * CAST(1 AS DOUBLE) / nt)
+               * (1.0 - ((pt - pl) * CAST(1 AS DOUBLE) / (nt - nl)) ** 2
+                      - ((nt - nl - pt + pl) * CAST(1 AS DOUBLE) / (nt - nl)) ** 2) AS g
+      FROM cum WHERE nl > 0 AND nl < nt
+    ),
+    best AS (
+      SELECT feature, bin, nl, pl, g,
+             row_number() OVER (PARTITION BY feature ORDER BY g DESC, bin ASC) AS r
+      FROM gain
+    )
+    SELECT b.feature, CAST(b.bin AS BIGINT) AS best_bin,
+           CAST(r.lo + (b.bin + 1) * (r.hi - r.lo + 1) // 32 AS BIGINT) AS threshold,
+           CAST(b.nl AS BIGINT) AS n_left, CAST(b.pl AS BIGINT) AS pos_left,
+           round(b.g, 6) AS gini_gain
+    FROM best b JOIN rng r USING (feature) WHERE b.r = 1
+    """,
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed decision-stump induction (the histogram split-finding
+    step of XGBoost/LightGBM-style tree training): for four document
+    features, the Gini-optimal binary split predicting lang='en'. The
+    histogram method IS the scale argument: features bin to 32 buckets by
+    exact integer arithmetic in the scan stage, so the only exchange
+    carries features × 32 histogram cells (map-side combined) regardless
+    of corpus size — never sorted feature values (the classic exact-split
+    approach that doesn't scale). Cumulative counts, Gini gains, and the
+    per-feature argmax all ride the bounded histogram; every count is an
+    exact integer, gains are identical expression trees both engines, and
+    the (gain desc, bin asc) tie-break pins the chosen split. Adding tree
+    depth = re-running this per node on filtered partitions; the
+    histogram shape is unchanged."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feat = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("n_chars").alias("feature"), F.col("n_chars").cast("long").alias("val")),
+                F.struct(F.lit("n_tokens").alias("feature"), F.size(toks).cast("long").alias("val")),
+                F.struct(F.lit("n_distinct").alias("feature"), F.size(F.array_distinct(toks)).cast("long").alias("val")),
+                F.struct(
+                    F.lit("n_stop").alias("feature"),
+                    F.size(F.filter(toks, lambda x: x.isin(*text.STOPWORDS))).cast("long").alias("val"),
+                ),
+            )
+        ).alias("t"),
+    ).select("pos", "t.feature", "t.val")
+    rng = feat.groupBy(F.col("feature").alias("r_feature")).agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    binned = feat.join(F.broadcast(rng), feat["feature"] == F.col("r_feature")).select(
+        "feature",
+        "pos",
+        F.expr("CAST((val - lo) * 32 div (hi - lo + 1) AS BIGINT)").alias("bin"),
+    )
+    hist = binned.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np")
+    )
+    tot = hist.groupBy(F.col("feature").alias("t_feature")).agg(
+        F.sum("n").alias("nt"), F.sum("np").alias("pt")
+    )
+    w = Window.partitionBy("feature").orderBy("bin")
+    cum = (
+        hist.join(F.broadcast(tot), hist["feature"] == F.col("t_feature"))
+        .select(
+            "feature",
+            "bin",
+            "nt",
+            "pt",
+            F.sum("n").over(w).alias("nl"),
+            F.sum("np").over(w).alias("pl"),
+        )
+    )
+
+    def gini_term(p, n):
+        return F.lit(1.0) - F.pow(p * F.lit(1.0) / n, 2) - F.pow((n - p) * F.lit(1.0) / n, 2)
+
+    g = (
+        gini_term(F.col("pt"), F.col("nt"))
+        - (F.col("nl") * F.lit(1.0) / F.col("nt")) * gini_term(F.col("pl"), F.col("nl"))
+        - ((F.col("nt") - F.col("nl")) * F.lit(1.0) / F.col("nt"))
+        * gini_term(F.col("pt") - F.col("pl"), F.col("nt") - F.col("nl"))
+    )
+    gain = cum.where((F.col("nl") > 0) & (F.col("nl") < F.col("nt"))).withColumn("g", g)
+    rw = Window.partitionBy("feature").orderBy(F.col("g").desc(), F.col("bin").asc())
+    best = gain.withColumn("r", F.row_number().over(rw)).where(F.col("r") == 1)
+    return best.join(F.broadcast(rng), best["feature"] == F.col("r_feature")).select(
+        "feature",
+        F.col("bin").cast("long").alias("best_bin"),
+        F.expr("CAST(lo + (bin + 1) * (hi - lo + 1) div 32 AS BIGINT)").alias("threshold"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("pl").cast("long").alias("pos_left"),
+        F.round("g", 6).alias("gini_gain"),
+    )

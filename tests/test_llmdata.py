@@ -705,3 +705,47 @@ def test_minhash_recall_consistency(spark, sf_dir):
     assert 0.0 <= r.recall <= 1.0
     if r.n_true_high:
         assert r.recall_high >= 0.5  # high-similarity pairs are what banding is tuned for
+
+
+def test_decision_stump_matches_python_histogram(spark, sf_dir):
+    """The distributed stump equals a pure-Python replay of the identical
+    32-bin histogram method (same binning arithmetic, same Gini, same
+    tie-break) for every feature."""
+    from simple_stream_processor_spark.queries_llmdata import q_decision_stump
+
+    got = {r.feature: (r.best_bin, r.n_left, r.pos_left) for r in q_decision_stump(spark, sf_dir).collect()}
+
+    rows = docs(spark, sf_dir).select("text", "lang", "n_chars").collect()
+    stop = {"the", "a", "of", "and", "to", "in", "is", "it"}
+    feats = {"n_chars": [], "n_tokens": [], "n_distinct": [], "n_stop": []}
+    labels = []
+    for r in rows:
+        t = r.text.split(" ")
+        feats["n_chars"].append(r.n_chars)
+        feats["n_tokens"].append(len(t))
+        feats["n_distinct"].append(len(set(t)))
+        feats["n_stop"].append(sum(1 for x in t if x in stop))
+        labels.append(1 if r.lang == "en" else 0)
+
+    def gini(p, n):
+        return 1.0 - (p / n) ** 2 - ((n - p) / n) ** 2
+
+    for fname, vals in feats.items():
+        lo, hi = min(vals), max(vals)
+        bins = [((v - lo) * 32) // (hi - lo + 1) for v in vals]
+        nt, pt = len(vals), sum(labels)
+        hist = {}
+        for b, y in zip(bins, labels):
+            n, p = hist.get(b, (0, 0))
+            hist[b] = (n + 1, p + y)
+        best = None
+        nl = pl = 0
+        for b in sorted(hist):
+            n, p = hist[b]
+            nl, pl = nl + n, pl + p
+            if 0 < nl < nt:
+                g = gini(pt, nt) - (nl / nt) * gini(pl, nl) - ((nt - nl) / nt) * gini(pt - pl, nt - nl)
+                cand = (round(g, 12), -b)
+                if best is None or cand > best[0]:
+                    best = (cand, b, nl, pl)
+        assert got[fname] == (best[1], best[2], best[3]), fname
