@@ -108,6 +108,7 @@ HEADLINE = [
     "q_changepoint_cusum",
     "q_survival_curve",
     "q_decision_stump",
+    "q_k_anonymity",
 ]
 
 

@@ -3683,6 +3683,72 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stump_features(docs: DataFrame) -> DataFrame:
+    """(pos, feature, val) long table for the four stump features —
+    narrow explode shared by the batch and streaming paths."""
+    toks = F.split("text", " ")
+    return docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("n_chars").alias("feature"), F.col("n_chars").cast("long").alias("val")),
+                F.struct(F.lit("n_tokens").alias("feature"), F.size(toks).cast("long").alias("val")),
+                F.struct(F.lit("n_distinct").alias("feature"), F.size(F.array_distinct(toks)).cast("long").alias("val")),
+                F.struct(
+                    F.lit("n_stop").alias("feature"),
+                    F.size(F.filter(toks, lambda x: x.isin(*text.STOPWORDS))).cast("long").alias("val"),
+                ),
+            )
+        ).alias("t"),
+    ).select("pos", "t.feature", "t.val")
+
+
+def stump_best_split(hist: DataFrame, rng: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming stump queries: from a
+    (feature, bin, n, np) histogram and a (r_feature, lo, hi) range
+    table, the Gini-optimal split per feature with the deterministic
+    (gain desc, bin asc) tie-break. Everything rides the features×32
+    histogram."""
+    from pyspark.sql.window import Window
+
+    tot = hist.groupBy(F.col("feature").alias("t_feature")).agg(
+        F.sum("n").alias("nt"), F.sum("np").alias("pt")
+    )
+    w = Window.partitionBy("feature").orderBy("bin")
+    cum = (
+        hist.join(F.broadcast(tot), hist["feature"] == F.col("t_feature"))
+        .select(
+            "feature",
+            "bin",
+            "nt",
+            "pt",
+            F.sum("n").over(w).alias("nl"),
+            F.sum("np").over(w).alias("pl"),
+        )
+    )
+
+    def gini_term(p, n):
+        return F.lit(1.0) - F.pow(p * F.lit(1.0) / n, 2) - F.pow((n - p) * F.lit(1.0) / n, 2)
+
+    g = (
+        gini_term(F.col("pt"), F.col("nt"))
+        - (F.col("nl") * F.lit(1.0) / F.col("nt")) * gini_term(F.col("pl"), F.col("nl"))
+        - ((F.col("nt") - F.col("nl")) * F.lit(1.0) / F.col("nt"))
+        * gini_term(F.col("pt") - F.col("pl"), F.col("nt") - F.col("nl"))
+    )
+    gain = cum.where((F.col("nl") > 0) & (F.col("nl") < F.col("nt"))).withColumn("g", g)
+    rw = Window.partitionBy("feature").orderBy(F.col("g").desc(), F.col("bin").asc())
+    best = gain.withColumn("r", F.row_number().over(rw)).where(F.col("r") == 1)
+    return best.join(F.broadcast(rng), best["feature"] == F.col("r_feature")).select(
+        "feature",
+        F.col("bin").cast("long").alias("best_bin"),
+        F.expr("CAST(lo + (bin + 1) * (hi - lo + 1) div 32 AS BIGINT)").alias("threshold"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("pl").cast("long").alias("pos_left"),
+        F.round("g", 6).alias("gini_gain"),
+    )
+
+
 @query(
     "q_decision_stump",
     oracle="""
@@ -3753,24 +3819,8 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (gain desc, bin asc) tie-break pins the chosen split. Adding tree
     depth = re-running this per node on filtered partitions; the
     histogram shape is unchanged."""
-    from pyspark.sql.window import Window
-
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    feat = docs.select(
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
-        F.explode(
-            F.array(
-                F.struct(F.lit("n_chars").alias("feature"), F.col("n_chars").cast("long").alias("val")),
-                F.struct(F.lit("n_tokens").alias("feature"), F.size(toks).cast("long").alias("val")),
-                F.struct(F.lit("n_distinct").alias("feature"), F.size(F.array_distinct(toks)).cast("long").alias("val")),
-                F.struct(
-                    F.lit("n_stop").alias("feature"),
-                    F.size(F.filter(toks, lambda x: x.isin(*text.STOPWORDS))).cast("long").alias("val"),
-                ),
-            )
-        ).alias("t"),
-    ).select("pos", "t.feature", "t.val")
+    feat = stump_features(docs)
     rng = feat.groupBy(F.col("feature").alias("r_feature")).agg(
         F.min("val").alias("lo"), F.max("val").alias("hi")
     )
@@ -3782,39 +3832,4 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = binned.groupBy("feature", "bin").agg(
         F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np")
     )
-    tot = hist.groupBy(F.col("feature").alias("t_feature")).agg(
-        F.sum("n").alias("nt"), F.sum("np").alias("pt")
-    )
-    w = Window.partitionBy("feature").orderBy("bin")
-    cum = (
-        hist.join(F.broadcast(tot), hist["feature"] == F.col("t_feature"))
-        .select(
-            "feature",
-            "bin",
-            "nt",
-            "pt",
-            F.sum("n").over(w).alias("nl"),
-            F.sum("np").over(w).alias("pl"),
-        )
-    )
-
-    def gini_term(p, n):
-        return F.lit(1.0) - F.pow(p * F.lit(1.0) / n, 2) - F.pow((n - p) * F.lit(1.0) / n, 2)
-
-    g = (
-        gini_term(F.col("pt"), F.col("nt"))
-        - (F.col("nl") * F.lit(1.0) / F.col("nt")) * gini_term(F.col("pl"), F.col("nl"))
-        - ((F.col("nt") - F.col("nl")) * F.lit(1.0) / F.col("nt"))
-        * gini_term(F.col("pt") - F.col("pl"), F.col("nt") - F.col("nl"))
-    )
-    gain = cum.where((F.col("nl") > 0) & (F.col("nl") < F.col("nt"))).withColumn("g", g)
-    rw = Window.partitionBy("feature").orderBy(F.col("g").desc(), F.col("bin").asc())
-    best = gain.withColumn("r", F.row_number().over(rw)).where(F.col("r") == 1)
-    return best.join(F.broadcast(rng), best["feature"] == F.col("r_feature")).select(
-        "feature",
-        F.col("bin").cast("long").alias("best_bin"),
-        F.expr("CAST(lo + (bin + 1) * (hi - lo + 1) div 32 AS BIGINT)").alias("threshold"),
-        F.col("nl").cast("long").alias("n_left"),
-        F.col("pl").cast("long").alias("pos_left"),
-        F.round("g", 6).alias("gini_gain"),
-    )
+    return stump_best_split(hist, rng)

@@ -2368,3 +2368,49 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("n_censored"),
         F.when(F.col("zeros") > 0, F.lit(0.0)).otherwise(F.round(F.exp("lns"), 6)).alias("survival"),
     )
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, dayofmonth(ts) AS dom,
+             CAST(floor(value / 100) AS BIGINT) AS vband, count(*) AS k
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           round(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * CAST(1 AS DOUBLE) / sum(k), 6)
+             AS at_risk_frac
+    FROM q GROUP BY event_type
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier tuples (event_type ×
+    day-of-month × value band): per type, the number of equivalence
+    classes smaller than k=5, the rows inside them (re-identification
+    exposure), and the minimum class size — the privacy-side companion to
+    q_pii_redact (redaction hides direct identifiers; THIS measures
+    whether combinations of innocent columns still single people out,
+    the release gate before publishing any derived dataset). One
+    quasi-tuple count exchange (map-side combined, bounded by the tuple
+    domain), then a types-sized rollup; exact integers to one final
+    division."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.groupBy(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") / 100).cast("long").alias("vband"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    return q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("k").cast("long").alias("min_k"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0)).cast("long").alias("n_small_classes"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).cast("long").alias("n_rows_at_risk"),
+        F.round(
+            F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)) * F.lit(1.0) / F.sum("k"), 6
+        ).alias("at_risk_frac"),
+    )

@@ -958,3 +958,50 @@ def q_streaming_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu_pos = mu.select(F.col("mu_i").alias("pos"))
     return pca_power_iterate(cov, mu_pos)
+
+
+def _stump_oracle() -> str:
+    from simple_stream_processor_spark import queries_llmdata  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_decision_stump"]
+
+
+@query("q_streaming_stump", oracle=_stump_oracle())
+def q_streaming_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decision-stump twin (online histogram tree learning):
+    the features×32 Gini histogram accumulates INCREMENTALLY in streaming
+    state — counts are commutative, so batch boundaries are invisible,
+    and state is bounded at features×bins cells no matter how long the
+    document stream runs. Bin ranges are the one thing an online
+    histogram must know up front (production registers per-feature clip
+    ranges as schema metadata); here they come from the static table —
+    evaluation-side, like the exact counts in q_streaming_cms. The
+    drained histogram flows through the same stump_best_split tail as
+    the batch path and hash-matches the identical oracle — the split
+    quality a fresh tree would get RIGHT NOW, updated per trigger."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_llmdata import stump_best_split, stump_features
+    from simple_stream_processor_spark.tables import load_table
+
+    rng = stump_features(load_table(spark, "documents", sf_dir)).groupBy(
+        F.col("feature").alias("r_feature")
+    ).agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    binned = stump_features(sdf).join(F.broadcast(rng), F.col("feature") == F.col("r_feature")).select(
+        "feature",
+        "pos",
+        F.expr("CAST((val - lo) * 32 div (hi - lo + 1) AS BIGINT)").alias("bin"),
+    )
+    hist = binned.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np")
+    )
+    drained, _ = run_stream_to_memory(hist, output_mode="complete")
+    return stump_best_split(drained, rng)
