@@ -2269,6 +2269,56 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def km_curve(u: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming survival queries: from a
+    per-user (f, l) first/last-event table, label churn vs censoring
+    against the observation horizon (max l) and produce the Kaplan-Meier
+    day-indexed curve. Everything after the user table is bounded by
+    observation days; the ln-product runs in identical row order in both
+    engines."""
+    from pyspark.sql.window import Window
+
+    mx = u.agg(F.max("l").alias("m"))
+    lab = u.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("l").cast("date"), F.col("f").cast("date")).alias("day"),
+        F.when(F.col("l") < F.col("m") - F.expr("INTERVAL 1 DAY"), 1).otherwise(0).alias("churned"),
+    )
+    evt = lab.groupBy("day").agg(
+        F.sum("churned").alias("d"), F.sum(F.lit(1) - F.col("churned")).alias("c")
+    )
+    risk = evt.select(
+        "day",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(Window.orderBy(F.col("day").desc())).alias("n_risk"),
+    )
+    f = risk.select(
+        "day",
+        "d",
+        "c",
+        "n_risk",
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(F.log((F.col("n_risk") - F.col("d")) * F.lit(1.0) / F.col("n_risk")))
+        .alias("lnf"),
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0).alias("zero"),
+    )
+    s = f.select(
+        "day",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("lnf").over(Window.orderBy("day")).alias("lns"),
+        F.sum("zero").over(Window.orderBy("day")).alias("zeros"),
+    )
+    return s.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.when(F.col("zeros") > 0, F.lit(0.0)).otherwise(F.round(F.exp("lns"), 6)).alias("survival"),
+    )
+
+
 @query(
     "q_survival_curve",
     oracle="""
@@ -2325,49 +2375,9 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     through an integer flag instead of ln(0). Scale shape: one user-keyed
     aggregate collapses events to users, one horizon scalar broadcasts;
     everything after is lifetime-table-sized (≤ observation days)."""
-    from pyspark.sql.window import Window
-
     ev = _t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
-    mx = ev.agg(F.max("ts").alias("m"))
-    lab = u.crossJoin(F.broadcast(mx)).select(
-        F.datediff(F.col("l").cast("date"), F.col("f").cast("date")).alias("day"),
-        F.when(F.col("l") < F.col("m") - F.expr("INTERVAL 1 DAY"), 1).otherwise(0).alias("churned"),
-    )
-    evt = lab.groupBy("day").agg(
-        F.sum("churned").alias("d"), F.sum(F.lit(1) - F.col("churned")).alias("c")
-    )
-    risk = evt.select(
-        "day",
-        "d",
-        "c",
-        F.sum(F.col("d") + F.col("c")).over(Window.orderBy(F.col("day").desc())).alias("n_risk"),
-    )
-    f = risk.select(
-        "day",
-        "d",
-        "c",
-        "n_risk",
-        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
-        .otherwise(F.log((F.col("n_risk") - F.col("d")) * F.lit(1.0) / F.col("n_risk")))
-        .alias("lnf"),
-        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0).alias("zero"),
-    )
-    s = f.select(
-        "day",
-        "d",
-        "c",
-        "n_risk",
-        F.sum("lnf").over(Window.orderBy("day")).alias("lns"),
-        F.sum("zero").over(Window.orderBy("day")).alias("zeros"),
-    )
-    return s.select(
-        F.col("day").cast("long").alias("day"),
-        F.col("n_risk").cast("long").alias("n_risk"),
-        F.col("d").cast("long").alias("n_churned"),
-        F.col("c").cast("long").alias("n_censored"),
-        F.when(F.col("zeros") > 0, F.lit(0.0)).otherwise(F.round(F.exp("lns"), 6)).alias("survival"),
-    )
+    return km_curve(u)
 
 
 @query(
@@ -2413,4 +2423,117 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)) * F.lit(1.0) / F.sum("k"), 6
         ).alias("at_risk_frac"),
+    )
+
+
+@query(
+    "q_densest_subgraph",
+    oracle="""
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS x, b.l_partkey AS y
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    d0 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT x AS node FROM e0 UNION ALL SELECT y FROM e0) GROUP BY 1),
+    t0 AS MATERIALIZED (SELECT count(*) AS n, sum(d) AS sd FROM d0),
+    k1 AS MATERIALIZED (SELECT node FROM d0, t0 WHERE d * t0.n >= t0.sd),
+    e1 AS MATERIALIZED (
+      SELECT e.x, e.y FROM e0 e
+      JOIN k1 ka ON ka.node = e.x JOIN k1 kb ON kb.node = e.y
+    ),
+    d1 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT x AS node FROM e1 UNION ALL SELECT y FROM e1) GROUP BY 1),
+    t1 AS MATERIALIZED (SELECT count(*) AS n, sum(d) AS sd FROM d1),
+    k2 AS MATERIALIZED (SELECT node FROM d1, t1 WHERE d * t1.n >= t1.sd),
+    e2 AS MATERIALIZED (
+      SELECT e.x, e.y FROM e1 e
+      JOIN k2 ka ON ka.node = e.x JOIN k2 kb ON kb.node = e.y
+    ),
+    d2 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT x AS node FROM e2 UNION ALL SELECT y FROM e2) GROUP BY 1),
+    t2 AS MATERIALIZED (SELECT count(*) AS n, sum(d) AS sd FROM d2),
+    k3 AS MATERIALIZED (SELECT node FROM d2, t2 WHERE d * t2.n >= t2.sd),
+    e3 AS MATERIALIZED (
+      SELECT e.x, e.y FROM e2 e
+      JOIN k3 ka ON ka.node = e.x JOIN k3 kb ON kb.node = e.y
+    ),
+    d3 AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT x AS node FROM e3 UNION ALL SELECT y FROM e3) GROUP BY 1),
+    stats AS (
+      SELECT 0 AS round, (SELECT count(*) FROM d0) AS n_nodes, (SELECT count(*) FROM e0) AS n_edges
+      UNION ALL SELECT 1, (SELECT count(*) FROM d1), (SELECT count(*) FROM e1)
+      UNION ALL SELECT 2, (SELECT count(*) FROM d2), (SELECT count(*) FROM e2)
+      UNION ALL SELECT 3, (SELECT count(*) FROM d3), (SELECT count(*) FROM e3)
+    )
+    SELECT CAST(round AS BIGINT) AS round, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           round(n_edges * CAST(1 AS DOUBLE) / n_nodes, 6) AS density
+    FROM stats
+    """,
+)
+def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar greedy densest-subgraph peeling on the co-purchase graph:
+    each round removes every node whose degree is below the current
+    average (the comparison runs as deg·n ≥ Σdeg — exact integers, no
+    division enters the peel decision); the best round over the peeling
+    sequence is a 2-approximation of the densest subgraph (the community-mining / spam-cluster primitive beside
+    q_pagerank and q_triangle_count; in curation it surfaces tightly
+    co-occurring boilerplate families). Three unrolled rounds keep the
+    fixed-point declarative and hash-checkable (the loop-until-stable
+    form is dedup_clusters' iteration with localCheckpoint per round).
+    Scale shape: each round = one degree aggregate (node-cardinality)
+    whose one-row rollup serves BOTH the stats row and the peel
+    threshold (Σdeg = 2·|E|, so the edge count needs no second
+    aggregate), + one broadcast-filtered edge semi-join; edges
+    localCheckpoint per round so the plan stays shallow."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))
+    edges = a.join(b, "ok").where(F.col("x") < F.col("y")).select("x", "y").distinct().localCheckpoint(eager=False)
+
+    def degrees(e):
+        return (
+            e.select(F.col("x").alias("node"))
+            .unionAll(e.select(F.col("y").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    rounds = []
+    cur = edges
+    for r in range(4):
+        deg = degrees(cur)
+        tot = deg.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("d"), F.lit(0)).alias("sd"),
+        )
+        stats = tot.select(
+            F.lit(r).alias("round"),
+            F.col("n").alias("n_nodes"),
+            F.expr("sd DIV 2").alias("n_edges"),
+        )
+        rounds.append(stats)
+        if r == 3:
+            break
+        keep = (
+            deg.crossJoin(F.broadcast(tot))
+            .where(F.col("d") * F.col("n") >= F.col("sd"))
+            .select("node")
+        )
+        ka = keep.select(F.col("node").alias("kx"))
+        kb = keep.select(F.col("node").alias("ky"))
+        cur = (
+            cur.join(F.broadcast(ka), F.col("x") == F.col("kx"))
+            .join(F.broadcast(kb), F.col("y") == F.col("ky"))
+            .select("x", "y")
+            .localCheckpoint(eager=False)
+        )
+    out = rounds[0]
+    for st in rounds[1:]:
+        out = out.unionAll(st)
+    return out.select(
+        F.col("round").cast("long").alias("round"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.round(F.col("n_edges") * F.lit(1.0) / F.col("n_nodes"), 6).alias("density"),
     )

@@ -1005,3 +1005,36 @@ def q_streaming_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained, _ = run_stream_to_memory(hist, output_mode="complete")
     return stump_best_split(drained, rng)
+
+
+def _survival_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_survival_curve"]
+
+
+@query("q_streaming_survival", oracle=_survival_oracle())
+def q_streaming_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Kaplan-Meier twin: per-user (first, last) event times
+    live in streaming state — min/max are commutative and idempotent, so
+    arrival order, batching, and replays are all invisible, and state
+    carries ONE row per user no matter how many events stream through
+    (user cardinality ≪ event cardinality — the bound that makes
+    continuous retention monitoring affordable). The drained user table
+    flows through the same km_curve tail as the batch path (the horizon
+    is the max over drained state) and hash-matches the identical
+    oracle — a live survival curve, updated per trigger."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import km_curve
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    u = sdf.groupBy("user_id").agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    drained, _ = run_stream_to_memory(u, output_mode="complete")
+    return km_curve(drained)
