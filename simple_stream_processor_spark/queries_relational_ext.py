@@ -2466,7 +2466,8 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(round AS BIGINT) AS round, CAST(n_nodes AS BIGINT) AS n_nodes,
            CAST(n_edges AS BIGINT) AS n_edges,
-           round(n_edges * CAST(1 AS DOUBLE) / n_nodes, 6) AS density
+           CASE WHEN n_nodes > 0
+                THEN round(n_edges * CAST(1 AS DOUBLE) / n_nodes, 6) END AS density
     FROM stats
     """,
 )
@@ -2490,6 +2491,15 @@ def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
     b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))
     edges = a.join(b, "ok").where(F.col("x") < F.col("y")).select("x", "y").distinct().localCheckpoint(eager=False)
+    return densest_peel_rounds(edges, 4)
+
+
+def densest_peel_rounds(edges: DataFrame, n_rounds: int) -> DataFrame:
+    """Charikar peel over an (x, y) edge table (x < y, deduplicated):
+    per-round (round, n_nodes, n_edges, density) stats. One one-row
+    (n, Σdeg) rollup per round drives both the stats row and the exact
+    integer peel threshold; kept-node sets broadcast into the edge
+    semi-join; per-round lazy localCheckpoint keeps the plan shallow."""
 
     def degrees(e):
         return (
@@ -2501,7 +2511,7 @@ def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rounds = []
     cur = edges
-    for r in range(4):
+    for r in range(n_rounds):
         deg = degrees(cur)
         tot = deg.agg(
             F.count(F.lit(1)).alias("n"),
@@ -2513,7 +2523,7 @@ def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sd DIV 2").alias("n_edges"),
         )
         rounds.append(stats)
-        if r == 3:
+        if r == n_rounds - 1:
             break
         keep = (
             deg.crossJoin(F.broadcast(tot))
@@ -2535,5 +2545,8 @@ def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("round").cast("long").alias("round"),
         F.col("n_nodes").cast("long").alias("n_nodes"),
         F.col("n_edges").cast("long").alias("n_edges"),
-        F.round(F.col("n_edges") * F.lit(1.0) / F.col("n_nodes"), 6).alias("density"),
+        F.when(
+            F.col("n_nodes") > 0,
+            F.round(F.col("n_edges") * F.lit(1.0) / F.col("n_nodes"), 6),
+        ).alias("density"),
     )

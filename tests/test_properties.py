@@ -819,3 +819,41 @@ def test_survival_curve_matches_manual_km(spark):
     assert abs(got[5].survival - round(5 / 6 * 4 / 5 * 2 / 4, 6)) < 1e-9
     assert got[10].n_censored == 2 and got[10].n_churned == 0
     assert abs(got[10].survival - got[5].survival) < 1e-9  # censoring alone doesn't drop S
+
+
+@given(
+    und=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_densest_peel_matches_python_replay(spark, und):
+    """The distributed Charikar peel equals a pure-Python replay of the
+    identical rule (remove node iff deg·n < Σdeg, exact integers) on a
+    random small graph — per-round node/edge counts match exactly."""
+    from simple_stream_processor_spark.queries_relational_ext import densest_peel_rounds
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in und})
+
+    expect = []
+    cur = set(edges)
+    for r in range(3):
+        deg = {}
+        for x, y in cur:
+            deg[x] = deg.get(x, 0) + 1
+            deg[y] = deg.get(y, 0) + 1
+        n, sd = len(deg), sum(deg.values())
+        expect.append((r, n, sd // 2))
+        if r == 2:
+            break
+        keep = {v for v, d in deg.items() if d * n >= sd}
+        cur = {(x, y) for x, y in cur if x in keep and y in keep}
+
+    e = spark.createDataFrame(edges, "x long, y long")
+    got = sorted(
+        (r.round, r.n_nodes, r.n_edges)
+        for r in densest_peel_rounds(e, 3).collect()
+    )
+    assert got == sorted(expect)
