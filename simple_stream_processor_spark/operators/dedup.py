@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 N_MINHASH = 8  # 8 hash functions → 2 bands × 4 rows (threshold ≈ (1/2)^(1/4) ≈ 0.84 per-band)
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits in signed BIGINT
@@ -544,4 +545,82 @@ def bloom_probe(words: DataFrame, probes: DataFrame, key: Column, m_bits: int = 
         words.join(F.broadcast(pp), "word")
         .groupBy("bloom_group", "probe_key")
         .agg(F.sum(F.when(F.col("bits").bitwiseAND(F.col("m")) != 0, 1).otherwise(0)).alias("n_ok"))
+    )
+
+
+def dup_span_coverage(docs: DataFrame, text_col: str = "text", n: int = 8) -> DataFrame:
+    """Exact-substring duplication coverage (the span-level dedup metric
+    of "Deduplicating Training Data Makes Language Models Better", Lee
+    et al. 2022): per source, the fraction of token positions covered by
+    a word n-gram that also occurs in ANOTHER document.
+
+    Positions matter here (unlike ``ngram_hash_table``'s distinct sets):
+    every occurrence of a cross-doc-duplicated gram covers its n-token
+    span, and a doc's duplicated-token count is the length of the UNION
+    of those (equal-length, sorted-by-start) spans — computed with one
+    lead() per doc: covered(p) = min(n, next_start - p), last span = n.
+
+    Scale shape: gram rows carry (doc_id, pos, 45-bit gh) — 24 bytes,
+    never text. Two gram-sized exchanges (the min≠max dup-gram rollup
+    and the starts⋈dup join — both map-side combinable / AQE-planned),
+    one doc-keyed window over dup starts only (collision-proportional,
+    like the LSH band join), then doc- and source-bounded tables.
+    """
+    from simple_stream_processor_spark.operators.text import tokens
+
+    docs = docs.repartition(F.col("doc_id"))
+    wh = F.transform(
+        tokens(F.col(text_col)),
+        lambda w: F.conv(F.substring(F.md5(F.encode(w, "UTF-8")), 1, 10), 16, 10).cast("long"),
+    )
+
+    def gram_hash(i):
+        acc = F.element_at(F.col("_wh"), i + F.lit(1))
+        for k in range(1, n):
+            acc = (acc * NGRAM_HASH_MULT + F.element_at(F.col("_wh"), i + F.lit(k + 1))) % F.lit(
+                NGRAM_HASH_MOD
+            )
+        return acc
+
+    base = docs.select("doc_id", "source", wh.alias("_wh")).select(
+        "doc_id", "source", "_wh", F.size(F.col("_wh")).alias("n_tok")
+    )
+    grams = base.where(F.col("n_tok") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.col("n_tok") - n), gram_hash)
+        ).alias("pos", "gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .select("gh")
+    )
+    starts = grams.join(dup, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        starts.select(
+            "doc_id",
+            F.least(
+                F.lit(n), F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(n))
+            ).alias("covered"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("covered").alias("dup_tokens"))
+    )
+    per_doc = (
+        base.select("doc_id", "source", "n_tok")
+        .join(cov, "doc_id", "left")
+        .select("source", "n_tok", F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("dup_tokens") > 0, 1).otherwise(0)).alias("n_docs_dup"),
+        F.sum(
+            F.when((F.col("dup_tokens") * 2 >= F.col("n_tok")) & (F.col("dup_tokens") > 0), 1).otherwise(0)
+        ).alias("n_docs_majority"),
+        F.sum("dup_tokens").alias("dup_tokens"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.sum("dup_tokens") * F.lit(1.0) / F.sum("n_tok"), 6).alias("dup_frac"),
     )

@@ -3833,3 +3833,60 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np")
     )
     return stump_best_split(hist, rng)
+
+
+_GH8 = "wh[pos+1]"
+for _k in range(2, 9):
+    _GH8 = f"({_GH8} * 131 + wh[pos+{_k}]) % 35184372088832"
+
+_DUP_SPAN_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_transform(string_split(text, ' '),
+                            t -> ('0x' || substr(md5(t), 1, 10))::BIGINT) AS wh
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, wh, unnest(range(len(wh) - 7)) AS pos
+      FROM w WHERE len(wh) >= 8
+    ), g AS (
+      SELECT doc_id, pos, {_GH8} AS gh FROM pos
+    ), dup AS (
+      SELECT gh FROM g GROUP BY gh HAVING min(doc_id) <> max(doc_id)
+    ), starts AS (
+      SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)
+    ), spans AS (
+      SELECT doc_id,
+             LEAST(8, COALESCE(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8)) AS covered
+      FROM starts
+    ), cov AS (
+      SELECT doc_id, sum(covered) AS dup_tokens FROM spans GROUP BY doc_id
+    ), per_doc AS (
+      SELECT b.source, len(b.wh) AS n_tok, COALESCE(c.dup_tokens, 0) AS dup_tokens
+      FROM w b LEFT JOIN cov c USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dup_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_dup,
+           CAST(sum(CASE WHEN dup_tokens * 2 >= n_tok AND dup_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_majority,
+           CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(sum(dup_tokens) * CAST(1 AS DOUBLE) / sum(n_tok), 6) AS dup_frac
+    FROM per_doc GROUP BY source
+    """
+
+
+@query("q_dup_span_coverage", oracle=_DUP_SPAN_ORACLE)
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage per source (Lee et al. 2022's
+    span-level dedup metric): the fraction of token positions covered by
+    a word 8-gram that also occurs in another document — the
+    doc-granularity dedup family (exact/minhash/simhash) misses partial
+    duplication (boilerplate headers, quoted passages, syndication),
+    which is exactly what span coverage measures. Per-doc duplicated
+    tokens = length of the UNION of duplicated-gram spans, via one
+    lead() over dup starts (equal-length sorted intervals). All outputs
+    exact integers except the final corpus-fraction division; ties to
+    [[q_dedup_rate_report]] (doc-level rates) and q_decontaminate (the
+    same 45-bit positional gram arithmetic, set-valued there)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dup_span_coverage(docs, n=8)

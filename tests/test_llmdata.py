@@ -749,3 +749,26 @@ def test_decision_stump_matches_python_histogram(spark, sf_dir):
                 if best is None or cand > best[0]:
                     best = (cand, b, nl, pl)
         assert got[fname] == (best[1], best[2], best[3]), fname
+
+
+def test_dup_span_coverage_interval_union(spark):
+    """Known fixture: doc 1 and doc 2 share a 10-token passage (three
+    overlapping dup 8-grams → union = 10 tokens each, NOT 24), doc 3 is
+    disjoint. Majority flag fires only where 2·dup ≥ n_tok."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, "s1", shared + " kilo lima mike november oscar papa quebec romeo sierra tango umber"),
+        (2, "s2", "uniform victor whiskey xray yankee zulu one two " + shared),
+        (3, "s1", "red orange yellow green blue indigo violet cyan magenta maroon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r for r in dedup.dup_span_coverage(docs, n=8).collect()}
+
+    # doc 1: 21 tokens, dup span = the 10 shared positions -> not majority
+    # (2*10 < 21; NB exactly-half WOULD count: the flag is 2*dup >= n_tok)
+    # doc 2: 18 tokens, dup span = 10 -> majority (2*10 >= 18)
+    # doc 3: 10 tokens, 0 dup
+    assert (got["s1"].n_docs, got["s1"].n_docs_dup, got["s1"].n_docs_majority) == (2, 1, 0)
+    assert got["s1"].dup_tokens == 10 and got["s1"].total_tokens == 31
+    assert (got["s2"].n_docs, got["s2"].n_docs_dup, got["s2"].n_docs_majority) == (1, 1, 1)
+    assert got["s2"].dup_tokens == 10 and got["s2"].total_tokens == 18
