@@ -109,6 +109,8 @@ HEADLINE = [
     "q_survival_curve",
     "q_decision_stump",
     "q_k_anonymity",
+    "q_densest_subgraph",
+    "q_dup_span_coverage",
 ]
 
 

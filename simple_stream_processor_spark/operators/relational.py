@@ -311,3 +311,49 @@ def pagerank(edges: DataFrame, rounds: int = 3, damping: float = 0.85) -> DataFr
             )
         )
     return ranks
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    start: str,
+    end: str,
+    bucket_days: int,
+) -> DataFrame:
+    """Interval-OVERLAP equi-join: pair rows of the same key whose closed
+    date intervals [start, end] intersect. Distinct from
+    ``range_join_bucketed`` (point-in-window): BOTH sides are intervals.
+
+    The naive form is a per-key inequality self-join — O(n²) per key.
+    Gridding time into ``bucket_days`` bins makes it an equi-join: each
+    interval explodes to the bins it touches ((len / bucket_days) + 1
+    rows — pick bucket_days ≥ the typical interval length so that's ≤2),
+    candidates meet on (key, bin), and the pair is kept ONLY in the
+    later of the two intervals' first bins (greatest(_b0_l, _b0_r) —
+    any intersecting pair shares exactly that bin, so no post-join
+    dedup and no duplicate pairs ever). An exact overlap predicate
+    prunes same-bin false candidates. Shuffle is ~2× rows of 3-column
+    payloads; per-bin fan-out is collision-proportional, skew handled
+    by AQE. Columns are returned aliased l_*/r_* via struct packing.
+    """
+    def prep(df, tag):
+        b0 = F.floor(F.unix_date(F.col(start)) / bucket_days).cast("long")
+        b1 = F.floor(F.unix_date(F.col(end)) / bucket_days).cast("long")
+        return df.select(
+            F.col(on).alias(f"{tag}_key"),
+            F.struct(*[F.col(c) for c in df.columns]).alias(tag),
+            b0.alias(f"{tag}_b0"),
+            F.explode(F.sequence(b0, b1)).alias(f"{tag}_bucket"),
+        )
+
+    l = prep(left, "l")
+    r = prep(right, "r")
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("l_bucket") == F.col("r_bucket"))
+        & (F.col("l_bucket") == F.greatest(F.col("l_b0"), F.col("r_b0")))
+        & (F.col(f"l.{start}") <= F.col(f"r.{end}"))
+        & (F.col(f"r.{start}") <= F.col(f"l.{end}"))
+    )
+    return l.join(r, cond).select("l", "r")

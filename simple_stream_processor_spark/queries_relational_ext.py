@@ -2550,3 +2550,62 @@ def densest_peel_rounds(edges: DataFrame, n_rounds: int) -> DataFrame:
             F.round(F.col("n_edges") * F.lit(1.0) / F.col("n_nodes"), 6),
         ).alias("density"),
     )
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    WITH iv AS (
+      SELECT l_suppkey AS k, l_orderkey AS o, l_linenumber AS ln,
+             CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e
+      FROM lineitem WHERE l_suppkey <= 20
+    )
+    SELECT a.k AS suppkey,
+           CAST(count(*) AS BIGINT) AS n_overlapping_pairs,
+           CAST(sum(date_diff('day', GREATEST(a.s, b.s), LEAST(a.e, b.e)) + 1) AS BIGINT)
+             AS total_overlap_days
+    FROM iv a JOIN iv b
+      ON a.k = b.k
+     AND (a.o < b.o OR (a.o = b.o AND a.ln < b.ln))
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.k
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: per supplier, pairs of shipments whose
+    ship→receipt windows intersect, with total overlap days — the
+    concurrent-exposure / double-booking primitive (two INTERVAL sides,
+    vs q_range_join's point-in-window and q_interval_concurrency's
+    sweep-line counts). The transit window is ship → ship+quantity days
+    (the schema carries no receipt date; quantity ≤ 50 keeps intervals
+    bounded). Gridded into 64-day bins, so each interval touches ≤2
+    bins; each pair meets
+    ONLY in the later interval's first bin, so no duplicate pairs and
+    no post-join dedup; pair identity (orderkey, linenumber) ordering
+    excludes self and mirror pairs. Overlap days are exact integer
+    datediffs. Keyed to 20 suppliers to keep the oracle's naive
+    inequality join honest at test scale; the bucketed plan is the
+    100 TB path."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 20)
+    iv = li.select(
+        F.col("l_suppkey").alias("k"),
+        F.col("l_orderkey").alias("o"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(F.col("l_shipdate").cast("date"), F.col("l_quantity").cast("int")).alias("e"),
+    )
+    pairs = relational.interval_overlap_join(iv, iv, on="k", start="s", end="e", bucket_days=64)
+    ordered = pairs.where(
+        (F.col("l.o") < F.col("r.o"))
+        | ((F.col("l.o") == F.col("r.o")) & (F.col("l.ln") < F.col("r.ln")))
+    )
+    return ordered.groupBy(F.col("l.k").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("n_overlapping_pairs"),
+        F.sum(
+            F.datediff(
+                F.least(F.col("l.e"), F.col("r.e")), F.greatest(F.col("l.s"), F.col("r.s"))
+            )
+            + 1
+        ).alias("total_overlap_days"),
+    )

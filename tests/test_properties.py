@@ -857,3 +857,45 @@ def test_densest_peel_matches_python_replay(spark, und):
         for r in densest_peel_rounds(e, 3).collect()
     )
     assert got == sorted(expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60), st.integers(0, 9)),
+        min_size=0,
+        max_size=30,
+    ),
+    bucket_days=st.integers(4, 20),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_interval_overlap_join_matches_naive(spark, rows, bucket_days):
+    """Grid-bucketed interval-overlap join equals the naive O(n²) pairing
+    for any interval set and any bucket width (intervals may span many
+    buckets; the later-first-bucket rule must still emit each pair
+    exactly once)."""
+    import datetime
+
+    from simple_stream_processor_spark.operators.relational import interval_overlap_join
+
+    base = datetime.date(2024, 1, 1)
+    iv = [
+        (i, k, base + datetime.timedelta(days=s), base + datetime.timedelta(days=s + ln))
+        for i, (k, s, ln) in enumerate(rows)
+    ]
+    want = sorted(
+        (a[0], b[0])
+        for a in iv
+        for b in iv
+        if a[1] == b[1] and a[2] <= b[3] and b[2] <= a[3] and a[0] != b[0]
+    )
+
+    df = spark.createDataFrame(iv or [(None, None, None, None)], "id long, k long, s date, e date").where(
+        F.col("id").isNotNull()
+    )
+    got = sorted(
+        (r["l"]["id"], r["r"]["id"])
+        for r in interval_overlap_join(df, df, on="k", start="s", end="e", bucket_days=bucket_days)
+        .where(F.col("l.id") != F.col("r.id"))
+        .collect()
+    )
+    assert got == want
