@@ -2609,3 +2609,62 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).alias("total_overlap_days"),
     )
+
+
+_ACF_LAGS = list(range(1, 8))
+
+_ACF_ORACLE = (
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+"""
+    + "\n      UNION ALL\n".join(
+        f"""      SELECT event_type, CAST({lag} AS BIGINT) AS lag, cents,
+             lag(cents, {lag}) OVER (PARTITION BY event_type ORDER BY day) AS y
+      FROM daily"""
+        for lag in _ACF_LAGS
+    )
+    + """
+    )
+    SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(cents, y), 6) AS acf
+    FROM lagged WHERE y IS NOT NULL
+    GROUP BY event_type, lag
+    """
+)
+
+
+@query("q_acf_daily", oracle=_ACF_ORACLE)
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue per event type at lags
+    1–7 — the seasonality diagnostic that justifies (or kills)
+    q_forecast_eval's seasonal-naive baseline: a weekly cycle shows as
+    an acf(7) spike. Events shrink to exact-integer daily cents FIRST
+    (map-side combined, types×days rows); the 7 lags are lag() columns
+    over that bounded table unpivoted long — one corr aggregate on a
+    7×-days table, never a self-join. corr is the Welford-merge builtin
+    both engines share; round(·,6) absorbs reassociation ulps (the
+    q_stats_agg tolerance)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "cents",
+        *[F.lag("cents", lag).over(w).alias(f"_l{lag}") for lag in _ACF_LAGS],
+    )
+    stack = ", ".join(f"{lag}L, _l{lag}" for lag in _ACF_LAGS)
+    long = lagged.select(
+        "event_type", "cents", F.expr(f"stack({len(_ACF_LAGS)}, {stack}) AS (lag, y)")
+    ).where(F.col("y").isNotNull())
+    return long.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("cents", "y"), 6).alias("acf"),
+    )

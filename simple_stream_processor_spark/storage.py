@@ -140,3 +140,104 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# --- Snapshot versioning (manifest-pinned reads / "time travel") ------------
+#
+# Reproducible training runs need the EXACT file set a job read, not "the
+# directory as of whenever the scheduler got around to it". A snapshot
+# table is a parquet directory plus numbered manifest files: each commit
+# writes its data files under data/, then atomically publishes
+# _manifests/v{N}.json listing every file visible at that version (carrying
+# the previous version's files forward for append, or only its own for
+# overwrite). Readers pin a version and load exactly those files —
+# concurrent appends can never change what a running job sees, and
+# yesterday's corpus is re-readable byte-for-byte after today's ingest.
+# The manifest is the same idea as Iceberg/Delta's snapshot log cut down
+# to the piece reproducibility needs (no row-level deletes, no schema
+# evolution log); at 100 TB the manifest holds file PATHS (KBs per
+# thousand files), never data.
+
+
+def snapshot_write(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` to snapshot table ``path``; returns the new version.
+
+    Data files land under ``path/data/commit-{N}/`` (a directory per
+    commit, so concurrent history is append-only and no commit ever
+    rewrites another's files); the manifest publish is the commit point.
+    ``mode='append'`` carries the previous manifest's files forward;
+    ``mode='overwrite'`` starts the visible set fresh (old files remain
+    on disk for older-version reads — retention/GC is a vacuum policy,
+    not a correctness concern).
+    """
+    import json
+    import os
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"snapshot_write mode must be append|overwrite, got {mode!r}")
+    mdir = os.path.join(path, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
+    )
+    prev = versions[-1] if versions else 0
+    new = prev + 1
+
+    commit_dir = os.path.join(path, "data", f"commit-{new}")
+    df.write.mode("error").parquet(commit_dir)
+    files = sorted(
+        os.path.join(commit_dir, f)
+        for f in os.listdir(commit_dir)
+        if f.endswith(".parquet")
+    )
+    carried = []
+    if mode == "append" and prev:
+        with open(os.path.join(mdir, f"v{prev}.json")) as fh:
+            carried = json.load(fh)["files"]
+    manifest = {"version": new, "files": carried + files}
+    tmp = os.path.join(mdir, f".v{new}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(mdir, f"v{new}.json"))  # atomic publish
+    return new
+
+
+def snapshot_read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read snapshot table ``path`` at ``version`` (default: latest).
+
+    Loads exactly the manifest's file list — files committed after that
+    version (or dropped by a later overwrite) are invisible, whenever
+    they were written.
+    """
+    import json
+    import os
+
+    mdir = os.path.join(path, "_manifests")
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
+    )
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions under {path}")
+    v = version if version is not None else versions[-1]
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot version {v} not in {versions} under {path}")
+    with open(os.path.join(mdir, f"v{v}.json")) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(*manifest["files"])
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """All published versions of snapshot table ``path``, ascending."""
+    import os
+
+    mdir = os.path.join(path, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
+    )

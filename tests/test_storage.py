@@ -143,3 +143,45 @@ def test_zorder_write_tightens_stats_on_both_dimensions(spark, sf_dir, tmp_path)
     assert back.count() == ev.count()
     assert back.groupBy().agg(F.sum("user_id"), F.sum("val")).collect() == \
         ev.groupBy().agg(F.sum("user_id"), F.sum("val")).collect()
+
+
+def test_snapshot_versions_pin_reads(spark, sf_dir, tmp_path):
+    """Append creates a new version without disturbing pinned reads;
+    overwrite starts the visible set fresh while older versions stay
+    readable; a pinned DataFrame built BEFORE a later commit still
+    resolves to its own file set."""
+    from simple_stream_processor_spark.storage import (
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+    from simple_stream_processor_spark.tables import load_table
+
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    path = str(tmp_path / "snap")
+
+    v1 = snapshot_write(spark, nation.where("n_nationkey < 10"), path)
+    pinned_v1 = snapshot_read(spark, path, version=v1)
+    v2 = snapshot_write(spark, nation.where("n_nationkey >= 10"), path)  # append
+
+    assert snapshot_versions(path) == [v1, v2] == [1, 2]
+    assert snapshot_read(spark, path, version=1).count() == 10
+    assert snapshot_read(spark, path).count() == nation.count()  # latest = union
+    assert pinned_v1.count() == 10  # a commit AFTER the read changes nothing
+
+    v3 = snapshot_write(spark, nation.where("n_nationkey = 0"), path, mode="overwrite")
+    assert snapshot_read(spark, path).count() == 1
+    assert snapshot_read(spark, path, version=2).count() == nation.count()  # history intact
+    assert snapshot_versions(path) == [1, 2, 3] and v3 == 3
+
+
+def test_snapshot_read_unknown_version_raises(spark, sf_dir, tmp_path):
+    import pytest
+
+    from simple_stream_processor_spark.storage import snapshot_read, snapshot_write
+    from simple_stream_processor_spark.tables import load_table
+
+    path = str(tmp_path / "snap2")
+    snapshot_write(spark, load_table(spark, "region", sf_dir), path)
+    with pytest.raises(FileNotFoundError, match="not in"):
+        snapshot_read(spark, path, version=99)
