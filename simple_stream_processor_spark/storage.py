@@ -241,3 +241,44 @@ def snapshot_versions(path: str) -> list[int]:
     return sorted(
         int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
     )
+
+
+def snapshot_vacuum(path: str, keep_last: int = 1) -> dict:
+    """Retention: keep the newest ``keep_last`` manifests, delete older
+    manifest files AND any data file no kept manifest references.
+
+    Deleting a manifest is what retires a version; the data sweep then
+    removes exactly the files that became unreachable (an overwritten
+    set, or files only visible to retired versions). Files shared with a
+    kept version survive — append-carried files are safe by construction.
+    Only data (.parquet) files are swept; Spark's _SUCCESS/.crc markers
+    are inert and left in place. Returns counts for observability. At 100 TB the sweep compares file
+    PATH sets (manifest-sized), never touches data contents, and each
+    unlink is independent — trivially parallelizable; correctness never
+    depends on vacuum running at all.
+    """
+    import json
+    import os
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    mdir = os.path.join(path, "_manifests")
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
+    )
+    kept, retired = versions[-keep_last:], versions[:-keep_last]
+    live: set[str] = set()
+    for v in kept:
+        with open(os.path.join(mdir, f"v{v}.json")) as fh:
+            live.update(json.load(fh)["files"])
+    removed_files = 0
+    data_root = os.path.join(path, "data")
+    for dirpath, _dirnames, filenames in os.walk(data_root):
+        for f in filenames:
+            full = os.path.join(dirpath, f)
+            if f.endswith(".parquet") and full not in live:
+                os.remove(full)
+                removed_files += 1
+    for v in retired:
+        os.remove(os.path.join(mdir, f"v{v}.json"))
+    return {"kept_versions": kept, "retired_versions": retired, "removed_files": removed_files}

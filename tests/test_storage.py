@@ -185,3 +185,31 @@ def test_snapshot_read_unknown_version_raises(spark, sf_dir, tmp_path):
     snapshot_write(spark, load_table(spark, "region", sf_dir), path)
     with pytest.raises(FileNotFoundError, match="not in"):
         snapshot_read(spark, path, version=99)
+
+
+def test_snapshot_vacuum_preserves_kept_versions(spark, sf_dir, tmp_path):
+    """Vacuum retires old versions and their unreachable files, but every
+    file a kept manifest references (including append-carried ones)
+    survives and the kept version still reads identically."""
+    from simple_stream_processor_spark.storage import (
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_versions,
+        snapshot_write,
+    )
+    from simple_stream_processor_spark.tables import load_table
+
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    path = str(tmp_path / "snapv")
+    snapshot_write(spark, nation.where("n_nationkey < 10"), path)
+    snapshot_write(spark, nation.where("n_nationkey >= 10"), path)  # v2 carries v1 files
+    snapshot_write(spark, nation.where("n_nationkey = 3"), path, mode="overwrite")  # v3 orphans both
+
+    out = snapshot_vacuum(path, keep_last=2)  # keep v2 (full union) and v3
+    assert out["retired_versions"] == [1] and out["removed_files"] == 0  # v2 still needs v1's files
+    assert snapshot_versions(path) == [2, 3]
+    assert snapshot_read(spark, path, version=2).count() == nation.count()
+
+    out2 = snapshot_vacuum(path, keep_last=1)  # only v3 survives
+    assert out2["retired_versions"] == [2] and out2["removed_files"] > 0
+    assert snapshot_read(spark, path).count() == 1
