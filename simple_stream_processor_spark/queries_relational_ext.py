@@ -2648,12 +2648,20 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     7×-days table, never a self-join. corr is the Welford-merge builtin
     both engines share; round(·,6) absorbs reassociation ulps (the
     q_stats_agg tolerance)."""
-    from pyspark.sql.window import Window
-
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    return acf_tail(daily)
+
+
+def acf_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming ACF queries: from a
+    (event_type, day, cents) daily table, the lag-1..7 autocorrelations.
+    Both paths run the identical lag/corr expressions on the identical
+    bounded table, so the streaming twin hash-matches the batch oracle."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("event_type").orderBy("day")
     lagged = daily.select(
         "event_type",

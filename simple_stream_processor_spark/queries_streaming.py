@@ -1038,3 +1038,36 @@ def q_streaming_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = sdf.groupBy("user_id").agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
     drained, _ = run_stream_to_memory(u, output_mode="complete")
     return km_curve(drained)
+
+
+def _acf_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_acf_daily"]
+
+
+@query("q_streaming_acf", oracle=_acf_oracle())
+def q_streaming_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ACF twin: the (event_type, day, cents) daily table IS
+    the streaming state — integer-cent sums are commutative, so arrival
+    order, batching, and replays are invisible, and state is bounded by
+    types×days regardless of stream length (the q_streaming_entropy
+    bound). Drained cells flow through the shared acf_tail, hash-matching
+    the identical batch oracle — live seasonality diagnostics per
+    trigger without ever re-scanning the stream."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import acf_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    daily = sdf.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    drained, _ = run_stream_to_memory(daily, output_mode="complete")
+    return acf_tail(drained)
