@@ -3890,3 +3890,75 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     same 45-bit positional gram arithmetic, set-valued there)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.dup_span_coverage(docs, n=8)
+
+
+@query(
+    "q_group_split",
+    oracle="""
+    WITH rep AS (
+      SELECT doc_id, source, length(text) - length(replace(text, ' ', '')) + 1 AS n_tok,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS grp
+      FROM documents
+    ), assigned AS (
+      SELECT source, n_tok, grp,
+             CASE WHEN ('0x' || substr(md5('split:' || CAST(grp AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+                  THEN 'train' ELSE 'held_out' END AS split
+      FROM rep
+    )
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY source, split
+    """,
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/held-out split: duplicate documents (same
+    content digest) are a GROUP and the whole group lands on one side —
+    split by doc would leak held-out text into training whenever the
+    corpus carries copies (and this corpus does, like every web crawl).
+    Assignment hashes the group representative (min doc_id per digest,
+    via a partition-only window — no join back), so it is deterministic
+    across engines, partitionings, and reruns, and adding documents
+    never flips an existing group (the md5('split:'||rep) % 10 rule is
+    per-group arithmetic, not a global shuffle). 80/20 by group hash;
+    outputs per (source, split) doc/group/token counts. Near-dup-aware
+    splitting swaps the digest for q_dedup_clusters' cluster_rep — same
+    shape, collision-proportional extra cost. Scale: one digest-keyed
+    window exchange (16-byte keys), then arithmetic; counts combine
+    map-side."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = docs.select(
+        "doc_id",
+        "source",
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1).alias(
+            "n_tok"
+        ),
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.encode(F.col("text"), "UTF-8"))))
+        .alias("grp"),
+    )
+    assigned = rep.select(
+        "source",
+        "n_tok",
+        "grp",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("split:"), F.col("grp").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            < 8,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("held_out"))
+        .alias("split"),
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("grp").alias("n_groups"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
