@@ -282,3 +282,52 @@ def snapshot_vacuum(path: str, keep_last: int = 1) -> dict:
     for v in retired:
         os.remove(os.path.join(mdir, f"v{v}.json"))
     return {"kept_versions": kept, "retired_versions": retired, "removed_files": removed_files}
+
+
+def snapshot_write_batch(spark: SparkSession, df: DataFrame, path: str, batch_id: int) -> int:
+    """Idempotent per-micro-batch commit for ``foreachBatch`` — the
+    exactly-once sink contract: Structured Streaming replays a batch id
+    after failure, and a replay of an already-committed id must be a
+    NO-OP, not a duplicate append.
+
+    Idempotence key = the batch id recorded in each manifest: if any
+    manifest already carries it, return that version without writing.
+    Data lands under ``data/batch-{id}`` (replay-stable name), and the
+    atomic manifest rename is the commit point — a crash after the data
+    write but before the rename leaves an unreferenced directory that a
+    replay overwrites and vacuum sweeps, never a half-visible batch.
+    Usage: ``q.foreachBatch(lambda b, i: snapshot_write_batch(spark, b, path, i))``.
+    """
+    import json
+    import os
+
+    mdir = os.path.join(path, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
+    )
+    for v in versions:
+        with open(os.path.join(mdir, f"v{v}.json")) as fh:
+            m = json.load(fh)
+        if m.get("batch_id") == batch_id:
+            return v  # replayed batch: already committed, no-op
+    prev = versions[-1] if versions else 0
+    new = prev + 1
+
+    commit_dir = os.path.join(path, "data", f"batch-{batch_id}")
+    df.write.mode("overwrite").parquet(commit_dir)  # overwrite: crash-retry-safe
+    files = sorted(
+        os.path.join(commit_dir, f)
+        for f in os.listdir(commit_dir)
+        if f.endswith(".parquet")
+    )
+    carried = []
+    if prev:
+        with open(os.path.join(mdir, f"v{prev}.json")) as fh:
+            carried = json.load(fh)["files"]
+    manifest = {"version": new, "batch_id": batch_id, "files": carried + files}
+    tmp = os.path.join(mdir, f".v{new}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(mdir, f"v{new}.json"))
+    return new

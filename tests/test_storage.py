@@ -213,3 +213,44 @@ def test_snapshot_vacuum_preserves_kept_versions(spark, sf_dir, tmp_path):
     out2 = snapshot_vacuum(path, keep_last=1)  # only v3 survives
     assert out2["retired_versions"] == [2] and out2["removed_files"] > 0
     assert snapshot_read(spark, path).count() == 1
+
+
+def test_snapshot_batch_sink_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch → snapshot_write_batch is an exactly-once sink: a
+    real stream commits its micro-batches, and replaying an
+    already-committed batch id (what Structured Streaming does after a
+    failure) is a no-op — versions, files, and row counts unchanged."""
+    from simple_stream_processor_spark.storage import (
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write_batch,
+    )
+    from simple_stream_processor_spark.streaming.runner import stream_events
+
+    path = str(tmp_path / "snap_stream")
+    sdf = stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        sdf.writeStream.foreachBatch(
+            lambda batch, bid: snapshot_write_batch(spark, batch, path, bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    versions = snapshot_versions(path)
+    assert versions, "stream committed no batches"
+    total = snapshot_read(spark, path).count()
+    from simple_stream_processor_spark.tables import load_table
+
+    assert total == load_table(spark, "events", sf_dir).count()
+
+    # replay every committed batch id with fresh (even different) data:
+    # all must no-op because the ids are already in the manifest log
+    replay = load_table(spark, "events", sf_dir).limit(5).select("event_id", "event_type", "value")
+    for bid in range(len(versions)):
+        v = snapshot_write_batch(spark, replay, path, bid)
+        assert v in versions  # returned the existing commit, minted nothing
+    assert snapshot_versions(path) == versions
+    assert snapshot_read(spark, path).count() == total
