@@ -82,8 +82,8 @@ _PRIORITY = [
     # q_changepoint_cusum, q_streaming_pca, q_survival_curve,
     # q_decision_stump, q_streaming_stump, q_k_anonymity,
     # q_streaming_survival, q_densest_subgraph, q_dup_span_coverage,
-    # q_interval_join, q_acf_daily, q_streaming_acf, q_group_split — at the
-    # registry tail)
+    # q_interval_join, q_acf_daily, q_streaming_acf, q_group_split,
+    # q_table_profile — at the registry tail)
     # into the first 50 next round; everything above will have
     # driver-green rows by then.
     "q_robust_stats_mad", "q_winsorize", "q_integrity_audit",

@@ -2676,3 +2676,59 @@ def acf_tail(daily: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.corr("cents", "y"), 6).alias("acf"),
     )
+
+
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_returnflag", "l_linestatus",
+]
+
+_PROFILE_ORACLE = (
+    "    SELECT * FROM (\n"
+    + "\n      UNION ALL\n".join(
+        f"""      SELECT '{c}' AS column_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             round(count(DISTINCT {c}) * CAST(1 AS DOUBLE) / count(*), 6) AS distinct_ratio
+      FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    + "\n    )"
+)
+
+
+@query("q_table_profile", oracle=_PROFILE_ORACLE)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling: per-column row/null/exact-distinct counts and
+    cardinality ratio — the first query anyone runs against an unknown
+    table, and the statistics a join planner or partitioning choice
+    starts from (high-cardinality → join key candidate; low → dimension
+    /partition candidate). ONE pass over the table: Spark plans the
+    multi-column count(DISTINCT) set via a single Expand (each row fans
+    to #cols tagged copies, partial-deduped map-side) rather than a scan
+    per column — at 100 TB, 1 scan instead of 6. Key and flag columns
+    only: exact distincts on them are join-planning facts; for float
+    metrics the right tool is q_approx_distinct's HLL (documented
+    contrast). All-integer outputs to one ratio division."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__d"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(f"'{c}', {c}__n, {c}__null, {c}__d" for c in _PROFILE_COLS)
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS (column_name, n_rows, n_null, n_distinct)"
+        )
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        F.round(F.col("n_distinct") * F.lit(1.0) / F.col("n_rows"), 6).alias("distinct_ratio"),
+    )
