@@ -111,6 +111,10 @@ HEADLINE = [
     "q_k_anonymity",
     "q_densest_subgraph",
     "q_dup_span_coverage",
+    "q_interval_join",
+    "q_acf_daily",
+    "q_group_split",
+    "q_table_profile",
 ]
 
 
