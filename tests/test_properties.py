@@ -899,3 +899,78 @@ def test_interval_overlap_join_matches_naive(spark, rows, bucket_days):
         .collect()
     )
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=30).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(2, 4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_dup_span_coverage_matches_python_replay(spark, texts, n):
+    """Per-source dup-span totals equal a pure-Python replay: find grams
+    occurring in ≥2 docs, mark covered positions as an explicit set
+    union (the ground truth the lead() interval math must reproduce,
+    including overlapping and repeated grams)."""
+    from collections import Counter
+
+    from simple_stream_processor_spark.operators.dedup import dup_span_coverage
+
+    docs = [(i, f"s{i % 2}", t) for i, t in enumerate(texts)]
+    gram_docs = {}
+    toks = {i: t.split(" ") for i, _, t in docs}
+    for i, _, _t in docs:
+        w = toks[i]
+        for p in range(len(w) - n + 1):
+            gram_docs.setdefault(tuple(w[p : p + n]), set()).add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    expect = Counter()
+    for i, src, _t in docs:
+        w = toks[i]
+        covered = set()
+        for p in range(len(w) - n + 1):
+            if tuple(w[p : p + n]) in dup:
+                covered.update(range(p, p + n))
+        expect[src] += len(covered)
+
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {r.source: r.dup_tokens for r in dup_span_coverage(df, n=n).collect()}
+    for src in got:
+        assert got[src] == expect[src], (src, got[src], expect[src])
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(0, 8)), min_size=0, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(0, 8)), min_size=0, max_size=15),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_interval_overlap_join_two_tables_matches_naive(spark, left, right):
+    """Same exactly-once guarantee when the two sides are DIFFERENT
+    tables (the later-first-bin rule is symmetric in the sides)."""
+    import datetime
+
+    from simple_stream_processor_spark.operators.relational import interval_overlap_join
+
+    base = datetime.date(2024, 1, 1)
+
+    def mk(rows, off):
+        return [
+            (off + i, k, base + datetime.timedelta(days=s), base + datetime.timedelta(days=s + ln))
+            for i, (k, s, ln) in enumerate(rows)
+        ]
+
+    li, ri = mk(left, 0), mk(right, 1000)
+    want = sorted(
+        (a[0], b[0]) for a in li for b in ri if a[1] == b[1] and a[2] <= b[3] and b[2] <= a[3]
+    )
+    schema = "id long, k long, s date, e date"
+    ldf = spark.createDataFrame(li or [(None,) * 4], schema).where(F.col("id").isNotNull())
+    rdf = spark.createDataFrame(ri or [(None,) * 4], schema).where(F.col("id").isNotNull())
+    got = sorted(
+        (r["l"]["id"], r["r"]["id"])
+        for r in interval_overlap_join(ldf, rdf, on="k", start="s", end="e", bucket_days=6).collect()
+    )
+    assert got == want
