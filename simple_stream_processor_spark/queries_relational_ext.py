@@ -2732,3 +2732,207 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         F.round(F.col("n_distinct") * F.lit(1.0) / F.col("n_rows"), 6).alias("distinct_ratio"),
     )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS bucket,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+                       > count(*) THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1
+    ), arms AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted
+      FROM assigned GROUP BY bucket
+    ), wide AS (
+      SELECT max(CASE WHEN bucket = 'A' THEN n_users END) AS na,
+             max(CASE WHEN bucket = 'A' THEN n_converted END) AS ca,
+             max(CASE WHEN bucket = 'B' THEN n_users END) AS nb,
+             max(CASE WHEN bucket = 'B' THEN n_converted END) AS cb
+      FROM arms
+    )
+    SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+           round(ca * CAST(1 AS DOUBLE) / na, 6) AS rate_a,
+           round(cb * CAST(1 AS DOUBLE) / nb, 6) AS rate_b,
+           round((ca * CAST(1 AS DOUBLE) / na - cb * CAST(1 AS DOUBLE) / nb)
+                 / sqrt((ca + cb) * CAST(1 AS DOUBLE) / (na + nb)
+                        * (1 - (ca + cb) * CAST(1 AS DOUBLE) / (na + nb))
+                        * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6) AS z_score
+    FROM wide
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash deterministically into two
+    arms (md5('ab1:'||user_id) — the same engine-stable bucketing as
+    q_group_split, so assignment never flips across reruns or engines),
+    conversion = purchase share above 1-in-5 (scale-free: a fixed
+    absolute count saturates as the corpus grows), and the two-proportion pooled
+    z-test says whether the rate gap is noise. All counts are exact
+    integers off ONE user-keyed aggregate (events shrink map-side); the
+    z formula is a single identical expression tree over the 4 counts,
+    rounded at 6dp. The experimentation companion to q_chi_square
+    (independence) and q_calibration (score quality)."""
+    ev = _t(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) * 5
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("bucket"),
+        "converted",
+    )
+    arms = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("n_converted")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("bucket") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("bucket") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("bucket") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("bucket") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    p = (F.col("ca") + F.col("cb")) * F.lit(1.0) / (F.col("na") + F.col("nb"))
+    return wide.select(
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        F.round(F.col("ca") * F.lit(1.0) / F.col("na"), 6).alias("rate_a"),
+        F.round(F.col("cb") * F.lit(1.0) / F.col("nb"), 6).alias("rate_b"),
+        F.round(
+            (F.col("ca") * F.lit(1.0) / F.col("na") - F.col("cb") * F.lit(1.0) / F.col("nb"))
+            / F.sqrt(p * (F.lit(1) - p) * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "q_lag_features",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(epoch_ms(day) AS BIGINT) AS day_ms, cents, n,
+           lag(cents, 1) OVER w AS cents_lag1,
+           lag(cents, 7) OVER w AS cents_lag7,
+           CAST(sum(cents) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_roll7,
+           CAST(sum(n) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_roll7,
+           CAST(count(*) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_days
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature engineering for forecasting models: per series, the lag-1
+    / lag-7 values and 7-day rolling sums every gradient-boosted or
+    autoregressive model trains on — the feature-store step between raw
+    events and q_decision_stump/q_forecast_eval. Events collapse to the
+    exact-integer daily table FIRST (map-side combined); every feature
+    is a window over that types×days-bounded table sharing ONE
+    partitioning (one exchange, partition-local sorts). Rolling SUMS
+    plus the window row count are emitted instead of a rolling mean —
+    exact integers, and the consumer picks its own null policy for the
+    warm-up rows (they're visible as roll7_days < 7)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "event_type",
+        F.unix_millis(F.col("day")).alias("day_ms"),
+        "cents",
+        "n",
+        F.lag("cents", 1).over(w).alias("cents_lag1"),
+        F.lag("cents", 7).over(w).alias("cents_lag7"),
+        F.sum("cents").over(w7).alias("cents_roll7"),
+        F.sum("n").over(w7).alias("n_roll7"),
+        F.count(F.lit(1)).over(w7).alias("roll7_days"),
+    )
+
+
+@query(
+    "q_target_encoding",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), g AS (
+      SELECT cat, CAST(count(*) AS BIGINT) AS n_cat, CAST(sum(y) AS BIGINT) AS sum_cat
+      FROM base GROUP BY cat
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(y) AS BIGINT) AS sum_all FROM base
+    )
+    SELECT b.cat, b.y AS target,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round((g.sum_cat - b.y + 20 * (tot.sum_all * CAST(1 AS DOUBLE) / tot.n_all))
+                 / (g.n_cat - 1 + 20), 6) AS loo_encoding
+    FROM base b JOIN g ON b.cat = g.cat CROSS JOIN tot
+    GROUP BY b.cat, b.y, g.sum_cat, g.n_cat, tot.sum_all, tot.n_all
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing (the
+    categorical-feature workhorse of tabular ML): each row's encoding is
+    the category's target mean EXCLUDING the row itself — plain
+    per-category means leak the row's own label into its feature —
+    shrunk toward the global prior with weight 20 so rare categories
+    don't memorize. enc = (sum_cat − y + m·prior)/(n_cat − 1 + m): the
+    numerator stays exact-integer except the one prior term, and within
+    a category the encoding takes exactly two values (y=0 / y=1), so
+    the output is the category×target table, not per-row — grouped here
+    for a bounded, hash-checkable result; the per-row form is the same
+    broadcast join without the final groupBy. Scale: one category
+    rollup (tiny) + one one-row global — both broadcast back; the fact
+    table never shuffles."""
+    od = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = base.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n_cat"), F.sum("y").alias("sum_cat")
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("n_all"), F.sum("y").alias("sum_all"))
+    prior = F.col("sum_all") * F.lit(1.0) / F.col("n_all")
+    enc = (F.col("sum_cat") - F.col("target") + F.lit(20) * prior) / (
+        F.col("n_cat") - 1 + F.lit(20)
+    )
+    return (
+        base.join(F.broadcast(g), "cat")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            "cat", F.col("y").alias("target"), "sum_cat", "n_cat", "sum_all", "n_all"
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select("cat", "target", "n_rows", F.round(enc, 6).alias("loo_encoding"))
+    )
