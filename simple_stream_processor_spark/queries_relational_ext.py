@@ -2855,8 +2855,6 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the window row count are emitted instead of a rolling mean —
     exact integers, and the consumer picks its own null policy for the
     warm-up rows (they're visible as roll7_days < 7)."""
-    from pyspark.sql.window import Window
-
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
@@ -2864,6 +2862,16 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
         F.count(F.lit(1)).alias("n"),
     )
+    return lag_features_tail(daily)
+
+
+def lag_features_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming feature queries: lag and
+    rolling-window features over a (event_type, day, cents, n) daily
+    table. Identical expressions on the identical bounded table, so the
+    streaming twin hash-matches the batch oracle."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("event_type").orderBy("day")
     w7 = w.rowsBetween(-6, Window.currentRow)
     return daily.select(

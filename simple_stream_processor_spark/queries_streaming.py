@@ -1071,3 +1071,39 @@ def q_streaming_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
     drained, _ = run_stream_to_memory(daily, output_mode="complete")
     return acf_tail(drained)
+
+
+def _lag_features_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_lag_features"]
+
+
+@query("q_streaming_lag_features", oracle=_lag_features_oracle())
+def q_streaming_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming feature-store twin: the (event_type, day, cents, n)
+    daily table lives in streaming state (commutative integer sums —
+    replays/batching invisible, types×days bound), and the drained
+    state flows through the identical lag/rolling window tail as
+    q_lag_features, hash-matching the same oracle — fresh model
+    features per trigger without re-scanning history (the feature-store
+    'online materialization' path)."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import lag_features_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    daily = sdf.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    drained, _ = run_stream_to_memory(daily, output_mode="complete")
+    return lag_features_tail(drained)
