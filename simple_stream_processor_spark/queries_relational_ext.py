@@ -2944,3 +2944,58 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .select("cat", "target", "n_rows", F.round(enc, 6).alias("loo_encoding"))
     )
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY 1
+    ), d AS (
+      SELECT CAST((epoch_us(first_purchase) - epoch_us(first_view)) // 1000000 AS BIGINT) AS delay_s
+      FROM u
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(delay_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(delay_s, 0.9), 4) AS p90_s,
+           CAST(max(delay_s) AS BIGINT) AS max_s
+    FROM d
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the delay from first
+    view to first purchase, summarized as exact P50/P90/max — the
+    latency readout behind every funnel (q_funnel counts WHO converts;
+    this says HOW FAST, which is what an SLA or a campaign readout
+    needs). One user-keyed aggregate collapses events to two first-hit
+    timestamps (conditional mins, map-side combined); delays are exact
+    floor-divided micros→seconds (identical integer arithmetic both
+    engines — date_diff('second') would count boundary crossings
+    instead); percentiles are sort-based `percentile` = DuckDB's
+    quantile_cont bit-for-bit before the 4dp round, over the
+    users-bounded delay table."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    d = u.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        F.expr("(unix_micros(first_purchase) - unix_micros(first_view)) div 1000000").alias(
+            "delay_s"
+        )
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(delay_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(delay_s, 0.9)"), 4).alias("p90_s"),
+        F.max("delay_s").alias("max_s"),
+    )
