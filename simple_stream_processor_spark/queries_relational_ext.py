@@ -2777,14 +2777,21 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded at 6dp. The experimentation companion to q_chi_square
     (independence) and q_calibration (score quality)."""
     ev = _t(spark, sf_dir, "events")
-    assigned = ev.groupBy("user_id").agg(
-        F.when(
-            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) * 5
-            > F.count(F.lit(1)),
-            1,
-        )
-        .otherwise(0)
-        .alias("converted")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return ab_test_tail(u)
+
+
+def ab_test_tail(u: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming A/B queries: from a
+    per-user (n_purchase, n_events) table, arm assignment, conversion,
+    and the pooled two-proportion z — identical expressions both paths,
+    so the streaming twin hash-matches the batch oracle."""
+    assigned = u.select(
+        "user_id",
+        F.when(F.col("n_purchase") * 5 > F.col("n_events"), 1).otherwise(0).alias("converted"),
     ).select(
         F.when(
             F.conv(

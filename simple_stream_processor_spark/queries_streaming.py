@@ -1107,3 +1107,39 @@ def q_streaming_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained, _ = run_stream_to_memory(daily, output_mode="complete")
     return lag_features_tail(drained)
+
+
+def _ab_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_ab_test"]
+
+
+@query("q_streaming_ab", oracle=_ab_oracle())
+def q_streaming_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A/B readout twin: per-user (purchases, events) counts
+    live in streaming state — commutative sums, one row per user, so
+    the experiment dashboard updates per trigger at user-bounded state
+    regardless of event volume. Drained state flows through the shared
+    ab_test_tail (arm hash, scale-free conversion, pooled z), hash-
+    matching the identical batch oracle — the live significance monitor
+    an experimentation platform actually runs (with the usual peeking
+    caveat: a fixed-horizon z peeked continuously needs sequential
+    correction; the statistic itself is unchanged)."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import ab_test_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    u = sdf.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    drained, _ = run_stream_to_memory(u, output_mode="complete")
+    return ab_test_tail(drained)
