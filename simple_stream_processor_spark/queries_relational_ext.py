@@ -3006,3 +3006,67 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(delay_s, 0.9)"), 4).alias("p90_s"),
         F.max("delay_s").alias("max_s"),
     )
+
+
+@query(
+    "q_power_analysis",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+                  > count(*) THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1
+    ), base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(converted) AS BIGINT) AS n_conv
+      FROM u
+    ), mde AS (
+      SELECT n_users, n_conv, n_conv * CAST(1 AS DOUBLE) / n_users AS p,
+             unnest([0.01, 0.02, 0.05]) AS delta
+      FROM base
+    )
+    SELECT delta AS min_detectable_lift,
+           n_users, n_conv, round(p, 6) AS base_rate,
+           CAST(ceil(2 * power(1.959964 + 0.841621, 2) * p * (1 - p) / (delta * delta)) AS BIGINT)
+             AS required_per_arm,
+           CASE WHEN n_users >= 2 * ceil(2 * power(1.959964 + 0.841621, 2) * p * (1 - p) / (delta * delta))
+                THEN 1 ELSE 0 END AS currently_powered
+    FROM mde
+    """,
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis — the design-side companion to
+    q_ab_test's readout: for candidate absolute lifts (1/2/5 points),
+    the per-arm sample size for 80% power at α=0.05 two-sided
+    (n = 2(z_{α/2}+z_β)²·p(1−p)/δ², z constants pinned to 6dp so both
+    engines evaluate the identical expression), seeded with the
+    corpus's own base conversion rate, plus whether the current user
+    count already powers that lift. One user-keyed aggregate → one-row
+    math fanned over the lift grid; nothing else moves."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) * 5
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    base = u.agg(F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("n_conv"))
+    p = F.col("n_conv") * F.lit(1.0) / F.col("n_users")
+    mde = base.select(
+        "n_users",
+        "n_conv",
+        p.alias("p"),
+        F.explode(F.array(F.lit(0.01), F.lit(0.02), F.lit(0.05))).alias("delta"),
+    )
+    z2 = F.pow(F.lit(1.959964) + F.lit(0.841621), 2)
+    req = F.ceil(F.lit(2) * z2 * F.col("p") * (F.lit(1) - F.col("p")) / (F.col("delta") * F.col("delta")))
+    return mde.select(
+        F.col("delta").alias("min_detectable_lift"),
+        "n_users",
+        "n_conv",
+        F.round(F.col("p"), 6).alias("base_rate"),
+        req.cast("long").alias("required_per_arm"),
+        F.when(F.col("n_users") >= F.lit(2) * req, 1).otherwise(0).alias("currently_powered"),
+    )
