@@ -115,6 +115,11 @@ HEADLINE = [
     "q_acf_daily",
     "q_group_split",
     "q_table_profile",
+    "q_ab_test",
+    "q_lag_features",
+    "q_target_encoding",
+    "q_time_to_convert",
+    "q_power_analysis",
 ]
 
 
