@@ -2991,6 +2991,14 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
     )
+    return time_to_convert_tail(u)
+
+
+def time_to_convert_tail(u: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming time-to-convert queries:
+    from a per-user (first_view, first_purchase) table, the exact delay
+    percentiles. Identical expressions both paths — the streaming twin
+    hash-matches the batch oracle."""
     d = u.where(
         F.col("first_view").isNotNull()
         & F.col("first_purchase").isNotNull()

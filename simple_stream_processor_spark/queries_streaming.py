@@ -1143,3 +1143,45 @@ def q_streaming_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained, _ = run_stream_to_memory(u, output_mode="complete")
     return ab_test_tail(drained)
+
+
+def _ttc_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_time_to_convert"]
+
+
+@query("q_streaming_time_to_convert", oracle=_ttc_oracle())
+def q_streaming_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel-latency twin: per-user first-view /
+    first-purchase conditional mins ARE the streaming state — min is
+    commutative and idempotent, so arrival order, batching, and replays
+    are invisible and state is two timestamps per user at any event
+    volume. Drained state shares time_to_convert_tail, hash-matching
+    the batch oracle — the conversion-latency SLA dashboard, updated
+    per trigger."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import time_to_convert_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    u = sdf.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    drained, _ = run_stream_to_memory(u, output_mode="complete")
+    # raw streaming read yields TIMESTAMP_NTZ; the session tz is pinned
+    # UTC, so this cast is value-preserving (same normalization as
+    # tables._normalize_timestamps on the batch path)
+    drained = drained.select(
+        "user_id",
+        F.col("first_view").cast("timestamp").alias("first_view"),
+        F.col("first_purchase").cast("timestamp").alias("first_purchase"),
+    )
+    return time_to_convert_tail(drained)
