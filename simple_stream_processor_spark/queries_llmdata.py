@@ -3962,3 +3962,41 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("grp").alias("n_groups"),
         F.sum("n_tok").alias("n_tokens"),
     )
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           round(pr, 6) AS source_quantile,
+           CASE WHEN pr >= 0.9 THEN 1 ELSE 0 END AS top_decile
+    FROM scored
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source quantile (rank) normalization of a quality signal —
+    the preprocessing step that makes scores comparable ACROSS sources
+    before a global threshold is applied (a raw length cutoff keeps
+    whole sources or drops them; the quantile version takes each
+    source's own top slice — how q_quality_prune-style gates should be
+    calibrated in a mixed corpus). percent_rank = (rank−1)/(n−1) with
+    the identical tie semantics in both engines; (n_chars, doc_id)
+    ordering makes ranks fully deterministic. One source-keyed exchange
+    with partition-local sort; the 90th-percentile flag is plain
+    arithmetic on the rank."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.percent_rank().over(w), 6).alias("source_quantile"),
+        F.when(F.percent_rank().over(w) >= 0.9, 1).otherwise(0).alias("top_decile"),
+    )
