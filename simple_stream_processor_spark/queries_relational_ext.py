@@ -3078,3 +3078,118 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         req.cast("long").alias("required_per_arm"),
         F.when(F.col("n_users") >= F.lit(2) * req, 1).otherwise(0).alias("currently_powered"),
     )
+
+
+@query(
+    "q_retention_curve",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS d0 FROM events GROUP BY 1
+    ), horizon AS (
+      SELECT CAST(max(ts) AS DATE) AS hmax FROM events
+    ), offsets AS (
+      SELECT unnest([1, 3, 7, 14, 30]) AS offset_d
+    ), eligible AS (
+      SELECT o.offset_d, u.user_id, u.d0
+      FROM u CROSS JOIN offsets o CROSS JOIN horizon h
+      WHERE u.d0 + o.offset_d <= h.hmax
+    ), hits AS (
+      SELECT DISTINCT e.offset_d, e.user_id
+      FROM eligible e JOIN events ev ON ev.user_id = e.user_id
+      WHERE CAST(ev.ts AS DATE) = e.d0 + e.offset_d
+    )
+    SELECT el.offset_d AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_cohort,
+           CAST(count(h.user_id) AS BIGINT) AS n_retained,
+           round(count(h.user_id) * CAST(1 AS DOUBLE) / count(*), 6) AS retention
+    FROM eligible el
+    LEFT JOIN hits h ON h.offset_d = el.offset_d AND h.user_id = el.user_id
+    GROUP BY el.offset_d
+    """,
+)
+def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention curve (D1/D3/D7/D14/D30 — the growth metric
+    beside q_cohort_retention's weekly triangle): a user counts at
+    offset d if they have ANY event exactly d days after their first
+    day, over the cohort whose day-d is inside the observation horizon
+    (right-censoring guard — without it late cohorts deflate D30).
+    Shape: one user-keyed first-day collapse, one horizon scalar
+    broadcast, then a (user, active-day) DISTINCT projection joined to
+    the 5-offset-exploded cohort — every payload is user×days-bounded,
+    never raw events; counts exact to one final division."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("d0"))
+    horizon = ev.agg(F.max("ts").cast("date").alias("hmax"))
+    offsets = F.array(*[F.lit(d) for d in (1, 3, 7, 14, 30)])
+    eligible = (
+        u.crossJoin(F.broadcast(horizon))
+        .select("user_id", "d0", F.explode(offsets).alias("offset_d"))
+        .where(F.date_add(F.col("d0"), F.col("offset_d")) <= F.col("hmax"))
+    )
+    active = ev.select("user_id", F.col("ts").cast("date").alias("ad")).distinct()
+    hits = (
+        eligible.join(
+            active,
+            (eligible["user_id"] == active["user_id"])
+            & (F.date_add(eligible["d0"], eligible["offset_d"]) == active["ad"]),
+        )
+        .select(eligible["user_id"].alias("h_user"), eligible["offset_d"].alias("h_off"))
+        .distinct()
+    )
+    return (
+        eligible.join(
+            hits,
+            (eligible["user_id"] == F.col("h_user")) & (eligible["offset_d"] == F.col("h_off")),
+            "left",
+        )
+        .groupBy(F.col("offset_d").alias("day_offset"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cohort"),
+            F.count("h_user").alias("n_retained"),
+            F.round(F.count("h_user") * F.lit(1.0) / F.count(F.lit(1)), 6).alias("retention"),
+        )
+    )
+
+
+@query(
+    "q_data_freshness",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS gmax FROM events)
+    SELECT event_type AS source_stream,
+           CAST(epoch_ms(max(ts)) AS BIGINT) AS last_event_ms,
+           CAST((epoch_us(g.gmax) - epoch_us(max(ts))) // 60000000 AS BIGINT) AS minutes_behind,
+           CAST(sum(CASE WHEN ts >= g.gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END) AS BIGINT)
+             AS events_last_day,
+           CAST(count(*) AS BIGINT) AS events_total
+    FROM events CROSS JOIN g
+    GROUP BY event_type, g.gmax
+    """,
+)
+def q_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness monitoring per stream: last event, minutes behind the
+    corpus head, and last-day volume — the first page of any pipeline
+    dashboard, and the alert input for a stalled upstream (a stream
+    minutes_behind while others advance IS the incident signal; pair
+    with q_expectations for content checks and q_skew_report for volume
+    shape). One scan: the head scalar broadcasts back and every output
+    is exact integer arithmetic on epoch micros (floor-divided minutes —
+    no boundary-crossing drift). At 100 TB the same query answers from
+    parquet footer max-statistics for the last_event column — the scan
+    exists for the volume counts."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("gmax"))
+    return (
+        ev.crossJoin(F.broadcast(g))
+        .groupBy(F.col("event_type").alias("source_stream"), "gmax")
+        .agg(
+            F.unix_millis(F.max("ts")).alias("last_event_ms"),
+            F.expr("(unix_micros(gmax) - unix_micros(max(ts))) div 60000000").alias(
+                "minutes_behind"
+            ),
+            F.sum(
+                F.when(F.col("ts") >= F.col("gmax") - F.expr("INTERVAL 1 DAY"), 1).otherwise(0)
+            ).alias("events_last_day"),
+            F.count(F.lit(1)).alias("events_total"),
+        )
+        .drop("gmax")
+    )
