@@ -3118,28 +3118,38 @@ def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 5-offset-exploded cohort — every payload is user×days-bounded,
     never raw events; counts exact to one final division."""
     ev = _t(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("d0"))
-    horizon = ev.agg(F.max("ts").cast("date").alias("hmax"))
+    active = ev.select("user_id", F.col("ts").cast("date").alias("ad")).distinct()
+    return retention_tail(active)
+
+
+def retention_tail(active: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming retention queries: from a
+    distinct (user_id, active-day) table, the day-N retention curve.
+    First day and horizon are min/max over the day table (identical to
+    min/max event timestamps cast to date), so both paths run the same
+    expressions and the streaming twin hash-matches the batch oracle."""
+    u = active.groupBy("user_id").agg(F.min("ad").alias("d0"))
+    horizon = active.agg(F.max("ad").alias("hmax"))
     offsets = F.array(*[F.lit(d) for d in (1, 3, 7, 14, 30)])
     eligible = (
         u.crossJoin(F.broadcast(horizon))
         .select("user_id", "d0", F.explode(offsets).alias("offset_d"))
         .where(F.date_add(F.col("d0"), F.col("offset_d")) <= F.col("hmax"))
     )
-    active = ev.select("user_id", F.col("ts").cast("date").alias("ad")).distinct()
+    probe = active.select(F.col("user_id").alias("a_user"), F.col("ad").alias("a_day"))
     hits = (
         eligible.join(
-            active,
-            (eligible["user_id"] == active["user_id"])
-            & (F.date_add(eligible["d0"], eligible["offset_d"]) == active["ad"]),
+            probe,
+            (F.col("user_id") == F.col("a_user"))
+            & (F.date_add(F.col("d0"), F.col("offset_d")) == F.col("a_day")),
         )
-        .select(eligible["user_id"].alias("h_user"), eligible["offset_d"].alias("h_off"))
+        .select(F.col("user_id").alias("h_user"), F.col("offset_d").alias("h_off"))
         .distinct()
     )
     return (
         eligible.join(
             hits,
-            (eligible["user_id"] == F.col("h_user")) & (eligible["offset_d"] == F.col("h_off")),
+            (F.col("user_id") == F.col("h_user")) & (F.col("offset_d") == F.col("h_off")),
             "left",
         )
         .groupBy(F.col("offset_d").alias("day_offset"))

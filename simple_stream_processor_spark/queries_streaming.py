@@ -1185,3 +1185,37 @@ def q_streaming_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_purchase").cast("timestamp").alias("first_purchase"),
     )
     return time_to_convert_tail(drained)
+
+
+def _retention_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_retention_curve"]
+
+
+@query("q_streaming_retention", oracle=_retention_oracle())
+def q_streaming_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming retention twin: the distinct (user, active-day) table
+    IS the streaming state — set-union semantics (a count per cell
+    whose value is never read), so replays and batching are invisible
+    and state is users×active-days-bounded regardless of event volume.
+    Drained days flow through the shared retention_tail, hash-matching
+    the batch oracle — the growth dashboard's D1/D7/D30 updated per
+    trigger."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import retention_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cells = sdf.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    drained, _ = run_stream_to_memory(cells, output_mode="complete")
+    active = drained.select("user_id", F.col("day").cast("date").alias("ad"))
+    return retention_tail(active)
