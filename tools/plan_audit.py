@@ -84,6 +84,11 @@ SINGLE_PARTITION_ALLOWANCE = {
     # rounds); each serves both the stats row and the peel threshold and
     # carries only #tasks partial rows, never edges
     "q_densest_subgraph": 4,
+    # the one-row horizon aggregate rides `eligible`, which feeds BOTH the
+    # hits probe and the final left join — exchange reuse does not fire
+    # across the two consumers, so the scalar materializes twice (the
+    # q_recover_value / q_timeseries_similarity pattern)
+    "q_retention_curve": 2,
 }
 
 STREAMING_PREFIXES = ("q_stream", "q_streaming", "q_managed")
