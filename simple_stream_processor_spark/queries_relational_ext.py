@@ -3203,3 +3203,45 @@ def q_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("gmax")
     )
+
+
+@query(
+    "q_active_users",
+    oracle="""
+    WITH ad AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), head AS (
+      SELECT max(d) AS h FROM ad
+    )
+    SELECT CAST((SELECT count(DISTINCT user_id) FROM ad, head WHERE d = h) AS BIGINT) AS dau,
+           CAST((SELECT count(DISTINCT user_id) FROM ad, head WHERE d > h - 7) AS BIGINT) AS wau,
+           CAST((SELECT count(DISTINCT user_id) FROM ad, head WHERE d > h - 30) AS BIGINT) AS mau,
+           round((SELECT count(DISTINCT user_id) FROM ad, head WHERE d = h)
+                 * CAST(1 AS DOUBLE)
+                 / (SELECT count(DISTINCT user_id) FROM ad, head WHERE d > h - 30), 6)
+             AS stickiness
+    """,
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU + stickiness (DAU/MAU) as of the corpus head — the
+    growth readout beside q_retention_curve (rates) and
+    q_data_freshness (pipeline health). ONE distinct (user, day)
+    projection serves all three windows: tag each row with per-window
+    membership flags, then count distinct users per flag in a single
+    aggregate (max-of-flag per user then sum — no three separate
+    scans); the head day is a one-row broadcast. Exact integers to one
+    stickiness division."""
+    ev = _t(spark, sf_dir, "events")
+    ad = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    head = ad.agg(F.max("d").alias("h"))
+    tagged = ad.crossJoin(F.broadcast(head)).groupBy("user_id").agg(
+        F.max(F.when(F.col("d") == F.col("h"), 1).otherwise(0)).alias("in_d"),
+        F.max(F.when(F.col("d") > F.date_sub(F.col("h"), 7), 1).otherwise(0)).alias("in_w"),
+        F.max(F.when(F.col("d") > F.date_sub(F.col("h"), 30), 1).otherwise(0)).alias("in_m"),
+    )
+    return tagged.agg(
+        F.sum("in_d").alias("dau"),
+        F.sum("in_w").alias("wau"),
+        F.sum("in_m").alias("mau"),
+        F.round(F.sum("in_d") * F.lit(1.0) / F.sum("in_m"), 6).alias("stickiness"),
+    )
