@@ -120,6 +120,11 @@ HEADLINE = [
     "q_target_encoding",
     "q_time_to_convert",
     "q_power_analysis",
+    "q_retention_curve",
+    "q_data_freshness",
+    "q_active_users",
+    "q_quantile_normalize",
+    "q_dim_coverage",
 ]
 
 

@@ -3245,3 +3245,45 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_m").alias("mau"),
         F.round(F.sum("in_d") * F.lit(1.0) / F.sum("in_m"), 6).alias("stickiness"),
     )
+
+
+@query(
+    "q_dim_coverage",
+    oracle="""
+    WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem),
+    p AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part
+    ), hit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sold
+      FROM part JOIN sold ON p_partkey = l_partkey
+    )
+    SELECT n_parts, n_sold, CAST(n_parts - n_sold AS BIGINT) AS n_never_sold,
+           round(n_sold * CAST(1 AS DOUBLE) / n_parts, 6) AS coverage
+    FROM p CROSS JOIN hit
+    """,
+)
+def q_dim_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension coverage: how much of the part catalog the fact table
+    actually references — the inverse of q_integrity_audit (orphan
+    FACTS) and the assortment/dead-stock readout on the dimension side.
+    The fact table collapses to DISTINCT keys FIRST (8-byte payloads,
+    map-side combined) and semi-joins the dimension; two one-row counts
+    cross into the summary. At 100 TB the distinct-key projection is
+    the only fact-sized work and it never carries payload columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    sold = li.select("l_partkey").distinct()
+    n_parts = pt.agg(F.count(F.lit(1)).alias("n_parts"))
+    n_sold = (
+        pt.join(sold, pt["p_partkey"] == sold["l_partkey"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_sold"))
+    )
+    return (
+        n_parts.crossJoin(F.broadcast(n_sold))
+        .select(
+            "n_parts",
+            "n_sold",
+            (F.col("n_parts") - F.col("n_sold")).alias("n_never_sold"),
+            F.round(F.col("n_sold") * F.lit(1.0) / F.col("n_parts"), 6).alias("coverage"),
+        )
+    )
