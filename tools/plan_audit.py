@@ -89,6 +89,11 @@ SINGLE_PARTITION_ALLOWANCE = {
     # across the two consumers, so the scalar materializes twice (the
     # q_recover_value / q_timeseries_similarity pattern)
     "q_retention_curve": 2,
+    # head-day scalar + the final one-row summary — both over partial rows
+    "q_active_users": 2,
+    # two one-row counts (catalog size, sold-key semi-join) cross into the
+    # one-row summary — never fact rows
+    "q_dim_coverage": 2,
 }
 
 STREAMING_PREFIXES = ("q_stream", "q_streaming", "q_managed")
