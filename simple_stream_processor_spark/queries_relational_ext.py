@@ -3233,6 +3233,13 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     stickiness division."""
     ev = _t(spark, sf_dir, "events")
     ad = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    return active_users_tail(ad)
+
+
+def active_users_tail(ad: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming active-user queries: from
+    a distinct (user_id, day) table, DAU/WAU/MAU + stickiness as of the
+    table's head day — identical expressions both paths."""
     head = ad.agg(F.max("d").alias("h"))
     tagged = ad.crossJoin(F.broadcast(head)).groupBy("user_id").agg(
         F.max(F.when(F.col("d") == F.col("h"), 1).otherwise(0)).alias("in_d"),

@@ -1219,3 +1219,34 @@ def q_streaming_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained, _ = run_stream_to_memory(cells, output_mode="complete")
     active = drained.select("user_id", F.col("day").cast("date").alias("ad"))
     return retention_tail(active)
+
+
+def _active_users_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_active_users"]
+
+
+@query("q_streaming_active_users", oracle=_active_users_oracle())
+def q_streaming_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DAU/WAU/MAU twin: the same distinct (user, active-day)
+    state as q_streaming_retention (set-union semantics — replays and
+    batching invisible, users×days bound) drained through the shared
+    active_users_tail, hash-matching the batch oracle — the live growth
+    dashboard from the state a retention monitor already carries."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import active_users_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cells = sdf.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    drained, _ = run_stream_to_memory(cells, output_mode="complete")
+    return active_users_tail(drained.select("user_id", F.col("day").cast("date").alias("d")))
