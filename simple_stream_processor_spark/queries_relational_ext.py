@@ -3294,3 +3294,56 @@ def q_dim_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_sold") * F.lit(1.0) / F.col("n_parts"), 6).alias("coverage"),
         )
     )
+
+
+@query(
+    "q_weekday_profile",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), wk AS (
+      SELECT event_type, CAST(isodow(day) AS BIGINT) AS weekday,
+             CAST(sum(cents) AS BIGINT) AS cents, CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(sum(cents) AS BIGINT) AS total FROM wk GROUP BY 1
+    )
+    SELECT w.event_type, w.weekday, w.cents, w.n_days,
+           round(w.cents * CAST(1 AS DOUBLE) / t.total, 6) AS revenue_share
+    FROM wk w JOIN tot t ON w.event_type = t.event_type
+    """,
+)
+def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue profile per series — the readable face of the
+    weekly cycle q_acf_daily detects (ACF says 'period 7'; this names
+    the days). ISO weekday (Mon=1) on the exact-integer daily table;
+    shares are per-type cents over the type total — one daily exchange
+    then 7-row-per-type arithmetic, the per-type totals re-aggregated
+    from the weekday table (never a second event scan)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    wk = daily.groupBy(
+        "event_type", F.dayofweek(F.col("day")).alias("dow")
+    ).agg(F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n_days"))
+    # Spark dayofweek: Sun=1..Sat=7 → ISO Mon=1..Sun=7
+    wk = wk.select(
+        "event_type",
+        F.when(F.col("dow") == 1, F.lit(7)).otherwise(F.col("dow") - 1).cast("long").alias("weekday"),
+        "cents",
+        "n_days",
+    )
+    tot = wk.groupBy(F.col("event_type").alias("t_type")).agg(F.sum("cents").alias("total"))
+    return (
+        wk.join(F.broadcast(tot), wk["event_type"] == F.col("t_type"))
+        .select(
+            "event_type",
+            "weekday",
+            "cents",
+            "n_days",
+            F.round(F.col("cents") * F.lit(1.0) / F.col("total"), 6).alias("revenue_share"),
+        )
+    )
