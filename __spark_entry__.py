@@ -88,7 +88,7 @@ _PRIORITY = [
     # q_power_analysis, q_streaming_time_to_convert, q_quantile_normalize,
     # q_retention_curve, q_data_freshness, q_streaming_retention,
     # q_active_users, q_dim_coverage, q_streaming_active_users,
-    # q_weekday_profile — at the registry tail)
+    # q_weekday_profile, q_streaming_weekday_profile — at the registry tail)
     # into the first 50 next round; everything above will have
     # driver-green rows by then.
     "q_robust_stats_mad", "q_winsorize", "q_integrity_audit",

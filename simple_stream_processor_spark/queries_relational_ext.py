@@ -3326,6 +3326,13 @@ def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    return weekday_profile_tail(daily)
+
+
+def weekday_profile_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming weekday-profile queries:
+    ISO weekday rollup + per-type shares over a (event_type, day,
+    cents) daily table — identical expressions both paths."""
     wk = daily.groupBy(
         "event_type", F.dayofweek(F.col("day")).alias("dow")
     ).agg(F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n_days"))

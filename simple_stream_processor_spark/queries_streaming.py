@@ -1250,3 +1250,35 @@ def q_streaming_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
     drained, _ = run_stream_to_memory(cells, output_mode="complete")
     return active_users_tail(drained.select("user_id", F.col("day").cast("date").alias("d")))
+
+
+def _weekday_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_weekday_profile"]
+
+
+@query("q_streaming_weekday_profile", oracle=_weekday_oracle())
+def q_streaming_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weekday-profile twin: the SAME daily integer-cent state
+    as q_streaming_acf (commutative sums, types×days bound) drained
+    through the shared weekday_profile_tail, hash-matching the batch
+    oracle — one state store can feed ACF, lag features, AND the
+    weekday profile per trigger (the state-reuse argument: diagnostics
+    are tails over shared bounded state, not separate scans)."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import weekday_profile_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    daily = sdf.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    drained, _ = run_stream_to_memory(daily, output_mode="complete")
+    return weekday_profile_tail(drained)
