@@ -31,71 +31,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness walks the dict in insertion order under a
-# 50-entry budget.  Rounds 1+2 verified 65 distinct queries; this round the
-# window rotates to the queries that have NEVER had a driver-verified
-# CORRECTNESS row (green in the full local oracle gate, but outside the
-# budget so far).  The first 50 entries below are exactly that set, ordered
-# TPC-H → curation lifecycle → streaming twins → relational extensions;
-# the remaining never-verified 11 queue right behind for round 4, then the
-# already-driver-green queries in their original order.
+# 50-entry budget.  Rounds 1-3 verified 113 distinct queries (r2: 50/50,
+# r3: 50/50 green).  This round the window rotates again onto queries that
+# have NEVER had a driver-verified CORRECTNESS row (all green in the full
+# local oracle gate), plus the two r01 rows whose only driver rows ever are
+# stale reds (q_approx_distinct / q_approx_quantiles — both emit scalar
+# columns and pass rows-only locally since r2).  The first 50 entries below
+# are exactly that set: 2 red-row re-samples → 11 queued relational rows →
+# 19 streaming twins → 3 multimodal → 7 iterative algorithms → 8 LLM-data
+# curation shapes.  The 47 never-verified queries remaining after this
+# window queue immediately behind for ROUND 5 (verification debt reaches
+# zero then), followed by the already-driver-green queries in their
+# original order.
 _PRIORITY = [
-    # --- never driver-verified: TPC-H shapes (local-green in r2) ---
+    # --- stale-red r01 rows, re-sample for clean rows-only entries ---
+    "q_approx_distinct", "q_approx_quantiles",
+    # --- never driver-verified: relational extensions queued from r3 ---
+    "q_robust_stats_mad", "q_winsorize", "q_integrity_audit",
+    "q_timeseries_similarity", "q_string_agg", "q_absence_pattern",
+    "q_transition_matrix", "q_embedding_quantize", "q_ngram_heavy_hitters",
+    "q_batch_ann", "q_hll_mergeable",
+    # --- never driver-verified: streaming twins (bounded-state engines) ---
+    "q_streaming_watermark_cadence", "q_streaming_multimodal_decode",
+    "q_streaming_zscore", "q_streaming_cms", "q_streaming_merge_upsert",
+    "q_streaming_expectations", "q_streaming_bloom", "q_streaming_entropy",
+    "q_streaming_ks", "q_streaming_pca", "q_streaming_stump",
+    "q_streaming_survival", "q_streaming_acf", "q_streaming_lag_features",
+    "q_streaming_ab", "q_streaming_time_to_convert", "q_streaming_retention",
+    "q_streaming_active_users", "q_streaming_weekday_profile",
+    # --- never driver-verified: multimodal codecs ---
+    "q_multimodal_resize", "q_multimodal_audio", "q_image_phash_dedup",
+    # --- never driver-verified: iterative algorithms ---
+    "q_kmeans", "q_pagerank", "q_bpe_merges", "q_bpe_encode",
+    "q_pca_top_component", "q_densest_subgraph", "q_triangle_count",
+    # --- never driver-verified: LLM-data curation shapes ---
+    "q_bm25_topterms", "q_hard_negatives", "q_source_cap",
+    "q_ngram_containment", "q_pq_codes", "q_lang_confusion",
+    "q_dedup_rate_report", "q_embedding_drift",
+    # ---------- window boundary (50) ----------
+    # ROUND-5 window: the 47 below are the last never-driver-verified
+    # queries; promote them to the head next round and debt reaches zero.
+    "q_inverted_index", "q_cms_heavy_hitters", "q_unigram_surprisal",
+    "q_ann_recall", "q_mixture_resample", "q_auc_eval", "q_calibration",
+    "q_zipf_fit", "q_bloom_index", "q_training_order", "q_corpus_entropy",
+    "q_weighted_sample", "q_ann_pq", "q_cross_source_overlap", "q_ks_drift",
+    "q_label_noise", "q_minhash_recall", "q_decision_stump",
+    "q_dup_span_coverage", "q_group_split", "q_quantile_normalize",
+    "q_interval_concurrency", "q_skew_report", "q_rolling_zscore",
+    "q_entity_match", "q_merge_upsert", "q_top_paths", "q_market_basket",
+    "q_expectations", "q_forecast_eval", "q_rfm_segmentation",
+    "q_changepoint_cusum", "q_survival_curve", "q_k_anonymity",
+    "q_interval_join", "q_acf_daily", "q_table_profile", "q_ab_test",
+    "q_lag_features", "q_target_encoding", "q_time_to_convert",
+    "q_power_analysis", "q_retention_curve", "q_data_freshness",
+    "q_active_users", "q_dim_coverage", "q_weekday_profile",
+    # --- driver-verified in r1-r3 (keep their relative order) ---
     "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q13",
     "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q21",
     "q_tpch_q22",
-    # --- never driver-verified: corpus-curation lifecycle ---
     "q_text_normalize", "q_quality_prune", "q_dedup_keep_rule",
     "q_corpus_delta", "q_sequence_pack", "q_mixture_weights", "q_pii_redact",
-    # --- never driver-verified: SQL surface + multimodal ---
     "q_recursive_cte", "q_multimodal_decode",
-    # --- never driver-verified: streaming engine twins ---
     "q_stream_read", "q_streaming_count_window", "q_managed_source",
     "q_managed_sink", "q_stream_stream_join", "q_streaming_tumbling",
     "q_streaming_dedup", "q_streaming_session", "q_streaming_sliding",
     "q_streaming_enrich", "q_streaming_funnel", "q_streaming_topk",
     "q_streaming_quality_gate",
-    # --- never driver-verified: relational extensions ---
     "q_cube", "q_grouped_udaf", "q_hash_sample", "q_full_outer_reconcile",
     "q_gap_fill", "q_stratified_sample", "q_scd2_intervals",
     "q_latest_snapshot", "q_rolling_time_window", "q_schema_evolution_union",
     "q_dynamic_session_window", "q_linear_attribution", "q_topk_per_group",
     "q_funnel_by_segment", "q_analytic_distribution", "q_stats_agg",
     "q_chi_square",
-    # ---------- window boundary (~50) ----------
-    # Never driver-verified, queued for the ROUND-4 rotation: move these 11
-    # plus the round-3 additions (q_streaming_watermark_cadence,
-    # q_bm25_topterms, q_hard_negatives, q_source_cap, q_ngram_containment,
-    # q_pq_codes, q_interval_concurrency, q_lang_confusion,
-    # q_dedup_rate_report, q_embedding_drift, q_multimodal_resize,
-    # q_multimodal_audio, q_streaming_multimodal_decode, q_skew_report,
-    # q_rolling_zscore, q_entity_match, q_inverted_index,
-    # q_cms_heavy_hitters, q_bpe_merges, q_streaming_zscore,
-    # q_merge_upsert, q_top_paths, q_unigram_surprisal, q_streaming_cms,
-    # q_image_phash_dedup, q_streaming_merge_upsert, q_ann_recall,
-    # q_bpe_encode, q_market_basket, q_expectations, q_forecast_eval,
-    # q_rfm_segmentation, q_streaming_expectations, q_mixture_resample,
-    # q_auc_eval, q_calibration, q_zipf_fit, q_kmeans, q_bloom_index,
-    # q_training_order, q_pagerank, q_streaming_bloom, q_corpus_entropy,
-    # q_weighted_sample, q_ann_pq, q_cross_source_overlap,
-    # q_streaming_entropy, q_ks_drift, q_pca_top_component, q_label_noise,
-    # q_minhash_recall, q_streaming_ks, q_triangle_count,
-    # q_changepoint_cusum, q_streaming_pca, q_survival_curve,
-    # q_decision_stump, q_streaming_stump, q_k_anonymity,
-    # q_streaming_survival, q_densest_subgraph, q_dup_span_coverage,
-    # q_interval_join, q_acf_daily, q_streaming_acf, q_group_split,
-    # q_table_profile, q_ab_test, q_lag_features, q_target_encoding,
-    # q_streaming_lag_features, q_time_to_convert, q_streaming_ab,
-    # q_power_analysis, q_streaming_time_to_convert, q_quantile_normalize,
-    # q_retention_curve, q_data_freshness, q_streaming_retention,
-    # q_active_users, q_dim_coverage, q_streaming_active_users,
-    # q_weekday_profile, q_streaming_weekday_profile — at the registry tail)
-    # into the first 50 next round; everything above will have
-    # driver-green rows by then.
-    "q_robust_stats_mad", "q_winsorize", "q_integrity_audit",
-    "q_timeseries_similarity", "q_string_agg", "q_absence_pattern",
-    "q_transition_matrix", "q_embedding_quantize", "q_ngram_heavy_hitters",
-    "q_batch_ann", "q_hll_mergeable",
-    # --- driver-verified in r1/r2 (keep their relative order) ---
     "q_source_scan", "q_sink_fold_sum", "q_map_project", "q_filter_predicate",
     "q_flatmap_explode", "q_union_append", "q_take_limit", "q_parmap_ordered",
     "q_async_boundary", "q_recover_value", "q_recover_with_stream",

@@ -23,6 +23,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ansi_safe_corr(x: Column | str, y: Column | str) -> Column:
+    """Pearson correlation as explicit sum aggregates with ``try_divide``:
+    NULL when either series has zero variance or fewer than two pairs —
+    the ANSI-SQL / DuckDB ``corr()`` contract.
+
+    Spark's builtin ``corr`` divides by the variance product in its final
+    projection, and under ANSI mode (the Spark 4 default, hence the
+    driver's vanilla session) that raises DIVIDE_BY_ZERO on a constant
+    series instead of returning NULL — found by cross-engine fuzz
+    (tests/test_properties.py) and reachable in production whenever a
+    filtered group degenerates to one value. Pairs with a NULL on either
+    side are excluded, matching the builtin's pairwise deletion.
+
+    Precision: the textbook n·Σxy−Σx·Σy form loses digits when n·mean²
+    dwarfs the variance; at the 6-decimal rounding every caller applies
+    this is harmless up to ~1e12 rows per group (double eps 1e-16 leaves
+    >6 safe digits), and groups larger than that should pre-aggregate
+    first (as q_acf_daily's daily rollup does)."""
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    both = xc.isNotNull() & yc.isNotNull()
+    xv = F.when(both, xc.cast("double"))
+    yv = F.when(both, yc.cast("double"))
+    n = F.count(F.when(both, F.lit(1))).cast("double")
+    sx, sy = F.sum(xv), F.sum(yv)
+    sxx, syy, sxy = F.sum(xv * xv), F.sum(yv * yv), F.sum(xv * yv)
+    num = n * sxy - sx * sy
+    den = F.sqrt(F.greatest(F.lit(0.0), n * sxx - sx * sx)) * F.sqrt(
+        F.greatest(F.lit(0.0), n * syy - sy * sy)
+    )
+    return F.try_divide(num, den)
+
+
 def group_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
     """Keyed hash aggregation (N1). Physical: HashAggregate(partial) →
     Exchange(hash keys) → HashAggregate(final). Low-cardinality keys like

@@ -153,8 +153,10 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         top_word_n.alias("top_word_n"),
         n_bi.alias("n_bigrams"),
         dist_bi.alias("distinct_bigrams"),
-        F.round(top_word_n.cast("double") / n_words.cast("double"), 4).alias("top_word_frac"),
-        F.round(dup_bi.cast("double") / n_bi.cast("double"), 4).alias("dup_bigram_frac"),
+        # try_divide: a ≤1-token doc has 0 bigrams; ANSI (driver default)
+        # would raise DIVIDE_BY_ZERO where DuckDB's 0/0.0 yields NULL
+        F.round(F.try_divide(top_word_n.cast("double"), n_words.cast("double")), 4).alias("top_word_frac"),
+        F.round(F.try_divide(dup_bi.cast("double"), n_bi.cast("double")), 4).alias("dup_bigram_frac"),
         ((F.lit(100) * top_word_n > F.lit(14) * n_words) | (F.lit(100) * dup_bi > F.lit(8) * n_bi)).alias(
             "flagged"
         ),

@@ -519,7 +519,10 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative), the same tolerance as TPC-H Q1's avg columns."""
     li = load_table(spark, "lineitem", sf_dir)
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        # ansi_safe_corr == builtin corr on non-degenerate groups (round-6
+        # absorbs the sum-form ulps) and NULL instead of an ANSI
+        # DIVIDE_BY_ZERO crash when a group's quantity is constant
+        F.round(relational.ansi_safe_corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
         F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
@@ -2674,7 +2677,9 @@ def acf_tail(daily: DataFrame) -> DataFrame:
     ).where(F.col("y").isNotNull())
     return long.groupBy("event_type", "lag").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.corr("cents", "y"), 6).alias("acf"),
+        # ansi_safe_corr: builtin corr raises DIVIDE_BY_ZERO under ANSI on
+        # a constant daily series (e.g. a type seen once); DuckDB → NULL
+        F.round(relational.ansi_safe_corr("cents", "y"), 6).alias("acf"),
     )
 
 

@@ -25,7 +25,22 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted-within-bucket)
     managed parquet table. Bucket count rule of thumb at scale:
-    total-size / n_buckets ≈ 100-200 MB per bucket file per partition."""
+    total-size / n_buckets ≈ 100-200 MB per bucket file per partition.
+
+    Idempotent across interrupted runs: a killed session can leave the
+    managed table's warehouse directory behind with no metastore entry, so
+    ``DROP TABLE IF EXISTS`` can't clear it and ``saveAsTable`` fails with
+    LOCATION_ALREADY_EXISTS. For overwrite mode we drop the catalog entry
+    AND remove any orphaned directory before writing."""
+    if mode == "overwrite":
+        import shutil
+        from urllib.parse import urlparse
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+        if warehouse:
+            shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_key)
     if sort_key is not None:
         writer = writer.sortBy(sort_key)
