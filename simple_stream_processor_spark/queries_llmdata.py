@@ -2590,47 +2590,6 @@ def q_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_weighted_sample",
-    oracle="""
-    WITH h AS (
-      SELECT doc_id, source, n_chars,
-             (('0x' || substr(md5('wsample:' || doc_id), 1, 8))::BIGINT + 1)
-               * CAST(1 AS DOUBLE) / 4294967297 AS u
-      FROM documents
-    ),
-    keyed AS (SELECT doc_id, source, n_chars, ln(u) / n_chars AS k FROM h)
-    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight, round(k, 9) AS sample_key
-    FROM keyed ORDER BY k DESC, doc_id LIMIT 50
-    """,
-)
-def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling without replacement (Efraimidis-
-    Spirakis): each doc draws u ∈ (0,1) from md5(seed:doc_id) and ranks by
-    key = ln(u)/w (⇔ u^(1/w); here w = n_chars, i.e. length-proportional
-    inclusion) — the reproducible weighted-subsample step for
-    quality-weighted corpus selection, where rand()-based sampleBy is
-    partition/seed-dependent. Narrow per-row arithmetic (exact-integer
-    hash → one division → one log → one division, identical expression
-    trees both engines, bit-exact so the top-k frontier cannot flicker);
-    the top-50 is TakeOrdered per-partition heaps — no global sort, no
-    exchange beyond k rows per task. A larger k or per-stratum quotas
-    change only the heap size."""
-    docs = _t(spark, sf_dir, "documents")
-    u = (
-        (F.conv(F.substring(F.md5(F.encode(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string")), "UTF-8")), 1, 8), 16, 10).cast("long") + 1)
-        * F.lit(1.0)
-        / F.lit(4294967297.0)
-    )
-    k = F.log(u) / F.col("n_chars")
-    return (
-        docs.select("doc_id", "source", "n_chars", k.alias("k"))
-        .orderBy(F.col("k").desc(), "doc_id")
-        .limit(50)
-        .select("doc_id", "source", F.col("n_chars").cast("long").alias("weight"), F.round("k", 9).alias("sample_key"))
-    )
-
-
-@query(
     "q_ann_pq",
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3076,416 +3035,14 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(1.0)
         / F.lit(4294967297.0)
     )
-    k = F.log(u) / F.col("n_chars")
+    # try_divide: a zero-length doc (w=0) must key to NULL (sorts last —
+    # never sampled) exactly as DuckDB's ln(u)/0 does, not raise under ANSI
+    k = F.try_divide(F.log(u), F.col("n_chars"))
     return (
         docs.select("doc_id", "source", "n_chars", k.alias("k"))
         .orderBy(F.col("k").desc(), "doc_id")
         .limit(50)
         .select("doc_id", "source", F.col("n_chars").cast("long").alias("weight"), F.round("k", 9).alias("sample_key"))
-    )
-
-
-@query(
-    "q_ann_pq",
-    oracle="""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    subs AS (
-      SELECT vec_id, label, t.s AS s, v[t.s*16+1 : t.s*16+16] AS sv
-      FROM e, unnest(range(0, 4)) AS t(s)
-    ),
-    ex AS (
-      SELECT label, s, u.i AS pos, sv[u.i] AS x
-      FROM subs, unnest(range(1, len(sv) + 1)) AS u(i)
-    ),
-    cbl AS (SELECT label, s, pos, round(avg(x), 6) AS c FROM ex GROUP BY label, s, pos),
-    cb AS (SELECT label AS cb_label, s, list(c ORDER BY pos) AS cv FROM cbl GROUP BY label, s),
-    psub AS (SELECT s, sv AS psv FROM subs WHERE vec_id = 0),
-    dtab AS (
-      SELECT cb.s, cb.cb_label,
-             list_dot_product(p.psv, p.psv) - 2 * list_dot_product(p.psv, cb.cv)
-               + list_dot_product(cb.cv, cb.cv) AS pd2
-      FROM cb JOIN psub p ON p.s = cb.s
-    ),
-    scored AS (
-      SELECT subs.vec_id, subs.s AS s, cb.cb_label,
-             row_number() OVER (
-               PARTITION BY subs.vec_id, subs.s
-               ORDER BY list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv) + list_dot_product(cv, cv) ASC,
-                        cb.cb_label ASC
-             ) AS rn
-      FROM subs JOIN cb ON subs.s = cb.s
-      WHERE subs.vec_id <> 0
-    ),
-    codes AS (SELECT vec_id, s, cb_label AS code FROM scored WHERE rn = 1),
-    est AS (
-      SELECT c.vec_id, round(sum(d.pd2), 6) AS est_d2
-      FROM codes c JOIN dtab d ON d.s = c.s AND d.cb_label = c.code
-      GROUP BY c.vec_id
-    )
-    SELECT vec_id, est_d2 FROM est ORDER BY est_d2 ASC, vec_id LIMIT 10
-    """,
-)
-def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC similarity search (asymmetric distance computation): the
-    probe computes ONE k×M distance table against the codebooks (40 rows,
-    broadcast), and every corpus vector's estimated distance is the sum of
-    M table lookups over its 4-byte code — the serving path that makes
-    billion-vector ANN RAM-resident (no corpus floats touched at query
-    time; completes the repo's ANN ladder: brute → sign-LSH → IVF →
-    PQ-ADC, with q_ann_recall as the measure-don't-guess harness). Scale
-    shape: codes build narrow off the broadcast codebooks (in production
-    the codes ARE the stored index — amortized across probes); the lookup
-    join is broadcast; the per-vector sum's exchange carries one tiny row
-    per vector after map-side combine; top-10 is TakeOrdered on the
-    rounded estimate with vec_id tie-break (both engines order on the
-    same 6dp value, so the frontier cannot flicker)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    subs = similarity.pq_subspaces(emb)
-    cb = similarity.pq_codebooks(subs)
-    psub = subs.where(F.col("vec_id") == 0).select("s", F.col("sv").alias("psv"))
-    pd2 = (
-        similarity._dot(F.col("psv"), F.col("psv"))
-        - F.lit(2.0) * similarity._dot(F.col("psv"), F.col("cv"))
-        + similarity._dot(F.col("cv"), F.col("cv"))
-    )
-    dtab = cb.join(F.broadcast(psub), "s").select("s", "cb_label", pd2.alias("pd2"))
-    codes = similarity.pq_assign(subs.where(F.col("vec_id") != 0), cb).select("vec_id", "s", "code")
-    est = (
-        codes.join(F.broadcast(dtab), (codes["s"] == dtab["s"]) & (codes["code"] == dtab["cb_label"]))
-        .groupBy("vec_id")
-        .agg(F.round(F.sum("pd2"), 6).alias("est_d2"))
-    )
-    return est.orderBy(F.col("est_d2").asc(), F.col("vec_id").asc()).limit(10)
-
-
-@query(
-    "q_cross_source_overlap",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, source,
-             list_transform(string_split(text, ' '),
-                            t -> ('0x' || substr(md5(t), 1, 10))::BIGINT) AS wh
-      FROM documents
-    ), g AS (
-      SELECT doc_id, source, unnest(list_distinct(list_transform(range(len(wh) - 3),
-               i -> ((((wh[i+1] * 131 + wh[i+2]) % 35184372088832) * 131 + wh[i+3])
-                      % 35184372088832 * 131 + wh[i+4]) % 35184372088832))) AS gh
-      FROM w WHERE len(wh) >= 4
-    ),
-    sg AS (SELECT DISTINCT source, gh FROM g),
-    ng AS (SELECT source, count(*) AS n_g FROM sg GROUP BY 1),
-    shared AS (
-      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
-      FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
-      GROUP BY 1, 2
-    )
-    SELECT s.source_a, s.source_b, CAST(s.n_shared AS BIGINT) AS n_shared,
-           CAST(na.n_g AS BIGINT) AS n_grams_a, CAST(nb.n_g AS BIGINT) AS n_grams_b,
-           round(s.n_shared * CAST(1 AS DOUBLE) / least(na.n_g, nb.n_g), 6) AS overlap_coef
-    FROM shared s JOIN ng na ON na.source = s.source_a JOIN ng nb ON nb.source = s.source_b
-    """,
-)
-def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source content-overlap matrix: for every source pair, the
-    count of shared distinct word 4-gram hashes and the overlap
-    coefficient |A∩B| / min(|A|,|B|) — the syndication/mirror detector
-    that tells a curation pipeline which sources republish each other's
-    content BEFORE near-dup dedup is run corpus-wide (prune whole mirror
-    sources first, then pay LSH only for the remainder). Reuses the
-    decontamination gram machinery (ngram_hash_table: per-word md5 once,
-    exact 45-bit modular combination — 8-byte payloads, never gram
-    strings). Scale shape: the (source, gram) distinct collapses each
-    source to its gram set (map-side combined); the self-join output is
-    bounded by sources² pairs per gram; the final matrix carries at most
-    sources² rows. Engine-exact integers; the coefficient is one exact
-    division (identical expression both engines)."""
-    docs = _t(spark, sf_dir, "documents")
-    gr = dedup.ngram_hash_table(docs, n=4)
-    src = docs.select("doc_id", "source")
-    sg = gr.join(src, "doc_id").select("source", "gh").distinct()
-    ng = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_g"))
-    a = sg.select(F.col("source").alias("source_a"), "gh")
-    b = sg.select(F.col("source").alias("source_b"), "gh")
-    shared = (
-        a.join(b, "gh")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    na = ng.select(F.col("source").alias("sa"), F.col("n_g").alias("n_grams_a"))
-    nb = ng.select(F.col("source").alias("sb"), F.col("n_g").alias("n_grams_b"))
-    return (
-        shared.join(F.broadcast(na), F.col("source_a") == F.col("sa"))
-        .join(F.broadcast(nb), F.col("source_b") == F.col("sb"))
-        .select(
-            "source_a",
-            "source_b",
-            F.col("n_shared").cast("long").alias("n_shared"),
-            F.col("n_grams_a").cast("long").alias("n_grams_a"),
-            F.col("n_grams_b").cast("long").alias("n_grams_b"),
-            F.round(
-                F.col("n_shared") * F.lit(1.0) / F.least("n_grams_a", "n_grams_b"), 6
-            ).alias("overlap_coef"),
-        )
-    )
-
-
-def ks_report(cnt: DataFrame) -> DataFrame:
-    """Shared tail of the batch and streaming KS queries: from a
-    (source, b, n) binned-count table, compute each source's max ECDF gap
-    against the rest of the corpus plus the scaled statistic. All tables
-    bounded by sources × grid size; rest-ECDF = corpus-cum − source-cum."""
-    from pyspark.sql.window import Window
-
-    # every small side renames its join keys: all of bins/srcs/corpus share
-    # lineage with cnt, and a memory-sink cnt (the streaming twin) trips
-    # Spark's conflicting-reference check on raw self-joins
-    bins = cnt.select(F.col("b").alias("gb")).distinct()
-    srcs = cnt.groupBy("source").agg(F.sum("n").alias("n_s")).select(
-        F.col("source").alias("g_source"), "n_s"
-    )
-    tot = cnt.agg(F.sum("n").alias("n_tot"))
-    grid = (
-        srcs.crossJoin(F.broadcast(bins))
-        .join(
-            cnt,
-            (cnt["source"] == F.col("g_source")) & (cnt["b"] == F.col("gb")),
-            "left",
-        )
-        .select(
-            F.col("g_source").alias("source"),
-            "n_s",
-            F.col("gb").alias("b"),
-            F.coalesce("n", F.lit(0)).alias("n"),
-        )
-    )
-    cum = grid.select(
-        "source",
-        "n_s",
-        "b",
-        F.sum("n").over(Window.partitionBy("source").orderBy("b")).alias("s_cum"),
-    )
-    corpus = cnt.groupBy("b").agg(F.sum("n").alias("cn"))
-    ccum = corpus.select(
-        F.col("b").alias("cb"),
-        F.sum("cn").over(Window.orderBy("b")).alias("c_cum"),
-    )
-    d = (
-        cum.join(F.broadcast(ccum), cum["b"] == F.col("cb"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "n_s",
-            (F.col("n_tot") - F.col("n_s")).alias("n_rest"),
-            F.abs(
-                F.col("s_cum") * F.lit(1.0) / F.col("n_s")
-                - (F.col("c_cum") - F.col("s_cum")) * F.lit(1.0) / (F.col("n_tot") - F.col("n_s"))
-            ).alias("gap"),
-        )
-    )
-    return d.groupBy("source").agg(
-        F.max("n_s").cast("long").alias("n_source"),
-        F.max("n_rest").cast("long").alias("n_rest"),
-        F.round(F.max("gap"), 6).alias("ks_d"),
-        F.round(
-            F.max("gap")
-            * F.sqrt(F.max("n_s") * F.max("n_rest") * F.lit(1.0) / (F.max("n_s") + F.max("n_rest"))),
-            4,
-        ).alias("ks_scaled"),
-    )
-
-
-def ks_score_bin() -> F.Column:
-    """The quality-score 1e4-grid bin expression shared by the batch and
-    streaming KS paths."""
-    toks = F.split("text", " ")
-    n_tok = F.size(toks).cast("double")
-    score = (F.size(F.array_distinct(toks)).cast("double") / n_tok) * (
-        F.lit(1)
-        - F.size(F.filter(toks, lambda x: x.isin(*text.STOPWORDS))).cast("double") / n_tok
-    )
-    return F.floor(score * 10000).cast("long")
-
-
-@query(
-    "q_ks_drift",
-    oracle="""
-    WITH scored AS (
-      SELECT source,
-             CAST(floor(((len(list_distinct(string_split(text, ' ')))::DOUBLE
-               / len(string_split(text, ' '))::DOUBLE)
-             * (1 - len(list_filter(string_split(text, ' '),
-                         x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))::DOUBLE
-                   / len(string_split(text, ' '))::DOUBLE)) * 10000) AS BIGINT) AS b
-      FROM documents
-    ),
-    cnt AS (SELECT source, b, count(*) AS n FROM scored GROUP BY 1, 2),
-    bins AS (SELECT DISTINCT b FROM cnt),
-    srcs AS (SELECT source, sum(n) AS n_s FROM cnt GROUP BY 1),
-    tot AS (SELECT sum(n) AS n_tot FROM cnt),
-    grid AS (
-      SELECT s.source, s.n_s, g.b, coalesce(c.n, 0) AS n
-      FROM srcs s CROSS JOIN bins g
-      LEFT JOIN cnt c ON c.source = s.source AND c.b = g.b
-    ),
-    cum AS (
-      SELECT source, n_s, b,
-             sum(n) OVER (PARTITION BY source ORDER BY b) AS s_cum
-      FROM grid
-    ),
-    corpus AS (
-      SELECT b, sum(n) AS cn FROM cnt GROUP BY 1
-    ),
-    ccum AS (
-      SELECT b, sum(cn) OVER (ORDER BY b) AS c_cum FROM corpus
-    ),
-    d AS (
-      SELECT cum.source, cum.n_s, (t.n_tot - cum.n_s) AS n_rest,
-             abs(cum.s_cum * CAST(1 AS DOUBLE) / cum.n_s
-                 - (ccum.c_cum - cum.s_cum) * CAST(1 AS DOUBLE) / (t.n_tot - cum.n_s)) AS gap
-      FROM cum JOIN ccum ON ccum.b = cum.b CROSS JOIN tot t
-    )
-    SELECT source, CAST(max(n_s) AS BIGINT) AS n_source,
-           CAST(max(n_rest) AS BIGINT) AS n_rest,
-           round(max(gap), 6) AS ks_d,
-           round(max(gap) * sqrt(max(n_s) * max(n_rest) * CAST(1 AS DOUBLE) / (max(n_s) + max(n_rest))), 4) AS ks_scaled
-    FROM d GROUP BY source
-    """,
-)
-def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kolmogorov-Smirnov two-sample drift test per source: the max gap
-    between each source's quality-score ECDF and the rest-of-corpus ECDF
-    — the CONTINUOUS drift detector beside the categorical chi-square
-    (q_chi_square) and the distributional KL (q_corpus_entropy); ks_scaled
-    is D·sqrt(nm/(n+m)), the statistic compared against the KS critical
-    value. Scale shape: scores bin to a fixed 1e4 integer grid at the
-    scan (the ECDF is exact for the binned statistic and the grid bounds
-    every downstream table at sources × 10 k rows regardless of corpus
-    size); one (source, bin) count exchange; the dense grid is a
-    broadcast cross join; cumulative sums sort partition-locally within
-    each source; rest-ECDF = corpus-cum − source-cum, so no second corpus
-    pass. Exact integers until the final divisions (identical expression
-    trees both engines)."""
-    docs = _t(spark, sf_dir, "documents")
-    cnt = (
-        docs.select("source", ks_score_bin().alias("b"))
-        .groupBy("source", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return ks_report(cnt)
-
-
-@query(
-    "q_pca_top_component",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    ex AS (
-      SELECT vec_id, u.i AS pos, v[u.i] AS x
-      FROM e, unnest(range(1, len(v) + 1)) AS u(i)
-    ),
-    mu AS (SELECT pos, round(avg(x), 6) AS m FROM ex GROUP BY pos),
-    cx AS (
-      SELECT ex.vec_id, ex.pos, ex.x - mu.m AS cx
-      FROM ex JOIN mu USING (pos)
-    ),
-    n AS (SELECT count(*) AS n_vec FROM e),
-    cov AS (
-      SELECT a.pos AS i, b.pos AS j,
-             round(sum(a.cx * b.cx) / (max(nn.n_vec) - 1), 6) AS c
-      FROM cx a JOIN cx b ON a.vec_id = b.vec_id CROSS JOIN n nn
-      GROUP BY a.pos, b.pos
-    ),
-    v0 AS (SELECT pos, round(1.0 / sqrt(64), 6)::DOUBLE AS vv FROM mu),
-    w1 AS (SELECT cov.i AS pos, sum(cov.c * v0.vv) AS w FROM cov JOIN v0 ON v0.pos = cov.j GROUP BY cov.i),
-    n1 AS (SELECT sqrt(sum(w * w)) AS nm FROM w1),
-    v1 AS (SELECT pos, round(w / nm, 6) AS vv FROM w1 CROSS JOIN n1),
-    w2 AS (SELECT cov.i AS pos, sum(cov.c * v1.vv) AS w FROM cov JOIN v1 ON v1.pos = cov.j GROUP BY cov.i),
-    n2 AS (SELECT sqrt(sum(w * w)) AS nm FROM w2),
-    v2 AS (SELECT pos, round(w / nm, 6) AS vv FROM w2 CROSS JOIN n2),
-    w3 AS (SELECT cov.i AS pos, sum(cov.c * v2.vv) AS w FROM cov JOIN v2 ON v2.pos = cov.j GROUP BY cov.i),
-    n3 AS (SELECT sqrt(sum(w * w)) AS nm FROM w3),
-    v3 AS (SELECT pos, round(w / nm, 6) AS vv FROM w3 CROSS JOIN n3),
-    lam AS (
-      SELECT round(sum(v3.vv * w3.w), 4) AS eigval
-      FROM v3 JOIN w3 USING (pos)
-    )
-    SELECT v3.pos AS pos, v3.vv AS loading, lam.eigval AS eigval
-    FROM v3 CROSS JOIN lam
-    """,
-)
-def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA, top principal component: ONE Gram-matrix aggregate
-    builds the 64×64 covariance (the (i,j) pair explode combines
-    map-side — the exchange carries d² partial rows per task, never
-    vectors), then three power-iteration rounds run as declarative
-    d²-row joins against the 64-row eigenvector estimate — the variance-
-    structure primitive behind embedding whitening, drift detection, and
-    dimensionality pruning. The q_pagerank determinism trick applies:
-    per-round round(·,6) re-synchronizes both engines, so the iterated
-    eigenvector and the Rayleigh eigenvalue estimate are hash-matched
-    (sign is mathematically arbitrary but engine-identical — both sides
-    compute the same rounded fixed point from the same start). At corpus
-    scale the covariance exchange is d²×#tasks regardless of row count;
-    the iteration tables are d² and d rows — driver-free linear algebra.
-    For d beyond ~10³, switch the pair explode to a blocked outer-product
-    aggregate (same shape, tiled)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    e = tables.spread(emb, "vec_id").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    ex = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
-    mu = ex.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("m"))
-    mu_row = mu.agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda st: st["m"]).alias("mu")
-    )
-    # center narrowly against the broadcast mean vector, then emit the full
-    # outer product per vector (d² structs) — the X^T X map-side pattern:
-    # no self-join, no shuffle of vectors; the aggregate's exchange carries
-    # d² partial rows per task regardless of corpus size
-    cv = e.crossJoin(F.broadcast(mu_row)).select(
-        "vec_id", F.zip_with("v", "mu", lambda x, m: x - m).alias("cv")
-    )
-    prods = cv.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "cv",
-                    lambda x, i: F.transform(
-                        "cv", lambda y, j: F.struct(i.alias("i"), j.alias("j"), (x * y).alias("p"))
-                    ),
-                )
-            )
-        ).alias("t")
-    ).select("t.i", "t.j", "t.p")
-    n = e.agg(F.count(F.lit(1)).alias("n_vec"))
-    cov = (
-        prods.crossJoin(F.broadcast(n))
-        .groupBy("i", "j")
-        .agg(F.round(F.sum("p") / (F.max("n_vec") - 1), 6).alias("c"))
-        # materialize the d² table ONCE: each unrolled round references cov
-        # (and every prior round) — without lineage truncation the plan
-        # tree replicates the corpus-sized Gram aggregate combinatorially
-        .localCheckpoint(eager=False)
-    )
-    v = mu.select("pos", F.round(F.lit(1.0) / F.sqrt(F.lit(64.0)), 6).alias("vv"))
-    w = None
-    for _ in range(3):
-        w = (
-            cov.join(F.broadcast(v.select(F.col("pos").alias("j"), "vv")), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("vv")).alias("w"))
-            .select(F.col("i").alias("pos"), "w")
-            .localCheckpoint(eager=False)  # d rows; keeps each round's plan shallow
-        )
-        nm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm"))
-        v = w.crossJoin(F.broadcast(nm)).select("pos", F.round(F.col("w") / F.col("nm"), 6).alias("vv"))
-    lam = (
-        v.join(F.broadcast(w.select(F.col("pos").alias("w_pos"), "w")), v["pos"] == F.col("w_pos"))
-        .agg(F.round(F.sum(F.col("vv") * F.col("w")), 4).alias("eigval"))
-    )
-    # posexplode is 0-based, the oracle's unnest(range) is 1-based — align
-    return v.crossJoin(F.broadcast(lam)).select(
-        (F.col("pos") + 1).alias("pos"), F.col("vv").alias("loading"), "eigval"
     )
 
 

@@ -1906,7 +1906,10 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_scored"),
         F.avg(abs_err).alias("mae_cents"),
-        F.round(F.avg(abs_err * F.lit(1.0) / F.col("cents")), 4).alias("mape"),
+        # try_divide: a day whose values all round to 0 cents would make
+        # ANSI raise on the MAPE term; DuckDB's x/0.0 is NULL and avg()
+        # skips NULLs identically in both engines
+        F.round(F.avg(F.try_divide(abs_err * F.lit(1.0), F.col("cents"))), 4).alias("mape"),
     )
 
 
@@ -2179,7 +2182,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_edges").cast("long").alias("n_edges"),
         F.col("n_wedges").cast("long").alias("n_wedges"),
         F.col("n_tri").cast("long").alias("n_triangles"),
-        F.round(F.lit(3) * F.col("n_tri") * F.lit(1.0) / F.col("n_wedges"), 6).alias("clustering_coef"),
+        # try_divide: a wedge-free graph (all degree-1 nodes) has 0/0 here
+        F.round(F.try_divide(F.lit(3) * F.col("n_tri") * F.lit(1.0), F.col("n_wedges")), 6).alias("clustering_coef"),
     )
 
 
@@ -2735,7 +2739,8 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "n_null",
         "n_distinct",
-        F.round(F.col("n_distinct") * F.lit(1.0) / F.col("n_rows"), 6).alias("distinct_ratio"),
+        # try_divide: an empty table still emits one agg row (count=0)
+        F.round(F.try_divide(F.col("n_distinct") * F.lit(1.0), F.col("n_rows")), 6).alias("distinct_ratio"),
     )
 
 
@@ -2829,9 +2834,14 @@ def ab_test_tail(u: DataFrame) -> DataFrame:
         F.col("cb").alias("conv_b"),
         F.round(F.col("ca") * F.lit(1.0) / F.col("na"), 6).alias("rate_a"),
         F.round(F.col("cb") * F.lit(1.0) / F.col("nb"), 6).alias("rate_b"),
+        # try_divide: zero conversions in both arms → pooled p=0 → sqrt
+        # term 0 → ANSI 0/0 crash; numerator is 0 there too, so NULL
+        # matches DuckDB's 0/0.0
         F.round(
-            (F.col("ca") * F.lit(1.0) / F.col("na") - F.col("cb") * F.lit(1.0) / F.col("nb"))
-            / F.sqrt(p * (F.lit(1) - p) * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))),
+            F.try_divide(
+                F.col("ca") * F.lit(1.0) / F.col("na") - F.col("cb") * F.lit(1.0) / F.col("nb"),
+                F.sqrt(p * (F.lit(1) - p) * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))),
+            ),
             6,
         ).alias("z_score"),
     )
@@ -3356,6 +3366,8 @@ def weekday_profile_tail(daily: DataFrame) -> DataFrame:
             "weekday",
             "cents",
             "n_days",
-            F.round(F.col("cents") * F.lit(1.0) / F.col("total"), 6).alias("revenue_share"),
+            # try_divide: a type whose every value rounds to 0 cents has
+            # total=0; ANSI would raise where DuckDB's x/0.0 yields NULL
+            F.round(F.try_divide(F.col("cents") * F.lit(1.0), F.col("total")), 6).alias("revenue_share"),
         )
     )

@@ -17,6 +17,10 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # fail loud on double registration: a silent last-wins overwrite
+        # hides dead code and can swap in a subtly different twin
+        if name in QUERIES:
+            raise ValueError(f"query {name!r} registered twice")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -59,13 +59,33 @@ EVENT_QUERIES = [
     "q_watermark_cadence", "q_acf_daily", "q_data_freshness",
     "q_active_users", "q_weekday_profile", "q_cohort_retention",
     "q_retention_curve", "q_time_to_convert", "q_rolling_time_window",
-    "q_dynamic_session_window",
+    "q_dynamic_session_window", "q_timeseries_similarity",
+    "q_interval_concurrency", "q_rolling_zscore", "q_merge_upsert",
+    "q_top_paths", "q_forecast_eval", "q_changepoint_cusum",
+    "q_survival_curve", "q_k_anonymity", "q_ab_test", "q_lag_features",
+    "q_power_analysis", "q_grouped_udaf", "q_full_outer_reconcile",
+    "q_scd2_intervals", "q_latest_snapshot", "q_linear_attribution",
+    "q_topk_per_group", "q_count_window", "q_asof_join", "q_range_join",
+    "q_pivot", "q_window_frames", "q_recover_value",
+    "q_recover_with_stream",
 ]
 # Queries reading ONLY the documents table (all oracle-declared).
 DOC_QUERIES = [
     "q_token_stats", "q_lang_id", "q_dedup_text_exact", "q_text_normalize",
     "q_quality_score", "q_repetition_filter", "q_doc_fingerprint",
-    "q_flatmap_explode",
+    "q_flatmap_explode", "q_ngram_heavy_hitters", "q_bm25_topterms",
+    "q_source_cap", "q_lang_confusion", "q_dedup_rate_report",
+    "q_inverted_index", "q_cms_heavy_hitters", "q_unigram_surprisal",
+    "q_mixture_resample", "q_auc_eval", "q_calibration", "q_zipf_fit",
+    "q_bloom_index", "q_training_order", "q_corpus_entropy",
+    "q_weighted_sample", "q_cross_source_overlap", "q_ks_drift",
+    "q_decision_stump", "q_dup_span_coverage", "q_group_split",
+    "q_quantile_normalize", "q_quality_prune", "q_dedup_keep_rule",
+    "q_corpus_delta", "q_sequence_pack", "q_mixture_weights",
+    "q_pii_redact", "q_multimodal_decode", "q_multimodal_meta",
+    "q_stratified_sample", "q_schema_evolution_union", "q_chi_square",
+    "q_simhash_dedup", "q_tfidf_topterms", "q_training_pipeline",
+    "q_text_tokens", "q_decontaminate", "q_minhash_recall",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -122,13 +142,23 @@ def _documents_frame(draw):
     )
 
 
+def _write_table(tmpdir: str, name: str, df: pd.DataFrame) -> None:
+    """Write a fuzzed table with MICROSECOND timestamps — the testdata
+    contract load_table normalizes (pandas' default ns unit would hit the
+    legacy nanosAsLong read path, which load_table only maps for events.ts)."""
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    df.to_parquet(os.path.join(tmpdir, f"{name}.parquet"), index=False)
+
+
 def _materialize(tmpdir: str, events: pd.DataFrame, documents: pd.DataFrame) -> str:
     """Write the fuzzed tables + fixed sf0.001 copies of everything else."""
     for t in _TABLES:
         if t not in ("events", "documents"):
             shutil.copy(os.path.join(_SF0001, f"{t}.parquet"), os.path.join(tmpdir, f"{t}.parquet"))
-    events.to_parquet(os.path.join(tmpdir, "events.parquet"), index=False)
-    documents.to_parquet(os.path.join(tmpdir, "documents.parquet"), index=False)
+    _write_table(tmpdir, "events", events)
+    _write_table(tmpdir, "documents", documents)
     return tmpdir
 
 
@@ -171,4 +201,106 @@ _FUZZ_SETTINGS = dict(
 def test_random_tables_match_duckdb_oracles(spark, tmp_path_factory, events, documents, picks):
     tmpdir = str(tmp_path_factory.mktemp("fuzz_sf"))
     _materialize(tmpdir, events, documents)
+    _check_parity(spark, tmpdir, list(picks[:10]))
+
+
+# Queries whose Spark side reads ONLY orders/customer/lineitem (verified by
+# source scan) and is cheap enough to fuzz — the relational/TPC-H surface.
+# Heavy iteratives (pagerank, densest-subgraph, triangle-count) are excluded
+# on cost, not semantics.
+TPCH_QUERIES = [
+    "q_group_agg", "q_join_orders_customer", "q_semi_anti", "q_topk",
+    "q_distinct", "q_rank_window", "q_exact_percentile", "q_rollup",
+    "q_salted_join", "q_map_project", "q_filter_predicate", "q_sink_fold_sum",
+    "q_take_limit", "q_cube", "q_hash_sample", "q_analytic_distribution",
+    "q_stats_agg", "q_robust_stats_mad", "q_winsorize", "q_integrity_audit",
+    "q_skew_report", "q_rfm_segmentation", "q_interval_join",
+    "q_target_encoding", "q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q6",
+    "q_tpch_q13", "q_tpch_q18", "q_tpch_q22",
+]
+
+ORDER_STATUS = ["F", "O", "P"]
+ORDER_PRIORITY = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+RETURNFLAG = ["A", "N", "R"]
+LINESTATUS = ["F", "O"]
+MKTSEGMENT = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+_EPOCH_1995 = 788_918_400  # 1995-01-01, start of the fixtures' date domain
+
+
+def _days(draw, n, span_days=2400):
+    offs = draw(st.lists(st.integers(0, span_days), min_size=n, max_size=n))
+    return pd.to_datetime([(_EPOCH_1995 + d * 86_400) * 1000 for d in offs], unit="ms")
+
+
+@st.composite
+def _customer_frame(draw):
+    n = draw(st.integers(min_value=8, max_value=20))
+    return pd.DataFrame(
+        {
+            "c_custkey": pd.array(range(n), dtype="int64"),
+            "c_name": [f"Customer#{i:09d}" for i in range(n)],
+            "c_nationkey": pd.array(draw(st.lists(st.integers(0, 24), min_size=n, max_size=n)), dtype="int32"),
+            "c_acctbal": [round(v, 2) for v in draw(st.lists(st.floats(-1000, 10_000, allow_nan=False, allow_infinity=False), min_size=n, max_size=n))],
+            "c_mktsegment": draw(st.lists(st.sampled_from(MKTSEGMENT), min_size=n, max_size=n)),
+        }
+    )
+
+
+@st.composite
+def _orders_frame(draw, n_cust):
+    n = draw(st.integers(min_value=15, max_value=40))
+    return pd.DataFrame(
+        {
+            "o_orderkey": pd.array(range(n), dtype="int64"),
+            # +3: dangling custkeys — referential integrity is NOT assumed,
+            # so anti-joins and outer reconciles see genuine orphans
+            "o_custkey": pd.array(draw(st.lists(st.integers(0, n_cust + 3), min_size=n, max_size=n)), dtype="int64"),
+            "o_orderstatus": draw(st.lists(st.sampled_from(ORDER_STATUS), min_size=n, max_size=n)),
+            "o_totalprice": [round(v, 2) for v in draw(st.lists(st.floats(1000, 500_000, allow_nan=False, allow_infinity=False), min_size=n, max_size=n))],
+            "o_orderdate": _days(draw, n),
+            "o_orderpriority": draw(st.lists(st.sampled_from(ORDER_PRIORITY), min_size=n, max_size=n)),
+        }
+    )
+
+
+@st.composite
+def _lineitem_frame(draw, n_orders):
+    n = draw(st.integers(min_value=25, max_value=70))
+    return pd.DataFrame(
+        {
+            "l_orderkey": pd.array(draw(st.lists(st.integers(0, n_orders + 2), min_size=n, max_size=n)), dtype="int64"),
+            "l_partkey": pd.array(draw(st.lists(st.integers(0, 199), min_size=n, max_size=n)), dtype="int64"),
+            "l_suppkey": pd.array(draw(st.lists(st.integers(0, 9), min_size=n, max_size=n)), dtype="int64"),
+            "l_linenumber": pd.array(draw(st.lists(st.integers(1, 7), min_size=n, max_size=n)), dtype="int32"),
+            "l_quantity": [float(q) for q in draw(st.lists(st.integers(1, 50), min_size=n, max_size=n))],
+            "l_extendedprice": [round(v, 2) for v in draw(st.lists(st.floats(900, 105_000, allow_nan=False, allow_infinity=False), min_size=n, max_size=n))],
+            "l_discount": [d / 100 for d in draw(st.lists(st.integers(0, 10), min_size=n, max_size=n))],
+            "l_tax": [t / 100 for t in draw(st.lists(st.integers(0, 8), min_size=n, max_size=n))],
+            "l_returnflag": draw(st.lists(st.sampled_from(RETURNFLAG), min_size=n, max_size=n)),
+            "l_linestatus": draw(st.lists(st.sampled_from(LINESTATUS), min_size=n, max_size=n)),
+            "l_shipdate": _days(draw, n),
+        }
+    )
+
+
+@st.composite
+def _tpch_triple(draw):
+    customer = draw(_customer_frame())
+    orders = draw(_orders_frame(n_cust=len(customer)))
+    lineitem = draw(_lineitem_frame(n_orders=len(orders)))
+    return customer, orders, lineitem
+
+
+@settings(**_FUZZ_SETTINGS)
+@given(triple=_tpch_triple(), picks=st.permutations(TPCH_QUERIES))
+def test_random_tpch_tables_match_duckdb_oracles(spark, tmp_path_factory, triple, picks):
+    customer, orders, lineitem = triple
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_tpch"))
+    for t in _TABLES:
+        if t not in ("customer", "orders", "lineitem"):
+            shutil.copy(os.path.join(_SF0001, f"{t}.parquet"), os.path.join(tmpdir, f"{t}.parquet"))
+    _write_table(tmpdir, "customer", customer)
+    _write_table(tmpdir, "orders", orders)
+    _write_table(tmpdir, "lineitem", lineitem)
     _check_parity(spark, tmpdir, list(picks[:10]))

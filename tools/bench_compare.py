@@ -25,7 +25,10 @@ def main() -> int:
 
     a = load(sys.argv[1])
     b = load(sys.argv[2])
-    qa, qb = a.get("queries", {}), b.get("queries", {})
+    # BENCH_DETAIL.json (round 4+) splits the ledger into a min-of-reps
+    # headline tier and a reps=1 tail — compare across both
+    qa = {**a.get("queries", {}), **a.get("tail_queries", {})}
+    qb = {**b.get("queries", {}), **b.get("tail_queries", {})}
     sa, sb = a.get("spread", {}), b.get("spread", {})
 
     regressions, improvements, noise = {}, {}, {}

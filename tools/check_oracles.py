@@ -44,7 +44,11 @@ def normalize(df):
         if isinstance(v, float):
             if math.isnan(v):
                 return "<nan>"
-            return f"{v:.6f}"
+            s = f"{v:.6f}"
+            # IEEE -0.0 (and -1e-7..0) formats as "-0.000000": numerically
+            # equal to zero, so canonicalize — DuckDB's round() preserves the
+            # sign bit where Spark's does not (found by cross-engine fuzz)
+            return "0.000000" if s == "-0.000000" else s
         if isinstance(v, bool):
             return str(bool(v))
         return str(v)
