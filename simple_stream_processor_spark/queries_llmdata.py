@@ -2897,7 +2897,9 @@ def pca_power_iterate(cov: DataFrame, mu: DataFrame, rounds: int = 3) -> DataFra
             .localCheckpoint(eager=False)
         )
         nm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm"))
-        v = w.crossJoin(F.broadcast(nm)).select("pos", F.round(F.col("w") / F.col("nm"), 6).alias("vv"))
+        # try_divide: a zero covariance matrix (all vectors identical) gives
+        # w=0, nm=0; the SQL oracle's w/nm is NULL there, not an ANSI error
+        v = w.crossJoin(F.broadcast(nm)).select("pos", F.round(F.try_divide(F.col("w"), F.col("nm")), 6).alias("vv"))
     lam = (
         v.join(F.broadcast(w.select(F.col("pos").alias("w_pos"), "w")), v["pos"] == F.col("w_pos"))
         .agg(F.round(F.sum(F.col("vv") * F.col("w")), 4).alias("eigval"))

@@ -292,6 +292,71 @@ def _tpch_triple(draw):
     return customer, orders, lineitem
 
 
+# Queries whose Spark side reads ONLY the embeddings table (verified by
+# source scan), all oracle-declared. Top-k shapes are tie-broken by vec_id
+# in both engines, so random vectors cannot flicker the frontier.
+EMBEDDING_QUERIES = [
+    "q_embedding_quantize", "q_batch_ann", "q_kmeans", "q_pca_top_component",
+    "q_hard_negatives", "q_pq_codes", "q_embedding_drift", "q_ann_recall",
+    "q_ann_pq", "q_label_noise", "q_embedding_dedup", "q_cosine_topk",
+    "q_ann_ivf", "q_ann_bucketed",
+]
+
+
+@st.composite
+def _embeddings_frame(draw):
+    import numpy as np
+
+    n = draw(st.integers(min_value=12, max_value=30))
+    dim = 64  # the fixtures' embedding width; PQ subspace math assumes it
+    flat = draw(
+        st.lists(
+            st.integers(-1000, 1000),
+            min_size=n * dim,
+            max_size=n * dim,
+        )
+    )
+    vecs = []
+    for i in range(n):
+        row = [v / 1000 for v in flat[i * dim : (i + 1) * dim]]
+        # pin a nonzero first component: zero-norm vectors are outside the
+        # embedding contract (cosine denominators divide by the norm)
+        if abs(row[0]) < 0.1:
+            row[0] = 0.5
+        vecs.append(np.asarray(row, dtype=np.float32))
+    labels = draw(st.lists(st.integers(0, 9), min_size=n, max_size=n))
+    return pd.DataFrame(
+        {
+            "vec_id": pd.array(range(n), dtype="int64"),
+            "embedding": vecs,
+            "label": pd.array(labels, dtype="int32"),
+        }
+    )
+
+
+@settings(**_FUZZ_SETTINGS)
+@given(embeddings=_embeddings_frame(), picks=st.permutations(EMBEDDING_QUERIES))
+def test_random_embeddings_match_duckdb_oracles(spark, tmp_path_factory, embeddings, picks):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_emb"))
+    for t in _TABLES:
+        if t != "embeddings":
+            shutil.copy(os.path.join(_SF0001, f"{t}.parquet"), os.path.join(tmpdir, f"{t}.parquet"))
+    # explicit float32 list schema — pandas would infer float64, and the
+    # fixtures' column is FLOAT[]
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(embeddings["vec_id"], type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in embeddings["embedding"]], type=pa.list_(pa.float32())),
+            "label": pa.array(embeddings["label"], type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmpdir, "embeddings.parquet"))
+    _check_parity(spark, tmpdir, list(picks[:6]))
+
+
 @settings(**_FUZZ_SETTINGS)
 @given(triple=_tpch_triple(), picks=st.permutations(TPCH_QUERIES))
 def test_random_tpch_tables_match_duckdb_oracles(spark, tmp_path_factory, triple, picks):
