@@ -32,6 +32,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _revenue_units(price: str = "l_extendedprice", disc: str = "l_discount"):
+    """Per-row revenue in exact 10^-4 dollar units: price has 2 decimals
+    and discount is a whole percent, so cents(price) x (100 - pct) is an
+    exact integer — float accumulation order differs between engines (and
+    between partitionings of the same engine at cluster scale), and a sum
+    landing on a x.xx5 boundary flips round(.,2) by a cent. Summed as
+    decimal(38,0) so 100 TB row counts cannot overflow; divide by 1e4
+    once at the end. The DuckDB oracles mirror the same expression
+    (bigint sums auto-widen to int128 there)."""
+    price_c = F.round(F.col(price) * 100, 0).cast("long")
+    disc_pct = F.round(F.col(disc) * 100, 0).cast("long")
+    return (price_c * (F.lit(100) - disc_pct)).cast("decimal(38,0)")
+
+
 # ---------------------------------------------------------------------------
 # §2.1 Sources / sinks
 # ---------------------------------------------------------------------------
@@ -51,7 +65,8 @@ def q_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sink_fold_sum",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
            count(*) AS n
     FROM lineitem
     """,
@@ -64,7 +79,7 @@ def q_sink_fold_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return core.fold_agg(
         li,
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.sum(_revenue_units()) / F.lit(10000.0), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -475,8 +490,9 @@ def q_watermark_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS sum_disc_price,
            round(avg(l_quantity), 2) AS avg_qty,
            count(*) AS count_order
     FROM lineitem
@@ -486,14 +502,22 @@ def q_watermark_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N1: keyed hash aggregation, TPC-H Q1 shape. Partial+final hash agg:
     the exchange carries only #distinct(returnflag,linestatus) rows per
-    partition — constant shuffle volume regardless of input size."""
+    partition — constant shuffle volume regardless of input size.
+
+    Money sums run in exact integer cents (prices have 2 decimals,
+    discounts are whole percents), divided back once at the end: float
+    accumulation order differs between engines and partitionings, and a
+    sum landing on a x.xx5 boundary flips round(·,2) by a cent — the
+    cross-engine rounding discipline fuzz enforces."""
     li = _t(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
     return relational.group_agg(
         li,
         ["l_returnflag", "l_linestatus"],
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.sum(price_c) / F.lit(100.0), 2).alias("sum_base_price"),
+        F.round(F.sum(price_c * (F.lit(100) - disc_pct)) / F.lit(10000.0), 2).alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
         F.count(F.lit(1)).alias("count_order"),
     )
@@ -528,7 +552,8 @@ def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multiway",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -558,7 +583,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(F.sum(_revenue_units()) / F.lit(10000.0), 2).alias("revenue")
     )
 
 

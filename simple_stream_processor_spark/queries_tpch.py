@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simple_stream_processor_spark.queries import _revenue_units
 from simple_stream_processor_spark.registry import query
 from simple_stream_processor_spark.tables import load_table
 
@@ -21,35 +22,53 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @query(
     "q_tpch_q1",
     oracle="""
+    WITH l AS (
+      SELECT l_returnflag, l_linestatus, l_quantity,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_discount * 100) AS BIGINT) AS dp,
+             CAST(round(l_tax * 100) AS BIGINT) AS tp
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    )
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(sum(pc) / 100.0, 2) AS sum_base_price,
+           round(sum(pc * (100 - dp)) / 10000.0, 2) AS sum_disc_price,
+           round(sum(pc * (100 - dp) * (100 + tp)) / 1000000.0, 2) AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           round(sum(pc) / 100.0 / count(*), 4) AS avg_price,
+           round(sum(dp) / 100.0 / count(*), 6) AS avg_disc,
            count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    FROM l
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 (pricing summary): one scan with a pushed date predicate,
     partial+final hash agg over a 4-6 key group. The widest aggregate list
-    in the suite — all in one codegen span, one tiny exchange."""
+    in the suite — all in one codegen span, one tiny exchange.
+
+    Money aggregates run on exact integer primitives (cents / whole
+    percents; TPC-H itself specifies decimal columns) summed as
+    decimal(38,0): float accumulation order differs across engines and
+    partitionings, and a sum on a x.xx5 boundary flips round(.,2) —
+    cross-engine fuzz (tests/test_oracle_fuzz.py) caught exactly that on
+    this shape."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dp = F.round(F.col("l_discount") * 100, 0).cast("long")
+    tp = F.round(F.col("l_tax") * 100, 0).cast("long")
+    disc_u = (pc * (F.lit(100) - dp)).cast("decimal(38,0)")
+    charge_u = (pc * (F.lit(100) - dp) * (F.lit(100) + tp)).cast("decimal(38,0)")
+    n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.sum(pc) / F.lit(100.0), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_u) / F.lit(10000.0), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge_u) / F.lit(1000000.0), 2).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
+        F.round(F.sum(pc) / F.lit(100.0) / n, 4).alias("avg_price"),
+        F.round(F.sum(dp) / F.lit(100.0) / n, 6).alias("avg_disc"),
+        n.alias("count_order"),
     )
 
 
@@ -57,7 +76,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
            CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE o_orderdate < TIMESTAMP '1997-06-01' AND l_shipdate > TIMESTAMP '1997-06-01'
@@ -78,7 +98,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
     return (
         j.groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # exact integer units: a cent flip near the top-10 frontier would
+        # otherwise reorder the LIMIT under a different accumulation order
+        .agg(F.round(F.sum(_revenue_units()) / F.lit(10000.0), 2).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -92,7 +114,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q6",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -109,7 +132,18 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(
+        F.round(
+            F.sum(
+                (
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                    * F.round(F.col("l_discount") * 100, 0).cast("long")
+                ).cast("decimal(38,0)")
+            )
+            / F.lit(10000.0),
+            2,
+        ).alias("revenue")
+    )
 
 
 @query(
@@ -165,11 +199,16 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q14",
     oracle="""
-    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+    WITH l AS (
+      SELECT p_type,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+    )
+    SELECT round(100.00 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev_u ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rev_u) AS DOUBLE), 4) AS promo_revenue
+    FROM l
     """,
 )
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,9 +220,15 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
-    return j.agg(F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_revenue"))
+    rev_u = _revenue_units()
+    promo_u = F.when(F.col("p_type").like("PROMO%"), rev_u).otherwise(F.lit(0).cast("decimal(38,0)"))
+    # exact integer units both sides of the ratio; cast to double before
+    # dividing so both engines run the identical int->double->divide chain
+    return j.agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo_u).cast("double") / F.sum(rev_u).cast("double"), 4
+        ).alias("promo_revenue")
+    )
 
 
 @query(

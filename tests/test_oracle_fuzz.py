@@ -205,9 +205,8 @@ def test_random_tables_match_duckdb_oracles(spark, tmp_path_factory, events, doc
 
 
 # Queries whose Spark side reads ONLY orders/customer/lineitem (verified by
-# source scan) and is cheap enough to fuzz — the relational/TPC-H surface.
-# Heavy iteratives (pagerank, densest-subgraph, triangle-count) are excluded
-# on cost, not semantics.
+# source scan) — the relational/TPC-H surface plus the graph/iterative
+# algorithms (cheap at fuzz scale: the tables are ≤70 rows).
 TPCH_QUERIES = [
     "q_group_agg", "q_join_orders_customer", "q_semi_anti", "q_topk",
     "q_distinct", "q_rank_window", "q_exact_percentile", "q_rollup",
@@ -217,6 +216,8 @@ TPCH_QUERIES = [
     "q_skew_report", "q_rfm_segmentation", "q_interval_join",
     "q_target_encoding", "q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q6",
     "q_tpch_q13", "q_tpch_q18", "q_tpch_q22",
+    "q_pagerank", "q_densest_subgraph", "q_triangle_count",
+    "q_market_basket", "q_table_profile",
 ]
 
 ORDER_STATUS = ["F", "O", "P"]
