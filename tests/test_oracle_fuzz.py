@@ -204,6 +204,31 @@ def test_random_tables_match_duckdb_oracles(spark, tmp_path_factory, events, doc
     _check_parity(spark, tmpdir, list(picks[:10]))
 
 
+# Streaming twins over the events stream (file source on the fuzz dir).
+# Each drains bounded state via AvailableNow and shares its oracle with the
+# batch twin, so this fuzzes the state-machine front half — out-of-order
+# arrival, duplicate keys/days across micro-batches — that the fixed
+# fixtures exercise only at one shape. Kept to the cheap twins (~3-6 s
+# each); 3 sampled per example.
+STREAMING_QUERIES = [
+    "q_streaming_tumbling", "q_streaming_dedup", "q_streaming_session",
+    "q_streaming_sliding", "q_streaming_funnel", "q_streaming_weekday_profile",
+    "q_streaming_retention", "q_streaming_active_users",
+]
+
+
+@settings(**_FUZZ_SETTINGS)
+@given(events=_events_frame(), picks=st.permutations(STREAMING_QUERIES))
+def test_random_events_match_streaming_twins(spark, tmp_path_factory, events, picks):
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_stream"))
+    placeholder_docs = pd.DataFrame(
+        {"doc_id": pd.array([0], dtype="int64"), "text": ["spark"], "lang": ["en"],
+         "source": ["src0"], "n_chars": pd.array([5], dtype="int64")}
+    )
+    _materialize(tmpdir, events, placeholder_docs)
+    _check_parity(spark, tmpdir, list(picks[:3]))
+
+
 # Queries whose Spark side reads ONLY orders/customer/lineitem (verified by
 # source scan) — the relational/TPC-H surface plus the graph/iterative
 # algorithms (cheap at fuzz scale: the tables are ≤70 rows).
