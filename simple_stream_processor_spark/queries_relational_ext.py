@@ -501,31 +501,70 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_stats_agg",
     oracle="""
+    WITH l AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(q) AS DOUBLE) AS sq,
+             CAST(sum(pc) AS DOUBLE) AS sp,
+             CAST(sum(q * q) AS DOUBLE) AS sqq,
+             CAST(sum(pc * pc) AS DOUBLE) AS spp,
+             CAST(sum(q * pc) AS DOUBLE) AS sqp
+      FROM l GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
-           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
-           round(var_samp(l_quantity), 6) AS qty_var
-    FROM lineitem
-    GROUP BY l_returnflag
+           round((n * sqp - sq * sp)
+                 / (sqrt(greatest(0, n * sqq - sq * sq)) * sqrt(greatest(0, n * spp - sp * sp))),
+                 6) AS qty_price_corr,
+           round((n * sqp - sq * sp) / (n * (n - 1)) / 100.0, 2) AS qty_price_covar,
+           round(sqrt(greatest(0, n * spp - sp * sp) / (n * (n - 1))) / 100.0, 4) AS price_stddev,
+           round((n * sqq - sq * sq) / (n * (n - 1)), 6) AS qty_var
+    FROM m
     """,
 )
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (corr / covar_samp / stddev_samp /
     var_samp) per group — the moments family a feature-engineering pass
-    needs, all JVM-side single-pass partial aggregates (Welford-style
-    merge), one tiny exchange. Rounding absorbs the partial-sum
-    reassociation ulps (values are O(1)-O(1e4); double noise is ~1e-10
-    relative), the same tolerance as TPC-H Q1's avg columns."""
+    needs, one pass, one tiny exchange.
+
+    Computed from exact-integer moment sums (quantities are whole,
+    prices are cents) summed as decimal(38,0), converted to double once,
+    then combined with expression trees mirrored verbatim in the oracle:
+    builtin Welford merges accumulate in partition order, which differs
+    across engines AND across partitionings of one engine, so a moment
+    landing on a rounding boundary would flip — the q_group_agg cent-flip
+    class, eliminated rather than tolerated. try_divide keeps n=1 and
+    constant-series groups at SQL NULL (the var_samp/corr contract)
+    instead of an ANSI DIVIDE_BY_ZERO."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        # ansi_safe_corr == builtin corr on non-degenerate groups (round-6
-        # absorbs the sum-form ulps) and NULL instead of an ANSI
-        # DIVIDE_BY_ZERO crash when a group's quantity is constant
-        F.round(relational.ansi_safe_corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
-        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+    qv = F.round(F.col("l_quantity"), 0).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qv).cast("double").alias("sq"),
+        F.sum(pc).cast("double").alias("sp"),
+        F.sum((qv * qv).cast("decimal(38,0)")).cast("double").alias("sqq"),
+        F.sum((pc * pc).cast("decimal(38,0)")).cast("double").alias("spp"),
+        F.sum((qv * pc).cast("decimal(38,0)")).cast("double").alias("sqp"),
+    )
+    n, sq, sp = F.col("n"), F.col("sq"), F.col("sp")
+    sqq, spp, sqp = F.col("sqq"), F.col("spp"), F.col("sqp")
+    num = n * sqp - sq * sp
+    var_q = n * sqq - sq * sq
+    var_p = n * spp - sp * sp
+    denom = n * (n - 1)
+    return m.select(
+        "l_returnflag",
+        F.round(
+            F.try_divide(num, F.sqrt(F.greatest(F.lit(0.0), var_q)) * F.sqrt(F.greatest(F.lit(0.0), var_p))), 6
+        ).alias("qty_price_corr"),
+        F.round(F.try_divide(num, denom) / F.lit(100.0), 2).alias("qty_price_covar"),
+        F.round(F.sqrt(F.try_divide(F.greatest(F.lit(0.0), var_p), denom)) / F.lit(100.0), 4).alias("price_stddev"),
+        F.round(F.try_divide(var_q, denom), 6).alias("qty_var"),
     )
 
 
