@@ -20,8 +20,14 @@ def main() -> int:
         return 2
     def load(path):
         d = json.load(open(path))
-        # the driver's BENCH_r{N}.json wraps bench.py's line under "parsed"
-        return d.get("parsed", d)
+        # the driver's BENCH_r{N}.json wraps bench.py's line under "parsed";
+        # a truncated capture leaves parsed: null (e.g. round 3) — degrade
+        # to an empty ledger instead of crashing
+        parsed = d.get("parsed", d)
+        if parsed is None:
+            print(f"# {path}: parsed is null (truncated capture), no queries to compare", file=sys.stderr)
+            return {}
+        return parsed
 
     a = load(sys.argv[1])
     b = load(sys.argv[2])
