@@ -98,10 +98,15 @@ WORDS = [
 
 _EPOCH_2024 = 1_704_067_200  # 2024-01-01T00:00:00Z, matches the fixture range
 
+# Row-count multiplier for deep soaks: SPARK_GRAFT_FUZZ_SCALE=20 grows the
+# random tables ~20x (hundreds of rows), which multiplies the chance of
+# hitting sum/rounding boundaries and drives multi-group shapes — CI keeps 1.
+_SCALE = max(1, int(os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1")))
+
 
 @st.composite
 def _events_frame(draw):
-    n = draw(st.integers(min_value=15, max_value=45))
+    n = draw(st.integers(min_value=15, max_value=45 * _SCALE))
     ts_off = draw(st.lists(st.integers(0, 5 * 86_400_000), min_size=n, max_size=n))
     users = draw(st.lists(st.integers(1, 6), min_size=n, max_size=n))
     types = draw(st.lists(st.sampled_from(EVENT_TYPES), min_size=n, max_size=n))
@@ -121,7 +126,7 @@ def _events_frame(draw):
 
 @st.composite
 def _documents_frame(draw):
-    n = draw(st.integers(min_value=8, max_value=25))
+    n = draw(st.integers(min_value=8, max_value=25 * _SCALE))
     texts = draw(
         st.lists(
             st.lists(st.sampled_from(WORDS), min_size=0, max_size=40).map(" ".join),
@@ -261,7 +266,7 @@ def _days(draw, n, span_days=2400):
 
 @st.composite
 def _customer_frame(draw):
-    n = draw(st.integers(min_value=8, max_value=20))
+    n = draw(st.integers(min_value=8, max_value=20 * _SCALE))
     return pd.DataFrame(
         {
             "c_custkey": pd.array(range(n), dtype="int64"),
@@ -275,7 +280,7 @@ def _customer_frame(draw):
 
 @st.composite
 def _orders_frame(draw, n_cust):
-    n = draw(st.integers(min_value=15, max_value=40))
+    n = draw(st.integers(min_value=15, max_value=40 * _SCALE))
     return pd.DataFrame(
         {
             "o_orderkey": pd.array(range(n), dtype="int64"),
@@ -292,7 +297,7 @@ def _orders_frame(draw, n_cust):
 
 @st.composite
 def _lineitem_frame(draw, n_orders):
-    n = draw(st.integers(min_value=25, max_value=70))
+    n = draw(st.integers(min_value=25, max_value=70 * _SCALE))
     return pd.DataFrame(
         {
             "l_orderkey": pd.array(draw(st.lists(st.integers(0, n_orders + 2), min_size=n, max_size=n)), dtype="int64"),
@@ -333,18 +338,15 @@ EMBEDDING_QUERIES = [
 def _embeddings_frame(draw):
     import numpy as np
 
-    n = draw(st.integers(min_value=12, max_value=30))
+    n = draw(st.integers(min_value=12, max_value=30 * _SCALE))
     dim = 64  # the fixtures' embedding width; PQ subspace math assumes it
-    flat = draw(
-        st.lists(
-            st.integers(-1000, 1000),
-            min_size=n * dim,
-            max_size=n * dim,
-        )
-    )
+    # n*dim drawn ints would exceed Hypothesis's list-size cap at deep
+    # SPARK_GRAFT_FUZZ_SCALE — draw one seed and expand it deterministically
+    seed = draw(st.integers(0, 2**31 - 1))
+    flat = np.random.default_rng(seed).integers(-1000, 1001, size=(n, dim))
     vecs = []
     for i in range(n):
-        row = [v / 1000 for v in flat[i * dim : (i + 1) * dim]]
+        row = [v / 1000 for v in flat[i]]
         # pin a nonzero first component: zero-norm vectors are outside the
         # embedding contract (cosine denominators divide by the norm)
         if abs(row[0]) < 0.1:
