@@ -324,6 +324,50 @@ def kmeans_refine(emb: DataFrame, rounds: int = 2) -> DataFrame:
     return kmeans_assign(e, cents)
 
 
+def semantic_dedup(emb: DataFrame, rounds: int = 2, tau: float = 0.4) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-partition
+    the embedding space, then prune near-duplicates WITHIN each cluster by
+    pairwise cosine — the semantic analog of MinHash dedup for training
+    data, catching paraphrases exact/fuzzy text dedup misses.
+
+    Keep rule (deterministic): a vector is pruned iff some same-cluster
+    vector with a SMALLER vec_id has cosine >= tau; ``dup_of`` records the
+    smallest such id. Lowest-id-wins needs no rank window and cannot
+    flicker under ties.
+
+    100 TB shape: the clustering reuses kmeans_refine (centroids broadcast,
+    corpus never shuffles during assignment); the pairwise stage shuffles
+    ONCE on cluster id and compares only within clusters — cost is
+    sum_k(n_k^2)/2, bounded by the cluster granularity (raise k to cap it;
+    SemDeDup's paper runs k in the tens of thousands for exactly this
+    reason), never all-pairs over the corpus. Cosines are sequential-fold
+    dots on both engines, so the tau frontier is bit-stable.
+
+    Returns (vec_id, cluster, kept, dup_of)."""
+    assigned = kmeans_refine(emb, rounds=rounds).select("vec_id", "v", "cluster")
+    a = assigned.select("cluster", F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    b = assigned.select("cluster", F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    dup = (
+        a.join(b, "cluster")
+        .where(F.col("b_id") < F.col("a_id"))
+        .where(cos >= F.lit(tau))
+        .groupBy("a_id")
+        .agg(F.min("b_id").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup, assigned.vec_id == dup.a_id, "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )
+
+
 def pq_subspaces(emb: DataFrame, m: int = 4, w: int = 16) -> DataFrame:
     """Split each embedding into M contiguous subvectors: one row per
     (vec_id, label, s, sv). Narrow explode of an M-element array."""

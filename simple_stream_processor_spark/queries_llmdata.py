@@ -2354,6 +2354,67 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_semantic_dedup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex0 AS (
+      SELECT label, u.i AS pos, v[u.i] AS x
+      FROM e, unnest(range(1, len(v) + 1)) AS u(i)
+    ),
+    cl0 AS (SELECT label AS cid, pos, round(avg(x), 6) AS c FROM ex0 GROUP BY 1, 2),
+    c0 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM cl0 GROUP BY cid),
+    a1 AS (
+      SELECT vec_id, v, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+                        + list_dot_product(cv, cv) ASC, cid ASC
+             ) AS rn
+      FROM e CROSS JOIN c0
+    ),
+    a1b AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+    ex1 AS (
+      SELECT cid, u.i AS pos, v[u.i] AS x
+      FROM a1b, unnest(range(1, len(v) + 1)) AS u(i)
+    ),
+    cl1 AS (SELECT cid, pos, round(avg(x), 6) AS c FROM ex1 GROUP BY 1, 2),
+    c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM cl1 GROUP BY cid),
+    a2 AS (
+      SELECT vec_id, v, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+                        + list_dot_product(cv, cv) ASC, cid ASC
+             ) AS rn
+      FROM e CROSS JOIN c1
+    ),
+    asgn AS (SELECT vec_id, v, cid FROM a2 WHERE rn = 1),
+    dup AS (
+      SELECT a.vec_id AS a_id, min(b.vec_id) AS dup_of
+      FROM asgn a JOIN asgn b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      GROUP BY a.vec_id
+    )
+    SELECT asgn.vec_id, cid AS cluster, dup_of IS NULL AS kept, dup_of
+    FROM asgn LEFT JOIN dup ON asgn.vec_id = dup.a_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py:semantic_dedup): k-means-partition
+    the embedding space (the same deterministic 2-round Lloyd refinement
+    as q_kmeans), then prune near-duplicates within each cluster by
+    pairwise cosine >= 0.4 with a lowest-vec_id-wins keep rule — the
+    semantic dedup pass (Abbas et al. 2023) that catches paraphrases
+    MinHash/SimHash text dedup misses. The oracle unrolls the identical
+    two Lloyd rounds and the same pair join, so the full
+    cluster-then-prune pipeline is hash-matched. Pairs form only inside
+    clusters: the one corpus shuffle is on cluster id, cost bounded by
+    cluster granularity, never all-pairs."""
+    return similarity.semantic_dedup(_t(spark, sf_dir, "embeddings"), rounds=2, tau=0.4)
+
+
 BLOOM_ORACLE = """
     WITH d AS (SELECT source, md5(text) AS h FROM documents),
     pos AS (

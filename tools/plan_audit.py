@@ -68,6 +68,11 @@ SINGLE_PARTITION_ALLOWANCE = {
     # one k-row centroid packing per Lloyd round (collect_list of the k
     # centroids into the broadcast struct array) — never record-level data
     "q_kmeans": 2,
+    # the same 2 k-row Lloyd packings, but the final assignment feeds THREE
+    # consumers (pair-join left, pair-join right, keep-rule join back), and
+    # exchange reuse does not fire across them — 2 x 3 k-row exchanges,
+    # never record-level data
+    "q_semantic_dedup": 6,
     # the corpus-ECDF running sum over the bounded 1e4-bin grid plus the
     # one-row grand-total aggregate — both over binned partials, never docs
     "q_ks_drift": 2,
