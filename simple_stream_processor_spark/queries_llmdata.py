@@ -1108,6 +1108,110 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dsir_select",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5('dsir:' || t.w), 1, 8))::BIGINT) % 4096 AS b
+      FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      WHERE t.w <> ''
+    ),
+    tcnt AS (SELECT b, count(*) AS ct FROM tok WHERE source = 'src0' GROUP BY b),
+    ttot AS (SELECT count(*) AS tt FROM tok WHERE source = 'src0'),
+    scnt AS (SELECT b, count(*) AS cs FROM tok WHERE source <> 'src0' GROUP BY b),
+    stot AS (SELECT count(*) AS ts FROM tok WHERE source <> 'src0'),
+    lr AS (
+      SELECT s.b,
+             ln(((coalesce(t.ct, 0) + 1) * (st.ts + 4096))
+                / (CAST((s.cs + 1) * (tt.tt + 4096) AS DOUBLE))) AS lr
+      FROM scnt s LEFT JOIN tcnt t ON s.b = t.b, ttot tt, stot st
+    ),
+    docb AS (
+      SELECT doc_id, source, b, count(*) AS n
+      FROM tok WHERE source <> 'src0' GROUP BY doc_id, source, b
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source,
+             CAST(sum(d.n) AS BIGINT) AS n_tokens,
+             list_reduce(list_prepend(0.0, list(d.n * l.lr ORDER BY d.b)),
+                         (a, x) -> a + x) AS score
+      FROM docb d JOIN lr l ON d.b = l.b
+      GROUP BY d.doc_id, d.source
+    )
+    SELECT doc_id, source, n_tokens, round(score, 6) AS dsir_score
+    FROM scored ORDER BY score DESC, doc_id ASC LIMIT 100
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — data selection via importance resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw-pool document by its hashed-unigram
+    importance log-ratio against a target domain (src0 stands in for the
+    high-quality target), then take the top-k. The domain-adaptation
+    selection step between raw crawl and training mix.
+
+    Engine-exact by construction: bucket counts and the add-one-smoothed
+    ratio (ct+1)(Ts+B) / (cs+1)(Tt+B) are exact integers, so ln() sees the
+    identical double in both engines; per-doc scores fold the per-bucket
+    terms in sorted bucket order from the same 0.0 seed (F.aggregate here,
+    list_reduce/list_prepend there), so a duplicated text can only tie
+    bit-exactly and the (score, doc_id) top-k frontier cannot flicker.
+
+    100 TB shape: token explode is narrow; the bucket vocabulary is FIXED
+    at B=4096 rows, so the log-ratio table broadcasts; one doc-keyed
+    exchange builds per-doc bucket counts; top-k is TakeOrdered. Raising B
+    or swapping unigrams for hashed n-grams changes only the broadcast."""
+    d = tables.spread(_t(spark, sf_dir, "documents"), "doc_id")
+    tok = (
+        d.select("doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .select(
+            "doc_id",
+            "source",
+            (F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("w"))), 1, 8), 16, 10).cast("long") % 4096).alias("b"),
+        )
+    )
+    target = tok.where(F.col("source") == "src0")
+    pool = tok.where(F.col("source") != "src0")
+    tcnt = target.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    ttot = target.agg(F.count(F.lit(1)).alias("tt"))
+    scnt = pool.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    stot = pool.agg(F.count(F.lit(1)).alias("ts"))
+    lr = (
+        scnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(stot))
+        .select(
+            "b",
+            F.log(
+                ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * (F.col("ts") + 4096))
+                / ((F.col("cs") + 1) * (F.col("tt") + 4096)).cast("double")
+            ).alias("lr"),
+        )
+    )
+    docb = pool.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        docb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("b"), (F.col("n") * F.col("lr")).alias("term")))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select("doc_id", "source", "n_tokens", F.round("score", 6).alias("dsir_score"))
+    )
+
+
+@query(
     "q_text_normalize",
     oracle="""
     SELECT doc_id,

@@ -85,7 +85,7 @@ DOC_QUERIES = [
     "q_pii_redact", "q_multimodal_decode", "q_multimodal_meta",
     "q_stratified_sample", "q_schema_evolution_union", "q_chi_square",
     "q_simhash_dedup", "q_tfidf_topterms", "q_training_pipeline",
-    "q_text_tokens", "q_decontaminate", "q_minhash_recall",
+    "q_text_tokens", "q_decontaminate", "q_minhash_recall", "q_dsir_select",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]

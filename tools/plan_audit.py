@@ -68,6 +68,9 @@ SINGLE_PARTITION_ALLOWANCE = {
     # one k-row centroid packing per Lloyd round (collect_list of the k
     # centroids into the broadcast struct array) — never record-level data
     "q_kmeans": 2,
+    # the two corpus-token totals (target and pool) — each a one-row count
+    # over #tasks partial rows, broadcast into the 4096-row log-ratio table
+    "q_dsir_select": 2,
     # the same 2 k-row Lloyd packings, but the final assignment feeds THREE
     # consumers (pair-join left, pair-join right, keep-rule join back), and
     # exchange reuse does not fire across them — 2 x 3 k-row exchanges,
