@@ -1161,23 +1161,44 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange builds per-doc bucket counts; top-k is TakeOrdered. Raising B
     or swapping unigrams for hashed n-grams changes only the broadcast."""
     d = tables.spread(_t(spark, sf_dir, "documents"), "doc_id")
-    tok = (
+    tok = dsir_tokens(d)
+    counts = tok.groupBy((F.col("source") == "src0").alias("is_target"), "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return dsir_tail(counts, tok.where(F.col("source") != "src0"))
+
+
+def dsir_bucket(col: Column) -> Column:
+    """Engine-portable hashed-unigram bucket: md5-prefix arithmetic mod
+    B=4096, identical in DuckDB as ('0x'||substr(md5(...),1,8))::BIGINT % 4096."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), col)), 1, 8), 16, 10).cast("long") % 4096
+
+
+def dsir_tokens(d: DataFrame) -> DataFrame:
+    """(doc_id, source, b) token-bucket rows — the shared front of the
+    batch and streaming DSIR paths."""
+    return (
         d.select("doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("w"))
         .where(F.col("w") != "")
-        .select(
-            "doc_id",
-            "source",
-            (F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("w"))), 1, 8), 16, 10).cast("long") % 4096).alias("b"),
-        )
+        .select("doc_id", "source", dsir_bucket(F.col("w")).alias("b"))
     )
-    target = tok.where(F.col("source") == "src0")
-    pool = tok.where(F.col("source") != "src0")
-    tcnt = target.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    ttot = target.agg(F.count(F.lit(1)).alias("tt"))
-    scnt = pool.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
-    stot = pool.agg(F.count(F.lit(1)).alias("ts"))
+
+
+def dsir_tail(counts: DataFrame, pool_tok: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming DSIR queries: from a
+    bounded (is_target, b, cnt) bucket-count table (<= 2x4096 rows — in
+    the streaming twin this table IS the state) and the pool's token-
+    bucket rows, build the smoothed log-ratio table and the sorted-fold
+    per-doc scores. Identical expressions both paths, so the streaming
+    twin hash-matches the batch oracle."""
+    # the two branches split the SAME drained plan; renaming the target
+    # side's key avoids the self-join attribute conflict
+    tcnt = counts.where(F.col("is_target")).select(F.col("b").alias("tb"), F.col("cnt").alias("ct"))
+    scnt = counts.where(~F.col("is_target")).select("b", F.col("cnt").alias("cs"))
+    ttot = tcnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    stot = scnt.agg(F.coalesce(F.sum("cs"), F.lit(0)).alias("ts"))
     lr = (
-        scnt.join(tcnt, "b", "left")
+        scnt.join(tcnt, scnt.b == tcnt.tb, "left")
         .crossJoin(F.broadcast(ttot))
         .crossJoin(F.broadcast(stot))
         .select(
@@ -1188,7 +1209,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lr"),
         )
     )
-    docb = pool.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("n"))
+    docb = pool_tok.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("n"))
     scored = (
         docb.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "source")

@@ -1282,3 +1282,44 @@ def q_streaming_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
     drained, _ = run_stream_to_memory(daily, output_mode="complete")
     return weekday_profile_tail(drained)
+
+
+def _dsir_oracle() -> str:
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_dsir_select"]
+
+
+@query("q_streaming_dsir", oracle=_dsir_oracle())
+def q_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_dsir_select (L62b): the (is_target, bucket)
+    token-count table — the sufficient statistic for the DSIR importance
+    ratios — is maintained INCREMENTALLY by one streaming aggregate whose
+    state is bounded at 2x4096 rows no matter how long the document
+    stream runs; counts are commutative, so arrival order across
+    micro-batches cannot change them. The drained table flows through the
+    shared dsir_tail with the per-doc scoring side (evaluation-only here,
+    exactly like the exact-count probe of q_streaming_cms), hash-matching
+    the identical batch oracle. This is how target-domain selection runs
+    on a live crawl: the ratio model updates continuously; scoring any
+    batch of candidate docs is a broadcast join against 4096 rows."""
+    from simple_stream_processor_spark.queries_llmdata import dsir_bucket, dsir_tail, dsir_tokens
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tok_stream = (
+        sdf.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .select("source", dsir_bucket(F.col("w")).alias("b"))
+    )
+    counts_stream = tok_stream.groupBy(
+        (F.col("source") == "src0").alias("is_target"), "b"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    counts, _ = run_stream_to_memory(counts_stream, output_mode="complete")
+
+    pool_tok = dsir_tokens(load_table(spark, "documents", sf_dir)).where(F.col("source") != "src0")
+    return dsir_tail(counts, pool_tok)

@@ -209,28 +209,26 @@ def test_random_tables_match_duckdb_oracles(spark, tmp_path_factory, events, doc
     _check_parity(spark, tmpdir, list(picks[:10]))
 
 
-# Streaming twins over the events stream (file source on the fuzz dir).
-# Each drains bounded state via AvailableNow and shares its oracle with the
-# batch twin, so this fuzzes the state-machine front half — out-of-order
-# arrival, duplicate keys/days across micro-batches — that the fixed
-# fixtures exercise only at one shape. Kept to the cheap twins (~3-6 s
-# each); 3 sampled per example.
+# Streaming twins over the events/documents streams (file source on the
+# fuzz dir). Each drains bounded state via AvailableNow and shares its
+# oracle with the batch twin, so this fuzzes the state-machine front half —
+# out-of-order arrival, duplicate keys/days across micro-batches — that the
+# fixed fixtures exercise only at one shape. Kept to the cheap twins
+# (~3-6 s each); 3 sampled per example.
 STREAMING_QUERIES = [
     "q_streaming_tumbling", "q_streaming_dedup", "q_streaming_session",
     "q_streaming_sliding", "q_streaming_funnel", "q_streaming_weekday_profile",
     "q_streaming_retention", "q_streaming_active_users",
+    "q_streaming_cms", "q_streaming_bloom", "q_streaming_entropy",
+    "q_streaming_dsir",
 ]
 
 
 @settings(**_FUZZ_SETTINGS)
-@given(events=_events_frame(), picks=st.permutations(STREAMING_QUERIES))
-def test_random_events_match_streaming_twins(spark, tmp_path_factory, events, picks):
+@given(events=_events_frame(), documents=_documents_frame(), picks=st.permutations(STREAMING_QUERIES))
+def test_random_events_match_streaming_twins(spark, tmp_path_factory, events, documents, picks):
     tmpdir = str(tmp_path_factory.mktemp("fuzz_stream"))
-    placeholder_docs = pd.DataFrame(
-        {"doc_id": pd.array([0], dtype="int64"), "text": ["spark"], "lang": ["en"],
-         "source": ["src0"], "n_chars": pd.array([5], dtype="int64")}
-    )
-    _materialize(tmpdir, events, placeholder_docs)
+    _materialize(tmpdir, events, documents)
     _check_parity(spark, tmpdir, list(picks[:3]))
 
 
