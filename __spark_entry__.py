@@ -70,7 +70,11 @@ _PRIORITY = [
     "q_dedup_rate_report", "q_embedding_drift",
     # ---------- window boundary (50) ----------
     # ROUND-5 window: the 47 below are the last never-driver-verified
-    # queries; promote them to the head next round and debt reaches zero.
+    # queries from rounds 1-3; promote them to the head next round. Round 4
+    # added three new queries (q_semantic_dedup, q_dsir_select,
+    # q_streaming_dsir — at the registry tail, all local-oracle-green at 3
+    # SFs); with 47 + 3 = 50 the round-5 window can take debt to zero in
+    # one pass by appending those three after the 47.
     "q_inverted_index", "q_cms_heavy_hitters", "q_unigram_surprisal",
     "q_ann_recall", "q_mixture_resample", "q_auc_eval", "q_calibration",
     "q_zipf_fit", "q_bloom_index", "q_training_order", "q_corpus_entropy",
@@ -85,6 +89,8 @@ _PRIORITY = [
     "q_lag_features", "q_target_encoding", "q_time_to_convert",
     "q_power_analysis", "q_retention_curve", "q_data_freshness",
     "q_active_users", "q_dim_coverage", "q_weekday_profile",
+    # --- new in round 4 (47 + 3 = exactly the round-5 window) ---
+    "q_semantic_dedup", "q_dsir_select", "q_streaming_dsir",
     # --- driver-verified in r1-r3 (keep their relative order) ---
     "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q13",
     "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q21",

@@ -102,7 +102,7 @@ TAIL = [
     "q_table_profile", "q_ab_test", "q_lag_features", "q_target_encoding",
     "q_time_to_convert", "q_power_analysis", "q_retention_curve",
     "q_data_freshness", "q_active_users", "q_quantile_normalize",
-    "q_dim_coverage",
+    "q_dim_coverage", "q_semantic_dedup", "q_dsir_select",
 ]
 
 
