@@ -974,3 +974,113 @@ def test_interval_overlap_join_two_tables_matches_naive(spark, left, right):
         for r in interval_overlap_join(ldf, rdf, on="k", start="s", end="e", bucket_days=6).collect()
     )
     assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-5, 5), min_size=4, max_size=4),
+        min_size=3,
+        max_size=16,
+    ),
+    labels=st.data(),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_semantic_dedup_keep_rule_matches_bruteforce(spark, vecs, labels):
+    """semantic_dedup's prune/keep decisions == brute force: given the
+    operator's OWN cluster assignment, a vector must be pruned iff a
+    smaller-id same-cluster vector has cosine >= tau, with dup_of the
+    smallest such id — validates the pair-join and keep rule
+    independently of the Lloyd clustering (whose parity the SQL oracle
+    already pins)."""
+    import math
+
+    from simple_stream_processor_spark.operators.similarity import semantic_dedup
+
+    rows = []
+    for i, v in enumerate(vecs):
+        vv = [float(x) for x in v]
+        if all(x == 0 for x in vv):
+            vv[0] = 1.0  # zero-norm vectors are outside the embedding contract
+        rows.append((i, vv, labels.draw(st.integers(0, 2), label=f"label{i}")))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    tau = 0.9
+    out = {r.vec_id: r for r in semantic_dedup(df, rounds=2, tau=tau).collect()}
+    assert set(out) == {i for i, _, _ in rows}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    by_id = {i: v for i, v, _ in rows}
+    for i, r in out.items():
+        same_cluster = [j for j in out if out[j].cluster == r.cluster and j < i]
+        dups = sorted(j for j in same_cluster if cos(by_id[i], by_id[j]) >= tau - 1e-9)
+        near = [j for j in same_cluster if abs(cos(by_id[i], by_id[j]) - tau) < 1e-9]
+        if near:
+            continue  # frontier within float tolerance of tau — either verdict is consistent
+        if dups:
+            assert not r.kept and r.dup_of == dups[0], (i, r, dups)
+        else:
+            assert r.kept and r.dup_of is None, (i, r)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]), min_size=1, max_size=12),
+            st.sampled_from(["src0", "src1", "src2"]),
+        ),
+        min_size=2,
+        max_size=20,
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_dsir_scores_match_python_reference(spark, docs):
+    """q_dsir_select's scores == a pure-Python DSIR reference: identical
+    md5 bucketing, add-one smoothing from exact integer counts, and the
+    sorted-bucket fold — validates the whole importance-ratio pipeline
+    against an implementation that shares no code with the Spark path."""
+    import hashlib
+    import math
+
+    from simple_stream_processor_spark.queries_llmdata import dsir_tail, dsir_tokens
+
+    B = 4096
+    rows = [(i, " ".join(toks), "xx", src, len(" ".join(toks))) for i, (toks, src) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    tok = dsir_tokens(df)
+    counts = tok.groupBy((F.col("source") == "src0").alias("is_target"), "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    got = {r.doc_id: r for r in dsir_tail(counts, tok.where(F.col("source") != "src0")).collect()}
+
+    def bucket(w):
+        return int(hashlib.md5(f"dsir:{w}".encode()).hexdigest()[:8], 16) % B
+
+    tcnt, scnt = {}, {}
+    tt = ts = 0
+    per_doc = {}
+    for i, (toks, src) in enumerate(docs):
+        if src == "src0":
+            for w in toks:
+                tcnt[bucket(w)] = tcnt.get(bucket(w), 0) + 1
+                tt += 1
+        else:
+            d = per_doc.setdefault(i, {})
+            for w in toks:
+                b = bucket(w)
+                d[b] = d.get(b, 0) + 1
+                scnt[b] = scnt.get(b, 0) + 1
+                ts += 1
+    expect = {}
+    for i, d in per_doc.items():
+        score = 0.0
+        for b in sorted(d):
+            lr = math.log(((tcnt.get(b, 0) + 1) * (ts + B)) / float((scnt[b] + 1) * (tt + B)))
+            score += d[b] * lr
+        expect[i] = (sum(d.values()), round(score, 6))
+    top = sorted(expect.items(), key=lambda kv: (-kv[1][1], kv[0]))[:100]
+    assert set(got) == {i for i, _ in top}
+    for i, (n_tokens, score) in top:
+        assert got[i].n_tokens == n_tokens, (i, got[i], n_tokens)
+        assert abs(got[i].dsir_score - score) < 1e-6, (i, got[i].dsir_score, score)
