@@ -344,12 +344,26 @@ def semantic_dedup(emb: DataFrame, rounds: int = 2, tau: float = 0.4) -> DataFra
     dots on both engines, so the tau frontier is bit-stable.
 
     Returns (vec_id, cluster, kept, dup_of)."""
-    assigned = kmeans_refine(emb, rounds=rounds).select("vec_id", "v", "cluster")
-    a = assigned.select("cluster", F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    b = assigned.select("cluster", F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    assigned = (
+        kmeans_refine(emb, rounds=rounds)
+        .select(
+            "vec_id",
+            "v",
+            "cluster",
+            # norm hoisted per VECTOR: computing it inside the pair join
+            # would redo each 64-dim fold n_k times per cluster
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nv"),
+        )
+        # three consumers below (pair-join both sides + keep-rule join);
+        # without lineage truncation each re-executes the Lloyd rounds
+        .localCheckpoint(eager=False)
     )
+    a = assigned.select("cluster", F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nv").alias("na"))
+    b = assigned.select("cluster", F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
+    # try_divide: a zero-norm vector is outside the embedding contract,
+    # but ANSI (the driver default) must degrade to SQL NULL (pair simply
+    # not a duplicate — DuckDB's x/0.0), never crash the job
+    cos = F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     dup = (
         a.join(b, "cluster")
         .where(F.col("b_id") < F.col("a_id"))

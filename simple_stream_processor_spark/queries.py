@@ -511,13 +511,12 @@ def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine rounding discipline fuzz enforces."""
     li = _t(spark, sf_dir, "lineitem")
     price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
     return relational.group_agg(
         li,
         ["l_returnflag", "l_linestatus"],
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum(price_c) / F.lit(100.0), 2).alias("sum_base_price"),
-        F.round(F.sum(price_c * (F.lit(100) - disc_pct)) / F.lit(10000.0), 2).alias("sum_disc_price"),
+        F.round(F.sum(_revenue_units()) / F.lit(10000.0), 2).alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
         F.count(F.lit(1)).alias("count_order"),
     )

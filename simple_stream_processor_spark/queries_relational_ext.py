@@ -1351,8 +1351,10 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l.l_returnflag,
            count(*) AS n,
-           CAST(sum(CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
-           CAST(sum(CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+           CAST(sum(CASE WHEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                              < CAST(round(p01 * 100, 0) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+           CAST(sum(CASE WHEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                              > CAST(round(p99 * 100, 0) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
            CAST(sum(CAST(round(least(greatest(l_extendedprice, p01), p99) * 100, 0) AS BIGINT)) AS BIGINT)
              AS win_sum_cents
     FROM lineitem l JOIN b USING (l_returnflag)
@@ -1364,10 +1366,14 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     [p01, p99] band, the outlier-handling step of feature cleaning. Two
     passes over the fact: the percentile pass reduces to group cardinality
     (tiny) and broadcasts back, so the clamp pass is a narrow map + one
-    aggregate exchange — no fact re-shuffle. Exact interpolated
-    percentile (Spark ``percentile`` ≡ DuckDB quantile_cont bit-for-bit,
-    proven by q_exact_percentile) and integer-cents sums keep the values
-    engine-exact."""
+    aggregate exchange — no fact re-shuffle.
+
+    Clamp counts and sums compare in the CENT domain: the engines'
+    interpolation forms differ by an ulp on duplicate-heavy data (Spark
+    computes a + t(b-a), exact when a == b; DuckDB (1-t)a + tb, which
+    returns e.g. 900.0000000000001 — found by cross-engine fuzz), and
+    cent-rounding both the value and the bound absorbs exactly that class
+    while preserving the money semantics."""
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     bounds = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
@@ -1379,8 +1385,20 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("l_extendedprice") < F.col("p01"), 1).otherwise(0)).cast("long").alias("n_clamped_low"),
-            F.sum(F.when(F.col("l_extendedprice") > F.col("p99"), 1).otherwise(0)).cast("long").alias("n_clamped_high"),
+            F.sum(
+                F.when(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                    < F.round(F.col("p01") * 100, 0).cast("long"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_clamped_low"),
+            F.sum(
+                F.when(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                    > F.round(F.col("p99") * 100, 0).cast("long"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_clamped_high"),
             F.sum(F.round(clamped * 100, 0).cast("long")).cast("long").alias("win_sum_cents"),
         )
     )
@@ -2674,11 +2692,22 @@ _ACF_ORACLE = (
         for lag in _ACF_LAGS
     )
     + """
+    ), m AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(cents) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(cents * cents) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(cents * y) AS DOUBLE) AS sxy
+      FROM lagged WHERE y IS NOT NULL
+      GROUP BY event_type, lag
     )
-    SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
-           round(corr(cents, y), 6) AS acf
-    FROM lagged WHERE y IS NOT NULL
-    GROUP BY event_type, lag
+    SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(greatest(0, n * sxx - sx * sx)) * sqrt(greatest(0, n * syy - sy * sy))),
+                 6) AS acf
+    FROM m
     """
 )
 
@@ -2690,10 +2719,11 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_forecast_eval's seasonal-naive baseline: a weekly cycle shows as
     an acf(7) spike. Events shrink to exact-integer daily cents FIRST
     (map-side combined, types×days rows); the 7 lags are lag() columns
-    over that bounded table unpivoted long — one corr aggregate on a
-    7×-days table, never a self-join. corr is the Welford-merge builtin
-    both engines share; round(·,6) absorbs reassociation ulps (the
-    q_stats_agg tolerance)."""
+    over that bounded table unpivoted long — one moment aggregate on a
+    7×-days table, never a self-join. The correlation derives from exact
+    integer moment sums with the expression tree mirrored verbatim in the
+    oracle (the q_stats_agg discipline), so the 6dp rounding cannot flip
+    across engines or partitionings."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
@@ -2718,11 +2748,34 @@ def acf_tail(daily: DataFrame) -> DataFrame:
     long = lagged.select(
         "event_type", "cents", F.expr(f"stack({len(_ACF_LAGS)}, {stack}) AS (lag, y)")
     ).where(F.col("y").isNotNull())
-    return long.groupBy("event_type", "lag").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        # ansi_safe_corr: builtin corr raises DIVIDE_BY_ZERO under ANSI on
-        # a constant daily series (e.g. a type seen once); DuckDB → NULL
-        F.round(relational.ansi_safe_corr("cents", "y"), 6).alias("acf"),
+    # Exact-integer moment sums (daily cents are bigint), cast to double
+    # once, combined with the expression tree mirrored verbatim in the
+    # oracle: builtin corr is Welford-merged in partition order (and under
+    # ANSI raises DIVIDE_BY_ZERO on a constant series), so a correlation
+    # on a 6dp rounding boundary could flip across engines/partitionings —
+    # the q_stats_agg discipline. try_divide keeps degenerate series NULL.
+    m = long.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("cents").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("cents") * F.col("cents")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("cents") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "event_type",
+        "lag",
+        n.cast("long").alias("n_pairs"),
+        F.round(
+            F.try_divide(
+                n * sxy - sx * sy,
+                F.sqrt(F.greatest(F.lit(0.0), n * sxx - sx * sx))
+                * F.sqrt(F.greatest(F.lit(0.0), n * syy - sy * sy)),
+            ),
+            6,
+        ).alias("acf"),
     )
 
 

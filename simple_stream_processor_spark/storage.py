@@ -33,14 +33,20 @@ def write_bucketed(
     LOCATION_ALREADY_EXISTS. For overwrite mode we drop the catalog entry
     AND remove any orphaned directory before writing."""
     if mode == "overwrite":
+        import os
         import shutil
         from urllib.parse import urlparse
 
         spark = df.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # the session resolves warehouse.dir to an absolute file: URI at
+        # start; managed locations are <warehouse>/<tbl> for the default
+        # database and <warehouse>/<db>.db/<tbl> for qualified names
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
         if warehouse:
-            shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
+            parts = table.lower().split(".")
+            rel = f"{parts[-2]}.db/{parts[-1]}" if len(parts) > 1 else parts[-1]
+            shutil.rmtree(os.path.join(warehouse.rstrip("/"), rel), ignore_errors=True)
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_key)
     if sort_key is not None:
         writer = writer.sortBy(sort_key)
