@@ -31,50 +31,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness walks the dict in insertion order under a
-# 50-entry budget.  Rounds 1-3 verified 113 distinct queries (r2: 50/50,
-# r3: 50/50 green).  This round the window rotates again onto queries that
-# have NEVER had a driver-verified CORRECTNESS row (all green in the full
-# local oracle gate), plus the two r01 rows whose only driver rows ever are
-# stale reds (q_approx_distinct / q_approx_quantiles — both emit scalar
-# columns and pass rows-only locally since r2).  The first 50 entries below
-# are exactly that set: 2 red-row re-samples → 11 queued relational rows →
-# 19 streaming twins → 3 multimodal → 7 iterative algorithms → 8 LLM-data
-# curation shapes.  The 47 never-verified queries remaining after this
-# window queue immediately behind for ROUND 5 (verification debt reaches
-# zero then), followed by the already-driver-green queries in their
-# original order.
+# 50-entry budget.  Rounds 1-4 verified 163 distinct queries (r2: 50/50,
+# r3: 50/50, r4: 50/50 — all green; the r01 stale reds were re-sampled clean
+# in r4).  ROUND-5 window: the staged rotation from round 4, byte-exact —
+# the 47 remaining never-driver-verified queries from rounds 1-3 plus the
+# three round-4 additions (q_semantic_dedup, q_dsir_select,
+# q_streaming_dsir), 47 + 3 = exactly 50.  After this window every one of
+# the 213 declared queries has at least one clean driver CORRECTNESS row
+# (verification debt reaches zero).  The already-driver-green queries queue
+# behind in their original order.
 _PRIORITY = [
-    # --- stale-red r01 rows, re-sample for clean rows-only entries ---
-    "q_approx_distinct", "q_approx_quantiles",
-    # --- never driver-verified: relational extensions queued from r3 ---
-    "q_robust_stats_mad", "q_winsorize", "q_integrity_audit",
-    "q_timeseries_similarity", "q_string_agg", "q_absence_pattern",
-    "q_transition_matrix", "q_embedding_quantize", "q_ngram_heavy_hitters",
-    "q_batch_ann", "q_hll_mergeable",
-    # --- never driver-verified: streaming twins (bounded-state engines) ---
-    "q_streaming_watermark_cadence", "q_streaming_multimodal_decode",
-    "q_streaming_zscore", "q_streaming_cms", "q_streaming_merge_upsert",
-    "q_streaming_expectations", "q_streaming_bloom", "q_streaming_entropy",
-    "q_streaming_ks", "q_streaming_pca", "q_streaming_stump",
-    "q_streaming_survival", "q_streaming_acf", "q_streaming_lag_features",
-    "q_streaming_ab", "q_streaming_time_to_convert", "q_streaming_retention",
-    "q_streaming_active_users", "q_streaming_weekday_profile",
-    # --- never driver-verified: multimodal codecs ---
-    "q_multimodal_resize", "q_multimodal_audio", "q_image_phash_dedup",
-    # --- never driver-verified: iterative algorithms ---
-    "q_kmeans", "q_pagerank", "q_bpe_merges", "q_bpe_encode",
-    "q_pca_top_component", "q_densest_subgraph", "q_triangle_count",
-    # --- never driver-verified: LLM-data curation shapes ---
-    "q_bm25_topterms", "q_hard_negatives", "q_source_cap",
-    "q_ngram_containment", "q_pq_codes", "q_lang_confusion",
-    "q_dedup_rate_report", "q_embedding_drift",
-    # ---------- window boundary (50) ----------
-    # ROUND-5 window: the 47 below are the last never-driver-verified
-    # queries from rounds 1-3; promote them to the head next round. Round 4
-    # added three new queries (q_semantic_dedup, q_dsir_select,
-    # q_streaming_dsir — at the registry tail, all local-oracle-green at 3
-    # SFs); with 47 + 3 = 50 the round-5 window can take debt to zero in
-    # one pass by appending those three after the 47.
+    # --- round-5 window: last 47 never-driver-verified (queued since r1-r3) ---
     "q_inverted_index", "q_cms_heavy_hitters", "q_unigram_surprisal",
     "q_ann_recall", "q_mixture_resample", "q_auc_eval", "q_calibration",
     "q_zipf_fit", "q_bloom_index", "q_training_order", "q_corpus_entropy",
@@ -91,6 +58,26 @@ _PRIORITY = [
     "q_active_users", "q_dim_coverage", "q_weekday_profile",
     # --- new in round 4 (47 + 3 = exactly the round-5 window) ---
     "q_semantic_dedup", "q_dsir_select", "q_streaming_dsir",
+    # ---------- window boundary (50) ----------
+    # --- driver-verified in r4 (keep their relative order) ---
+    "q_approx_distinct", "q_approx_quantiles",
+    "q_robust_stats_mad", "q_winsorize", "q_integrity_audit",
+    "q_timeseries_similarity", "q_string_agg", "q_absence_pattern",
+    "q_transition_matrix", "q_embedding_quantize", "q_ngram_heavy_hitters",
+    "q_batch_ann", "q_hll_mergeable",
+    "q_streaming_watermark_cadence", "q_streaming_multimodal_decode",
+    "q_streaming_zscore", "q_streaming_cms", "q_streaming_merge_upsert",
+    "q_streaming_expectations", "q_streaming_bloom", "q_streaming_entropy",
+    "q_streaming_ks", "q_streaming_pca", "q_streaming_stump",
+    "q_streaming_survival", "q_streaming_acf", "q_streaming_lag_features",
+    "q_streaming_ab", "q_streaming_time_to_convert", "q_streaming_retention",
+    "q_streaming_active_users", "q_streaming_weekday_profile",
+    "q_multimodal_resize", "q_multimodal_audio", "q_image_phash_dedup",
+    "q_kmeans", "q_pagerank", "q_bpe_merges", "q_bpe_encode",
+    "q_pca_top_component", "q_densest_subgraph", "q_triangle_count",
+    "q_bm25_topterms", "q_hard_negatives", "q_source_cap",
+    "q_ngram_containment", "q_pq_codes", "q_lang_confusion",
+    "q_dedup_rate_report", "q_embedding_drift",
     # --- driver-verified in r1-r3 (keep their relative order) ---
     "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q13",
     "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q21",
