@@ -300,11 +300,34 @@ def kmeans_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_refine(emb: DataFrame, rounds: int = 2) -> DataFrame:
-    """Distributed k-means (Lloyd) refinement: seed from the deterministic
-    per-label means (ivf_centroids — the engine-portable init that needs
-    no RNG), then run ``rounds`` genuine assign→update iterations and
-    return the final per-vector assignment (vec_id, cluster, d2).
+def kmeans_seed_buckets(emb: DataFrame, k: int) -> DataFrame:
+    """Deterministic seeds for ARBITRARY k: bucket each vector by
+    ``vec_id % k`` and take per-bucket dimension means (6dp, the shared
+    engine-portable rounding). No RNG, no iteration, and — unlike the
+    per-label means of ivf_centroids — k is a free knob, which is what
+    lets SemDeDup cap its within-cluster pair cost (Σₖn_k²) at corpus
+    scale by raising k. The modular buckets are near-uniform over a dense
+    id space, so every seed is a mean of ~n/k spread-out vectors — a
+    standard sharded-mean init. Plan shape identical to ivf_centroids:
+    narrow posexplode, map-side-combined (cid, pos) average, k×d partial
+    rows on the wire, k-row output."""
+    ex = spread(emb, "vec_id").select(
+        (F.col("vec_id") % F.lit(k)).cast("long").alias("cid"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    long = ex.groupBy("cid", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
+    return long.groupBy("cid").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]).alias("cv")
+    )
+
+
+def kmeans_refine(emb: DataFrame, rounds: int = 2, k: int | None = None) -> DataFrame:
+    """Distributed k-means (Lloyd) refinement: seed deterministically —
+    per-label means (ivf_centroids) when ``k`` is None (the engine-portable
+    init that needs no RNG and matches the IVF coarse quantizer), or
+    ``vec_id % k`` bucket means (kmeans_seed_buckets) for an arbitrary
+    caller-chosen k — then run ``rounds`` genuine assign→update iterations
+    and return the final per-vector assignment (vec_id, cluster, d2).
 
     This is the semantic-clustering primitive (SemDeDup-style curation,
     IVF codebook training) at its 100 TB shape: centroids are always k
@@ -316,7 +339,10 @@ def kmeans_refine(emb: DataFrame, rounds: int = 2) -> DataFrame:
     result hash-checkable against a SQL oracle that unrolls the same
     rounds."""
     e = spread(emb, "vec_id").select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cents = ivf_centroids(emb).select(F.col("c_label").cast("long").alias("cid"), "cv")
+    if k is None:
+        cents = ivf_centroids(emb).select(F.col("c_label").cast("long").alias("cid"), "cv")
+    else:
+        cents = kmeans_seed_buckets(emb, k)
     # rounds=2 ≡ assign(c0) → update → final assign: the returned d2 is
     # measured against the last-updated centroids
     for _ in range(rounds - 1):
@@ -324,7 +350,7 @@ def kmeans_refine(emb: DataFrame, rounds: int = 2) -> DataFrame:
     return kmeans_assign(e, cents)
 
 
-def semantic_dedup(emb: DataFrame, rounds: int = 2, tau: float = 0.4) -> DataFrame:
+def semantic_dedup(emb: DataFrame, rounds: int = 2, tau: float = 0.4, k: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-partition
     the embedding space, then prune near-duplicates WITHIN each cluster by
     pairwise cosine — the semantic analog of MinHash dedup for training
@@ -338,14 +364,17 @@ def semantic_dedup(emb: DataFrame, rounds: int = 2, tau: float = 0.4) -> DataFra
     100 TB shape: the clustering reuses kmeans_refine (centroids broadcast,
     corpus never shuffles during assignment); the pairwise stage shuffles
     ONCE on cluster id and compares only within clusters — cost is
-    sum_k(n_k^2)/2, bounded by the cluster granularity (raise k to cap it;
-    SemDeDup's paper runs k in the tens of thousands for exactly this
-    reason), never all-pairs over the corpus. Cosines are sequential-fold
-    dots on both engines, so the tau frontier is bit-stable.
+    sum_k(n_k^2)/2, bounded by the cluster granularity. ``k`` is a real
+    knob (kmeans_seed_buckets gives deterministic seeds for any k):
+    raising it caps the pair cost — SemDeDup's paper runs k in the tens
+    of thousands for exactly this reason; k=None falls back to the
+    per-label seeding shared with q_kmeans. Never all-pairs over the
+    corpus. Cosines are sequential-fold dots on both engines, so the tau
+    frontier is bit-stable.
 
     Returns (vec_id, cluster, kept, dup_of)."""
     assigned = (
-        kmeans_refine(emb, rounds=rounds)
+        kmeans_refine(emb, rounds=rounds, k=k)
         .select(
             "vec_id",
             "v",

@@ -2484,10 +2484,10 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     ex0 AS (
-      SELECT label, u.i AS pos, v[u.i] AS x
+      SELECT vec_id % 40 AS cid, u.i AS pos, v[u.i] AS x
       FROM e, unnest(range(1, len(v) + 1)) AS u(i)
     ),
-    cl0 AS (SELECT label AS cid, pos, round(avg(x), 6) AS c FROM ex0 GROUP BY 1, 2),
+    cl0 AS (SELECT cid, pos, round(avg(x), 6) AS c FROM ex0 GROUP BY 1, 2),
     c0 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM cl0 GROUP BY cid),
     a1 AS (
       SELECT vec_id, v, cid,
@@ -2528,16 +2528,20 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/similarity.py:semantic_dedup): k-means-partition
-    the embedding space (the same deterministic 2-round Lloyd refinement
-    as q_kmeans), then prune near-duplicates within each cluster by
-    pairwise cosine >= 0.4 with a lowest-vec_id-wins keep rule — the
-    semantic dedup pass (Abbas et al. 2023) that catches paraphrases
-    MinHash/SimHash text dedup misses. The oracle unrolls the identical
-    two Lloyd rounds and the same pair join, so the full
+    the embedding space at a CALLER-CHOSEN k=40 (deterministic
+    ``vec_id % k`` bucket-mean seeding via kmeans_seed_buckets, then the
+    same 2-round Lloyd refinement as q_kmeans), then prune
+    near-duplicates within each cluster by pairwise cosine >= 0.4 with a
+    lowest-vec_id-wins keep rule — the semantic dedup pass (Abbas et al.
+    2023) that catches paraphrases MinHash/SimHash text dedup misses.
+    k=40 ≠ the fixtures' 10 labels by design: k is the knob that caps the
+    within-cluster pair cost Σₖn_k² (the paper runs k in the tens of
+    thousands at corpus scale). The oracle unrolls the identical modular
+    seeding, two Lloyd rounds, and the same pair join, so the full
     cluster-then-prune pipeline is hash-matched. Pairs form only inside
     clusters: the one corpus shuffle is on cluster id, cost bounded by
     cluster granularity, never all-pairs."""
-    return similarity.semantic_dedup(_t(spark, sf_dir, "embeddings"), rounds=2, tau=0.4)
+    return similarity.semantic_dedup(_t(spark, sf_dir, "embeddings"), rounds=2, tau=0.4, k=40)
 
 
 BLOOM_ORACLE = """

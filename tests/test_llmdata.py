@@ -623,6 +623,48 @@ def test_kmeans_refinement_does_not_increase_inertia(spark, sf_dir):
     assert j1 <= j0 + 1e-3
 
 
+def test_semantic_dedup_pair_cost_shrinks_with_k(spark, sf_dir):
+    """SemDeDup's 100 TB cost argument is executable: k is a real knob, and
+    raising it caps the within-cluster pair cost Σₖn_k². At k=40 the cost
+    must be strictly below the k=10 cost, every vector must keep exactly
+    one assignment at both settings, and the k=40 clustering must actually
+    use more than the fixtures' 10 labels' worth of clusters."""
+    from pyspark.sql import functions as SF
+    from simple_stream_processor_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+
+    def pair_cost(k):
+        sizes = (
+            similarity.kmeans_refine(emb, rounds=2, k=k)
+            .groupBy("cluster").agg(SF.count(SF.lit(1)).alias("nk"))
+            .collect()
+        )
+        assert sum(r.nk for r in sizes) == n  # partition: every vector exactly once
+        return len(sizes), sum(r.nk * r.nk for r in sizes)
+
+    k10_clusters, cost10 = pair_cost(10)
+    k40_clusters, cost40 = pair_cost(40)
+    assert cost40 < cost10
+    assert k40_clusters > k10_clusters
+
+
+def test_semantic_dedup_k_seeding_matches_default_keep_semantics(spark, sf_dir):
+    """semantic_dedup(k=40) returns one row per vector with the same
+    (kept ⇔ dup_of IS NULL) contract as the default-seeded variant."""
+    from simple_stream_processor_spark.tables import load_table
+
+    out = similarity.semantic_dedup(
+        load_table(spark, "embeddings", sf_dir), rounds=2, tau=0.4, k=40
+    ).collect()
+    assert len(out) == len({r.vec_id for r in out})
+    for r in out:
+        assert r.kept == (r.dup_of is None)
+        if r.dup_of is not None:
+            assert r.dup_of < r.vec_id
+
+
 def test_training_order_is_a_permutation(spark, sf_dir):
     """The two-level prefix-sum ordinal is a bijection onto 1..n and every
     batch holds at most 64 docs (exactly 64 for all but the last)."""
