@@ -78,6 +78,10 @@ HEADLINE = [
     "q_image_phash_dedup",
     "q_sequence_pack",
     "q_decontaminate",
+    # round-5 promotions: the flagship LLM-curation ops added in round 4 —
+    # exactly the regression canaries the training-data story needs
+    "q_semantic_dedup",
+    "q_dsir_select",
 ]
 
 # Everything else that has ever been benched — runs once per round so the
@@ -102,7 +106,7 @@ TAIL = [
     "q_table_profile", "q_ab_test", "q_lag_features", "q_target_encoding",
     "q_time_to_convert", "q_power_analysis", "q_retention_curve",
     "q_data_freshness", "q_active_users", "q_quantile_normalize",
-    "q_dim_coverage", "q_semantic_dedup", "q_dsir_select",
+    "q_dim_coverage",
 ]
 
 
@@ -213,8 +217,16 @@ def main() -> int:
         "queries": top5,
         "detail": "BENCH_DETAIL.json",
     }
+    # The compact line must fit the driver's tail capture. Never refuse to
+    # print (an AssertionError here would recreate the round-3 null-parse):
+    # shrink the queries dict, then drop it, until the line fits.
     line = json.dumps(compact)
-    assert len(line) < 1000, f"compact bench line too long: {len(line)}"
+    while len(line) >= 1000 and compact["queries"]:
+        compact["queries"].popitem()
+        line = json.dumps(compact)
+    if len(line) >= 1000:
+        compact.pop("queries", None)
+        line = json.dumps(compact)
     print(line)
     return 0
 

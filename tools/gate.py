@@ -6,6 +6,8 @@ single summary JSON line, exiting 0 only when all are green:
     python tools/gate.py                 # full gate (oracle at sf0.01, vanilla session)
     python tools/gate.py --fast          # oracle at sf0.001 (quicker iteration)
     python tools/gate.py --skip pytest   # skip a stage (comma-separated)
+    python tools/gate.py --bench         # also run bench.py at sf0.1 and hold
+                                         # the headline to BENCH_CANON.json budgets
 
 Stages:
   * plan_audit — ``tools/plan_audit.py``: every batch plan free of
@@ -14,6 +16,9 @@ Stages:
     all declared queries vs DuckDB on a default-config session (the
     driver's harness shape).
   * pytest     — ``python -m pytest tests/ -x -q``.
+  * bench      — (opt-in) ``python bench.py`` then ``tools/bench_compare.py
+    BENCH_CANON.json BENCH_DETAIL.json``: fails on a >1.5x-beyond-spread
+    headline regression vs the pinned round-4 canon, or an empty compare.
 
 Each stage runs as a subprocess so one failure can't mask another's
 output; per-stage tails are echoed to stderr and summarized on stdout.
@@ -50,6 +55,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true", help="oracle gate at sf0.001 instead of sf0.01")
     ap.add_argument("--skip", default="", help="comma-separated stages to skip (plan_audit,oracles,pytest)")
+    ap.add_argument("--bench", action="store_true", help="also run bench.py + budget compare vs BENCH_CANON.json")
     args = ap.parse_args()
     skip = {s.strip() for s in args.skip.split(",") if s.strip()}
     sf_dir = "/root/testdata/sf0.001" if args.fast else "/root/testdata/sf0.01"
@@ -65,6 +71,13 @@ def main() -> int:
         )
     if "pytest" not in skip:
         results["pytest"] = _run("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
+    if args.bench:
+        results["bench"] = _run("bench", [sys.executable, "bench.py"])
+        if results["bench"]["rc"] == 0:
+            results["bench_budget"] = _run(
+                "bench_budget",
+                [sys.executable, "tools/bench_compare.py", "BENCH_CANON.json", "BENCH_DETAIL.json"],
+            )
 
     ok = all(r["rc"] == 0 for r in results.values())
     print(
