@@ -1323,3 +1323,81 @@ def q_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pool_tok = dsir_tokens(load_table(spark, "documents", sf_dir)).where(F.col("source") != "src0")
     return dsir_tail(counts, pool_tok)
+
+
+def dsir_score_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    schema,
+    target_source: str = "src0",
+    on_batch=None,
+) -> DataFrame:
+    """Live-scoring streaming DSIR: score each candidate micro-batch
+    against the ratio state IN FORCE when it arrives — the production
+    variant of q_streaming_dsir, where the stream carries both target-
+    domain documents (which update the ratio model) and raw-pool
+    candidates (which are scored and emitted immediately, not re-read
+    from a static table at the end).
+
+    foreachBatch loop (the q_streaming_merge_upsert machinery): each
+    micro-batch's token-bucket counts fold into the running
+    (is_target, b, cnt) state — bounded at 2xB rows regardless of stream
+    length, compacted per batch and localCheckpoint-ed so lineage stays
+    O(1) — and the batch's pool documents are then scored through the
+    shared dsir_tail against that just-updated state and materialized
+    EAGERLY (a lazy plan would silently re-score against the final
+    state). A document's score therefore depends on WHEN it arrives:
+    the same text scores differently before vs after a ratio update —
+    pinned by tests/test_streaming.py::
+    test_streaming_dsir_live_scoring_uses_state_in_force against batch
+    prefix replays of the same dsir_tail expressions.
+
+    ``on_batch(batch_id, batch_df)`` is an optional observability hook
+    (metrics, batch-composition capture in tests). Returns the union of
+    per-batch scored frames: (doc_id, source, n_tokens, dsir_score,
+    batch_id). At scale the per-batch scored output would stream to a
+    sink instead of unioning; the state-side cost is one broadcast join
+    against <= 2xB rows per batch either way."""
+    from functools import reduce
+
+    from simple_stream_processor_spark.queries_llmdata import dsir_tail, dsir_tokens
+
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(feed_dir)
+    state: dict = {"counts": None, "scored": []}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch_id, batch_df)
+        tok = dsir_tokens(batch_df)
+        binc = tok.groupBy((F.col("source") == target_source).alias("is_target"), "b").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        cur = state["counts"]
+        merged = (
+            binc
+            if cur is None
+            else cur.unionByName(binc).groupBy("is_target", "b").agg(F.sum("cnt").alias("cnt"))
+        )
+        state["counts"] = merged.localCheckpoint()  # eager: O(1) lineage, stable snapshot
+        pool = tok.where(F.col("source") != target_source).select("doc_id", "source", "b")
+        scored = dsir_tail(state["counts"], pool).withColumn("batch_id", F.lit(batch_id))
+        state["scored"].append(scored.localCheckpoint())  # eager: pin the state in force NOW
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(feed_dir, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    if not state["scored"]:
+        return spark.createDataFrame(
+            [], "doc_id long, source string, n_tokens bigint, dsir_score double, batch_id long"
+        )
+    return reduce(DataFrame.unionByName, state["scored"])

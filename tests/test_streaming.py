@@ -487,3 +487,78 @@ def test_streaming_watermark_cadence_per_key(spark):
     assert got[1] == (None, False) and got[2] == (None, False)
     assert got[3] == (None, False) and got[4] == (None, False)  # key B: own cadence, no WM yet
     assert got[5] == (5000, True)  # key A's WM 5s dropped its late 2s record
+
+
+def test_streaming_dsir_live_scoring_uses_state_in_force(spark, tmp_path):
+    """Live-scoring streaming DSIR (dsir_score_stream): a candidate
+    micro-batch is scored against the ratio state in force WHEN IT
+    ARRIVES — a doc arriving before a target-domain ratio update scores
+    per the old state; the identical text arriving after scores per the
+    updated state. Pinned two ways: (a) every live per-batch score equals
+    a batch replay of the same dsir_tail expressions over that batch's
+    actual cumulative prefix counts, exactly; (b) the duplicated text's
+    two arrivals produce different scores, and the post-update arrival
+    scores HIGHER because the intervening target batch made its vocab
+    more target-like."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_stream_processor_spark.queries_llmdata import dsir_tail, dsir_tokens
+    from simple_stream_processor_spark.queries_streaming import dsir_score_stream
+
+    feed = str(tmp_path / "dsir_feed")
+    os.makedirs(feed)
+    # file0: seed target docs + candidate p0 ("cherry durian" vocab unseen
+    # in target). file1: target-only update, heavy on cherry/durian.
+    # file2: candidate p1 = p0's exact text, post-update.
+    batches = [
+        [(0, "src0", "apple banana apple"), (100, "src1", "cherry durian")],
+        [(1, "src0", "cherry durian cherry durian cherry durian")],
+        [(101, "src1", "cherry durian")],
+    ]
+    for i, rows in enumerate(batches):
+        path = os.path.join(feed, f"b{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "source": pa.array([r[1] for r in rows], type=pa.string()),
+                    "text": pa.array([r[2] for r in rows], type=pa.string()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+
+    schema = spark.read.parquet(feed).schema
+    seen: list[list[tuple]] = []
+    scored = dsir_score_stream(
+        spark,
+        feed,
+        schema,
+        on_batch=lambda bid, bdf: seen.append(
+            [(r.doc_id, r.source, r.text) for r in bdf.select("doc_id", "source", "text").collect()]
+        ),
+    )
+    live = {(r.doc_id, r.batch_id): r.dsir_score for r in scored.collect()}
+    assert len(seen) == 3, f"expected 3 micro-batches, got {len(seen)}"
+
+    # (a) exact equality vs a batch replay over each batch's actual prefix
+    for i in range(len(seen)):
+        prefix_rows = [r for b in seen[: i + 1] for r in b]
+        pdf = spark.createDataFrame(prefix_rows, "doc_id long, source string, text string")
+        tok = dsir_tokens(pdf)
+        counts = tok.groupBy((F.col("source") == "src0").alias("is_target"), "b").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        batch_ids = [r[0] for r in seen[i] if r[1] != "src0"]
+        pool = tok.where(F.col("doc_id").isin(batch_ids)) if batch_ids else tok.limit(0)
+        expect = {r.doc_id: r.dsir_score for r in dsir_tail(counts, pool).collect()}
+        got = {d: s for (d, b), s in live.items() if b == i}
+        assert got == expect, (i, got, expect)
+
+    # (b) same text, different arrival time => different score, per the
+    # state in force; the target update moved cherry/durian toward target
+    assert (100, 0) in live and (101, 2) in live
+    assert live[(101, 2)] != live[(100, 0)]
+    assert live[(101, 2)] > live[(100, 0)]
