@@ -47,8 +47,23 @@ def ansi_safe_corr(x: Column | str, y: Column | str) -> Column:
     xv = F.when(both, xc.cast("double"))
     yv = F.when(both, yc.cast("double"))
     n = F.count(F.when(both, F.lit(1))).cast("double")
-    sx, sy = F.sum(xv), F.sum(yv)
-    sxx, syy, sxy = F.sum(xv * xv), F.sum(yv * yv), F.sum(xv * yv)
+    return corr_from_moments(
+        n, F.sum(xv), F.sum(yv), F.sum(xv * xv), F.sum(yv * yv), F.sum(xv * yv)
+    )
+
+
+def corr_from_moments(
+    n: Column, sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column
+) -> Column:
+    """The ANSI-safe correlation combine: Pearson r from pre-aggregated
+    moment sums, NULL (via ``try_divide``) when either series is constant
+    or has fewer than two pairs. This is the single expression tree every
+    corr in the repo routes through — ``ansi_safe_corr`` feeds it
+    double-cast sums for ad-hoc use; the hash-matched queries
+    (``q_stats_agg``, ``acf_tail`` and its streaming twin) feed it
+    EXACT-INTEGER moment sums so the 6dp rounding cannot flip across
+    engines or partition orders, with the oracle mirroring the same
+    n·Σxy−ΣxΣy / √(nΣxx−Σx²)·√(nΣyy−Σy²) tree verbatim."""
     num = n * sxy - sx * sy
     den = F.sqrt(F.greatest(F.lit(0.0), n * sxx - sx * sx)) * F.sqrt(
         F.greatest(F.lit(0.0), n * syy - sy * sy)

@@ -560,7 +560,7 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         F.round(
-            F.try_divide(num, F.sqrt(F.greatest(F.lit(0.0), var_q)) * F.sqrt(F.greatest(F.lit(0.0), var_p))), 6
+            relational.corr_from_moments(n, sq, sp, sqq, spp, sqp), 6
         ).alias("qty_price_corr"),
         F.round(F.try_divide(num, denom) / F.lit(100.0), 2).alias("qty_price_covar"),
         F.round(F.sqrt(F.try_divide(F.greatest(F.lit(0.0), var_p), denom)) / F.lit(100.0), 4).alias("price_stddev"),
@@ -2748,31 +2748,30 @@ def acf_tail(daily: DataFrame) -> DataFrame:
     long = lagged.select(
         "event_type", "cents", F.expr(f"stack({len(_ACF_LAGS)}, {stack}) AS (lag, y)")
     ).where(F.col("y").isNotNull())
-    # Exact-integer moment sums (daily cents are bigint), cast to double
-    # once, combined with the expression tree mirrored verbatim in the
-    # oracle: builtin corr is Welford-merged in partition order (and under
-    # ANSI raises DIVIDE_BY_ZERO on a constant series), so a correlation
-    # on a 6dp rounding boundary could flip across engines/partitionings —
-    # the q_stats_agg discipline. try_divide keeps degenerate series NULL.
+    # Exact-integer moment sums (daily cents are bigint; the squared/cross
+    # products sum as decimal(38,0) — the q_stats_agg discipline — so a
+    # large deployment's cents² terms cannot overflow the long sum under
+    # ANSI; DuckDB's sum already widens to int128), cast to double once,
+    # then combined through relational.corr_from_moments — the same
+    # expression tree the oracle mirrors verbatim: builtin corr is
+    # Welford-merged in partition order (and under ANSI raises
+    # DIVIDE_BY_ZERO on a constant series), so a correlation on a 6dp
+    # rounding boundary could flip across engines/partitionings.
     m = long.groupBy("event_type", "lag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("cents").cast("double").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("cents") * F.col("cents")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-        F.sum(F.col("cents") * F.col("y")).cast("double").alias("sxy"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((F.col("cents") * F.col("y")).cast("decimal(38,0)")).cast("double").alias("sxy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     return m.select(
         "event_type",
         "lag",
-        n.cast("long").alias("n_pairs"),
+        F.col("n").cast("long").alias("n_pairs"),
         F.round(
-            F.try_divide(
-                n * sxy - sx * sy,
-                F.sqrt(F.greatest(F.lit(0.0), n * sxx - sx * sx))
-                * F.sqrt(F.greatest(F.lit(0.0), n * syy - sy * sy)),
+            relational.corr_from_moments(
+                F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("syy"), F.col("sxy")
             ),
             6,
         ).alias("acf"),

@@ -35,6 +35,7 @@ def write_bucketed(
     if mode == "overwrite":
         import os
         import shutil
+        import sys
         from urllib.parse import urlparse
 
         spark = df.sparkSession
@@ -43,10 +44,16 @@ def write_bucketed(
         # start; managed locations are <warehouse>/<tbl> for the default
         # database and <warehouse>/<db>.db/<tbl> for qualified names
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
-        if warehouse:
+        # only act on a session-resolved ABSOLUTE warehouse path: with the
+        # conf absent the relative fallback would delete a same-named
+        # directory under whatever the cwd happens to be
+        if warehouse and os.path.isabs(warehouse):
             parts = table.lower().split(".")
             rel = f"{parts[-2]}.db/{parts[-1]}" if len(parts) > 1 else parts[-1]
-            shutil.rmtree(os.path.join(warehouse.rstrip("/"), rel), ignore_errors=True)
+            target = os.path.join(warehouse.rstrip("/"), rel)
+            if os.path.exists(target):
+                print(f"# write_bucketed: clearing orphaned warehouse dir {target}", file=sys.stderr)
+                shutil.rmtree(target, ignore_errors=True)
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_key)
     if sort_key is not None:
         writer = writer.sortBy(sort_key)
