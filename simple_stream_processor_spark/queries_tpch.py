@@ -739,3 +739,306 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("numcust"), F.sum("bal_cents").alias("totacctbal_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# partsupp-gated TPC-H completions (VERDICT r4 stretch): Q2/Q9/Q11/Q16/Q20
+# need a partsupp table the driver fixtures do not ship today (TESTDATA.md —
+# SURVEY §2.8 N20 documents the gap). They are pre-staged behind the
+# fixture-presence check in tables._partsupp_fixture_present and
+# SELF-REGISTER the moment partsupp.parquet appears in every standard sf
+# dir; until then the registry is unchanged and nothing here executes.
+# Assumed schema (standard TPC-H, reduced like the other fixtures):
+# ps_partkey long, ps_suppkey long, ps_availqty numeric, ps_supplycost
+# dollars. All money math follows the repo's exact-integer cents
+# discipline so the oracles hash-match from day one.
+# ---------------------------------------------------------------------------
+
+from simple_stream_processor_spark.tables import TABLES as _TABLES_NOW  # noqa: E402
+
+if "partsupp" in _TABLES_NOW:
+
+    @query(
+        "q_tpch_q2",
+        oracle="""
+        WITH eu AS (
+          SELECT ps_partkey, CAST(round(ps_supplycost * 100) AS BIGINT) AS cost_c,
+                 s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c, n_name
+          FROM partsupp
+          JOIN supplier ON s_suppkey = ps_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+          WHERE r_name = 'EUROPE'
+        ),
+        mc AS (SELECT ps_partkey, min(cost_c) AS m FROM eu GROUP BY 1)
+        SELECT round(bal_c / 100.0, 2) AS s_acctbal, s_name, n_name,
+               p_partkey, p_type, round(cost_c / 100.0, 2) AS supplycost
+        FROM part
+        JOIN eu ON ps_partkey = p_partkey
+        JOIN mc ON mc.ps_partkey = p_partkey AND cost_c = m
+        WHERE p_size = 15
+        ORDER BY bal_c DESC, n_name, s_name, p_partkey LIMIT 100
+        """,
+    )
+    def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q2 (minimum-cost supplier), reduced-schema form: for each
+        size-15 part, the EUROPE suppliers quoting the per-part minimum
+        supply cost. Min-cost matching runs in integer cents (float
+        equality against a min would be engine-fragile). dims broadcast;
+        the min-cost table is a partsupp-keyed aggregate re-joined on
+        (partkey, cost) — at 100 TB both sides shuffle once on
+        ps_partkey, and the (acctbal, name, partkey) frontier is a
+        TakeOrdered."""
+        ps = _t(spark, sf_dir, "partsupp")
+        s = _t(spark, sf_dir, "supplier")
+        n = _t(spark, sf_dir, "nation")
+        r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+        p = _t(spark, sf_dir, "part").where(F.col("p_size") == 15)
+        eu = (
+            ps.select(
+                "ps_partkey",
+                "ps_suppkey",
+                F.round(F.col("ps_supplycost") * 100, 0).cast("long").alias("cost_c"),
+            )
+            .join(
+                F.broadcast(
+                    s.select(
+                        "s_suppkey",
+                        "s_name",
+                        "s_nationkey",
+                        F.round(F.col("s_acctbal") * 100, 0).cast("long").alias("bal_c"),
+                    )
+                ),
+                F.col("ps_suppkey") == F.col("s_suppkey"),
+            )
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        )
+        mc = eu.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(F.min("cost_c").alias("m"))
+        win = eu.join(
+            mc, (eu.ps_partkey == F.col("mc_partkey")) & (F.col("cost_c") == F.col("m"))
+        )
+        return (
+            p.join(win, p.p_partkey == win.ps_partkey)
+            .orderBy(F.col("bal_c").desc(), "n_name", "s_name", "p_partkey")
+            .limit(100)
+            .select(
+                F.round(F.col("bal_c") / 100.0, 2).alias("s_acctbal"),
+                "s_name",
+                "n_name",
+                "p_partkey",
+                "p_type",
+                F.round(F.col("cost_c") / 100.0, 2).alias("supplycost"),
+            )
+        )
+
+    @query(
+        "q_tpch_q9",
+        oracle="""
+        WITH amt AS (
+          SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u,
+                 CAST(round(ps_supplycost * 100) AS BIGINT)
+                   * CAST(round(l_quantity) AS BIGINT) AS cost_c
+          FROM lineitem
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          WHERE p_name LIKE '%red%'
+        )
+        SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+               round(sum(rev_u) / 10000.0 - sum(cost_c) / 100.0, 2) AS profit
+        FROM amt GROUP BY nation, o_year
+        """,
+    )
+    def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q9 (product-type profit): revenue minus supply cost per
+        supplier nation and order year, parts matching a name pattern.
+        The one genuinely fact-fact-fact join in the suite: lineitem x
+        orders shuffles on orderkey, then x partsupp on (partkey,
+        suppkey) — at 100 TB both pre-bucketed on their keys; part is
+        pattern-filtered then joined (semi-selective), supplier/nation
+        broadcast. Profit sums exact integer revenue units and cost
+        cents as decimal(38,0), one float conversion at the end."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+        ps = _t(spark, sf_dir, "partsupp").select(
+            "ps_partkey",
+            "ps_suppkey",
+            F.round(F.col("ps_supplycost") * 100, 0).cast("long").alias("psc_c"),
+        )
+        p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select("p_partkey")
+        s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+        rev_u = _revenue_units()
+        cost_c = (F.col("psc_c") * F.round(F.col("l_quantity"), 0).cast("long")).cast("decimal(38,0)")
+        amt = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(ps, (F.col("l_partkey") == F.col("ps_partkey")) & (F.col("l_suppkey") == F.col("ps_suppkey")))
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        )
+        return (
+            amt.groupBy("nation", "o_year")
+            .agg(
+                F.round(
+                    F.sum(rev_u) / F.lit(10000.0) - F.sum(cost_c) / F.lit(100.0), 2
+                ).alias("profit")
+            )
+            .select("nation", F.col("o_year").cast("long").alias("o_year"), "profit")
+        )
+
+    @query(
+        "q_tpch_q11",
+        oracle="""
+        WITH v AS (
+          SELECT ps_partkey,
+                 CAST(round(ps_supplycost * 100) AS BIGINT)
+                   * CAST(round(ps_availqty) AS BIGINT) AS val_c
+          FROM partsupp
+          JOIN supplier ON s_suppkey = ps_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          WHERE n_name = 'NATION_8'
+        ),
+        tot AS (SELECT sum(val_c) AS t FROM v)
+        SELECT ps_partkey, round(sum(val_c) / 100.0, 2) AS value
+        FROM v, tot
+        GROUP BY ps_partkey, t
+        HAVING CAST(sum(val_c) AS DOUBLE) > 0.0001 * t
+        """,
+    )
+    def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q11 (important stock): per-part inventory value for one
+        nation's suppliers, kept when above 0.01% of the nation total.
+        Value accumulates as exact integer cents x whole availqty; the
+        national total is a one-row broadcast; the threshold compare
+        casts the exact integer sum to double on both engines so the
+        frontier cannot flicker. One shuffle on ps_partkey."""
+        ps = _t(spark, sf_dir, "partsupp").select(
+            "ps_partkey",
+            "ps_suppkey",
+            (
+                F.round(F.col("ps_supplycost") * 100, 0).cast("long")
+                * F.round(F.col("ps_availqty"), 0).cast("long")
+            ).alias("val_c"),
+        )
+        s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_8")
+        v = ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey")).join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        tot = v.agg(F.sum("val_c").alias("t"))
+        return (
+            v.groupBy("ps_partkey")
+            .agg(F.sum("val_c").alias("sv"))
+            .crossJoin(F.broadcast(tot))
+            .where(F.col("sv").cast("double") > F.lit(0.0001) * F.col("t"))
+            .select("ps_partkey", F.round(F.col("sv") / 100.0, 2).alias("value"))
+        )
+
+    @query(
+        "q_tpch_q16",
+        oracle="""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        """,
+    )
+    def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q16 (parts/supplier relationship), reduced-schema form:
+        distinct supplier counts per (brand, type, size) bucket, excluding
+        flagged suppliers (negative balance stands in for the original's
+        comment filter — the fixtures carry no s_comment). The exclusion
+        is a broadcast left-anti join; the distinct count is Spark's
+        two-phase partial-distinct aggregate — one shuffle on the group
+        key, never a global distinct."""
+        p = (
+            _t(spark, sf_dir, "part")
+            .where(
+                (F.col("p_brand") != "Brand#1")
+                & (~F.col("p_type").like("PROMO%"))
+                & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+            )
+            .select("p_partkey", "p_brand", "p_type", "p_size")
+        )
+        bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+        ps = _t(spark, sf_dir, "partsupp").join(
+            F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        return (
+            ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt"))
+        )
+
+    @query(
+        "q_tpch_q20",
+        oracle="""
+        WITH shipped AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1996-01-01'
+          GROUP BY l_partkey, l_suppkey
+        ),
+        excess AS (
+          SELECT DISTINCT ps_suppkey
+          FROM partsupp
+          JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+            AND 2 * CAST(round(ps_availqty) AS BIGINT) > qty
+        )
+        SELECT s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN excess ON ps_suppkey = s_suppkey
+        WHERE n_name = 'NATION_13'
+        """,
+    )
+    def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q20 (potential part promotion), reduced-schema form:
+        NATION_1 suppliers holding more than half a year's shipped
+        quantity of any 'small%' part. The availqty > 0.5*sum(qty)
+        comparison is restated as 2*availqty > qty in exact integers.
+        shipped is a (partkey, suppkey)-keyed partial aggregate of the
+        date-pruned lineitem scan; partsupp joins it on the same key
+        (bucket-ready at 100 TB); the part name filter is a broadcast
+        semi-join; the final supplier/nation step is all-broadcast."""
+        shipped = (
+            _t(spark, sf_dir, "lineitem")
+            .where(
+                (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            )
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("qty"))
+        )
+        small = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%")).select("p_partkey")
+        excess = (
+            _t(spark, sf_dir, "partsupp")
+            .join(F.broadcast(small), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+            .join(
+                shipped,
+                (F.col("ps_partkey") == F.col("l_partkey")) & (F.col("ps_suppkey") == F.col("l_suppkey")),
+            )
+            .where(F.lit(2) * F.round(F.col("ps_availqty"), 0).cast("long") > F.col("qty"))
+            .select("ps_suppkey")
+            .distinct()
+        )
+        s = _t(spark, sf_dir, "supplier")
+        n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_13")
+        return (
+            s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(excess), F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+            .select("s_name", F.round(F.col("s_acctbal"), 2).alias("s_acctbal"), "n_name")
+        )

@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-TABLES = (
+_BASE_TABLES = (
     "region",
     "nation",
     "customer",
@@ -26,6 +26,21 @@ TABLES = (
     "documents",
     "embeddings",
 )
+
+
+def _partsupp_fixture_present() -> bool:
+    """True iff the driver's fixtures have grown a ``partsupp`` table
+    (absent today — TESTDATA.md). The partsupp-dependent TPC-H queries
+    (Q2/Q9/Q11/Q16/Q20, queries_tpch.py) self-register when it appears;
+    requiring it in EVERY standard sf dir keeps the query registry
+    consistent across the driver's smoke (sf0.001) / correctness
+    (sf0.01) / bench (sf0.1) tiers."""
+    root = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+    dirs = [os.path.join(root, d) for d in ("sf0.001", "sf0.01", "sf0.1") if os.path.isdir(os.path.join(root, d))]
+    return bool(dirs) and all(os.path.exists(os.path.join(d, "partsupp.parquet")) for d in dirs)
+
+
+TABLES = _BASE_TABLES + (("partsupp",) if _partsupp_fixture_present() else ())
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

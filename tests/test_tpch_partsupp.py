@@ -1,0 +1,110 @@
+"""The partsupp-gated TPC-H completions (Q2/Q9/Q11/Q16/Q20) are staged,
+not dead: today the driver fixtures ship no partsupp table, so
+tables._partsupp_fixture_present() gates their registration OFF; this
+suite proves (a) the gate is off against the real fixtures, and (b) the
+moment a partsupp fixture appears the queries self-register AND
+hash-match their DuckDB oracles end-to-end — by synthesizing a
+deterministic partsupp in a shadow testdata root and running the real
+oracle gate in a subprocess with SPARK_GRAFT_TESTDATA_ROOT pointed there.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REAL_ROOT = "/root/testdata"
+SF_DIRS = ("sf0.001", "sf0.01", "sf0.1")
+GATED = ["q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20"]
+
+
+def test_partsupp_queries_gated_off_without_fixture():
+    from simple_stream_processor_spark.registry import QUERIES
+    from simple_stream_processor_spark.tables import TABLES
+
+    import simple_stream_processor_spark.queries_tpch  # noqa: F401
+
+    assert "partsupp" not in TABLES
+    for name in GATED:
+        assert name not in QUERIES, f"{name} must stay unregistered without the fixture"
+
+
+def _synth_partsupp(sf_dir: str, out_path: str) -> None:
+    """Deterministic partsupp for one sf dir: every distinct
+    (l_partkey, l_suppkey) pair observed in lineitem (TPC-H's own
+    construction — lineitem pairs come FROM partsupp, so Q9/Q20's joins
+    are non-vacuous) plus 4 arithmetic supplier rows per part.
+    Quantities/costs are pure arithmetic in the keys (no RNG — reruns
+    byte-identical)."""
+    import duckdb
+
+    parts = [r[0] for r in duckdb.sql(
+        f"SELECT p_partkey FROM read_parquet('{sf_dir}/part.parquet') ORDER BY 1"
+    ).fetchall()]
+    supps = [r[0] for r in duckdb.sql(
+        f"SELECT s_suppkey FROM read_parquet('{sf_dir}/supplier.parquet') ORDER BY 1"
+    ).fetchall()]
+    li_pairs = duckdb.sql(
+        f"SELECT DISTINCT l_partkey, l_suppkey FROM read_parquet('{sf_dir}/lineitem.parquet') ORDER BY 1, 2"
+    ).fetchall()
+    ns = len(supps)
+    pairs = list(dict.fromkeys(
+        [(pk, sk) for pk, sk in li_pairs]
+        + [(pk, supps[(pk * 7 + i * 13) % ns]) for pk in parts for i in range(4)]
+    ))
+    rows = {"ps_partkey": [], "ps_suppkey": [], "ps_availqty": [], "ps_supplycost": []}
+    for pk, sk in pairs:
+        rows["ps_partkey"].append(pk)
+        rows["ps_suppkey"].append(sk)
+        rows["ps_availqty"].append(1 + (pk * 31 + sk * 17) % 9999)
+        rows["ps_supplycost"].append(((pk * 53 + sk * 29) % 100000) / 100.0)
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "ps_partkey": pa.array(rows["ps_partkey"], type=pa.int64()),
+                "ps_suppkey": pa.array(rows["ps_suppkey"], type=pa.int64()),
+                "ps_availqty": pa.array(rows["ps_availqty"], type=pa.int64()),
+                "ps_supplycost": pa.array(rows["ps_supplycost"], type=pa.float64()),
+            }
+        ),
+        out_path,
+    )
+
+
+def test_partsupp_queries_register_and_match_oracles_when_fixture_appears(tmp_path):
+    shadow = str(tmp_path / "testdata")
+    for d in SF_DIRS:
+        os.makedirs(os.path.join(shadow, d))
+        real = os.path.join(REAL_ROOT, d)
+        for f in os.listdir(real):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(real, f), os.path.join(shadow, d, f))
+        _synth_partsupp(real, os.path.join(shadow, d, "partsupp.parquet"))
+
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_TESTDATA_ROOT": shadow,
+        "ORACLE_VANILLA": "1",
+    }
+    proc = subprocess.run(
+        [sys.executable, "tools/check_oracles.py", os.path.join(shadow, "sf0.001"), *GATED],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-4000:]
+    assert "all green" in out, out[-4000:]
+    for name in GATED:
+        assert f"OK    {name}" in out, (name, out[-4000:])
+    # the big shapes must be non-vacuous greens (partsupp covers lineitem's
+    # pairs by construction, so Q9's profit join has real rows)
+    for name in ("q_tpch_q2", "q_tpch_q9", "q_tpch_q16"):
+        assert f"OK    {name}: 0 rows" not in out, (name, out[-4000:])
