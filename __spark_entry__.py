@@ -113,6 +113,9 @@ _PRIORITY = [
     "q_quality_score", "q_token_stats", "q_tfidf_topterms",
     "q_training_pipeline", "q_dedup_clusters", "q_text_tokens",
     "q_decontaminate", "q_repetition_filter",
+    # --- new in round 5 (registry tail; local-oracle-green at 3 SFs,
+    # queued for their first driver window in round 6) ---
+    "q_random_projection", "q_bm25_search", "q_bigram_surprisal",
 ]
 
 

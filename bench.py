@@ -107,6 +107,8 @@ TAIL = [
     "q_time_to_convert", "q_power_analysis", "q_retention_curve",
     "q_data_freshness", "q_active_users", "q_quantile_normalize",
     "q_dim_coverage",
+    # round-5 additions (first benched this round — no canon row yet)
+    "q_random_projection", "q_bm25_search", "q_bigram_surprisal",
 ]
 
 

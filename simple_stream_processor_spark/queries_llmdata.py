@@ -3749,3 +3749,273 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("source_quantile"),
         F.when(F.percent_rank().over(w) >= 0.9, 1).otherwise(0).alias("top_decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions (L63-L65): JL random projection, BM25 search serving
+# path, bigram-LM surprisal — the three curation primitives between the
+# existing ANN ladder (L6/L51), term-statistics (L27), and unigram
+# surprisal (L40).
+# ---------------------------------------------------------------------------
+
+RP_IN_DIM = 64
+RP_OUT_DIM = 16
+
+
+def _rp_signs() -> list[list[float]]:
+    """The deterministic ±1 JL sign matrix (Achlioptas 2003: Rademacher
+    entries satisfy the Johnson-Lindenstrauss lemma): sign(i, j) = +1 iff
+    the md5 of "rp:i:j" has even 32-bit prefix parity. Computed
+    driver-side with hashlib; the oracle derives the IDENTICAL values
+    with SQL md5 over the same strings (pinned by
+    test_random_projection_sign_matrix_matches_sql)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1.0
+            for i in range(RP_IN_DIM)
+        ]
+        for j in range(RP_OUT_DIM)
+    ]
+
+
+@query(
+    "q_random_projection",
+    oracle="""
+    WITH s AS (
+      SELECT i.range AS i, j.range AS j,
+             CASE WHEN (('0x' || substr(md5('rp:' || i.range || ':' || j.range), 1, 8))::BIGINT % 2) = 0
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM range(64) i, range(16) j
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    terms AS (SELECT e.vec_id, s.j, s.i, v[s.i + 1] * s.sgn AS t FROM e, s),
+    proj AS (
+      SELECT vec_id, j,
+             round(list_reduce(list_prepend(0.0, list(t ORDER BY i)), (a, x) -> a + x) / 4.0, 6) AS y
+      FROM terms GROUP BY vec_id, j
+    )
+    SELECT vec_id, """
+    + ", ".join(f"max(CASE WHEN j = {j} THEN y END) AS y{j}" for j in range(16))
+    + """
+    FROM proj GROUP BY vec_id
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (L63): reduce each 64-d
+    embedding to 16-d with a deterministic Rademacher (±1) matrix scaled
+    by 1/√m — the standard pre-step that makes billion-scale ANN/cluster
+    passes 4× cheaper while preserving pairwise distances to (1±ε). The
+    sign matrix derives from md5 parity so BOTH engines construct it
+    independently (no shipped weights); each output dim is a
+    sequential-fold dot in index order, bit-identical to the oracle's
+    ordered list_reduce.
+
+    100 TB shape: a pure narrow map — the 1024-entry sign matrix is a
+    plan literal, vectors never shuffle, no exchange at all; the plan is
+    one WholeStageCodegen span over the scan. Feeding the projected
+    vectors into the IVF/PQ ladder divides every downstream distance
+    computation's cost by d/m = 4."""
+    e = tables.spread(_t(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    signs = _rp_signs()
+    cols = []
+    for j in range(RP_OUT_DIM):
+        sj = F.array(*[F.lit(s) for s in signs[j]])
+        yj = F.aggregate(
+            F.zip_with(F.col("v"), sj, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        ) / F.lit(4.0)
+        cols.append(F.round(yj, 6).alias(f"y{j}"))
+    return e.select("vec_id", *cols)
+
+
+BM25_QUERY_TERMS = ("join", "scan", "vector")
+
+
+@query(
+    "q_bm25_search",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, t.w FROM documents, unnest(string_split(text, ' ')) AS t(w) WHERE t.w <> ''
+    ),
+    dl AS (SELECT doc_id, source, count(*) AS len FROM tok GROUP BY 1, 2),
+    corp AS (SELECT count(*) AS n, CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok WHERE w IN ('join', 'scan', 'vector') GROUP BY 1, 2
+    ),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok WHERE w IN ('join', 'scan', 'vector') GROUP BY 1),
+    term_score AS (
+      SELECT tf.doc_id, tf.w,
+             ln((corp.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / corp.avgdl)) AS ts
+      FROM tf JOIN df USING (w) JOIN dl USING (doc_id), corp
+    ),
+    scored AS (
+      SELECT doc_id, count(*) AS n_terms_hit,
+             list_reduce(list_prepend(0.0, list(ts ORDER BY w)), (a, x) -> a + x) AS score
+      FROM term_score GROUP BY doc_id
+    )
+    SELECT s.doc_id, dl.source, CAST(n_terms_hit AS BIGINT) AS n_terms_hit, round(score, 6) AS bm25
+    FROM scored s JOIN dl USING (doc_id)
+    ORDER BY score DESC, s.doc_id ASC LIMIT 20
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document search (L64, Robertson-Spärck Jones; k1=1.2,
+    b=0.75): the SERVING half of the BM25 story — q_bm25_topterms builds
+    per-term statistics, this ranks documents against a multi-term query
+    and returns the top-20. Every input to the float expression is an
+    exact integer (tf, df, N, doc length) except avgdl (one exact
+    division), and per-doc scores fold term contributions in sorted term
+    order from 0.0, so the (score, doc_id) frontier cannot flicker
+    across engines.
+
+    100 TB shape: the query-term filter is an `isin` over a handful of
+    literals pushed into the token stream (at production scale: a
+    broadcast semi-join against the query's term list); tf is a
+    (doc, term)-keyed partial aggregate; df is |query| rows broadcast;
+    the corpus never joins itself and the top-20 is a TakeOrdered."""
+    d = tables.spread(_t(spark, sf_dir, "documents"), "doc_id")
+    tok = d.select("doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    dl = tok.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("len"))
+    corp = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtok = tok.where(F.col("w").isin(*BM25_QUERY_TERMS))
+    tf = qtok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = qtok.groupBy(F.col("w").alias("df_w")).agg(F.count_distinct("doc_id").alias("df"))
+    dl_j = dl.select(F.col("doc_id").alias("dl_doc"), "source", "len")
+    ts = (
+        tf.join(F.broadcast(df_t), tf.w == df_t.df_w)
+        .join(dl_j, tf.doc_id == dl_j.dl_doc)
+        .crossJoin(F.broadcast(corp))
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            (
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * F.lit(2.2))
+                / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("len") / F.col("avgdl")))
+            ).alias("ts"),
+        )
+    )
+    scored = ts.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", F.col("ts").alias("t")))),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("score"),
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
+            F.round("score", 6).alias("bm25"),
+        )
+    )
+
+
+@query(
+    "q_bigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.i AS pos, ws[u.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           unnest(range(1, len(ws) + 1)) AS u(i)
+      WHERE ws[u.i] <> ''
+    ),
+    big AS (
+      SELECT doc_id, pos, w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ),
+    bg AS (SELECT doc_id, pos, w1, w2 FROM big WHERE w2 IS NOT NULL),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT w) AS vocab FROM tok),
+    nll AS (
+      SELECT bg.doc_id, bg.pos,
+             -ln((c2.c2 + 1) / CAST(c1.c1 + v.vocab AS DOUBLE)) AS s
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             list_reduce(list_prepend(0.0, list(s ORDER BY pos)), (a, x) -> a + x) AS total
+      FROM nll GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, round(total / n_bigrams, 6) AS avg_surprisal
+    FROM agg
+    """,
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM surprisal (L65): mean negative log
+    probability under an add-one-smoothed bigram model trained on the
+    corpus itself — the CCNet/KenLM-style perplexity quality signal one
+    rung above q_unigram_surprisal (word-order-aware: a bag of common
+    words in random order now scores BADLY). P(w2|w1) =
+    (c(w1,w2)+1)/(c(w1·)+V); every count is an exact integer so ln sees
+    the identical double in both engines, and the per-doc fold runs in
+    token-position order from 0.0 — bit-stable scores. Documents with
+    fewer than two tokens have no bigrams and drop out (both engines'
+    group semantics).
+
+    100 TB shape: tokens explode narrow; the bigram pairing is one
+    doc-keyed window (same exchange the surprisal scoring reuses); the
+    c2/c1 model tables are vocabulary-sized aggregates joined back on
+    the bigram key — at web scale swap the exact tables for the CMS
+    sketch (L38) or modular gram hashing (the q_decontaminate pattern),
+    which changes only the lookup, not the plan shape."""
+    from pyspark.sql.window import Window
+
+    d = tables.spread(_t(spark, sf_dir, "documents"), "doc_id")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    ).where(F.col("w") != "")
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id", "pos", F.col("w").alias("w1"), F.lead("w", 1).over(wspec).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    c2 = big.groupBy(F.col("w1").alias("c2_w1"), F.col("w2").alias("c2_w2")).agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    c1 = big.groupBy(F.col("w1").alias("c1_w1")).agg(F.count(F.lit(1)).alias("c1"))
+    vocab = tok.agg(F.count_distinct("w").alias("vocab"))
+    nll = (
+        big.join(c2, (big.w1 == c2.c2_w1) & (big.w2 == c2.c2_w2))
+        .join(c1, big.w1 == c1.c1_w1)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "pos",
+            (-F.log((F.col("c2") + 1) / (F.col("c1") + F.col("vocab")).cast("double"))).alias("s"),
+        )
+    )
+    agg = nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", F.col("s").alias("t")))),
+                lambda st: st["t"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("total"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(F.col("total") / F.col("n_bigrams"), 6).alias("avg_surprisal"),
+    )

@@ -849,3 +849,128 @@ def test_group_split_never_splits_a_duplicate_group(spark, sf_dir):
     a = {tuple(r) for r in q_group_split(spark, sf_dir).collect()}
     b = {tuple(r) for r in q_group_split(spark, sf_dir).collect()}
     assert a == b and len(a) > 0
+
+
+def test_random_projection_sign_matrix_matches_sql():
+    """The JL sign matrix both engines derive independently is the same
+    matrix: Python hashlib parity == DuckDB md5 parity, and the ±1
+    entries are near-balanced (a degenerate all-one matrix would make
+    the projection a scaled sum, not a JL embedding)."""
+    import duckdb
+
+    from simple_stream_processor_spark.queries_llmdata import RP_IN_DIM, RP_OUT_DIM, _rp_signs
+
+    signs = _rp_signs()
+    sql = duckdb.sql(
+        "SELECT i.range AS i, j.range AS j,"
+        " CASE WHEN (('0x' || substr(md5('rp:' || i.range || ':' || j.range), 1, 8))::BIGINT % 2) = 0"
+        " THEN 1.0 ELSE -1.0 END AS sgn"
+        " FROM range(64) i, range(16) j"
+    ).fetchall()
+    for i, j, sgn in sql:
+        assert signs[j][i] == sgn, (i, j)
+    n_pos = sum(1 for row in signs for s in row if s > 0)
+    total = RP_IN_DIM * RP_OUT_DIM
+    assert 0.4 * total < n_pos < 0.6 * total
+
+
+def test_random_projection_matches_python_replay(spark, sf_dir):
+    """Projected coordinates == a pure-Python sequential-fold replay of
+    v·s/√m for every vector (same index order, same 0.0 seed), and the
+    plan is shuffle-free (narrow map over the scan)."""
+    from simple_stream_processor_spark.queries_llmdata import (
+        RP_OUT_DIM,
+        _rp_signs,
+        q_random_projection,
+    )
+    from simple_stream_processor_spark.tables import load_table
+
+    out = {r.vec_id: r for r in q_random_projection(spark, sf_dir).collect()}
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, "embeddings", sf_dir).collect()
+    }
+    signs = _rp_signs()
+    assert set(out) == set(vecs)
+    for vid in list(sorted(vecs))[:50]:
+        v = vecs[vid]
+        for j in range(RP_OUT_DIM):
+            acc = 0.0
+            for a, b in zip(v, signs[j]):
+                acc += a * b
+            assert abs(out[vid][f"y{j}"] - round(acc / 4.0, 6)) < 1e-9, (vid, j)
+    # narrow map: the only exchange allowed is spread()'s deliberate
+    # small-file fan-out (REPARTITION_BY_NUM); no distribution-required
+    # exchange (agg/join/window) may appear
+    plan = q_random_projection(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
+
+
+def test_bm25_search_matches_python_replay(spark, sf_dir):
+    """Top-20 BM25 hits == a textbook Python BM25 (k1=1.2, b=0.75,
+    Lucene-style +1 idf) over the same corpus, including the ranking
+    order."""
+    import math
+
+    from simple_stream_processor_spark.queries_llmdata import BM25_QUERY_TERMS, q_bm25_search
+    from simple_stream_processor_spark.tables import load_table
+
+    docs = {
+        r.doc_id: [w for w in r.text.split(" ") if w]
+        for r in load_table(spark, "documents", sf_dir).collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in BM25_QUERY_TERMS
+    }
+    expect = []
+    for did, toks in docs.items():
+        score, hits = 0.0, 0
+        for t in sorted(BM25_QUERY_TERMS):
+            tf = toks.count(t)
+            if not tf:
+                continue
+            hits += 1
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            score += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+        if hits:
+            expect.append((-score, did, hits))
+    expect.sort()
+    got = q_bm25_search(spark, sf_dir).collect()
+    assert len(got) == min(20, len(expect))
+    for row, (neg_s, did, hits) in zip(got, expect[:20]):
+        assert row.doc_id == did and row.n_terms_hit == hits
+        assert abs(row.bm25 - round(-neg_s, 6)) < 1e-9
+
+
+def test_bigram_surprisal_matches_python_replay(spark, sf_dir):
+    """Per-doc average surprisal == a pure-Python add-one bigram LM over
+    the same corpus (identical counts, vocab, position-ordered fold)."""
+    import math
+
+    from simple_stream_processor_spark.queries_llmdata import q_bigram_surprisal
+    from simple_stream_processor_spark.tables import load_table
+
+    docs = {
+        r.doc_id: [w for w in r.text.split(" ") if w]
+        for r in load_table(spark, "documents", sf_dir).collect()
+    }
+    c2, c1, vocab = {}, {}, set()
+    for toks in docs.values():
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    out = {r.doc_id: r for r in q_bigram_surprisal(spark, sf_dir).collect()}
+    for did, toks in docs.items():
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            assert did not in out
+            continue
+        acc = 0.0
+        for a, b in pairs:
+            acc += -math.log((c2[(a, b)] + 1) / float(c1[a] + len(vocab)))
+        r = out[did]
+        assert r.n_bigrams == len(pairs)
+        assert abs(r.avg_surprisal - round(acc / len(pairs), 6)) < 1e-9, did

@@ -86,6 +86,7 @@ DOC_QUERIES = [
     "q_stratified_sample", "q_schema_evolution_union", "q_chi_square",
     "q_simhash_dedup", "q_tfidf_topterms", "q_training_pipeline",
     "q_text_tokens", "q_decontaminate", "q_minhash_recall", "q_dsir_select",
+    "q_bm25_search", "q_bigram_surprisal",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -328,7 +329,7 @@ EMBEDDING_QUERIES = [
     "q_embedding_quantize", "q_batch_ann", "q_kmeans", "q_pca_top_component",
     "q_hard_negatives", "q_pq_codes", "q_embedding_drift", "q_ann_recall",
     "q_ann_pq", "q_label_noise", "q_embedding_dedup", "q_cosine_topk",
-    "q_ann_ivf", "q_ann_bucketed", "q_semantic_dedup",
+    "q_ann_ivf", "q_ann_bucketed", "q_semantic_dedup", "q_random_projection",
 ]
 
 
