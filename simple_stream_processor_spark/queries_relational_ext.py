@@ -3464,9 +3464,7 @@ def weekday_profile_tail(daily: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "q_hll_portable",
-    oracle="""
+HLL_ORACLE = """
     WITH h AS (
       SELECT event_type,
              ('0x' || substr(md5('hll:' || user_id), 1, 15))::BIGINT AS hv
@@ -3497,8 +3495,10 @@ def weekday_profile_tail(daily: DataFrame) -> DataFrame:
                       THEN 256 * ln(256.0 / (256 - n_regs))
                       ELSE 0.7213 / (1 + 1.079 / 256) * 256 * 256 / denom END, 4) AS distinct_est
     FROM est
-    """,
-)
+    """
+
+
+@query("q_hll_portable", oracle=HLL_ORACLE)
 def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog (N35b, Flajolet et al. 2007): the
     engine-agnostic complement to q_hll_mergeable's DataSketches binary —
@@ -3514,16 +3514,41 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-row aggregate, never a corpus re-scan. shiftright(hv, 8), not
     hv/256: long division in Spark SQL is double division, which drops
     low bits past 2^53."""
-    ev = _t(spark, sf_dir, "events")
+    return hll_estimate_tail(hll_registers(_t(spark, sf_dir, "events")))
+
+
+def hll_rho_cols():
+    """(bucket, rho) column pair for the portable HLL: 60-bit md5 hash,
+    low 8 bits bucket, rho from the STRING length of bin() on the top 52
+    bits (shiftright, not division — long division in Spark SQL is
+    double division, which drops low bits past 2^53)."""
     hv = F.conv(
         F.substring(F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 15),
         16,
         10,
     ).cast("long")
-    h = ev.select("event_type", hv.alias("hv"))
-    w = F.shiftright(F.col("hv"), 8)
+    w = F.shiftright(hv, 8)
     rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
-    reg = h.groupBy("event_type", (F.col("hv") % 256).alias("b")).agg(F.max(rho).alias("rho"))
+    return (hv % 256).alias("b"), rho.alias("rho")
+
+
+def hll_registers(ev: DataFrame) -> DataFrame:
+    """Per-(event_type, bucket) max-rho register table — 256 small ints
+    per group forever. In the streaming twin this aggregate IS the
+    state: max is commutative, so arrival order across micro-batches
+    cannot change the registers."""
+    b, rho = hll_rho_cols()
+    return ev.select("event_type", b, rho).groupBy("event_type", "b").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_estimate_tail(reg: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming portable-HLL queries: the
+    <all> register-wise-max merge, the sorted-bucket 2^-rho fold, and
+    the harmonic estimate with linear-counting small-range correction —
+    identical expressions both paths, so the streaming twin hash-matches
+    the batch oracle."""
     allreg = reg.unionByName(
         reg.groupBy("b")
         .agg(F.max("rho").alias("rho"))

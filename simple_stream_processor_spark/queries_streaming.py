@@ -1401,3 +1401,39 @@ def dsir_score_stream(
             [], "doc_id long, source string, n_tokens bigint, dsir_score double, batch_id long"
         )
     return reduce(DataFrame.unionByName, state["scored"])
+
+
+def _hll_oracle() -> str:
+    from simple_stream_processor_spark.queries_relational_ext import HLL_ORACLE
+
+    return HLL_ORACLE
+
+
+@query("q_streaming_hll", oracle=_hll_oracle())
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_hll_portable (N35b): the 256-register-per-group
+    HLL table is maintained INCREMENTALLY — the streaming aggregate's
+    max(rho) state IS the sketch, bounded at groups×256 small-int rows no
+    matter how long the stream runs, and max is commutative so arrival
+    order across micro-batches cannot change a register (the same
+    arrival-order-proof argument as the count state of q_streaming_cms
+    and the bit_or state of q_streaming_bloom — this twin adds the
+    MAX-state member of the mergeable-sketch family). The drained
+    registers flow through the shared hll_estimate_tail (<all> merge +
+    sorted-bucket fold + harmonic estimate) and hash-match the identical
+    batch oracle — continuous distinct-user dashboards over an unbounded
+    stream with O(1) state and no corpus re-scan."""
+    from simple_stream_processor_spark.queries_relational_ext import (
+        hll_estimate_tail,
+        hll_rho_cols,
+    )
+
+    sdf = stream_events(spark, sf_dir)
+    b, rho = hll_rho_cols()
+    reg_stream = (
+        sdf.select("event_type", b, rho)
+        .groupBy("event_type", "b")
+        .agg(F.max("rho").alias("rho"))
+    )
+    reg, _ = run_stream_to_memory(reg_stream, output_mode="complete")
+    return hll_estimate_tail(reg)
