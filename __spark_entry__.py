@@ -116,7 +116,7 @@ _PRIORITY = [
     # --- new in round 5 (registry tail; local-oracle-green at 3 SFs,
     # queued for their first driver window in round 6) ---
     "q_random_projection", "q_bm25_search", "q_bigram_surprisal",
-    "q_hll_portable", "q_streaming_hll",
+    "q_hll_portable", "q_streaming_hll", "q_conformal_threshold",
 ]
 
 

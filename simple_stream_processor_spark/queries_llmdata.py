@@ -4019,3 +4019,99 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.round(F.col("total") / F.col("n_bigrams"), 6).alias("avg_surprisal"),
     )
+
+
+CONFORMAL_ALPHAS = (0.05, 0.10, 0.20)
+
+
+@query(
+    "q_conformal_threshold",
+    oracle="""
+    WITH cal AS (SELECT n_chars AS s FROM documents WHERE doc_id % 2 = 0),
+    ev AS (SELECT n_chars AS s FROM documents WHERE doc_id % 2 = 1),
+    n AS (SELECT count(*) AS n FROM cal),
+    ranked AS (SELECT s, row_number() OVER (ORDER BY s) AS rk FROM cal),
+    thr AS (
+      SELECT a.alpha, n.n,
+             least(CAST(ceil((n.n + 1) * (1 - a.alpha)) AS BIGINT), n.n) AS k_rank
+      FROM (SELECT unnest([0.05, 0.10, 0.20]) AS alpha) a, n
+    ),
+    qhat AS (
+      SELECT t.alpha, t.n, r.s AS threshold
+      FROM thr t JOIN ranked r ON r.rk = t.k_rank
+    ),
+    cov AS (
+      SELECT q.alpha, q.n, q.threshold,
+             count(*) AS n_eval,
+             sum(CASE WHEN e.s <= q.threshold THEN 1 ELSE 0 END) AS n_cov
+      FROM ev e, qhat q GROUP BY 1, 2, 3
+    )
+    SELECT alpha, CAST(n AS BIGINT) AS n_cal, CAST(threshold AS BIGINT) AS threshold,
+           CAST(n_eval AS BIGINT) AS n_eval, round(n_cov * 1.0 / n_eval, 6) AS coverage
+    FROM cov
+    """,
+)
+def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal threshold selection (L66; Vovk et al.; Angelopoulos
+    & Bates 2021 survey): from a calibration split (even doc_ids), pick
+    the score threshold q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration
+    score, which guarantees P(score ≤ q̂) ≥ 1−α on exchangeable data —
+    the distribution-free way to turn ANY quality/anomaly score into a
+    gate with a coverage guarantee (here: n_chars as the score; swap in
+    q_quality_score or a model logit unchanged). The eval split (odd
+    doc_ids) empirically confirms coverage ≥ 1−α per level. The k-th
+    order statistic VALUE is tie-invariant, so the rank join is
+    deterministic even where row_number tie order is not.
+
+    Plan: one rank window over the calibration scores (the repo's single
+    budgeted single-partition exchange — calibration sets are samples,
+    thousands of rows, not the corpus; at 100 TB swap the exact order
+    statistic for percentile_approx with an ε smaller than 1/n, same
+    guarantee direction), a 3-row broadcast of (α, k, q̂), and one
+    broadcast-joined coverage aggregate over the eval side."""
+    from pyspark.sql.window import Window
+
+    d = tables.spread(_t(spark, sf_dir, "documents"), "doc_id")
+    cal = d.where(F.col("doc_id") % 2 == 0).select(F.col("n_chars").cast("long").alias("s"))
+    evl = d.where(F.col("doc_id") % 2 == 1).select(F.col("n_chars").cast("long").alias("s"))
+    # n rides the SAME window spec as the rank (whole-frame count), so the
+    # plan pays exactly one single-partition exchange — the budget
+    wspec = Window.orderBy("s")
+    ranked = cal.select(
+        "s",
+        F.row_number().over(wspec).alias("rk"),
+        F.count(F.lit(1))
+        .over(wspec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
+    ).localCheckpoint(eager=False)
+    thr = (
+        ranked.where(F.col("rk") == 1)
+        .select(F.explode(F.array(*[F.lit(a) for a in CONFORMAL_ALPHAS])).alias("alpha"), "n")
+        .select(
+            "alpha",
+            "n",
+            F.least(
+                F.ceil((F.col("n") + 1) * (F.lit(1) - F.col("alpha"))).cast("long"), F.col("n")
+            ).alias("k_rank"),
+        )
+    )
+    qhat = (
+        ranked.drop("n")
+        .join(F.broadcast(thr), F.col("rk") == F.col("k_rank"))
+        .select("alpha", "n", F.col("s").alias("threshold"))
+    )
+    cov = (
+        evl.crossJoin(F.broadcast(qhat))
+        .groupBy("alpha", "n", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(F.when(F.col("s") <= F.col("threshold"), 1).otherwise(0)).alias("n_cov"),
+        )
+    )
+    return cov.select(
+        "alpha",
+        F.col("n").cast("long").alias("n_cal"),
+        F.col("threshold").cast("long").alias("threshold"),
+        F.col("n_eval").cast("long").alias("n_eval"),
+        F.round(F.col("n_cov") * F.lit(1.0) / F.col("n_eval"), 6).alias("coverage"),
+    )

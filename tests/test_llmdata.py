@@ -974,3 +974,24 @@ def test_bigram_surprisal_matches_python_replay(spark, sf_dir):
         r = out[did]
         assert r.n_bigrams == len(pairs)
         assert abs(r.avg_surprisal - round(acc / len(pairs), 6)) < 1e-9, did
+
+
+def test_conformal_threshold_coverage_guarantee(spark, sf_dir):
+    """The conformal guarantee, empirically: for every alpha the eval-side
+    coverage is >= 1 - alpha (finite-sample, distribution-free), the
+    threshold is an actual calibration score, and splits partition the
+    corpus."""
+    from simple_stream_processor_spark.queries_llmdata import q_conformal_threshold
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = q_conformal_threshold(spark, sf_dir).collect()
+    assert len(rows) == 3
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    cal_scores = {
+        r.n_chars
+        for r in load_table(spark, "documents", sf_dir).where("doc_id % 2 = 0").select("n_chars").collect()
+    }
+    for r in rows:
+        assert r.coverage >= 1 - r.alpha - 1e-9, (r.alpha, r.coverage)
+        assert r.n_cal + r.n_eval == n_docs
+        assert r.threshold in cal_scores

@@ -86,7 +86,7 @@ DOC_QUERIES = [
     "q_stratified_sample", "q_schema_evolution_union", "q_chi_square",
     "q_simhash_dedup", "q_tfidf_topterms", "q_training_pipeline",
     "q_text_tokens", "q_decontaminate", "q_minhash_recall", "q_dsir_select",
-    "q_bm25_search", "q_bigram_surprisal",
+    "q_bm25_search", "q_bigram_surprisal", "q_conformal_threshold",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
