@@ -4115,3 +4115,130 @@ def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_eval").cast("long").alias("n_eval"),
         F.round(F.col("n_cov") * F.lit(1.0) / F.col("n_eval"), 6).alias("coverage"),
     )
+
+
+@query(
+    "q_jl_recall",
+    oracle="""
+    WITH sg AS (
+      SELECT i.range AS i, j.range AS j,
+             CASE WHEN (('0x' || substr(md5('rp:' || i.range || ':' || j.range), 1, 8))::BIGINT % 2) = 0
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM range(64) i, range(16) j
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    terms AS (SELECT e.vec_id, sg.j, sg.i, v[sg.i + 1] * sg.sgn AS t FROM e, sg),
+    proj AS (
+      SELECT vec_id, j,
+             list_reduce(list_prepend(0.0, list(t ORDER BY i)), (a, x) -> a + x) / 4.0 AS y
+      FROM terms GROUP BY vec_id, j
+    ),
+    pvt AS (SELECT vec_id, list(y ORDER BY j) AS pv FROM proj GROUP BY vec_id),
+    b AS (SELECT e.vec_id, e.v, pvt.pv FROM e JOIN pvt USING (vec_id)),
+    p AS (SELECT vec_id AS probe_id, v AS probe_v, pv AS probe_pv FROM b WHERE vec_id < 5),
+    s2 AS (
+      SELECT p.probe_id, b.vec_id,
+             list_dot_product(b.v, p.probe_v)
+               / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.probe_v, p.probe_v))) AS cos_full,
+             list_dot_product(b.pv, p.probe_pv)
+               / (sqrt(list_dot_product(b.pv, b.pv)) * sqrt(list_dot_product(p.probe_pv, p.probe_pv))) AS cos_proj
+      FROM b CROSS JOIN p WHERE b.vec_id <> p.probe_id
+    ),
+    exact AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cos_full DESC, vec_id) AS rn
+        FROM s2
+      ) WHERE rn <= 10
+    ),
+    approx AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cos_proj DESC, vec_id) AS rn
+        FROM s2
+      ) WHERE rn <= 10
+    )
+    SELECT x.probe_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+           round(count(a.vec_id) / 10.0, 2) AS recall_at_10
+    FROM exact x LEFT JOIN approx a
+      ON x.probe_id = a.probe_id AND x.vec_id = a.vec_id
+    GROUP BY x.probe_id
+    """,
+)
+def q_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL projection quality harness (L63b): recall@10 of brute-force
+    cosine top-k computed in the 16-d PROJECTED space (q_random_projection's
+    md5-sign Rademacher map) against the exact 64-d top-k, per probe —
+    the measure-don't-guess companion that tells you whether the 4×
+    cheaper projected distances are good enough before pointing the
+    IVF/PQ ladder at them at corpus scale. Projected coordinates are the
+    UNROUNDED sequential folds (bit-identical across engines), so both
+    rankings and therefore the recall are deterministic. One
+    corpus×probes scoring pass computes both cosines side by side
+    (probes broadcast, corpus never shuffles for scoring); the rank
+    filters are WindowGroupLimit-eligible; the compare joins two 50-row
+    tables."""
+    from pyspark.sql.window import Window
+
+    from simple_stream_processor_spark.operators.dedup import cosine
+
+    signs = _rp_signs()
+    pv_col = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.lit(4.0)
+            for j in range(RP_OUT_DIM)
+        ]
+    )
+    e = (
+        tables.spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("pv", pv_col)
+    )
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("probe_v"),
+        F.col("pv").alias("probe_pv"),
+    )
+    scored = (
+        e.join(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            cosine(F.col("v"), F.col("probe_v")).alias("cos_full"),
+            cosine(F.col("pv"), F.col("probe_pv")).alias("cos_proj"),
+        )
+    )
+    rn_full = F.row_number().over(
+        Window.partitionBy("probe_id").orderBy(F.col("cos_full").desc(), F.col("vec_id"))
+    )
+    rn_proj = F.row_number().over(
+        Window.partitionBy("probe_id").orderBy(F.col("cos_proj").desc(), F.col("vec_id"))
+    )
+    exact = scored.select("probe_id", "vec_id", rn_full.alias("rn")).where(F.col("rn") <= 10)
+    approx = (
+        scored.select("probe_id", "vec_id", rn_proj.alias("rn"))
+        .where(F.col("rn") <= 10)
+        .select(F.col("probe_id").alias("a_probe_id"), F.col("vec_id").alias("a_vec_id"))
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("probe_id") == F.col("a_probe_id")) & (F.col("vec_id") == F.col("a_vec_id")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("a_vec_id").alias("n_hits"),
+            F.round(F.count("a_vec_id") / 10.0, 2).alias("recall_at_10"),
+        )
+    )

@@ -995,3 +995,22 @@ def test_conformal_threshold_coverage_guarantee(spark, sf_dir):
         assert r.coverage >= 1 - r.alpha - 1e-9, (r.alpha, r.coverage)
         assert r.n_cal + r.n_eval == n_docs
         assert r.threshold in cal_scores
+
+
+def test_jl_recall_sane_and_projection_preserves_neighbors(spark, sf_dir):
+    """The JL harness returns one row per probe with recall in [0, 1],
+    and the 16-d projection preserves enough geometry that mean
+    recall@10 clearly beats the ~10/n random-overlap floor (the fixture
+    embeddings are near-uniform, the hardest case for JL top-k
+    preservation — the harness exists to MEASURE exactly this)."""
+    from simple_stream_processor_spark.queries_llmdata import q_jl_recall
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = q_jl_recall(spark, sf_dir).collect()
+    assert len(rows) == 5
+    n = load_table(spark, "embeddings", sf_dir).count()
+    for r in rows:
+        assert 0 <= r.n_hits <= 10
+        assert abs(r.recall_at_10 - r.n_hits / 10.0) < 1e-9
+    mean_recall = sum(r.recall_at_10 for r in rows) / len(rows)
+    assert mean_recall > 3 * 10.0 / n, (mean_recall, n)

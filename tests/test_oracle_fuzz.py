@@ -330,6 +330,7 @@ EMBEDDING_QUERIES = [
     "q_hard_negatives", "q_pq_codes", "q_embedding_drift", "q_ann_recall",
     "q_ann_pq", "q_label_noise", "q_embedding_dedup", "q_cosine_topk",
     "q_ann_ivf", "q_ann_bucketed", "q_semantic_dedup", "q_random_projection",
+    "q_jl_recall",
 ]
 
 
