@@ -110,6 +110,7 @@ TAIL = [
     # round-5 additions (first benched this round — no canon row yet)
     "q_random_projection", "q_bm25_search", "q_bigram_surprisal",
     "q_hll_portable", "q_conformal_threshold", "q_jl_recall",
+    "q_wasserstein_drift", "q_benford_audit",
 ]
 
 

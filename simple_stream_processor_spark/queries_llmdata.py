@@ -4242,3 +4242,125 @@ def q_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("a_vec_id") / 10.0, 2).alias("recall_at_10"),
         )
     )
+
+
+@query(
+    "q_wasserstein_drift",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             CAST(floor(((len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' '))::DOUBLE)
+             * (1 - len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE)) * 10000) AS BIGINT) AS b
+      FROM documents
+    ),
+    cnt AS (SELECT source, b, count(*) AS n FROM scored GROUP BY 1, 2),
+    bins AS (SELECT DISTINCT b FROM cnt),
+    srcs AS (SELECT source, sum(n) AS n_s FROM cnt GROUP BY 1),
+    tot AS (SELECT sum(n) AS n_tot FROM cnt),
+    grid AS (
+      SELECT s.source, s.n_s, g.b, coalesce(c.n, 0) AS n
+      FROM srcs s CROSS JOIN bins g
+      LEFT JOIN cnt c ON c.source = s.source AND c.b = g.b
+    ),
+    cum AS (
+      SELECT source, n_s, b,
+             sum(n) OVER (PARTITION BY source ORDER BY b) AS s_cum
+      FROM grid
+    ),
+    corpus AS (SELECT b, sum(n) AS cn FROM cnt GROUP BY 1),
+    ccum AS (SELECT b, sum(cn) OVER (ORDER BY b) AS c_cum FROM corpus),
+    gaps AS (
+      SELECT cum.source, cum.n_s, cum.b,
+             lead(cum.b) OVER (PARTITION BY cum.source ORDER BY cum.b) AS b_next,
+             abs(cum.s_cum * CAST(1 AS DOUBLE) / cum.n_s
+                 - (ccum.c_cum - cum.s_cum) * CAST(1 AS DOUBLE) / (t.n_tot - cum.n_s)) AS gap
+      FROM cum JOIN ccum ON ccum.b = cum.b CROSS JOIN tot t
+    )
+    SELECT source, CAST(max(n_s) AS BIGINT) AS n_source,
+           round(list_reduce(list_prepend(0.0,
+                   list(CASE WHEN b_next IS NULL THEN 0.0 ELSE gap * (b_next - b) END ORDER BY b)),
+                 (a, x) -> a + x) / 10000.0, 6) AS w1
+    FROM gaps GROUP BY source
+    """,
+)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) drift per source (L67): W₁ = the
+    integral of |source ECDF − rest-of-corpus ECDF| over the binned
+    quality-score axis — the MAGNITUDE-sensitive drift metric beside
+    q_ks_drift's max-gap (KS flags a narrow spike and a broad shift the
+    same; W₁ weights by how much mass must move how far — the quantity a
+    mixture rebalance actually pays). Same 1e4-integer-grid machinery as
+    KS (score bins at the scan bound every table at sources × 10 k rows
+    at any corpus size; rest-ECDF = corpus-cum − source-cum); the
+    ECDF-gap × bin-width terms fold in sorted bin order from 0.0, so the
+    float integral is bit-identical across engines and partitionings."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", ks_score_bin().alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bins = cnt.select(F.col("b").alias("gb")).distinct()
+    srcs = cnt.groupBy("source").agg(F.sum("n").alias("n_s")).select(
+        F.col("source").alias("g_source"), "n_s"
+    )
+    tot = cnt.agg(F.sum("n").alias("n_tot"))
+    grid = (
+        srcs.crossJoin(F.broadcast(bins))
+        .join(
+            cnt,
+            (cnt["source"] == F.col("g_source")) & (cnt["b"] == F.col("gb")),
+            "left",
+        )
+        .select(
+            F.col("g_source").alias("source"),
+            "n_s",
+            F.col("gb").alias("b"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    wsrc = Window.partitionBy("source").orderBy("b")
+    cum = grid.select(
+        "source", "n_s", "b", F.sum("n").over(wsrc).alias("s_cum")
+    )
+    corpus = cnt.groupBy("b").agg(F.sum("n").alias("cn"))
+    ccum = corpus.select(
+        F.col("b").alias("cb"), F.sum("cn").over(Window.orderBy("b")).alias("c_cum")
+    )
+    gaps = (
+        cum.join(F.broadcast(ccum), cum["b"] == F.col("cb"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            "b",
+            F.lead("b", 1).over(wsrc).alias("b_next"),
+            F.abs(
+                F.col("s_cum") * F.lit(1.0) / F.col("n_s")
+                - (F.col("c_cum") - F.col("s_cum")) * F.lit(1.0) / (F.col("n_tot") - F.col("n_s"))
+            ).alias("gap"),
+        )
+    )
+    term = F.when(F.col("b_next").isNull(), F.lit(0.0)).otherwise(
+        F.col("gap") * (F.col("b_next") - F.col("b"))
+    )
+    return gaps.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_source"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", term.alias("t")))),
+                    lambda s: s["t"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.lit(10000.0),
+            6,
+        ).alias("w1"),
+    )

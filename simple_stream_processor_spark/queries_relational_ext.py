@@ -3584,3 +3584,58 @@ def hll_estimate_tail(reg: DataFrame) -> DataFrame:
             4,
         ).alias("distinct_est"),
     )
+
+
+@query(
+    "q_benford_audit",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM v),
+    cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    tot AS (SELECT sum(n) AS t FROM cnt),
+    dig AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit)
+    SELECT g.digit,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+           round(coalesce(c.n, 0) * CAST(1 AS DOUBLE) / t.t, 6) AS observed_p,
+           round(log10(1 + CAST(1 AS DOUBLE) / g.digit), 6) AS benford_p,
+           round(pow(coalesce(c.n, 0) * CAST(1 AS DOUBLE) / t.t
+                     - log10(1 + CAST(1 AS DOUBLE) / g.digit), 2)
+                 * t.t / log10(1 + CAST(1 AS DOUBLE) / g.digit), 4) AS chi2_term
+    FROM dig g LEFT JOIN cnt c ON c.digit = g.digit, tot t
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit (N36c) over transaction amounts —
+    the classic fabricated-data / fraud screen: natural multi-scale
+    amounts follow P(d) = log₁₀(1+1/d); uniform or hand-entered values
+    do not, and the per-digit χ² terms localize WHICH digits deviate
+    (sum them against the χ²₈ critical value for the verdict; the
+    synthetic fixtures' uniform prices rightly FAIL the law — the audit
+    detects exactly that). The first significant digit comes from the
+    integer-cents STRING — no float log10 of the value itself, so the
+    digit extraction is exact in both engines (leading digit of cents ==
+    leading digit of the amount for amounts ≥ 0.01). One narrow scan →
+    9-row count table; everything downstream is arithmetic on 9 rows."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 0)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d = li.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+    cnt = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    dig = spark.range(1, 10).select(F.col("id").cast("int").alias("g_digit"))
+    obs_p = F.coalesce(F.col("n"), F.lit(0)) * F.lit(1.0) / F.col("t")
+    ben_p = F.log10(F.lit(1) + F.lit(1.0) / F.col("g_digit"))
+    return (
+        F.broadcast(dig)
+        .join(cnt, F.col("g_digit") == F.col("digit"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("g_digit").alias("digit"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.round(obs_p, 6).alias("observed_p"),
+            F.round(ben_p, 6).alias("benford_p"),
+            F.round(F.pow(obs_p - ben_p, 2) * F.col("t") / ben_p, 4).alias("chi2_term"),
+        )
+    )

@@ -1014,3 +1014,56 @@ def test_jl_recall_sane_and_projection_preserves_neighbors(spark, sf_dir):
         assert abs(r.recall_at_10 - r.n_hits / 10.0) < 1e-9
     mean_recall = sum(r.recall_at_10 for r in rows) / len(rows)
     assert mean_recall > 3 * 10.0 / n, (mean_recall, n)
+
+
+def test_wasserstein_drift_matches_python_and_bounds(spark, sf_dir):
+    """W1 per source == a pure-Python EMD over the same binned ECDFs
+    (same grid, same rest-of-corpus contrast), and 0 <= W1 <= 1 (the
+    score axis is [0, 1] after the /1e4 rescale)."""
+    from simple_stream_processor_spark.queries_llmdata import ks_score_bin, q_wasserstein_drift
+
+    docs_df = docs(spark, sf_dir).select("source", ks_score_bin().alias("b")).collect()
+    from collections import Counter, defaultdict
+
+    per_src = defaultdict(Counter)
+    for r in docs_df:
+        per_src[r.source][r.b] += 1
+    all_bins = sorted({r.b for r in docs_df})
+    corpus = Counter()
+    for c in per_src.values():
+        corpus.update(c)
+    n_tot = sum(corpus.values())
+    expect = {}
+    for src, c in per_src.items():
+        n_s = sum(c.values())
+        s_cum = c_cum = 0
+        acc = 0.0
+        for i, b in enumerate(all_bins):
+            s_cum += c.get(b, 0)
+            c_cum += corpus.get(b, 0)
+            if i + 1 < len(all_bins):
+                gap = abs(s_cum / n_s - (c_cum - s_cum) / (n_tot - n_s))
+                acc += gap * (all_bins[i + 1] - b)
+        expect[src] = round(acc / 10000.0, 6)
+    got = {r.source: r.w1 for r in q_wasserstein_drift(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for src in got:
+        assert abs(got[src] - expect[src]) < 1e-9, src
+        assert 0.0 <= got[src] <= 1.0
+
+
+def test_benford_audit_detects_uniform_prices(spark, sf_dir):
+    """The audit works as an audit: the fixtures' uniform prices must
+    FAIL Benford (summed chi2 far above the chi2_8 99th percentile of
+    20.09), probabilities sum to ~1 on both sides, and the per-digit
+    counts total the positive-price rows."""
+    from simple_stream_processor_spark.queries_relational_ext import q_benford_audit
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = q_benford_audit(spark, sf_dir).collect()
+    assert [r.digit for r in sorted(rows, key=lambda r: r.digit)] == list(range(1, 10))
+    n_pos = load_table(spark, "lineitem", sf_dir).where("l_extendedprice > 0").count()
+    assert sum(r.n for r in rows) == n_pos
+    assert abs(sum(r.observed_p for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_p for r in rows) - 1.0) < 1e-4
+    assert sum(r.chi2_term for r in rows) > 20.09

@@ -87,6 +87,7 @@ DOC_QUERIES = [
     "q_simhash_dedup", "q_tfidf_topterms", "q_training_pipeline",
     "q_text_tokens", "q_decontaminate", "q_minhash_recall", "q_dsir_select",
     "q_bm25_search", "q_bigram_surprisal", "q_conformal_threshold",
+    "q_wasserstein_drift",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -246,7 +247,7 @@ TPCH_QUERIES = [
     "q_target_encoding", "q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q6",
     "q_tpch_q13", "q_tpch_q18", "q_tpch_q22",
     "q_pagerank", "q_densest_subgraph", "q_triangle_count",
-    "q_market_basket", "q_table_profile",
+    "q_market_basket", "q_table_profile", "q_benford_audit",
 ]
 
 ORDER_STATUS = ["F", "O", "P"]
