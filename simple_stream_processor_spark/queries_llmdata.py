@@ -4244,9 +4244,7 @@ def q_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_wasserstein_drift",
-    oracle="""
+EMD_ORACLE = """
     WITH scored AS (
       SELECT source,
              CAST(floor(((len(list_distinct(string_split(text, ' ')))::DOUBLE
@@ -4284,8 +4282,10 @@ def q_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list(CASE WHEN b_next IS NULL THEN 0.0 ELSE gap * (b_next - b) END ORDER BY b)),
                  (a, x) -> a + x) / 10000.0, 6) AS w1
     FROM gaps GROUP BY source
-    """,
-)
+    """
+
+
+@query("q_wasserstein_drift", oracle=EMD_ORACLE)
 def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D Wasserstein (earth-mover) drift per source (L67): W₁ = the
     integral of |source ECDF − rest-of-corpus ECDF| over the binned
@@ -4297,14 +4297,23 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any corpus size; rest-ECDF = corpus-cum − source-cum); the
     ECDF-gap × bin-width terms fold in sorted bin order from 0.0, so the
     float integral is bit-identical across engines and partitionings."""
-    from pyspark.sql.window import Window
-
     docs = _t(spark, sf_dir, "documents")
     cnt = (
         docs.select("source", ks_score_bin().alias("b"))
         .groupBy("source", "b")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return emd_report(cnt)
+
+
+def emd_report(cnt: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Wasserstein queries: from a
+    (source, b, n) binned-count table, the W1 integral of each source's
+    ECDF gap against the rest of the corpus. Same rename discipline as
+    ks_report (memory-sink cnt trips conflicting-reference checks on raw
+    self-joins)."""
+    from pyspark.sql.window import Window
+
     bins = cnt.select(F.col("b").alias("gb")).distinct()
     srcs = cnt.groupBy("source").agg(F.sum("n").alias("n_s")).select(
         F.col("source").alias("g_source"), "n_s"

@@ -1437,3 +1437,38 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reg, _ = run_stream_to_memory(reg_stream, output_mode="complete")
     return hll_estimate_tail(reg)
+
+
+def _emd_oracle() -> str:
+    from simple_stream_processor_spark.queries_llmdata import EMD_ORACLE
+
+    return EMD_ORACLE
+
+
+@query("q_streaming_wasserstein", oracle=_emd_oracle())
+def q_streaming_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_wasserstein_drift: the SAME (source, score-bin)
+    count state as q_streaming_ks — bounded at sources × 10k cells at any
+    stream length, commutative counts so batching is invisible — drained
+    through the shared emd_report tail instead of ks_report, hash-matching
+    the identical batch oracle. One state table serves BOTH drift
+    readouts (max-gap KS and mass-weighted W1): the monitoring pattern
+    where adding a metric costs a new 20-row tail, not a new scan or new
+    state."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_llmdata import emd_report, ks_score_bin
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    cnt = (
+        sdf.select("source", ks_score_bin().alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    drained, _ = run_stream_to_memory(cnt, output_mode="complete")
+    return emd_report(drained)

@@ -222,7 +222,7 @@ STREAMING_QUERIES = [
     "q_streaming_sliding", "q_streaming_funnel", "q_streaming_weekday_profile",
     "q_streaming_retention", "q_streaming_active_users",
     "q_streaming_cms", "q_streaming_bloom", "q_streaming_entropy",
-    "q_streaming_dsir", "q_streaming_hll",
+    "q_streaming_dsir", "q_streaming_hll", "q_streaming_wasserstein",
 ]
 
 
