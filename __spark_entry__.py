@@ -118,7 +118,7 @@ _PRIORITY = [
     "q_random_projection", "q_bm25_search", "q_bigram_surprisal",
     "q_hll_portable", "q_streaming_hll", "q_conformal_threshold",
     "q_jl_recall", "q_wasserstein_drift", "q_benford_audit",
-    "q_streaming_wasserstein",
+    "q_streaming_wasserstein", "q_gini_concentration", "q_time_weighted_avg",
 ]
 
 

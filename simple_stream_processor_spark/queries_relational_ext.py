@@ -3639,3 +3639,142 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(obs_p - ben_p, 2) * F.col("t") / ben_p, 4).alias("chi2_term"),
         )
     )
+
+
+@query(
+    "q_gini_concentration",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS seg, o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT seg, x, row_number() OVER (PARTITION BY seg ORDER BY x, o_custkey) AS i
+      FROM v
+    ),
+    g AS (
+      SELECT seg, count(*) AS n, sum(x) AS sx, sum(i * x) AS six FROM r GROUP BY seg
+    )
+    SELECT seg, CAST(n AS BIGINT) AS n_customers,
+           round(sx / 100.0, 2) AS total_revenue,
+           round(2.0 * six / (n * CAST(sx AS DOUBLE)) - (n + 1.0) / n, 6) AS gini
+    FROM g ORDER BY seg
+    """,
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-revenue concentration per order
+    priority (N50b): G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over per-customer
+    revenue sorted ascending — the whale-dependence readout beside RFM
+    segmentation (q_rfm_segmentation buckets customers; Gini says how
+    UNEQUAL the whole distribution is, the number a revenue-risk or
+    data-mixture review asks for first). Revenue in exact integer cents;
+    the rank·value products sum as decimal(38,0) (i·x at 100 TB
+    customer counts overflows a long sum — the q_stats_agg discipline);
+    (x, custkey) ordering makes ranks total. One customer rollup + one
+    keyed rank window + a seg-keyed 5-row aggregate."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    v = o.groupBy(
+        F.col("o_orderpriority").alias("seg"), "o_custkey"
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("x"))
+    r = v.select(
+        "seg",
+        "x",
+        F.row_number().over(Window.partitionBy("seg").orderBy("x", "o_custkey")).alias("i"),
+    )
+    g = r.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias("six"),
+    )
+    return g.select(
+        "seg",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(F.col("sx") / F.lit(100.0), 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx").cast("double"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, day, cents,
+             epoch_ms(ts) AS t,
+             lead(epoch_ms(ts)) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS t_next,
+             max(epoch_ms(ts)) OVER (PARTITION BY event_type, day) AS t_last
+      FROM e
+    ),
+    d AS (
+      SELECT event_type, day, cents, coalesce(t_next, t_last) - t AS dur FROM w
+    ),
+    a AS (
+      SELECT event_type, day, sum(cents * dur) AS num, sum(dur) AS den, count(*) AS n
+      FROM d GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(epoch_ms(day) AS BIGINT) AS day_ms, CAST(n AS BIGINT) AS n_readings,
+           round(CASE WHEN den = 0 THEN NULL ELSE num / (CAST(den AS DOUBLE) * 100.0) END, 6) AS twap
+    FROM a
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP, N22c) of the event value per type and
+    day: each reading holds until the next one, so its weight is its
+    duration-in-force — the correct average for irregularly-sampled
+    series (sensor readings, prices, queue depths), where the plain mean
+    over-weights bursts (q_rolling_time_window's mean treats every
+    reading equally; TWAP integrates the step function). Weights are
+    exact integer milliseconds from ONE keyed lead() window (the
+    day-closing reading holds zero time — the window's max rides the
+    same exchange); value·duration products sum exactly; one float
+    division at the end, NULL-guarded for single-reading days."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    wd = Window.partitionBy("event_type", "day")
+    wseq = wd.orderBy("ts", "event_id")
+    w = e.select(
+        "event_type",
+        "day",
+        "cents",
+        F.unix_millis("ts").alias("t"),
+        F.lead(F.unix_millis("ts"), 1).over(wseq).alias("t_next"),
+        F.max(F.unix_millis("ts")).over(wd).alias("t_last"),
+    )
+    d = w.select(
+        "event_type", "day", "cents", (F.coalesce("t_next", "t_last") - F.col("t")).alias("dur")
+    )
+    a = d.groupBy("event_type", "day").agg(
+        F.sum(F.col("cents") * F.col("dur")).alias("num"),
+        F.sum("dur").alias("den"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return a.select(
+        "event_type",
+        F.unix_millis("day").alias("day_ms"),
+        F.col("n").cast("long").alias("n_readings"),
+        F.round(
+            F.when(F.col("den") == 0, F.lit(None)).otherwise(
+                F.col("num") / (F.col("den").cast("double") * F.lit(100.0))
+            ),
+            6,
+        ).alias("twap"),
+    )

@@ -1067,3 +1067,65 @@ def test_benford_audit_detects_uniform_prices(spark, sf_dir):
     assert abs(sum(r.observed_p for r in rows) - 1.0) < 1e-4
     assert abs(sum(r.benford_p for r in rows) - 1.0) < 1e-4
     assert sum(r.chi2_term for r in rows) > 20.09
+
+
+def test_gini_matches_python_and_bounds(spark, sf_dir):
+    """Gini per segment == the textbook formula computed in Python over
+    the same per-customer cent sums, and 0 <= G < 1."""
+    from collections import defaultdict
+
+    from simple_stream_processor_spark.queries_relational_ext import q_gini_concentration
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority", "o_custkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c")
+    ).collect()
+    per = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        per[r.o_orderpriority][r.o_custkey] += r.c
+    got = {r.seg: r for r in q_gini_concentration(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for seg, cust in per.items():
+        xs = sorted(cust.values())
+        n, sx = len(xs), sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        expect = round(2.0 * six / (n * float(sx)) - (n + 1.0) / n, 6)
+        assert abs(got[seg].gini - expect) < 1e-9, seg
+        assert 0.0 <= got[seg].gini < 1.0
+        assert got[seg].n_customers == n
+
+
+def test_time_weighted_avg_matches_python(spark, sf_dir):
+    """TWAP per (type, day) == a Python replay of the hold-until-next
+    integral over the same millisecond timestamps."""
+    from collections import defaultdict
+
+    from simple_stream_processor_spark.queries_relational_ext import q_time_weighted_avg
+    from simple_stream_processor_spark.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.unix_millis(F.date_trunc("day", F.col("ts"))).alias("day_ms"),
+        F.unix_millis("ts").alias("t"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    ).collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[(r.event_type, r.day_ms)].append((r.t, r.event_id, r.c))
+    got = {(r.event_type, r.day_ms): r for r in q_time_weighted_avg(spark, sf_dir).collect()}
+    assert set(got) == set(groups)
+    for key, readings in groups.items():
+        readings.sort()
+        t_last = max(t for t, _, _ in readings)
+        num = den = 0
+        for i, (t, _, c) in enumerate(readings):
+            t_next = readings[i + 1][0] if i + 1 < len(readings) else t_last
+            num += c * (t_next - t)
+            den += t_next - t
+        r = got[key]
+        assert r.n_readings == len(readings)
+        if den == 0:
+            assert r.twap is None
+        else:
+            assert abs(r.twap - round(num / (den * 100.0), 6)) < 1e-9, key

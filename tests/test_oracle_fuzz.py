@@ -57,6 +57,7 @@ EVENT_QUERIES = [
     "q_transition_matrix", "q_funnel", "q_histogram", "q_dedup",
     "q_scalar_funcs", "q_gap_fill", "q_absence_pattern",
     "q_watermark_cadence", "q_acf_daily", "q_data_freshness", "q_hll_portable",
+    "q_time_weighted_avg",
     "q_active_users", "q_weekday_profile", "q_cohort_retention",
     "q_retention_curve", "q_time_to_convert", "q_rolling_time_window",
     "q_dynamic_session_window", "q_timeseries_similarity",
@@ -248,6 +249,7 @@ TPCH_QUERIES = [
     "q_tpch_q13", "q_tpch_q18", "q_tpch_q22",
     "q_pagerank", "q_densest_subgraph", "q_triangle_count",
     "q_market_basket", "q_table_profile", "q_benford_audit",
+    "q_gini_concentration",
 ]
 
 ORDER_STATUS = ["F", "O", "P"]
