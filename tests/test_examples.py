@@ -11,7 +11,7 @@ BLOCKS = re.findall(r"```python\n(.*?)```", EXAMPLES.read_text(), re.S)
 
 
 def test_examples_found():
-    assert len(BLOCKS) == 24
+    assert len(BLOCKS) == 27
 
 
 def test_all_example_blocks_run_in_order(spark):
