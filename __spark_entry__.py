@@ -36,10 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # in r4).  ROUND-5 window: the staged rotation from round 4, byte-exact —
 # the 47 remaining never-driver-verified queries from rounds 1-3 plus the
 # three round-4 additions (q_semantic_dedup, q_dsir_select,
-# q_streaming_dsir), 47 + 3 = exactly 50.  After this window every one of
-# the 213 declared queries has at least one clean driver CORRECTNESS row
+# q_streaming_dsir), 47 + 3 = exactly 50.  After this window every query
+# declared through round 4 has at least one clean driver CORRECTNESS row
 # (verification debt reaches zero).  The already-driver-green queries queue
-# behind in their original order.
+# behind in their original order; the round-5 additions sit at the tail,
+# queued for their first driver window in round 6.
 _PRIORITY = [
     # --- round-5 window: last 47 never-driver-verified (queued since r1-r3) ---
     "q_inverted_index", "q_cms_heavy_hitters", "q_unigram_surprisal",
@@ -119,6 +120,7 @@ _PRIORITY = [
     "q_hll_portable", "q_streaming_hll", "q_conformal_threshold",
     "q_jl_recall", "q_wasserstein_drift", "q_benford_audit",
     "q_streaming_wasserstein", "q_gini_concentration", "q_time_weighted_avg",
+    "q_skyline",
 ]
 
 

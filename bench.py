@@ -111,7 +111,7 @@ TAIL = [
     "q_random_projection", "q_bm25_search", "q_bigram_surprisal",
     "q_hll_portable", "q_conformal_threshold", "q_jl_recall",
     "q_wasserstein_drift", "q_benford_audit", "q_gini_concentration",
-    "q_time_weighted_avg",
+    "q_time_weighted_avg", "q_skyline",
 ]
 
 

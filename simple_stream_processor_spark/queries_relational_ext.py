@@ -3778,3 +3778,76 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_brand,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ),
+    w AS (
+      SELECT *,
+             max(size) OVER (ORDER BY price_c
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_cheaper,
+             max(size) OVER (ORDER BY price_c
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_cheaper_eq
+      FROM p
+    )
+    SELECT p_partkey, p_brand, round(price_c / 100.0, 2) AS price, size
+    FROM w
+    WHERE NOT (coalesce(max_cheaper, -1) >= size OR max_cheaper_eq > size)
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto front (N70, Börzsönyi et al. 2001 "The
+    Skyline Operator"): the parts no other part strictly dominates on
+    (price ↓, size ↑) — the multi-objective shortlist query (cheapest-
+    for-the-size frontier) that a naive formulation writes as an O(n²)
+    dominance anti-join. In 2-D it collapses to running maxima over the
+    price order: dominated ⇔ a strictly-cheaper part has size ≥ mine OR
+    a cheaper-or-equal part has size > mine — two RANGE-frame windows
+    on exact integer cents (RANGE … 1 PRECEDING = strictly cheaper, no
+    float ties), one sort, zero joins. Equal (price, size) twins
+    neither dominate nor get dominated — both kept, both engines.
+
+    100 TB shape: the one global-order window is the budgeted
+    single-partition exchange at fixture scale; at corpus scale
+    range-partition by price and combine per-partition cummaxes with
+    broadcast partition-boundary maxima (the classic distributed
+    prefix-max) — same two-window logic, one range exchange."""
+    from pyspark.sql.window import Window
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_strict = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    w_eq = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    w = p.select(
+        "p_partkey",
+        "p_brand",
+        "price_c",
+        "size",
+        F.max("size").over(w_strict).alias("max_cheaper"),
+        F.max("size").over(w_eq).alias("max_cheaper_eq"),
+    )
+    return (
+        w.where(
+            ~(
+                (F.coalesce(F.col("max_cheaper"), F.lit(-1)) >= F.col("size"))
+                | (F.col("max_cheaper_eq") > F.col("size"))
+            )
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round(F.col("price_c") / F.lit(100.0), 2).alias("price"),
+            "size",
+        )
+    )

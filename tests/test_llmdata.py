@@ -1129,3 +1129,31 @@ def test_time_weighted_avg_matches_python(spark, sf_dir):
             assert r.twap is None
         else:
             assert abs(r.twap - round(num / (den * 100.0), 6)) < 1e-9, key
+
+
+def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
+    """Skyline == the O(n²) brute-force dominance filter: a part survives
+    iff no other part has (price <=, size >=) with at least one strict."""
+    from simple_stream_processor_spark.queries_relational_ext import q_skyline
+    from simple_stream_processor_spark.tables import load_table
+
+    pts = [
+        (r.p_partkey, int(round(r.p_retailprice * 100)), r.p_size)
+        for r in load_table(spark, "part", sf_dir).collect()
+    ]
+    expect = {
+        pk
+        for pk, pc, sz in pts
+        if not any(
+            (pc2 <= pc and sz2 >= sz and (pc2 < pc or sz2 > sz))
+            for pk2, pc2, sz2 in pts
+            if pk2 != pk
+        )
+    }
+    got = {r.p_partkey for r in q_skyline(spark, sf_dir).collect()}
+    assert got == expect
+    # frontier property: sorted by price, sizes never decrease (equal
+    # only for exact (price, size) twins, which neither dominate)
+    rows = sorted(q_skyline(spark, sf_dir).collect(), key=lambda r: (r.price, r.size))
+    sizes = [r.size for r in rows]
+    assert sizes == sorted(sizes)
