@@ -1042,3 +1042,57 @@ if "partsupp" in _TABLES_NOW:
             .join(F.broadcast(excess), F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
             .select("s_name", F.round(F.col("s_acctbal"), 2).alias("s_acctbal"), "n_name")
         )
+
+
+# ---------------------------------------------------------------------------
+# Receipt-date-gated TPC-H Q12 (the last staged gap beside partsupp): needs
+# l_commitdate / l_receiptdate, absent from today's lineitem fixture
+# (TESTDATA.md). Self-registers via tables._lineitem_receipt_dates_present
+# the moment the columns appear; proven against a synthetic shadow fixture
+# in tests/test_tpch_partsupp.py. Reduced-schema form: the fixtures carry
+# no l_shipmode, so the late-shipment split groups by l_returnflag.
+# ---------------------------------------------------------------------------
+
+from simple_stream_processor_spark.tables import _lineitem_receipt_dates_present as _q12_gate  # noqa: E402
+
+if _q12_gate():
+
+    @query(
+        "q_tpch_q12",
+        oracle="""
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_commitdate < l_receiptdate
+          AND l_shipdate < l_commitdate
+          AND l_receiptdate >= TIMESTAMP '1995-01-01'
+          AND l_receiptdate < TIMESTAMP '1996-01-01'
+        GROUP BY l_returnflag
+        """,
+    )
+    def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q12 (shipping priority vs actual lateness), reduced-
+        schema form: lineitems received in 1995 that were committed after
+        shipping but received after commitment, split by order priority
+        per return flag (the fixtures carry no l_shipmode — returnflag
+        stands in as the group key; the date-logic core is verbatim).
+        All three date predicates push to the lineitem scan; orders joins
+        on the shuffle key both sides bucket on at 100 TB; the split is
+        one conditional aggregate."""
+        li = _t(spark, sf_dir, "lineitem").where(
+            (F.col("l_commitdate") < F.col("l_receiptdate"))
+            & (F.col("l_shipdate") < F.col("l_commitdate"))
+            & (F.col("l_receiptdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_receiptdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            )
+        )

@@ -131,3 +131,27 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tu
     where that is clearer than the DataFrame API."""
     for name in tables:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def _lineitem_receipt_dates_present() -> bool:
+    """True iff the driver's fixtures have grown l_commitdate and
+    l_receiptdate on lineitem (absent today — TESTDATA.md). TPC-H Q12
+    (queries_tpch.py) self-registers when they appear; checked from the
+    parquet footer (no Spark session at import time), in EVERY standard
+    sf dir so the registry stays consistent across tiers."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is a baked-in dep
+        return False
+    root = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+    dirs = [os.path.join(root, d) for d in ("sf0.001", "sf0.01", "sf0.1") if os.path.isdir(os.path.join(root, d))]
+    if not dirs:
+        return False
+    for d in dirs:
+        path = os.path.join(d, "lineitem.parquet")
+        if not os.path.exists(path):
+            return False
+        names = set(pq.read_schema(path).names)
+        if not {"l_commitdate", "l_receiptdate"} <= names:
+            return False
+    return True

@@ -108,3 +108,56 @@ def test_partsupp_queries_register_and_match_oracles_when_fixture_appears(tmp_pa
     # pairs by construction, so Q9's profit join has real rows)
     for name in ("q_tpch_q2", "q_tpch_q9", "q_tpch_q16"):
         assert f"OK    {name}: 0 rows" not in out, (name, out[-4000:])
+
+
+def test_q12_gated_off_without_receipt_dates():
+    from simple_stream_processor_spark.registry import QUERIES
+    from simple_stream_processor_spark.tables import _lineitem_receipt_dates_present
+
+    import simple_stream_processor_spark.queries_tpch  # noqa: F401
+
+    assert not _lineitem_receipt_dates_present()
+    assert "q_tpch_q12" not in QUERIES
+
+
+def _augment_lineitem_with_receipt_dates(sf_dir: str, out_path: str) -> None:
+    """Shadow lineitem: commit = ship + 1 + qty%20 days, receipt =
+    commit + linenumber%10 days — deterministic, plenty of rows passing
+    Q12's strict date predicates."""
+    import duckdb
+
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT *,
+                 l_shipdate + INTERVAL 1 DAY * (1 + CAST(round(l_quantity) AS BIGINT) % 20) AS l_commitdate,
+                 l_shipdate + INTERVAL 1 DAY * (1 + CAST(round(l_quantity) AS BIGINT) % 20 + l_linenumber % 10) AS l_receiptdate
+          FROM read_parquet('{sf_dir}/lineitem.parquet')
+        ) TO '{out_path}' (FORMAT parquet)
+        """
+    )
+
+
+def test_q12_registers_and_matches_oracle_when_dates_appear(tmp_path):
+    shadow = str(tmp_path / "testdata")
+    for d in SF_DIRS:
+        os.makedirs(os.path.join(shadow, d))
+        real = os.path.join(REAL_ROOT, d)
+        for f in os.listdir(real):
+            if f.endswith(".parquet") and f != "lineitem.parquet":
+                os.symlink(os.path.join(real, f), os.path.join(shadow, d, f))
+        _augment_lineitem_with_receipt_dates(real, os.path.join(shadow, d, "lineitem.parquet"))
+
+    env = {**os.environ, "SPARK_GRAFT_TESTDATA_ROOT": shadow, "ORACLE_VANILLA": "1"}
+    proc = subprocess.run(
+        [sys.executable, "tools/check_oracles.py", os.path.join(shadow, "sf0.001"), "q_tpch_q12"],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-4000:]
+    assert "all green" in out and "OK    q_tpch_q12" in out, out[-4000:]
+    assert "OK    q_tpch_q12: 0 rows" not in out, out[-4000:]
