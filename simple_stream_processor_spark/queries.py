@@ -718,34 +718,98 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct")  # rows-only: sketch result is engine-specific by design
+@query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+              <= 0.15 * count(DISTINCT user_id)) AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N9: approximate distinct via HyperLogLog++ sketch. No oracle —
-    DuckDB's approx_count_distinct uses a different sketch; the driver
-    records the rows-only check. Exact-count parity is covered by
-    q_dedup/q_distinct. Sketch aggs matter at 100 TB: constant memory per
-    group vs the unbounded set of a countDistinct."""
+    """N9: approximate distinct via HyperLogLog++ sketch, with a
+    hash-stable VERDICT contract: the sketch estimate itself is
+    engine-specific (DuckDB's approx_count_distinct is a different HLL),
+    so the hashed output is (exact count, |approx−exact| ≤ 3·rsd·exact) —
+    each engine certifies its OWN sketch against its OWN exact count.
+    rsd defaults to 0.05, so the bound is 0.15 (3σ). Sketch aggs matter
+    at 100 TB: constant memory per group vs the unbounded hash set of a
+    countDistinct; the exact pass here exists only to express the
+    cross-engine contract."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    exact = F.count_distinct("user_id")
+    approx = F.approx_count_distinct("user_id")
+    return ev.groupBy("event_type").agg(
+        exact.alias("exact_users"),
+        (F.abs(approx - exact) <= 0.15 * exact).alias("within_bound"),
+    )
 
 
-@query("q_approx_quantiles")  # rows-only: GK sketch is engine-specific by design
+@query(
+    "q_approx_quantiles",
+    oracle="""
+    WITH ap AS (
+      SELECT l_returnflag,
+             approx_quantile(l_extendedprice, 0.25) AS ap25,
+             approx_quantile(l_extendedprice, 0.50) AS ap50,
+             approx_quantile(l_extendedprice, 0.75) AS ap75,
+             approx_quantile(l_extendedprice, 0.95) AS ap95,
+             count(*)::BIGINT AS n
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT li.l_returnflag, max(ap.n) AS n,
+           (abs(CAST(sum(CASE WHEN li.l_extendedprice <= ap.ap25 THEN 1 ELSE 0 END) AS BIGINT)
+                - 0.25 * max(ap.n)) <= 0.02 * max(ap.n)) AS ok25,
+           (abs(CAST(sum(CASE WHEN li.l_extendedprice <= ap.ap50 THEN 1 ELSE 0 END) AS BIGINT)
+                - 0.50 * max(ap.n)) <= 0.02 * max(ap.n)) AS ok50,
+           (abs(CAST(sum(CASE WHEN li.l_extendedprice <= ap.ap75 THEN 1 ELSE 0 END) AS BIGINT)
+                - 0.75 * max(ap.n)) <= 0.02 * max(ap.n)) AS ok75,
+           (abs(CAST(sum(CASE WHEN li.l_extendedprice <= ap.ap95 THEN 1 ELSE 0 END) AS BIGINT)
+                - 0.95 * max(ap.n)) <= 0.02 * max(ap.n)) AS ok95
+    FROM lineitem li JOIN ap ON li.l_returnflag = ap.l_returnflag
+    GROUP BY li.l_returnflag
+    """,
+)
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N9b: approximate quantiles via the Greenwald-Khanna sketch
-    (percentile_approx) — bounded-memory rank statistics per group. No
-    oracle: DuckDB's approx_quantile is a t-digest (different sketch
-    family); rank-error bounds vs EXACT percentiles are pytest-asserted in
-    tests/test_declared_queries.py. At 100 TB exact percentiles need a full
-    sort per group; the sketch is one pass, O(1/eps) memory."""
+    (percentile_approx), with a hash-stable VERDICT contract: the sketch
+    value is engine-specific (DuckDB's approx_quantile is a t-digest), so
+    the hashed output is the per-group count plus, per quantile q, the
+    boolean rank-error check |rank(approx_q)/n − q| ≤ 0.02 — each engine
+    certifies its own sketch against the true rank of the value it
+    returned. GK at accuracy 10000 guarantees 1e-4 rank error and the
+    t-digest lands ~1e-3 mid-range; 0.02 absorbs tie blocks at the cent
+    grain. Scale shape: the sketch pass is one bounded-memory aggregate;
+    the rank certification broadcasts the 3-row sketch table back over
+    the scan — one extra corpus pass, no sort, no per-group collect (the
+    exact-percentile alternative is a full per-group sort at 100 TB)."""
     li = _t(spark, sf_dir, "lineitem")
-    # scalar columns (not an array) so the driver's pandas canonicalizer can
-    # sort/hash the frame — lists are unhashable in its value pass
-    return li.groupBy("l_returnflag").agg(
+    qs = (0.25, 0.50, 0.75, 0.95)
+    ap = li.groupBy("l_returnflag").agg(
         *[
             F.percentile_approx("l_extendedprice", q, 10000).alias(f"ap{int(q * 100)}")
-            for q in (0.25, 0.5, 0.75, 0.95)
+            for q in qs
         ],
         F.count(F.lit(1)).alias("n"),
+    )
+    j = li.select("l_returnflag", "l_extendedprice").join(F.broadcast(ap), "l_returnflag")
+    n = F.max("n")
+    return j.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        *[
+            (
+                F.abs(
+                    F.sum(
+                        F.when(F.col("l_extendedprice") <= F.col(f"ap{int(q * 100)}"), 1).otherwise(0)
+                    )
+                    - F.lit(q) * n
+                )
+                <= F.lit(0.02) * n
+            ).alias(f"ok{int(q * 100)}")
+            for q in qs
+        ],
     )
 
 

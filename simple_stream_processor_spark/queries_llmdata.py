@@ -1879,7 +1879,60 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_bpe_merges")  # rows-only: iterative argmax-dependent rewriting is not SQL-expressible
+def _bpe_oracle_ctes(rounds: int) -> str:
+    """Unrolled BPE trainer as DuckDB CTEs: w0 is the distinct-word
+    frequency table with each word's symbols joined by chr(31) (a char
+    absent from the corpus, so a `replace` of `l||chr(31)||r` is always
+    symbol-aligned); round r picks the (count desc, pair asc) argmax b{r}
+    and rewrites w{r-1} -> w{r} with a leftmost-first non-overlapping
+    string replace — exactly the greedy left-to-right fold the Spark
+    side applies (operators/text.py:bpe_merges). LEFT JOIN keeps the
+    word table alive when a round finds no pair (Spark breaks; both
+    sides then emit no further merge rows)."""
+    ctes = [
+        """w0 AS MATERIALIZED (
+      SELECT array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]),
+                             chr(31)) AS s,
+             count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0
+      GROUP BY 1
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""b{r} AS MATERIALIZED (
+      SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM (SELECT string_split(s, chr(31)) AS syms, freq FROM w{r - 1}),
+           unnest(range(1, len(syms))) AS u(i)
+      GROUP BY 1, 2
+      ORDER BY pair_count DESC, l, r LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+      SELECT CASE WHEN b.l IS NULL THEN w.s
+                  ELSE replace(w.s, b.l || chr(31) || b.r, b.l || b.r) END AS s,
+             w.freq
+      FROM w{r - 1} w LEFT JOIN b{r} b ON TRUE
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+_BPE_MERGES_ORACLE = (
+    "WITH "
+    + _bpe_oracle_ctes(8)
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f'SELECT CAST({r} AS INT) AS round, l AS "left", r AS "right", '
+        f"l || r AS merged, pair_count FROM b{r}"
+        for r in range(1, 9)
+    )
+)
+
+
+@query("q_bpe_merges", oracle=_BPE_MERGES_ORACLE)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer vocabulary induction (operators/text.py:bpe_merges):
     the first 8 byte-pair merges learned from the corpus — the vocab-
@@ -1888,7 +1941,11 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, pair asc) tie-break; greedy left-to-right application
     as a JVM-side array fold. Correctness is pinned by
     tests/test_llmdata.py::test_bpe_merges_match_reference_trainer
-    against a pure-Python reference BPE trainer on the same corpus."""
+    against a pure-Python reference BPE trainer on the same corpus, AND
+    by a DuckDB oracle that unrolls the 8 merge rounds as MATERIALIZED
+    CTEs (argmax + string-replace rewrite per round — the
+    densest_peel_rounds precedent), giving the driver a hard hash
+    signal on the full merge table."""
     docs = _t(spark, sf_dir, "documents")
     return text.bpe_merges(docs, rounds=8)
 
@@ -2118,7 +2175,26 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_bpe_encode")  # rows-only: depends on the learned (iterative) merge list
+_BPE_ENCODE_ORACLE = (
+    "WITH "
+    + _bpe_oracle_ctes(8)
+    + """,
+    lut AS (SELECT s, len(string_split(s, chr(31))) AS n_syms FROM w8),
+    tok AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE length(word) > 0
+    )
+    SELECT tok.doc_id, count(*)::BIGINT AS n_words,
+           CAST(sum(lut.n_syms) AS BIGINT) AS n_bpe_tokens
+    FROM tok
+    JOIN lut ON replace(lut.s, chr(31), '') = tok.word
+    GROUP BY tok.doc_id
+    """
+)
+
+
+@query("q_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encode — the apply half of the tokenizer loop: learn 8 merges
     from the corpus (q_bpe_merges), then count the resulting BPE tokens
@@ -2126,7 +2202,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-word symbol count broadcasts back into the (doc, word)
     stream — the corpus is never re-folded
     (operators/text.py:bpe_encode_counts). Pinned against a pure-Python
-    encoder in tests/test_llmdata.py::test_bpe_encode_matches_reference."""
+    encoder in tests/test_llmdata.py::test_bpe_encode_matches_reference,
+    AND against a DuckDB oracle that reuses the unrolled merge-round
+    CTEs: w8 doubles as the encoded vocabulary (its separator-joined
+    strings ARE the BPE segmentations), so the oracle joins each corpus
+    word back to its symbol count and sums per document."""
     docs = _t(spark, sf_dir, "documents")
     merges = [(r["left"], r["right"]) for r in text.bpe_merges(docs, rounds=8).collect()]
     return text.bpe_encode_counts(docs, merges)

@@ -547,9 +547,13 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(qv).cast("double").alias("sq"),
         F.sum(pc).cast("double").alias("sp"),
-        F.sum((qv * qv).cast("decimal(38,0)")).cast("double").alias("sqq"),
-        F.sum((pc * pc).cast("decimal(38,0)")).cast("double").alias("spp"),
-        F.sum((qv * pc).cast("decimal(38,0)")).cast("double").alias("sqp"),
+        # widen BEFORE multiplying: (long * long).cast(decimal) computes the
+        # product in long arithmetic first, so at the scales this protects
+        # the multiply itself would overflow (ANSI ArithmeticException)
+        # before the decimal cast applies
+        F.sum(qv.cast("decimal(38,0)") * qv).cast("double").alias("sqq"),
+        F.sum(pc.cast("decimal(38,0)") * pc).cast("double").alias("spp"),
+        F.sum(qv.cast("decimal(38,0)") * pc).cast("double").alias("sqp"),
     )
     n, sq, sp = F.col("n"), F.col("sq"), F.col("sp")
     sqq, spp, sqp = F.col("sqq"), F.col("spp"), F.col("sqp")
@@ -817,32 +821,71 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_hll_mergeable")  # rows-only: Datasketches HLL binary is engine-specific
+@query(
+    "q_hll_mergeable",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, count(*)::BIGINT AS n_rows,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+                <= 0.10 * count(DISTINCT user_id)) AS within_bound
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_rows, exact_users, within_bound FROM per
+    UNION ALL
+    SELECT '<all>', count(*)::BIGINT,
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+              <= 0.10 * count(DISTINCT user_id))
+    FROM events
+    """,
+)
 def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL via
     hll_sketch_agg / hll_union_agg): per-source user sketches are built
     ONCE, then unioned into a global estimate WITHOUT re-scanning raw
     data — the pre-aggregation pattern that makes 100 TB dashboards
     cheap (store per-partition sketch bytes ~KB each; any rollup is a
-    sketch union, not a corpus scan). No oracle: the sketch binary is
-    engine-specific; the estimate-vs-exact error bound is pinned in
-    tests/test_declared_queries.py."""
+    sketch union, not a corpus scan). The sketch binary is
+    engine-specific, so the hashed output is a VERDICT contract: each
+    engine certifies its own estimate (Spark: the <all> row goes through
+    the sketch UNION, witnessing mergeability; DuckDB: its own HLL)
+    against its own exact count within a 10% bound (DataSketches default
+    lgK=12 → rsd ≈ 1.6%, 3σ ≈ 5%; doubled for slack). The full
+    estimate-vs-exact error curve stays pinned in
+    tests/test_declared_queries.py; the portable cross-engine-EXACT
+    sketch family is q_hll_portable (N35b)."""
     ev = _t(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
-    return per_type.select(
+    per_rows = per_type.select(
         "event_type",
         "n_rows",
-        F.hll_sketch_estimate("sk").alias("distinct_users_est"),
-    ).unionByName(
-        per_type.agg(
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            <= 0.10 * F.col("exact_users")
+        ).alias("within_bound"),
+    )
+    global_exact = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.count_distinct("user_id").alias("exact_users")
+    )
+    global_row = (
+        per_type.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(F.broadcast(global_exact))
+        .select(
             F.lit("<all>").alias("event_type"),
-            F.sum("n_rows").alias("n_rows"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
+            "n_rows",
+            "exact_users",
+            (F.abs(F.col("est") - F.col("exact_users")) <= 0.10 * F.col("exact_users")).alias(
+                "within_bound"
+            ),
         )
     )
+    return per_rows.unionByName(global_row)
 
 
 @query(
@@ -1441,7 +1484,7 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT count(*) AS n_keys,
-             sum(n) AS total_rows,
+             CAST(sum(n) AS BIGINT) AS total_rows,
              max(n) AS max_n,
              round(avg(n), 4) AS avg_n,
              round(max(n) / avg(n), 4) AS skew_ratio
@@ -2761,9 +2804,11 @@ def acf_tail(daily: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("cents").cast("double").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
-        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).cast("double").alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).cast("double").alias("syy"),
-        F.sum((F.col("cents") * F.col("y")).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        # widen BEFORE multiplying so the product itself is decimal — a
+        # long·long product would overflow before the cast applies
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("y")).cast("double").alias("sxy"),
     )
     return m.select(
         "event_type",
@@ -3687,7 +3732,8 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = r.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias("six"),
+        # widen BEFORE multiplying: long i·x would overflow before the cast
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("six"),
     )
     return g.select(
         "seg",

