@@ -31,25 +31,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness walks the dict in insertion order under a
-# 50-entry budget.  Rounds 1-4 verified 163 distinct queries (r2: 50/50,
-# r3: 50/50, r4: 50/50 — all green; the r01 stale reds were re-sampled clean
-# in r4).  ROUND-5 window: the staged rotation from round 4, byte-exact —
-# the 47 remaining never-driver-verified queries from rounds 1-3 plus the
-# three round-4 additions (q_semantic_dedup, q_dsir_select,
-# q_streaming_dsir), 47 + 3 = exactly 50.  After this window every query
-# declared through round 4 has at least one clean driver CORRECTNESS row
-# (verification debt reaches zero).  The already-driver-green queries queue
-# behind in their original order; the round-5 additions sit at the tail,
-# queued for their first driver window in round 6.
+# 50-entry budget.  Rounds 1-5 verified 207 distinct queries (r2-r4: 50/50
+# green; r5: 49/50 — the one red, q_skew_report, was a DuckDB HUGEINT cast
+# bug in the oracle, fixed this round).  ROUND-6 window, per the round-5
+# judge: the 13 round-5 additions (first driver rows) + q_skew_report (red
+# → re-verify with the cast fix) + the 5 formerly-`no_oracle` queries whose
+# oracles were rewritten this round as hash-stable verdict contracts /
+# unrolled-CTE twins (q_approx_distinct, q_approx_quantiles,
+# q_hll_mergeable, q_bpe_merges, q_bpe_encode) = 19; the remaining 31 slots
+# re-confirm the OLDEST driver-green rows (r1 core + the first r2 rows).
+# After this window all 226 declared queries have a green driver row and
+# the `no_oracle` family is gone.  Round-6 additions sit at the registry
+# tail, queued for round 7.
 _PRIORITY = [
-    # --- round-5 window: last 47 never-driver-verified (queued since r1-r3) ---
+    # --- round-6 window: 13 round-5 additions (first driver rows) ---
+    "q_random_projection", "q_bm25_search", "q_bigram_surprisal",
+    "q_hll_portable", "q_streaming_hll", "q_conformal_threshold",
+    "q_jl_recall", "q_wasserstein_drift", "q_benford_audit",
+    "q_streaming_wasserstein", "q_gini_concentration", "q_time_weighted_avg",
+    "q_skyline",
+    # --- r5's only red, re-verified with the BIGINT-cast oracle fix ---
+    "q_skew_report",
+    # --- formerly no_oracle, now verdict-contract / unrolled-CTE oracles ---
+    "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
+    "q_bpe_merges", "q_bpe_encode",
+    # --- re-confirmation fill: oldest driver-green rows (r1 + first r2) ---
+    "q_source_scan", "q_sink_fold_sum", "q_map_project", "q_filter_predicate",
+    "q_flatmap_explode", "q_union_append", "q_take_limit", "q_parmap_ordered",
+    "q_async_boundary", "q_recover_value", "q_recover_with_stream",
+    "q_count_window", "q_tumbling_window", "q_sliding_window",
+    "q_session_window", "q_watermark_cadence",
+    "q_group_agg", "q_join_orders_customer", "q_join_multiway", "q_semi_anti",
+    "q_topk", "q_distinct", "q_set_ops", "q_rank_window", "q_scalar_funcs",
+    "q_dedup", "q_exact_percentile", "q_histogram",
+    "q_asof_join", "q_range_join", "q_rollup",
+    # ---------- window boundary (50) ----------
+    # --- driver-verified in r5 (keep their relative order) ---
     "q_inverted_index", "q_cms_heavy_hitters", "q_unigram_surprisal",
     "q_ann_recall", "q_mixture_resample", "q_auc_eval", "q_calibration",
     "q_zipf_fit", "q_bloom_index", "q_training_order", "q_corpus_entropy",
     "q_weighted_sample", "q_ann_pq", "q_cross_source_overlap", "q_ks_drift",
     "q_label_noise", "q_minhash_recall", "q_decision_stump",
     "q_dup_span_coverage", "q_group_split", "q_quantile_normalize",
-    "q_interval_concurrency", "q_skew_report", "q_rolling_zscore",
+    "q_interval_concurrency", "q_rolling_zscore",
     "q_entity_match", "q_merge_upsert", "q_top_paths", "q_market_basket",
     "q_expectations", "q_forecast_eval", "q_rfm_segmentation",
     "q_changepoint_cusum", "q_survival_curve", "q_k_anonymity",
@@ -57,15 +81,12 @@ _PRIORITY = [
     "q_lag_features", "q_target_encoding", "q_time_to_convert",
     "q_power_analysis", "q_retention_curve", "q_data_freshness",
     "q_active_users", "q_dim_coverage", "q_weekday_profile",
-    # --- new in round 4 (47 + 3 = exactly the round-5 window) ---
     "q_semantic_dedup", "q_dsir_select", "q_streaming_dsir",
-    # ---------- window boundary (50) ----------
     # --- driver-verified in r4 (keep their relative order) ---
-    "q_approx_distinct", "q_approx_quantiles",
     "q_robust_stats_mad", "q_winsorize", "q_integrity_audit",
     "q_timeseries_similarity", "q_string_agg", "q_absence_pattern",
     "q_transition_matrix", "q_embedding_quantize", "q_ngram_heavy_hitters",
-    "q_batch_ann", "q_hll_mergeable",
+    "q_batch_ann",
     "q_streaming_watermark_cadence", "q_streaming_multimodal_decode",
     "q_streaming_zscore", "q_streaming_cms", "q_streaming_merge_upsert",
     "q_streaming_expectations", "q_streaming_bloom", "q_streaming_entropy",
@@ -74,7 +95,7 @@ _PRIORITY = [
     "q_streaming_ab", "q_streaming_time_to_convert", "q_streaming_retention",
     "q_streaming_active_users", "q_streaming_weekday_profile",
     "q_multimodal_resize", "q_multimodal_audio", "q_image_phash_dedup",
-    "q_kmeans", "q_pagerank", "q_bpe_merges", "q_bpe_encode",
+    "q_kmeans", "q_pagerank",
     "q_pca_top_component", "q_densest_subgraph", "q_triangle_count",
     "q_bm25_topterms", "q_hard_negatives", "q_source_cap",
     "q_ngram_containment", "q_pq_codes", "q_lang_confusion",
@@ -97,15 +118,7 @@ _PRIORITY = [
     "q_dynamic_session_window", "q_linear_attribution", "q_topk_per_group",
     "q_funnel_by_segment", "q_analytic_distribution", "q_stats_agg",
     "q_chi_square",
-    "q_source_scan", "q_sink_fold_sum", "q_map_project", "q_filter_predicate",
-    "q_flatmap_explode", "q_union_append", "q_take_limit", "q_parmap_ordered",
-    "q_async_boundary", "q_recover_value", "q_recover_with_stream",
-    "q_count_window", "q_tumbling_window", "q_sliding_window",
-    "q_session_window", "q_watermark_cadence",
-    "q_group_agg", "q_join_orders_customer", "q_join_multiway", "q_semi_anti",
-    "q_topk", "q_distinct", "q_set_ops", "q_rank_window", "q_scalar_funcs",
-    "q_dedup", "q_exact_percentile", "q_histogram",
-    "q_asof_join", "q_range_join", "q_rollup", "q_pivot", "q_window_frames",
+    "q_pivot", "q_window_frames",
     "q_salted_join", "q_grouping_sets", "q_funnel", "q_cohort_retention",
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q6", "q_tpch_q5", "q_tpch_q18",
     "q_sql_surface",
@@ -114,13 +127,6 @@ _PRIORITY = [
     "q_quality_score", "q_token_stats", "q_tfidf_topterms",
     "q_training_pipeline", "q_dedup_clusters", "q_text_tokens",
     "q_decontaminate", "q_repetition_filter",
-    # --- new in round 5 (registry tail; local-oracle-green at 3 SFs,
-    # queued for their first driver window in round 6) ---
-    "q_random_projection", "q_bm25_search", "q_bigram_surprisal",
-    "q_hll_portable", "q_streaming_hll", "q_conformal_threshold",
-    "q_jl_recall", "q_wasserstein_drift", "q_benford_audit",
-    "q_streaming_wasserstein", "q_gini_concentration", "q_time_weighted_avg",
-    "q_skyline",
 ]
 
 
