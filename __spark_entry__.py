@@ -127,6 +127,11 @@ _PRIORITY = [
     "q_quality_score", "q_token_stats", "q_tfidf_topterms",
     "q_training_pipeline", "q_dedup_clusters", "q_text_tokens",
     "q_decontaminate", "q_repetition_filter",
+    # --- new in round 6 (registry tail; local-oracle-green at 3 SFs,
+    # queued for their first driver window in round 7) ---
+    "q_zonemap_prune", "q_zorder_layout", "q_incremental_agg",
+    "q_ewma_smooth", "q_streaming_ewma", "q_graph_bfs",
+    "q_pmi_collocations", "q_ngram_novelty", "q_bpe_fertility",
 ]
 
 

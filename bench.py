@@ -112,6 +112,12 @@ TAIL = [
     "q_hll_portable", "q_conformal_threshold", "q_jl_recall",
     "q_wasserstein_drift", "q_benford_audit", "q_gini_concentration",
     "q_time_weighted_avg", "q_skyline",
+    # round-6 additions (first benched this round — no canon row yet)
+    "q_zonemap_prune", "q_zorder_layout", "q_incremental_agg",
+    "q_ewma_smooth", "q_graph_bfs", "q_pmi_collocations",
+    "q_ngram_novelty", "q_bpe_fertility",
+    # round-6 redefinitions (verdict-contract outputs; canon row predates)
+    "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]
 
 

@@ -4453,3 +4453,286 @@ def emd_report(cnt: DataFrame) -> DataFrame:
             6,
         ).alias("w1"),
     )
+
+
+@query(
+    "q_pmi_collocations",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    tok AS (SELECT unnest(w) AS token FROM words WHERE len(w) > 0),
+    uni AS (SELECT token, count(*)::BIGINT AS n FROM tok WHERE token <> '' GROUP BY 1),
+    n_tok AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM uni),
+    big AS (
+      SELECT w[i] AS l, w[i + 1] AS r, count(*)::BIGINT AS n_pair
+      FROM words, unnest(range(1, len(w))) AS u(i)
+      WHERE w[i] <> '' AND w[i + 1] <> ''
+      GROUP BY 1, 2
+    ),
+    n_big AS (SELECT CAST(sum(n_pair) AS BIGINT) AS total FROM big),
+    scored AS (
+      SELECT b.l, b.r, b.n_pair,
+             CAST(
+               (CAST(b.n_pair AS HUGEINT) * nt.total * nt.total * 1000000)
+               // (CAST(nb.total AS HUGEINT) * ul.n * ur.n)
+             AS BIGINT) AS ratio_ppm
+      FROM big b
+      JOIN uni ul ON ul.token = b.l
+      JOIN uni ur ON ur.token = b.r
+      CROSS JOIN n_tok nt CROSS JOIN n_big nb
+      WHERE b.n_pair >= 5
+    )
+    SELECT l, r, n_pair, ratio_ppm,
+           round(ln(CAST(ratio_ppm AS DOUBLE) / 1000000.0), 4) AS pmi
+    FROM scored
+    ORDER BY ratio_ppm DESC, l, r LIMIT 20
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L68: PMI collocation mining — the top-20 adjacent word pairs by
+    pointwise mutual information, min support 5: the classic phrase /
+    multi-word-expression detector a tokenizer-and-cleaning pipeline
+    runs to decide what to keep atomic. Determinism is the design
+    point: PMI is a float, so ranking by it invites cross-engine
+    boundary flips at the limit cut — instead both engines rank by the
+    EXACT INTEGER ratio_ppm = n_pair·N_tok²·10⁶ ÷ (N_big·n_l·n_r)
+    (PMI is monotone in it; decimal(38,0) arithmetic end-to-end) and
+    only then take ln for the reported score, so the same ppm integer
+    enters ln on both sides and round(·,4) cannot straddle. Shape:
+    one vocab-bounded unigram aggregate + one bigram-bounded pair
+    aggregate, two one-row totals broadcast, the unigram table
+    broadcast back into the pair table — corpus tokens shuffle once
+    per n-gram order, the standard collocation shape. At extreme
+    corpus scale (N_tok ≳ 10¹³) the ppm product nears decimal(38)'s
+    ceiling — drop the 10⁶ factor or rank on double PMI with an
+    epsilon-tiebreak; documented, not silently assumed."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    tok = words.select(F.explode("w").alias("token")).where(F.col("token") != "")
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    n_tok = uni.agg(F.sum("n").alias("total_tok"))
+    n = F.size("w")
+    big = (
+        words.where(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, n - 1).alias("l"),
+                    F.slice("w", 2, n - 1).alias("r"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .where((F.col("l") != "") & (F.col("r") != ""))
+        .groupBy("l", "r")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    # total over ALL bigrams (the PMI normalizer), BEFORE the support cut
+    n_big = big.agg(F.sum("n_pair").alias("total_big"))
+    big = big.where(F.col("n_pair") >= 5)
+    ul = uni.select(F.col("token").alias("l"), F.col("n").alias("n_l"))
+    ur = uni.select(F.col("token").alias("r"), F.col("n").alias("n_r"))
+    scored = (
+        big.join(F.broadcast(ul), "l")
+        .join(F.broadcast(ur), "r")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "l",
+            "r",
+            "n_pair",
+            # `div` = exact 128-bit integral division (decimal/decimal →
+            # BIGINT): decimal `/` rounds the quotient to scale 6 before a
+            # floor could apply, and DuckDB's `//` on decimals detours
+            # through double — both off-by-one near integer boundaries.
+            # The oracle mirrors with HUGEINT `//`.
+            F.expr(
+                "(CAST(n_pair AS DECIMAL(38,0)) * total_tok * total_tok * 1000000)"
+                " div (CAST(total_big AS DECIMAL(38,0)) * n_l * n_r)"
+            ).alias("ratio_ppm"),
+        )
+    )
+    return scored.select(
+        "l",
+        "r",
+        "n_pair",
+        "ratio_ppm",
+        F.round(F.log(F.col("ratio_ppm").cast("double") / F.lit(1000000.0)), 4).alias("pmi"),
+    ).orderBy(F.col("ratio_ppm").desc(), "l", "r").limit(20)
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+      FROM words, unnest(range(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    first_seen AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram),
+    occ AS (
+      SELECT doc_id // 50 AS bucket, count(*)::BIGINT AS n_occ FROM grams GROUP BY 1
+    ),
+    dist AS (
+      SELECT bucket, count(*)::BIGINT AS n_distinct FROM (
+        SELECT DISTINCT doc_id // 50 AS bucket, gram FROM grams
+      ) GROUP BY 1
+    ),
+    fresh AS (
+      SELECT first_doc // 50 AS bucket, count(*)::BIGINT AS n_new FROM first_seen GROUP BY 1
+    )
+    SELECT o.bucket, o.n_occ, d.n_distinct, coalesce(f.n_new, 0) AS n_new,
+           round(100.0 * coalesce(f.n_new, 0) / d.n_distinct, 4) AS pct_new
+    FROM occ o
+    JOIN dist d ON d.bucket = o.bucket
+    LEFT JOIN fresh f ON f.bucket = o.bucket
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L69: n-gram novelty curve — per ingestion bucket (50 docs in
+    doc_id order), how many of its distinct word trigrams are NEW to
+    the corpus (first_seen = min doc_id lands in the bucket) vs
+    repeats of earlier material. The saturation diagnostic for corpus
+    collection: a crawl whose pct_new collapses is re-fetching known
+    content (diminishing data value per ingested byte) — run it before
+    paying for dedup or training. Shape: one gram-keyed min aggregate
+    (exchange bounded by distinct trigrams — the exact-dedup shape),
+    one (bucket, gram) distinct, two bucket-sized rollups joined at
+    bucket cardinality. Exact integers to one final division. At
+    100 TB the trigram table is the same exchange exact-dedup already
+    pays; bucket granularity (docs-per-bucket) trades curve resolution
+    against rollup size."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    grams = (
+        words.where(n >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, n - 2).alias("a"),
+                    F.slice("w", 2, n - 2).alias("b"),
+                    F.slice("w", 3, n - 2).alias("c"),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("g.a"), F.col("g.b"), F.col("g.c")).alias("gram"),
+        )
+    )
+    bucket = (F.floor(F.col("doc_id") / 50)).cast("long")
+    occ = grams.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n_occ"))
+    dist = (
+        grams.select(bucket.alias("bucket"), "gram")
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    fresh = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.floor(F.col("first_doc") / 50).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    return (
+        occ.join(dist, "bucket")
+        .join(fresh, "bucket", "left")
+        .select(
+            "bucket",
+            "n_occ",
+            "n_distinct",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+            F.round(
+                F.lit(100.0) * F.coalesce(F.col("n_new"), F.lit(0)) / F.col("n_distinct"), 4
+            ).alias("pct_new"),
+        )
+    )
+
+
+_BPE_FERTILITY_ORACLE = (
+    "WITH "
+    + _bpe_oracle_ctes(8)
+    + """,
+    lut AS (
+      SELECT replace(s, chr(31), '') AS word,
+             len(string_split(s, chr(31))) AS n_syms,
+             length(replace(s, chr(31), '')) AS n_chars
+      FROM w8
+    ),
+    tok AS (
+      SELECT source, word FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE length(word) > 0
+    )
+    SELECT tok.source,
+           count(*)::BIGINT AS n_words,
+           CAST(sum(lut.n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(lut.n_chars) AS BIGINT) AS n_chars,
+           round(CAST(sum(lut.n_syms) AS DOUBLE) / count(*), 4) AS fertility,
+           round(CAST(sum(lut.n_chars) AS DOUBLE) / sum(lut.n_syms), 4) AS chars_per_token
+    FROM tok JOIN lut ON lut.word = tok.word
+    GROUP BY tok.source
+    """
+)
+
+
+@query("q_bpe_fertility", oracle=_BPE_FERTILITY_ORACLE)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L70: tokenizer fertility report — per source, BPE tokens per word
+    and characters per BPE token under the corpus-learned 8-merge vocab:
+    the compression readout that decides whether a tokenizer fits a
+    corpus (high fertility = more sequence length per document = more
+    training compute per byte; the metric multilingual tokenizer papers
+    optimize). Completes the tokenizer loop: q_bpe_merges trains,
+    q_bpe_encode applies, this aggregates the cost. Shape: the merges
+    fold over the distinct-word vocab only; per-word symbol and char
+    counts broadcast back into the (source, word) token stream; exact
+    integer sums to two final divisions. The oracle reuses the unrolled
+    merge-round CTEs — w8's separator-joined strings are the
+    segmentations, so symbol counts are list lengths."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r["left"], r["right"]) for r in text.bpe_merges(docs, rounds=8).collect()]
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.length("word") > 0)
+    vocab = tok.select("word").distinct().select(
+        "word",
+        F.filter(F.split("word", "(?!^)"), lambda s: s != "").alias("syms"),
+    )
+    for left, right in merges:
+        fold = F.aggregate(
+            F.slice("syms", 2, F.size("syms") - 1),
+            F.slice("syms", 1, 1),
+            lambda acc, s: F.when(
+                (F.element_at(acc, -1) == F.lit(left)) & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select(
+            "word",
+            F.when(F.size("syms") >= 2, fold).otherwise(F.col("syms")).alias("syms"),
+        )
+    lut = vocab.select(
+        "word", F.size("syms").alias("n_syms"), F.length("word").alias("n_chars")
+    )
+    g = tok.join(F.broadcast(lut), "word").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_syms").alias("n_bpe_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    return g.select(
+        "source",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        F.round(F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4).alias("fertility"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 4).alias(
+            "chars_per_token"
+        ),
+    )

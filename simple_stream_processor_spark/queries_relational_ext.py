@@ -3897,3 +3897,415 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size",
         )
     )
+
+
+@query(
+    "q_zonemap_prune",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS ok, epoch_ms(o_orderdate) // 86400000 AS day FROM orders
+    ),
+    mx AS (SELECT max(day) AS m FROM o),
+    u AS (
+      SELECT 'hash' AS layout, ok % 64 AS bucket, day FROM o
+      UNION ALL
+      SELECT 'date' AS layout, day // 30 AS bucket, day FROM o
+    )
+    SELECT layout, CAST(bucket AS BIGINT) AS bucket, count(*)::BIGINT AS n_rows,
+           CAST(min(day) AS BIGINT) AS min_day, CAST(max(day) AS BIGINT) AS max_day,
+           (max(day) < m - 59 OR min(day) > m - 30) AS prunable
+    FROM u, mx
+    GROUP BY layout, bucket, m
+    """,
+)
+def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N71: zone-map (min/max) data-skipping audit — the layout decision
+    that matters most at 100 TB, made measurable. Orders are assigned to
+    64 'files' under two layouts: hash-by-key (ingestion order; what a
+    naive writer produces) and date-partitioned (day // 30). Each file's
+    day zone map is its parquet-footer min/max; a file is `prunable` for
+    the trailing 30-day window query iff its zone is disjoint from the
+    predicate range. The hash layout prunes ~nothing (every file spans
+    every day — uncorrelated key); the date layout prunes all but the
+    two overlapping months — the same scan turned from 100 TB into GBs
+    purely by layout. Shape: one narrow projection, one bucket-keyed
+    aggregate (map-side combine; 64 + #months exchange rows), one-row
+    max-day broadcast. The zone maps themselves come free from parquet
+    footers in a real table; computing them here is the audit."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day"),
+    )
+    u = o.select(F.lit("hash").alias("layout"), (F.col("ok") % 64).alias("bucket"), "day").unionByName(
+        o.select(F.lit("date").alias("layout"), F.floor(F.col("day") / 30).cast("long").alias("bucket"), "day")
+    )
+    mx = o.agg(F.max("day").alias("m"))
+    g = u.groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+    )
+    return g.crossJoin(F.broadcast(mx)).select(
+        "layout",
+        "bucket",
+        "n_rows",
+        "min_day",
+        "max_day",
+        ((F.col("max_day") < F.col("m") - 59) | (F.col("min_day") > F.col("m") - 30)).alias(
+            "prunable"
+        ),
+    )
+
+
+def _morton8(cb, db):
+    """Interleave two 4-bit bucket columns into an 8-bit Morton (Z-order)
+    code with pure integer expressions — identical arithmetic in the
+    DuckDB oracle, so codes hash-match bit-exactly."""
+    z = F.lit(0)
+    for i in range(4):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(cb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(db, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+@query(
+    "q_zorder_layout",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS ck, epoch_ms(o_orderdate) // 86400000 AS day FROM orders
+    ),
+    b AS (SELECT min(day) AS mn, max(day) AS mx FROM o),
+    d AS (
+      SELECT ck % 16 AS cb,
+             least(15, ((day - mn) * 16) // (mx - mn + 1)) AS db
+      FROM o, b
+    ),
+    z AS (
+      SELECT cb, db,
+             ((cb >> 0) & 1) * 2   + ((db >> 0) & 1)
+           + ((cb >> 1) & 1) * 8   + ((db >> 1) & 1) * 4
+           + ((cb >> 2) & 1) * 32  + ((db >> 2) & 1) * 16
+           + ((cb >> 3) & 1) * 128 + ((db >> 3) & 1) * 64 AS zcode,
+             cb * 16 + db AS rowmajor
+      FROM d
+    ),
+    u AS (
+      SELECT 'zorder' AS layout, zcode // 16 AS file_id,
+             (cb BETWEEN 4 AND 7 AND db BETWEEN 4 AND 7) AS hit
+      FROM z
+      UNION ALL
+      SELECT 'rowmajor' AS layout, rowmajor // 16 AS file_id,
+             (cb BETWEEN 4 AND 7 AND db BETWEEN 4 AND 7) AS hit
+      FROM z
+    )
+    SELECT layout, CAST(file_id AS BIGINT) AS file_id, count(*)::BIGINT AS n_rows,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           bool_or(hit) AS touched
+    FROM u GROUP BY layout, file_id
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N72: Z-order (Morton) multi-dimensional clustering audit — the
+    lakehouse layout lever for queries that filter on TWO dimensions at
+    once (customer × time here). Each order gets a 4-bit bucket per
+    dimension; the Z-code interleaves the bits, and records are packed
+    into 16 'files' of contiguous code ranges under (a) Z-order and (b)
+    row-major (cb*16+db — clustering by customer only). For a 2-D range
+    predicate (middle quarter of each dimension), the report shows per
+    file: rows, matching rows, and `touched` — Z-order confines the 16
+    matching cells to ~4 touched files, row-major smears them across all
+    customer stripes. At 100 TB: `touched` files are the scan bill; the
+    Morton code is a pure integer expression (no UDF) computed at write
+    time and used as the table's sort key. Shape: narrow projection,
+    min/max one-row broadcast, one 32-row aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day"),
+    )
+    b = o.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    d = o.crossJoin(F.broadcast(b)).select(
+        (F.col("ck") % 16).alias("cb"),
+        F.least(
+            F.lit(15),
+            F.floor((F.col("day") - F.col("mn")) * 16 / (F.col("mx") - F.col("mn") + 1)).cast(
+                "long"
+            ),
+        ).alias("db"),
+    )
+    z = d.select(
+        "cb",
+        "db",
+        _morton8(F.col("cb"), F.col("db")).alias("zcode"),
+        (F.col("cb") * 16 + F.col("db")).alias("rowmajor"),
+    )
+    hit = (F.col("cb").between(4, 7)) & (F.col("db").between(4, 7))
+    # explode both layouts from ONE scan instead of a self-union: a union
+    # duplicates the whole subtree (including the one-row min/max
+    # aggregate), doubling the scan and tripping the single-partition
+    # exchange budget; the explode keeps one pass
+    u = z.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.floor(F.col("zcode") / 16).cast("long").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("rowmajor").alias("layout"),
+                    F.floor(F.col("rowmajor") / 16).cast("long").alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
+        hit.alias("hit"),
+    ).select(F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id"), "hit")
+    return u.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_match"),
+        F.max("hit").alias("touched"),
+    )
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    mx AS (SELECT max(day) AS m FROM o),
+    delta_keys AS (
+      SELECT DISTINCT o_custkey FROM o, mx WHERE day >= m - 30
+    )
+    SELECT o.o_custkey, count(*)::BIGINT AS n_orders,
+           CAST(sum(o.cents) AS BIGINT) AS sum_cents,
+           CAST(min(o.day) AS BIGINT) AS first_day,
+           CAST(max(o.day) AS BIGINT) AS last_day
+    FROM o JOIN delta_keys USING (o_custkey)
+    GROUP BY o.o_custkey
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N73: incremental aggregate maintenance (the materialized-view
+    delta-merge): per-customer order stats are kept as ALGEBRAIC partial
+    states (count, sum, min, max — each mergeable), the last 30 days
+    arrive as a delta batch, and the view updates by MERGING the delta's
+    partial states into the base's — `merge(state(base), state(delta))`,
+    never a re-scan of base. The oracle recomputes the same customers
+    from scratch, so the driver hash certifies merge ≡ recompute — the
+    algebraic-aggregate law that makes incremental pipelines safe. At
+    100 TB the base states are a customer-sized table (orders of
+    magnitude smaller than the facts) and each refresh costs one pass
+    over the delta + one key-aligned merge join; output is restricted to
+    delta-touched customers, which is what an incremental sink emits.
+    Shape: two partial aggregates + one semi-joined merge aggregate, all
+    on the same o_custkey key (one shuffle partitioning reused)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    # the delta boundary is a one-row driver witness (in a real pipeline
+    # it is pipeline config, not data-derived); embedding it as a literal
+    # keeps the base/delta subtrees free of duplicated one-row exchanges
+    m = int(o.agg(F.max("day")).collect()[0][0])
+    base = o.where(F.col("day") < m - 30)
+    delta = o.where(F.col("day") >= m - 30)
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+
+    # delta_state has two consumers (the merge union + the output semi
+    # join); localCheckpoint materializes it once instead of re-running
+    # the delta aggregate per consumer
+    delta_state = state(delta).localCheckpoint(eager=False)
+    merged = (
+        state(base)
+        .unionByName(delta_state)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("first_day").alias("first_day"),
+            F.max("last_day").alias("last_day"),
+        )
+    )
+    return merged.join(delta_state.select("o_custkey"), "o_custkey", "left_semi")
+
+
+def ewma_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming EWMA queries: from a
+    (event_type, day_s, cents) daily table, the recursive smoothing
+    e_t = 0.3·x_t + 0.7·e_{t−1} (e_1 = x_1) restated CLOSED-FORM as
+    e_t = 0.7^{t−1}·x_1 + Σ_{i=2..t} 0.3·0.7^{t−i}·x_i over observation
+    indexes t, i — each term is a pure function of (t, i, x_i), so the
+    recursion parallelizes as a bounded (t ≥ i) self-join instead of a
+    sequential scan. Terms fold in sorted i order (the repo's float
+    discipline: F.aggregate over an array_sort'ed collect_list ≡ DuckDB
+    list_reduce over list(... ORDER BY i)), so the double sum is
+    bit-identical across engines and partitionings. Cost is O(days²)
+    pairs per series — the time dimension is bounded (3650 days of
+    history = 6.7M pairs per series, trivial), while the series
+    dimension (event types / SKUs / users) carries the parallelism; for
+    very long series swap the self-join for a per-series sequential
+    fold over the collected day array (days ≪ memory by the same
+    bound)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("day_s")
+    idx = daily.select("event_type", "day_s", "cents", F.row_number().over(w).alias("i"))
+    t = idx.select(
+        "event_type",
+        F.col("i").alias("t"),
+        "day_s",
+        "cents",
+    )
+    # rename the join key on the right side: a plain using-column self-join
+    # of a streaming memory-sink view trips Catalyst's conflicting-attribute
+    # dedup (the streaming twin shares this tail), and the rename sidesteps
+    # the whole class
+    b = idx.select(
+        F.col("event_type").alias("et2"), F.col("i").alias("i"), F.col("cents").alias("x_i")
+    )
+    j = (
+        t.join(b, t["event_type"] == b["et2"])
+        .drop("et2")
+        .where(F.col("i") <= F.col("t"))
+    )
+    term = (
+        F.col("x_i").cast("double")
+        * F.pow(F.lit(0.7), (F.col("t") - F.col("i")).cast("double"))
+        * F.when(F.col("i") == 1, F.lit(1.0)).otherwise(F.lit(0.3))
+    )
+    folded = j.groupBy("event_type", "t", "day_s", "cents").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("i"), term.alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("e")
+    )
+    return folded.select(
+        "event_type", "day_s", "cents", F.round(F.col("e"), 4).alias("ewma")
+    )
+
+
+_EWMA_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_ms(date_trunc('day', ts)) // 1000 AS BIGINT) AS day_s,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day_s) AS i
+      FROM daily
+    ),
+    pairs AS (
+      SELECT t.event_type, t.i AS t, t.day_s, t.cents, b.i AS i,
+             CAST(b.cents AS DOUBLE) * pow(0.7, t.i - b.i)
+               * (CASE WHEN b.i = 1 THEN 1.0 ELSE 0.3 END) AS term
+      FROM idx t JOIN idx b ON t.event_type = b.event_type AND b.i <= t.i
+    )
+    SELECT event_type, day_s, cents,
+           round(list_reduce(list_prepend(0.0, list(term ORDER BY i)),
+                             (a, b) -> a + b), 4) AS ewma
+    FROM pairs GROUP BY event_type, t, day_s, cents
+    """
+
+
+@query("q_ewma_smooth", oracle=_EWMA_ORACLE)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N74: exponentially weighted moving average (α = 0.3) of daily
+    revenue per event type — the classic smoother feeding dashboards,
+    alerting baselines, and Holt-Winters-style forecasts. The recursion
+    is restated closed-form and parallelized as a bounded self-join in
+    ewma_tail (shared with the streaming twin); exact integer cents in,
+    one sorted-fold double sum out."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_s"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    return ewma_tail(daily)
+
+
+@query(
+    "q_graph_bfs",
+    oracle="""
+    WITH RECURSIVE
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    seed AS (SELECT min(l_partkey) AS s FROM lineitem),
+    walk(node, hops) AS (
+      SELECT s, 0 FROM seed
+      UNION
+      SELECT e.dst, walk.hops + 1 FROM walk JOIN e ON e.src = walk.node
+      WHERE walk.hops < 6
+    ),
+    dist AS (SELECT node, min(hops) AS hops FROM walk GROUP BY node)
+    SELECT CAST(hops AS INT) AS hops, count(*)::BIGINT AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node
+    FROM dist GROUP BY hops
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N75: breadth-first reachability (hop-distance histogram from the
+    lowest part key) over the part co-purchase graph — the traversal
+    primitive beside q_pagerank (centrality), q_triangle_count
+    (density), and q_densest_subgraph (community): 'how many hops does
+    influence travel' / blast-radius analysis. Frontier-parallel BFS,
+    the scalable shape: each round expands ONLY the new frontier
+    against the edge table (keyed join, frontier-sized exchange after
+    map-side dedup), anti-joins the settled set, and localCheckpoints
+    so lineage stays O(1) across rounds; the edge table is checkpointed
+    once and re-read per round (the q_pagerank discipline). Bounded at
+    6 rounds — matched exactly by the oracle's recursive-CTE depth
+    bound — with an early exit when a frontier drains (the one-row
+    count is the same bounded driver witness as dedup's convergence
+    check). The seed is a one-row min aggregate, deterministic. At
+    100 TB: frontier exchanges are node-bounded, never edge-bounded;
+    the co-purchase edge table itself shuffles once at build."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok").where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    ).localCheckpoint(eager=False)
+    seed = li.agg(F.min("l_partkey").alias("s")).collect()[0]["s"]
+    dist = spark.createDataFrame([(int(seed), 0)], schema="node LONG, hops INT")
+    frontier = dist.select("node")
+    for k in range(1, 7):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(k).cast("int").alias("hops"))
+        )
+        nxt = nxt.localCheckpoint()  # O(1) lineage per round, like pagerank
+        if nxt.isEmpty():  # bounded driver witness: frontier drained
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist.groupBy("hops").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

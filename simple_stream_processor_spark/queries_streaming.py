@@ -1472,3 +1472,38 @@ def q_streaming_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained, _ = run_stream_to_memory(cnt, output_mode="complete")
     return emd_report(drained)
+
+
+def _ewma_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_ewma_smooth"]
+
+
+@query("q_streaming_ewma", oracle=_ewma_oracle())
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA twin: the (event_type, day_s, cents) daily table
+    IS the streaming state — commutative integer-cent sums, so arrival
+    order, batching, and replays are invisible and state is bounded by
+    types×days regardless of stream length (the q_streaming_acf bound).
+    Drained cells flow through the shared ewma_tail (closed-form
+    restatement of the smoothing recursion, sorted-fold double sum),
+    hash-matching the identical batch oracle — a live smoothed
+    alerting baseline per trigger without re-scanning the stream."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import ewma_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    daily = sdf.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_s"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    drained, _ = run_stream_to_memory(daily, output_mode="complete")
+    return ewma_tail(drained)

@@ -62,6 +62,7 @@ EVENT_QUERIES = [
     "q_retention_curve", "q_time_to_convert", "q_rolling_time_window",
     "q_dynamic_session_window", "q_timeseries_similarity",
     "q_interval_concurrency", "q_rolling_zscore", "q_merge_upsert",
+    "q_ewma_smooth",
     "q_top_paths", "q_forecast_eval", "q_changepoint_cusum",
     "q_survival_curve", "q_k_anonymity", "q_ab_test", "q_lag_features",
     "q_power_analysis", "q_grouped_udaf", "q_full_outer_reconcile",
@@ -89,6 +90,7 @@ DOC_QUERIES = [
     "q_text_tokens", "q_decontaminate", "q_minhash_recall", "q_dsir_select",
     "q_bm25_search", "q_bigram_surprisal", "q_conformal_threshold",
     "q_wasserstein_drift",
+    "q_pmi_collocations", "q_ngram_novelty", "q_bpe_fertility",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -1,0 +1,184 @@
+"""Behavior tests for the round-6 operators (beyond the oracle gate):
+layout audits (zone map, Z-order), incremental aggregate maintenance,
+EWMA smoothing (+ streaming twin parity), BFS reachability, PMI
+collocations, n-gram novelty, and tokenizer fertility. Each test pins a
+property the DuckDB hash-compare cannot express on its own — replay
+against an independent implementation, an invariant, or cross-query
+consistency.
+"""
+
+from __future__ import annotations
+
+import math
+
+import __spark_entry__ as _entry
+
+QUERIES = _entry.queries()
+
+
+def test_zonemap_date_layout_prunes_hash_layout_does_not(spark, sf_dir):
+    rows = QUERIES["q_zonemap_prune"](spark, sf_dir).collect()
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r.layout, []).append(r)
+    n_hash = sum(r.n_rows for r in by_layout["hash"])
+    n_date = sum(r.n_rows for r in by_layout["date"])
+    assert n_hash == n_date, "both layouts partition the same table"
+    pruned_hash = sum(1 for r in by_layout["hash"] if r.prunable)
+    pruned_date = sum(1 for r in by_layout["date"] if r.prunable)
+    # date partitioning must prune strictly better than hash-by-key, and
+    # must keep at most the two months overlapping the 30-day predicate
+    assert pruned_date > pruned_hash
+    kept_date = [r for r in by_layout["date"] if not r.prunable]
+    assert 1 <= len(kept_date) <= 2, kept_date
+
+
+def test_zorder_touches_fewer_files_than_rowmajor(spark, sf_dir):
+    rows = QUERIES["q_zorder_layout"](spark, sf_dir).collect()
+    touched = {"zorder": 0, "rowmajor": 0}
+    match = {"zorder": 0, "rowmajor": 0}
+    total = {"zorder": 0, "rowmajor": 0}
+    for r in rows:
+        touched[r.layout] += 1 if r.touched else 0
+        match[r.layout] += r.n_match
+        total[r.layout] += r.n_rows
+    # both layouts hold the same records and the same matching set
+    assert total["zorder"] == total["rowmajor"]
+    assert match["zorder"] == match["rowmajor"]
+    # the 2-D locality claim: the 16 matching cells occupy ≤ 2x fewer
+    # z-files than row-major customer stripes
+    assert touched["zorder"] < touched["rowmajor"], (touched, rows)
+
+
+def test_morton_interleave_replay():
+    """_morton8 against a pure-Python bit interleave."""
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.queries_relational_ext import _morton8
+
+    def py_morton(cb, db):
+        z = 0
+        for i in range(4):
+            z |= ((cb >> i) & 1) << (2 * i + 1)
+            z |= ((db >> i) & 1) << (2 * i)
+        return z
+
+    import __spark_entry__  # noqa: F401  (session fixture import side effect)
+    from simple_stream_processor_spark.session import get_spark
+
+    spark = get_spark("morton_test")
+    cases = [(c, d) for c in (0, 1, 5, 15) for d in (0, 2, 9, 15)]
+    df = spark.createDataFrame(cases, "cb INT, db INT").select(
+        "cb", "db", _morton8(F.col("cb"), F.col("db")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == py_morton(r.cb, r.db), (r.cb, r.db, r.z)
+
+
+def test_incremental_agg_merge_equals_recompute(spark, sf_dir):
+    """The algebraic-aggregate law, verified INSIDE Spark (the oracle
+    verifies it cross-engine): merged base+delta states equal a direct
+    recompute over the union for every delta-touched customer."""
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    got = {r.o_custkey: r for r in QUERIES["q_incremental_agg"](spark, sf_dir).collect()}
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    mx = o.agg(F.max("day")).collect()[0][0]
+    keys = {
+        r.o_custkey
+        for r in o.where(F.col("day") >= mx - 30).select("o_custkey").distinct().collect()
+    }
+    assert set(got) == keys
+    direct = {
+        r.o_custkey: r
+        for r in o.where(F.col("o_custkey").isin(list(keys)))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+        .collect()
+    }
+    for k, g in got.items():
+        d = direct[k]
+        assert (g.n_orders, g.sum_cents, g.first_day, g.last_day) == (
+            d.n_orders,
+            d.sum_cents,
+            d.first_day,
+            d.last_day,
+        ), k
+
+
+def test_ewma_matches_pandas_recursive(spark, sf_dir):
+    """The closed-form self-join EWMA against pandas' sequential
+    ewm(alpha=0.3, adjust=False) recursion on the same daily series."""
+    import pandas as pd
+
+    rows = QUERIES["q_ewma_smooth"](spark, sf_dir).toPandas()
+    for et, g in rows.groupby("event_type"):
+        g = g.sort_values("day_s")
+        expect = g["cents"].astype(float).ewm(alpha=0.3, adjust=False).mean()
+        for got, want in zip(g["ewma"], expect):
+            assert abs(got - want) <= 1e-4 + 1e-9 * abs(want), (et, got, want)
+
+
+def test_streaming_ewma_matches_batch(spark, sf_dir):
+    batch = {
+        (r.event_type, r.day_s): (r.cents, r.ewma)
+        for r in QUERIES["q_ewma_smooth"](spark, sf_dir).collect()
+    }
+    stream = {
+        (r.event_type, r.day_s): (r.cents, r.ewma)
+        for r in QUERIES["q_streaming_ewma"](spark, sf_dir).collect()
+    }
+    assert batch == stream
+
+
+def test_graph_bfs_seed_and_shape(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = {r.hops: r for r in QUERIES["q_graph_bfs"](spark, sf_dir).collect()}
+    li = load_table(spark, "lineitem", sf_dir)
+    seed = li.agg(F.min("l_partkey")).collect()[0][0]
+    assert rows[0].n_nodes == 1
+    assert rows[0].min_node == rows[0].max_node == seed
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r.n_nodes for r in rows.values()) <= n_parts
+    assert 1 in rows and rows[1].n_nodes >= 1
+
+
+def test_pmi_internal_consistency(spark, sf_dir):
+    rows = QUERIES["q_pmi_collocations"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    ppms = [r.ratio_ppm for r in rows]
+    assert ppms == sorted(ppms, reverse=True)
+    for r in rows:
+        assert r.n_pair >= 5
+        assert abs(r.pmi - round(math.log(r.ratio_ppm / 1e6), 4)) < 1e-9
+
+
+def test_ngram_novelty_first_bucket_all_new(spark, sf_dir):
+    rows = {r.bucket: r for r in QUERIES["q_ngram_novelty"](spark, sf_dir).collect()}
+    assert rows[0].n_new == rows[0].n_distinct  # nothing precedes bucket 0
+    for r in rows.values():
+        assert 0 <= r.n_new <= r.n_distinct <= r.n_occ
+
+
+def test_bpe_fertility_bounds(spark, sf_dir):
+    rows = QUERIES["q_bpe_fertility"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        # every word is ≥1 BPE token; every token is ≥1 char
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars
+        assert r.fertility >= 1.0
+        assert r.chars_per_token >= 1.0

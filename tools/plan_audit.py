@@ -71,11 +71,20 @@ SINGLE_PARTITION_ALLOWANCE = {
     # the two corpus-token totals (target and pool) — each a one-row count
     # over #tasks partial rows, broadcast into the 4096-row log-ratio table
     "q_dsir_select": 2,
+    # the two PMI normalizers (unigram total, bigram total) — each a
+    # one-row sum over vocab-bounded partials, broadcast into the pair
+    # table; never record-level data
+    "q_pmi_collocations": 2,
     # the same 2 k-row Lloyd packings, but the final assignment feeds THREE
     # consumers (pair-join left, pair-join right, keep-rule join back), and
     # exchange reuse does not fire across them — 2 x 3 k-row exchanges,
     # never record-level data
     "q_semantic_dedup": 6,
+    # verdict-contract form (r6): the global sketch-UNION rollup (5
+    # per-type sketches → 1 row) plus the global exact-distinct rollup
+    # (#tasks partial counts → 1 row) — two one-row aggregates, never
+    # record-level data
+    "q_hll_mergeable": 2,
     # the corpus-ECDF running sum over the bounded 1e4-bin grid plus the
     # one-row grand-total aggregate — both over binned partials, never docs
     "q_ks_drift": 2,
