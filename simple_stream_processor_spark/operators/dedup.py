@@ -401,6 +401,12 @@ def decontaminate(train: DataFrame, bench: DataFrame, text_col: str = "text", n:
 # --- Dedup cluster resolution (connected components) --------------------------
 
 
+# Observability for the most recent dedup_clusters call: which path ran
+# (driver union-find vs distributed label propagation), the bounded pair
+# probe, and the label-propagation rounds to convergence.
+LAST_RUN_INFO: dict = {}
+
+
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20, driver_threshold: int = 200_000) -> DataFrame:
     """Resolve near-dup pairs into clusters: connected components, returning
     (doc_id, cluster_rep) where cluster_rep = the smallest doc_id reachable
@@ -422,9 +428,15 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20, driver_threshold:
       Fails loudly rather than silently truncating if the diameter exceeds
       ``max_iterations`` (pathological chain components).
 
-    Both paths produce identical output (min-reachable representative)."""
+    Both paths produce identical output (min-reachable representative).
+
+    Observability: ``LAST_RUN_INFO`` records {path, n_pairs_probe, rounds}
+    for the most recent call — the convergence witness the sf0.1 soak
+    (docs/EVIDENCE.md) and the distributed-path tests read."""
     spark = pairs.sparkSession
     n_pairs = pairs.limit(driver_threshold + 1).count()
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update({"path": "driver", "n_pairs_probe": n_pairs, "rounds": 0})
     if n_pairs <= driver_threshold:
         parent: dict = {}
 
@@ -463,8 +475,10 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20, driver_threshold:
     # Labels only ever decrease (min-propagation is monotone), so the sum of
     # all labels is a strictly decreasing convergence witness: one cheap
     # one-row aggregate per round instead of a join-based change detector.
+    LAST_RUN_INFO["path"] = "distributed"
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iterations):
+    for _round in range(1, max_iterations + 1):
+        LAST_RUN_INFO["rounds"] = _round
         neigh = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")

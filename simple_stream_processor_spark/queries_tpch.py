@@ -1054,13 +1054,20 @@ if "partsupp" in _TABLES_NOW:
 # ---------------------------------------------------------------------------
 
 from simple_stream_processor_spark.tables import _lineitem_receipt_dates_present as _q12_gate  # noqa: E402
+from simple_stream_processor_spark.tables import _lineitem_shipmode_present as _q12_shipmode_gate  # noqa: E402
 
 if _q12_gate():
+    # spec-exact group key the moment the fixture grows l_shipmode
+    # (gated upgrade proven in tests/test_tpch_partsupp.py); reduced
+    # returnflag grouping until then. The fixture's shipmode value
+    # universe is unknown, so the spec's IN ('MAIL','SHIP') restriction
+    # is deliberately dropped — grouping over all modes is its superset.
+    _Q12_KEY = "l_shipmode" if _q12_shipmode_gate() else "l_returnflag"
 
     @query(
         "q_tpch_q12",
-        oracle="""
-        SELECT l_returnflag,
+        oracle=f"""
+        SELECT {_Q12_KEY},
                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -1068,18 +1075,18 @@ if _q12_gate():
           AND l_shipdate < l_commitdate
           AND l_receiptdate >= TIMESTAMP '1995-01-01'
           AND l_receiptdate < TIMESTAMP '1996-01-01'
-        GROUP BY l_returnflag
+        GROUP BY {_Q12_KEY}
         """,
     )
     def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """TPC-H Q12 (shipping priority vs actual lateness), reduced-
-        schema form: lineitems received in 1995 that were committed after
-        shipping but received after commitment, split by order priority
-        per return flag (the fixtures carry no l_shipmode — returnflag
-        stands in as the group key; the date-logic core is verbatim).
-        All three date predicates push to the lineitem scan; orders joins
-        on the shuffle key both sides bucket on at 100 TB; the split is
-        one conditional aggregate."""
+        """TPC-H Q12 (shipping priority vs actual lateness): lineitems
+        received in 1995 that were committed after shipping but received
+        after commitment, split by order priority per group key —
+        spec-exact l_shipmode when the fixture carries it, l_returnflag
+        as the reduced-schema stand-in otherwise (the date-logic core is
+        verbatim either way). All three date predicates push to the
+        lineitem scan; orders joins on the shuffle key both sides bucket
+        on at 100 TB; the split is one conditional aggregate."""
         li = _t(spark, sf_dir, "lineitem").where(
             (F.col("l_commitdate") < F.col("l_receiptdate"))
             & (F.col("l_shipdate") < F.col("l_commitdate"))
@@ -1090,7 +1097,7 @@ if _q12_gate():
         high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
         return (
             li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy("l_returnflag")
+            .groupBy(_Q12_KEY)
             .agg(
                 F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),

@@ -133,12 +133,10 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tu
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
 
 
-def _lineitem_receipt_dates_present() -> bool:
-    """True iff the driver's fixtures have grown l_commitdate and
-    l_receiptdate on lineitem (absent today — TESTDATA.md). TPC-H Q12
-    (queries_tpch.py) self-registers when they appear; checked from the
-    parquet footer (no Spark session at import time), in EVERY standard
-    sf dir so the registry stays consistent across tiers."""
+def _lineitem_columns_present(*cols: str) -> bool:
+    """True iff the driver's fixtures carry the given lineitem columns in
+    EVERY standard sf dir (so the registry stays consistent across tiers);
+    checked from the parquet footer (no Spark session at import time)."""
     try:
         import pyarrow.parquet as pq
     except Exception:  # pragma: no cover - pyarrow is a baked-in dep
@@ -152,6 +150,20 @@ def _lineitem_receipt_dates_present() -> bool:
         if not os.path.exists(path):
             return False
         names = set(pq.read_schema(path).names)
-        if not {"l_commitdate", "l_receiptdate"} <= names:
+        if not set(cols) <= names:
             return False
     return True
+
+
+def _lineitem_receipt_dates_present() -> bool:
+    """True iff the fixtures have grown l_commitdate and l_receiptdate
+    (absent today — TESTDATA.md). TPC-H Q12 (queries_tpch.py)
+    self-registers when they appear."""
+    return _lineitem_columns_present("l_commitdate", "l_receiptdate")
+
+
+def _lineitem_shipmode_present() -> bool:
+    """True iff the fixtures have grown l_shipmode (absent today —
+    TESTDATA.md). When it appears, Q12 upgrades from the reduced
+    returnflag grouping to spec-exact shipmode grouping."""
+    return _lineitem_columns_present("l_shipmode")

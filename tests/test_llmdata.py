@@ -148,6 +148,27 @@ def test_dedup_clusters_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "doc_a long, doc_b long")
     got = {r.doc_id: r.cluster_rep for r in dedup.dedup_clusters(pairs, driver_threshold=0).collect()}
     assert set(got.values()) == {0} and len(got) == 13
+    # the convergence witness must report the distributed path and a
+    # diameter-bounded round count (the sf0.1 soak in docs/EVIDENCE.md
+    # reads the same record)
+    assert dedup.LAST_RUN_INFO["path"] == "distributed"
+    assert 1 <= dedup.LAST_RUN_INFO["rounds"] <= 20
+
+
+def test_dedup_clusters_distributed_matches_driver_on_real_pairs(spark, sf_dir):
+    """Both execution paths on the REAL MinHash pair set (not a synthetic
+    chain): identical (doc_id, cluster_rep) output — the sf0.001-sized
+    twin of the sf0.1 soak recorded in docs/EVIDENCE.md."""
+    import simple_stream_processor_spark.queries_llmdata as ql
+
+    pairs = ql._minhash_pairs(spark, sf_dir)
+    n = pairs.count()
+    assert n >= 2, "fixture produces a non-trivial near-dup pair set"
+    dist = {(r.doc_id, r.cluster_rep) for r in dedup.dedup_clusters(pairs, driver_threshold=1).collect()}
+    assert dedup.LAST_RUN_INFO["path"] == "distributed"
+    drv = {(r.doc_id, r.cluster_rep) for r in dedup.dedup_clusters(pairs).collect()}
+    assert dedup.LAST_RUN_INFO["path"] == "driver"
+    assert dist == drv
 
 
 def test_resize_stub_deterministic_shape(spark):

@@ -138,6 +138,62 @@ def _augment_lineitem_with_receipt_dates(sf_dir: str, out_path: str) -> None:
     )
 
 
+def test_q12_shipmode_upgrade_gated_off_today():
+    from simple_stream_processor_spark.tables import _lineitem_shipmode_present
+
+    assert not _lineitem_shipmode_present(), (
+        "fixtures grew l_shipmode — Q12 now groups spec-exact; "
+        "retire the returnflag fallback expectations"
+    )
+
+
+def _augment_lineitem_with_dates_and_shipmode(sf_dir: str, out_path: str) -> None:
+    """Shadow lineitem: the receipt-date synthesis plus a deterministic
+    l_shipmode drawn from the 4-value TPC-H-ish universe keyed on the
+    line identity — no RNG, reruns byte-identical."""
+    import duckdb
+
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT *,
+                 l_shipdate + INTERVAL 1 DAY * (1 + CAST(round(l_quantity) AS BIGINT) % 20) AS l_commitdate,
+                 l_shipdate + INTERVAL 1 DAY * (1 + CAST(round(l_quantity) AS BIGINT) % 20 + l_linenumber % 10) AS l_receiptdate,
+                 ['MAIL', 'SHIP', 'RAIL', 'TRUCK'][1 + CAST((l_orderkey * 7 + l_linenumber) % 4 AS INT)] AS l_shipmode
+          FROM read_parquet('{sf_dir}/lineitem.parquet')
+        ) TO '{out_path}' (FORMAT parquet)
+        """
+    )
+
+
+def test_q12_upgrades_to_shipmode_grouping_when_column_appears(tmp_path):
+    """The l_shipmode staged upgrade: with a shadow lineitem carrying
+    receipt dates AND l_shipmode, Q12 must register with the spec-exact
+    shipmode group key and hash-match its oracle — 4 groups (the
+    synthesized mode universe), not returnflag's 3."""
+    shadow = str(tmp_path / "testdata")
+    for d in SF_DIRS:
+        os.makedirs(os.path.join(shadow, d))
+        real = os.path.join(REAL_ROOT, d)
+        for f in os.listdir(real):
+            if f.endswith(".parquet") and f != "lineitem.parquet":
+                os.symlink(os.path.join(real, f), os.path.join(shadow, d, f))
+        _augment_lineitem_with_dates_and_shipmode(real, os.path.join(shadow, d, "lineitem.parquet"))
+
+    env = {**os.environ, "SPARK_GRAFT_TESTDATA_ROOT": shadow, "ORACLE_VANILLA": "1"}
+    proc = subprocess.run(
+        [sys.executable, "tools/check_oracles.py", os.path.join(shadow, "sf0.001"), "q_tpch_q12"],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-4000:]
+    assert "all green" in out and "OK    q_tpch_q12: 4 rows" in out, out[-4000:]
+
+
 def test_q12_registers_and_matches_oracle_when_dates_appear(tmp_path):
     shadow = str(tmp_path / "testdata")
     for d in SF_DIRS:
