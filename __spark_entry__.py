@@ -132,6 +132,8 @@ _PRIORITY = [
     "q_zonemap_prune", "q_zorder_layout", "q_incremental_agg",
     "q_ewma_smooth", "q_streaming_ewma", "q_graph_bfs",
     "q_pmi_collocations", "q_ngram_novelty", "q_bpe_fertility",
+    "q_bisect_median", "q_weighted_median", "q_heaps_fit",
+    "q_streaming_zonemap",
 ]
 
 

@@ -116,6 +116,7 @@ TAIL = [
     "q_zonemap_prune", "q_zorder_layout", "q_incremental_agg",
     "q_ewma_smooth", "q_graph_bfs", "q_pmi_collocations",
     "q_ngram_novelty", "q_bpe_fertility",
+    "q_bisect_median", "q_weighted_median", "q_heaps_fit",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

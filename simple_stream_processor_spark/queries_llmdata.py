@@ -4736,3 +4736,78 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+@query(
+    "q_heaps_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE length(word) > 0
+    ),
+    occ AS (SELECT doc_id // 50 AS bucket, count(*)::BIGINT AS n_tok FROM tok GROUP BY 1),
+    fresh AS (
+      SELECT first_doc // 50 AS bucket, count(*)::BIGINT AS n_new FROM (
+        SELECT word, min(doc_id) AS first_doc FROM tok GROUP BY word
+      ) GROUP BY 1
+    ),
+    pts AS (
+      SELECT o.bucket,
+             CAST(sum(o.n_tok) OVER (ORDER BY o.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+             CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY o.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v_cum
+      FROM occ o LEFT JOIN fresh f ON f.bucket = o.bucket
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(max(n_cum) AS BIGINT) AS n_tokens,
+           CAST(max(v_cum) AS BIGINT) AS vocab,
+           round(regr_slope(ln(v_cum), ln(n_cum)), 3) AS heaps_beta,
+           round(regr_intercept(ln(v_cum), ln(n_cum)), 3) AS heaps_lnk,
+           round(regr_r2(ln(v_cum), ln(n_cum)), 3) AS fit_r2
+    FROM pts
+    """,
+)
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L71: Heaps'-law fit — vocabulary growth V(N) = K·N^β estimated by
+    least squares on (ln N_cum, ln V_cum) over ingestion buckets: the
+    companion corpus-health diagnostic to q_zipf_fit (natural text runs
+    β ≈ 0.4–0.6; template/boilerplate corpora saturate early, synthetic
+    token soup runs β → 1), and the capacity-planning curve for
+    vocabulary-sized state (how big will the unigram table be at 10× the
+    corpus). Shape: one token-keyed min aggregate (first occurrence —
+    the exact-dedup exchange, shared shape with q_ngram_novelty), two
+    bucket-sized rollups, cumulative sums over the BUCKET table (bounded
+    by #buckets, not tokens), and a one-row regression aggregate
+    (regr_* combine map-side). Identical ln inputs both engines — the
+    cumulative counts are exact integers."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.length("word") > 0)
+    bucket = F.floor(F.col("doc_id") / 50).cast("long")
+    occ = tok.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n_tok"))
+    fresh = (
+        tok.groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.floor(F.col("first_doc") / 50).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts = (
+        occ.join(fresh, "bucket", "left")
+        .select("bucket", "n_tok", F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"))
+        .select(
+            F.sum("n_tok").over(w).alias("n_cum"),
+            F.sum("n_new").over(w).alias("v_cum"),
+        )
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("n_cum").alias("n_tokens"),
+        F.max("v_cum").alias("vocab"),
+        F.round(F.regr_slope(F.log("v_cum"), F.log("n_cum")), 3).alias("heaps_beta"),
+        F.round(F.regr_intercept(F.log("v_cum"), F.log("n_cum")), 3).alias("heaps_lnk"),
+        F.round(F.regr_r2(F.log("v_cum"), F.log("n_cum")), 3).alias("fit_r2"),
+    )

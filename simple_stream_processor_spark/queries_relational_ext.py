@@ -3936,15 +3936,40 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("ok"),
         F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day"),
     )
-    u = o.select(F.lit("hash").alias("layout"), (F.col("ok") % 64).alias("bucket"), "day").unionByName(
-        o.select(F.lit("date").alias("layout"), F.floor(F.col("day") / 30).cast("long").alias("bucket"), "day")
-    )
-    mx = o.agg(F.max("day").alias("m"))
+    u = _zonemap_assign(o)
     g = u.groupBy("layout", "bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("day").alias("min_day"),
         F.max("day").alias("max_day"),
     )
+    return zonemap_tail(g)
+
+
+def _zonemap_assign(o: DataFrame) -> DataFrame:
+    """(ok, day) → (layout, bucket, day) under both layouts from ONE scan
+    (exploded, not self-unioned — the q_zorder_layout lesson). Shared by
+    the batch query and the streaming twin."""
+    return o.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("hash").alias("layout"), (F.col("ok") % 64).alias("bucket")),
+                F.struct(
+                    F.lit("date").alias("layout"),
+                    F.floor(F.col("day") / 30).cast("long").alias("bucket"),
+                ),
+            )
+        ).alias("lb"),
+        "day",
+    ).select(F.col("lb.layout").alias("layout"), F.col("lb.bucket").alias("bucket"), "day")
+
+
+def zonemap_tail(g: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming zone-map audits: from the
+    per-(layout, bucket) zone table (n_rows, min_day, max_day), derive
+    the global max day (max over bucket maxima — a one-row aggregate
+    over the bucket-bounded table, never the facts) and flag each zone
+    prunable for the trailing-30-day predicate."""
+    mx = g.agg(F.max("max_day").alias("m"))
     return g.crossJoin(F.broadcast(mx)).select(
         "layout",
         "bucket",
@@ -4308,4 +4333,155 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
+    )
+
+
+@query(
+    "q_bisect_median",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, cents,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn
+      FROM v
+    ),
+    n AS (SELECT l_returnflag, count(*)::BIGINT AS n FROM v GROUP BY 1)
+    SELECT n.l_returnflag, n.n, r.cents AS median_cents,
+           round(r.cents / 100.0, 2) AS median
+    FROM n JOIN r ON r.l_returnflag = n.l_returnflag AND r.rn = (n.n + 1) // 2
+    """,
+)
+def q_bisect_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N76: exact grouped median WITHOUT a sort — value-domain bisection.
+    Per group keep [lo, hi] integer-cent bounds; each round counts rows
+    ≤ the group's midpoint (one filtered aggregate over the persisted
+    projection, group state joined BROADCAST so millions of groups stay
+    distributed) and halves the bracket toward the smallest value whose
+    rank reaches k = ⌈n/2⌉ — the k-th order statistic, provably a present
+    value when the bracket closes. log2(value range) ≈ 24 rounds of
+    scan-speed counting vs ONE full per-group sort: at 100 TB the sort
+    spills and the counting passes don't — the classic trade
+    (percentile_approx bounds memory but not error; this bounds BOTH at
+    log-range passes). Convergence witness: a one-row max(hi−lo)
+    aggregate per round (the dedup/BFS discipline); integer arithmetic
+    end-to-end, so both engines agree bit-exactly."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .persist()
+    )
+    state = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    ).localCheckpoint()
+    state = state.select("l_returnflag", "n", F.expr("(n + 1) div 2").alias("k"), "lo", "hi")
+    for _ in range(64):  # 2^64 > any long range; loop exits on the witness
+        gap = state.agg(F.max(F.col("hi") - F.col("lo"))).collect()[0][0]
+        if gap == 0:
+            break
+        mid_state = state.select(
+            "l_returnflag", "k", "lo", "hi", F.expr("(lo + hi) div 2").alias("mid")
+        )
+        cnt = (
+            li.join(F.broadcast(mid_state), "l_returnflag")
+            .where(F.col("cents") <= F.col("mid"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        state = (
+            mid_state.join(cnt, "l_returnflag")
+            .select(
+                "l_returnflag",
+                "k",
+                F.when(F.col("c") >= F.col("k"), F.col("lo")).otherwise(F.col("mid") + 1).alias("lo"),
+                F.when(F.col("c") >= F.col("k"), F.col("mid")).otherwise(F.col("hi")).alias("hi"),
+            )
+            .localCheckpoint()
+        )
+    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    out = n.join(state.select("l_returnflag", F.col("lo").alias("median_cents")), "l_returnflag")
+    li.unpersist()
+    return out.select(
+        "l_returnflag",
+        "n",
+        "median_cents",
+        F.round(F.col("median_cents") / F.lit(100.0), 2).alias("median"),
+    )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    pp AS (
+      SELECT l_returnflag, cents, CAST(sum(qty) AS BIGINT) AS w
+      FROM v GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, cents, w,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+      FROM pp
+    )
+    SELECT l_returnflag, max(tot) AS total_qty,
+           CAST(min(cents) AS BIGINT) AS wmedian_cents,
+           round(min(cents) / 100.0, 2) AS wmedian
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N77: weighted median — the price at which half the shipped
+    QUANTITY sits at-or-below (inventory/pricing's 'median unit', not
+    median line): the weighted-quantile aggregate Spark lacks natively.
+    Shape: collapse to the distinct-price weight table first (the
+    exchange is price-cardinality, not line-cardinality), then ONE
+    window pass carries both the running and total weight, and the
+    answer is the first price where 2·cum ≥ tot. Exact integer cents
+    and quantities end-to-end — no float crossing, bit-identical across
+    engines. At 100 TB: per-group price tables are the only shuffled
+    payload; the window is per-group sorted once (no global sort)."""
+    from pyspark.sql.window import Window
+
+    v = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+    )
+    pp = v.groupBy("l_returnflag", "cents").agg(F.sum("qty").alias("w"))
+    wc = Window.partitionBy("l_returnflag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = pp.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return (
+        c.where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("tot").alias("total_qty"),
+            F.min("cents").alias("wmedian_cents"),
+        )
+        .select(
+            "l_returnflag",
+            "total_qty",
+            "wmedian_cents",
+            F.round(F.col("wmedian_cents") / F.lit(100.0), 2).alias("wmedian"),
+        )
     )

@@ -1507,3 +1507,47 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
     drained, _ = run_stream_to_memory(daily, output_mode="complete")
     return ewma_tail(drained)
+
+
+def _zonemap_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_zonemap_prune"]
+
+
+@query("q_streaming_zonemap", oracle=_zonemap_oracle())
+def q_streaming_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming zone-map twin: the per-(layout, bucket) zone table
+    (count / min-day / max-day) IS the streaming state — all three are
+    commutative merges, so a WRITER can maintain parquet-footer-grade
+    zone maps incrementally as data lands (this is exactly what a
+    lakehouse ingestion job does), bounded by bucket cardinality
+    regardless of stream length. Drained zones flow through the shared
+    zonemap_tail and hash-match the identical batch oracle — the
+    skip-scan audit stays current per trigger without re-scanning the
+    table."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import (
+        _zonemap_assign,
+        zonemap_tail,
+    )
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    o = sdf.select(
+        F.col("o_orderkey").alias("ok"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day"),
+    )
+    g = _zonemap_assign(o).groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+    )
+    drained, _ = run_stream_to_memory(g, output_mode="complete")
+    return zonemap_tail(drained)

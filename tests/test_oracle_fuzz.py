@@ -91,6 +91,7 @@ DOC_QUERIES = [
     "q_bm25_search", "q_bigram_surprisal", "q_conformal_threshold",
     "q_wasserstein_drift",
     "q_pmi_collocations", "q_ngram_novelty", "q_bpe_fertility",
+    "q_heaps_fit",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -182,3 +182,76 @@ def test_bpe_fertility_bounds(spark, sf_dir):
         assert r.n_words <= r.n_bpe_tokens <= r.n_chars
         assert r.fertility >= 1.0
         assert r.chars_per_token >= 1.0
+
+
+def test_bisect_median_equals_exact_percentile(spark, sf_dir):
+    """Bisection vs Spark's exact order statistic: the k=(n+1)//2-th
+    smallest cent value per group."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from simple_stream_processor_spark.tables import load_table
+
+    got = {r.l_returnflag: r for r in QUERIES["q_bisect_median"](spark, sf_dir).collect()}
+    v = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    r = v.select("l_returnflag", "cents", F.row_number().over(w).alias("rn"))
+    n = v.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    want = {
+        row.l_returnflag: row.cents
+        for row in r.join(n, "l_returnflag")
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .collect()
+    }
+    assert {k: g.median_cents for k, g in got.items()} == want
+    for g in got.values():
+        assert abs(g.median - g.median_cents / 100.0) < 1e-9
+
+
+def test_weighted_median_replay(spark, sf_dir):
+    """Weighted median vs a pandas replay of the cumulative-weight rule."""
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    got = {r.l_returnflag: r for r in QUERIES["q_weighted_median"](spark, sf_dir).collect()}
+    pdf = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+            F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+        )
+        .toPandas()
+    )
+    for flag, g in pdf.groupby("l_returnflag"):
+        pp = g.groupby("cents")["qty"].sum().sort_index()
+        tot = int(pp.sum())
+        cum = 0
+        for cents, w in pp.items():
+            cum += int(w)
+            if 2 * cum >= tot:
+                break
+        assert got[flag].wmedian_cents == cents, flag
+        assert got[flag].total_qty == tot, flag
+
+
+def test_heaps_fit_sane(spark, sf_dir):
+    r = QUERIES["q_heaps_fit"](spark, sf_dir).collect()[0]
+    # the fixture corpus has a tiny CLOSED vocabulary (31 words), so all
+    # of it appears in the first ingestion bucket and growth saturates
+    # completely: beta = 0 is the CORRECT diagnosis ("this corpus adds no
+    # new vocabulary"), exactly what the saturation detector is for.
+    # Natural corpora run 0 < beta < 1.
+    assert 0.0 <= r.heaps_beta < 1.0, r
+    assert r.vocab <= r.n_tokens
+    assert r.n_points >= 5
+    assert 0.0 <= r.fit_r2 <= 1.0
+
+
+def test_streaming_zonemap_matches_batch(spark, sf_dir):
+    batch = {tuple(r) for r in QUERIES["q_zonemap_prune"](spark, sf_dir).collect()}
+    stream = {tuple(r) for r in QUERIES["q_streaming_zonemap"](spark, sf_dir).collect()}
+    assert batch == stream
