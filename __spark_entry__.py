@@ -134,6 +134,9 @@ _PRIORITY = [
     "q_pmi_collocations", "q_ngram_novelty", "q_bpe_fertility",
     "q_bisect_median", "q_weighted_median", "q_heaps_fit",
     "q_streaming_zonemap",
+    "q_equidepth_hist", "q_burst_detection", "q_abc_classification",
+    "q_compaction_plan", "q_date_spine", "q_embedding_norm_audit",
+    "q_js_divergence",
 ]
 
 

@@ -117,6 +117,9 @@ TAIL = [
     "q_ewma_smooth", "q_graph_bfs", "q_pmi_collocations",
     "q_ngram_novelty", "q_bpe_fertility",
     "q_bisect_median", "q_weighted_median", "q_heaps_fit",
+    "q_equidepth_hist", "q_burst_detection", "q_abc_classification",
+    "q_compaction_plan", "q_date_spine", "q_embedding_norm_audit",
+    "q_js_divergence",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

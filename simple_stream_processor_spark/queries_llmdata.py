@@ -4811,3 +4811,149 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(F.log("v_cum"), F.log("n_cum")), 3).alias("heaps_lnk"),
         F.round(F.regr_r2(F.log("v_cum"), F.log("n_cum")), 3).alias("fit_r2"),
     )
+
+
+@query(
+    "q_embedding_norm_audit",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, label,
+             round(sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                                    (a, b) -> a + b)), 4) AS nrm,
+             len(list_filter(v, x -> isnan(x) OR NOT isfinite(x))) AS n_bad
+      FROM e
+    )
+    SELECT label, count(*)::BIGINT AS n_vecs,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm,
+           CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite
+    FROM n GROUP BY label
+    """,
+)
+def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L72: embedding quality gate — per label: vector count, min/max L2
+    norm, zero vectors, and non-finite components. The pre-flight audit
+    every ANN/dedup/clustering pipeline needs: a zero or NaN vector
+    silently poisons cosine similarity (0/0), and norm outliers flag
+    encoder regressions. Determinism: the per-vector norm folds the
+    component array IN ARRAY ORDER (F.aggregate ≡ DuckDB list_reduce —
+    same fixed order, bit-identical), and the per-label rollup uses only
+    order-safe aggregates (count / min / max / threshold counts — no
+    cross-row float sums). One narrow scan, one label-keyed exchange;
+    at 100 TB this is a single pass the embedding writer amortizes."""
+    e = _t(spark, sf_dir, "embeddings")
+    nrm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ),
+        4,
+    )
+    n_bad = F.size(F.filter(F.col("embedding"), lambda x: F.isnan(x) | (F.abs(x) == float("inf"))))
+    n = e.select("label", nrm.alias("nrm"), n_bad.alias("n_bad"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0)).alias("n_zero"),
+        F.sum(F.when(F.col("n_bad") > 0, 1).otherwise(0)).alias("n_nonfinite"),
+    )
+
+
+@query(
+    "q_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, least(16, length(word)) AS len FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE length(word) > 0
+    ),
+    p AS (SELECT lang, len, count(*)::BIGINT AS np FROM tok GROUP BY 1, 2),
+    pt AS (SELECT lang, CAST(sum(np) AS BIGINT) AS tp FROM p GROUP BY 1),
+    q AS (SELECT len, count(*)::BIGINT AS nq FROM tok GROUP BY 1),
+    qt AS (SELECT CAST(count(*) AS BIGINT) AS tq FROM tok),
+    cells AS (
+      SELECT p.lang, q.len,
+             coalesce(CAST(p2.np AS DOUBLE) / pt.tp, 0.0) AS pp,
+             CAST(q.nq AS DOUBLE) / qt.tq AS qq
+      FROM (SELECT DISTINCT lang FROM tok) p
+      CROSS JOIN q CROSS JOIN qt
+      JOIN pt ON pt.lang = p.lang
+      LEFT JOIN p p2 ON p2.lang = p.lang AND p2.len = q.len
+    ),
+    terms AS (
+      SELECT lang, len,
+             0.5 * (CASE WHEN pp > 0 THEN pp * ln(2.0 * pp / (pp + qq)) ELSE 0.0 END)
+           + 0.5 * (CASE WHEN qq > 0 THEN qq * ln(2.0 * qq / (pp + qq)) ELSE 0.0 END) AS term
+      FROM cells
+    )
+    SELECT t.lang, pt.tp AS n_tokens,
+           round(list_reduce(list_prepend(0.0, list(t.term ORDER BY t.len)), (a, b) -> a + b), 4) AS jsd
+    FROM terms t JOIN pt ON pt.lang = t.lang
+    GROUP BY t.lang, pt.tp
+    """,
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L73: Jensen-Shannon divergence of each language's token-length
+    distribution vs the whole corpus — the bounded, symmetric drift
+    metric beside KS (max gap) and Wasserstein (mass transport): JSD is
+    what mixture-curation papers report because it never blows up on
+    disjoint support. Distributions are exact integer count ratios over
+    a 16-cell length grid (bounded state — the KS-grid discipline);
+    per-cell terms are pure functions of those ratios and fold in
+    sorted cell order (bit-identical both engines). One token-keyed
+    pass, lang×16 cells thereafter — free at any corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.length("word") > 0).select(
+        "lang", F.least(F.lit(16), F.length("word")).alias("len")
+    )
+    p = tok.groupBy("lang", "len").agg(F.count(F.lit(1)).alias("np"))
+    pt = p.groupBy("lang").agg(F.sum("np").alias("tp"))
+    q = tok.groupBy("len").agg(F.count(F.lit(1)).alias("nq"))
+    qt = tok.agg(F.count(F.lit(1)).alias("tq"))
+    langs = pt.select("lang")
+    cells = (
+        langs.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(qt))
+        .join(F.broadcast(pt), "lang")
+        .join(F.broadcast(p.withColumnRenamed("lang", "l2").withColumnRenamed("len", "len2")),
+              (F.col("lang") == F.col("l2")) & (F.col("len") == F.col("len2")), "left")
+        .select(
+            "lang",
+            "len",
+            F.coalesce(F.col("np").cast("double") / F.col("tp"), F.lit(0.0)).alias("pp"),
+            (F.col("nq").cast("double") / F.col("tq")).alias("qq"),
+            "tp",
+        )
+    )
+    term = (
+        F.lit(0.5)
+        * F.when(F.col("pp") > 0, F.col("pp") * F.log(2.0 * F.col("pp") / (F.col("pp") + F.col("qq")))).otherwise(0.0)
+        + F.lit(0.5)
+        * F.when(F.col("qq") > 0, F.col("qq") * F.log(2.0 * F.col("qq") / (F.col("pp") + F.col("qq")))).otherwise(0.0)
+    )
+    return (
+        cells.select("lang", "len", "tp", term.alias("term"))
+        .groupBy("lang", F.col("tp").alias("n_tokens"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col("len"), F.col("term").alias("v")))),
+                        lambda s: s["v"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ),
+                4,
+            ).alias("jsd")
+        )
+        .select("lang", "n_tokens", "jsd")
+    )

@@ -4485,3 +4485,276 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("wmedian_cents") / F.lit(100.0), 2).alias("wmedian"),
         )
     )
+
+
+@query(
+    "q_equidepth_hist",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+    ),
+    b AS (
+      SELECT quantile_cont(cents, [0.0625, 0.125, 0.1875, 0.25, 0.3125, 0.375,
+                                   0.4375, 0.5, 0.5625, 0.625, 0.6875, 0.75,
+                                   0.8125, 0.875, 0.9375]) AS bounds
+      FROM v
+    )
+    SELECT CAST(len(list_filter(b.bounds, x -> v.cents > x)) AS INT) AS bucket,
+           count(*)::BIGINT AS n,
+           CAST(min(v.cents) AS BIGINT) AS lo_cents,
+           CAST(max(v.cents) AS BIGINT) AS hi_cents
+    FROM v, b
+    GROUP BY 1
+    """,
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N78: equi-depth (equi-height) histogram construction — the
+    cost-based-optimizer statistic (selectivity estimation wants equal
+    row mass per bucket, not equal value width like q_histogram's
+    fixed-width bins). 15 interior boundaries at exact k/16 percentiles
+    (one aggregate — NOT a global ntile window, which would drag every
+    row to one partition), broadcast back as a 15-element array; bucket
+    assignment is a JVM-side array filter count. Interpolated boundary
+    floats are safe to compare against integer-cent data: a boundary
+    either lands exactly ON a datum (interpolation fraction 0 — exact in
+    both engines) or strictly between two adjacent data values, so a
+    final-ulp difference can never flip an assignment. At 100 TB: one
+    percentile aggregate + one scan — the same shape ANALYZE TABLE runs."""
+    v = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents")
+    )
+    bounds = v.agg(
+        F.percentile("cents", F.array(*[F.lit(i / 16.0) for i in range(1, 16)])).alias("bounds")
+    )
+    return (
+        v.crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(F.filter(F.col("bounds"), lambda x: F.col("cents") > x)).alias("bucket"),
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+@query(
+    "q_burst_detection",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+    w AS (
+      SELECT user_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY ms
+                            RANGE BETWEEN 59999 PRECEDING AND CURRENT ROW) AS in_minute
+      FROM e
+    )
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           CAST(max(in_minute) AS BIGINT) AS max_burst,
+           (max(in_minute) >= 5) AS is_burst
+    FROM w GROUP BY user_id
+    """,
+)
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N79: burst / rate-limit detection — each user's maximum event
+    count inside ANY trailing 60-second window (the sliding-rate
+    primitive behind abuse detection, API throttling audits, and bot
+    scoring; a fixed-bucket count misses bursts straddling bucket
+    edges, the RANGE frame does not). One user-partitioned RANGE window
+    over epoch-ms (exact integers — no timestamp arithmetic drift) +
+    one aggregate riding the same user partitioning: a single shuffle,
+    both stages keyed identically. At 100 TB: per-user event sequences
+    are the window unit; no global sort, no cross-user state."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ms").rangeBetween(-59999, 0)
+    counted = e.select("user_id", F.count(F.lit(1)).over(w).alias("in_minute"))
+    return counted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("in_minute").alias("max_burst"),
+        (F.max("in_minute") >= 5).alias("is_burst"),
+    )
+
+
+@query(
+    "q_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(cents) OVER () AS BIGINT) AS tot
+      FROM rev
+    ),
+    cls AS (
+      SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                  WHEN cum * 100 <= tot * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents, tot
+      FROM c
+    )
+    SELECT abc_class, count(*)::BIGINT AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           round(CAST(sum(cents) AS DOUBLE) / max(tot), 4) AS revenue_share
+    FROM cls GROUP BY abc_class
+    """,
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N80: ABC (Pareto) inventory classification — parts ranked by
+    revenue; A carries the first 80% of cumulative revenue, B to 95%,
+    C the tail: the assortment-planning primitive behind every
+    'top 20% of SKUs drive 80% of revenue' decision. Facts collapse to
+    the part-keyed revenue rollup FIRST (the only record-level
+    exchange); the global cumulative share then runs over that
+    dimension-sized table — one budgeted single-partition window over
+    part-cardinality rows, never facts (q_skew_report's allowance
+    argument; at extreme part cardinality decompose via the zipf_fit
+    two-level rank). Exact integer class edges (cum·100 ≤ tot·80) —
+    no float crossing until the reported share."""
+    from pyspark.sql.window import Window
+
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cents"))
+    )
+    wc = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    c = rev.select(
+        "cents",
+        F.sum("cents").over(wc).alias("cum"),
+        F.sum("cents").over(wt).alias("tot"),
+    )
+    cls = c.select(
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "tot",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("revenue_cents"),
+        F.round(F.sum("cents").cast("double") / F.max("tot"), 4).alias("revenue_share"),
+    )
+
+
+@query(
+    "q_compaction_plan",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey % 64 AS bucket, count(*)::BIGINT AS n FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(ceil(sum(n) / 8.0) AS BIGINT) AS target FROM o),
+    c AS (
+      SELECT bucket, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      FROM o
+    )
+    SELECT CAST(cum_before // t.target AS BIGINT) AS file_id,
+           count(*)::BIGINT AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(min(bucket) AS BIGINT) AS first_bucket,
+           CAST(max(bucket) AS BIGINT) AS last_bucket
+    FROM c, t
+    GROUP BY 1
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N81: small-file compaction planner — the maintenance job every
+    lakehouse table needs: given per-input-file row counts (the 64
+    hash 'files' of q_zonemap_prune), assign contiguous input files to
+    ~8 equal-row output files by greedy prefix packing (output file =
+    cumulative-rows-before ÷ target). Contiguity preserves any sort/
+    cluster order the inputs carry (the zone-map and Z-order layouts
+    stay valid after compaction — why compactors don't hash-shuffle).
+    All planning happens on the file-count table (64 rows): one
+    budgeted single-partition window over metadata, never data; the
+    actual rewrite at 100 TB is then an embarrassingly parallel
+    per-output-file copy. Integer arithmetic end-to-end."""
+    from pyspark.sql.window import Window
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy((F.col("o_orderkey") % 64).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = o.agg(F.ceil(F.sum("n") / 8.0).cast("long").alias("target"))
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    c = o.select(
+        "bucket",
+        "n",
+        F.coalesce(F.sum("n").over(wc), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select("bucket", "n", F.expr("cum_before div target").alias("file_id"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n").alias("n_rows"),
+            F.min("bucket").alias("first_bucket"),
+            F.max("bucket").alias("last_bucket"),
+        )
+    )
+
+
+@query(
+    "q_date_spine",
+    oracle="""
+    WITH b AS (
+      SELECT epoch_ms(min(o_orderdate)) // 86400000 AS mn,
+             epoch_ms(max(o_orderdate)) // 86400000 AS mx
+      FROM orders
+    ),
+    spine AS (SELECT unnest(range(mn, mx + 1)) AS day FROM b),
+    daily AS (
+      SELECT epoch_ms(o_orderdate) // 86400000 AS day, count(*)::BIGINT AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(s.day // 30 AS BIGINT) AS month_bucket,
+           count(*)::BIGINT AS days_in_bucket,
+           CAST(sum(CASE WHEN d.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS days_with_orders,
+           CAST(sum(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_days,
+           CAST(coalesce(sum(d.n), 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    GROUP BY 1
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N82: date-spine generation + coverage audit — the calendar
+    scaffold every reporting pipeline joins against (a GROUP BY over
+    raw facts silently drops empty days; the spine makes absence a
+    row). The spine is GENERATED (F.sequence over the min/max day
+    bounds, exploded — a source operator, no input table), the daily
+    fact rollup LEFT-joins onto it, and the audit reports per 30-day
+    bucket how many calendar days had no orders. At 100 TB the spine
+    is ~10⁴ rows regardless of fact volume — generation is free; the
+    daily rollup is the only fact-sized exchange. Integer epoch-day
+    arithmetic both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day")
+    )
+    b = o.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = b.select(F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day"))
+    daily = o.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    j = spine.join(daily.withColumnRenamed("day", "d2"), spine["day"] == F.col("d2"), "left")
+    return j.groupBy(F.expr("day div 30").alias("month_bucket")).agg(
+        F.count(F.lit(1)).alias("days_in_bucket"),
+        F.sum(F.when(F.col("n").isNotNull(), 1).otherwise(0)).alias("days_with_orders"),
+        F.sum(F.when(F.col("n").isNull(), 1).otherwise(0)).alias("missing_days"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_orders"),
+    )

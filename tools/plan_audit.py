@@ -75,6 +75,10 @@ SINGLE_PARTITION_ALLOWANCE = {
     # one-row sum over vocab-bounded partials, broadcast into the pair
     # table; never record-level data
     "q_pmi_collocations": 2,
+    # compaction planning runs entirely on the 64-row file-count table:
+    # the prefix-sum window over it plus the one-row target aggregate —
+    # both metadata-sized, never data
+    "q_compaction_plan": 2,
     # the same 2 k-row Lloyd packings, but the final assignment feeds THREE
     # consumers (pair-join left, pair-join right, keep-rule join back), and
     # exchange reuse does not fire across them — 2 x 3 k-row exchanges,
