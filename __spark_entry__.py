@@ -137,6 +137,8 @@ _PRIORITY = [
     "q_equidepth_hist", "q_burst_detection", "q_abc_classification",
     "q_compaction_plan", "q_date_spine", "q_embedding_norm_audit",
     "q_js_divergence",
+    "q_minhash_precision", "q_audience_overlap", "q_asof_tolerance",
+    "q_mutual_information", "q_streaming_novelty", "q_streaming_heaps",
 ]
 
 

@@ -120,6 +120,8 @@ TAIL = [
     "q_equidepth_hist", "q_burst_detection", "q_abc_classification",
     "q_compaction_plan", "q_date_spine", "q_embedding_norm_audit",
     "q_js_divergence",
+    "q_minhash_precision", "q_audience_overlap", "q_asof_tolerance",
+    "q_mutual_information",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

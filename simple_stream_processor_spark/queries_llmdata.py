@@ -4625,22 +4625,32 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bucket = (F.floor(F.col("doc_id") / 50)).cast("long")
-    occ = grams.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n_occ"))
-    dist = (
-        grams.select(bucket.alias("bucket"), "gram")
-        .distinct()
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_distinct"))
-    )
+    g3 = grams.groupBy(bucket.alias("bucket"), "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return novelty_tail(g3)
+
+
+def novelty_tail(g3: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming novelty queries: from the
+    (bucket, gram, cnt) table — which IS the streaming state (counts are
+    commutative; bucket = doc_id//50 is monotone in doc_id, so the
+    bucket of a gram's first doc equals its MIN bucket) — derive per
+    bucket: occurrences, distinct grams, first-appearance grams, pct."""
+    occ = g3.groupBy("bucket").agg(F.sum("cnt").alias("n_occ"))
+    # renamed join keys on the derived sides: three subtrees of one
+    # streaming memory-sink view would otherwise trip Catalyst's
+    # conflicting-attribute dedup (the ewma_tail lesson)
+    dist = g3.groupBy(F.col("bucket").alias("b2")).agg(F.count(F.lit(1)).alias("n_distinct"))
     fresh = (
-        grams.groupBy("gram")
-        .agg(F.min("doc_id").alias("first_doc"))
-        .groupBy(F.floor(F.col("first_doc") / 50).cast("long").alias("bucket"))
+        g3.groupBy("gram")
+        .agg(F.min("bucket").alias("fb"))
+        .groupBy(F.col("fb").alias("b3"))
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
     return (
-        occ.join(dist, "bucket")
-        .join(fresh, "bucket", "left")
+        occ.join(dist, occ["bucket"] == dist["b2"])
+        .drop("b2")
+        .join(fresh, F.col("bucket") == F.col("b3"), "left")
+        .drop("b3")
         .select(
             "bucket",
             "n_occ",
@@ -4761,9 +4771,14 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_points,
            CAST(max(n_cum) AS BIGINT) AS n_tokens,
            CAST(max(v_cum) AS BIGINT) AS vocab,
-           round(regr_slope(ln(v_cum), ln(n_cum)), 3) AS heaps_beta,
-           round(regr_intercept(ln(v_cum), ln(n_cum)), 3) AS heaps_lnk,
-           round(regr_r2(ln(v_cum), ln(n_cum)), 3) AS fit_r2
+           -- saturated corpus: v_cum constant -> var(y)=0 and slope/r2 are
+           -- 0/0 noise ratios; pin the degenerate case (beta=0, perfect fit)
+           CASE WHEN max(v_cum) = min(v_cum) THEN 0.0
+                ELSE round(regr_slope(ln(v_cum), ln(n_cum)), 3) END AS heaps_beta,
+           CASE WHEN max(v_cum) = min(v_cum) THEN round(ln(max(v_cum)), 3)
+                ELSE round(regr_intercept(ln(v_cum), ln(n_cum)), 3) END AS heaps_lnk,
+           CASE WHEN max(v_cum) = min(v_cum) THEN 1.0
+                ELSE round(regr_r2(ln(v_cum), ln(n_cum)), 3) END AS fit_r2
     FROM pts
     """,
 )
@@ -4780,36 +4795,59 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     by #buckets, not tokens), and a one-row regression aggregate
     (regr_* combine map-side). Identical ln inputs both engines — the
     cumulative counts are exact integers."""
-    from pyspark.sql.window import Window
-
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).where(F.length("word") > 0)
     bucket = F.floor(F.col("doc_id") / 50).cast("long")
-    occ = tok.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n_tok"))
+    w3 = tok.groupBy(bucket.alias("bucket"), "word").agg(F.count(F.lit(1)).alias("cnt"))
+    return heaps_tail(w3)
+
+
+def heaps_tail(w3: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Heaps'-law queries: from
+    the (bucket, word, cnt) table — the same mergeable state shape as
+    novelty_tail (counts commutative, min bucket ≡ bucket of first doc)
+    — derive the cumulative (tokens, vocab) points and the log-log
+    regression."""
+    from pyspark.sql.window import Window
+
+    occ = w3.groupBy("bucket").agg(F.sum("cnt").alias("n_tok"))
+    # renamed join key: two subtrees of one streaming memory-sink view
+    # (the novelty_tail / ewma_tail conflicting-attribute lesson)
     fresh = (
-        tok.groupBy("word")
-        .agg(F.min("doc_id").alias("first_doc"))
-        .groupBy(F.floor(F.col("first_doc") / 50).cast("long").alias("bucket"))
+        w3.groupBy("word")
+        .agg(F.min("bucket").alias("fb"))
+        .groupBy(F.col("fb").alias("b2"))
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pts = (
-        occ.join(fresh, "bucket", "left")
+        occ.join(fresh, occ["bucket"] == fresh["b2"], "left")
+        .drop("b2")
         .select("bucket", "n_tok", F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"))
         .select(
             F.sum("n_tok").over(w).alias("n_cum"),
             F.sum("n_new").over(w).alias("v_cum"),
         )
     )
+    const = F.max("v_cum") == F.min("v_cum")
+    # saturated corpus: v_cum constant -> var(y)=0 and regr slope/r2 become
+    # 0/0 noise ratios that differ per engine AND per run; pin the
+    # degenerate case (beta=0, intercept=ln V, perfect fit)
     return pts.agg(
         F.count(F.lit(1)).cast("long").alias("n_points"),
         F.max("n_cum").alias("n_tokens"),
         F.max("v_cum").alias("vocab"),
-        F.round(F.regr_slope(F.log("v_cum"), F.log("n_cum")), 3).alias("heaps_beta"),
-        F.round(F.regr_intercept(F.log("v_cum"), F.log("n_cum")), 3).alias("heaps_lnk"),
-        F.round(F.regr_r2(F.log("v_cum"), F.log("n_cum")), 3).alias("fit_r2"),
+        F.when(const, F.lit(0.0))
+        .otherwise(F.round(F.regr_slope(F.log("v_cum"), F.log("n_cum")), 3))
+        .alias("heaps_beta"),
+        F.when(const, F.round(F.log(F.max("v_cum")), 3))
+        .otherwise(F.round(F.regr_intercept(F.log("v_cum"), F.log("n_cum")), 3))
+        .alias("heaps_lnk"),
+        F.when(const, F.lit(1.0))
+        .otherwise(F.round(F.regr_r2(F.log("v_cum"), F.log("n_cum")), 3))
+        .alias("fit_r2"),
     )
 
 
@@ -4956,4 +4994,72 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jsd")
         )
         .select("lang", "n_tokens", "jsd")
+    )
+
+
+@query(
+    "q_minhash_precision",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {_MINHASH_SIGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx,
+             md5(sig0::VARCHAR || '_' || sig1::VARCHAR || '_' || sig2::VARCHAR || '_' || sig3::VARCHAR) AS band_key
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx,
+             md5(sig4::VARCHAR || '_' || sig5::VARCHAR || '_' || sig6::VARCHAR || '_' || sig7::VARCHAR) AS band_key
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             (SELECT count(*) FROM sh x JOIN sh y ON y.shingle = x.shingle
+              WHERE x.doc_id = c.doc_a AND y.doc_id = c.doc_b) AS inter,
+             ca.n AS na, cb.n AS nb
+      FROM cand c JOIN cnt ca ON ca.doc_id = c.doc_a JOIN cnt cb ON cb.doc_id = c.doc_b
+    )
+    SELECT count(*)::BIGINT AS n_candidates,
+           CAST(sum(CASE WHEN inter::DOUBLE / (na + nb - inter) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+           round(CAST(sum(CASE WHEN inter::DOUBLE / (na + nb - inter) >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS precision
+    FROM scored
+    """,
+)
+def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L74: LSH banding PRECISION — of the band-collision candidate
+    pairs, what fraction survive exact Jaccard ≥ 0.5 verification. The
+    complement of q_minhash_recall (which asks what the banding MISSES):
+    together they locate the banding config on the precision/recall
+    curve, which is the knob that decides how much verify compute a
+    100 TB dedup run pays per true duplicate (low precision = the
+    collision-proportional verify step stops being cheap). Shape: the
+    exact candidate generation q_minhash_dedup uses (shingle → 8-hash
+    signature → 2×4 bands → collision pairs), one verify join, one
+    summary row."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, k=3)
+    cand = dedup.candidate_pairs(dedup.lsh_band_table(dedup.minhash_signatures(sh)))
+    joined, inter = dedup._scored_pairs(cand, sh, broadcast_threshold=100_000)
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    scored = joined.select(F.when(jac >= 0.5, 1).otherwise(0).alias("ok"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("ok").alias("n_verified"),
+        F.round(F.sum("ok").cast("double") / F.count(F.lit(1)), 4).alias("precision"),
     )

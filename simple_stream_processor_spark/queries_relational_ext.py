@@ -4758,3 +4758,191 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n").isNull(), 1).otherwise(0)).alias("missing_days"),
         F.coalesce(F.sum("n"), F.lit(0)).alias("n_orders"),
     )
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, epoch_ms(date_trunc('day', ts)) // 86400000 AS day,
+             array_to_string(list_sort(list(DISTINCT event_type)), ',') AS combo,
+             CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
+      FROM events GROUP BY 1, 2
+    )
+    SELECT combo, max(n_types) AS n_types, count(*)::BIGINT AS n_user_days
+    FROM u GROUP BY combo
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N83: audience-overlap (UpSet) analysis — (user, day) activity
+    units counted per EXACT combination of event types performed: the
+    set-intersection readout behind 'how many user-days both purchase
+    AND error', which pairwise Venn counts cannot answer (2^k exact
+    regions vs k·(k−1)/2 pairwise overlaps). The unit is user-DAY, the
+    grain engagement dashboards segment on (a lifetime-per-user set
+    saturates to the full combo on any active product — measured on
+    the fixtures too). One (user, day)-keyed collect_set (the only
+    record-level exchange), then a combo-keyed rollup; the combination
+    space is bounded by 2^|types|, not users. Deterministic: the set
+    is sorted before it becomes the key."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id", F.floor(F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400).cast("long").alias("day")
+    ).agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("combo"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+    return u.groupBy("combo").agg(
+        F.max("n_types").alias("n_types"),
+        F.count(F.lit(1)).alias("n_user_days"),
+    )
+
+
+@query(
+    "q_asof_tolerance",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_ms(p.ts) AS ts_ms,
+           round(p.value, 2) AS purchase_value,
+           CASE WHEN v.ts IS NOT NULL AND epoch_ms(p.ts) - epoch_ms(v.ts) <= 3600000
+                THEN round(v.view_value, 2) END AS last_view_value,
+           (v.ts IS NOT NULL AND epoch_ms(p.ts) - epoch_ms(v.ts) <= 3600000) AS within_tolerance
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N14b: as-of join with TOLERANCE — each purchase picks up the
+    user's most recent view, but only if it is at most one hour stale;
+    older matches become NULL (the feature-store freshness contract:
+    a feature older than the tolerance must not leak into serving).
+    Correctness identity that keeps the oracle simple: the most-recent
+    match is the ONLY candidate that could satisfy the tolerance, so
+    'as-of then staleness-filter' ≡ 'as-of within window'. Reuses the
+    asof carry-forward machinery (operators/relational.py:asof_join —
+    union + keyed window, one shuffle, no Spark ASOF primitive), then
+    one staleness CASE on exact epoch-ms."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .select("user_id", "ts", "view_value")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # asof carry-forward (operators/relational.py:asof_join shape) with a
+    # STRUCT payload so the match's own timestamp rides along for the
+    # staleness check; (ts, is_l, struct) is a total order because views
+    # are pre-aggregated to one (user, ts) row
+    from pyspark.sql.window import Window
+
+    payload = F.struct(F.col("ts").alias("m_ts"), F.col("view_value").alias("m_val"))
+    ptype = "struct<m_ts:timestamp,m_val:double>"
+    l = purchases.select(
+        "user_id", "ts", "event_id", "value",
+        F.lit(1).alias("is_l"), F.lit(None).cast(ptype).alias("m"),
+    )
+    r = views.select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"), F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_l"), payload.alias("m"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "is_l", "m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    joined = (
+        l.unionByName(r)
+        .withColumn("m", F.last("m", ignorenulls=True).over(w))
+        .where(F.col("is_l") == 1)
+    )
+    stale_ok = F.col("m").isNotNull() & (
+        (F.unix_millis("ts") - F.unix_millis("m.m_ts")) <= 3600000
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round(F.col("value"), 2).alias("purchase_value"),
+        F.when(stale_ok, F.round(F.col("m.m_val"), 2)).alias("last_view_value"),
+        stale_ok.alias("within_tolerance"),
+    )
+
+
+@query(
+    "q_mutual_information",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS x, CAST(extract(hour FROM ts) AS INT) AS y FROM events
+    ),
+    cells AS (SELECT x, y, count(*)::BIGINT AS nxy FROM e GROUP BY 1, 2),
+    mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+    my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT c.x, c.y,
+             (CAST(c.nxy AS DOUBLE) / t.n)
+               * ln((CAST(c.nxy AS DOUBLE) * t.n) / (CAST(mx.nx AS DOUBLE) * my.ny)) AS mi_term,
+             -(CAST(c.nxy AS DOUBLE) / t.n) * ln(CAST(c.nxy AS DOUBLE) / t.n) AS hxy_term
+      FROM cells c JOIN mx ON mx.x = c.x JOIN my ON my.y = c.y CROSS JOIN tot t
+    )
+    SELECT (SELECT n FROM tot) AS n_events,
+           (SELECT count(*)::BIGINT FROM cells) AS n_cells,
+           round(list_reduce(list_prepend(0.0, list(mi_term ORDER BY x, y)), (a, b) -> a + b), 4) AS mi_nats,
+           round(list_reduce(list_prepend(0.0, list(hxy_term ORDER BY x, y)), (a, b) -> a + b), 4) AS h_joint_nats
+    FROM terms
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N84: mutual information between event type and hour-of-day (plus
+    the joint entropy) — the information-theoretic dependence audit
+    beside q_chi_square's significance test: chi-square says WHETHER the
+    type mix depends on time, MI says HOW MANY NATS of predictability
+    that dependence carries (the feature-selection quantity). All
+    probabilities are exact integer count ratios over the bounded
+    (types × 24) cell grid; the log terms fold in sorted cell order
+    (the repo's float discipline), so both engines sum bit-identically.
+    One fact-sized exchange into the cell grid; everything after is
+    grid-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"), F.hour("ts").alias("y")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    mx = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = cells.agg(F.sum("nxy").alias("n"))
+    t = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("nxy").cast("double") / F.col("n")
+    mi_term = p * F.log(
+        (F.col("nxy").cast("double") * F.col("n")) / (F.col("nx").cast("double") * F.col("ny"))
+    )
+    hxy_term = -p * F.log(p)
+    terms = t.select("x", "y", "n", mi_term.alias("mi_term"), hxy_term.alias("hxy_term"))
+
+    def fold(col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("x"), F.col("y"), col.alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    return terms.agg(
+        F.max("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(fold(F.col("mi_term")), 4).alias("mi_nats"),
+        F.round(fold(F.col("hxy_term")), 4).alias("h_joint_nats"),
+    )

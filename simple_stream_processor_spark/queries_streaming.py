@@ -1551,3 +1551,92 @@ def q_streaming_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained, _ = run_stream_to_memory(g, output_mode="complete")
     return zonemap_tail(drained)
+
+
+def _novelty_oracle() -> str:
+    from simple_stream_processor_spark import queries_llmdata  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_ngram_novelty"]
+
+
+@query("q_streaming_novelty", oracle=_novelty_oracle())
+def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming novelty twin: the (bucket, gram, cnt) table IS the
+    streaming state — counts are commutative and bucket = doc_id//50 is
+    monotone in doc_id, so a gram's first-appearance bucket is a MIN
+    over state rows and arrival order is invisible. The live
+    crawl-saturation monitor: watch pct_new collapse per trigger as a
+    crawl re-fetches known content, without re-scanning the corpus.
+    State bounded by Σ per-bucket distinct trigrams — the same
+    cardinality the batch exchange carries. Drained state shares
+    novelty_tail and hash-matches the identical batch oracle."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_llmdata import novelty_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    words = sdf.select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    grams = (
+        words.where(n >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, n - 2).alias("a"),
+                    F.slice("w", 2, n - 2).alias("b"),
+                    F.slice("w", 3, n - 2).alias("c"),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("g.a"), F.col("g.b"), F.col("g.c")).alias("gram"),
+        )
+    )
+    g3 = grams.groupBy(
+        F.floor(F.col("doc_id") / 50).cast("long").alias("bucket"), "gram"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    drained, _ = run_stream_to_memory(g3, output_mode="complete")
+    return novelty_tail(drained)
+
+
+def _heaps_oracle() -> str:
+    from simple_stream_processor_spark import queries_llmdata  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_heaps_fit"]
+
+
+@query("q_streaming_heaps", oracle=_heaps_oracle())
+def q_streaming_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Heaps'-law twin: the (bucket, word, cnt) state — same
+    mergeable shape as the novelty twin at word granularity — drained
+    through the shared heaps_tail: a LIVE vocabulary-growth curve (is
+    the crawl still finding new language?) and the capacity forecast
+    for vocab-sized state, updated per trigger. Hash-matches the
+    identical batch oracle."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_llmdata import heaps_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tok = sdf.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.length("word") > 0)
+    w3 = tok.groupBy(
+        F.floor(F.col("doc_id") / 50).cast("long").alias("bucket"), "word"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    drained, _ = run_stream_to_memory(w3, output_mode="complete")
+    return heaps_tail(drained)

@@ -354,3 +354,54 @@ def test_js_divergence_bounds_and_self_zero(spark, sf_dir):
     for r in rows:
         # JSD (nats) ∈ [0, ln 2]
         assert -1e-9 <= r.jsd <= math.log(2) + 1e-9, r
+
+
+def test_minhash_precision_consistent_with_pair_query(spark, sf_dir):
+    """n_verified must equal the number of pairs q_minhash_dedup emits
+    (same candidates, same threshold), and precision = verified/candidates."""
+    r = QUERIES["q_minhash_precision"](spark, sf_dir).collect()[0]
+    n_pairs = QUERIES["q_minhash_dedup"](spark, sf_dir).count()
+    assert r.n_verified == n_pairs
+    assert 0 < r.n_candidates and 0 <= r.n_verified <= r.n_candidates
+    assert abs(r.precision - round(r.n_verified / r.n_candidates, 4)) < 1e-9
+
+
+def test_audience_overlap_conserves_user_days(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = QUERIES["q_audience_overlap"](spark, sf_dir).collect()
+    total = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_user_days for r in rows) == total
+    for r in rows:
+        assert r.n_types == len(r.combo.split(","))
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
+    rows = QUERIES["q_asof_tolerance"](spark, sf_dir).collect()
+    n_within = sum(1 for r in rows if r.within_tolerance)
+    assert 0 < n_within < len(rows), "fixture must exercise both branches"
+    for r in rows:
+        assert (r.last_view_value is not None) == r.within_tolerance
+
+
+def test_mutual_information_bounds(spark, sf_dir):
+    r = QUERIES["q_mutual_information"](spark, sf_dir).collect()[0]
+    # MI >= 0; MI <= min(H(X), H(Y)) <= H(X,Y)
+    assert -1e-9 <= r.mi_nats <= r.h_joint_nats + 1e-9
+    assert r.n_cells >= 2
+
+
+def test_streaming_novelty_and_heaps_match_batch(spark, sf_dir):
+    b1 = {tuple(r) for r in QUERIES["q_ngram_novelty"](spark, sf_dir).collect()}
+    s1 = {tuple(r) for r in QUERIES["q_streaming_novelty"](spark, sf_dir).collect()}
+    assert b1 == s1
+    b2 = QUERIES["q_heaps_fit"](spark, sf_dir).collect()[0]
+    s2 = QUERIES["q_streaming_heaps"](spark, sf_dir).collect()[0]
+    assert tuple(b2) == tuple(s2)

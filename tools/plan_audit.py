@@ -75,6 +75,9 @@ SINGLE_PARTITION_ALLOWANCE = {
     # one-row sum over vocab-bounded partials, broadcast into the pair
     # table; never record-level data
     "q_pmi_collocations": 2,
+    # the one-row grand-total aggregate plus the final one-row MI/entropy
+    # fold — both over the bounded type×24 cell grid, never events
+    "q_mutual_information": 2,
     # compaction planning runs entirely on the 64-row file-count table:
     # the prefix-sum window over it plus the one-row target aggregate —
     # both metadata-sized, never data
