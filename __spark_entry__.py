@@ -139,6 +139,8 @@ _PRIORITY = [
     "q_js_divergence",
     "q_minhash_precision", "q_audience_overlap", "q_asof_tolerance",
     "q_mutual_information", "q_streaming_novelty", "q_streaming_heaps",
+    "q_topk_with_other", "q_period_over_period", "q_user_saturation",
+    "q_whatif_grid", "q_cluster_size_dist",
 ]
 
 

@@ -122,6 +122,8 @@ TAIL = [
     "q_js_divergence",
     "q_minhash_precision", "q_audience_overlap", "q_asof_tolerance",
     "q_mutual_information",
+    "q_topk_with_other", "q_period_over_period", "q_user_saturation",
+    "q_whatif_grid", "q_cluster_size_dist",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

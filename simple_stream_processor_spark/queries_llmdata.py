@@ -5063,3 +5063,41 @@ def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ok").alias("n_verified"),
         F.round(F.sum("ok").cast("double") / F.count(F.lit(1)), 4).alias("precision"),
     )
+
+
+@query(
+    "q_cluster_size_dist",
+    oracle=_MINHASH_PAIRS_PREFIX
+    + """,
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a),
+    sizes AS (SELECT rep, count(*)::BIGINT AS cluster_size FROM comp GROUP BY rep)
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L75: near-dup cluster-size distribution — how duplication mass is
+    shaped: many pairs (organic copies) vs a few giant clusters
+    (boilerplate/templates), which decides the dedup strategy (keep-one
+    vs kill-template) and predicts the keep-rate before running it.
+    Pipeline composition: MinHash pairs → connected components
+    (operators/dedup.py:dedup_clusters, size-adaptive) → size histogram
+    — the histogram is component-count-sized, the expensive steps are
+    the already-shared pair/cluster intermediates."""
+    comp = dedup.dedup_clusters(_minhash_pairs(spark, sf_dir))
+    sizes = comp.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )

@@ -4946,3 +4946,212 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold(F.col("mi_term")), 4).alias("mi_nats"),
         F.round(fold(F.col("hxy_term")), 4).alias("h_joint_nats"),
     )
+
+
+@query(
+    "q_topk_with_other",
+    oracle="""
+    WITH rev AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT event_type, user_id, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents DESC, user_id) AS rn
+      FROM rev
+    )
+    SELECT event_type, CAST(user_id AS VARCHAR) AS entity, cents, FALSE AS is_other
+    FROM rk WHERE rn <= 3
+    UNION ALL
+    SELECT event_type, '<other>' AS entity, CAST(sum(cents) AS BIGINT), TRUE
+    FROM rk WHERE rn > 3 GROUP BY event_type
+    """,
+)
+def q_topk_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N85: top-k with an '<other>' rollup — the dashboard contract that
+    plain per-group top-k breaks: the rows shown plus the residual row
+    sum EXACTLY to the group total, so stakeholders can reconcile the
+    chart against finance. Per event type: top-3 revenue users + one
+    aggregated remainder. One user-keyed rollup, one group-partitioned
+    rank window over the rollup (user-cardinality, never events), one
+    conditional re-aggregate riding the same partitioning."""
+    from pyspark.sql.window import Window
+
+    rev = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("cents").desc(), "user_id")
+    rk = rev.select("event_type", "user_id", "cents", F.row_number().over(w).alias("rn"))
+    top = rk.where(F.col("rn") <= 3).select(
+        "event_type",
+        F.col("user_id").cast("string").alias("entity"),
+        "cents",
+        F.lit(False).alias("is_other"),
+    )
+    other = (
+        rk.where(F.col("rn") > 3)
+        .groupBy("event_type")
+        .agg(F.sum("cents").alias("cents"))
+        .select("event_type", F.lit("<other>").alias("entity"), "cents", F.lit(True).alias("is_other"))
+    )
+    return top.unionByName(other)
+
+
+@query(
+    "q_period_over_period",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type,
+             CAST((epoch_ms(ts) // 86400000) // 7 AS BIGINT) AS week,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, cents,
+           lag(cents) OVER (PARTITION BY event_type ORDER BY week) AS prev_cents,
+           round(100.0 * (cents - lag(cents) OVER (PARTITION BY event_type ORDER BY week))
+                 / lag(cents) OVER (PARTITION BY event_type ORDER BY week), 4) AS pct_change
+    FROM weekly
+    """,
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N86: period-over-period report — weekly revenue per event type
+    with the previous week and percent change (the first row every
+    business review reads). Weeks are exact integer epoch-day ÷ 7
+    buckets; the lag window runs over the (type × weeks)-bounded weekly
+    rollup, never events; NULL pct on each type's first week (no prior
+    period), exact cents until the one reported division."""
+    from pyspark.sql.window import Window
+
+    weekly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("(unix_millis(ts) div 86400000) div 7").alias("week"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("cents").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "cents",
+        prev.alias("prev_cents"),
+        F.round(F.lit(100.0) * (F.col("cents") - prev) / prev, 4).alias("pct_change"),
+    )
+
+
+@query(
+    "q_user_saturation",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_ms(date_trunc('day', ts)) // 86400000 AS day FROM events
+    ),
+    dau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS dau FROM e GROUP BY 1),
+    fs AS (
+      SELECT first_day AS day, count(*)::BIGINT AS n_new FROM (
+        SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id
+      ) GROUP BY 1
+    )
+    SELECT d.day, d.dau,
+           coalesce(f.n_new, 0) AS n_new,
+           CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY d.day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+           round(100.0 * coalesce(f.n_new, 0) / d.dau, 4) AS pct_new
+    FROM dau d LEFT JOIN fs f ON f.day = d.day
+    """,
+)
+def q_user_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N87: user-acquisition saturation curve — per day: active users,
+    FIRST-seen users, the cumulative distinct-user count, and the
+    new-user share of DAU: the growth-accounting readout (when pct_new
+    collapses, growth is retention-bound, not acquisition-bound) and
+    the events-table sibling of the corpus novelty curve (same
+    first-occurrence-is-a-MIN shape). One user-keyed min aggregate +
+    two day-bounded rollups; the cumulative sum runs over the
+    day-bounded table (budgeted single-partition window over ~10³
+    rows, never events)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400).cast("long").alias("day"),
+    )
+    dau = e.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    fs = (
+        e.groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+        .groupBy(F.col("first_day").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    j = dau.join(fs, dau["day"] == fs["d2"], "left").drop("d2").select(
+        "day", "dau", F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return j.select(
+        "day",
+        "dau",
+        "n_new",
+        F.sum("n_new").over(w).alias("cum_users"),
+        F.round(F.lit(100.0) * F.col("n_new") / F.col("dau"), 4).alias("pct_new"),
+    )
+
+
+@query(
+    "q_whatif_grid",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT) AS d_pct
+      FROM lineitem
+    ),
+    grid AS (
+      SELECT g.delta_pct,
+             CAST(sum(price_c * (100 - greatest(0, d_pct + g.delta_pct))) AS BIGINT) AS rev_c100
+      FROM base, (SELECT unnest([-1, 0, 1]) AS delta_pct) g
+      GROUP BY g.delta_pct
+    )
+    SELECT g.delta_pct, g.rev_c100,
+           round(100.0 * (g.rev_c100 - b.rev_c100) / b.rev_c100, 4) AS pct_vs_base
+    FROM grid g CROSS JOIN (SELECT rev_c100 FROM grid WHERE delta_pct = 0) b
+    """,
+)
+def q_whatif_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N88: what-if scenario grid — discounted revenue under a ±1-point
+    discount shift, all scenarios in ONE scan: the pricing-sensitivity
+    readout analysts otherwise run as k separate queries. The scenario
+    dimension EXPLODES per row (k small constants — a narrow map, no
+    join), each scenario's revenue accumulates as exact integer
+    cents×percent, and the base comparison joins the 3-row grid to its
+    own delta=0 row. At 100 TB: one fact pass amortizes across the
+    whole grid — the marginal scenario is free, which is the point."""
+    base = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d_pct"),
+    )
+    grid = (
+        base.select(
+            "price_c",
+            "d_pct",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("delta_pct"),
+        )
+        .groupBy("delta_pct")
+        .agg(
+            F.sum(
+                F.col("price_c")
+                * (F.lit(100) - F.greatest(F.lit(0), F.col("d_pct") + F.col("delta_pct")))
+            ).alias("rev_c100")
+        )
+    )
+    b = grid.where(F.col("delta_pct") == 0).select(F.col("rev_c100").alias("base_c100"))
+    return grid.crossJoin(F.broadcast(b)).select(
+        "delta_pct",
+        "rev_c100",
+        F.round(
+            F.lit(100.0) * (F.col("rev_c100") - F.col("base_c100")) / F.col("base_c100"), 4
+        ).alias("pct_vs_base"),
+    )

@@ -405,3 +405,75 @@ def test_streaming_novelty_and_heaps_match_batch(spark, sf_dir):
     b2 = QUERIES["q_heaps_fit"](spark, sf_dir).collect()[0]
     s2 = QUERIES["q_streaming_heaps"](spark, sf_dir).collect()[0]
     assert tuple(b2) == tuple(s2)
+
+
+def test_topk_with_other_reconciles_to_total(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = QUERIES["q_topk_with_other"](spark, sf_dir).collect()
+    total = {
+        r.event_type: r.c
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("c"))
+        .collect()
+    }
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        assert sum(r.cents for r in rs) == total[et], et  # the reconciliation contract
+        assert sum(1 for r in rs if not r.is_other) <= 3
+        assert sum(1 for r in rs if r.is_other) <= 1
+
+
+def test_period_over_period_pct_replay(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_period_over_period"](spark, sf_dir).collect(),
+        key=lambda r: (r.event_type, r.week),
+    )
+    prev = {}
+    for r in rows:
+        want_prev = prev.get(r.event_type)
+        assert r.prev_cents == want_prev
+        if want_prev is None:
+            assert r.pct_change is None
+        else:
+            assert abs(r.pct_change - round(100.0 * (r.cents - want_prev) / want_prev, 4)) < 1e-9
+        prev[r.event_type] = r.cents
+
+
+def test_user_saturation_conserves_users(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = sorted(QUERIES["q_user_saturation"](spark, sf_dir).collect(), key=lambda r: r.day)
+    n_users = load_table(spark, "events", sf_dir).select("user_id").distinct().count()
+    assert rows[-1].cum_users == sum(r.n_new for r in rows) == n_users
+    assert rows[0].n_new == rows[0].dau  # day one: everyone is new
+    cum = 0
+    for r in rows:
+        cum += r.n_new
+        assert r.cum_users == cum
+        assert 0 <= r.n_new <= r.dau
+
+
+def test_whatif_grid_monotone_in_discount(spark, sf_dir):
+    rows = {r.delta_pct: r for r in QUERIES["q_whatif_grid"](spark, sf_dir).collect()}
+    assert set(rows) == {-1, 0, 1}
+    # more discount -> less revenue, strictly (every line has price > 0)
+    assert rows[-1].rev_c100 > rows[0].rev_c100 > rows[1].rev_c100
+    assert rows[0].pct_vs_base == 0.0
+    assert rows[-1].pct_vs_base > 0 > rows[1].pct_vs_base
+
+
+def test_cluster_size_dist_consistent_with_clusters(spark, sf_dir):
+    rows = QUERIES["q_cluster_size_dist"](spark, sf_dir).collect()
+    n_docs_in_clusters = QUERIES["q_dedup_clusters"](spark, sf_dir).count()
+    assert sum(r.n_docs for r in rows) == n_docs_in_clusters
+    for r in rows:
+        assert r.cluster_size >= 2  # components come from pairs
+        assert r.n_docs == r.cluster_size * r.n_clusters
