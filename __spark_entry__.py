@@ -141,6 +141,8 @@ _PRIORITY = [
     "q_mutual_information", "q_streaming_novelty", "q_streaming_heaps",
     "q_topk_with_other", "q_period_over_period", "q_user_saturation",
     "q_whatif_grid", "q_cluster_size_dist",
+    "q_lift_table", "q_join_advisor", "q_bpe_generalization",
+    "q_streaming_saturation",
 ]
 
 

@@ -124,6 +124,7 @@ TAIL = [
     "q_mutual_information",
     "q_topk_with_other", "q_period_over_period", "q_user_saturation",
     "q_whatif_grid", "q_cluster_size_dist",
+    "q_lift_table", "q_join_advisor", "q_bpe_generalization",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

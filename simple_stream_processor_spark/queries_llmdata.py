@@ -1879,7 +1879,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_ctes(rounds: int) -> str:
+def _bpe_oracle_ctes(rounds: int, where: str = "") -> str:
     """Unrolled BPE trainer as DuckDB CTEs: w0 is the distinct-word
     frequency table with each word's symbols joined by chr(31) (a char
     absent from the corpus, so a `replace` of `l||chr(31)||r` is always
@@ -1890,11 +1890,11 @@ def _bpe_oracle_ctes(rounds: int) -> str:
     word table alive when a round finds no pair (Spark breaks; both
     sides then emit no further merge rows)."""
     ctes = [
-        """w0 AS MATERIALIZED (
+        f"""w0 AS MATERIALIZED (
       SELECT array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]),
                              chr(31)) AS s,
              count(*) AS freq
-      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents{where})
       WHERE length(word) > 0
       GROUP BY 1
     )"""
@@ -5100,4 +5100,90 @@ def q_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
+
+
+def _bpe_apply_ctes(rounds: int) -> str:
+    """Apply-chain CTEs: v0 is the FULL corpus's distinct-word vocabulary
+    (separator-joined); v1..vN replay the learned merges b1..bN (from a
+    possibly-FILTERED training w0 chain) via the same leftmost
+    string-replace — the oracle half of 'train on split A, encode
+    everything'."""
+    ctes = [
+        """v0 AS MATERIALIZED (
+      SELECT DISTINCT word,
+             array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]),
+                             chr(31)) AS s
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+      SELECT v.word,
+             CASE WHEN b.l IS NULL THEN v.s
+                  ELSE replace(v.s, b.l || chr(31) || b.r, b.l || b.r) END AS s
+      FROM v{r - 1} v LEFT JOIN b{r} b ON TRUE
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+_BPE_GENERALIZATION_ORACLE = (
+    "WITH "
+    + _bpe_oracle_ctes(8, where=" WHERE doc_id % 2 = 0")
+    + ",\n    "
+    + _bpe_apply_ctes(8)
+    + """,
+    lut AS (SELECT word, len(string_split(s, chr(31))) AS n_syms FROM v8),
+    tok AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'heldout' END AS split, word
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0
+    )
+    SELECT tok.split,
+           count(*)::BIGINT AS n_words,
+           CAST(sum(lut.n_syms) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(lut.n_syms) AS DOUBLE) / count(*), 4) AS fertility
+    FROM tok JOIN lut ON lut.word = tok.word
+    GROUP BY tok.split
+    """
+)
+
+
+@query("q_bpe_generalization", oracle=_BPE_GENERALIZATION_ORACLE)
+def q_bpe_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L76: tokenizer generalization — learn the 8 BPE merges on the
+    even-doc_id HALF of the corpus, encode BOTH halves, and compare
+    fertility (tokens/word) train vs held-out: the gap is the
+    tokenizer-overfit readout (a vocab tuned to its training slice
+    inflates sequence lengths on everything else — the multilingual
+    tokenizer-fairness failure mode, measured before training pays for
+    it). Spark side reuses the trainer on the filtered split + the
+    encode fold over the FULL distinct-word vocab; the oracle reuses
+    the unrolled merge CTEs with a WHERE on the training half plus a
+    v-chain replaying the merges over the full vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    merges = [(r["left"], r["right"]) for r in text.bpe_merges(train, rounds=8).collect()]
+    counts = text.bpe_encode_counts(docs, merges)  # (doc_id, n_words, n_bpe_tokens)
+    # the split is a pure function of doc_id — no doc-cardinality join
+    j = counts.select(
+        F.when(F.col("doc_id") % 2 == 0, "train").otherwise("heldout").alias("split"),
+        "n_words",
+        "n_bpe_tokens",
+    )
+    return (
+        j.groupBy("split")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+        .select(
+            "split",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4).alias("fertility"),
+        )
     )

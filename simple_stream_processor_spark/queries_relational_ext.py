@@ -5075,15 +5075,26 @@ def q_user_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     two day-bounded rollups; the cumulative sum runs over the
     day-bounded table (budgeted single-partition window over ~10³
     rows, never events)."""
-    from pyspark.sql.window import Window
-
     e = _t(spark, sf_dir, "events").select(
         "user_id",
         F.floor(F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400).cast("long").alias("day"),
     )
-    dau = e.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    ud = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    return saturation_tail(ud)
+
+
+def saturation_tail(ud: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming saturation queries: from
+    the (user_id, day, n) user-day table — which IS the streaming state
+    (counts commutative; a user's first day is a MIN over state rows) —
+    derive per day: DAU, first-seen users, cumulative users, new share.
+    Renamed join key: two subtrees of one streaming memory-sink view
+    (the novelty_tail lesson)."""
+    from pyspark.sql.window import Window
+
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     fs = (
-        e.groupBy("user_id")
+        ud.groupBy("user_id")
         .agg(F.min("day").alias("first_day"))
         .groupBy(F.col("first_day").alias("d2"))
         .agg(F.count(F.lit(1)).alias("n_new"))
@@ -5154,4 +5165,152 @@ def q_whatif_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.lit(100.0) * (F.col("rev_c100") - F.col("base_c100")) / F.col("base_c100"), 4
         ).alias("pct_vs_base"),
+    )
+
+
+@query(
+    "q_lift_table",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS resp
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT cents, resp,
+             ntile(10) OVER (ORDER BY cents DESC, user_id) AS decile
+      FROM u
+    ),
+    g AS (
+      SELECT decile, count(*)::BIGINT AS n_users,
+             CAST(sum(resp) AS BIGINT) AS n_resp
+      FROM d GROUP BY decile
+    ),
+    t AS (SELECT CAST(sum(n_users) AS BIGINT) AS nt, CAST(sum(n_resp) AS BIGINT) AS rt FROM g)
+    SELECT g.decile, g.n_users, g.n_resp,
+           round(CAST(g.n_resp AS DOUBLE) / g.n_users, 4) AS resp_rate,
+           round((CAST(g.n_resp AS DOUBLE) / g.n_users) / (CAST(t.rt AS DOUBLE) / t.nt), 4) AS lift,
+           round(CAST(sum(g.n_resp) OVER (ORDER BY g.decile ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / t.rt, 4) AS cum_gains
+    FROM g, t
+    """,
+)
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N89: decile lift / gains table — users ranked by engagement spend
+    into deciles; per decile the purchase-response rate, lift over the
+    base rate, and cumulative gains: the campaign-targeting readout
+    (call the top-2 deciles, capture X% of responders) that complements
+    q_auc_eval (threshold-free ranking quality) and q_calibration
+    (probability accuracy). Facts collapse to the user-keyed rollup
+    first; the decile window and the gains cumsum run over user- and
+    10-row-bounded tables (budgeted, never events). ntile ties are
+    totally ordered by (score desc, user_id) so bucket edges are
+    deterministic in both engines."""
+    from pyspark.sql.window import Window
+
+    u = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("resp"),
+    )
+    d = u.select(
+        "cents",
+        "resp",
+        F.ntile(10).over(Window.orderBy(F.col("cents").desc(), "user_id")).alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("resp").alias("n_resp"),
+    )
+    t = g.agg(F.sum("n_users").alias("nt"), F.sum("n_resp").alias("rt"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_users",
+            "n_resp",
+            F.round(F.col("n_resp").cast("double") / F.col("n_users"), 4).alias("resp_rate"),
+            F.round(
+                (F.col("n_resp").cast("double") / F.col("n_users"))
+                / (F.col("rt").cast("double") / F.col("nt")),
+                4,
+            ).alias("lift"),
+            F.round(
+                F.sum("n_resp").over(wc).cast("double") / F.col("rt"), 4
+            ).alias("cum_gains"),
+        )
+    )
+
+
+@query(
+    "q_join_advisor",
+    oracle="""
+    WITH sizes AS (
+      SELECT 'region' AS tbl, count(*)::BIGINT AS n_rows,
+             CAST(sum(16 + length(r_name)) AS BIGINT) AS est_bytes FROM region
+      UNION ALL
+      SELECT 'nation', count(*)::BIGINT,
+             CAST(sum(24 + length(n_name)) AS BIGINT) FROM nation
+      UNION ALL
+      SELECT 'customer', count(*)::BIGINT,
+             CAST(sum(24 + length(c_name) + length(c_mktsegment)) AS BIGINT) FROM customer
+      UNION ALL
+      SELECT 'supplier', count(*)::BIGINT,
+             CAST(sum(24 + length(s_name)) AS BIGINT) FROM supplier
+      UNION ALL
+      SELECT 'part', count(*)::BIGINT,
+             CAST(sum(32 + length(p_name) + length(p_brand)) AS BIGINT) FROM part
+      UNION ALL
+      SELECT 'orders', count(*)::BIGINT,
+             CAST(sum(40 + length(o_orderstatus) + length(o_orderpriority)) AS BIGINT) FROM orders
+    )
+    SELECT tbl, n_rows, est_bytes,
+           (est_bytes < 10485760) AS broadcastable,
+           CASE WHEN est_bytes < 10485760 THEN 'broadcast' ELSE 'shuffle' END AS strategy
+    FROM sizes
+    """,
+)
+def q_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N90: join-strategy advisor — per candidate dimension table, exact
+    row count and a deterministic in-memory size estimate (fixed widths
+    for numeric/date columns + actual string lengths — the arithmetic
+    ANALYZE TABLE feeds the CBO), and the broadcast-vs-shuffle verdict
+    at the classic 10 MB autoBroadcastJoinThreshold. This is the
+    decision every query in this repo bakes in via F.broadcast hints,
+    surfaced as data so a planner (or a reviewer) can audit it: at
+    100 TB the dims that stay under threshold ride the driver to every
+    executor and the fact table NEVER shuffles for them. Six one-row
+    stat aggregates (one per table — the q_expectations per-table
+    allowance), each over #tasks partials."""
+    parts = []
+    specs = [
+        ("region", 16, ["r_name"]),
+        ("nation", 24, ["n_name"]),
+        ("customer", 24, ["c_name", "c_mktsegment"]),
+        ("supplier", 24, ["s_name"]),
+        ("part", 32, ["p_name", "p_brand"]),
+        ("orders", 40, ["o_orderstatus", "o_orderpriority"]),
+    ]
+    for tbl, fixed, strcols in specs:
+        t = _t(spark, sf_dir, tbl)
+        row_bytes = F.lit(fixed)
+        for c in strcols:
+            row_bytes = row_bytes + F.length(c)
+        parts.append(
+            t.agg(
+                F.lit(tbl).alias("tbl"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(row_bytes).cast("long").alias("est_bytes"),
+            )
+        )
+    sizes = parts[0]
+    for p in parts[1:]:
+        sizes = sizes.unionByName(p)
+    return sizes.select(
+        "tbl",
+        "n_rows",
+        "est_bytes",
+        (F.col("est_bytes") < 10485760).alias("broadcastable"),
+        F.when(F.col("est_bytes") < 10485760, "broadcast").otherwise("shuffle").alias("strategy"),
     )

@@ -1640,3 +1640,37 @@ def q_streaming_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
     drained, _ = run_stream_to_memory(w3, output_mode="complete")
     return heaps_tail(drained)
+
+
+def _saturation_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_user_saturation"]
+
+
+@query("q_streaming_saturation", oracle=_saturation_oracle())
+def q_streaming_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming saturation twin: the (user_id, day, n) user-day table IS
+    the streaming state (commutative counts; a user's first day is a MIN
+    over state rows — arrival order invisible, the q_streaming_retention
+    state bound), drained through the shared saturation_tail: live
+    growth accounting — is today's traffic acquisition or retention —
+    per trigger, without re-scanning history. Hash-matches the identical
+    batch oracle."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import saturation_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ud = sdf.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    drained, _ = run_stream_to_memory(ud, output_mode="complete")
+    return saturation_tail(drained)

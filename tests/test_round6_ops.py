@@ -477,3 +477,45 @@ def test_cluster_size_dist_consistent_with_clusters(spark, sf_dir):
     for r in rows:
         assert r.cluster_size >= 2  # components come from pairs
         assert r.n_docs == r.cluster_size * r.n_clusters
+
+
+def test_lift_table_internal_consistency(spark, sf_dir):
+    rows = sorted(QUERIES["q_lift_table"](spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    total_users = sum(r.n_users for r in rows)
+    assert max(r.n_users for r in rows) - min(r.n_users for r in rows) <= 1  # ntile balance
+    gains = [r.cum_gains for r in rows]
+    assert gains == sorted(gains)  # cumulative gains are monotone
+    assert abs(gains[-1] - 1.0) < 1e-9
+    overall = sum(r.n_resp for r in rows) / total_users
+    for r in rows:
+        assert abs(r.lift - round((r.n_resp / r.n_users) / overall, 4)) < 1e-9
+
+
+def test_join_advisor_matches_real_counts(spark, sf_dir):
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = {r.tbl: r for r in QUERIES["q_join_advisor"](spark, sf_dir).collect()}
+    for tbl in ("region", "nation", "customer", "supplier", "part", "orders"):
+        assert rows[tbl].n_rows == load_table(spark, tbl, sf_dir).count()
+        assert rows[tbl].est_bytes > 0
+        assert rows[tbl].broadcastable == (rows[tbl].strategy == "broadcast")
+    # dims must come out broadcastable at test scale; the verdict column
+    # exists precisely so a 100 TB profile can flip it
+    assert rows["region"].broadcastable and rows["nation"].broadcastable
+
+
+def test_bpe_generalization_fertility_gap_nonnegative(spark, sf_dir):
+    rows = {r.split: r for r in QUERIES["q_bpe_generalization"](spark, sf_dir).collect()}
+    assert set(rows) == {"train", "heldout"}
+    for r in rows.values():
+        assert r.fertility >= 1.0
+    # a vocab learned on train cannot fit held-out BETTER than train by
+    # more than noise (shared closed vocabulary makes them close here)
+    assert rows["heldout"].fertility >= rows["train"].fertility - 0.05
+
+
+def test_streaming_saturation_matches_batch(spark, sf_dir):
+    b = {tuple(r) for r in QUERIES["q_user_saturation"](spark, sf_dir).collect()}
+    s = {tuple(r) for r in QUERIES["q_streaming_saturation"](spark, sf_dir).collect()}
+    assert b == s

@@ -78,6 +78,13 @@ SINGLE_PARTITION_ALLOWANCE = {
     # the one-row grand-total aggregate plus the final one-row MI/entropy
     # fold — both over the bounded type×24 cell grid, never events
     "q_mutual_information": 2,
+    # the global decile window + gains cumsum run over the user rollup
+    # and the 10-row decile table; plus the one-row base-rate aggregate —
+    # never events
+    "q_lift_table": 2,
+    # one one-row stat aggregate PER TABLE (six dims/facts profiled) —
+    # the q_expectations per-table pattern; each over #tasks partials
+    "q_join_advisor": 6,
     # compaction planning runs entirely on the 64-row file-count table:
     # the prefix-sum window over it plus the one-row target aggregate —
     # both metadata-sized, never data
