@@ -143,6 +143,8 @@ _PRIORITY = [
     "q_whatif_grid", "q_cluster_size_dist",
     "q_lift_table", "q_join_advisor", "q_bpe_generalization",
     "q_streaming_saturation",
+    "q_debounce", "q_tiered_billing", "q_word_burstiness",
+    "q_hashed_features", "q_template_detect",
 ]
 
 

@@ -125,6 +125,8 @@ TAIL = [
     "q_topk_with_other", "q_period_over_period", "q_user_saturation",
     "q_whatif_grid", "q_cluster_size_dist",
     "q_lift_table", "q_join_advisor", "q_bpe_generalization",
+    "q_debounce", "q_tiered_billing", "q_word_burstiness",
+    "q_hashed_features", "q_template_detect",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

@@ -5187,3 +5187,161 @@ def q_bpe_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4).alias("fertility"),
         )
     )
+
+
+@query(
+    "q_word_burstiness",
+    oracle="""
+    WITH dx AS (
+      SELECT doc_id, word, count(*)::BIGINT AS x FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE length(word) > 0 GROUP BY 1, 2
+    ),
+    nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM dx),
+    w AS (
+      SELECT word, count(*)::BIGINT AS n_docs,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM dx GROUP BY word
+    ),
+    r AS (
+      SELECT word, n_docs, sx,
+             CAST((CAST(nd.n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) * 1000000
+                  // (CAST(nd.n AS HUGEINT) * sx) AS BIGINT) AS vmr_ppm
+      FROM w, nd WHERE sx >= 50
+    )
+    SELECT word, n_docs, sx AS n_occ, vmr_ppm,
+           round(CAST(vmr_ppm AS DOUBLE) / 1000000.0, 4) AS vmr
+    FROM r ORDER BY vmr_ppm DESC, word LIMIT 20
+    """,
+)
+def q_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L77: word burstiness — top-20 words by variance-to-mean ratio of
+    per-document counts (Church & Gale's dispersion statistic): a word
+    whose occurrences CLUMP into few documents (VMR ≫ 1) is topical or
+    boilerplate; a Poisson-like word (VMR ≈ 1) is background — the
+    signal separating template artifacts from vocabulary, complementary
+    to q_repetition_filter (within-doc) and q_ngram_heavy_hitters
+    (corpus-wide). Determinism: ranked by the EXACT INTEGER
+    ppm = 10⁶·(N·Σx² − (Σx)²) ÷ (N·Σx) in 128-bit arithmetic (the PMI
+    ranking discipline — VMR is monotone in it; mean over ALL N docs,
+    absent docs contribute zero to both sums so the moments are exact).
+    One (doc, word) rollup (vocab×docs-bounded, the TF shape), one
+    word-keyed moment aggregate, one-row N broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    dx = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    nd = dx.agg(F.count_distinct("doc_id").alias("n"))
+    w = dx.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    r = (
+        w.where(F.col("sx") >= 50)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "word",
+            "n_docs",
+            F.col("sx").alias("n_occ"),
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)"
+            ).alias("vmr_ppm"),
+        )
+    )
+    return r.select(
+        "word",
+        "n_docs",
+        "n_occ",
+        "vmr_ppm",
+        F.round(F.col("vmr_ppm").cast("double") / F.lit(1000000.0), 4).alias("vmr"),
+    ).orderBy(F.col("vmr_ppm").desc(), "word").limit(20)
+
+
+@query(
+    "q_hashed_features",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT word FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE length(word) > 0
+    ),
+    b AS (
+      SELECT CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 1024 AS bucket,
+             count(*)::BIGINT AS load
+      FROM v GROUP BY 1
+    )
+    SELECT load, count(*)::BIGINT AS n_buckets,
+           CAST(load * count(*) AS BIGINT) AS n_words
+    FROM b GROUP BY load
+    """,
+)
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L78: hashing-trick collision report — the feature-hashing audit:
+    vocabulary hashed into 1024 buckets (md5 prefix, identical in both
+    engines), reported as the bucket-LOAD histogram (how many buckets
+    hold k distinct words). Collided buckets alias gradients/weights in
+    any hashed bag-of-words model; this readout is how you size the
+    bucket count BEFORE training (expected load is Poisson(vocab/m) —
+    a heavy tail here means the hash or m is wrong). Vocab-bounded
+    throughout: distinct words → 1024-row bucket table → load
+    histogram."""
+    docs = _t(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .distinct()
+    )
+    b = v.groupBy(
+        (F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long") % 1024).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("load"))
+    return b.groupBy("load").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (F.col("load") * F.count(F.lit(1))).alias("n_words"),
+    )
+
+
+@query(
+    "q_template_detect",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source,
+             array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix
+      FROM documents WHERE len(string_split(text, ' ')) >= 5
+    )
+    SELECT prefix, count(*)::BIGINT AS n_docs,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM p GROUP BY prefix HAVING count(*) >= 2
+    """,
+)
+def q_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L79: template / boilerplate detection by shared opening — groups
+    of documents sharing their first 5 words: the cheap first-pass
+    template finder (mail headers, scraped nav bars, generated pages)
+    that runs at scan speed BEFORE shingle-level dedup pays for
+    signatures; n_sources > 1 flags cross-site syndicated boilerplate.
+    One prefix-keyed rollup; the prefix table is bounded by distinct
+    openings (≪ docs when templates exist — which is exactly when it
+    matters)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    p = docs.where(F.size(words) >= 5).select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice(words, 1, 5), " ").alias("prefix"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

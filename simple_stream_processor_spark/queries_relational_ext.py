@@ -5314,3 +5314,89 @@ def q_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_bytes") < 10485760).alias("broadcastable"),
         F.when(F.col("est_bytes") < 10485760, "broadcast").otherwise("shuffle").alias("strategy"),
     )
+
+
+@query(
+    "q_debounce",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms FROM events
+    ),
+    l AS (
+      SELECT event_type, ms,
+             lag(ms) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ms, event_id) AS prev_ms
+      FROM e
+    )
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM l GROUP BY event_type
+    """,
+)
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N91: debounce / event de-bouncing — collapse repeats of the same
+    (user, event-type) arriving within 5 s of the previous occurrence:
+    the instrumentation-cleaning pass that removes double-clicks, retry
+    storms, and SDK re-fires before ANY downstream count is trusted
+    (dedup by key removes exact copies; debounce removes rapid
+    LEGITIMATE repeats). One (user, type)-partitioned lag window over
+    exact epoch-ms + one rollup riding the same partitioning — a single
+    shuffle, per-key sequences as the window unit, no global state."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_millis("ts").alias("ms")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ms", "event_id")
+    l = e.select("event_type", "ms", F.lag("ms").over(w).alias("prev_ms"))
+    keep = F.col("prev_ms").isNull() | (F.col("ms") - F.col("prev_ms") > 5000)
+    return l.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~keep, 1).otherwise(0)).alias("n_dropped"),
+    )
+
+
+@query(
+    "q_tiered_billing",
+    oracle="""
+    WITH u AS (
+      SELECT l.l_suppkey AS acct,
+             CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS units
+      FROM lineitem l GROUP BY 1
+    )
+    SELECT acct, units,
+           CAST(least(units, 100) * 50
+              + least(greatest(units - 100, 0), 400) * 40
+              + greatest(units - 500, 0) * 25 AS BIGINT) AS cost_cents,
+           round((least(units, 100) * 50
+                + least(greatest(units - 100, 0), 400) * 40
+                + greatest(units - 500, 0) * 25) / (100.0 * units), 4) AS effective_rate
+    FROM u
+    """,
+)
+def q_tiered_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N92: tiered (graduated) billing — per supplier account, shipped
+    units priced through marginal tiers (first 100 @ 50¢, next 400 @
+    40¢, beyond @ 25¢) and the blended effective rate: the metering
+    rollup every usage-billed platform runs, with the classic
+    correctness trap (marginal tiers, NOT cliff pricing) spelled out in
+    exact integer arithmetic — least/greatest tier slices, no branches,
+    no floats until the reported rate. One account-keyed rollup; the
+    tier math is a narrow map over account cardinality."""
+    u = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("acct"))
+        .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("units"))
+    )
+    t1 = F.least(F.col("units"), F.lit(100)) * 50
+    t2 = F.least(F.greatest(F.col("units") - 100, F.lit(0)), F.lit(400)) * 40
+    t3 = F.greatest(F.col("units") - 500, F.lit(0)) * 25
+    cost = (t1 + t2 + t3).cast("long")
+    return u.select(
+        "acct",
+        "units",
+        cost.alias("cost_cents"),
+        F.round(cost / (F.lit(100.0) * F.col("units")), 4).alias("effective_rate"),
+    )

@@ -519,3 +519,63 @@ def test_streaming_saturation_matches_batch(spark, sf_dir):
     b = {tuple(r) for r in QUERIES["q_user_saturation"](spark, sf_dir).collect()}
     s = {tuple(r) for r in QUERIES["q_streaming_saturation"](spark, sf_dir).collect()}
     assert b == s
+
+
+def test_debounce_replay_one_key(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    got = {r.event_type: r for r in QUERIES["q_debounce"](spark, sf_dir).collect()}
+    ev = load_table(spark, "events", sf_dir)
+    total = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for et, r in got.items():
+        assert r.n_kept + r.n_dropped == r.n_events == total[et]
+        assert r.n_kept >= 1
+
+
+def test_tiered_billing_replay(spark, sf_dir):
+    rows = QUERIES["q_tiered_billing"](spark, sf_dir).collect()
+    for r in rows:
+        want = min(r.units, 100) * 50 + min(max(r.units - 100, 0), 400) * 40 + max(r.units - 500, 0) * 25
+        assert r.cost_cents == want, r
+        # marginal pricing: blended rate between the cheapest and priciest tier
+        assert 0.25 <= r.effective_rate <= 0.50 + 1e-9
+
+
+def test_word_burstiness_ranked_and_consistent(spark, sf_dir):
+    rows = QUERIES["q_word_burstiness"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    ppms = [r.vmr_ppm for r in rows]
+    assert ppms == sorted(ppms, reverse=True)
+    for r in rows:
+        assert r.n_occ >= 50 and r.n_docs >= 1
+        assert abs(r.vmr - round(r.vmr_ppm / 1e6, 4)) < 1e-9
+
+
+def test_hashed_features_conserves_vocab(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = QUERIES["q_hashed_features"](spark, sf_dir).collect()
+    vocab = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_words for r in rows) == vocab
+    assert sum(r.n_buckets for r in rows) <= 1024
+    for r in rows:
+        assert r.n_words == r.load * r.n_buckets
+
+
+def test_template_detect_groups_are_real(spark, sf_dir):
+    rows = QUERIES["q_template_detect"](spark, sf_dir).collect()
+    assert len(rows) >= 1  # the 24-word fixture vocabulary guarantees shared openings
+    for r in rows:
+        assert r.n_docs >= 2
+        assert 1 <= r.n_sources <= r.n_docs
+        assert len(r.prefix.split(" ")) == 5
