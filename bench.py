@@ -127,6 +127,7 @@ TAIL = [
     "q_lift_table", "q_join_advisor", "q_bpe_generalization",
     "q_debounce", "q_tiered_billing", "q_word_burstiness",
     "q_hashed_features", "q_template_detect",
+    "q_lateness_audit", "q_salt_advisor", "q_dedup_threshold_curve",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

@@ -5345,3 +5345,93 @@ def q_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "q_dedup_threshold_curve",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {_MINHASH_SIGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx,
+             md5(sig0::VARCHAR || '_' || sig1::VARCHAR || '_' || sig2::VARCHAR || '_' || sig3::VARCHAR) AS band_key
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx,
+             md5(sig4::VARCHAR || '_' || sig5::VARCHAR || '_' || sig6::VARCHAR || '_' || sig7::VARCHAR) AS band_key
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             (SELECT count(*) FROM sh x JOIN sh y ON y.shingle = x.shingle
+              WHERE x.doc_id = c.doc_a AND y.doc_id = c.doc_b) AS inter,
+             ca.n AS na, cb.n AS nb
+      FROM cand c JOIN cnt ca ON ca.doc_id = c.doc_a JOIN cnt cb ON cb.doc_id = c.doc_b
+    ),
+    grid AS (
+      SELECT s.doc_a, s.doc_b, g.t_pct,
+             (s.inter * 100 >= g.t_pct * (s.na + s.nb - s.inter)) AS keep
+      FROM scored s, (SELECT unnest([50, 60, 70, 80]) AS t_pct) g
+    )
+    SELECT t_pct, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN keep THEN doc_a END)
+              + count(DISTINCT CASE WHEN keep THEN doc_b END) AS BIGINT) AS n_doc_slots
+    FROM grid GROUP BY t_pct
+    """,
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L80: dedup threshold sensitivity curve — the verified candidate
+    pairs re-thresholded at Jaccard 0.5/0.6/0.7/0.8 in ONE pass: how
+    many near-dup pairs (and how many distinct docs on each side)
+    survive each cut. The knob-tuning readout a curation team reads
+    before committing a threshold — pair volume vs threshold IS the
+    precision/aggressiveness trade, and re-running the whole pipeline
+    per candidate threshold is the expensive alternative this
+    one-scan grid replaces (the q_whatif_grid pattern applied to
+    dedup). Determinism: the comparison is EXACT INTEGER
+    (inter·100 ≥ t·(na+nb−inter)) — no float Jaccard ever computed.
+    Shape: the shared candidate generation + one verify join + a
+    4-way grid explode over the collision-bounded pair table."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, k=3)
+    cand = dedup.candidate_pairs(dedup.lsh_band_table(dedup.minhash_signatures(sh)))
+    joined, inter = dedup._scored_pairs(cand, sh, broadcast_threshold=100_000)
+    scored = joined.select(
+        "doc_a", "doc_b", inter.alias("inter"), F.col("n_a").alias("na"), F.col("n_b").alias("nb")
+    )
+    grid = scored.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.array(*[F.lit(t) for t in (50, 60, 70, 80)])).alias("t_pct"),
+        "inter",
+        "na",
+        "nb",
+    ).select(
+        "t_pct",
+        "doc_a",
+        "doc_b",
+        (F.col("inter") * 100 >= F.col("t_pct") * (F.col("na") + F.col("nb") - F.col("inter"))).alias("keep"),
+    )
+    return grid.groupBy("t_pct").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_pairs"),
+        (
+            F.count_distinct(F.when(F.col("keep"), F.col("doc_a")))
+            + F.count_distinct(F.when(F.col("keep"), F.col("doc_b")))
+        ).alias("n_doc_slots"),
+    )

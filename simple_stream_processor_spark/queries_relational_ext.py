@@ -5400,3 +5400,115 @@ def q_tiered_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
         cost.alias("cost_cents"),
         F.round(cost / (F.lit(100.0) * F.col("units")), 4).alias("effective_rate"),
     )
+
+
+@query(
+    "q_lateness_audit",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, event_id, epoch_ms(ts) AS ms FROM events
+    ),
+    l AS (
+      SELECT event_type, ms,
+             max(ms) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM e
+    ),
+    x AS (
+      SELECT event_type,
+             greatest(0, coalesce(prev_max - ms, 0)) AS late_ms
+      FROM l
+    )
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           CAST(sum(CASE WHEN late_ms > 60000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1m,
+           CAST(sum(CASE WHEN late_ms > 600000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_10m,
+           CAST(max(late_ms) AS BIGINT) AS max_late_ms
+    FROM x GROUP BY event_type
+    """,
+)
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N93: event-lateness audit — per type, how far events arrive
+    BEHIND the stream's running high-water mark (arrival order =
+    event_id): the empirical input to every watermark decision (a
+    10-minute watermark drops exactly n_late_10m rows — measured, not
+    guessed). The Spark plan is the DISTRIBUTED PREFIX-MAX shape, not
+    the oracle's naive full-partition window: arrival buckets of 1000
+    events compute local maxima; the bucket table (bounded) carries a
+    running max per type; each row's high-water mark is
+    greatest(carry-in from prior buckets, prefix max WITHIN its
+    bucket) — so the only full-data window is partitioned by
+    (type, bucket), embarrassingly parallel, while the cross-bucket
+    sequence lives on the small table (the q_skyline boundary-maxima
+    argument, executed). Exact epoch-ms integers."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_millis("ts").alias("ms"),
+        F.expr("event_id div 1000").alias("bucket"),
+    )
+    bmax = e.groupBy("event_type", "bucket").agg(F.max("ms").alias("bmx"))
+    wb = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = bmax.select(
+        "event_type", F.col("bucket").alias("cb"), F.max("bmx").over(wb).alias("carry_ms")
+    )
+    ww = Window.partitionBy("event_type", "bucket").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = e.select(
+        "event_type", "bucket", "ms", F.max("ms").over(ww).alias("within_ms")
+    )
+    j = within.join(
+        F.broadcast(carry),
+        (within["event_type"] == carry["event_type"]) & (within["bucket"] == carry["cb"]),
+    ).drop(carry["event_type"]).drop("cb")
+    late = F.greatest(
+        F.lit(0),
+        F.coalesce(F.greatest(F.col("carry_ms"), F.col("within_ms")), F.col("within_ms"), F.col("carry_ms"), F.lit(None).cast("long"))
+        - F.col("ms"),
+    )
+    x = j.select("event_type", F.coalesce(late, F.lit(0)).alias("late_ms"))
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_ms") > 60000, 1).otherwise(0)).alias("n_late_1m"),
+        F.sum(F.when(F.col("late_ms") > 600000, 1).otherwise(0)).alias("n_late_10m"),
+        F.max("late_ms").alias("max_late_ms"),
+    )
+
+
+@query(
+    "q_salt_advisor",
+    oracle="""
+    WITH k AS (
+      SELECT event_type AS key, count(*)::BIGINT AS n FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(ceil(sum(n) / 32.0) AS BIGINT) AS target FROM k
+    )
+    SELECT k.key, k.n, t.target AS target_per_task,
+           CAST(ceil(CAST(k.n AS DOUBLE) / t.target) AS BIGINT) AS salt_factor,
+           (k.n > t.target) AS needs_salt
+    FROM k, t
+    """,
+)
+def q_salt_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N94: skew-salting advisor — per join/aggregation key: its row
+    count, the per-task target (total ÷ 32 shuffle partitions), and the
+    recommended salt factor ceil(n / target): the executable companion
+    to q_skew_report (which diagnoses) and q_salted_join (which fixes
+    with a FIXED factor) — this computes the factor per key, which is
+    what an adaptive salting pass actually consumes (AQE's skew-join
+    split does the same arithmetic on partition byte sizes at runtime).
+    Key-cardinality rollup + one-row total broadcast; exact integers."""
+    k = _t(spark, sf_dir, "events").groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = k.agg(F.ceil(F.sum("n") / 32.0).cast("long").alias("target"))
+    return k.crossJoin(F.broadcast(t)).select(
+        "key",
+        "n",
+        F.col("target").alias("target_per_task"),
+        F.ceil(F.col("n").cast("double") / F.col("target")).cast("long").alias("salt_factor"),
+        (F.col("n") > F.col("target")).alias("needs_salt"),
+    )

@@ -65,7 +65,7 @@ EVENT_QUERIES = [
     "q_ewma_smooth", "q_burst_detection", "q_audience_overlap",
     "q_asof_tolerance", "q_mutual_information", "q_topk_with_other",
     "q_period_over_period", "q_user_saturation", "q_lift_table",
-    "q_debounce",
+    "q_debounce", "q_lateness_audit", "q_salt_advisor",
     "q_top_paths", "q_forecast_eval", "q_changepoint_cusum",
     "q_survival_curve", "q_k_anonymity", "q_ab_test", "q_lag_features",
     "q_power_analysis", "q_grouped_udaf", "q_full_outer_reconcile",
@@ -96,7 +96,7 @@ DOC_QUERIES = [
     "q_pmi_collocations", "q_ngram_novelty", "q_bpe_fertility",
     "q_heaps_fit", "q_js_divergence", "q_minhash_precision",
     "q_cluster_size_dist", "q_bpe_generalization", "q_word_burstiness",
-    "q_hashed_features", "q_template_detect",
+    "q_hashed_features", "q_template_detect", "q_dedup_threshold_curve",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -579,3 +579,51 @@ def test_template_detect_groups_are_real(spark, sf_dir):
         assert r.n_docs >= 2
         assert 1 <= r.n_sources <= r.n_docs
         assert len(r.prefix.split(" ")) == 5
+
+
+def test_lateness_audit_matches_naive_window(spark, sf_dir):
+    """The distributed prefix-max decomposition vs a naive per-type
+    running max computed in pandas."""
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    got = {r.event_type: r for r in QUERIES["q_lateness_audit"](spark, sf_dir).collect()}
+    pdf = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", "event_id", F.unix_millis("ts").alias("ms"))
+        .toPandas()
+        .sort_values("event_id")
+    )
+    for et, g in pdf.groupby("event_type"):
+        run, late = None, []
+        for ms in g["ms"]:
+            late.append(max(0, (run - ms)) if run is not None else 0)
+            run = ms if run is None else max(run, ms)
+        assert got[et].n_events == len(late)
+        assert got[et].n_late_1m == sum(1 for v in late if v > 60000)
+        assert got[et].n_late_10m == sum(1 for v in late if v > 600000)
+        assert got[et].max_late_ms == max(late)
+
+
+def test_salt_advisor_arithmetic(spark, sf_dir):
+    import math
+
+    rows = QUERIES["q_salt_advisor"](spark, sf_dir).collect()
+    total = sum(r.n for r in rows)
+    target = math.ceil(total / 32.0)
+    for r in rows:
+        assert r.target_per_task == target
+        assert r.salt_factor == math.ceil(r.n / target)
+        assert r.needs_salt == (r.n > target)
+    # 5 types over 32 partitions: the heavy keys must demand salting
+    assert any(r.needs_salt for r in rows)
+
+
+def test_dedup_threshold_curve_monotone(spark, sf_dir):
+    rows = sorted(QUERIES["q_dedup_threshold_curve"](spark, sf_dir).collect(), key=lambda r: r.t_pct)
+    assert [r.t_pct for r in rows] == [50, 60, 70, 80]
+    pairs = [r.n_pairs for r in rows]
+    assert pairs == sorted(pairs, reverse=True)  # stricter cut, fewer pairs
+    # the 0.5 cut must equal the declared q_minhash_dedup pair count
+    assert pairs[0] == QUERIES["q_minhash_dedup"](spark, sf_dir).count()
