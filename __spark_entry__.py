@@ -146,6 +146,7 @@ _PRIORITY = [
     "q_debounce", "q_tiered_billing", "q_word_burstiness",
     "q_hashed_features", "q_template_detect",
     "q_lateness_audit", "q_salt_advisor", "q_dedup_threshold_curve",
+    "q_dedup_savings", "q_quality_trend",
 ]
 
 

@@ -128,6 +128,7 @@ TAIL = [
     "q_debounce", "q_tiered_billing", "q_word_burstiness",
     "q_hashed_features", "q_template_detect",
     "q_lateness_audit", "q_salt_advisor", "q_dedup_threshold_curve",
+    "q_dedup_savings", "q_quality_trend",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

@@ -5435,3 +5435,128 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.count_distinct(F.when(F.col("keep"), F.col("doc_b")))
         ).alias("n_doc_slots"),
     )
+
+
+@query(
+    "q_dedup_savings",
+    oracle=_MINHASH_PAIRS_PREFIX
+    + """,
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a),
+    tok AS (
+      SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    dup AS (
+      SELECT c.rep, CAST(sum(t.n_tok) AS BIGINT) AS cluster_tokens,
+             CAST(min(t2.n_tok) AS BIGINT) AS keep_tokens
+      FROM comp c
+      JOIN tok t ON t.doc_id = c.doc_id
+      JOIN tok t2 ON t2.doc_id = c.rep
+      GROUP BY c.rep
+    ),
+    tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS corpus_tokens FROM tok)
+    SELECT tot.corpus_tokens,
+           CAST(coalesce(sum(dup.cluster_tokens - dup.keep_tokens), 0) AS BIGINT) AS removable_tokens,
+           round(100.0 * coalesce(sum(dup.cluster_tokens - dup.keep_tokens), 0)
+                 / tot.corpus_tokens, 4) AS pct_savings
+    FROM tot LEFT JOIN dup ON TRUE
+    GROUP BY tot.corpus_tokens
+    """,
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L81: dedup savings projection — the number the whole dedup
+    pipeline exists to produce: if each near-dup cluster keeps only its
+    canonical doc (the min-id representative, q_dedup_keep_rule's
+    policy), how many training tokens disappear and what fraction of
+    the corpus that is. Composes the shared MinHash pairs + connected
+    components with per-doc token counts: cluster token sums minus the
+    keeper's tokens, over corpus total. The capacity-planning readout
+    that justifies (or kills) the dedup compute spend BEFORE the
+    rewrite runs."""
+    comp = dedup.dedup_clusters(_minhash_pairs(spark, sf_dir))
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("long").alias("n_tok"),
+    )
+    j = comp.join(tok, "doc_id").join(
+        F.broadcast(tok.select(F.col("doc_id").alias("rep_id"), F.col("n_tok").alias("keep_tok"))),
+        F.col("cluster_rep") == F.col("rep_id"),
+    )
+    dup = j.groupBy("cluster_rep").agg(
+        F.sum("n_tok").alias("cluster_tokens"),
+        F.min("keep_tok").alias("keep_tokens"),
+    )
+    tot = tok.agg(F.sum("n_tok").alias("corpus_tokens"))
+    sav = dup.agg(
+        F.coalesce(F.sum(F.col("cluster_tokens") - F.col("keep_tokens")), F.lit(0)).alias(
+            "removable_tokens"
+        )
+    )
+    return tot.crossJoin(F.broadcast(sav)).select(
+        "corpus_tokens",
+        "removable_tokens",
+        F.round(
+            F.lit(100.0) * F.col("removable_tokens") / F.col("corpus_tokens"), 4
+        ).alias("pct_savings"),
+    )
+
+
+@query(
+    "q_quality_trend",
+    oracle="""
+    WITH q AS (
+      SELECT source, doc_id // 50 AS bucket,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT source, bucket, count(*)::BIGINT AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS toks
+      FROM q GROUP BY 1, 2
+    )
+    SELECT source, count(*)::BIGINT AS n_buckets,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           round(regr_slope(CAST(toks AS DOUBLE) / n_docs, CAST(bucket AS DOUBLE)), 4) AS len_trend,
+           round(CAST(sum(toks) AS DOUBLE) / sum(n_docs), 4) AS mean_len
+    FROM b GROUP BY source
+    """,
+)
+def q_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L82: per-source document-length trend over ingestion buckets —
+    the least-squares slope of mean tokens/doc against ingestion order:
+    the crawl-health regression that catches a source silently
+    degrading (truncated fetches, paywall stubs, changed extraction)
+    BEFORE quality filters start discarding it wholesale. Per-source
+    regr_slope over the bucket-bounded rollup (sources × buckets rows);
+    the per-bucket mean is an exact-integer ratio so both engines feed
+    the regression identical doubles."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "source",
+        F.floor(F.col("doc_id") / 50).cast("long").alias("bucket"),
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("long").alias("n_tok"),
+    )
+    b = q.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("toks"),
+    )
+    mean_len = F.col("toks").cast("double") / F.col("n_docs")
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n_docs").alias("n_docs"),
+        F.round(F.regr_slope(mean_len, F.col("bucket").cast("double")), 4).alias("len_trend"),
+        # exact-integer ratio (corpus-weighted mean), not a float mean of
+        # bucket means — one division, engine-identical
+        F.round(F.sum("toks").cast("double") / F.sum("n_docs"), 4).alias("mean_len"),
+    )

@@ -97,6 +97,7 @@ DOC_QUERIES = [
     "q_heaps_fit", "q_js_divergence", "q_minhash_precision",
     "q_cluster_size_dist", "q_bpe_generalization", "q_word_burstiness",
     "q_hashed_features", "q_template_detect", "q_dedup_threshold_curve",
+    "q_dedup_savings", "q_quality_trend",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]

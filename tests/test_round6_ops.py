@@ -627,3 +627,31 @@ def test_dedup_threshold_curve_monotone(spark, sf_dir):
     assert pairs == sorted(pairs, reverse=True)  # stricter cut, fewer pairs
     # the 0.5 cut must equal the declared q_minhash_dedup pair count
     assert pairs[0] == QUERIES["q_minhash_dedup"](spark, sf_dir).count()
+
+
+def test_dedup_savings_consistent_with_clusters(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    r = QUERIES["q_dedup_savings"](spark, sf_dir).collect()[0]
+    corpus = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert r.corpus_tokens == corpus
+    assert 0 <= r.removable_tokens < r.corpus_tokens
+    assert abs(r.pct_savings - round(100.0 * r.removable_tokens / r.corpus_tokens, 4)) < 1e-9
+
+
+def test_quality_trend_covers_all_sources(spark, sf_dir):
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = {r.source: r for r in QUERIES["q_quality_trend"](spark, sf_dir).collect()}
+    n_sources = load_table(spark, "documents", sf_dir).select("source").distinct().count()
+    assert len(rows) == n_sources
+    for r in rows.values():
+        assert r.n_buckets >= 1 and r.n_docs >= 1
+        assert r.mean_len > 0

@@ -78,6 +78,9 @@ SINGLE_PARTITION_ALLOWANCE = {
     # the one-row grand-total aggregate plus the final one-row MI/entropy
     # fold — both over the bounded type×24 cell grid, never events
     "q_mutual_information": 2,
+    # the one-row corpus-token total plus the one-row removable-token
+    # rollup (over the component-bounded cluster table) — never docs
+    "q_dedup_savings": 2,
     # the global decile window + gains cumsum run over the user rollup
     # and the 10-row decile table; plus the one-row base-rate aggregate —
     # never events
