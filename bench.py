@@ -129,6 +129,7 @@ TAIL = [
     "q_hashed_features", "q_template_detect",
     "q_lateness_audit", "q_salt_advisor", "q_dedup_threshold_curve",
     "q_dedup_savings", "q_quality_trend",
+    "q_ship_lag", "q_cohort_ltv", "q_nearest_event_join",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

@@ -5512,3 +5512,224 @@ def q_salt_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("n").cast("double") / F.col("target")).cast("long").alias("salt_factor"),
         (F.col("n") > F.col("target")).alias("needs_salt"),
     )
+
+
+@query(
+    "q_ship_lag",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(epoch_ms(date_trunc('month', o.o_orderdate)) // 1000 AS BIGINT) AS month_s,
+             (epoch_ms(l.l_shipdate) - epoch_ms(o.o_orderdate)) // 86400000 AS lag_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT month_s, count(*)::BIGINT AS n_lines,
+           CAST(sum(CASE WHEN lag_days <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1w,
+           CAST(sum(CASE WHEN lag_days > 7 AND lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_1w_to_1m,
+           CAST(sum(CASE WHEN lag_days > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_1m,
+           CAST(max(lag_days) AS BIGINT) AS max_lag_days
+    FROM j GROUP BY month_s
+    """,
+)
+def q_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N95: order-to-ship lag distribution per order month — the
+    supply-chain latency trend (are we shipping slower this quarter),
+    bucketed ≤1w / 1w–1m / >1m in exact epoch-day integers. The join is
+    the canonical fact-fact orderkey equi-join both tables bucket on at
+    100 TB (no dimension detour); the month rollup rides the join's
+    output partitioning after AQE. The lag-bucket split is one
+    conditional aggregate — adding a bucket costs an expression, not a
+    pass."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate"))).alias("month_s"),
+        F.unix_millis("o_orderdate").alias("o_ms"),
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.unix_millis("l_shipdate").alias("s_ms")
+    )
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "month_s", F.expr("(s_ms - o_ms) div 86400000").alias("lag_days")
+    )
+    return j.groupBy("month_s").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("lag_days") <= 7, 1).otherwise(0)).alias("n_within_1w"),
+        F.sum(F.when((F.col("lag_days") > 7) & (F.col("lag_days") <= 30), 1).otherwise(0)).alias("n_1w_to_1m"),
+        F.sum(F.when(F.col("lag_days") > 30, 1).otherwise(0)).alias("n_over_1m"),
+        F.max("lag_days").alias("max_lag_days"),
+    )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    first AS (SELECT user_id, min(day) // 7 AS cohort_week FROM e GROUP BY user_id),
+    rev AS (
+      SELECT f.cohort_week,
+             (e.day // 7) - f.cohort_week AS weeks_since,
+             CAST(sum(e.cents) AS BIGINT) AS cents
+      FROM e JOIN first f ON f.user_id = e.user_id
+      GROUP BY 1, 2
+    ),
+    sized AS (SELECT cohort_week, count(*)::BIGINT AS cohort_users FROM first GROUP BY 1)
+    SELECT r.cohort_week, r.weeks_since, s.cohort_users, r.cents,
+           CAST(sum(r.cents) OVER (PARTITION BY r.cohort_week ORDER BY r.weeks_since
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+           round(CAST(sum(r.cents) OVER (PARTITION BY r.cohort_week ORDER BY r.weeks_since
+                                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / (100.0 * s.cohort_users), 4) AS ltv_per_user
+    FROM rev r JOIN sized s ON s.cohort_week = r.cohort_week
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N96: cohort LTV accumulation — per signup-week cohort, revenue by
+    weeks-since-signup and the cumulative lifetime value per user: the
+    payback-period readout (which week does a cohort's LTV cross
+    acquisition cost) that q_cohort_retention's COUNT triangle cannot
+    answer — money, not presence. One user-keyed first-touch aggregate
+    joined back into the fact stream (the retention shape), a
+    (cohort × weeks)-bounded rollup, and the cumulative window over
+    that bounded triangle; exact cents until the one per-user
+    division."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    first = e.groupBy("user_id").agg(F.expr("min(day) div 7").alias("cohort_week"))
+    rev = (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.expr("day div 7") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    sized = first.groupBy(F.col("cohort_week").alias("cw")).agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("weeks_since").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rev.join(F.broadcast(sized), rev["cohort_week"] == sized["cw"])
+        .drop("cw")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "cohort_users",
+            "cents",
+            F.sum("cents").over(w).alias("cum_cents"),
+            F.round(
+                F.sum("cents").over(w).cast("double") / (F.lit(100.0) * F.col("cohort_users")), 4
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+@query(
+    "q_nearest_event_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    prev AS (
+      SELECT p.event_id, v.ts AS m_ts, v.view_value
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ),
+    nxt AS (
+      SELECT p.event_id, v.ts AS m_ts, v.view_value
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts < v.ts
+    )
+    SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+           CASE
+             WHEN prev.m_ts IS NULL AND nxt.m_ts IS NULL THEN NULL
+             WHEN nxt.m_ts IS NULL THEN round(prev.view_value, 2)
+             WHEN prev.m_ts IS NULL THEN round(nxt.view_value, 2)
+             WHEN epoch_ms(p.ts) - epoch_ms(prev.m_ts) <= epoch_ms(nxt.m_ts) - epoch_ms(p.ts)
+               THEN round(prev.view_value, 2)
+             ELSE round(nxt.view_value, 2)
+           END AS nearest_view_value,
+           CASE
+             WHEN prev.m_ts IS NULL AND nxt.m_ts IS NULL THEN NULL
+             WHEN nxt.m_ts IS NULL THEN epoch_ms(p.ts) - epoch_ms(prev.m_ts)
+             WHEN prev.m_ts IS NULL THEN epoch_ms(nxt.m_ts) - epoch_ms(p.ts)
+             ELSE least(epoch_ms(p.ts) - epoch_ms(prev.m_ts), epoch_ms(nxt.m_ts) - epoch_ms(p.ts))
+           END AS dist_ms
+    FROM p
+    LEFT JOIN prev ON prev.event_id = p.event_id
+    LEFT JOIN nxt ON nxt.event_id = p.event_id
+    """,
+)
+def q_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N97: nearest-event (bidirectional as-of) join — each purchase
+    picks the view closest in time in EITHER direction, with the
+    distance: sensor alignment, sessionless attribution, and
+    panel-data matching all need nearest-by-|Δt|, which one-sided ASOF
+    cannot express. Implementation = the carry-forward union run TWICE
+    (once in each time direction — the backward pass is the same
+    window with ts descending), then a 3-way CASE on exact epoch-ms
+    distances; ties break toward the PAST match (≤), pinned in both
+    engines. Still one shuffle per direction on the same key — no
+    range-join blowup."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    ptype = "struct<m_ts:timestamp,m_val:double>"
+    payload = F.struct(F.col("ts").alias("m_ts"), F.col("view_value").alias("m_val"))
+    l = purchases.select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_l"), F.lit(None).cast(ptype).alias("m")
+    )
+    r = views.select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_l"), payload.alias("m"),
+    )
+    u = l.unionByName(r)
+    wf = Window.partitionBy("user_id").orderBy("ts", "is_l", "m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # backward pass: descending ts; is_l ASC keeps right rows at the same
+    # ts visible (strictly-after semantics: purchase at t matches views > t)
+    wb = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("is_l"), F.col("m")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    both = (
+        u.withColumn("prev_m", F.last("m", ignorenulls=True).over(wf))
+        .withColumn("next_m", F.last("m", ignorenulls=True).over(wb))
+        .where(F.col("is_l") == 1)
+    )
+    p_ms = F.unix_millis("ts")
+    prev_d = p_ms - F.unix_millis("prev_m.m_ts")
+    next_d = F.unix_millis("next_m.m_ts") - p_ms
+    pick_prev = F.col("next_m").isNull() | (
+        F.col("prev_m").isNotNull() & (prev_d <= next_d)
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        p_ms.alias("ts_ms"),
+        F.when(F.col("prev_m").isNull() & F.col("next_m").isNull(), F.lit(None).cast("double"))
+        .when(pick_prev, F.round(F.col("prev_m.m_val"), 2))
+        .otherwise(F.round(F.col("next_m.m_val"), 2))
+        .alias("nearest_view_value"),
+        F.when(F.col("prev_m").isNull() & F.col("next_m").isNull(), F.lit(None).cast("long"))
+        .when(pick_prev, prev_d)
+        .otherwise(next_d)
+        .alias("dist_ms"),
+    )

@@ -66,6 +66,7 @@ EVENT_QUERIES = [
     "q_asof_tolerance", "q_mutual_information", "q_topk_with_other",
     "q_period_over_period", "q_user_saturation", "q_lift_table",
     "q_debounce", "q_lateness_audit", "q_salt_advisor",
+    "q_cohort_ltv", "q_nearest_event_join",
     "q_top_paths", "q_forecast_eval", "q_changepoint_cusum",
     "q_survival_curve", "q_k_anonymity", "q_ab_test", "q_lag_features",
     "q_power_analysis", "q_grouped_udaf", "q_full_outer_reconcile",

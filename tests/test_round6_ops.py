@@ -655,3 +655,68 @@ def test_quality_trend_covers_all_sources(spark, sf_dir):
     for r in rows.values():
         assert r.n_buckets >= 1 and r.n_docs >= 1
         assert r.mean_len > 0
+
+
+def test_ship_lag_conserves_lines(spark, sf_dir):
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = QUERIES["q_ship_lag"](spark, sf_dir).collect()
+    # the fixture lineitem carries orphan lines (no parent order — the
+    # q_integrity_audit finding), so conservation is against the JOIN
+    # cardinality, not the raw table
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey")
+    n_joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
+    assert sum(r.n_lines for r in rows) == n_joined
+    for r in rows:
+        assert r.n_within_1w + r.n_1w_to_1m + r.n_over_1m == r.n_lines
+
+
+def test_cohort_ltv_monotone_and_reconciles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = QUERIES["q_cohort_ltv"](spark, sf_dir).collect()
+    total_cents = (
+        load_table(spark, "events", sf_dir)
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")))
+        .collect()[0][0]
+    )
+    assert sum(r.cents for r in rows) == total_cents  # every cent lands in a cohort cell
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for cw, rs in by_cohort.items():
+        rs = sorted(rs, key=lambda r: r.weeks_since)
+        cums = [r.cum_cents for r in rs]
+        assert cums == sorted(cums)  # cumulative
+        assert rs[0].weeks_since == 0  # a cohort's first active week is week 0
+
+
+def test_nearest_event_join_picks_closer_side(spark, sf_dir):
+    """Replay for one user: the chosen distance must equal the true
+    min |Δt| to any view."""
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    got = QUERIES["q_nearest_event_join"](spark, sf_dir)
+    some_user = got.select("user_id").limit(1).collect()[0][0]
+    g = {r.event_id: r for r in got.where(F.col("user_id") == some_user).collect()}
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") == some_user)
+    views = sorted(r.ms for r in ev.where(F.col("event_type") == "view").select(F.unix_millis("ts").alias("ms")).collect())
+    purchases = {r.event_id: r.ms for r in ev.where(F.col("event_type") == "purchase").select("event_id", F.unix_millis("ts").alias("ms")).collect()}
+    for eid, pms in purchases.items():
+        if not views:
+            assert g[eid].dist_ms is None
+            continue
+        i = bisect.bisect_right(views, pms)
+        cands = []
+        if i > 0:
+            cands.append(pms - views[i - 1])
+        if i < len(views):
+            cands.append(views[i] - pms)
+        assert g[eid].dist_ms == min(cands), (eid, pms)
