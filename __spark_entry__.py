@@ -148,6 +148,7 @@ _PRIORITY = [
     "q_lateness_audit", "q_salt_advisor", "q_dedup_threshold_curve",
     "q_dedup_savings", "q_quality_trend",
     "q_ship_lag", "q_cohort_ltv", "q_nearest_event_join",
+    "q_streaming_mi", "q_streaming_jsd", "q_streaming_audience",
 ]
 
 

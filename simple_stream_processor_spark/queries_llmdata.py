@@ -4953,14 +4953,28 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.least(F.lit(16), F.length("word")).alias("len")
     )
     p = tok.groupBy("lang", "len").agg(F.count(F.lit(1)).alias("np"))
-    pt = p.groupBy("lang").agg(F.sum("np").alias("tp"))
-    q = tok.groupBy("len").agg(F.count(F.lit(1)).alias("nq"))
-    qt = tok.agg(F.count(F.lit(1)).alias("tq"))
-    langs = pt.select("lang")
+    return jsd_tail(p)
+
+
+def jsd_tail(p: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming JSD queries: from the
+    (lang, len, np) cell table — which IS the streaming state (counts
+    commutative over the bounded lang×16 grid) — derive the corpus
+    marginal and each language's Jensen-Shannon divergence. Renamed
+    join keys throughout (the memory-sink self-join lesson)."""
+    # every grouping key is re-aliased so each derived subtree of the
+    # (possibly memory-sink) cell table carries fresh attribute ids —
+    # the conflicting-reference class the streaming twins trip otherwise
+    pt = p.groupBy(F.col("lang").alias("l1")).agg(F.sum("np").alias("tp"))
+    q = p.groupBy(F.col("len").alias("qlen")).agg(F.sum("np").alias("nq"))
+    qt = p.agg(F.sum("np").alias("tq"))
+    langs = pt.select(F.col("l1").alias("l0"))
     cells = (
         langs.crossJoin(F.broadcast(q))
         .crossJoin(F.broadcast(qt))
-        .join(F.broadcast(pt), "lang")
+        .select(F.col("l0").alias("lang"), F.col("qlen").alias("len"), "nq", "tq")
+        .join(F.broadcast(pt), F.col("lang") == F.col("l1"))
+        .drop("l1")
         .join(F.broadcast(p.withColumnRenamed("lang", "l2").withColumnRenamed("len", "len2")),
               (F.col("lang") == F.col("l2")) & (F.col("len") == F.col("len2")), "left")
         .select(

@@ -4792,6 +4792,14 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("combo"),
         F.size(F.collect_set("event_type")).alias("n_types"),
     )
+    return audience_tail(u)
+
+
+def audience_tail(u: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming audience-overlap queries:
+    roll the per-(user, day) combo table — which IS the streaming state
+    (collect_set is order-insensitive; sorted before becoming a value)
+    — up to combo cardinality."""
     return u.groupBy("combo").agg(
         F.max("n_types").alias("n_types"),
         F.count(F.lit(1)).alias("n_user_days"),
@@ -4915,12 +4923,23 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy(
         F.col("event_type").alias("x"), F.hour("ts").alias("y")
     ).agg(F.count(F.lit(1)).alias("nxy"))
-    mx = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
-    my = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    return mi_tail(cells)
+
+
+def mi_tail(cells: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming MI queries: from the
+    (x, y, nxy) cell table — which IS the streaming state (commutative
+    counts over the bounded type×24 grid) — derive marginals, MI, and
+    joint entropy. Grouping keys re-aliased so derived subtrees of a
+    memory-sink view carry fresh attribute ids."""
+    mx = cells.groupBy(F.col("x").alias("x1")).agg(F.sum("nxy").alias("nx"))
+    my = cells.groupBy(F.col("y").alias("y1")).agg(F.sum("nxy").alias("ny"))
     tot = cells.agg(F.sum("nxy").alias("n"))
     t = (
-        cells.join(F.broadcast(mx), "x")
-        .join(F.broadcast(my), "y")
+        cells.join(F.broadcast(mx), F.col("x") == F.col("x1"))
+        .drop("x1")
+        .join(F.broadcast(my), F.col("y") == F.col("y1"))
+        .drop("y1")
         .crossJoin(F.broadcast(tot))
     )
     p = F.col("nxy").cast("double") / F.col("n")

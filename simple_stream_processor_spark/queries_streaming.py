@@ -1674,3 +1674,104 @@ def q_streaming_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
     drained, _ = run_stream_to_memory(ud, output_mode="complete")
     return saturation_tail(drained)
+
+
+def _mi_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_mutual_information"]
+
+
+@query("q_streaming_mi", oracle=_mi_oracle())
+def q_streaming_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mutual-information twin: the (type, hour, count) cell
+    grid IS the streaming state — commutative counts over the bounded
+    type×24 grid (the q_streaming_ks state-shape argument), drained
+    through the shared mi_tail: a LIVE dependence monitor (is the
+    type mix decoupling from time-of-day — a bot signature) per
+    trigger. Hash-matches the identical batch oracle."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import mi_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cells = sdf.groupBy(
+        F.col("event_type").alias("x"), F.hour("ts").alias("y")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    drained, _ = run_stream_to_memory(cells, output_mode="complete")
+    return mi_tail(drained)
+
+
+def _jsd_oracle() -> str:
+    from simple_stream_processor_spark import queries_llmdata  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_js_divergence"]
+
+
+@query("q_streaming_jsd", oracle=_jsd_oracle())
+def q_streaming_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Jensen-Shannon twin: the (lang, len-bucket, count)
+    state — lang×16 commutative cells — drained through the shared
+    jsd_tail: live per-language drift vs the whole corpus as a crawl
+    ingests, beside the KS and Wasserstein twins (one bounded-state
+    pattern, three drift metrics). Hash-matches the batch oracle."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_llmdata import jsd_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tok = sdf.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.length("word") > 0).select(
+        "lang", F.least(F.lit(16), F.length("word")).alias("len")
+    )
+    p = tok.groupBy("lang", "len").agg(F.count(F.lit(1)).alias("np"))
+    drained, _ = run_stream_to_memory(p, output_mode="complete")
+    return jsd_tail(drained)
+
+
+def _audience_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_audience_overlap"]
+
+
+@query("q_streaming_audience", oracle=_audience_oracle())
+def q_streaming_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming audience-overlap twin: per-(user, day) event-type SETS
+    as streaming state (collect_set is order-insensitive and
+    idempotent under replay — the set, sorted, is the value), drained
+    through the shared audience_tail: the live UpSet panel. State is
+    user-day bounded with ≤|types| elements per row."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import audience_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    u = sdf.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400).cast("long").alias("day"),
+    ).agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("combo"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+    drained, _ = run_stream_to_memory(u, output_mode="complete")
+    return audience_tail(drained)

@@ -720,3 +720,14 @@ def test_nearest_event_join_picks_closer_side(spark, sf_dir):
         if i < len(views):
             cands.append(views[i] - pms)
         assert g[eid].dist_ms == min(cands), (eid, pms)
+
+
+def test_streaming_drift_and_overlap_twins_match_batch(spark, sf_dir):
+    for batch_q, stream_q in (
+        ("q_mutual_information", "q_streaming_mi"),
+        ("q_js_divergence", "q_streaming_jsd"),
+        ("q_audience_overlap", "q_streaming_audience"),
+    ):
+        b = {tuple(r) for r in QUERIES[batch_q](spark, sf_dir).collect()}
+        s = {tuple(r) for r in QUERIES[stream_q](spark, sf_dir).collect()}
+        assert b == s, (batch_q, stream_q)
