@@ -149,6 +149,8 @@ _PRIORITY = [
     "q_dedup_savings", "q_quality_trend",
     "q_ship_lag", "q_cohort_ltv", "q_nearest_event_join",
     "q_streaming_mi", "q_streaming_jsd", "q_streaming_audience",
+    "q_kmv_sketch", "q_srm_check", "q_seasonal_decompose",
+    "q_set_similarity_join", "q_good_turing",
 ]
 
 

@@ -130,6 +130,8 @@ TAIL = [
     "q_lateness_audit", "q_salt_advisor", "q_dedup_threshold_curve",
     "q_dedup_savings", "q_quality_trend",
     "q_ship_lag", "q_cohort_ltv", "q_nearest_event_join",
+    "q_kmv_sketch", "q_srm_check", "q_seasonal_decompose",
+    "q_set_similarity_join", "q_good_turing",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

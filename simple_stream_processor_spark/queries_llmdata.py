@@ -5574,3 +5574,170 @@ def q_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bucket means — one division, engine-identical
         F.round(F.sum("toks").cast("double") / F.sum("n_docs"), 4).alias("mean_len"),
     )
+
+
+@query(
+    "q_set_similarity_join",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tk AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tok
+      FROM t
+    ),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM tk GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter_sz
+      FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.inter_sz,
+           sa.sz + sb.sz - p.inter_sz AS union_sz,
+           round(CAST(p.inter_sz AS DOUBLE) / (sa.sz + sb.sz - p.inter_sz), 6) AS jaccard
+    FROM pairs p
+    JOIN sz sa ON sa.doc_id = p.doc_a
+    JOIN sz sb ON sb.doc_id = p.doc_b
+    WHERE 2 * p.inter_sz >= sa.sz + sb.sz - p.inter_sz
+    """,
+)
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L70: exact set-similarity self-join with PREFIX FILTERING (AllPairs
+    / PPJoin family, Bayardo et al. 2007; Xiao et al. 2008) — every doc
+    pair whose distinct 3-shingle Jaccard >= 0.5, EXACTLY: the zero-
+    recall-loss complement to q_minhash_dedup's probabilistic banding
+    (same shingle granularity, so the two operators' outputs are directly
+    comparable — that comparison IS q_minhash_recall/q_minhash_precision).
+    The threshold test is the exact integer predicate 2*inter >= union —
+    no float ever gates a row. Scale shape: a doc only joins on its
+    PREFIX shingles — the first |s| - ceil(t*|s|) + 1 shingles in
+    (global df ASC, shingle) order (rarest first): two sets with J >= t
+    MUST share a prefix element under any consistent global order
+    (pigeonhole), so the filter is provably lossless; candidates are then
+    length-filtered (2*min >= max) and verified with an exact
+    intersection count. The all-pairs blowup becomes collision-
+    proportional on the rarest shingles — at 100 TB the prefix join cost
+    is sum(df_prefix^2) like an LSH band join, while boilerplate shingles
+    with huge postings never enter candidate generation (they sort last).
+    The DuckDB oracle verifies by brute force (all shared-shingle pairs);
+    correctness does not depend on the filter, only completeness does."""
+    from pyspark.sql.window import Window
+
+    from simple_stream_processor_spark.operators.dedup import shingle_table
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = shingle_table(docs).withColumnRenamed("shingle", "tok")
+    sz = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tk.join(dfreq, "tok")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok").asc())
+            ),
+        )
+        .join(F.broadcast(sz), "doc_id")
+    )
+    # prefix length for t=0.5: |s| - ceil(0.5*|s|) + 1 == floor(|s|/2) + 1
+    prefix = ranked.where(F.col("rk") <= F.expr("sz div 2") + 1).select("doc_id", "tok")
+    pa = prefix.withColumnsRenamed({"doc_id": "doc_a", "tok": "ptok"})
+    pb = prefix.withColumnsRenamed({"doc_id": "doc_b", "tok": "ptok"})
+    cand = (
+        pa.join(pb, "ptok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # length filter: J >= 1/2 forces 2*min(|A|,|B|) >= max(|A|,|B|)
+    sa = sz.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})
+    sb = sz.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})
+    cand = (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(2 * F.least("sz_a", "sz_b") >= F.greatest("sz_a", "sz_b"))
+    )
+    # exact verification: count shared shingles of each surviving pair
+    ta = tk.withColumnsRenamed({"doc_id": "doc_a"})
+    tb = tk.withColumnsRenamed({"doc_id": "doc_b"})
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("inter_sz")
+    return inter.where(2 * F.col("inter_sz") >= union_sz).select(
+        "doc_a",
+        "doc_b",
+        "inter_sz",
+        union_sz.alias("union_sz"),
+        F.round(F.col("inter_sz").cast("double") / union_sz, 6).alias("jaccard"),
+    )
+
+
+@query(
+    "q_good_turing",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tc AS (SELECT source, tok, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+    fof AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*)::BIGINT AS vocab,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE) AS simpson_num
+      FROM tc GROUP BY 1
+    )
+    SELECT source, n_tokens, vocab, f1, f2,
+           round(CAST(f1 AS DOUBLE) / n_tokens, 6) AS unseen_mass,
+           round(simpson_num / (CAST(n_tokens AS DOUBLE) * NULLIF(n_tokens - 1, 0)), 6) AS simpson
+    FROM fof
+    """,
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L71: Good-Turing coverage estimation per source — the crawl
+    should-we-keep-fetching readout: the probability the NEXT token drawn
+    from a source is an unseen type is estimated by the hapax share
+    p0 = f1/N (Good 1953), so 1 - p0 is vocabulary coverage; Simpson's
+    concentration sum(c*(c-1))/(N*(N-1)) is the repeat-probability
+    companion (high = templated/boilerplate source, the q_corpus_entropy
+    signal from the collision angle). All inputs are exact integers off
+    ONE (source, token) count aggregate (the only corpus-sized exchange,
+    map-side combined, vocab*sources-bounded output); frequency-of-
+    frequency columns are conditional sums over that table, and the two
+    ratios each round one division. The c*(c-1) product is widened
+    BEFORE multiplying (decimal in Spark, HUGEINT in DuckDB) — at 100 TB
+    a stop-word's per-source count is billions and long*long would
+    overflow. NULLIF/try_divide guards the single-token degenerate."""
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = tc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+        F.sum(F.col("c").cast("decimal(38,0)") * (F.col("c") - 1))
+        .cast("double")
+        .alias("simpson_num"),
+    )
+    return fof.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(F.col("f1").cast("double") / F.col("n_tokens"), 6).alias("unseen_mass"),
+        F.round(
+            F.try_divide(
+                F.col("simpson_num"),
+                F.col("n_tokens").cast("double") * F.nullif(F.col("n_tokens") - 1, F.lit(0)),
+            ),
+            6,
+        ).alias("simpson"),
+    )

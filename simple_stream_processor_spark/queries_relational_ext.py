@@ -5752,3 +5752,266 @@ def q_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(next_d)
         .alias("dist_ms"),
     )
+
+
+KMV_ORACLE = """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type, user_id,
+             ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM d
+    ),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    ),
+    bk AS (SELECT * FROM r WHERE rk <= 64),
+    per AS (
+      SELECT event_type,
+             CAST(max(nd) AS BIGINT) AS exact_users,
+             CAST(count(*) AS BIGINT) AS k_used,
+             CAST(max(hv) AS BIGINT) AS rk_hv
+      FROM bk GROUP BY 1
+    ),
+    mgd AS (SELECT DISTINCT hv FROM bk),
+    mr AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rk FROM mgd),
+    mk AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_used, CAST(max(hv) AS BIGINT) AS rk_hv
+      FROM mr WHERE rk <= 64
+    ),
+    gx AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users FROM events),
+    u AS (
+      SELECT event_type, exact_users, k_used, rk_hv FROM per
+      UNION ALL
+      SELECT '<all>' AS event_type, g.exact_users, m.k_used, m.rk_hv FROM mk m, gx g
+    ),
+    est AS (
+      SELECT event_type, exact_users, k_used,
+             CASE WHEN exact_users <= 64 THEN CAST(exact_users AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976.0 / rk_hv END AS raw_est
+      FROM u
+    )
+    SELECT event_type, exact_users, k_used,
+           round(raw_est, 4) AS kmv_est,
+           (abs(raw_est - exact_users) <= 0.5 * exact_users) AS within_bound
+    FROM est
+    """
+
+
+@query("q_kmv_sketch", oracle=KMV_ORACLE)
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N98: K-minimum-values distinct sketch (Bar-Yossef et al. 2002) —
+    the PORTABLE bottom-k alternative to HLL for distinct counting with
+    native set algebra: per event_type keep the 64 smallest 60-bit md5
+    hashes of user_id; D-hat = (k-1)*2^60 / R_k (R_k = k-th smallest).
+    Cross-engine EXACT like q_hll_portable: both engines derive identical
+    hash sets, so estimates hash-match to 4dp — no verdict-contract
+    weakening needed (the within_bound column is the accuracy readout,
+    ~1/sqrt(k-2) relative error). The '<all>' row is built by MERGING the
+    per-type bottom-64 lists (union -> re-take bottom-64) — the KMV merge
+    property that makes per-source sketches roll up to any grouping
+    without a corpus re-scan: the union of per-type bottom-k provably
+    contains the global bottom-k. At 100 TB the state per group is 64
+    longs forever; the per-type window runs on the (type, user)-distinct
+    table (the one real exchange, map-side combined), and the merged
+    rollup touches <= types*64 rows. Small-cardinality groups (nd <= k)
+    report exactly."""
+    from pyspark.sql.window import Window
+
+    K = 64
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    h = d.select("event_type", hv.alias("hv"))
+    wr = Window.partitionBy("event_type").orderBy("hv")
+    wn = Window.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("nd"),
+    )
+    bk = r.where(F.col("rk") <= K)
+    per = bk.groupBy("event_type").agg(
+        F.max("nd").alias("exact_users"),
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("hv").alias("rk_hv"),
+    )
+    # mergeability demo: union of per-type bottom-k -> distinct -> bottom-k
+    mgd = bk.select("hv").distinct()
+    mr = mgd.select("hv", F.row_number().over(Window.orderBy("hv")).alias("rk"))
+    mk = mr.where(F.col("rk") <= K).agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("hv").alias("rk_hv")
+    )
+    gx = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    allrow = mk.crossJoin(F.broadcast(gx)).select(
+        F.lit("<all>").alias("event_type"), "exact_users", "k_used", "rk_hv"
+    )
+    u = per.select("event_type", "exact_users", "k_used", "rk_hv").unionByName(allrow)
+    raw_est = F.when(
+        F.col("exact_users") <= K, F.col("exact_users").cast("double")
+    ).otherwise(F.lit(63.0) * F.lit(float(2**60)) / F.col("rk_hv"))
+    return u.select(
+        "event_type",
+        "exact_users",
+        "k_used",
+        F.round(raw_est, 4).alias("kmv_est"),
+        (F.abs(raw_est - F.col("exact_users")) <= 0.5 * F.col("exact_users")).alias("within_bound"),
+    )
+
+
+@query(
+    "q_srm_check",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id,
+             ('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS is_control
+      FROM events
+    ),
+    c AS (
+      SELECT day,
+             CAST(sum(CASE WHEN is_control THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+             CAST(sum(CASE WHEN is_control THEN 0 ELSE 1 END) AS BIGINT) AS n_treatment
+      FROM u GROUP BY 1
+    )
+    SELECT day * 86400 AS day_s, n_control, n_treatment,
+           round(CAST((n_control - n_treatment) * (n_control - n_treatment) AS DOUBLE)
+                 / (n_control + n_treatment), 4) AS chi2,
+           (CAST((n_control - n_treatment) * (n_control - n_treatment) AS DOUBLE)
+                 / (n_control + n_treatment) > 10.827566) AS srm_flag
+    FROM c
+    """,
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N99: sample-ratio-mismatch audit — the experimentation guardrail
+    that must run BEFORE q_ab_test's significance readout is believed: per
+    day, the distinct users landing in each md5 arm (the exact q_ab_test
+    assignment) and the 1-df chi-square against the designed 50/50 split,
+    flagged at p < 0.001 (chi2 > 10.8276 — the industry SRM threshold;
+    Fabijan et al. 2019). A triggered flag means assignment/logging bias —
+    any lift readout on that day is invalid. For a 50/50 design the
+    chi-square collapses to (n_a - n_b)^2 / (n_a + n_b), exact integers to
+    one final division — both engines evaluate the identical double, so
+    the boolean flag can never disagree. One (day, user) DISTINCT is the
+    only event-sized exchange (map-side combined); the per-day rollup is
+    days-bounded. At 100 TB the distinct exchange is the standard daily
+    dedup any DAU pipeline already pays — the SRM panel rides it free."""
+    ev = _t(spark, sf_dir, "events")
+    is_control = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    u = ev.select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        "user_id",
+        is_control.alias("is_control"),
+    ).distinct()
+    c = u.groupBy("day").agg(
+        F.sum(F.when(F.col("is_control"), 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(F.col("is_control"), 0).otherwise(1)).alias("n_treatment"),
+    )
+    diff = F.col("n_control") - F.col("n_treatment")
+    chi2 = (diff * diff).cast("double") / (F.col("n_control") + F.col("n_treatment"))
+    return c.select(
+        (F.col("day") * 86400).alias("day_s"),
+        "n_control",
+        "n_treatment",
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 10.827566).alias("srm_flag"),
+    )
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    d AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents FROM e GROUP BY 1),
+    t AS (
+      SELECT day, cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS wsum,
+             CAST(count(*) OVER w AS BIGINT) AS wn
+      FROM d
+      WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dt AS (
+      SELECT day, day % 7 AS slot, cents,
+             wsum // wn AS trend_cents,
+             cents - wsum // wn AS detrended
+      FROM t
+    ),
+    s AS (
+      SELECT slot,
+             CAST(sum(detrended) AS BIGINT) AS snum,
+             count(*)::BIGINT AS sden
+      FROM dt GROUP BY 1
+    )
+    SELECT dt.day * 86400 AS day_s, dt.slot, dt.cents, dt.trend_cents,
+           s.snum // s.sden AS seasonal_cents,
+           dt.detrended - s.snum // s.sden AS residual_cents
+    FROM dt JOIN s ON s.slot = dt.slot
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N100: classical seasonal decomposition (trend + seasonal +
+    residual) of the daily revenue series — the structure pass behind
+    q_forecast_eval's seasonal-naive baseline and q_rolling_zscore's
+    anomaly gate: trend = centered 7-day moving mean, seasonal = per-slot
+    (day mod 7) mean of the detrended series, residual = the rest. ALL
+    integer arithmetic: moving mean and seasonal mean use truncating
+    integer division (Spark `div` == DuckDB `//` on BIGINT, identical on
+    negatives — trunc toward zero), so every output column is an exact
+    BIGINT and the decomposition reassembles exactly:
+    cents = trend + seasonal + residual + (two bounded truncation
+    remainders < 1 cent). Events collapse to the days-bounded daily table
+    first (the one corpus-sized exchange); the centered RANGE window and
+    the 7-row slot rollup + broadcast-back all run on days-bounded data.
+    At 100 TB the daily rollup is parquet-footer cheap and the
+    decomposition itself is O(days)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d = e.groupBy("day").agg(F.sum("cents").alias("cents"))
+    w = Window.orderBy("day").rangeBetween(-3, 3)
+    t = d.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("wsum"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    dt = t.select(
+        "day",
+        (F.col("day") % 7).alias("slot"),
+        "cents",
+        F.expr("wsum div wn").alias("trend_cents"),
+        F.expr("cents - wsum div wn").alias("detrended"),
+    )
+    s = dt.groupBy("slot").agg(
+        F.sum("detrended").alias("snum"), F.count(F.lit(1)).alias("sden")
+    )
+    return dt.join(F.broadcast(s), "slot").select(
+        (F.col("day") * 86400).alias("day_s"),
+        "slot",
+        "cents",
+        "trend_cents",
+        F.expr("snum div sden").alias("seasonal_cents"),
+        F.expr("detrended - snum div sden").alias("residual_cents"),
+    )

@@ -67,6 +67,7 @@ EVENT_QUERIES = [
     "q_period_over_period", "q_user_saturation", "q_lift_table",
     "q_debounce", "q_lateness_audit", "q_salt_advisor",
     "q_cohort_ltv", "q_nearest_event_join",
+    "q_kmv_sketch", "q_srm_check", "q_seasonal_decompose",
     "q_top_paths", "q_forecast_eval", "q_changepoint_cusum",
     "q_survival_curve", "q_k_anonymity", "q_ab_test", "q_lag_features",
     "q_power_analysis", "q_grouped_udaf", "q_full_outer_reconcile",
@@ -99,6 +100,7 @@ DOC_QUERIES = [
     "q_cluster_size_dist", "q_bpe_generalization", "q_word_burstiness",
     "q_hashed_features", "q_template_detect", "q_dedup_threshold_curve",
     "q_dedup_savings", "q_quality_trend",
+    "q_set_similarity_join", "q_good_turing",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]

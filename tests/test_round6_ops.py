@@ -731,3 +731,160 @@ def test_streaming_drift_and_overlap_twins_match_batch(spark, sf_dir):
         b = {tuple(r) for r in QUERIES[batch_q](spark, sf_dir).collect()}
         s = {tuple(r) for r in QUERIES[stream_q](spark, sf_dir).collect()}
         assert b == s, (batch_q, stream_q)
+
+
+# ---------------------------------------------------------------------------
+# round-6 continuation batch: KMV sketch, SRM, seasonal decomposition,
+# set-similarity join, Good-Turing
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_matches_python_replay(spark, sf_dir):
+    """Bottom-k hashes, estimates, and the merge row against a pure-Python
+    KMV built from the raw parquet."""
+    import hashlib
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    K = 64
+
+    def hv(uid):
+        return int(hashlib.md5(f"kmv:{uid}".encode()).hexdigest()[:15], 16)
+
+    per = {}
+    for t, g in ev.groupby("event_type"):
+        hs = sorted({hv(u) for u in g.user_id.unique()})
+        per[t] = (len(g.user_id.unique()), hs[:K])
+    merged = sorted({h for _, hs in per.values() for h in hs})[:K]
+    g_exact = ev.user_id.nunique()
+
+    def est(nd, bottom):
+        if nd <= K:
+            return float(nd)
+        return 63.0 * float(2**60) / bottom[K - 1]
+
+    rows = {r.event_type: r for r in QUERIES["q_kmv_sketch"](spark, sf_dir).collect()}
+    for t, (nd, bottom) in per.items():
+        r = rows[t]
+        assert r.exact_users == nd
+        assert r.k_used == min(K, nd)
+        assert abs(r.kmv_est - round(est(nd, bottom), 4)) < 1e-9, t
+        assert r.within_bound == (abs(est(nd, bottom) - nd) <= 0.5 * nd)
+    allr = rows["<all>"]
+    assert allr.exact_users == g_exact
+    assert allr.k_used == min(K, len(merged))
+    assert abs(allr.kmv_est - round(est(g_exact, merged), 4)) < 1e-9
+    # the KMV merge property the '<all>' row relies on: the union of
+    # per-type bottom-k contains the global bottom-k, so re-taking
+    # bottom-k of the union IS the global bottom-k
+    global_bottom = sorted({hv(u) for u in ev.user_id.unique()})[:K]
+    assert set(global_bottom) <= {h for _, hs in per.values() for h in hs}
+    assert merged == global_bottom
+
+
+def test_srm_check_matches_python_replay(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    ev["day"] = ev.ts.values.astype("datetime64[ms]").astype("int64") // 86_400_000
+    ev["arm"] = [
+        int(hashlib.md5(f"ab1:{u}".encode()).hexdigest()[:8], 16) % 2 == 0 for u in ev.user_id
+    ]
+    per = ev.drop_duplicates(["day", "user_id"]).groupby("day")["arm"].agg(["sum", "count"])
+    rows = {r.day_s: r for r in QUERIES["q_srm_check"](spark, sf_dir).collect()}
+    assert len(rows) == len(per)
+    for day, g in per.iterrows():
+        r = rows[day * 86400]
+        n_c, n_t = int(g["sum"]), int(g["count"] - g["sum"])
+        assert (r.n_control, r.n_treatment) == (n_c, n_t)
+        chi2 = (n_c - n_t) ** 2 / (n_c + n_t)
+        assert abs(r.chi2 - round(chi2, 4)) < 1e-9
+        assert r.srm_flag == (chi2 > 10.827566)
+
+
+def test_seasonal_decompose_identity_and_trend_replay(spark, sf_dir):
+    rows = QUERIES["q_seasonal_decompose"](spark, sf_dir).collect()
+    assert rows
+    # exact reassembly: residual is defined so the identity is EXACT
+    for r in rows:
+        assert r.cents == r.trend_cents + r.seasonal_cents + r.residual_cents, r
+    # trend replay: centered 7-day truncating-division mean over day gaps
+    daily = {r.day_s // 86400: r.cents for r in rows}
+    for r in rows:
+        day = r.day_s // 86400
+        win = [daily[d] for d in range(day - 3, day + 4) if d in daily]
+        # truncate toward zero like Spark div / DuckDB // (exact ints)
+        q, rem = divmod(sum(win), len(win))
+        trend = q + 1 if q < 0 and rem else q
+        assert r.trend_cents == trend, (day, win)
+        assert r.slot == day % 7
+    # seasonal is constant within a slot
+    by_slot = {}
+    for r in rows:
+        by_slot.setdefault(r.slot, set()).add(r.seasonal_cents)
+    assert all(len(v) == 1 for v in by_slot.values())
+
+
+def test_set_similarity_join_matches_bruteforce(spark, sf_dir):
+    """Exact brute-force all-pairs shingle Jaccard == the prefix-filtered
+    join (losslessness of the filter + exactness of the verify)."""
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sets = {}
+    for r in docs.itertuples():
+        w = r.text.split(" ")
+        sets[r.doc_id] = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    # inverted index so the brute force is shared-shingle pairs only
+    inv = {}
+    for d, s in sets.items():
+        for sh in s:
+            inv.setdefault(sh, []).append(d)
+    cand = set()
+    for ds in inv.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    expected = {}
+    for a, b in cand:
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a]) + len(sets[b]) - inter
+        if 2 * inter >= union:
+            expected[(a, b)] = (inter, union)
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_sz, r.union_sz, r.jaccard)
+        for r in QUERIES["q_set_similarity_join"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (inter, union) in expected.items():
+        gi, gu, gj = got[k]
+        assert (gi, gu) == (inter, union)
+        assert abs(gj - round(inter / union, 6)) < 1e-9
+
+
+def test_good_turing_matches_python_replay(spark, sf_dir):
+    from collections import Counter
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    rows = {r.source: r for r in QUERIES["q_good_turing"](spark, sf_dir).collect()}
+    for src, g in docs.groupby("source"):
+        c = Counter()
+        for t in g.text:
+            c.update(t.split(" "))
+        n = sum(c.values())
+        f1 = sum(1 for v in c.values() if v == 1)
+        r = rows[src]
+        assert (r.n_tokens, r.vocab, r.f1) == (n, len(c), f1)
+        assert r.f2 == sum(1 for v in c.values() if v == 2)
+        assert abs(r.unseen_mass - round(f1 / n, 6)) < 1e-9
+        simpson = sum(v * (v - 1) for v in c.values()) / (n * (n - 1)) if n > 1 else None
+        if simpson is None:
+            assert r.simpson is None
+        else:
+            assert abs(r.simpson - round(simpson, 6)) < 1e-9

@@ -92,6 +92,10 @@ SINGLE_PARTITION_ALLOWANCE = {
     # the prefix-sum window over it plus the one-row target aggregate —
     # both metadata-sized, never data
     "q_compaction_plan": 2,
+    # the days-bounded global RANGE window feeds two consumers (the slot
+    # rollup and the final join); exchange reuse does not fire across the
+    # differing projections, so the days-sized exchange materializes twice
+    "q_seasonal_decompose": 2,
     # the same 2 k-row Lloyd packings, but the final assignment feeds THREE
     # consumers (pair-join left, pair-join right, keep-rule join back), and
     # exchange reuse does not fire across them — 2 x 3 k-row exchanges,
