@@ -151,6 +151,8 @@ _PRIORITY = [
     "q_streaming_mi", "q_streaming_jsd", "q_streaming_audience",
     "q_kmv_sketch", "q_srm_check", "q_seasonal_decompose",
     "q_set_similarity_join", "q_good_turing",
+    "q_holt_linear", "q_cuped", "q_label_propagation",
+    "q_streaming_srm", "q_streaming_kmv",
 ]
 
 

@@ -132,6 +132,7 @@ TAIL = [
     "q_ship_lag", "q_cohort_ltv", "q_nearest_event_join",
     "q_kmv_sketch", "q_srm_check", "q_seasonal_decompose",
     "q_set_similarity_join", "q_good_turing",
+    "q_holt_linear", "q_cuped", "q_label_propagation",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

@@ -5818,11 +5818,19 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (the one real exchange, map-side combined), and the merged
     rollup touches <= types*64 rows. Small-cardinality groups (nd <= k)
     report exactly."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    return kmv_tail(d)
+
+
+def kmv_tail(d: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming KMV queries: from a
+    (event_type, user_id) distinct table, hash, take per-type bottom-64,
+    merge for the '<all>' row, estimate. The hash is a pure function of
+    user_id, so streaming state stays the bare presence set."""
     from pyspark.sql.window import Window
 
     K = 64
-    ev = _t(spark, sf_dir, "events")
-    d = ev.select("event_type", "user_id").distinct()
     hv = F.conv(
         F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15),
         16,
@@ -5849,7 +5857,7 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     mk = mr.where(F.col("rk") <= K).agg(
         F.count(F.lit(1)).alias("k_used"), F.max("hv").alias("rk_hv")
     )
-    gx = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    gx = d.agg(F.count_distinct("user_id").alias("exact_users"))
     allrow = mk.crossJoin(F.broadcast(gx)).select(
         F.lit("<all>").alias("event_type"), "exact_users", "k_used", "rk_hv"
     )
@@ -5903,6 +5911,18 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     days-bounded. At 100 TB the distinct exchange is the standard daily
     dedup any DAU pipeline already pays — the SRM panel rides it free."""
     ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"), "user_id"
+    ).distinct()
+    return srm_tail(du)
+
+
+def srm_tail(du: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming SRM queries: from a
+    (day, user_id) distinct table, assign the md5 arm and roll up the
+    per-day chi-square vs 50/50. The arm is a pure function of user_id,
+    so it can be (re)derived at drain time — streaming state stays the
+    bare (day, user) presence set."""
     is_control = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 8),
@@ -5912,12 +5932,7 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 2
         == 0
     )
-    u = ev.select(
-        F.expr("unix_millis(ts) div 86400000").alias("day"),
-        "user_id",
-        is_control.alias("is_control"),
-    ).distinct()
-    c = u.groupBy("day").agg(
+    c = du.select("day", is_control.alias("is_control")).groupBy("day").agg(
         F.sum(F.when(F.col("is_control"), 1).otherwise(0)).alias("n_control"),
         F.sum(F.when(F.col("is_control"), 0).otherwise(1)).alias("n_treatment"),
     )
@@ -6014,4 +6029,337 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend_cents",
         F.expr("snum div sden").alias("seasonal_cents"),
         F.expr("detrended - snum div sden").alias("residual_cents"),
+    )
+
+
+@query(
+    "q_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n_days,
+             list(CAST(cents AS DOUBLE) ORDER BY day) AS xs
+      FROM daily GROUP BY 1
+    ),
+    rec AS (
+      -- row-per-step recursion: every new column derives from the PREVIOUS
+      -- row's l/b (simultaneous update), matching Spark's F.aggregate lambda
+      -- semantics; DuckDB's list_reduce mutates struct fields sequentially
+      -- (field 2 sees field 1 already updated) so a struct fold would diverge
+      SELECT event_type, n_days, xs, 1 AS step,
+             xs[1] AS l, CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS sse
+      FROM arr
+      UNION ALL
+      SELECT event_type, n_days, xs, step + 1,
+             0.3 * xs[step + 1] + 0.7 * (l + b),
+             0.1 * ((0.3 * xs[step + 1] + 0.7 * (l + b)) - l) + 0.9 * b,
+             sse + (xs[step + 1] - (l + b)) * (xs[step + 1] - (l + b))
+      FROM rec WHERE step < n_days
+    )
+    SELECT event_type, n_days,
+           round(l, 4) AS level,
+           round(b, 4) AS trend,
+           round(l + b, 4) AS forecast_next,
+           round(sqrt(sse / NULLIF(n_days - 1, 0)), 4) AS rmse
+    FROM rec WHERE step = n_days
+    """,
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N101: Holt's linear-trend double exponential smoothing (alpha=0.3,
+    beta=0.1) of daily revenue per event type — the level+trend
+    forecaster one rung above q_ewma_smooth (level only), feeding the
+    forecast_next baseline q_forecast_eval scores. The recursion's state
+    is a STRUCT {level, trend, sse}, folded sequentially over the
+    day-sorted series: Spark F.aggregate over an array_sort'ed
+    collect_list == DuckDB list_reduce over list(ORDER BY day), with the
+    identical expression tree inside the lambda, so level, trend, the
+    one-step-ahead forecast, and the in-sample RMSE are bit-identical
+    across engines (the q_ewma closed-form trick does NOT apply — the
+    2-state recursion has matrix-power closed form only, so this is the
+    repo's canonical sequential-struct-fold). Init: l_1 = x_1, b_1 = 0.
+    Scale: the fold is per-SERIES over the days-bounded array (3650
+    doubles for a decade) — the series dimension (types/SKUs/users)
+    carries the parallelism; one daily rollup is the only corpus-sized
+    exchange."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    arr = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"].cast("double"),
+        ).alias("xs"),
+    )
+    state = "struct<l:double,b:double,sse:double>"
+    folded = arr.select(
+        "event_type",
+        "n_days",
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            F.struct(
+                F.element_at("xs", 1).alias("l"),
+                F.lit(0.0).alias("b"),
+                F.lit(0.0).alias("sse"),
+            ).cast(state),
+            lambda acc, x: F.struct(
+                (F.lit(0.3) * x + F.lit(0.7) * (acc["l"] + acc["b"])).alias("l"),
+                (
+                    F.lit(0.1) * ((F.lit(0.3) * x + F.lit(0.7) * (acc["l"] + acc["b"])) - acc["l"])
+                    + F.lit(0.9) * acc["b"]
+                ).alias("b"),
+                (acc["sse"] + (x - (acc["l"] + acc["b"])) * (x - (acc["l"] + acc["b"]))).alias(
+                    "sse"
+                ),
+            ).cast(state),
+        ).alias("s"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("s.l"), 4).alias("level"),
+        F.round(F.col("s.b"), 4).alias("trend"),
+        F.round(F.col("s.l") + F.col("s.b"), 4).alias("forecast_next"),
+        F.round(
+            F.sqrt(F.try_divide(F.col("s.sse"), F.nullif(F.col("n_days") - 1, F.lit(0)))), 4
+        ).alias("rmse"),
+    )
+
+
+@query(
+    "q_cuped",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    bounds AS (
+      SELECT min(day) + (max(day) - min(day) + 1) // 2 AS split_day FROM e
+    ),
+    u AS (
+      SELECT e.user_id,
+             CAST(sum(CASE WHEN e.day < b.split_day THEN e.cents ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN e.day >= b.split_day THEN e.cents ELSE 0 END) AS BIGINT) AS y,
+             ('0x' || substr(md5('ab1:' || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS is_control
+      FROM e, bounds b
+      GROUP BY e.user_id
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM u
+    ),
+    th AS (
+      SELECT n, sx / n AS xbar,
+             (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) AS theta,
+             (n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0) AS rho2
+      FROM m
+    )
+    SELECT CASE WHEN u.is_control THEN 'control' ELSE 'treatment' END AS arm,
+           count(*)::BIGINT AS n_users,
+           round(CAST(sum(u.y) AS DOUBLE) / count(*), 4) AS mean_y,
+           round(CAST(sum(u.y) AS DOUBLE) / count(*)
+                 - th.theta * (CAST(sum(u.x) AS DOUBLE) / count(*) - th.xbar), 4) AS mean_y_cuped,
+           round(th.theta, 6) AS theta,
+           round(th.rho2, 6) AS rho2
+    FROM u, th
+    GROUP BY u.is_control, th.theta, th.xbar, th.rho2
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N102: CUPED variance reduction (Deng et al. 2013) — the
+    industry-standard A/B sharpener: each user's post-period metric Y is
+    adjusted by their PRE-period metric X (theta = cov(X,Y)/var(X)),
+    removing the between-user variance component rho^2 and shrinking
+    required sample sizes by the same factor (the q_power_analysis
+    denominator). The experiment split is the q_ab_test md5 arm; the
+    pre/post boundary is the data-driven median day. Mean adjustment
+    needs NO per-row pass: mean(Y - theta*(X - xbar)) per arm ==
+    mean_y_arm - theta*(mean_x_arm - xbar), so the whole readout derives
+    from ONE user-keyed aggregate + exact integer moments (sums of
+    cents and widened cross-products — decimal in Spark, HUGEINT in
+    DuckDB) pushed through identical float expression trees; NULLIF
+    guards the zero-variance degenerate. At 100 TB: one user rollup
+    (the exchange any experiment readout pays), a one-row moment
+    aggregate, and a broadcast-back — the fact table never shuffles
+    twice."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = e.agg(
+        (F.min("day") + F.expr("(max(day) - min(day) + 1) div 2")).alias("split_day")
+    )
+    is_control = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    u = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("split_day"), F.col("cents")).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("day") >= F.col("split_day"), F.col("cents")).otherwise(0)).alias("y"),
+        )
+        .select("user_id", "x", "y", is_control.alias("is_control"))
+    )
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast("double").alias("syy"),
+    )
+    th = m.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        F.try_divide(
+            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+            F.nullif(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)),
+        ).alias("theta"),
+        F.try_divide(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")),
+            F.nullif(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
+            ),
+        ).alias("rho2"),
+    )
+    return (
+        u.crossJoin(F.broadcast(th))
+        .groupBy("is_control", "theta", "xbar", "rho2")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("y").cast("double").alias("sy_arm"),
+            F.sum("x").cast("double").alias("sx_arm"),
+        )
+        .select(
+            F.when(F.col("is_control"), "control").otherwise("treatment").alias("arm"),
+            "n_users",
+            F.round(F.col("sy_arm") / F.col("n_users"), 4).alias("mean_y"),
+            F.round(
+                F.col("sy_arm") / F.col("n_users")
+                - F.col("theta") * (F.col("sx_arm") / F.col("n_users") - F.col("xbar")),
+                4,
+            ).alias("mean_y_cuped"),
+            F.round("theta", 6).alias("theta"),
+            F.round("rho2", 6).alias("rho2"),
+        )
+    )
+
+
+@query(
+    "q_label_propagation",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+    c1 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+           FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+    m1 AS (SELECT node, max(c) AS mc FROM c1 GROUP BY 1),
+    l1 AS (SELECT c.node, min(c.label) AS label
+           FROM c1 c JOIN m1 m ON m.node = c.node AND c.c = m.mc GROUP BY 1),
+    c2 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+           FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+    m2 AS (SELECT node, max(c) AS mc FROM c2 GROUP BY 1),
+    l2 AS (SELECT c.node, min(c.label) AS label
+           FROM c2 c JOIN m2 m ON m.node = c.node AND c.c = m.mc GROUP BY 1),
+    c3 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+           FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+    m3 AS (SELECT node, max(c) AS mc FROM c3 GROUP BY 1),
+    l3 AS (SELECT c.node, min(c.label) AS label
+           FROM c3 c JOIN m3 m ON m.node = c.node AND c.c = m.mc GROUP BY 1),
+    c4 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+           FROM e JOIN l3 l ON l.node = e.src GROUP BY 1, 2),
+    m4 AS (SELECT node, max(c) AS mc FROM c4 GROUP BY 1),
+    l4 AS (SELECT c.node, min(c.label) AS label
+           FROM c4 c JOIN m4 m ON m.node = c.node AND c.c = m.mc GROUP BY 1)
+    SELECT label AS community, count(*)::BIGINT AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node
+    FROM l4 GROUP BY 1
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N103: synchronous label propagation (Raghavan et al. 2007) over
+    the repeat-co-purchase graph (pairs bought together in >= 2 orders —
+    single co-occurrences are noise that fuses everything into one
+    giant component), 4 rounds — COMMUNITY detection beside
+    q_pagerank (centrality), q_triangle_count (density),
+    q_densest_subgraph (densest core) and q_graph_bfs (reachability):
+    each node adopts its neighbors' MODE label, ties broken toward the
+    smallest label, which makes every round fully deterministic (the
+    async/random-order variants of LPA are not reproducible — this is
+    the GraphFrames-style synchronous variant). Fixed 4 rounds, matched
+    exactly by the oracle's unrolled MATERIALIZED-CTE rounds (the BFS /
+    densest-peel precedent). Per round: one edge-keyed join
+    (label-sized payload), a (node,label) count rollup, and the argmax
+    via max-count join + min-label rollup — all map-side combinable;
+    labels localCheckpoint per round so lineage stays O(1) (the
+    q_pagerank discipline) and the edge table checkpoints once. At
+    100 TB: every exchange is node- or (node x distinct-neighbor-label)-
+    bounded, never edge^2; skewed hub nodes are AQE-split like any
+    heavy groupBy key."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)  # repeat co-purchases only: the signal graph
+        .select("src", "dst")
+    ).localCheckpoint(eager=False)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(4):
+        cnt = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select("dst", "label")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        mx = cnt.groupBy("dst").agg(F.max("c").alias("mc"))
+        labels = (
+            cnt.join(mx, "dst")
+            .where(F.col("c") == F.col("mc"))
+            .groupBy("dst")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("dst").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
     )

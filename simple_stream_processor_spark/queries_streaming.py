@@ -1775,3 +1775,74 @@ def q_streaming_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained, _ = run_stream_to_memory(u, output_mode="complete")
     return audience_tail(drained)
+
+
+def _srm_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_srm_check"]
+
+
+@query("q_streaming_srm", oracle=_srm_oracle())
+def q_streaming_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SRM twin (N99b): the (day, user) presence set IS the
+    streaming state — the same distinct any streaming-DAU pipeline keeps,
+    order-insensitive and replay-idempotent (presence is idempotent), so
+    batching can never flip a flag. Drained state re-derives the md5 arm
+    (a pure function of user_id — no arm bit stored) and flows through
+    the shared srm_tail, hash-matching the identical batch oracle: the
+    live assignment-health monitor that must trip BEFORE anyone reads
+    the q_streaming_ab panel it guards."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import srm_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # raw readStream yields TIMESTAMP_NTZ; cast pins it to the session's
+    # UTC so unix_millis is legal (the memory-sink cast idiom above)
+    du = sdf.groupBy(
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day"),
+        F.col("user_id"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    drained, _ = run_stream_to_memory(du, output_mode="complete")
+    return srm_tail(drained.select("day", "user_id"))
+
+
+def _kmv_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_kmv_sketch"]
+
+
+@query("q_streaming_kmv", oracle=_kmv_oracle())
+def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV twin (N98b): the (event_type, user) presence set is
+    the state — same bound as the batch distinct (and as the
+    q_streaming_ab per-user rows); presence is commutative + idempotent
+    so arrival order and replays are invisible. Drained state flows
+    through the shared kmv_tail (hash, per-type bottom-64, '<all>'
+    merge), hash-matching the identical batch oracle. A production
+    variant would fold the bottom-k INSIDE the state store
+    (applyInPandasWithState keeping 64 longs/group); the presence-set
+    state here trades that for exactness of the paired batch contract —
+    the estimate, either way, is the same 64 hashes."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import kmv_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    d = sdf.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    drained, _ = run_stream_to_memory(d, output_mode="complete")
+    return kmv_tail(drained.select("event_type", "user_id"))

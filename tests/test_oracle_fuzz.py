@@ -68,6 +68,7 @@ EVENT_QUERIES = [
     "q_debounce", "q_lateness_audit", "q_salt_advisor",
     "q_cohort_ltv", "q_nearest_event_join",
     "q_kmv_sketch", "q_srm_check", "q_seasonal_decompose",
+    "q_holt_linear", "q_cuped",
     "q_top_paths", "q_forecast_eval", "q_changepoint_cusum",
     "q_survival_curve", "q_k_anonymity", "q_ab_test", "q_lag_features",
     "q_power_analysis", "q_grouped_udaf", "q_full_outer_reconcile",
@@ -236,6 +237,7 @@ STREAMING_QUERIES = [
     "q_streaming_retention", "q_streaming_active_users",
     "q_streaming_cms", "q_streaming_bloom", "q_streaming_entropy",
     "q_streaming_dsir", "q_streaming_hll", "q_streaming_wasserstein",
+    "q_streaming_srm", "q_streaming_kmv",
 ]
 
 

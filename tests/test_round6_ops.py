@@ -888,3 +888,125 @@ def test_good_turing_matches_python_replay(spark, sf_dir):
             assert r.simpson is None
         else:
             assert abs(r.simpson - round(simpson, 6)) < 1e-9
+
+
+def test_holt_linear_matches_python_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ev["day"] = ev.ts.values.astype("datetime64[ms]").astype("int64") // 86_400_000
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    rows = {r.event_type: r for r in QUERIES["q_holt_linear"](spark, sf_dir).collect()}
+    for t, g in ev.groupby("event_type"):
+        xs = [float(c) for c in g.groupby("day").cents.sum().sort_index()]
+        l, b, sse = xs[0], 0.0, 0.0
+        for x in xs[1:]:
+            f = l + b
+            l_new = 0.3 * x + 0.7 * (l + b)
+            b = 0.1 * (l_new - l) + 0.9 * b
+            sse += (x - f) * (x - f)
+            l = l_new
+        r = rows[t]
+        assert r.n_days == len(xs)
+        assert abs(r.level - round(l, 4)) < 1e-9
+        assert abs(r.trend - round(b, 4)) < 1e-9
+        assert abs(r.forecast_next - round(l + b, 4)) < 1e-9
+        if len(xs) > 1:
+            assert abs(r.rmse - round((sse / (len(xs) - 1)) ** 0.5, 4)) < 1e-9
+
+
+def test_cuped_matches_python_replay_and_reduces_variance(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
+    ev["day"] = ev.ts.values.astype("datetime64[ms]").astype("int64") // 86_400_000
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    split = ev.day.min() + (ev.day.max() - ev.day.min() + 1) // 2
+    u = ev.groupby("user_id").apply(
+        lambda g: pd.Series(
+            {
+                "x": g.cents[g.day < split].sum(),
+                "y": g.cents[g.day >= split].sum(),
+            }
+        ),
+        include_groups=False,
+    ).reset_index()
+    n = len(u)
+    sx, sy = float(u.x.sum()), float(u.y.sum())
+    sxy = float((u.x * u.y).sum())
+    sxx = float((u.x * u.x).sum())
+    syy = float((u.y * u.y).sum())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    rho2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    xbar = sx / n
+    u["arm"] = [
+        "control" if int(hashlib.md5(f"ab1:{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else "treatment"
+        for i in u.user_id
+    ]
+    rows = {r.arm: r for r in QUERIES["q_cuped"](spark, sf_dir).collect()}
+    assert set(rows) == {"control", "treatment"}
+    for arm, g in u.groupby("arm"):
+        r = rows[arm]
+        assert r.n_users == len(g)
+        assert abs(r.mean_y - round(float(g.y.mean()), 4)) < 1e-6
+        adj = float(g.y.mean()) - theta * (float(g.x.mean()) - xbar)
+        assert abs(r.mean_y_cuped - round(adj, 4)) < 1e-6
+        assert abs(r.theta - round(theta, 6)) < 1e-9
+        assert abs(r.rho2 - round(rho2, 6)) < 1e-9
+    assert 0.0 <= rows["control"].rho2 <= 1.0
+    # CUPED promise: the adjusted per-user metric has lower variance
+    adj_vals = u.y - theta * (u.x - xbar)
+    assert adj_vals.var() <= u.y.var() + 1e-9
+
+
+def test_label_propagation_matches_python_replay(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    items = li.drop_duplicates()
+    pair_w = Counter()
+    for _, g in items.groupby("l_orderkey"):
+        ps = sorted(g.l_partkey.unique())
+        for i in range(len(ps)):
+            for j in range(len(ps)):
+                if i != j:
+                    pair_w[(ps[i], ps[j])] += 1
+    edges = defaultdict(list)
+    for (s, d), w in pair_w.items():
+        if w >= 2:
+            edges[s].append(d)
+    nodes = sorted(edges)
+    labels = {n: n for n in nodes}
+    for _ in range(4):
+        new = {}
+        incoming = defaultdict(Counter)
+        for s, ds in edges.items():
+            for d in ds:
+                incoming[d][labels[s]] += 1
+        for n in nodes:
+            cnt = incoming[n]
+            mc = max(cnt.values())
+            new[n] = min(l for l, c in cnt.items() if c == mc)
+        labels = new
+    expected = defaultdict(list)
+    for n, l in labels.items():
+        expected[l].append(n)
+    got = {r.community: r for r in QUERIES["q_label_propagation"](spark, sf_dir).collect()}
+    assert set(got) == set(expected)
+    for l, ns in expected.items():
+        assert got[l].n_nodes == len(ns)
+        assert got[l].min_node == min(ns)
+        assert got[l].max_node == max(ns)
+
+
+def test_streaming_srm_and_kmv_match_batch(spark, sf_dir):
+    """Twin parity: the streaming presence-set state drained through the
+    shared tail must equal the batch query row-for-row."""
+    for batch, twin in [("q_srm_check", "q_streaming_srm"), ("q_kmv_sketch", "q_streaming_kmv")]:
+        b = {tuple(r) for r in QUERIES[batch](spark, sf_dir).collect()}
+        s = {tuple(r) for r in QUERIES[twin](spark, sf_dir).collect()}
+        assert b == s, (batch, twin)

@@ -96,6 +96,10 @@ SINGLE_PARTITION_ALLOWANCE = {
     # rollup and the final join); exchange reuse does not fire across the
     # differing projections, so the days-sized exchange materializes twice
     "q_seasonal_decompose": 2,
+    # three one-row aggregates: the split-day bounds, the user-moment
+    # rollup, and the theta scalar consumed via broadcast — each over
+    # #tasks partial rows (days / user-rollup partials), never raw events
+    "q_cuped": 3,
     # the same 2 k-row Lloyd packings, but the final assignment feeds THREE
     # consumers (pair-join left, pair-join right, keep-rule join back), and
     # exchange reuse does not fire across them — 2 x 3 k-row exchanges,
