@@ -153,6 +153,8 @@ _PRIORITY = [
     "q_set_similarity_join", "q_good_turing",
     "q_holt_linear", "q_cuped", "q_label_propagation",
     "q_streaming_srm", "q_streaming_kmv",
+    "q_theil_sen", "q_sort_key_advisor", "q_span_corruption",
+    "q_streaming_holt", "q_streaming_seasonal",
 ]
 
 

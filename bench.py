@@ -133,6 +133,7 @@ TAIL = [
     "q_kmv_sketch", "q_srm_check", "q_seasonal_decompose",
     "q_set_similarity_join", "q_good_turing",
     "q_holt_linear", "q_cuped", "q_label_propagation",
+    "q_theil_sen", "q_sort_key_advisor", "q_span_corruption",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

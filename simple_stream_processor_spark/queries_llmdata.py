@@ -5741,3 +5741,110 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("simpson"),
     )
+
+
+@query(
+    "q_span_corruption",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.i AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           unnest(range(1, len(w) + 1)) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             (('0x' || substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 8))::BIGINT % 7 = 0) AS is_start
+      FROM tok
+    ),
+    masked AS (
+      SELECT doc_id, pos, is_start,
+             max(CASE WHEN is_start THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS is_masked
+      FROM marked
+    ),
+    runs AS (
+      SELECT doc_id, pos, is_start, is_masked,
+             coalesce(lag(is_masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS prev_masked
+      FROM masked
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           CAST(sum(CASE WHEN is_start THEN 1 ELSE 0 END) AS BIGINT) AS n_start_sites,
+           CAST(sum(CASE WHEN is_masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(sum(CASE WHEN is_masked AND NOT prev_masked THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           round(CAST(sum(CASE WHEN is_masked THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS mask_rate
+    FROM runs GROUP BY doc_id
+    """,
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L72: T5-style span-corruption planning (Raffel et al. 2020) — the
+    training-example construction pass that turns a clean corpus into
+    denoising examples: deterministic md5 sites (P = 1/7 per position)
+    start a mask span of 3 tokens; overlapping spans merge (maximal
+    masked runs), giving ~1/7 x 3 ~ 38% nominal corruption before
+    merging. Everything derives from md5('span:'||doc||':'||pos), so the
+    corruption plan is REPRODUCIBLE across engines, reruns, and
+    partitionings — the property that makes the training set auditable
+    (and makes this hash-checkable: span starts, merged span count,
+    masked-token count, and mask rate all match DuckDB bit-for-bit).
+    Plan: one explode with ordinality, two doc-keyed windows (mask
+    lookback over 2 preceding, run-start lag) on the SAME partitioning,
+    one rollup — a single exchange keyed by doc_id carries all three
+    steps. At 100 TB this is the canonical narrow pipeline: no joins,
+    no driver state, mask decisions local to a position's 2-token
+    neighborhood."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"))
+    is_start = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("span:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 7
+        == 0
+    )
+    marked = tok.select("doc_id", "pos", is_start.alias("is_start"))
+    wm = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 0)
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    masked = marked.select(
+        "doc_id",
+        "pos",
+        "is_start",
+        (F.max(F.when(F.col("is_start"), 1).otherwise(0)).over(wm) == 1).alias("is_masked"),
+    )
+    runs = masked.select(
+        "doc_id",
+        "is_start",
+        "is_masked",
+        F.coalesce(F.lag("is_masked").over(wl), F.lit(False)).alias("prev_masked"),
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("is_start"), 1).otherwise(0)).alias("n_start_sites"),
+        F.sum(F.when(F.col("is_masked"), 1).otherwise(0)).alias("n_masked"),
+        F.sum(
+            F.when(F.col("is_masked") & ~F.col("prev_masked"), 1).otherwise(0)
+        ).alias("n_spans"),
+        F.round(
+            F.sum(F.when(F.col("is_masked"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mask_rate"),
+    )

@@ -5997,14 +5997,21 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 7-row slot rollup + broadcast-back all run on days-bounded data.
     At 100 TB the daily rollup is parquet-footer cheap and the
     decomposition itself is O(days)."""
-    from pyspark.sql.window import Window
-
     ev = _t(spark, sf_dir, "events")
     e = ev.select(
         F.expr("unix_millis(ts) div 86400000").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     d = e.groupBy("day").agg(F.sum("cents").alias("cents"))
+    return seasonal_tail(d)
+
+
+def seasonal_tail(d: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming seasonal-decompose queries:
+    from a (day, cents) daily table, the centered-7d integer trend, the
+    day-mod-7 seasonal means, and the exact residual."""
+    from pyspark.sql.window import Window
+
     w = Window.orderBy("day").rangeBetween(-3, 3)
     t = d.select(
         "day",
@@ -6076,13 +6083,15 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     forecaster one rung above q_ewma_smooth (level only), feeding the
     forecast_next baseline q_forecast_eval scores. The recursion's state
     is a STRUCT {level, trend, sse}, folded sequentially over the
-    day-sorted series: Spark F.aggregate over an array_sort'ed
-    collect_list == DuckDB list_reduce over list(ORDER BY day), with the
-    identical expression tree inside the lambda, so level, trend, the
-    one-step-ahead forecast, and the in-sample RMSE are bit-identical
-    across engines (the q_ewma closed-form trick does NOT apply — the
-    2-state recursion has matrix-power closed form only, so this is the
-    repo's canonical sequential-struct-fold). Init: l_1 = x_1, b_1 = 0.
+    day-sorted series: Spark F.aggregate reads the OLD accumulator for
+    every field (simultaneous update), and the oracle mirrors that with
+    a row-per-step RECURSIVE CTE — NOT a DuckDB list_reduce struct fold,
+    which mutates fields sequentially (field 2 sees field 1 updated) and
+    silently diverges on mutually-referential recursions like this one.
+    Identical expression trees per step make level, trend, forecast and
+    in-sample RMSE bit-identical (the q_ewma closed-form trick does NOT
+    apply — the 2-state recursion has matrix-power closed form only).
+    Init: l_1 = x_1, b_1 = 0.
     Scale: the fold is per-SERIES over the days-bounded array (3650
     doubles for a decade) — the series dimension (types/SKUs/users)
     carries the parallelism; one daily rollup is the only corpus-sized
@@ -6091,6 +6100,13 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    return holt_tail(daily)
+
+
+def holt_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Holt queries: from an
+    (event_type, day, cents) daily table, collect the day-sorted series
+    per type and run the {level, trend, sse} struct fold."""
     arr = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.transform(
@@ -6362,4 +6378,247 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
+    )
+
+
+@query(
+    "q_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             a.day AS di, b.day AS dj,
+             CAST(b.cents - a.cents AS DOUBLE) / (b.day - a.day) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.day > a.day
+    ),
+    rk AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type ORDER BY slope, di, dj) AS r,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs
+    ),
+    med AS (
+      SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+             avg(slope) AS slope_med
+      FROM rk
+      WHERE r = (np + 1) // 2 OR r = np // 2 + 1
+      GROUP BY 1
+    ),
+    resid AS (
+      SELECT d.event_type, CAST(d.cents AS DOUBLE) - m.slope_med * d.day AS b0,
+             d.day AS di,
+             row_number() OVER (PARTITION BY d.event_type
+                                ORDER BY CAST(d.cents AS DOUBLE) - m.slope_med * d.day, d.day) AS r,
+             count(*) OVER (PARTITION BY d.event_type) AS nd
+      FROM daily d JOIN med m ON m.event_type = d.event_type
+    )
+    SELECT r2.event_type,
+           CAST(max(r2.nd) AS BIGINT) AS n_days,
+           max(m.n_pairs) AS n_pairs,
+           round(max(m.slope_med), 4) AS slope_cents_per_day,
+           round(avg(r2.b0), 4) AS intercept_cents
+    FROM resid r2 JOIN med m ON m.event_type = r2.event_type
+    WHERE r2.r = (r2.nd + 1) // 2 OR r2.r = r2.nd // 2 + 1
+    GROUP BY 1
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N104: Theil-Sen robust trend estimation (median of all pairwise
+    slopes; Sen 1968) of daily revenue per event type — the
+    outlier-immune companion to the OLS slope q_quality_trend uses and
+    the structural trend q_seasonal_decompose smooths: a single
+    flash-sale day cannot move this slope (29% breakdown point).
+    Determinism: every pairwise slope is the identical double in both
+    engines (exact integer cents / exact integer day gaps), the median
+    rank ORDER pins ties with (slope, day_i, day_j), and the even-count
+    median averages the two middle ranks — same convention in the
+    intercept median of per-day residual intercepts. Scale: the pair
+    join is per-SERIES over the days-bounded daily table (3650 days →
+    6.7M pairs, trivial beside the corpus scan); series carry the
+    parallelism, exactly the q_ewma cost argument — at very long
+    horizons swap in the O(n log n) repeated-median refinement, changing
+    the rank pass, not the plan shape."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    a = daily.select(
+        F.col("event_type").alias("et"), F.col("day").alias("di"), F.col("cents").alias("ci")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"), F.col("day").alias("dj"), F.col("cents").alias("cj")
+    )
+    pairs = (
+        a.join(b, "et")
+        .where(F.col("dj") > F.col("di"))
+        .select(
+            F.col("et").alias("event_type"),
+            "di",
+            "dj",
+            ((F.col("cj") - F.col("ci")).cast("double") / (F.col("dj") - F.col("di"))).alias(
+                "slope"
+            ),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "di", "dj")
+    wn = Window.partitionBy("event_type")
+    rk = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("np"),
+    )
+    med = (
+        rk.where(
+            (F.col("r") == F.expr("(np + 1) div 2")) | (F.col("r") == F.expr("np div 2 + 1"))
+        )
+        .groupBy("event_type")
+        .agg(F.max("np").alias("n_pairs"), F.avg("slope").alias("slope_med"))
+    )
+    resid = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_pairs",
+        "slope_med",
+        "day",
+        (F.col("cents").cast("double") - F.col("slope_med") * F.col("day")).alias("b0"),
+    )
+    wr2 = Window.partitionBy("event_type").orderBy("b0", "day")
+    r2 = resid.select(
+        "event_type",
+        "n_pairs",
+        "slope_med",
+        "b0",
+        F.row_number().over(wr2).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("nd"),
+    )
+    return (
+        r2.where(
+            (F.col("r") == F.expr("(nd + 1) div 2")) | (F.col("r") == F.expr("nd div 2 + 1"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("nd").alias("n_days"),
+            F.max("n_pairs").alias("n_pairs"),
+            F.round(F.max("slope_med"), 4).alias("slope_cents_per_day"),
+            F.round(F.avg("b0"), 4).alias("intercept_cents"),
+        )
+    )
+
+
+@query(
+    "q_sort_key_advisor",
+    oracle="""
+    WITH o AS (
+      SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+             o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    layouts AS (
+      SELECT 'by_date' AS sort_key,
+             ntile(32) OVER (ORDER BY day, o_orderkey) AS bin, * FROM o
+      UNION ALL
+      SELECT 'by_custkey' AS sort_key,
+             ntile(32) OVER (ORDER BY o_custkey, o_orderkey) AS bin, * FROM o
+      UNION ALL
+      SELECT 'by_price' AS sort_key,
+             ntile(32) OVER (ORDER BY cents, o_orderkey) AS bin, * FROM o
+    ),
+    spans AS (
+      SELECT sort_key, bin,
+             max(day) - min(day) AS span_day,
+             max(o_custkey) - min(o_custkey) AS span_cust,
+             max(cents) - min(cents) AS span_cents
+      FROM layouts GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT max(day) - min(day) AS g_day,
+             max(o_custkey) - min(o_custkey) AS g_cust,
+             max(cents) - min(cents) AS g_cents
+      FROM o
+    )
+    SELECT s.sort_key,
+           round(CAST(sum(s.span_day) AS DOUBLE) / (32 * g.g_day), 4) AS scan_frac_date_probe,
+           round(CAST(sum(s.span_cust) AS DOUBLE) / (32 * g.g_cust), 4) AS scan_frac_cust_probe,
+           round(CAST(sum(s.span_cents) AS DOUBLE) / (32 * g.g_cents), 4) AS scan_frac_price_probe
+    FROM spans s, g
+    GROUP BY s.sort_key, g.g_day, g.g_cust, g.g_cents
+    """,
+)
+def q_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N105: sort-key advisor — FOR EACH candidate sort key (order date,
+    customer, price), lay the orders table out in 32 equal row-bins
+    under that key and measure, per probe column, the expected fraction
+    of bins a uniform point probe must scan: sum(bin_span)/(32 x
+    global_span) — the zone-map effectiveness number (Redshift's
+    'clustering depth' arithmetic, Moerkotte 1998 small materialized
+    aggregates). Completes the layout panel: q_zonemap_prune tests ONE
+    layout against one predicate, q_zorder_layout interleaves two keys,
+    q_compaction_plan sizes files — this one RANKS the candidate keys
+    by what they buy every other column's probes (the diagonal is ~1/32
+    = 0.03, self-sorting is perfect; off-diagonals near 1.0 mean that
+    probe gains nothing). All exact integer min/max spans off one
+    ntile pass per layout; ties pinned by o_orderkey so the binning is
+    reproducible. At 100 TB the same numbers come from parquet footer
+    min/max stats — a metadata query, no data scan at all."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr("unix_millis(o_orderdate) div 86400000").alias("day"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    layouts = None
+    for name, keys in (
+        ("by_date", ["day", "o_orderkey"]),
+        ("by_custkey", ["o_custkey", "o_orderkey"]),
+        ("by_price", ["cents", "o_orderkey"]),
+    ):
+        l = o.select(
+            F.lit(name).alias("sort_key"),
+            F.ntile(32).over(Window.orderBy(*keys)).alias("bin"),
+            "day",
+            "o_custkey",
+            "cents",
+        )
+        layouts = l if layouts is None else layouts.unionByName(l)
+    spans = layouts.groupBy("sort_key", "bin").agg(
+        (F.max("day") - F.min("day")).alias("span_day"),
+        (F.max("o_custkey") - F.min("o_custkey")).alias("span_cust"),
+        (F.max("cents") - F.min("cents")).alias("span_cents"),
+    )
+    g = o.agg(
+        (F.max("day") - F.min("day")).alias("g_day"),
+        (F.max("o_custkey") - F.min("o_custkey")).alias("g_cust"),
+        (F.max("cents") - F.min("cents")).alias("g_cents"),
+    )
+    return (
+        spans.crossJoin(F.broadcast(g))
+        .groupBy("sort_key", "g_day", "g_cust", "g_cents")
+        .agg(
+            F.sum("span_day").alias("s_day"),
+            F.sum("span_cust").alias("s_cust"),
+            F.sum("span_cents").alias("s_cents"),
+        )
+        .select(
+            "sort_key",
+            F.round(F.col("s_day").cast("double") / (32 * F.col("g_day")), 4).alias(
+                "scan_frac_date_probe"
+            ),
+            F.round(F.col("s_cust").cast("double") / (32 * F.col("g_cust")), 4).alias(
+                "scan_frac_cust_probe"
+            ),
+            F.round(F.col("s_cents").cast("double") / (32 * F.col("g_cents")), 4).alias(
+                "scan_frac_price_probe"
+            ),
+        )
     )

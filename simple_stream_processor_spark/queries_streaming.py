@@ -1846,3 +1846,71 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = sdf.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
     drained, _ = run_stream_to_memory(d, output_mode="complete")
     return kmv_tail(drained.select("event_type", "user_id"))
+
+
+def _holt_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_holt_linear"]
+
+
+@query("q_streaming_holt", oracle=_holt_oracle())
+def q_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt twin (N101b): the (event_type, day, cents) daily
+    table lives in streaming state — commutative integer sums, bounded at
+    types x days for any stream length (the q_streaming_acf state) — and
+    the level/trend struct fold runs at DRAIN time over the tiny state
+    table via the shared holt_tail, hash-matching the batch oracle. The
+    live forecast refreshes per trigger; the sequential recursion itself
+    never needs to be incremental because its input is days-bounded."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import holt_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    daily = sdf.groupBy(
+        "event_type",
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    drained, _ = run_stream_to_memory(daily, output_mode="complete")
+    return holt_tail(drained)
+
+
+def _seasonal_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_seasonal_decompose"]
+
+
+@query("q_streaming_seasonal", oracle=_seasonal_oracle())
+def q_streaming_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming seasonal-decomposition twin (N100b): the (day, cents)
+    daily state — one integer row per day forever — drained through the
+    shared seasonal_tail (centered-7d integer trend, slot means, exact
+    residual), hash-matching the batch oracle. The trailing days of the
+    live decomposition shift as late data lands (the centered window is
+    only final 3 days behind the watermark — the same caveat the batch
+    docstring's truncation note pins); everything is integer arithmetic,
+    so a replay can never drift."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import seasonal_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    daily = sdf.groupBy(
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    drained, _ = run_stream_to_memory(daily, output_mode="complete")
+    return seasonal_tail(drained)

@@ -68,7 +68,7 @@ EVENT_QUERIES = [
     "q_debounce", "q_lateness_audit", "q_salt_advisor",
     "q_cohort_ltv", "q_nearest_event_join",
     "q_kmv_sketch", "q_srm_check", "q_seasonal_decompose",
-    "q_holt_linear", "q_cuped",
+    "q_holt_linear", "q_cuped", "q_theil_sen",
     "q_top_paths", "q_forecast_eval", "q_changepoint_cusum",
     "q_survival_curve", "q_k_anonymity", "q_ab_test", "q_lag_features",
     "q_power_analysis", "q_grouped_udaf", "q_full_outer_reconcile",
@@ -101,7 +101,7 @@ DOC_QUERIES = [
     "q_cluster_size_dist", "q_bpe_generalization", "q_word_burstiness",
     "q_hashed_features", "q_template_detect", "q_dedup_threshold_curve",
     "q_dedup_savings", "q_quality_trend",
-    "q_set_similarity_join", "q_good_turing",
+    "q_set_similarity_join", "q_good_turing", "q_span_corruption",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -237,7 +237,8 @@ STREAMING_QUERIES = [
     "q_streaming_retention", "q_streaming_active_users",
     "q_streaming_cms", "q_streaming_bloom", "q_streaming_entropy",
     "q_streaming_dsir", "q_streaming_hll", "q_streaming_wasserstein",
-    "q_streaming_srm", "q_streaming_kmv",
+    "q_streaming_srm", "q_streaming_kmv", "q_streaming_holt",
+    "q_streaming_seasonal",
 ]
 
 

@@ -1010,3 +1010,98 @@ def test_streaming_srm_and_kmv_match_batch(spark, sf_dir):
         b = {tuple(r) for r in QUERIES[batch](spark, sf_dir).collect()}
         s = {tuple(r) for r in QUERIES[twin](spark, sf_dir).collect()}
         assert b == s, (batch, twin)
+
+
+def test_theil_sen_matches_python_replay_and_resists_outlier(spark, sf_dir):
+    import statistics
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ev["day"] = ev.ts.values.astype("datetime64[ms]").astype("int64") // 86_400_000
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    rows = {r.event_type: r for r in QUERIES["q_theil_sen"](spark, sf_dir).collect()}
+
+    def med(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        lo, hi = vals[(n + 1) // 2 - 1], vals[n // 2]
+        return (lo + hi) / 2
+
+    for t, g in ev.groupby("event_type"):
+        s = g.groupby("day").cents.sum().sort_index()
+        days, cs = list(s.index), [float(c) for c in s]
+        slopes = [
+            (cs[j] - cs[i]) / (days[j] - days[i])
+            for i in range(len(days))
+            for j in range(i + 1, len(days))
+        ]
+        slope = med(slopes)
+        intercept = med([c - slope * d for d, c in zip(days, cs)])
+        r = rows[t]
+        assert r.n_days == len(days) and r.n_pairs == len(slopes)
+        assert abs(r.slope_cents_per_day - round(slope, 4)) < 1e-6, t
+        assert abs(r.intercept_cents - round(intercept, 4)) < 1e-6, t
+        # robustness: one massive outlier day moves OLS but not Theil-Sen much
+        spiked = cs[:]
+        spiked[len(spiked) // 2] *= 100
+        assert abs(med([
+            (spiked[j] - spiked[i]) / (days[j] - days[i])
+            for i in range(len(days))
+            for j in range(i + 1, len(days))
+        ]) - slope) < abs(
+            statistics.linear_regression(days, spiked).slope
+            - statistics.linear_regression(days, cs).slope
+        )
+
+
+def test_sort_key_advisor_diagonal_wins(spark, sf_dir):
+    """Self-sorted probes must be near-perfect (~1/32) and strictly beat
+    every cross probe under the other layouts."""
+    rows = {r.sort_key: r for r in QUERIES["q_sort_key_advisor"](spark, sf_dir).collect()}
+    assert set(rows) == {"by_date", "by_custkey", "by_price"}
+    assert rows["by_date"].scan_frac_date_probe < 0.1
+    assert rows["by_custkey"].scan_frac_cust_probe < 0.1
+    assert rows["by_price"].scan_frac_price_probe < 0.1
+    # sorting by X helps X more than sorting by an uncorrelated Y does
+    assert rows["by_date"].scan_frac_date_probe < rows["by_custkey"].scan_frac_date_probe
+    assert rows["by_custkey"].scan_frac_cust_probe < rows["by_date"].scan_frac_cust_probe
+    assert rows["by_price"].scan_frac_price_probe < rows["by_date"].scan_frac_price_probe
+
+
+def test_span_corruption_matches_python_replay(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = {r.doc_id: r for r in QUERIES["q_span_corruption"](spark, sf_dir).collect()}
+    for rec in docs.itertuples():
+        n = len(rec.text.split(" "))
+        starts = [
+            p
+            for p in range(1, n + 1)
+            if int(hashlib.md5(f"span:{rec.doc_id}:{p}".encode()).hexdigest()[:8], 16) % 7 == 0
+        ]
+        masked = set()
+        for p in starts:
+            masked.update({p, p + 1, p + 2} & set(range(1, n + 1)))
+        n_spans = sum(1 for p in masked if p - 1 not in masked)
+        r = rows[rec.doc_id]
+        assert (r.n_tokens, r.n_start_sites, r.n_masked, r.n_spans) == (
+            n,
+            len(starts),
+            len(masked),
+            n_spans,
+        ), rec.doc_id
+        assert abs(r.mask_rate - round(len(masked) / n, 4)) < 1e-9
+
+
+def test_streaming_holt_and_seasonal_match_batch(spark, sf_dir):
+    for batch, twin in [
+        ("q_holt_linear", "q_streaming_holt"),
+        ("q_seasonal_decompose", "q_streaming_seasonal"),
+    ]:
+        b = {tuple(r) for r in QUERIES[batch](spark, sf_dir).collect()}
+        s = {tuple(r) for r in QUERIES[twin](spark, sf_dir).collect()}
+        assert b == s, (batch, twin)

@@ -100,6 +100,11 @@ SINGLE_PARTITION_ALLOWANCE = {
     # rollup, and the theta scalar consumed via broadcast — each over
     # #tasks partial rows (days / user-rollup partials), never raw events
     "q_cuped": 3,
+    # one global ntile sort per candidate layout (3) + the one-row span
+    # aggregate — the advisor deliberately MATERIALIZES each layout to
+    # measure it on a narrow 4-int projection; at 100 TB the same numbers
+    # read from parquet footer min/max stats (docstring), no sort at all
+    "q_sort_key_advisor": 4,
     # the same 2 k-row Lloyd packings, but the final assignment feeds THREE
     # consumers (pair-join left, pair-join right, keep-rule join back), and
     # exchange reuse does not fire across them — 2 x 3 k-row exchanges,
