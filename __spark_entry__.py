@@ -155,6 +155,9 @@ _PRIORITY = [
     "q_streaming_srm", "q_streaming_kmv",
     "q_theil_sen", "q_sort_key_advisor", "q_span_corruption",
     "q_streaming_holt", "q_streaming_seasonal",
+    "q_mann_kendall", "q_runs_test", "q_ccf_leadlag", "q_xmr_control",
+    "q_link_prediction", "q_degree_assortativity",
+    "q_growth_accounting", "q_stratified_ate",
 ]
 
 

@@ -134,6 +134,9 @@ TAIL = [
     "q_set_similarity_join", "q_good_turing",
     "q_holt_linear", "q_cuped", "q_label_propagation",
     "q_theil_sen", "q_sort_key_advisor", "q_span_corruption",
+    "q_mann_kendall", "q_runs_test", "q_ccf_leadlag", "q_xmr_control",
+    "q_link_prediction", "q_degree_assortativity",
+    "q_growth_accounting", "q_stratified_ate",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

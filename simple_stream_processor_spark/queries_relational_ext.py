@@ -6622,3 +6622,885 @@ def q_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.day > a.day
+      GROUP BY 1
+    ),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    v AS (
+      SELECT n.event_type, n.n_days, s.s_stat,
+             CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_term AS BIGINT)
+               AS var_s_x18
+      FROM n JOIN s ON s.event_type = n.event_type
+             JOIN ties ON ties.event_type = n.event_type
+    ),
+    z AS (
+      SELECT event_type, n_days, s_stat, var_s_x18,
+             CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s_x18 / 18.0)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s_x18 / 18.0)
+                  ELSE 0.0 END AS zraw
+      FROM v
+    )
+    SELECT event_type, n_days, s_stat, var_s_x18,
+           round(zraw, 4) AS z_stat,
+           CASE WHEN zraw > 1.96 THEN 'increasing'
+                WHEN zraw < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM z
+    """,
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N106: Mann-Kendall trend significance test (Mann 1945, Kendall 1975)
+    of daily revenue per event type — the hypothesis test that says whether
+    q_theil_sen's slope is DISTINGUISHABLE FROM NOISE: S = sum of pairwise
+    sign(c_j - c_i), tie-corrected Var(S) = [n(n-1)(2n+5) - SUM t(t-1)(2t+5)]
+    / 18, continuity-corrected z. Determinism: S, n, and the x18 variance
+    numerator are exact BIGINT; the only floats are one division and one
+    IEEE-exact sqrt per series, the identical expression tree both engines.
+    The trend verdict thresholds the UNROUNDED z at +/-1.96 so the label and
+    the displayed statistic can never disagree. Scale: the sign-pair join is
+    per-SERIES over the days-bounded daily rollup (the q_theil_sen cost
+    argument — 3650 days is 6.7M integer comparisons, trivial beside the
+    corpus scan that builds the daily table); the tie and count terms ride
+    the same rollup. Complements N104 (robust slope magnitude) and N43
+    (pointwise anomaly): this is the monotone-trend yes/no."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    a = daily.select(F.col("event_type").alias("et"), F.col("day").alias("di"), F.col("cents").alias("ci"))
+    b = daily.select(F.col("event_type").alias("et"), F.col("day").alias("dj"), F.col("cents").alias("cj"))
+    s = (
+        a.join(b, "et")
+        .where(F.col("dj") > F.col("di"))
+        .groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("cj") > F.col("ci"), 1)
+                .when(F.col("cj") < F.col("ci"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    n = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias("tie_term"))
+    )
+    v = (
+        n.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (
+                F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            ).alias("var_s_x18"),
+        )
+    )
+    zraw = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(F.col("var_s_x18") / 18.0))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(F.col("var_s_x18") / 18.0))
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        "var_s_x18",
+        F.round(zraw, 4).alias("z_stat"),
+        F.when(zraw > 1.96, F.lit("increasing"))
+        .when(zraw < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+def _daily_cents_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integer-day daily revenue rollup (event_type, day, cents) shared by
+    the trend/dispersion family (N104 Theil-Sen, N106 Mann-Kendall, N107 runs
+    test, N109 XmR): one map-side-combined aggregate, types x days rows."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+
+
+@query(
+    "q_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, day,
+             cents - lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS diff
+      FROM daily
+    ),
+    sgn AS (
+      SELECT event_type, day,
+             CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sg
+      FROM d WHERE diff IS NOT NULL AND diff <> 0
+    ),
+    runs AS (
+      SELECT event_type, sg,
+             CASE WHEN lag(sg) OVER (PARTITION BY event_type ORDER BY day) IS NULL THEN 1
+                  WHEN sg <> lag(sg) OVER (PARTITION BY event_type ORDER BY day) THEN 1
+                  ELSE 0 END AS chg
+      FROM sgn
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(CASE WHEN sg = 1 THEN 1 END) AS BIGINT) AS n_pos,
+             CAST(count(CASE WHEN sg = -1 THEN 1 END) AS BIGINT) AS n_neg,
+             CAST(sum(chg) AS BIGINT) AS n_runs
+      FROM runs GROUP BY 1
+    ),
+    stat AS (
+      SELECT event_type, n_pos, n_neg, n_runs,
+             2.0 * n_pos * n_neg / (n_pos + n_neg) + 1 AS mu,
+             CAST(2 * n_pos * n_neg * (2 * n_pos * n_neg - n_pos - n_neg) AS DOUBLE)
+               / ((n_pos + n_neg) * (n_pos + n_neg) * (n_pos + n_neg - 1)) AS var
+      FROM agg
+    )
+    SELECT event_type, n_pos, n_neg, n_runs,
+           round(mu, 4) AS expected_runs,
+           round((n_runs - mu) / sqrt(var), 4) AS z_stat,
+           CASE WHEN (n_runs - mu) / sqrt(var) IS NULL THEN NULL
+                ELSE abs((n_runs - mu) / sqrt(var)) <= 1.96 END AS looks_random
+    FROM stat
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N107: Wald-Wolfowitz runs test (1940) on the up/down sign sequence of
+    day-over-day revenue per event type — the randomness audit that catches
+    what a mean-level test cannot: momentum (too FEW runs: autocorrelated
+    drift, caching artifacts) or oscillation (too MANY: load-balancer
+    ping-pong, day-parity bugs). Zero diffs are discarded (the classic
+    convention), runs counted as sign changes + 1 via one lag window; n_pos
+    / n_neg / n_runs are exact BIGINT, and mu = 2*n1*n2/(n1+n2)+1 and the
+    variance are each ONE division of exact integer products (the largest,
+    2*n1*n2*(2*n1*n2-n1-n2), is ~4e13 at a 10-year horizon — long-safe).
+    z is NULL (try_divide == DuckDB /0 -> NULL) for degenerate series —
+    constant or 2-day — so fuzz shapes cannot crash ANSI mode. Scale: two
+    keyed lag windows + one aggregate over the types x days rollup; series
+    carry the parallelism. The verdict thresholds unrounded |z| at 1.96."""
+    from pyspark.sql.window import Window
+
+    daily = _daily_cents_by_type(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type", "day", (F.col("cents") - F.lag("cents").over(w)).alias("diff")
+    )
+    sgn = d.where(F.col("diff").isNotNull() & (F.col("diff") != 0)).select(
+        "event_type", "day", F.when(F.col("diff") > 0, 1).otherwise(-1).alias("sg")
+    )
+    runs = sgn.select(
+        "event_type",
+        "sg",
+        F.when(F.lag("sg").over(w).isNull(), 1)
+        .when(F.col("sg") != F.lag("sg").over(w), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.count(F.when(F.col("sg") == 1, 1)).alias("n_pos"),
+        F.count(F.when(F.col("sg") == -1, 1)).alias("n_neg"),
+        F.sum("chg").alias("n_runs"),
+    )
+    n1, n2, r = F.col("n_pos"), F.col("n_neg"), F.col("n_runs")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)).cast("double") / (
+        (n1 + n2) * (n1 + n2) * (n1 + n2 - 1)
+    )
+    z = F.try_divide(r - mu, F.sqrt(var))
+    return agg.select(
+        "event_type",
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        F.round(mu, 4).alias("expected_runs"),
+        F.round(z, 4).alias("z_stat"),
+        F.when(z.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.abs(z) <= 1.96)
+        .alias("looks_random"),
+    )
+
+
+_CCF_ORACLE = """
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2
+    ),
+    x AS (SELECT day, cents AS xc FROM daily WHERE event_type = 'view'),
+    y AS (SELECT day, cents AS yc FROM daily WHERE event_type = 'purchase'),
+    lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(-7, 8)),
+    p AS (
+      SELECT l.lag, x.xc, y.yc
+      FROM lags l JOIN x ON TRUE JOIN y ON y.day = x.day + l.lag
+    ),
+    m AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(xc) AS DOUBLE) AS sx,
+             CAST(sum(yc) AS DOUBLE) AS sy,
+             CAST(sum(CAST(xc AS HUGEINT) * xc) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(yc AS HUGEINT) * yc) AS DOUBLE) AS syy,
+             CAST(sum(CAST(xc AS HUGEINT) * yc) AS DOUBLE) AS sxy
+      FROM p GROUP BY 1
+    )
+    SELECT lag, n_days,
+           round((n * sxy - sx * sy)
+                 / (sqrt(greatest(0, n * sxx - sx * sx)) * sqrt(greatest(0, n * syy - sy * sy))),
+                 6) AS ccf
+    FROM m
+"""
+
+
+def ccf_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming lead-lag CCF: from a
+    (event_type, day, cents) daily table restricted to the view/purchase
+    pair, the cross-correlation at lags -7..+7 via exact-integer moment
+    sums through relational.corr_from_moments (the acf_tail discipline)."""
+    spark = daily.sparkSession
+    lags = spark.range(15).select((F.col("id") - 7).cast("int").alias("lag"))
+    x = daily.where(F.col("event_type") == "view").select(
+        F.col("day").alias("xday"), F.col("cents").alias("xc")
+    )
+    y = daily.where(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("cents").alias("yc")
+    )
+    p = x.crossJoin(F.broadcast(lags)).join(y, F.col("yday") == F.col("xday") + F.col("lag"))
+    m = p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xc").cast("double").alias("sx"),
+        F.sum("yc").cast("double").alias("sy"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc")).cast("double").alias("sxx"),
+        F.sum(F.col("yc").cast("decimal(38,0)") * F.col("yc")).cast("double").alias("syy"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("yc")).cast("double").alias("sxy"),
+    )
+    return m.select(
+        "lag",
+        "n_days",
+        F.round(
+            relational.corr_from_moments(
+                F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("syy"), F.col("sxy")
+            ),
+            6,
+        ).alias("ccf"),
+    )
+
+
+@query("q_ccf_leadlag", oracle=_CCF_ORACLE)
+def q_ccf_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N108: lead-lag cross-correlation (CCF, Box-Jenkins 1970) between the
+    view and purchase daily revenue series at lags -7..+7 — the
+    which-metric-moves-FIRST diagnostic behind every funnel-latency and
+    leading-indicator claim (a peak at lag +2 means views predict purchases
+    two days out; q_acf_daily is this query's special case x==y). Each lag
+    is an integer-day equi-join (day+lag) of the two days-bounded series —
+    15 broadcast-replicated probes, never a range join — and the correlation
+    derives from exact integer moment sums through corr_from_moments (the
+    acf_tail discipline: decimal-widened squares, one double division, 6dp
+    rounding that cannot flip across engines or partition orders). Scale:
+    the corpus scan shrinks map-side into the daily table; everything after
+    is days-bounded. Gap days simply drop out of the overlap (n_days
+    carries the effective sample size per lag)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type", F.expr("unix_millis(ts) div 86400000").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    return ccf_tail(daily)
+
+
+@query(
+    "q_xmr_control",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    mr AS (
+      SELECT event_type, day, cents,
+             abs(cents - lag(cents) OVER (PARTITION BY event_type ORDER BY day)) AS moved
+      FROM daily
+    ),
+    lim AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(count(moved) AS BIGINT) AS n_mr,
+             CAST(sum(moved) AS BIGINT) AS sum_mr
+      FROM mr GROUP BY 1
+    ),
+    bands AS (
+      SELECT event_type, n_days,
+             CAST(sum_cents AS DOUBLE) / n_days AS xbar,
+             CAST(sum_mr AS DOUBLE) / n_mr AS mrbar
+      FROM lim
+    ),
+    breach AS (
+      SELECT d.event_type,
+             CAST(count(CASE WHEN d.cents > b.xbar + 2.66 * b.mrbar
+                              OR d.cents < b.xbar - 2.66 * b.mrbar THEN 1 END) AS BIGINT) AS n_breach,
+             min(CASE WHEN d.cents > b.xbar + 2.66 * b.mrbar
+                       OR d.cents < b.xbar - 2.66 * b.mrbar THEN d.day END) AS first_breach_day
+      FROM daily d JOIN bands b ON b.event_type = d.event_type
+      GROUP BY 1
+    )
+    SELECT b.event_type, b.n_days,
+           round(b.xbar, 4) AS mean_cents,
+           round(b.mrbar, 4) AS mr_mean,
+           round(b.xbar + 2.66 * b.mrbar, 4) AS ucl,
+           round(b.xbar - 2.66 * b.mrbar, 4) AS lcl,
+           br.n_breach, br.first_breach_day
+    FROM bands b JOIN breach br ON br.event_type = b.event_type
+    """,
+)
+def q_xmr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N109: XmR individuals control chart (Shewhart 1931; Wheeler's 2.66
+    constant = 3/d2, d2=1.128 for n=2 moving ranges) on daily revenue per
+    event type: natural process limits x-bar +/- 2.66 * mean-moving-range,
+    the count of out-of-limit days and the first breach day. The SPC
+    complement to q_rolling_zscore (trailing-window, pointwise) and
+    q_changepoint_cusum (cumulative drift): XmR limits come from
+    SHORT-TERM variation (consecutive-day movement), so a slow drift that
+    inflates the global stddev cannot widen them — the chart stays
+    sensitive. Determinism: cents and moving ranges are exact integers;
+    xbar and mrbar are one division each, the limits one shared expression
+    tree, and breach comparisons test exact integers against those
+    identical doubles. mrbar is NULL for 1-day series (try_divide == DuckDB
+    /0) so breaches count zero, never crash. Scale: one keyed lag window +
+    two aggregates over the types x days rollup; the breach pass re-joins
+    the 5-row limits table broadcast."""
+    from pyspark.sql.window import Window
+
+    daily = _daily_cents_by_type(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    mr = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.abs(F.col("cents") - F.lag("cents").over(w)).alias("moved"),
+    )
+    lim = mr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").alias("sum_cents"),
+        F.count("moved").alias("n_mr"),
+        F.sum("moved").alias("sum_mr"),
+    )
+    bands = lim.select(
+        "event_type",
+        "n_days",
+        (F.col("sum_cents").cast("double") / F.col("n_days")).alias("xbar"),
+        F.try_divide(F.col("sum_mr").cast("double"), F.col("n_mr")).alias("mrbar"),
+    )
+    is_breach = (F.col("cents") > F.col("xbar") + 2.66 * F.col("mrbar")) | (
+        F.col("cents") < F.col("xbar") - 2.66 * F.col("mrbar")
+    )
+    breach = (
+        daily.join(F.broadcast(bands), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(is_breach, 1)).alias("n_breach"),
+            F.min(F.when(is_breach, F.col("day"))).alias("first_breach_day"),
+        )
+    )
+    return bands.join(breach, "event_type").select(
+        "event_type",
+        "n_days",
+        F.round(F.col("xbar"), 4).alias("mean_cents"),
+        F.round(F.col("mrbar"), 4).alias("mr_mean"),
+        F.round(F.col("xbar") + 2.66 * F.col("mrbar"), 4).alias("ucl"),
+        F.round(F.col("xbar") - 2.66 * F.col("mrbar"), 4).alias("lcl"),
+        "n_breach",
+        "first_breach_day",
+    )
+
+
+@query(
+    "q_link_prediction",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (SELECT x AS a, y AS b FROM e UNION ALL SELECT y, x FROM e),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    cand AS (
+      SELECT l.a AS u, r.b AS v, CAST(count(*) AS BIGINT) AS cn
+      FROM adj l JOIN adj r ON l.b = r.a AND l.a < r.b
+      GROUP BY 1, 2
+    ),
+    nonedge AS (
+      SELECT c.u, c.v, c.cn FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.x = c.u AND e.y = c.v)
+    )
+    SELECT n.u AS part_a, n.v AS part_b, n.cn AS common_neighbors,
+           round(CAST(n.cn AS DOUBLE) / (du.d + dv.d - n.cn), 6) AS jaccard
+    FROM nonedge n
+    JOIN deg du ON du.node = n.u
+    JOIN deg dv ON dv.node = n.v
+    ORDER BY n.cn DESC, n.u, n.v
+    LIMIT 20
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N110: common-neighbors link prediction (Liben-Nowell & Kleinberg 2003)
+    over the repeat-co-purchase part graph (the q_label_propagation edge set,
+    w >= 2): the top-20 NON-adjacent part pairs ranked by shared neighbors —
+    the 'frequently bought with the same things, never together yet'
+    recommendation shortlist. The wedge join through the shared neighbor is
+    collision-proportional (SUM deg(mid)^2 over the w>=2-sparsified graph),
+    the same cost shape as q_triangle_count's wedge pass; existing edges
+    leave by anti-join; degrees broadcast back for the Jaccard column.
+    Ranking is the EXACT integer (cn DESC, part_a, part_b) — the Jaccard
+    float is display-only, never an ORDER BY at the LIMIT boundary (the
+    cross-engine float-ranking rule) — so the TakeOrdered top-20 is
+    byte-stable. At 100 TB the wedge pass bounds via the same
+    degree-orientation trick the triangle counter documents."""
+    e = _repeat_copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = e.select(F.col("x").alias("a"), F.col("y").alias("b")).unionAll(
+        e.select(F.col("y").alias("a"), F.col("x").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    l = adj.select(F.col("a").alias("u"), F.col("b").alias("mid"))
+    r = adj.select(F.col("a").alias("mid"), F.col("b").alias("v"))
+    cand = (
+        l.join(r, "mid")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonedge = cand.join(e, (cand["u"] == e["x"]) & (cand["v"] == e["y"]), "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    scored = (
+        nonedge.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round(
+                F.col("cn").cast("double") / (F.col("du") + F.col("dv") - F.col("cn")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("common_neighbors"), "part_a", "part_b").limit(20)
+
+
+def _repeat_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-co-purchase part graph: undirected (x < y) edges appearing in
+    >= 2 distinct orders — the sparsified graph q_label_propagation mines
+    (single-co-occurrence edges are noise at any scale; the w >= 2 cut keeps
+    edge count collision-proportional rather than quadratic in basket size)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("x", "y")
+    )
+
+
+@query(
+    "q_degree_assortativity",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    w AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y, CAST(count(*) AS BIGINT) AS w
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    graphs AS (
+      SELECT 'all' AS graph, x, y FROM w
+      UNION ALL
+      SELECT 'repeat' AS graph, x, y FROM w WHERE w >= 2
+    ),
+    adj AS (
+      SELECT graph, x AS a, y AS b FROM graphs
+      UNION ALL
+      SELECT graph, y, x FROM graphs
+    ),
+    deg AS (SELECT graph, a AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1, 2),
+    ends AS (
+      SELECT adj.graph, da.d AS dx, db.d AS dy
+      FROM adj
+      JOIN deg da ON da.graph = adj.graph AND da.node = adj.a
+      JOIN deg db ON db.graph = adj.graph AND db.node = adj.b
+    ),
+    m AS (
+      SELECT graph,
+             CAST(count(*) AS BIGINT) AS n_ends,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dx) AS DOUBLE) AS sx,
+             CAST(sum(dy) AS DOUBLE) AS sy,
+             CAST(sum(CAST(dx AS HUGEINT) * dx) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(dy AS HUGEINT) * dy) AS DOUBLE) AS syy,
+             CAST(sum(CAST(dx AS HUGEINT) * dy) AS DOUBLE) AS sxy
+      FROM ends GROUP BY 1
+    ),
+    gstats AS (
+      SELECT graph,
+             CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+             round(avg(d), 4) AS avg_degree,
+             CAST(max(d) AS BIGINT) AS max_degree
+      FROM deg GROUP BY 1
+    )
+    SELECT g.graph, g.n_nodes, m.n_ends // 2 AS n_edges, g.avg_degree, g.max_degree,
+           round((m.n * m.sxy - m.sx * m.sy)
+                 / (sqrt(greatest(0, m.n * m.sxx - m.sx * m.sx))
+                    * sqrt(greatest(0, m.n * m.syy - m.sy * m.sy))), 6) AS assortativity
+    FROM gstats g JOIN m ON m.graph = g.graph
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N111: degree assortativity (Newman 2002, Pearson r of endpoint degrees
+    over directed edge ends) for BOTH co-purchase graph variants — 'all'
+    (w>=1, the q_pagerank/q_triangle_count graph) and 'repeat' (w>=2, the
+    q_label_propagation graph) — plus node/edge/degree summary: the one
+    number that says whether hubs attach to hubs (r>0, robust cores,
+    assortative mixing) or to leaves (r<0, hub-and-spoke, disassortative) —
+    which decides whether hub-keyed joins skew and whether the LSH/blocking
+    families' bucket sizes balance. Both graph variants ride ONE basket
+    self-join (the weight filter forks after the pair count); the degree
+    table joins back broadcast (nodes-bounded); the correlation is the
+    exact-integer corr_from_moments tree (decimal-widened squares, one
+    double division, 6dp). Why each edge counts TWICE (both orientations):
+    that is Newman's estimator — it symmetrizes the degree pairing so r is
+    orientation-free. At 100 TB: two exchanges (pair count, degree count),
+    both collision-proportional."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))
+    w = (
+        a.join(b, "ok")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    graphs = w.select(F.lit("all").alias("graph"), "x", "y").unionAll(
+        w.where(F.col("w") >= 2).select(F.lit("repeat").alias("graph"), "x", "y")
+    )
+    adj = graphs.select("graph", F.col("x").alias("a"), F.col("y").alias("b")).unionAll(
+        graphs.select("graph", F.col("y").alias("a"), F.col("x").alias("b"))
+    )
+    deg = adj.groupBy("graph", F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("graph").alias("g1"), F.col("node").alias("na"), F.col("d").alias("dx"))
+    db = deg.select(F.col("graph").alias("g2"), F.col("node").alias("nb"), F.col("d").alias("dy"))
+    ends = adj.join(
+        F.broadcast(da), (F.col("graph") == F.col("g1")) & (F.col("a") == F.col("na"))
+    ).join(F.broadcast(db), (F.col("graph") == F.col("g2")) & (F.col("b") == F.col("nb")))
+    m = ends.groupBy("graph").agg(
+        F.count(F.lit(1)).alias("n_ends"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx")).cast("double").alias("sxx"),
+        F.sum(F.col("dy").cast("decimal(38,0)") * F.col("dy")).cast("double").alias("syy"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy")).cast("double").alias("sxy"),
+    )
+    gstats = deg.groupBy("graph").agg(
+        F.count_distinct(F.col("node")).alias("n_nodes"),
+        F.round(F.avg("d"), 4).alias("avg_degree"),
+        F.max("d").alias("max_degree"),
+    )
+    return gstats.join(m, "graph").select(
+        "graph",
+        "n_nodes",
+        F.expr("n_ends div 2").alias("n_edges"),
+        "avg_degree",
+        "max_degree",
+        F.round(
+            relational.corr_from_moments(
+                F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("syy"), F.col("sxy")
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@query(
+    "q_growth_accounting",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week FROM events
+    ),
+    fw AS (SELECT user_id, min(week) AS first_week FROM uw GROUP BY 1),
+    mx AS (SELECT max(week) AS max_week FROM uw),
+    status AS (
+      SELECT uw.week,
+             CASE WHEN uw.week = fw.first_week THEN 'new'
+                  WHEN EXISTS (SELECT 1 FROM uw p
+                               WHERE p.user_id = uw.user_id AND p.week = uw.week - 1)
+                       THEN 'retained'
+                  ELSE 'resurrected' END AS st
+      FROM uw JOIN fw ON fw.user_id = uw.user_id
+    ),
+    act AS (
+      SELECT week,
+             CAST(count(CASE WHEN st = 'new' THEN 1 END) AS BIGINT) AS n_new,
+             CAST(count(CASE WHEN st = 'retained' THEN 1 END) AS BIGINT) AS n_retained,
+             CAST(count(CASE WHEN st = 'resurrected' THEN 1 END) AS BIGINT) AS n_resurrected
+      FROM status GROUP BY 1
+    ),
+    churn AS (
+      SELECT c.week, CAST(count(*) AS BIGINT) AS n_churned
+      FROM (SELECT user_id, week + 1 AS week FROM uw) c, mx
+      WHERE c.week <= mx.max_week
+        AND NOT EXISTS (SELECT 1 FROM uw p
+                        WHERE p.user_id = c.user_id AND p.week = c.week)
+      GROUP BY 1
+    )
+    SELECT coalesce(a.week, c.week) AS week,
+           coalesce(a.n_new, 0) AS n_new,
+           coalesce(a.n_retained, 0) AS n_retained,
+           coalesce(a.n_resurrected, 0) AS n_resurrected,
+           coalesce(c.n_churned, 0) AS n_churned
+    FROM act a FULL OUTER JOIN churn c ON c.week = a.week
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N112: weekly growth accounting (the Social Capital 'accounting
+    identity' panel: new / retained / resurrected / churned) — the
+    decomposition that explains every WAU move: WAU(w) - WAU(w-1) ==
+    n_new + n_resurrected - n_churned, an identity the pytest pins. The
+    roll-forward complement to q_retention_curve (cohort view) and
+    q_active_users (level view): same (user, week) DISTINCT everyone
+    already pays, classified with one broadcastable first-week table and
+    one self-shift. Churned(w) = active in w-1, absent in w, clipped at the
+    horizon so the final week cannot fabricate churn. All columns exact
+    BIGINT — nothing to round, nothing to drift. Scale: state is
+    users x weeks presence, the q_streaming_retention bound; the
+    first-week table is users-bounded; the anti-join shifts the same
+    presence set one week — two exchanges total on the same key."""
+    ev = _t(spark, sf_dir, "events")
+    uw = (
+        ev.select("user_id", F.expr("unix_millis(ts) div 604800000").alias("week"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    fw = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    prev = uw.select("user_id", (F.col("week") + 1).alias("week"), F.lit(1).alias("was_prev"))
+    status = (
+        uw.join(fw, "user_id")
+        .join(prev, ["user_id", "week"], "left")
+        .select(
+            "week",
+            F.when(F.col("week") == F.col("first_week"), F.lit("new"))
+            .when(F.col("was_prev").isNotNull(), F.lit("retained"))
+            .otherwise(F.lit("resurrected"))
+            .alias("st"),
+        )
+    )
+    act = status.groupBy("week").agg(
+        F.count(F.when(F.col("st") == "new", 1)).alias("n_new"),
+        F.count(F.when(F.col("st") == "retained", 1)).alias("n_retained"),
+        F.count(F.when(F.col("st") == "resurrected", 1)).alias("n_resurrected"),
+    )
+    mx = uw.agg(F.max("week").alias("max_week"))
+    churn = (
+        uw.select("user_id", (F.col("week") + 1).alias("week"))
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("week") <= F.col("max_week"))
+        .join(uw, ["user_id", "week"], "left_anti")
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return act.join(churn, "week", "full_outer").select(
+        "week",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+        F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+        F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+    )
+
+
+@query(
+    "q_stratified_ate",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CASE WHEN 5 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       > count(*) THEN 1 ELSE 0 END AS treated,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT *, ntile(5) OVER (ORDER BY n_events, user_id) AS stratum FROM u
+    ),
+    per AS (
+      SELECT stratum,
+             CAST(count(CASE WHEN treated = 1 THEN 1 END) AS BIGINT) AS n_treat,
+             CAST(count(CASE WHEN treated = 0 THEN 1 END) AS BIGINT) AS n_ctrl,
+             CAST(sum(CASE WHEN treated = 1 THEN cents ELSE 0 END) AS BIGINT) AS st,
+             CAST(sum(CASE WHEN treated = 0 THEN cents ELSE 0 END) AS BIGINT) AS sc
+      FROM s GROUP BY 1
+    ),
+    m AS (
+      SELECT stratum, n_treat, n_ctrl,
+             CAST(st AS DOUBLE) / n_treat AS mean_t,
+             CAST(sc AS DOUBLE) / n_ctrl AS mean_c
+      FROM per
+    ),
+    strata_rows AS (
+      SELECT CAST(stratum AS VARCHAR) AS stratum, n_treat, n_ctrl,
+             round(mean_t, 4) AS mean_treat_cents,
+             round(mean_c, 4) AS mean_ctrl_cents,
+             round(mean_t - mean_c, 4) AS diff_cents
+      FROM m
+    ),
+    valid AS (
+      SELECT stratum, n_treat, n_ctrl,
+             (n_treat + n_ctrl) * (mean_t - mean_c) AS term
+      FROM m WHERE n_treat > 0 AND n_ctrl > 0
+    ),
+    allrow AS (
+      SELECT '<all>' AS stratum,
+             CAST(sum(n_treat) AS BIGINT) AS n_treat,
+             CAST(sum(n_ctrl) AS BIGINT) AS n_ctrl,
+             CAST(NULL AS DOUBLE) AS mean_treat_cents,
+             CAST(NULL AS DOUBLE) AS mean_ctrl_cents,
+             round(list_reduce(list_prepend(0.0, list(term ORDER BY stratum)),
+                               (a, b) -> a + b)
+                   / sum(n_treat + n_ctrl), 4) AS diff_cents
+      FROM valid
+    )
+    SELECT * FROM strata_rows UNION ALL SELECT * FROM allrow
+    """,
+)
+def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N113: stratified average treatment effect (Cochran 1968
+    subclassification; Imbens-Rubin ch.17) — the OBSERVATIONAL causal
+    readout where q_ab_test's randomization is absent: do ERROR-PRONE users
+    (treatment = error share above the uniform 1/5 expectation, the exact
+    integer comparison 5*n_error > n_events — scale-free, like q_ab_test's
+    conversion) spend less, controlling for activity? Users are subclassified into 5 activity quintiles (ntile over
+    the exact (n_events, user_id) order — reproducible across engines);
+    within a stratum treated and control users are comparable, and the
+    <all> row is the stratum-size-weighted mean difference — confounding by
+    activity level is removed exactly where CUPED (N102) removes
+    pre-period variance. Per-stratum means are one division of exact cents
+    sums; the cross-stratum ATE numerator is a SORTED FOLD over the 5
+    stratum terms (F.aggregate over array_sort == DuckDB list_reduce ORDER
+    BY — the float-sum discipline) so partition order cannot flip the 4dp.
+    Scale: one user rollup (map-side combined), a users-bounded ntile (the
+    one budgeted single-partition exchange — same stance as
+    q_conformal_threshold; at corpus scale swap for pre-computed decile
+    bounds via approx quantiles), then 5-row arithmetic."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("cents"),
+    )
+    u = u.select(
+        "user_id",
+        "n_events",
+        "cents",
+        F.when(5 * F.col("n_error") > F.col("n_events"), 1).otherwise(0).alias("treated"),
+    )
+    s = u.select("*", F.ntile(5).over(Window.orderBy("n_events", "user_id")).alias("stratum"))
+    per = s.groupBy("stratum").agg(
+        F.count(F.when(F.col("treated") == 1, 1)).alias("n_treat"),
+        F.count(F.when(F.col("treated") == 0, 1)).alias("n_ctrl"),
+        F.sum(F.when(F.col("treated") == 1, F.col("cents")).otherwise(0)).alias("st"),
+        F.sum(F.when(F.col("treated") == 0, F.col("cents")).otherwise(0)).alias("sc"),
+    )
+    m = per.select(
+        "stratum",
+        "n_treat",
+        "n_ctrl",
+        F.try_divide(F.col("st").cast("double"), F.col("n_treat")).alias("mean_t"),
+        F.try_divide(F.col("sc").cast("double"), F.col("n_ctrl")).alias("mean_c"),
+    )
+    strata_rows = m.select(
+        F.col("stratum").cast("string").alias("stratum"),
+        "n_treat",
+        "n_ctrl",
+        F.round("mean_t", 4).alias("mean_treat_cents"),
+        F.round("mean_c", 4).alias("mean_ctrl_cents"),
+        F.round(F.col("mean_t") - F.col("mean_c"), 4).alias("diff_cents"),
+    )
+    valid = m.where((F.col("n_treat") > 0) & (F.col("n_ctrl") > 0)).select(
+        "stratum",
+        "n_treat",
+        "n_ctrl",
+        ((F.col("n_treat") + F.col("n_ctrl")) * (F.col("mean_t") - F.col("mean_c"))).alias(
+            "term"
+        ),
+    )
+    allrow = valid.agg(
+        F.sum("n_treat").alias("n_treat"),
+        F.sum("n_ctrl").alias("n_ctrl"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("stratum"), F.col("term").alias("v")))
+                ),
+                lambda x: x["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("num"),
+        F.sum(F.col("n_treat") + F.col("n_ctrl")).alias("den"),
+    ).select(
+        F.lit("<all>").alias("stratum"),
+        "n_treat",
+        "n_ctrl",
+        F.lit(None).cast("double").alias("mean_treat_cents"),
+        F.lit(None).cast("double").alias("mean_ctrl_cents"),
+        F.round(F.col("num") / F.col("den"), 4).alias("diff_cents"),
+    )
+    return strata_rows.unionByName(allrow)

@@ -69,6 +69,8 @@ EVENT_QUERIES = [
     "q_cohort_ltv", "q_nearest_event_join",
     "q_kmv_sketch", "q_srm_check", "q_seasonal_decompose",
     "q_holt_linear", "q_cuped", "q_theil_sen",
+    "q_mann_kendall", "q_runs_test", "q_ccf_leadlag", "q_xmr_control",
+    "q_growth_accounting", "q_stratified_ate",
     "q_top_paths", "q_forecast_eval", "q_changepoint_cusum",
     "q_survival_curve", "q_k_anonymity", "q_ab_test", "q_lag_features",
     "q_power_analysis", "q_grouped_udaf", "q_full_outer_reconcile",
@@ -264,7 +266,7 @@ TPCH_QUERIES = [
     "q_tpch_q13", "q_tpch_q18", "q_tpch_q22",
     "q_pagerank", "q_densest_subgraph", "q_triangle_count",
     "q_market_basket", "q_table_profile", "q_benford_audit",
-    "q_gini_concentration",
+    "q_gini_concentration", "q_link_prediction", "q_degree_assortativity",
 ]
 
 ORDER_STATUS = ["F", "O", "P"]

@@ -1105,3 +1105,239 @@ def test_streaming_holt_and_seasonal_match_batch(spark, sf_dir):
         b = {tuple(r) for r in QUERIES[batch](spark, sf_dir).collect()}
         s = {tuple(r) for r in QUERIES[twin](spark, sf_dir).collect()}
         assert b == s, (batch, twin)
+
+
+def _daily_cents_pd(sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ev["day"] = ev.ts.values.astype("datetime64[ms]").astype("int64") // 86_400_000
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    return ev.groupby(["event_type", "day"]).cents.sum().reset_index()
+
+
+def test_mann_kendall_matches_python_replay(spark, sf_dir):
+    daily = _daily_cents_pd(sf_dir)
+    rows = {r.event_type: r for r in QUERIES["q_mann_kendall"](spark, sf_dir).collect()}
+    for t, g in daily.groupby("event_type"):
+        cs = [int(c) for _, c in sorted(zip(g.day, g.cents))]
+        n = len(cs)
+        s = sum(
+            (1 if cs[j] > cs[i] else -1 if cs[j] < cs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie = sum(c * (c - 1) * (2 * c + 5) for c in Counter(cs).values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        z = 0.0 if s == 0 else (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0)
+        r = rows[t]
+        assert r.n_days == n and r.s_stat == s and r.var_s_x18 == var18
+        assert abs(r.z_stat - round(z, 4)) < 1e-9, t
+        assert r.trend == ("increasing" if z > 1.96 else "decreasing" if z < -1.96 else "no_trend")
+
+
+def test_runs_test_matches_python_replay(spark, sf_dir):
+    daily = _daily_cents_pd(sf_dir)
+    rows = {r.event_type: r for r in QUERIES["q_runs_test"](spark, sf_dir).collect()}
+    for t, g in daily.groupby("event_type"):
+        cs = [int(c) for _, c in sorted(zip(g.day, g.cents))]
+        sg = [1 if b > a else -1 for a, b in zip(cs, cs[1:]) if b != a]
+        if not sg:
+            assert t not in rows
+            continue
+        n1, n2 = sg.count(1), sg.count(-1)
+        runs = 1 + sum(1 for a, b in zip(sg, sg[1:]) if a != b)
+        mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+        var_num = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        var = var_num / ((n1 + n2) ** 2 * (n1 + n2 - 1)) if (n1 + n2) > 1 else 0.0
+        r = rows[t]
+        assert (r.n_pos, r.n_neg, r.n_runs) == (n1, n2, runs)
+        assert abs(r.expected_runs - round(mu, 4)) < 1e-9
+        if var > 0:
+            z = (runs - mu) / math.sqrt(var)
+            assert abs(r.z_stat - round(z, 4)) < 1e-9
+            assert r.looks_random == (abs(z) <= 1.96)
+        else:
+            assert r.z_stat is None and r.looks_random is None
+
+
+def test_ccf_lag_zero_equals_pearson_and_acf_special_case(spark, sf_dir):
+    import numpy as np
+
+    daily = _daily_cents_pd(sf_dir)
+    x = daily[daily.event_type == "view"].set_index("day").cents
+    y = daily[daily.event_type == "purchase"].set_index("day").cents
+    rows = {r.lag: r for r in QUERIES["q_ccf_leadlag"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(-7, 8))
+    for lag in (-3, 0, 2):
+        shifted = y.copy()
+        shifted.index = shifted.index - lag  # y at day x.day + lag
+        both = x.to_frame("x").join(shifted.to_frame("y"), how="inner")
+        r = rows[lag]
+        assert r.n_days == len(both)
+        expect = float(np.corrcoef(both.x, both.y)[0, 1])
+        assert abs(r.ccf - round(expect, 6)) < 1e-4, lag
+
+
+def test_xmr_control_matches_python_replay(spark, sf_dir):
+    daily = _daily_cents_pd(sf_dir)
+    rows = {r.event_type: r for r in QUERIES["q_xmr_control"](spark, sf_dir).collect()}
+    for t, g in daily.groupby("event_type"):
+        series = sorted(zip(g.day, g.cents))
+        cs = [int(c) for _, c in series]
+        xbar = sum(cs) / len(cs)
+        mrs = [abs(b - a) for a, b in zip(cs, cs[1:])]
+        r = rows[t]
+        assert r.n_days == len(cs)
+        assert abs(r.mean_cents - round(xbar, 4)) < 1e-9
+        if not mrs:
+            assert r.mr_mean is None and r.n_breach == 0
+            continue
+        mrbar = sum(mrs) / len(mrs)
+        ucl, lcl = xbar + 2.66 * mrbar, xbar - 2.66 * mrbar
+        breach_days = [d for d, c in series if c > ucl or c < lcl]
+        assert abs(r.mr_mean - round(mrbar, 4)) < 1e-9
+        assert r.n_breach == len(breach_days)
+        assert r.first_breach_day == (min(breach_days) if breach_days else None)
+
+
+def _repeat_graph_pd(sf_dir):
+    import itertools
+
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    items = li.drop_duplicates()
+    from collections import Counter
+
+    pair_orders = Counter()
+    for _, g in items.groupby("l_orderkey"):
+        for x, y in itertools.combinations(sorted(g.l_partkey), 2):
+            pair_orders[(x, y)] += 1
+    return {p for p, c in pair_orders.items() if c >= 2}
+
+
+def test_link_prediction_matches_bruteforce(spark, sf_dir):
+    from collections import defaultdict
+
+    edges = _repeat_graph_pd(sf_dir)
+    nbr = defaultdict(set)
+    for x, y in edges:
+        nbr[x].add(y)
+        nbr[y].add(x)
+    cn = {}
+    nodes = sorted(nbr)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if (u, v) in edges:
+                continue
+            c = len(nbr[u] & nbr[v])
+            if c:
+                cn[(u, v)] = c
+    expect = sorted(cn.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = QUERIES["q_link_prediction"](spark, sf_dir).collect()
+    assert [((r.part_a, r.part_b), r.common_neighbors) for r in rows] == expect
+    for r in rows:
+        j = r.common_neighbors / (len(nbr[r.part_a]) + len(nbr[r.part_b]) - r.common_neighbors)
+        assert abs(r.jaccard - round(j, 6)) < 1e-9
+        assert (r.part_a, r.part_b) not in edges, "predicted pair must be a non-edge"
+
+
+def test_degree_assortativity_matches_numpy(spark, sf_dir):
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    from collections import Counter, defaultdict
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    items = li.drop_duplicates()
+    pair_orders = Counter()
+    for _, g in items.groupby("l_orderkey"):
+        for x, y in itertools.combinations(sorted(g.l_partkey), 2):
+            pair_orders[(x, y)] += 1
+    rows = {r.graph: r for r in QUERIES["q_degree_assortativity"](spark, sf_dir).collect()}
+    for graph, minw in (("all", 1), ("repeat", 2)):
+        edges = [p for p, c in pair_orders.items() if c >= minw]
+        deg = defaultdict(int)
+        for x, y in edges:
+            deg[x] += 1
+            deg[y] += 1
+        dx = [deg[x] for x, y in edges] + [deg[y] for x, y in edges]
+        dy = [deg[y] for x, y in edges] + [deg[x] for x, y in edges]
+        r = rows[graph]
+        assert r.n_nodes == len(deg) and r.n_edges == len(edges)
+        assert r.max_degree == max(deg.values())
+        assert abs(r.avg_degree - round(sum(deg.values()) / len(deg), 4)) < 1e-9
+        expect = float(np.corrcoef(dx, dy)[0, 1])
+        assert abs(r.assortativity - round(expect, 6)) < 1e-4, graph
+
+
+def test_growth_accounting_identity_and_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    ev["week"] = ev.ts.values.astype("datetime64[ms]").astype("int64") // 604_800_000
+    uw = set(zip(ev.user_id, ev.week))
+    weeks = sorted({w for _, w in uw})
+    wau = {w: sum(1 for _, ww in uw if ww == w) for w in weeks}
+    rows = {r.week: r for r in QUERIES["q_growth_accounting"](spark, sf_dir).collect()}
+    first = {}
+    for u, w in uw:
+        first[u] = min(first.get(u, w), w)
+    for w in weeks:
+        r = rows[w]
+        active = {u for u, ww in uw if ww == w}
+        n_new = sum(1 for u in active if first[u] == w)
+        n_ret = sum(1 for u in active if (u, w - 1) in uw)
+        n_res = len(active) - n_new - n_ret
+        n_churn = sum(1 for u, ww in uw if ww == w - 1 and (u, w) not in uw) if w - 1 in wau else 0
+        assert (r.n_new, r.n_retained, r.n_resurrected) == (n_new, n_ret, n_res), w
+        if w > weeks[0]:
+            assert r.n_churned == n_churn
+            # the accounting identity every WAU move decomposes into
+            assert wau[w] - wau[w - 1] == r.n_new + r.n_resurrected - r.n_churned, w
+
+
+def test_stratified_ate_weighting_and_ntile_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+    u = ev.groupby("user_id").agg(
+        n_events=("event_type", "size"),
+        n_error=("event_type", lambda s: int((s == "error").sum())),
+    )
+    u["treated"] = (5 * u.n_error > u.n_events).astype(int)
+    cents = (
+        ev[ev.event_type == "purchase"]
+        .assign(c=lambda d: (d.value * 100).round().astype("int64"))
+        .groupby("user_id")
+        .c.sum()
+    )
+    u["cents"] = cents.reindex(u.index).fillna(0).astype("int64")
+    order = u.sort_values(["n_events", "user_id"], kind="mergesort").index
+    n = len(order)
+    base, rem = divmod(n, 5)
+    strat = {}
+    pos = 0
+    for b in range(1, 6):
+        size = base + (1 if b <= rem else 0)
+        for uid in order[pos : pos + size]:
+            strat[uid] = b
+        pos += size
+    u["stratum"] = u.index.map(strat)
+    rows = {r.stratum: r for r in QUERIES["q_stratified_ate"](spark, sf_dir).collect()}
+    num = den = 0.0
+    for b, g in u.groupby("stratum"):
+        t, c = g[g.treated == 1], g[g.treated == 0]
+        r = rows[str(b)]
+        assert (r.n_treat, r.n_ctrl) == (len(t), len(c))
+        if len(t) and len(c):
+            diff = t.cents.mean() - c.cents.mean()
+            assert abs(r.diff_cents - round(diff, 4)) < 1e-6
+            num += len(g) * diff
+            den += len(g)
+    assert abs(rows["<all>"].diff_cents - round(num / den, 4)) < 1e-6
+    assert rows["<all>"].mean_treat_cents is None

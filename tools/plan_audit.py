@@ -40,6 +40,10 @@ SINGLE_PARTITION_BUDGET = 1
 # be a plan whose single-partition exchanges each carry only
 # partial-aggregated rows (#tasks rows or one row), never record-level data.
 SINGLE_PARTITION_ALLOWANCE = {
+    # the users-bounded activity-quintile ntile (documented swap to
+    # approx-quantile bounds at corpus scale) plus the final one-row ATE
+    # fold over the 5 stratum terms — never event-level data
+    "q_stratified_ate": 2,
     # two FK audits union two one-row aggregates (each final agg is a
     # SinglePartition exchange over #tasks partial rows)
     "q_integrity_audit": 2,
