@@ -158,6 +158,8 @@ _PRIORITY = [
     "q_mann_kendall", "q_runs_test", "q_ccf_leadlag", "q_xmr_control",
     "q_link_prediction", "q_degree_assortativity",
     "q_growth_accounting", "q_stratified_ate",
+    "q_nearest_centroid", "q_silhouette", "q_char_bigram_entropy",
+    "q_streaming_ccf", "q_streaming_growth", "q_streaming_xmr",
 ]
 
 

@@ -137,6 +137,7 @@ TAIL = [
     "q_mann_kendall", "q_runs_test", "q_ccf_leadlag", "q_xmr_control",
     "q_link_prediction", "q_degree_assortativity",
     "q_growth_accounting", "q_stratified_ate",
+    "q_nearest_centroid", "q_silhouette", "q_char_bigram_entropy",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

@@ -5848,3 +5848,225 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mask_rate"),
     )
+
+
+@query(
+    "q_nearest_centroid",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (
+      SELECT label, t.i AS pos, v[t.i] AS x
+      FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+    ),
+    cl AS (SELECT label, pos, round(avg(x), 6) AS c FROM ex GROUP BY label, pos),
+    cent AS (SELECT label AS clabel, list(c ORDER BY pos) AS cv FROM cl GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+      FROM e, cent c
+    ),
+    best AS (
+      SELECT vec_id, label, clabel AS pred_label
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rk
+            FROM scored)
+      WHERE rk = 1
+    )
+    SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n
+    FROM best GROUP BY 1, 2
+    """,
+)
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L68: nearest-centroid classification (Rocchio 1971; the 'centroid
+    method' text-classification baseline) evaluated in-corpus as a
+    label-quality confusion matrix: assign every vector to its
+    max-cosine label centroid and count (true label, predicted label)
+    cells — the diagonal mass is the labels' linear separability, and
+    off-diagonal spikes localize which pairs of sources/clusters bleed
+    into each other (the centroid-level view of q_label_noise's kNN
+    disagreement). Centroids use the IVF/q_embedding_drift machinery
+    (posexplode partial means rounded 6dp so partition order cannot
+    shift them); every cosine is the same sequential-fold expression in
+    both engines, so the argmax — pinned (cos DESC, label) — never
+    flips. Scale: the k x d centroid table broadcasts; the scoring pass
+    is embarrassingly parallel (k dot products per vector, one
+    vec_id-keyed reduce); nothing ever pairs vectors with vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = tables.spread(emb, "vec_id").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select("label", F.posexplode("v").alias("pos", "x"))
+    cl = ex.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
+    cent = cl.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda t: t["c"]).alias("cv")
+    )
+    cos = dedup.cosine(F.col("v"), F.col("cv"))
+    scored = e.crossJoin(F.broadcast(cent)).select("vec_id", "label", "clabel", cos.alias("cos"))
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max(
+            F.struct(F.col("cos"), (-F.col("clabel")).alias("neg"), F.col("clabel").alias("pl"))
+        )["pl"].alias("pred_label")
+    )
+    return best.groupBy("label", "pred_label").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_silhouette",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (
+      SELECT label, t.i AS pos, v[t.i] AS x
+      FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+    ),
+    cl AS (SELECT label, pos, round(avg(x), 6) AS c FROM ex GROUP BY label, pos),
+    cent AS (SELECT label AS clabel, list(c ORDER BY pos) AS cv FROM cl GROUP BY label),
+    dist AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             1.0 - list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS d
+      FROM e, cent c
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             max(CASE WHEN clabel = label THEN d END) AS a,
+             min(CASE WHEN clabel <> label THEN d END) AS b
+      FROM dist GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT vec_id, label,
+             CASE WHEN greatest(a, b) = 0 THEN 0.0 ELSE (b - a) / greatest(a, b) END AS s
+      FROM ab
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(list_reduce(list_prepend(0.0, list(s ORDER BY vec_id)), (x, y) -> x + y)
+                 / count(*), 6) AS mean_silhouette
+    FROM s GROUP BY 1
+    """,
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L69: simplified silhouette coefficient (Rousseeuw 1987; the
+    centroid-distance simplification of Hruschka et al. 2004 — the form
+    sklearn users reach for when O(n^2) pairwise silhouette is
+    unaffordable, and the ONLY form that works at corpus scale): per
+    vector, a = cosine distance to own centroid, b = min distance to any
+    other centroid, s = (b-a)/max(a,b); per label, the mean — the
+    cluster-quality panel that scores q_kmeans / q_semantic_dedup
+    partitions and arbitrates k. The per-label mean is a SORTED FOLD
+    over vec_id (float-sum discipline) divided by the exact count;
+    distances reuse the broadcast 6dp centroid table, so the whole
+    query is one embarrassingly-parallel scoring pass + one
+    label-keyed reduce — the q_nearest_centroid cost shape. s is
+    pinned 0 when both distances are 0 (a vector that IS the only
+    centroid), the degenerate case fuzz shapes produce."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = tables.spread(emb, "vec_id").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select("label", F.posexplode("v").alias("pos", "x"))
+    cl = ex.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
+    cent = cl.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda t: t["c"]).alias("cv")
+    )
+    d = (1.0 - dedup.cosine(F.col("v"), F.col("cv"))).alias("d")
+    dist = e.crossJoin(F.broadcast(cent)).select("vec_id", "label", "clabel", d)
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d"))).alias("b"),
+    )
+    s = ab.select(
+        "vec_id",
+        "label",
+        F.when(F.greatest("a", "b") == 0, F.lit(0.0))
+        .otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+        .alias("s"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("vec_id", F.col("s").alias("v")))),
+                    lambda t: t["v"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_silhouette"),
+    )
+
+
+@query(
+    "q_char_bigram_entropy",
+    oracle="""
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    bg AS (
+      SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS b
+      FROM d, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    cnt AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+    tot AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             list_reduce(list_prepend(0.0, list(c * ln(CAST(c AS DOUBLE)) ORDER BY b)),
+                         (a, x) -> a + x) AS clnc
+      FROM cnt GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, n_distinct,
+           round(ln(CAST(n_bigrams AS DOUBLE)) - clnc / n_bigrams, 4) AS entropy_nats,
+           (ln(CAST(n_bigrams AS DOUBLE)) - clnc / n_bigrams) < 2.0 AS is_low_entropy
+    FROM tot
+    """,
+)
+def q_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L70: per-document character-bigram entropy (Shannon; the CCNet /
+    Gopher-family 'gibberish and boilerplate' signal at the CHARACTER
+    level): H = ln N - (SUM c*ln c)/N over the doc's bigram counts —
+    low H flags template/repeated-char docs that q_repetition_filter's
+    word-level top-2-gram share misses (single-word spam, separator
+    runs), high H flags base64/random-bytes junk when paired with
+    q_quality_score. The doc-level twin of q_corpus_entropy
+    (corpus-level unigram panel). Exact integer counts to ONE division;
+    the c*ln(c) sum folds in sorted bigram order (float-sum discipline)
+    and n_bigrams/n_distinct stay BIGINT. Scale: bigrams explode
+    map-side and reduce by (doc, bigram) — shuffle bounded by distinct
+    bigrams per doc (<= alphabet^2), then one doc-keyed rollup; at 100
+    TB this is the cheapest of the text passes (no vocabulary table at
+    all). Flag threshold 2.0 nats documented as ~e^2 effective bigram
+    alphabet."""
+    docs = _t(spark, sf_dir, "documents")
+    d = tables.spread(docs, "doc_id").select("doc_id", F.lower("text").alias("t"))
+    bg = (
+        d.where(F.length("t") >= 2)
+        .select("doc_id", F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"), "t")
+        .select("doc_id", F.expr("substring(t, i, 2)").alias("b"))
+    )
+    cnt = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("b", (F.col("c") * F.log(F.col("c").cast("double"))).alias("v"))
+                    )
+                ),
+                lambda t: t["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("clnc"),
+    )
+    h = F.log(F.col("n_bigrams").cast("double")) - F.col("clnc") / F.col("n_bigrams")
+    return tot.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        F.round(h, 4).alias("entropy_nats"),
+        (h < 2.0).alias("is_low_entropy"),
+    )

@@ -7003,9 +7003,17 @@ def q_xmr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     /0) so breaches count zero, never crash. Scale: one keyed lag window +
     two aggregates over the types x days rollup; the breach pass re-joins
     the 5-row limits table broadcast."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return xmr_tail(daily)
+
+
+def xmr_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming XmR chart: from a
+    (event_type, day, cents) daily table, the process limits and breach
+    panel. Both paths run identical expressions on the identical bounded
+    table, so the streaming twin hash-matches the batch oracle."""
     from pyspark.sql.window import Window
 
-    daily = _daily_cents_by_type(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day")
     mr = daily.select(
         "event_type",
@@ -7028,15 +7036,21 @@ def q_xmr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_breach = (F.col("cents") > F.col("xbar") + 2.66 * F.col("mrbar")) | (
         F.col("cents") < F.col("xbar") - 2.66 * F.col("mrbar")
     )
+    # renamed join keys: bands/breach are subtrees of the same (possibly
+    # memory-sink) daily view — same-named join columns trip Catalyst's
+    # conflicting-attribute check (the ewma_tail lesson)
     breach = (
-        daily.join(F.broadcast(bands), "event_type")
-        .groupBy("event_type")
+        daily.join(
+            F.broadcast(bands.select(F.col("event_type").alias("bet"), "xbar", "mrbar")),
+            F.col("event_type") == F.col("bet"),
+        )
+        .groupBy(F.col("bet").alias("cet"))
         .agg(
             F.count(F.when(is_breach, 1)).alias("n_breach"),
             F.min(F.when(is_breach, F.col("day"))).alias("first_breach_day"),
         )
     )
-    return bands.join(breach, "event_type").select(
+    return bands.join(breach, F.col("event_type") == F.col("cet")).select(
         "event_type",
         "n_days",
         F.round(F.col("xbar"), 4).alias("mean_cents"),
@@ -7322,11 +7336,24 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    fw = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
-    prev = uw.select("user_id", (F.col("week") + 1).alias("week"), F.lit(1).alias("was_prev"))
+    return growth_tail(uw)
+
+
+def growth_tail(uw: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming growth accounting: from the
+    (user_id, week) presence set, the weekly new/retained/resurrected/
+    churned panel. The presence set is exactly the commutative,
+    replay-idempotent state the streaming twin keeps."""
+    # every derived side renames its join keys: two subtrees of one
+    # streaming memory-sink view trip Catalyst's conflicting-attribute
+    # check when joined on same-named columns (the ewma_tail lesson)
+    fw = uw.groupBy(F.col("user_id").alias("fuid")).agg(F.min("week").alias("first_week"))
+    prev = uw.select(
+        F.col("user_id").alias("puid"), (F.col("week") + 1).alias("pweek"), F.lit(1).alias("was_prev")
+    )
     status = (
-        uw.join(fw, "user_id")
-        .join(prev, ["user_id", "week"], "left")
+        uw.join(fw, F.col("user_id") == F.col("fuid"))
+        .join(prev, (F.col("user_id") == F.col("puid")) & (F.col("week") == F.col("pweek")), "left")
         .select(
             "week",
             F.when(F.col("week") == F.col("first_week"), F.lit("new"))
@@ -7341,16 +7368,16 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("st") == "resurrected", 1)).alias("n_resurrected"),
     )
     mx = uw.agg(F.max("week").alias("max_week"))
+    shifted = uw.select(F.col("user_id").alias("cuid"), (F.col("week") + 1).alias("cweek"))
     churn = (
-        uw.select("user_id", (F.col("week") + 1).alias("week"))
-        .crossJoin(F.broadcast(mx))
-        .where(F.col("week") <= F.col("max_week"))
-        .join(uw, ["user_id", "week"], "left_anti")
-        .groupBy("week")
+        shifted.crossJoin(F.broadcast(mx))
+        .where(F.col("cweek") <= F.col("max_week"))
+        .join(uw, (F.col("cuid") == F.col("user_id")) & (F.col("cweek") == F.col("week")), "left_anti")
+        .groupBy(F.col("cweek"))
         .agg(F.count(F.lit(1)).alias("n_churned"))
     )
-    return act.join(churn, "week", "full_outer").select(
-        "week",
+    return act.join(churn, act["week"] == churn["cweek"], "full_outer").select(
+        F.coalesce(F.col("week"), F.col("cweek")).alias("week"),
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
         F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
         F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),

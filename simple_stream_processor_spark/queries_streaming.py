@@ -1914,3 +1914,107 @@ def q_streaming_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     drained, _ = run_stream_to_memory(daily, output_mode="complete")
     return seasonal_tail(drained)
+
+
+def _ccf_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_ccf_leadlag"]
+
+
+@query("q_streaming_ccf", oracle=_ccf_oracle())
+def q_streaming_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming lead-lag CCF twin (N108b): the view/purchase daily-cents
+    table is the state — commutative integer sums bounded at 2 x days
+    rows forever (the q_streaming_acf bound) — and the 15-lag moment
+    correlation runs at drain time through the shared ccf_tail,
+    hash-matching the batch oracle. A live which-moves-first monitor:
+    each trigger refreshes the lag profile as new days accumulate."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import ccf_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    daily = (
+        sdf.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy(
+            "event_type",
+            F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    drained, _ = run_stream_to_memory(daily, output_mode="complete")
+    return ccf_tail(drained)
+
+
+def _growth_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_growth_accounting"]
+
+
+@query("q_streaming_growth", oracle=_growth_oracle())
+def q_streaming_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming growth-accounting twin (N112b): the (user_id, week)
+    presence set as state — idempotent and order-proof (the
+    q_streaming_retention bound: users x weeks rows), drained through the
+    shared growth_tail so the live new/retained/resurrected/churned panel
+    hash-matches the batch oracle. The trailing week is non-final until
+    the week closes (its churn row needs week+1 evidence) — the same
+    horizon caveat the batch docstring clips."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import growth_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    uw = sdf.groupBy(
+        "user_id",
+        F.expr("unix_millis(cast(ts as timestamp)) div 604800000").alias("week"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    drained, _ = run_stream_to_memory(uw, output_mode="complete")
+    return growth_tail(drained.select("user_id", "week"))
+
+
+def _xmr_oracle() -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES["q_xmr_control"]
+
+
+@query("q_streaming_xmr", oracle=_xmr_oracle())
+def q_streaming_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming XmR control-chart twin (N109b): the per-type daily-cents
+    state (commutative integer sums, types x days rows forever) drained
+    through the shared xmr_tail — live natural process limits that
+    tighten as days accumulate, hash-matching the batch oracle. The SPC
+    complement to q_streaming_zscore: limits from short-term
+    consecutive-day movement, immune to slow drift inflating them."""
+    import os as _os
+
+    from simple_stream_processor_spark.queries_relational_ext import xmr_tail
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    daily = sdf.groupBy(
+        "event_type",
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    drained, _ = run_stream_to_memory(daily, output_mode="complete")
+    return xmr_tail(drained)

@@ -90,6 +90,7 @@ DOC_QUERIES = [
     "q_bloom_index", "q_training_order", "q_corpus_entropy",
     "q_weighted_sample", "q_cross_source_overlap", "q_ks_drift",
     "q_decision_stump", "q_dup_span_coverage", "q_group_split",
+    "q_char_bigram_entropy",
     "q_quantile_normalize", "q_quality_prune", "q_dedup_keep_rule",
     "q_corpus_delta", "q_sequence_pack", "q_mixture_weights",
     "q_pii_redact", "q_multimodal_decode", "q_multimodal_meta",
@@ -240,7 +241,8 @@ STREAMING_QUERIES = [
     "q_streaming_cms", "q_streaming_bloom", "q_streaming_entropy",
     "q_streaming_dsir", "q_streaming_hll", "q_streaming_wasserstein",
     "q_streaming_srm", "q_streaming_kmv", "q_streaming_holt",
-    "q_streaming_seasonal",
+    "q_streaming_seasonal", "q_streaming_ccf", "q_streaming_growth",
+    "q_streaming_xmr",
 ]
 
 
@@ -350,7 +352,8 @@ EMBEDDING_QUERIES = [
     "q_hard_negatives", "q_pq_codes", "q_embedding_drift", "q_ann_recall",
     "q_ann_pq", "q_label_noise", "q_embedding_dedup", "q_cosine_topk",
     "q_ann_ivf", "q_ann_bucketed", "q_semantic_dedup", "q_random_projection",
-    "q_jl_recall", "q_embedding_norm_audit",
+    "q_jl_recall", "q_embedding_norm_audit", "q_nearest_centroid",
+    "q_silhouette",
 ]
 
 

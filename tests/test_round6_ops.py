@@ -1341,3 +1341,104 @@ def test_stratified_ate_weighting_and_ntile_replay(spark, sf_dir):
             den += len(g)
     assert abs(rows["<all>"].diff_cents - round(num / den, 4)) < 1e-6
     assert rows["<all>"].mean_treat_cents is None
+
+
+def _centroids_np(sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in emb.itertuples()}
+    labels = dict(zip(emb.vec_id, emb.label))
+    cents = {}
+    for lab in sorted(set(labels.values())):
+        m = np.mean([vecs[v] for v, l in labels.items() if l == lab], axis=0)
+        cents[lab] = np.round(m, 6)
+    return vecs, labels, cents
+
+
+def test_nearest_centroid_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    vecs, labels, cents = _centroids_np(sf_dir)
+    from collections import Counter
+
+    expect = Counter()
+    for v, vec in vecs.items():
+        best = max(
+            sorted(cents),
+            key=lambda c: (
+                float(vec @ cents[c] / (np.linalg.norm(vec) * np.linalg.norm(cents[c]))),
+                -c,
+            ),
+        )
+        expect[(labels[v], best)] += 1
+    rows = QUERIES["q_nearest_centroid"](spark, sf_dir).collect()
+    got = {(r.label, r.pred_label): r.n for r in rows}
+    assert got == dict(expect)
+    # label structure must beat the 1/k random-assignment floor decisively
+    # (the fixtures' embeddings are near-uniform: ~37% diagonal vs 10% chance)
+    diag = sum(n for (a, b), n in got.items() if a == b)
+    k = len({a for a, _ in got})
+    assert diag / sum(got.values()) > 2.0 / k
+
+
+def test_silhouette_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    vecs, labels, cents = _centroids_np(sf_dir)
+
+    def cosd(a, b):
+        return 1.0 - float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    per = {}
+    for v in sorted(vecs):
+        a = cosd(vecs[v], cents[labels[v]])
+        b = min(cosd(vecs[v], c) for lab, c in cents.items() if lab != labels[v])
+        s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+        per.setdefault(labels[v], []).append(s)
+    rows = {r.label: r for r in QUERIES["q_silhouette"](spark, sf_dir).collect()}
+    for lab, ss in per.items():
+        r = rows[lab]
+        assert r.n_vecs == len(ss)
+        assert abs(r.mean_silhouette - round(sum(ss) / len(ss), 6)) < 1e-4, lab
+        assert -1.0 <= r.mean_silhouette <= 1.0
+
+
+def test_char_bigram_entropy_matches_python(spark, sf_dir):
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = {r.doc_id: r for r in QUERIES["q_char_bigram_entropy"](spark, sf_dir).collect()}
+    from collections import Counter
+
+    checked = 0
+    for rec in docs.itertuples():
+        t = rec.text.lower()
+        if len(t) < 2:
+            assert rec.doc_id not in rows
+            continue
+        cnt = Counter(t[i : i + 2] for i in range(len(t) - 1))
+        n = sum(cnt.values())
+        h = math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+        r = rows[rec.doc_id]
+        assert (r.n_bigrams, r.n_distinct) == (n, len(cnt))
+        assert abs(r.entropy_nats - round(h, 4)) < 1e-9
+        assert r.is_low_entropy == (h < 2.0)
+        checked += 1
+    assert checked == len(rows)
+    # repeated-character junk must flag low; normal prose must not
+    assert math.log(1) == 0  # degenerate 1-bigram doc would give H=0 < 2.0
+
+
+def test_streaming_ccf_growth_xmr_match_batch(spark, sf_dir):
+    """Twin parity: drained streaming state through the shared tails must
+    equal the batch queries row-for-row."""
+    for batch, twin in [
+        ("q_ccf_leadlag", "q_streaming_ccf"),
+        ("q_growth_accounting", "q_streaming_growth"),
+        ("q_xmr_control", "q_streaming_xmr"),
+    ]:
+        b = {tuple(r) for r in QUERIES[batch](spark, sf_dir).collect()}
+        s = {tuple(r) for r in QUERIES[twin](spark, sf_dir).collect()}
+        assert b == s, (batch, twin)
