@@ -160,6 +160,8 @@ _PRIORITY = [
     "q_growth_accounting", "q_stratified_ate",
     "q_nearest_centroid", "q_silhouette", "q_char_bigram_entropy",
     "q_streaming_ccf", "q_streaming_growth", "q_streaming_xmr",
+    "q_mix_shift", "q_nelson_aalen", "q_welch_ttest",
+    "q_new_returning_revenue",
 ]
 
 

@@ -138,6 +138,8 @@ TAIL = [
     "q_link_prediction", "q_degree_assortativity",
     "q_growth_accounting", "q_stratified_ate",
     "q_nearest_centroid", "q_silhouette", "q_char_bigram_entropy",
+    "q_mix_shift", "q_nelson_aalen", "q_welch_ttest",
+    "q_new_returning_revenue",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

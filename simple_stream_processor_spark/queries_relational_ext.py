@@ -7531,3 +7531,409 @@ def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("num") / F.col("den"), 4).alias("diff_cents"),
     )
     return strata_rows.unionByName(allrow)
+
+
+@query(
+    "q_mix_shift",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS segment,
+             epoch_ms(o_orderdate) // 86400000 AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    mid AS (SELECT (min(day) + max(day) + 1) // 2 AS m FROM o),
+    per AS (
+      SELECT segment, CASE WHEN day < mid.m THEN 1 ELSE 2 END AS p,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS r
+      FROM o, mid GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT p, CAST(sum(n) AS BIGINT) AS np FROM per GROUP BY 1
+    ),
+    wide AS (
+      SELECT coalesce(p1.segment, p2.segment) AS segment,
+             coalesce(p1.n, 0) AS n1, coalesce(p2.n, 0) AS n2,
+             coalesce(p1.r, 0) AS r1, coalesce(p2.r, 0) AS r2
+      FROM (SELECT * FROM per WHERE p = 1) p1
+      FULL OUTER JOIN (SELECT * FROM per WHERE p = 2) p2
+        ON p2.segment = p1.segment
+    ),
+    eff AS (
+      SELECT w.segment, w.n1, w.n2, w.r1, w.r2,
+             coalesce(CAST(w.r1 AS DOUBLE) / nullif(w.n1, 0), 0.0) AS rate1,
+             coalesce(CAST(w.r2 AS DOUBLE) / nullif(w.n2, 0), 0.0) AS rate2,
+             coalesce(CAST(w.n1 AS DOUBLE) / nullif(t1.np, 0), 0.0) AS share1,
+             coalesce(t2.np, 0) AS bign2
+      FROM wide w
+      LEFT JOIN tot t1 ON t1.p = 1
+      LEFT JOIN tot t2 ON t2.p = 2
+    )
+    SELECT segment,
+           n1 AS n_p1, n2 AS n_p2, r1 AS cents_p1, r2 AS cents_p2,
+           round((share1 * bign2 - n1) * rate1, 4) AS volume_effect,
+           round((n2 - share1 * bign2) * rate1, 4) AS mix_effect,
+           round(n2 * (rate2 - rate1), 4) AS rate_effect
+    FROM eff
+""",
+)
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N114: price-volume-mix decomposition (the FP&A 'PVM bridge';
+    van Ryzin & Talluri's revenue-decomposition arithmetic) of order revenue
+    between the first and second half of the order-date span, by order
+    priority segment: period-2 minus period-1 revenue splits EXACTLY into
+    volume (total order count moved), mix (segment shares shifted at old
+    rates), and rate (per-order value changed) effects — the identity
+    SUM(volume+mix+rate) == R2-R1 is pinned in pytest, so the bridge can
+    never leak. Degenerate periods (a segment absent, or all orders in one
+    half) coalesce rates/shares to 0 through try_divide so the identity
+    still holds — the fuzz shapes. Everything derives from ONE
+    segment x period exact-integer rollup (count + cents); the two period
+    totals broadcast back as one-row tables. The midpoint split is exact
+    integer (min+max+1) div 2 — both engines bucket every order
+    identically."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("segment"),
+        F.expr("unix_millis(o_orderdate) div 86400000").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    mid = o.agg(F.expr("(min(day) + max(day) + 1) div 2").alias("m"))
+    per = (
+        o.crossJoin(F.broadcast(mid))
+        .select("segment", F.when(F.col("day") < F.col("m"), 1).otherwise(2).alias("p"), "cents")
+        .groupBy("segment", "p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("r"))
+        .localCheckpoint(eager=False)
+    )
+    tot = per.groupBy("p").agg(F.sum("n").alias("np"))
+    p1 = per.where(F.col("p") == 1).select(
+        F.col("segment").alias("s1"), F.col("n").alias("n1"), F.col("r").alias("r1")
+    )
+    p2 = per.where(F.col("p") == 2).select(
+        F.col("segment").alias("s2"), F.col("n").alias("n2"), F.col("r").alias("r2")
+    )
+    wide = p1.join(p2, F.col("s1") == F.col("s2"), "full_outer").select(
+        F.coalesce("s1", "s2").alias("segment"),
+        F.coalesce("n1", F.lit(0)).alias("n1"),
+        F.coalesce("n2", F.lit(0)).alias("n2"),
+        F.coalesce("r1", F.lit(0)).alias("r1"),
+        F.coalesce("r2", F.lit(0)).alias("r2"),
+    )
+    t1 = tot.where(F.col("p") == 1).select(F.col("np").alias("np1"))
+    t2 = tot.where(F.col("p") == 2).select(F.col("np").alias("np2"))
+    eff = (
+        wide.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "segment",
+            "n1",
+            "n2",
+            "r1",
+            "r2",
+            F.coalesce(F.try_divide(F.col("r1").cast("double"), F.col("n1")), F.lit(0.0)).alias("rate1"),
+            F.coalesce(F.try_divide(F.col("r2").cast("double"), F.col("n2")), F.lit(0.0)).alias("rate2"),
+            F.coalesce(F.try_divide(F.col("n1").cast("double"), F.col("np1")), F.lit(0.0)).alias("share1"),
+            F.coalesce(F.col("np2"), F.lit(0)).alias("bign2"),
+        )
+    )
+    return eff.select(
+        "segment",
+        F.col("n1").alias("n_p1"),
+        F.col("n2").alias("n_p2"),
+        F.col("r1").alias("cents_p1"),
+        F.col("r2").alias("cents_p2"),
+        F.round((F.col("share1") * F.col("bign2") - F.col("n1")) * F.col("rate1"), 4).alias("volume_effect"),
+        F.round((F.col("n2") - F.col("share1") * F.col("bign2")) * F.col("rate1"), 4).alias("mix_effect"),
+        F.round(F.col("n2") * (F.col("rate2") - F.col("rate1")), 4).alias("rate_effect"),
+    )
+
+
+
+
+@query(
+    "q_nelson_aalen",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(ts) AS f, max(ts) AS l
+      FROM events GROUP BY 1
+    ),
+    mx AS (SELECT max(ts) AS m FROM events),
+    lab AS (
+      SELECT user_id, date_diff('day', f, l) AS lt,
+             CASE WHEN l < mx.m - INTERVAL 1 DAY THEN 1 ELSE 0 END AS churned
+      FROM u, mx
+    ),
+    ev AS (
+      SELECT lt AS day, sum(churned) AS d, sum(1 - churned) AS c
+      FROM lab GROUP BY 1
+    ),
+    risk AS (
+      SELECT day, d, c,
+             sum(d + c) OVER (ORDER BY day DESC) AS n_risk
+      FROM ev
+    ),
+    h AS (
+      SELECT day, d, c, n_risk,
+             sum(d * CAST(1 AS DOUBLE) / n_risk) OVER (ORDER BY day) AS ch,
+             sum(d * CAST(1 AS DOUBLE) / (n_risk * CAST(n_risk AS HUGEINT)))
+               OVER (ORDER BY day) AS vh
+      FROM risk
+    )
+    SELECT CAST(day AS BIGINT) AS day, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_churned, CAST(c AS BIGINT) AS n_censored,
+           round(ch, 6) AS cum_hazard,
+           round(sqrt(vh), 6) AS hazard_se,
+           round(exp(-ch), 6) AS fh_survival
+    FROM h
+""",
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N115: Nelson-Aalen cumulative hazard (Nelson 1972, Aalen 1978)
+    with the Fleming-Harrington survival transform exp(-H) — the
+    hazard-scale companion to q_survival_curve's Kaplan-Meier: same user
+    lifetimes, same right-censoring against the horizon, same
+    days-bounded risk-set suffix sum, but H(t) = SUM d_k/n_k ACCUMULATES
+    where KM multiplies — hazard_se = sqrt(SUM d/n^2) gives the pointwise
+    error band KM's product form hides, and FH stays positive where KM
+    pins 0 on a total-churn day (the documented estimator difference the
+    pytest asserts). Determinism: the running sums add identical doubles
+    in identical day order in both engines (the km_curve lns discipline);
+    n_risk^2 widens to decimal before multiplying. Scale: one user
+    rollup, one broadcast horizon scalar, then observation-days-bounded
+    arithmetic — the km_curve shape exactly."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    mx = u.agg(F.max("l").alias("m"))
+    lab = u.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("l").cast("date"), F.col("f").cast("date")).alias("day"),
+        F.when(F.col("l") < F.col("m") - F.expr("INTERVAL 1 DAY"), 1).otherwise(0).alias("churned"),
+    )
+    evt = lab.groupBy("day").agg(
+        F.sum("churned").alias("d"), F.sum(F.lit(1) - F.col("churned")).alias("c")
+    )
+    risk = evt.select(
+        "day",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(Window.orderBy(F.col("day").desc())).alias("n_risk"),
+    )
+    w = Window.orderBy("day")
+    h = risk.select(
+        "day",
+        "d",
+        "c",
+        "n_risk",
+        F.sum(F.col("d") * F.lit(1.0) / F.col("n_risk")).over(w).alias("ch"),
+        F.sum(
+            F.col("d") * F.lit(1.0) / (F.col("n_risk") * F.col("n_risk").cast("decimal(38,0)"))
+        ).over(w).alias("vh"),
+    )
+    return h.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.round(F.col("ch"), 6).alias("cum_hazard"),
+        F.round(F.sqrt(F.col("vh")), 6).alias("hazard_se"),
+        F.round(F.exp(-F.col("ch")), 6).alias("fh_survival"),
+    )
+
+
+
+
+@query(
+    "q_welch_ttest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type,
+             CASE WHEN (day + 3) % 7 + 1 >= 6 THEN 1 ELSE 0 END AS we,
+             cents
+      FROM daily
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(CASE WHEN we = 0 THEN 1 END) AS BIGINT) AS n1,
+             CAST(count(CASE WHEN we = 1 THEN 1 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN we = 0 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN we = 1 THEN cents ELSE 0 END) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN we = 0 THEN cents * CAST(cents AS HUGEINT) ELSE 0 END) AS DOUBLE) AS q1,
+             CAST(sum(CASE WHEN we = 1 THEN cents * CAST(cents AS HUGEINT) ELSE 0 END) AS DOUBLE) AS q2
+      FROM g GROUP BY 1
+    ),
+    v AS (
+      SELECT event_type, n1, n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1,
+             CAST(s2 AS DOUBLE) / n2 AS m2,
+             (q1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+             (q2 - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS v2
+      FROM m
+    ),
+    t AS (
+      SELECT event_type, n1, n2, m1, m2, v1, v2,
+             (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS tstat,
+             (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+               / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS df
+      FROM v
+    )
+    SELECT event_type, n1 AS n_weekday, n2 AS n_weekend,
+           round(m1, 4) AS mean_weekday, round(m2, 4) AS mean_weekend,
+           round(tstat, 4) AS t_stat, round(df, 2) AS df,
+           CASE WHEN tstat IS NULL THEN NULL ELSE abs(tstat) > 1.96 END AS weekend_effect
+    FROM t
+""",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N116: Welch unequal-variance t-test (Welch 1947) for the weekend
+    effect: per event type, weekday vs weekend mean daily revenue with the
+    Welch-Satterthwaite effective df — the two-sample location test the A/B
+    z-test (N65) cannot do when group variances differ and groups are
+    days-bounded-small. Weekend = ISO dow >= 6 derived as exact integer
+    arithmetic ((day+3) mod 7 + 1 — no date functions, both engines
+    identical). Moments are exact: integer cents sums and decimal-widened
+    squares, cast to double once; t, df, and the verdict threshold (|t| >
+    1.96, normal approximation documented — df here is ~dozens to
+    thousands where t and z differ < 0.3%) evaluate one shared expression
+    tree. try_divide pins degenerate groups (one-day weekend, constant
+    series) to NULL instead of ANSI DIVIDE_BY_ZERO — the fuzz shapes.
+    Scale: rides the daily rollup; 5 one-row stats after."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    g = daily.select(
+        "event_type",
+        F.when((F.col("day") + 3) % 7 + 1 >= 6, 1).otherwise(0).alias("we"),
+        "cents",
+    )
+    m = g.groupBy("event_type").agg(
+        F.count(F.when(F.col("we") == 0, 1)).alias("n1"),
+        F.count(F.when(F.col("we") == 1, 1)).alias("n2"),
+        F.sum(F.when(F.col("we") == 0, F.col("cents")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("we") == 1, F.col("cents")).otherwise(0)).alias("s2"),
+        F.sum(
+            F.when(F.col("we") == 0, F.col("cents") * F.col("cents").cast("decimal(38,0)")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).cast("double").alias("q1"),
+        F.sum(
+            F.when(F.col("we") == 1, F.col("cents") * F.col("cents").cast("decimal(38,0)")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).cast("double").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    v1 = F.try_divide(F.col("q1") - F.col("s1").cast("double") * F.col("s1") / n1, n1 - 1)
+    v2 = F.try_divide(F.col("q2") - F.col("s2").cast("double") * F.col("s2") / n2, n2 - 1)
+    v = m.select("event_type", "n1", "n2", m1.alias("m1"), m2.alias("m2"), v1.alias("v1"), v2.alias("v2"))
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    tstat = F.try_divide(F.col("m1") - F.col("m2"), F.sqrt(se2))
+    df = F.try_divide(
+        se2 * se2,
+        (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1")) / (F.col("n1") - 1)
+        + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2")) / (F.col("n2") - 1),
+    )
+    t = v.select("event_type", "n1", "n2", "m1", "m2", tstat.alias("tstat"), df.alias("dfv"))
+    return t.select(
+        "event_type",
+        F.col("n1").alias("n_weekday"),
+        F.col("n2").alias("n_weekend"),
+        F.round(F.col("m1"), 4).alias("mean_weekday"),
+        F.round(F.col("m2"), 4).alias("mean_weekend"),
+        F.round(F.col("tstat"), 4).alias("t_stat"),
+        F.round(F.col("dfv"), 2).alias("df"),
+        F.when(F.col("tstat").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.abs(F.col("tstat")) > 1.96)
+        .alias("weekend_effect"),
+    )
+
+
+
+
+@query(
+    "q_new_returning_revenue",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week FROM events
+    ),
+    fw AS (SELECT user_id, min(week) AS first_week FROM uw GROUP BY 1),
+    p AS (
+      SELECT user_id, epoch_ms(ts) // 604800000 AS week,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT p.week,
+             CASE WHEN fw.first_week = p.week THEN 1 ELSE 0 END AS is_new,
+             p.user_id, p.cents
+      FROM p JOIN fw ON fw.user_id = p.user_id
+    ),
+    agg AS (
+      SELECT week,
+             CAST(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END) AS BIGINT) AS cents_new,
+             CAST(sum(CASE WHEN is_new = 0 THEN cents ELSE 0 END) AS BIGINT) AS cents_returning,
+             CAST(count(DISTINCT CASE WHEN is_new = 1 THEN user_id END) AS BIGINT) AS n_new_buyers,
+             CAST(count(DISTINCT CASE WHEN is_new = 0 THEN user_id END) AS BIGINT) AS n_returning_buyers
+      FROM j GROUP BY 1
+    )
+    SELECT week, cents_new, cents_returning, n_new_buyers, n_returning_buyers,
+           round(CAST(cents_new AS DOUBLE) / nullif(cents_new + cents_returning, 0), 6)
+             AS new_share
+    FROM agg
+""",
+)
+def q_new_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N117: new-vs-returning revenue split by week — the
+    monetization lens on N112's growth accounting (THAT counts heads; this
+    weighs wallets): each week's purchase cents split by whether the buyer's
+    first-ever activity week IS this week, with distinct-buyer counts and
+    the new-revenue share. First-week table is users-bounded and joins the
+    purchase stream on its natural key (at 100 TB both sides hash-exchange
+    on user_id once — the q_retention_curve join shape); cents stay exact
+    BIGINT to one share division (try_divide: a week with zero purchase
+    revenue yields NULL share, not a crash). The composite every
+    growth-stage dashboard pairs: acquisition quality (new share falling =
+    retention economics improving) against q_cohort_ltv's cohort curves."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select("user_id", F.expr("unix_millis(ts) div 604800000").alias("week")).distinct()
+    fw = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("unix_millis(ts) div 604800000").alias("week"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    j = p.join(fw, "user_id").select(
+        "week",
+        F.when(F.col("first_week") == F.col("week"), 1).otherwise(0).alias("is_new"),
+        "user_id",
+        "cents",
+    )
+    agg = j.groupBy("week").agg(
+        F.sum(F.when(F.col("is_new") == 1, F.col("cents")).otherwise(0)).alias("cents_new"),
+        F.sum(F.when(F.col("is_new") == 0, F.col("cents")).otherwise(0)).alias("cents_returning"),
+        F.count_distinct(F.when(F.col("is_new") == 1, F.col("user_id"))).alias("n_new_buyers"),
+        F.count_distinct(F.when(F.col("is_new") == 0, F.col("user_id"))).alias("n_returning_buyers"),
+    )
+    return agg.select(
+        "week",
+        "cents_new",
+        "cents_returning",
+        "n_new_buyers",
+        "n_returning_buyers",
+        F.round(
+            F.try_divide(
+                F.col("cents_new").cast("double"), F.col("cents_new") + F.col("cents_returning")
+            ),
+            6,
+        ).alias("new_share"),
+    )
+
+

@@ -1442,3 +1442,96 @@ def test_streaming_ccf_growth_xmr_match_batch(spark, sf_dir):
         b = {tuple(r) for r in QUERIES[batch](spark, sf_dir).collect()}
         s = {tuple(r) for r in QUERIES[twin](spark, sf_dir).collect()}
         assert b == s, (batch, twin)
+
+
+def test_mix_shift_bridge_identity_and_replay(spark, sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderdate", "o_totalprice"])
+    o["day"] = o.o_orderdate.values.astype("datetime64[ms]").astype("int64") // 86_400_000
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    mid = (int(o.day.min()) + int(o.day.max()) + 1) // 2
+    o["p"] = (o.day >= mid).astype(int) + 1
+    rows = {r.segment: r for r in QUERIES["q_mix_shift"](spark, sf_dir).collect()}
+    r1_total = int(o[o.p == 1].cents.sum())
+    r2_total = int(o[o.p == 2].cents.sum())
+    n1_total, n2_total = int((o.p == 1).sum()), int((o.p == 2).sum())
+    bridge = 0.0
+    for seg, g in o.groupby("o_orderpriority"):
+        r = rows[seg]
+        n1, n2 = int((g.p == 1).sum()), int((g.p == 2).sum())
+        c1, c2 = int(g[g.p == 1].cents.sum()), int(g[g.p == 2].cents.sum())
+        assert (r.n_p1, r.n_p2, r.cents_p1, r.cents_p2) == (n1, n2, c1, c2), seg
+        rate1 = c1 / n1 if n1 else 0.0
+        rate2 = c2 / n2 if n2 else 0.0
+        share1 = n1 / n1_total if n1_total else 0.0
+        assert abs(r.volume_effect - round((share1 * n2_total - n1) * rate1, 4)) < 1e-6
+        assert abs(r.mix_effect - round((n2 - share1 * n2_total) * rate1, 4)) < 1e-6
+        assert abs(r.rate_effect - round(n2 * (rate2 - rate1), 4)) < 1e-6
+        bridge += r.volume_effect + r.mix_effect + r.rate_effect
+    # the accounting identity: the bridge explains the whole revenue change
+    assert abs(bridge - (r2_total - r1_total)) < 0.01 * max(1, len(rows))
+
+
+def test_nelson_aalen_consistent_with_km(spark, sf_dir):
+    na = {r.day: r for r in QUERIES["q_nelson_aalen"](spark, sf_dir).collect()}
+    km = {r.day: r for r in QUERIES["q_survival_curve"](spark, sf_dir).collect()}
+    assert set(na) == set(km)
+    prev_h = 0.0
+    for day in sorted(na):
+        r = na[day]
+        # same risk sets / churn counts as KM (shared derivation)
+        assert (r.n_risk, r.n_churned, r.n_censored) == (
+            km[day].n_risk,
+            km[day].n_churned,
+            km[day].n_censored,
+        )
+        # hazard accumulates; FH survival dominates KM (classic inequality)
+        assert r.cum_hazard >= prev_h - 1e-12
+        prev_h = r.cum_hazard
+        assert r.fh_survival >= km[day].survival - 1e-6
+        assert r.hazard_se >= 0.0
+
+
+def test_welch_ttest_matches_python(spark, sf_dir):
+    import statistics
+
+    daily = _daily_cents_pd(sf_dir)
+    daily["we"] = ((daily.day + 3) % 7 + 1 >= 6).astype(int)
+    rows = {r.event_type: r for r in QUERIES["q_welch_ttest"](spark, sf_dir).collect()}
+    for t, g in daily.groupby("event_type"):
+        wd = [float(c) for c in g[g.we == 0].cents]
+        we = [float(c) for c in g[g.we == 1].cents]
+        r = rows[t]
+        assert (r.n_weekday, r.n_weekend) == (len(wd), len(we))
+        if len(wd) > 1 and len(we) > 1:
+            m1, m2 = sum(wd) / len(wd), sum(we) / len(we)
+            v1, v2 = statistics.variance(wd), statistics.variance(we)
+            se2 = v1 / len(wd) + v2 / len(we)
+            tt = (m1 - m2) / math.sqrt(se2)
+            df = se2 * se2 / (
+                (v1 / len(wd)) ** 2 / (len(wd) - 1) + (v2 / len(we)) ** 2 / (len(we) - 1)
+            )
+            assert abs(r.t_stat - round(tt, 4)) < 1e-3, t
+            assert abs(r.df - round(df, 2)) < 0.1, t
+            assert r.weekend_effect == (abs(tt) > 1.96)
+
+
+def test_new_returning_revenue_partitions_weekly_purchases(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type", "value"])
+    ev["week"] = ev.ts.values.astype("datetime64[ms]").astype("int64") // 604_800_000
+    first = ev.groupby("user_id").week.min()
+    p = ev[ev.event_type == "purchase"].copy()
+    p["cents"] = (p.value * 100).round().astype("int64")
+    rows = {r.week: r for r in QUERIES["q_new_returning_revenue"](spark, sf_dir).collect()}
+    for w, g in p.groupby("week"):
+        is_new = g.user_id.map(first) == w
+        r = rows[w]
+        assert r.cents_new == int(g[is_new].cents.sum())
+        assert r.cents_returning == int(g[~is_new].cents.sum())
+        assert r.n_new_buyers == g[is_new].user_id.nunique()
+        assert r.n_returning_buyers == g[~is_new].user_id.nunique()
+        # splits partition the week's purchase revenue exactly
+        assert r.cents_new + r.cents_returning == int(g.cents.sum())

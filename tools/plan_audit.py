@@ -134,6 +134,9 @@ SINGLE_PARTITION_ALLOWANCE = {
     # the horizon scalar plus the lifetime-table windows (suffix risk sum
     # and the ln-product running sum) — all over the ≤observation-days table
     "q_survival_curve": 2,
+    # same shape as q_survival_curve (shared lifetime derivation): horizon
+    # scalar + the hazard running sums over the ≤observation-days table
+    "q_nelson_aalen": 2,
     # one (n_nodes, Σdeg) one-row rollup per peeling round (4 unrolled
     # rounds); each serves both the stats row and the peel threshold and
     # carries only #tasks partial rows, never edges
