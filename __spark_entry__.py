@@ -162,6 +162,7 @@ _PRIORITY = [
     "q_streaming_ccf", "q_streaming_growth", "q_streaming_xmr",
     "q_mix_shift", "q_nelson_aalen", "q_welch_ttest",
     "q_new_returning_revenue",
+    "q_max_drawdown", "q_seasonality_strength", "q_bucketed_join",
 ]
 
 

@@ -140,6 +140,7 @@ TAIL = [
     "q_nearest_centroid", "q_silhouette", "q_char_bigram_entropy",
     "q_mix_shift", "q_nelson_aalen", "q_welch_ttest",
     "q_new_returning_revenue",
+    "q_max_drawdown", "q_seasonality_strength", "q_bucketed_join",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

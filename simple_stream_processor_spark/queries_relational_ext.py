@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simple_stream_processor_spark import storage
 from simple_stream_processor_spark.operators import relational, windows
 from simple_stream_processor_spark.registry import query
 from simple_stream_processor_spark.tables import load_table
@@ -7934,6 +7935,258 @@ def q_new_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("new_share"),
+    )
+
+
+
+
+@query(
+    "q_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day, cents,
+             CAST(max(cents) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS runmax
+      FROM daily
+    ),
+    dd AS (
+      SELECT event_type, day, cents, runmax, runmax - cents AS draw,
+             row_number() OVER (PARTITION BY event_type ORDER BY runmax - cents DESC, day) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n_days
+      FROM r
+    ),
+    trough AS (
+      SELECT event_type, CAST(n_days AS BIGINT) AS n_days, day AS trough_day,
+             runmax AS peak_cents, draw AS max_drawdown_cents
+      FROM dd WHERE rk = 1
+    )
+    SELECT t.event_type, t.n_days,
+           CAST(min(d.day) AS BIGINT) AS peak_day,
+           CAST(t.trough_day AS BIGINT) AS trough_day,
+           t.peak_cents, t.max_drawdown_cents,
+           round(CAST(t.max_drawdown_cents AS DOUBLE) / nullif(t.peak_cents, 0), 6)
+             AS drawdown_frac
+    FROM trough t JOIN daily d
+      ON d.event_type = t.event_type AND d.day <= t.trough_day AND d.cents = t.peak_cents
+    GROUP BY t.event_type, t.n_days, t.trough_day, t.peak_cents, t.max_drawdown_cents
+""",
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N118: maximum drawdown (the risk-analytics peak-to-trough
+    statistic; Magdon-Ismail et al. 2004 for the distribution theory) of
+    daily revenue per event type: the deepest fall from a running peak,
+    with peak/trough days and the fractional depth — the severity
+    complement to q_changepoint_cusum (CUSUM locates a LEVEL shift; this
+    quantifies the worst cumulative slide, the number an SLA or
+    revenue-at-risk review asks for). All exact integers: running max and
+    draw are BIGINT, the trough is the row_number-1 row under the pinned
+    (draw DESC, day) order, the peak is the EARLIEST day at-or-before the
+    trough that attains the peak value (min-day group), and the only
+    float is the final depth fraction. Scale: one keyed running-max
+    window over the types x days rollup + one broadcast re-join of the
+    5-row trough table."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")).localCheckpoint(eager=False)
+    wrun = Window.partitionBy("event_type").orderBy("day")
+    r = daily.select("event_type", "day", "cents", F.max("cents").over(wrun).alias("runmax"))
+    draw = F.col("runmax") - F.col("cents")
+    wrk = Window.partitionBy("event_type").orderBy(draw.desc(), F.col("day"))
+    wn = Window.partitionBy("event_type")
+    dd = r.select(
+        "event_type",
+        "day",
+        "cents",
+        "runmax",
+        draw.alias("draw"),
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n_days"),
+    )
+    trough = dd.where(F.col("rk") == 1).select(
+        F.col("event_type").alias("tet"),
+        F.col("n_days"),
+        F.col("day").alias("trough_day"),
+        F.col("runmax").alias("peak_cents"),
+        F.col("draw").alias("max_drawdown_cents"),
+    )
+    return (
+        daily.join(
+            F.broadcast(trough),
+            (F.col("event_type") == F.col("tet"))
+            & (F.col("day") <= F.col("trough_day"))
+            & (F.col("cents") == F.col("peak_cents")),
+        )
+        .groupBy("event_type", "n_days", "trough_day", "peak_cents", "max_drawdown_cents")
+        .agg(F.min("day").alias("peak_day"))
+        .select(
+            "event_type",
+            "n_days",
+            "peak_day",
+            "trough_day",
+            "peak_cents",
+            "max_drawdown_cents",
+            F.round(
+                F.try_divide(F.col("max_drawdown_cents").cast("double"), F.col("peak_cents")), 6
+            ).alias("drawdown_frac"),
+        )
+    )
+
+
+
+
+@query(
+    "q_seasonality_strength",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    d AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents FROM e GROUP BY 1),
+    t AS (
+      SELECT day, cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS wsum,
+             CAST(count(*) OVER w AS BIGINT) AS wn
+      FROM d
+      WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dt AS (
+      SELECT day, day % 7 AS slot, cents,
+             wsum // wn AS trend_cents,
+             cents - wsum // wn AS detrended
+      FROM t
+    ),
+    s AS (
+      SELECT slot, CAST(sum(detrended) AS BIGINT) AS snum, count(*)::BIGINT AS sden
+      FROM dt GROUP BY 1
+    ),
+    comp AS (
+      SELECT dt.trend_cents AS tc, s.snum // s.sden AS sc,
+             dt.detrended - s.snum // s.sden AS rc
+      FROM dt JOIN s ON s.slot = dt.slot
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rc) AS BIGINT) AS sr,
+             CAST(sum(rc * CAST(rc AS HUGEINT)) AS DOUBLE) AS qr,
+             CAST(sum(sc + rc) AS BIGINT) AS ssr,
+             CAST(sum((sc + rc) * CAST(sc + rc AS HUGEINT)) AS DOUBLE) AS qsr,
+             CAST(sum(tc + rc) AS BIGINT) AS str,
+             CAST(sum((tc + rc) * CAST(tc + rc AS HUGEINT)) AS DOUBLE) AS qtr
+      FROM comp
+    )
+    SELECT n AS n_days,
+           round(coalesce(greatest(0.0, 1.0 -
+             (n * qr - CAST(sr AS DOUBLE) * sr) / nullif(n * qtr - CAST(str AS DOUBLE) * str, 0)
+           ), 0.0), 4) AS trend_strength,
+           round(coalesce(greatest(0.0, 1.0 -
+             (n * qr - CAST(sr AS DOUBLE) * sr) / nullif(n * qsr - CAST(ssr AS DOUBLE) * ssr, 0)
+           ), 0.0), 4) AS seasonal_strength
+    FROM m
+""",
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N119: trend / seasonal strength panel (Hyndman &
+    Athanasopoulos FPP3 ch.4: F_T = max(0, 1 - Var(R)/Var(T+R)), F_S =
+    max(0, 1 - Var(R)/Var(S+R))) over the N100 classical decomposition —
+    the one-row scorecard that ARBITRATES the time-series family: high
+    F_S justifies q_forecast_eval's seasonal-naive and q_weekday_profile's
+    cycle story; low F_T tells q_theil_sen/q_quality_trend there is no
+    trend worth testing. Reuses seasonal_tail verbatim (exact-BIGINT
+    components), so the variances derive from exact integer moments
+    (decimal-widened squares, the n*Q - S^2 form) — one double division
+    per strength, degenerate zero-variance series pinned to 0 through
+    try_divide + coalesce (the fuzz shapes). Scale: the daily rollup is
+    the only corpus-sized exchange; everything after is days-bounded with
+    a one-row final aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d = e.groupBy("day").agg(F.sum("cents").alias("cents"))
+    comp = seasonal_tail(d).select(
+        F.col("trend_cents").alias("tc"),
+        F.col("seasonal_cents").alias("sc"),
+        F.col("residual_cents").alias("rc"),
+    )
+    m = comp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rc").alias("sr"),
+        F.sum(F.col("rc").cast("decimal(38,0)") * F.col("rc")).cast("double").alias("qr"),
+        F.sum(F.col("sc") + F.col("rc")).alias("ssr"),
+        F.sum(
+            (F.col("sc") + F.col("rc")).cast("decimal(38,0)") * (F.col("sc") + F.col("rc"))
+        ).cast("double").alias("qsr"),
+        F.sum(F.col("tc") + F.col("rc")).alias("str"),
+        F.sum(
+            (F.col("tc") + F.col("rc")).cast("decimal(38,0)") * (F.col("tc") + F.col("rc"))
+        ).cast("double").alias("qtr"),
+    )
+    n = F.col("n")
+    vr = n * F.col("qr") - F.col("sr").cast("double") * F.col("sr")
+    vtr = n * F.col("qtr") - F.col("str").cast("double") * F.col("str")
+    vsr = n * F.col("qsr") - F.col("ssr").cast("double") * F.col("ssr")
+    return m.select(
+        n.alias("n_days"),
+        F.round(
+            F.coalesce(F.greatest(F.lit(0.0), 1.0 - F.try_divide(vr, vtr)), F.lit(0.0)), 4
+        ).alias("trend_strength"),
+        F.round(
+            F.coalesce(F.greatest(F.lit(0.0), 1.0 - F.try_divide(vr, vsr)), F.lit(0.0)), 4
+        ).alias("seasonal_strength"),
+    )
+
+
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority AS segment,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+""",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N120: bucket-co-located join — the storage-layout lever that
+    REMOVES the join shuffle instead of tuning it (SCALE.md's bucketing
+    section, run as a first-class query): lineitem and orders are written
+    bucketed 8 ways on the order key (storage.write_bucketed — hash
+    bucket files + catalog bucket spec), read back via the catalog, and
+    merge-joined — Catalyst sees matching bucket specs and plans the
+    SortMergeJoin with ZERO exchanges before it (pytest pins
+    exchange-count == 1: only the final segment rollup). At 100 TB this
+    is THE difference between an hourly fact-fact join re-shuffling 100
+    TB every run and reading pre-aligned buckets: pay one layout write,
+    amortize over every subsequent join. Results are the exact-cents
+    revenue-per-priority rollup, hash-matched against the plain-join
+    oracle — the layout changes the PLAN, provably not the ANSWER."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    storage.write_bucketed(li, "ssp_li_by_orderkey", "l_orderkey", 8)
+    storage.write_bucketed(o, "ssp_o_by_orderkey", "o_orderkey", 8)
+    lib = storage.read_table(spark, "ssp_li_by_orderkey")
+    ob = storage.read_table(spark, "ssp_o_by_orderkey")
+    joined = lib.hint("merge").join(ob, lib["l_orderkey"] == ob["o_orderkey"])
+    return joined.groupBy(F.col("o_orderpriority").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum("cents").alias("revenue_cents"),
     )
 
 

@@ -1535,3 +1535,66 @@ def test_new_returning_revenue_partitions_weekly_purchases(spark, sf_dir):
         assert r.n_returning_buyers == g[~is_new].user_id.nunique()
         # splits partition the week's purchase revenue exactly
         assert r.cents_new + r.cents_returning == int(g.cents.sum())
+
+
+def test_max_drawdown_matches_python_replay(spark, sf_dir):
+    daily = _daily_cents_pd(sf_dir)
+    rows = {r.event_type: r for r in QUERIES["q_max_drawdown"](spark, sf_dir).collect()}
+    for t, g in daily.groupby("event_type"):
+        series = sorted(zip(g.day, g.cents))
+        runmax, best = -(10**18), (-1, None, None)  # (draw, day, runmax)
+        cand = []
+        for d, c in series:
+            runmax = max(runmax, int(c))
+            cand.append((runmax - int(c), d, runmax))
+        max_draw = max(dr for dr, _, _ in cand)
+        trough_day, peak_val = min((d, rm) for dr, d, rm in cand if dr == max_draw)
+        peak_day = min(d for d, c in series if d <= trough_day and int(c) == peak_val)
+        r = rows[t]
+        assert r.n_days == len(series)
+        assert (r.peak_day, r.trough_day) == (peak_day, trough_day), t
+        assert (r.peak_cents, r.max_drawdown_cents) == (peak_val, max_draw)
+        assert abs(r.drawdown_frac - round(max_draw / peak_val, 6)) < 1e-9
+
+
+def test_seasonality_strength_consistent_with_decomposition(spark, sf_dir):
+    comp = QUERIES["q_seasonal_decompose"](spark, sf_dir).collect()
+
+    def var(xs):
+        n = len(xs)
+        return (n * sum(x * x for x in xs) - sum(xs) ** 2) / (n * n)
+
+    rc = [r.residual_cents for r in comp]
+    tr = [r.trend_cents + r.residual_cents for r in comp]
+    sr = [r.seasonal_cents + r.residual_cents for r in comp]
+    row = QUERIES["q_seasonality_strength"](spark, sf_dir).collect()[0]
+    assert row.n_days == len(comp)
+    assert abs(row.trend_strength - round(max(0.0, 1 - var(rc) / var(tr)), 4)) < 1e-6
+    assert abs(row.seasonal_strength - round(max(0.0, 1 - var(rc) / var(sr)), 4)) < 1e-6
+    assert 0.0 <= row.trend_strength <= 1.0 and 0.0 <= row.seasonal_strength <= 1.0
+
+
+def test_bucketed_join_plan_is_exchange_free_and_matches_plain_join(spark, sf_dir):
+    """The layout lever: matching bucket specs let the SortMergeJoin run
+    with NO exchange before it — the only exchange left is the final
+    segment rollup. And the layout provably does not change the answer."""
+    df = QUERIES["q_bucketed_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan
+    from simple_stream_processor_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    plain = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+    assert {tuple(r) for r in df.collect()} == {tuple(r) for r in plain.collect()}

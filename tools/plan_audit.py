@@ -137,6 +137,9 @@ SINGLE_PARTITION_ALLOWANCE = {
     # same shape as q_survival_curve (shared lifetime derivation): horizon
     # scalar + the hazard running sums over the ≤observation-days table
     "q_nelson_aalen": 2,
+    # the N100 decomposition's days-bounded centered RANGE window plus the
+    # final one-row strength aggregate — never event-level data
+    "q_seasonality_strength": 2,
     # one (n_nodes, Σdeg) one-row rollup per peeling round (4 unrolled
     # rounds); each serves both the stats row and the peel threshold and
     # carries only #tasks partial rows, never edges
