@@ -163,6 +163,8 @@ _PRIORITY = [
     "q_mix_shift", "q_nelson_aalen", "q_welch_ttest",
     "q_new_returning_revenue",
     "q_max_drawdown", "q_seasonality_strength", "q_bucketed_join",
+    "q_streaming_mann_kendall", "q_streaming_runs", "q_streaming_welch",
+    "q_seasonal_anomaly", "q_hill_tail_index",
 ]
 
 

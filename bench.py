@@ -141,6 +141,7 @@ TAIL = [
     "q_mix_shift", "q_nelson_aalen", "q_welch_ttest",
     "q_new_returning_revenue",
     "q_max_drawdown", "q_seasonality_strength", "q_bucketed_join",
+    "q_seasonal_anomaly", "q_hill_tail_index",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

@@ -6687,12 +6687,21 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same rollup. Complements N104 (robust slope magnitude) and N43
     (pointwise anomaly): this is the monotone-trend yes/no."""
     daily = _daily_cents_by_type(spark, sf_dir)
+    return mann_kendall_tail(daily)
+
+
+def mann_kendall_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Mann-Kendall queries: the
+    sign-pair statistic, tie-corrected variance, and trend verdict over a
+    (event_type, day, cents) daily table."""
+    # every derived side renames its join keys (the memory-sink
+    # conflicting-attribute rule — this tail also serves the streaming twin)
     a = daily.select(F.col("event_type").alias("et"), F.col("day").alias("di"), F.col("cents").alias("ci"))
-    b = daily.select(F.col("event_type").alias("et"), F.col("day").alias("dj"), F.col("cents").alias("cj"))
+    b = daily.select(F.col("event_type").alias("et2"), F.col("day").alias("dj"), F.col("cents").alias("cj"))
     s = (
-        a.join(b, "et")
+        a.join(b, F.col("et") == F.col("et2"))
         .where(F.col("dj") > F.col("di"))
-        .groupBy(F.col("et").alias("event_type"))
+        .groupBy(F.col("et").alias("set"))
         .agg(
             F.sum(
                 F.when(F.col("cj") > F.col("ci"), 1)
@@ -6703,14 +6712,14 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
     ties = (
-        daily.groupBy("event_type", "cents")
+        daily.groupBy(F.col("event_type").alias("tet"), "cents")
         .agg(F.count(F.lit(1)).alias("t"))
-        .groupBy("event_type")
+        .groupBy("tet")
         .agg(F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias("tie_term"))
     )
     v = (
-        n.join(s, "event_type")
-        .join(ties, "event_type")
+        n.join(s, F.col("event_type") == F.col("set"))
+        .join(ties, F.col("event_type") == F.col("tet"))
         .select(
             "event_type",
             "n_days",
@@ -6810,9 +6819,16 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant or 2-day — so fuzz shapes cannot crash ANSI mode. Scale: two
     keyed lag windows + one aggregate over the types x days rollup; series
     carry the parallelism. The verdict thresholds unrounded |z| at 1.96."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return runs_test_tail(daily)
+
+
+def runs_test_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming runs-test queries: the
+    up/down sign sequence, run count, and Wald-Wolfowitz z over a
+    (event_type, day, cents) daily table."""
     from pyspark.sql.window import Window
 
-    daily = _daily_cents_by_type(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day")
     d = daily.select(
         "event_type", "day", (F.col("cents") - F.lag("cents").over(w)).alias("diff")
@@ -7804,10 +7820,14 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree. try_divide pins degenerate groups (one-day weekend, constant
     series) to NULL instead of ANSI DIVIDE_BY_ZERO — the fuzz shapes.
     Scale: rides the daily rollup; 5 one-row stats after."""
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return welch_tail(daily)
+
+
+def welch_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Welch weekend-effect
+    queries: exact weekday/weekend moments and the t/df panel over a
+    (event_type, day, cents) daily table."""
     g = daily.select(
         "event_type",
         F.when((F.col("day") + 3) % 7 + 1 >= 6, 1).otherwise(0).alias("we"),
@@ -8187,6 +8207,238 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("o_orderpriority").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_lineitems"),
         F.sum("cents").alias("revenue_cents"),
+    )
+
+
+
+
+@query(
+    "q_seasonal_anomaly",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    d AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents FROM e GROUP BY 1),
+    t AS (
+      SELECT day, cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS wsum,
+             CAST(count(*) OVER w AS BIGINT) AS wn
+      FROM d
+      WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dt AS (
+      SELECT day, day % 7 AS slot, cents,
+             wsum // wn AS trend_cents,
+             cents - wsum // wn AS detrended
+      FROM t
+    ),
+    s AS (
+      SELECT slot, CAST(sum(detrended) AS BIGINT) AS snum, count(*)::BIGINT AS sden
+      FROM dt GROUP BY 1
+    ),
+    comp AS (
+      SELECT dt.day, dt.cents,
+             dt.detrended - s.snum // s.sden AS rc
+      FROM dt JOIN s ON s.slot = dt.slot
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY rc, day) AS r,
+             count(*) OVER () AS nd
+      FROM comp
+    ),
+    med AS (
+      SELECT CAST(sum(rc) AS BIGINT) AS msum
+      FROM rk WHERE r = (nd + 1) // 2 OR r = nd // 2 + 1
+    ),
+    dev AS (
+      SELECT c.day, c.cents, c.rc, abs(2 * c.rc - m.msum) AS dev2
+      FROM comp c, med m
+    ),
+    erk AS (
+      SELECT *, row_number() OVER (ORDER BY dev2, day) AS r,
+             count(*) OVER () AS nd
+      FROM dev
+    ),
+    mad AS (
+      SELECT CAST(sum(dev2) AS BIGINT) AS esum
+      FROM erk WHERE r = (nd + 1) // 2 OR r = nd // 2 + 1
+    ),
+    scored AS (
+      SELECT d.day, d.cents, d.rc,
+             (2.0 * d.rc - m.msum) * 2.0 / (1.4826 * md.esum) AS rz,
+             d.dev2
+      FROM dev d, med m, mad md
+    )
+    SELECT CAST(day * 86400 AS BIGINT) AS day_s,
+           cents, rc AS residual_cents,
+           round(rz, 4) AS robust_z,
+           CASE WHEN rz IS NULL THEN NULL ELSE abs(rz) > 3.0 END AS is_anomaly
+    FROM scored
+    ORDER BY dev2 DESC, day
+    LIMIT 10
+""",
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N121: seasonal-adjusted anomaly detection — the top-10 days
+    whose N100-decomposition RESIDUAL deviates most from the residual
+    median, scored as a robust z (median/MAD, Hampel's 1.4826
+    normal-consistency constant): the detector that q_rolling_zscore
+    cannot be — a weekly-cycle peak is NOT an anomaly here because the
+    seasonal component already absorbed it, and a slow trend cannot
+    inflate the scale because MAD ignores it. EXACT-INTEGER ranking end
+    to end: the even-median is kept as the two-middles SUM (msum = 2*med,
+    BIGINT), deviations are |2*rc - msum| (BIGINT), the MAD likewise a
+    sum (esum = 4*MAD), so the top-10 cut orders by exact integers —
+    the one float is the final robust-z division (2*rc - msum)*2 /
+    (1.4826*esum), try_divide-pinned NULL on constant residuals.
+    Scale: everything after the daily rollup is days-bounded (the N100
+    argument); the two median ranks ride the same bounded table."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d = e.groupBy("day").agg(F.sum("cents").alias("cents"))
+    comp = seasonal_tail(d).select(
+        F.expr("day_s div 86400").alias("day"),
+        "cents",
+        F.col("residual_cents").alias("rc"),
+    ).localCheckpoint(eager=False)
+    wr = Window.orderBy("rc", "day")
+    wn = Window.partitionBy()
+    rk = comp.select(
+        "rc", F.row_number().over(wr).alias("r"), F.count(F.lit(1)).over(wn).alias("nd")
+    )
+    med = rk.where(
+        (F.col("r") == F.expr("(nd + 1) div 2")) | (F.col("r") == F.expr("nd div 2 + 1"))
+    ).agg(F.sum("rc").alias("msum"))
+    dev = comp.crossJoin(F.broadcast(med)).select(
+        "day", "cents", "rc", F.abs(2 * F.col("rc") - F.col("msum")).alias("dev2"), "msum"
+    )
+    we = Window.orderBy("dev2", "day")
+    erk = dev.select(
+        "dev2", F.row_number().over(we).alias("r"), F.count(F.lit(1)).over(wn).alias("nd")
+    )
+    mad = erk.where(
+        (F.col("r") == F.expr("(nd + 1) div 2")) | (F.col("r") == F.expr("nd div 2 + 1"))
+    ).agg(F.sum("dev2").alias("esum"))
+    rz = F.try_divide(
+        (2.0 * F.col("rc") - F.col("msum")) * 2.0, 1.4826 * F.col("esum")
+    )
+    scored = dev.crossJoin(F.broadcast(mad)).select(
+        (F.col("day") * 86400).alias("day_s"),
+        "cents",
+        F.col("rc").alias("residual_cents"),
+        F.round(rz, 4).alias("robust_z"),
+        F.when(rz.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.abs(rz) > 3.0)
+        .alias("is_anomaly"),
+        "dev2",
+        "day",
+    )
+    return scored.orderBy(F.desc("dev2"), "day").limit(10).drop("dev2", "day")
+
+
+
+
+@query(
+    "q_hill_tail_index",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    rk AS (
+      SELECT cents, row_number() OVER (ORDER BY cents DESC, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM o
+    ),
+    kd AS (SELECT cents, rn, n, n // 20 AS k FROM rk),
+    agg AS (
+      SELECT CAST(max(n) AS BIGINT) AS n_orders,
+             CAST(max(k) AS BIGINT) AS k_tail,
+             CAST(max(cents) FILTER (WHERE rn = k + 1) AS BIGINT) AS threshold_cents,
+             list_reduce(
+               list_prepend(0.0, list(ln(CAST(cents AS DOUBLE)) ORDER BY rn)
+                                   FILTER (WHERE rn <= k)),
+               (a, x) -> a + x) AS lnsum
+      FROM kd
+    )
+    SELECT n_orders, k_tail, threshold_cents,
+           round(k_tail / (lnsum - k_tail * ln(CAST(threshold_cents AS DOUBLE))), 4)
+             AS hill_alpha
+    FROM agg
+""",
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N122: Hill tail-index estimator (Hill 1975; the
+    peaks-over-threshold heavy-tail diagnostic) over order values:
+    alpha = k / SUM ln(x_i / x_(k+1)) for the top k = n div 20 order
+    totals — the number that says whether the value distribution is
+    power-law-heavy (alpha < 2: variance undefined, expect extreme
+    whales) or light (large alpha) — which decides whether revenue
+    aggregates need q_salted_join's skew treatment and how q_ab_test's
+    means behave. Deterministic: the tail cut ranks by exact (cents
+    DESC, o_orderkey); the ln-ratio sum folds in rank order (float-sum
+    discipline); alpha is one division, NULL (try_divide) when the top-k
+    ties flat (fuzz shape). Scale note: the global rank is the
+    advisor-stance sort (q_sort_key_advisor precedent) — at 100 TB the
+    threshold comes from an approx-quantile pass and the fold shrinks to
+    the k tail rows only; the plan shape (one sort, one fold) is
+    unchanged."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), "o_orderkey")
+    wn = Window.partitionBy()
+    # ONE aggregate over the ranked table: SUM ln(x_i/t) == SUM ln x_i -
+    # k*ln t, so the threshold never needs a second pass — 2 budgeted
+    # single-partition exchanges total (the advisor-stance global rank +
+    # the one-row aggregate)
+    kd = o.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.expr("count(1) over () div 20").alias("k"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    agg = kd.agg(
+        F.max("n").alias("n_orders"),
+        F.max("k").alias("k_tail"),
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("cents"))).alias("threshold_cents"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= F.col("k"),
+                            F.struct("rn", F.log(F.col("cents").cast("double")).alias("v")),
+                        )
+                    )
+                ),
+                lambda t: t["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("lnsum"),
+    )
+    return agg.select(
+        "n_orders",
+        "k_tail",
+        "threshold_cents",
+        F.round(
+            F.try_divide(
+                F.col("k_tail"),
+                F.col("lnsum")
+                - F.col("k_tail") * F.log(F.col("threshold_cents").cast("double")),
+            ),
+            4,
+        ).alias("hill_alpha"),
     )
 
 

@@ -2018,3 +2018,64 @@ def q_streaming_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     drained, _ = run_stream_to_memory(daily, output_mode="complete")
     return xmr_tail(drained)
+
+
+def _relext_oracle(name: str) -> str:
+    from simple_stream_processor_spark import queries_relational_ext  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES[name]
+
+
+def _streaming_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (event_type, day, cents) daily table as streaming state —
+    commutative integer sums bounded at types x days rows forever — drained
+    complete; the shared head of the trend/dispersion streaming twins."""
+    import os as _os
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    daily = sdf.groupBy(
+        "event_type",
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    drained, _ = run_stream_to_memory(daily, output_mode="complete")
+    return drained
+
+
+@query("q_streaming_mann_kendall", oracle=_relext_oracle("q_mann_kendall"))
+def q_streaming_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Mann-Kendall twin (N106b): the per-type daily-cents state
+    drained through the shared mann_kendall_tail — a live is-the-trend-real
+    monitor whose verdict hash-matches the batch oracle. The pair statistic
+    recomputes over the days-bounded state at drain time; it never needs to
+    be incremental because its input is bounded, the q_streaming_acf
+    argument."""
+    from simple_stream_processor_spark.queries_relational_ext import mann_kendall_tail
+
+    return mann_kendall_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_runs", oracle=_relext_oracle("q_runs_test"))
+def q_streaming_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming runs-test twin (N107b): daily-cents state through the
+    shared runs_test_tail — live randomness audit of the day-over-day sign
+    sequence (momentum and oscillation regressions surface per trigger),
+    hash-matching the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import runs_test_tail
+
+    return runs_test_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_welch", oracle=_relext_oracle("q_welch_ttest"))
+def q_streaming_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Welch twin (N116b): daily-cents state through the shared
+    welch_tail — the weekend effect monitored live with exact moments,
+    hash-matching the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import welch_tail
+
+    return welch_tail(_streaming_daily_by_type(spark, sf_dir))

@@ -1598,3 +1598,56 @@ def test_bucketed_join_plan_is_exchange_free_and_matches_plain_join(spark, sf_di
         )
     )
     assert {tuple(r) for r in df.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_streaming_mk_runs_welch_match_batch(spark, sf_dir):
+    for batch, twin in [
+        ("q_mann_kendall", "q_streaming_mann_kendall"),
+        ("q_runs_test", "q_streaming_runs"),
+        ("q_welch_ttest", "q_streaming_welch"),
+    ]:
+        b = {tuple(r) for r in QUERIES[batch](spark, sf_dir).collect()}
+        s = {tuple(r) for r in QUERIES[twin](spark, sf_dir).collect()}
+        assert b == s, (batch, twin)
+
+
+def test_seasonal_anomaly_matches_python_replay(spark, sf_dir):
+    comp = QUERIES["q_seasonal_decompose"](spark, sf_dir).collect()
+    rcs = sorted((r.residual_cents, r.day_s // 86400) for r in comp)
+    n = len(rcs)
+    msum = rcs[(n + 1) // 2 - 1][0] + rcs[n // 2][0]
+    devs = sorted((abs(2 * r.residual_cents - msum), r.day_s // 86400) for r in comp)
+    esum = devs[(n + 1) // 2 - 1][0] + devs[n // 2][0]
+    by_day = {r.day_s // 86400: r.residual_cents for r in comp}
+    expect = sorted(
+        ((abs(2 * rc - msum), d) for d, rc in by_day.items()), key=lambda p: (-p[0], p[1])
+    )[:10]
+    rows = QUERIES["q_seasonal_anomaly"](spark, sf_dir).collect()
+    assert len(rows) == min(10, n)
+    for r, (dev2, day) in zip(rows, expect):
+        assert r.day_s == day * 86400
+        assert abs(2 * r.residual_cents - msum) == dev2
+        if esum > 0:
+            rz = (2 * r.residual_cents - msum) * 2 / (1.4826 * esum)
+            assert abs(r.robust_z - round(rz, 4)) < 1e-9
+            assert r.is_anomaly == (abs(rz) > 3.0)
+
+
+def test_hill_tail_index_matches_python_replay(spark, sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    cents = sorted(
+        zip((o.o_totalprice * 100).round().astype("int64"), o.o_orderkey),
+        key=lambda p: (-p[0], p[1]),
+    )
+    n = len(cents)
+    k = n // 20
+    thr = cents[k][0]
+    s = sum(math.log(c / thr) for c, _ in cents[:k])
+    r = QUERIES["q_hill_tail_index"](spark, sf_dir).collect()[0]
+    assert (r.n_orders, r.k_tail, r.threshold_cents) == (n, k, thr)
+    if s > 0:
+        assert abs(r.hill_alpha - round(k / s, 4)) < 1e-6
+        # uniform fixture prices are light-tailed: alpha far above 2
+        assert r.hill_alpha > 2.0

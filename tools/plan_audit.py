@@ -140,6 +140,12 @@ SINGLE_PARTITION_ALLOWANCE = {
     # the N100 decomposition's days-bounded centered RANGE window plus the
     # final one-row strength aggregate — never event-level data
     "q_seasonality_strength": 2,
+    # the N100 days-bounded RANGE window plus the two even-median rank
+    # windows (residual median + MAD) — all over the days-bounded table
+    "q_seasonal_anomaly": 3,
+    # the advisor-stance global value rank (approx-quantile threshold at
+    # corpus scale, docstring) plus the one-row tail aggregate
+    "q_hill_tail_index": 2,
     # one (n_nodes, Σdeg) one-row rollup per peeling round (4 unrolled
     # rounds); each serves both the stats row and the peel threshold and
     # carries only #tasks partial rows, never edges
