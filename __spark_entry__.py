@@ -165,6 +165,10 @@ _PRIORITY = [
     "q_max_drawdown", "q_seasonality_strength", "q_bucketed_join",
     "q_streaming_mann_kendall", "q_streaming_runs", "q_streaming_welch",
     "q_seasonal_anomaly", "q_hill_tail_index",
+    "q_partition_pruned_scan", "q_csv_source", "q_lorenz_curve",
+    "q_interarrival_stats",
+    "q_streaming_drawdown", "q_streaming_strength",
+    "q_streaming_seasonal_anomaly",
 ]
 
 

@@ -142,6 +142,8 @@ TAIL = [
     "q_new_returning_revenue",
     "q_max_drawdown", "q_seasonality_strength", "q_bucketed_join",
     "q_seasonal_anomaly", "q_hill_tail_index",
+    "q_partition_pruned_scan", "q_csv_source", "q_lorenz_curve",
+    "q_interarrival_stats",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

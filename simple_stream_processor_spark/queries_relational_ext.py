@@ -8011,10 +8011,17 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-row trough table."""
     from pyspark.sql.window import Window
 
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")).localCheckpoint(eager=False)
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return max_drawdown_tail(daily)
+
+
+def max_drawdown_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming drawdown queries: running-max
+    draw, pinned trough/peak, depth fraction over a (event_type, day,
+    cents) daily table."""
+    from pyspark.sql.window import Window
+
+    daily = daily.localCheckpoint(eager=False)
     wrun = Window.partitionBy("event_type").orderBy("day")
     r = daily.select("event_type", "day", "cents", F.max("cents").over(wrun).alias("runmax"))
     draw = F.col("runmax") - F.col("cents")
@@ -8132,6 +8139,12 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     d = e.groupBy("day").agg(F.sum("cents").alias("cents"))
+    return seasonality_strength_tail(d)
+
+
+def seasonality_strength_tail(d) -> DataFrame:
+    """Shared tail of the batch and streaming strength queries: the FPP3
+    F_T/F_S panel over a (day, cents) daily table."""
     comp = seasonal_tail(d).select(
         F.col("trend_cents").alias("tc"),
         F.col("seasonal_cents").alias("sc"),
@@ -8303,6 +8316,15 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     d = e.groupBy("day").agg(F.sum("cents").alias("cents"))
+    return seasonal_anomaly_tail(d)
+
+
+def seasonal_anomaly_tail(d) -> DataFrame:
+    """Shared tail of the batch and streaming seasonal-anomaly queries:
+    median/MAD robust-z top-10 over the decomposition residuals of a
+    (day, cents) daily table."""
+    from pyspark.sql.window import Window
+
     comp = seasonal_tail(d).select(
         F.expr("day_s div 86400").alias("day"),
         "cents",
@@ -8439,6 +8461,226 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("hill_alpha"),
+    )
+
+
+
+
+@query(
+    "q_partition_pruned_scan",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+    GROUP BY 1
+""",
+)
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N123: date-partition-pruned scan — the SECOND storage-layout
+    lever beside N120's bucketing (bucketing kills the join shuffle; THIS
+    kills the scan): events are written hive-partitioned by calendar date
+    (storage.write_date_partitioned), read back, and filtered to one week —
+    Catalyst resolves the predicate ENTIRELY at planning time
+    (PartitionFilters carries it, DataFilters is empty — pytest pins both),
+    so only 7 of the ~30 date directories are ever opened. At 100 TB with
+    ~3 years of events, the same one-week dashboard query reads ~0.6% of
+    the bytes; no row-level filtering happens at all. The aggregate result
+    hash-matches the raw-scan oracle — layout changes I/O, provably not
+    the answer (the N120 contract)."""
+    import os
+    from urllib.parse import urlparse
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    path = os.path.join(warehouse if os.path.isabs(warehouse) else "spark-warehouse",
+                        "ssp_events_by_date")
+    storage.write_date_partitioned(ev, path)
+    back = storage.read_date_partitioned(spark, path)
+    pruned = back.where(
+        (F.col("event_date") >= F.lit("2024-01-10")) & (F.col("event_date") <= F.lit("2024-01-16"))
+    )
+    return pruned.groupBy(F.col("event_date").cast("string").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+
+
+
+@query(
+    "q_csv_source",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+""",
+)
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N124: CSV source round-trip — the third source format through
+    the oracle gate (parquet everywhere, JSONL via the custom managed
+    source S5, CSV here): events project to a typed CSV (header, native
+    distributed writer), read back with an EXPLICIT schema (never
+    inferSchema — a second full scan and type guesses that flip on dirty
+    data), and aggregate to per-type counts/revenue/distinct users that
+    hash-match the raw-parquet oracle — the loss-less-ness of the
+    round-trip IS the assertion. Scale: CSV splits by line so the read
+    parallelizes like parquet minus columnar pruning; the docstring
+    contract is 'ingest format, convert to parquet once' — this query is
+    the audit that conversion preserved every row and value."""
+    import os
+    from urllib.parse import urlparse
+
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    path = os.path.join(warehouse if os.path.isabs(warehouse) else "spark-warehouse",
+                        "ssp_events_csv")
+    ev.write.mode("overwrite").option("header", "true").csv(path)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", "true").csv(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+
+
+@query(
+    "q_lorenz_curve",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT cents, ntile(10) OVER (ORDER BY cents, o_custkey) AS decile FROM u
+    ),
+    per AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM d GROUP BY 1
+    ),
+    cum AS (
+      SELECT decile, n_customers, cents,
+             CAST(sum(cents) OVER (ORDER BY decile) AS BIGINT) AS cum_cents,
+             CAST(sum(cents) OVER () AS BIGINT) AS total
+      FROM per
+    )
+    SELECT decile, n_customers, cents AS decile_cents,
+           round(CAST(cum_cents AS DOUBLE) / nullif(total, 0), 6) AS cum_share
+    FROM cum
+""",
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N125: Lorenz curve deciles (Lorenz 1905 — the curve whose area
+    deficit IS q_gini_concentration's coefficient, shown as the 10-point
+    table a dashboard actually plots): customers ranked by exact revenue
+    cents into ntile(10) deciles (ties pinned by custkey), cumulative
+    revenue share per decile — 'the top decile holds 1-cum_share(9) of
+    revenue'. All exact integers (per-decile and cumulative cents) to ONE
+    share division; the customer-bounded global ntile is the budgeted
+    single-partition exchange (q_stratified_ate stance: swap for
+    approx-quantile bounds at corpus scale, same downstream arithmetic).
+    Cross-checked against Gini in pytest: 2*AUC-of-curve - 1 ≈ -G."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    u = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    d = u.select(
+        "cents", F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile")
+    )
+    per = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("cents").alias("cents")
+    )
+    cum = per.select(
+        "decile",
+        "n_customers",
+        "cents",
+        F.sum("cents").over(Window.orderBy("decile")).alias("cum_cents"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    )
+    return cum.select(
+        "decile",
+        "n_customers",
+        F.col("cents").alias("decile_cents"),
+        F.round(F.try_divide(F.col("cum_cents").cast("double"), F.col("total")), 6).alias(
+            "cum_share"
+        ),
+    )
+
+
+
+
+@query(
+    "q_interarrival_stats",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             us - lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id) AS gap
+      FROM e
+    )
+    SELECT event_type,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           round(CAST(sum(gap) AS DOUBLE) / count(gap) / 1e6, 4) AS mean_s,
+           round(quantile_cont(gap, 0.5) / 1e6, 4) AS p50_s,
+           round(quantile_cont(gap, 0.9) / 1e6, 4) AS p90_s,
+           round(quantile_cont(gap, 0.99) / 1e6, 4) AS p99_s,
+           round(CAST(max(gap) AS DOUBLE) / 1e6, 4) AS max_s
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY 1
+""",
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N126: inter-arrival gap profile (the queueing-theory
+    arrival-process panel; Little's-law companion to N41's concurrency
+    sweep): per event type, exact microsecond gaps between consecutive
+    events with mean / P50 / P90 / P99 / max in seconds — burstiness vs
+    Poisson-ness at a glance (P99/P50 >> ln(100) says heavy bursts), the
+    number that sizes stream buffers and state-store write rates.
+    Determinism: gaps are exact BIGINT micros off one keyed lag window
+    (ties pinned by event_id); exact sort-based percentile == DuckDB
+    quantile_cont bit-for-bit (the q_exact_percentile contract); the mean
+    is the exact integer sum to one division. Scale: one shuffle on
+    event_type (the q_time_to_convert shape), per-group sort bounded by
+    that type's events — swap to the t-digest sketch when a single type
+    outgrows a partition (documented)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("event_type", F.expr("unix_micros(ts)").alias("us"), "event_id")
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    g = e.select("event_type", (F.col("us") - F.lag("us").over(w)).alias("gap")).where(
+        F.col("gap").isNotNull()
+    )
+    return g.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        F.round(F.sum("gap").cast("double") / F.count("gap") / 1e6, 4).alias("mean_s"),
+        F.round(F.expr("percentile(gap, 0.5)") / 1e6, 4).alias("p50_s"),
+        F.round(F.expr("percentile(gap, 0.9)") / 1e6, 4).alias("p90_s"),
+        F.round(F.expr("percentile(gap, 0.99)") / 1e6, 4).alias("p99_s"),
+        F.round(F.max("gap").cast("double") / 1e6, 4).alias("max_s"),
     )
 
 

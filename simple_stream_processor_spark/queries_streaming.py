@@ -2079,3 +2079,57 @@ def q_streaming_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_stream_processor_spark.queries_relational_ext import welch_tail
 
     return welch_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+
+@query("q_streaming_drawdown", oracle=_relext_oracle("q_max_drawdown"))
+def q_streaming_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming max-drawdown twin (N118b): per-type daily-cents state
+    through the shared max_drawdown_tail — the worst peak-to-trough slide
+    re-evaluated per trigger (a live revenue-at-risk monitor), hash-matching
+    the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import max_drawdown_tail
+
+    return max_drawdown_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+def _streaming_daily_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global (day, cents) daily table as streaming state — one integer
+    row per day forever (the q_streaming_seasonal bound), drained complete."""
+    import os as _os
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    daily = sdf.groupBy(
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    drained, _ = run_stream_to_memory(daily, output_mode="complete")
+    return drained
+
+
+@query("q_streaming_strength", oracle=_relext_oracle("q_seasonality_strength"))
+def q_streaming_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming seasonality-strength twin (N119b): the (day, cents) state
+    through seasonality_strength_tail — the F_T/F_S scorecard refreshed per
+    trigger (trailing 3 days non-final behind the watermark, the
+    q_streaming_seasonal caveat), hash-matching the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import (
+        seasonality_strength_tail,
+    )
+
+    return seasonality_strength_tail(_streaming_daily_global(spark, sf_dir))
+
+
+@query("q_streaming_seasonal_anomaly", oracle=_relext_oracle("q_seasonal_anomaly"))
+def q_streaming_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming seasonal-anomaly twin (N121b): the (day, cents) state
+    through seasonal_anomaly_tail — the live top-10 residual-outlier panel
+    (a weekly peak still not an anomaly, a drift still unable to inflate
+    MAD), hash-matching the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import seasonal_anomaly_tail
+
+    return seasonal_anomaly_tail(_streaming_daily_global(spark, sf_dir))

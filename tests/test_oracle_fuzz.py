@@ -72,7 +72,7 @@ EVENT_QUERIES = [
     "q_mann_kendall", "q_runs_test", "q_ccf_leadlag", "q_xmr_control",
     "q_growth_accounting", "q_stratified_ate", "q_nelson_aalen",
     "q_welch_ttest", "q_new_returning_revenue", "q_max_drawdown",
-    "q_seasonality_strength", "q_seasonal_anomaly",
+    "q_seasonality_strength", "q_seasonal_anomaly", "q_interarrival_stats",
     "q_top_paths", "q_forecast_eval", "q_changepoint_cusum",
     "q_survival_curve", "q_k_anonymity", "q_ab_test", "q_lag_features",
     "q_power_analysis", "q_grouped_udaf", "q_full_outer_reconcile",
@@ -272,7 +272,7 @@ TPCH_QUERIES = [
     "q_pagerank", "q_densest_subgraph", "q_triangle_count",
     "q_market_basket", "q_table_profile", "q_benford_audit",
     "q_gini_concentration", "q_link_prediction", "q_degree_assortativity",
-    "q_mix_shift", "q_hill_tail_index",
+    "q_mix_shift", "q_hill_tail_index", "q_lorenz_curve",
 ]
 
 ORDER_STATUS = ["F", "O", "P"]

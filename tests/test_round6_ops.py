@@ -1651,3 +1651,103 @@ def test_hill_tail_index_matches_python_replay(spark, sf_dir):
         assert abs(r.hill_alpha - round(k / s, 4)) < 1e-6
         # uniform fixture prices are light-tailed: alpha far above 2
         assert r.hill_alpha > 2.0
+
+
+def test_partition_pruned_scan_prunes_at_plan_time(spark, sf_dir):
+    """PartitionFilters must carry the whole predicate; DataFilters stays
+    empty — the scan never opens out-of-range date directories."""
+    df = QUERIES["q_partition_pruned_scan"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+    dm = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+    assert dm and dm.group(1).strip() == "", plan
+    # and the result is the raw-scan truth
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    d = ev.ts.values.astype("datetime64[D]").astype(str)
+    mask = (d >= "2024-01-10") & (d <= "2024-01-16")
+    assert sum(r.n for r in df.collect()) == int(mask.sum())
+
+
+def test_csv_source_roundtrip_is_lossless(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+    rows = {r.event_type: r for r in QUERIES["q_csv_source"](spark, sf_dir).collect()}
+    for t, g in ev.groupby("event_type"):
+        r = rows[t]
+        assert r.n == len(g)
+        assert r.cents == int((g.value * 100).round().astype("int64").sum())
+        assert r.n_users == g.user_id.nunique()
+
+
+def test_lorenz_curve_monotone_and_consistent_with_gini(spark, sf_dir):
+    rows = sorted(QUERIES["q_lorenz_curve"](spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_share for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(shares, shares[1:])), "cumulative"
+    assert abs(shares[-1] - 1.0) < 1e-6
+    # deciles rank by revenue ascending: each decile's cents no less than prior
+    per = [r.decile_cents / max(1, r.n_customers) for r in rows]
+    assert all(b >= a for a, b in zip(per, per[1:]))
+    # area deficit of the decile Lorenz curve approximates the exact Gini
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cents = (
+        o.assign(c=(o.o_totalprice * 100).round().astype("int64"))
+        .groupby("o_custkey")
+        .c.sum()
+        .sort_values(kind="mergesort")
+        .tolist()
+    )
+    n, tot = len(cents), sum(cents)
+    exact_gini = sum((2 * (i + 1) - n - 1) * c for i, c in enumerate(cents)) / (n * tot)
+    xs = [0.0] + [sum(rr.n_customers for rr in rows[: i + 1]) / n for i in range(10)]
+    ys = [0.0] + shares
+    auc = sum((xs[i + 1] - xs[i]) * (ys[i + 1] + ys[i]) / 2 for i in range(10))
+    # trapezoid over 10 points is a coarse upper bound on AUC: small slack
+    assert abs((1 - 2 * auc) - exact_gini) < 0.05
+
+
+def test_interarrival_stats_matches_python(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "event_id"])
+    ev["us"] = ev.ts.values.astype("datetime64[us]").astype("int64")
+    rows = {r.event_type: r for r in QUERIES["q_interarrival_stats"](spark, sf_dir).collect()}
+
+    def pct(sorted_vals, q):
+        n = len(sorted_vals)
+        pos = q * (n - 1)
+        lo, f = int(pos), pos - int(pos)
+        hi = min(lo + 1, n - 1)
+        return sorted_vals[lo] * (1 - f) + sorted_vals[hi] * f
+
+    for t, g in ev.groupby("event_type"):
+        us = [u for u, _ in sorted(zip(g.us, g.event_id))]
+        gaps = sorted(b - a for a, b in zip(us, us[1:]))
+        r = rows[t]
+        assert r.n_gaps == len(gaps)
+        assert abs(r.mean_s - round(sum(gaps) / len(gaps) / 1e6, 4)) < 1e-9
+        assert abs(r.p50_s - round(pct(gaps, 0.5) / 1e6, 4)) < 1e-6
+        assert abs(r.p99_s - round(pct(gaps, 0.99) / 1e6, 4)) < 1e-6
+        assert r.max_s == round(gaps[-1] / 1e6, 4)
+        # heavy-burst diagnostic is well-ordered
+        assert r.p50_s <= r.p90_s <= r.p99_s <= r.max_s
+
+
+def test_streaming_drawdown_strength_anomaly_match_batch(spark, sf_dir):
+    for batch, twin in [
+        ("q_max_drawdown", "q_streaming_drawdown"),
+        ("q_seasonality_strength", "q_streaming_strength"),
+        ("q_seasonal_anomaly", "q_streaming_seasonal_anomaly"),
+    ]:
+        b = {tuple(r) for r in QUERIES[batch](spark, sf_dir).collect()}
+        s = {tuple(r) for r in QUERIES[twin](spark, sf_dir).collect()}
+        assert b == s, (batch, twin)
