@@ -169,6 +169,7 @@ _PRIORITY = [
     "q_interarrival_stats",
     "q_streaming_drawdown", "q_streaming_strength",
     "q_streaming_seasonal_anomaly",
+    "q_qini_curve", "q_classifier_report", "q_kmv_intersection",
 ]
 
 

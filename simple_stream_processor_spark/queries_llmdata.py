@@ -6070,3 +6070,168 @@ def q_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 4).alias("entropy_nats"),
         (h < 2.0).alias("is_low_entropy"),
     )
+
+
+def _classifier_report_oracle():
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {", ".join(_lang_score_sql(lg) for lg in _LANGS)}
+      FROM documents
+    ), withbest AS (
+      SELECT *, greatest({", ".join("score_" + lg for lg in _LANGS)}) AS best FROM scored
+    ), pred AS (
+      SELECT labeled_lang, {_PRED_CASE} AS pred_lang FROM withbest
+    ),
+    m AS (
+      SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    langs AS (
+      SELECT labeled_lang AS lang FROM m
+      UNION SELECT pred_lang FROM m
+    ),
+    per AS (
+      SELECT l.lang,
+             CAST(coalesce(sum(CASE WHEN m.labeled_lang = l.lang THEN m.n END), 0) AS BIGINT) AS support,
+             CAST(coalesce(sum(CASE WHEN m.labeled_lang = l.lang AND m.pred_lang = l.lang THEN m.n END), 0) AS BIGINT) AS tp,
+             CAST(coalesce(sum(CASE WHEN m.pred_lang = l.lang AND m.labeled_lang <> l.lang THEN m.n END), 0) AS BIGINT) AS fp,
+             CAST(coalesce(sum(CASE WHEN m.labeled_lang = l.lang AND m.pred_lang <> l.lang THEN m.n END), 0) AS BIGINT) AS fn
+      FROM langs l LEFT JOIN m ON m.labeled_lang = l.lang OR m.pred_lang = l.lang
+      GROUP BY 1
+    ),
+    rows_out AS (
+      SELECT lang, support, tp, fp, fn,
+             round(tp * CAST(1 AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision,
+             round(tp * CAST(1 AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall,
+             round(2.0 * tp / nullif(2 * tp + fp + fn, 0), 6) AS f1,
+             CAST(NULL AS DOUBLE) AS kappa
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN labeled_lang = pred_lang THEN n ELSE 0 END) AS BIGINT) AS agree
+      FROM m
+    ),
+    marg AS (
+      SELECT CAST(sum(p.support * CAST(p.tp + p.fp AS HUGEINT)) AS DOUBLE) AS pe_num
+      FROM per p
+    ),
+    allrow AS (
+      SELECT '<all>' AS lang, t.n_total AS support,
+             t.agree AS tp,
+             CAST(t.n_total - t.agree AS BIGINT) AS fp,
+             CAST(t.n_total - t.agree AS BIGINT) AS fn,
+             round(t.agree * CAST(1 AS DOUBLE) / t.n_total, 6) AS precision,
+             round(t.agree * CAST(1 AS DOUBLE) / t.n_total, 6) AS recall,
+             round(t.agree * CAST(1 AS DOUBLE) / t.n_total, 6) AS f1,
+             round((t.agree * CAST(1 AS DOUBLE) / t.n_total
+                    - mg.pe_num / (CAST(t.n_total AS DOUBLE) * t.n_total))
+                   / (1.0 - mg.pe_num / (CAST(t.n_total AS DOUBLE) * t.n_total)), 6) AS kappa
+      FROM tot t, marg mg
+    )
+    SELECT * FROM rows_out UNION ALL SELECT * FROM allrow
+"""
+
+
+
+
+@query("q_classifier_report", oracle=_classifier_report_oracle())
+def q_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L71: classifier evaluation report (precision / recall / F1 per
+    class + accuracy and Cohen's kappa, 1960) for the lang-ID heuristic —
+    the decision-grade readout on top of q_lang_confusion's raw matrix:
+    per language the support/tp/fp/fn and PRF1 (try_divide: a never-
+    predicted class reads NULL precision, not a crash), and an '<all>'
+    row where micro-P/R/F1 all equal accuracy (single-label multiclass
+    identity) and kappa corrects that accuracy for chance agreement
+    (pe from the exact row*column marginal products, decimal-widened).
+    Everything derives from the languages^2-bounded confusion matrix —
+    one scoring pass over documents, then matrix-sized arithmetic; the
+    same shape evaluates ANY corpus classifier (quality gate, PII
+    detector) by swapping the scorer."""
+    scored = text.lang_id(_t(spark, sf_dir, "documents")).select("labeled_lang", "pred_lang")
+    m = scored.groupBy("labeled_lang", "pred_lang").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
+    langs = (
+        m.select(F.col("labeled_lang").alias("lang"))
+        .union(m.select("pred_lang"))
+        .distinct()
+    )
+    joined = langs.join(
+        m, (m["labeled_lang"] == langs["lang"]) | (m["pred_lang"] == langs["lang"]), "left"
+    )
+    per = joined.groupBy("lang").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("labeled_lang") == F.col("lang"), F.col("n"))), F.lit(0)
+        ).alias("support"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("labeled_lang") == F.col("lang"))
+                    & (F.col("pred_lang") == F.col("lang")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("pred_lang") == F.col("lang"))
+                    & (F.col("labeled_lang") != F.col("lang")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("fp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("labeled_lang") == F.col("lang"))
+                    & (F.col("pred_lang") != F.col("lang")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("fn"),
+    ).localCheckpoint(eager=False)
+    rows_out = per.select(
+        "lang",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.try_divide(F.col("tp") * F.lit(1.0), F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.try_divide(F.col("tp") * F.lit(1.0), F.col("tp") + F.col("fn")), 6).alias("recall"),
+        F.round(
+            F.try_divide(2.0 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+        ).alias("f1"),
+        F.lit(None).cast("double").alias("kappa"),
+    )
+    tot = m.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.when(F.col("labeled_lang") == F.col("pred_lang"), F.col("n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    marg = per.agg(
+        F.sum(F.col("support").cast("decimal(38,0)") * (F.col("tp") + F.col("fp")))
+        .cast("double")
+        .alias("pe_num")
+    )
+    acc = F.col("agree") * F.lit(1.0) / F.col("n_total")
+    pe = F.col("pe_num") / (F.col("n_total").cast("double") * F.col("n_total"))
+    allrow = tot.crossJoin(F.broadcast(marg)).select(
+        F.lit("<all>").alias("lang"),
+        F.col("n_total").alias("support"),
+        F.col("agree").alias("tp"),
+        (F.col("n_total") - F.col("agree")).alias("fp"),
+        (F.col("n_total") - F.col("agree")).alias("fn"),
+        F.round(acc, 6).alias("precision"),
+        F.round(acc, 6).alias("recall"),
+        F.round(acc, 6).alias("f1"),
+        F.round((acc - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+    return rows_out.unionByName(allrow)
+
+

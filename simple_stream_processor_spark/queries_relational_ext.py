@@ -8684,3 +8684,269 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "q_qini_curve",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CASE WHEN ('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 1 ELSE 0 END AS treated,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+                       > count(*) THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT *, ntile(10) OVER (ORDER BY n_events DESC, user_id) AS decile FROM u
+    ),
+    per AS (
+      SELECT decile,
+             CAST(count(CASE WHEN treated = 1 THEN 1 END) AS BIGINT) AS n_treat,
+             CAST(count(CASE WHEN treated = 1 AND converted = 1 THEN 1 END) AS BIGINT) AS conv_treat,
+             CAST(count(CASE WHEN treated = 0 THEN 1 END) AS BIGINT) AS n_ctrl,
+             CAST(count(CASE WHEN treated = 0 AND converted = 1 THEN 1 END) AS BIGINT) AS conv_ctrl
+      FROM s GROUP BY 1
+    ),
+    cum AS (
+      SELECT decile, n_treat, conv_treat, n_ctrl, conv_ctrl,
+             CAST(sum(n_treat) OVER w AS BIGINT) AS nt,
+             CAST(sum(conv_treat) OVER w AS BIGINT) AS ct,
+             CAST(sum(n_ctrl) OVER w AS BIGINT) AS nc,
+             CAST(sum(conv_ctrl) OVER w AS BIGINT) AS cc
+      FROM per
+      WINDOW w AS (ORDER BY decile)
+    )
+    SELECT decile, n_treat, conv_treat, n_ctrl, conv_ctrl,
+           round(conv_treat * CAST(1 AS DOUBLE) / nullif(n_treat, 0)
+                 - conv_ctrl * CAST(1 AS DOUBLE) / nullif(n_ctrl, 0), 6) AS uplift,
+           round(ct - cc * CAST(nt AS DOUBLE) / nullif(nc, 0), 4) AS qini
+    FROM cum
+""",
+)
+def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N127: Qini uplift curve (Radcliffe 2007 — the uplift-model
+    evaluation standard) over the q_ab_test experiment: users sorted by a
+    targeting score (activity, descending) into deciles; per decile the
+    treated/control conversion gap, and cumulatively the Qini value
+    ct - cc*Nt/Nc — the incremental conversions the first k deciles
+    captured beyond chance. On a RANDOM assignment (the md5 arms) the
+    curve's diagonal-ness is itself the sanity check the pytest pins
+    (final Qini == the arm-imbalance correction, near 0 relative to
+    conversions). Exact integer counts off one user rollup; the only
+    floats are the per-decile rate gap and the cumulative Qini division,
+    both try_divide-guarded. The users-bounded ntile is the one budgeted
+    single-partition exchange (q_stratified_ate stance)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+    ).select(
+        "user_id",
+        "n_events",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("treated"),
+        F.when(F.col("n_purchase") * 5 > F.col("n_events"), 1).otherwise(0).alias("converted"),
+    )
+    s = u.select(
+        "*", F.ntile(10).over(Window.orderBy(F.desc("n_events"), "user_id")).alias("decile")
+    )
+    per = s.groupBy("decile").agg(
+        F.count(F.when(F.col("treated") == 1, 1)).alias("n_treat"),
+        F.count(F.when((F.col("treated") == 1) & (F.col("converted") == 1), 1)).alias("conv_treat"),
+        F.count(F.when(F.col("treated") == 0, 1)).alias("n_ctrl"),
+        F.count(F.when((F.col("treated") == 0) & (F.col("converted") == 1), 1)).alias("conv_ctrl"),
+    )
+    w = Window.orderBy("decile")
+    cum = per.select(
+        "decile",
+        "n_treat",
+        "conv_treat",
+        "n_ctrl",
+        "conv_ctrl",
+        F.sum("n_treat").over(w).alias("nt"),
+        F.sum("conv_treat").over(w).alias("ct"),
+        F.sum("n_ctrl").over(w).alias("nc"),
+        F.sum("conv_ctrl").over(w).alias("cc"),
+    )
+    return cum.select(
+        "decile",
+        "n_treat",
+        "conv_treat",
+        "n_ctrl",
+        "conv_ctrl",
+        F.round(
+            F.try_divide(F.col("conv_treat") * F.lit(1.0), F.col("n_treat"))
+            - F.try_divide(F.col("conv_ctrl") * F.lit(1.0), F.col("n_ctrl")),
+            6,
+        ).alias("uplift"),
+        F.round(
+            F.col("ct") - F.col("cc") * F.try_divide(F.col("nt").cast("double"), F.col("nc")),
+            4,
+        ).alias("qini"),
+    )
+
+
+
+
+@query(
+    "q_kmv_intersection",
+    oracle="""
+    WITH pairs(ta, tb) AS (VALUES ('view', 'purchase'), ('click', 'view'), ('signup', 'purchase')),
+    d AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv,
+             user_id
+      FROM d
+    ),
+    sides AS (
+      SELECT p.ta, p.tb,
+             CASE WHEN h.event_type = p.ta THEN 'a' ELSE 'b' END AS side,
+             h.hv, h.user_id
+      FROM pairs p JOIN h ON h.event_type IN (p.ta, p.tb)
+    ),
+    exact AS (
+      SELECT ta, tb, CAST(count(*) AS BIGINT) AS exact_both FROM (
+        SELECT ta, tb, user_id FROM sides GROUP BY 1, 2, 3 HAVING count(DISTINCT side) = 2
+      ) GROUP BY 1, 2
+    ),
+    per_side AS (
+      SELECT ta, tb, side, hv,
+             row_number() OVER (PARTITION BY ta, tb, side ORDER BY hv) AS rk,
+             count(*) OVER (PARTITION BY ta, tb, side) AS nd
+      FROM (SELECT DISTINCT ta, tb, side, hv FROM sides)
+    ),
+    est_side AS (
+      SELECT ta, tb, side,
+             CASE WHEN max(nd) <= 64 THEN CAST(max(nd) AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976 / max(CASE WHEN rk = 64 THEN hv END) END AS est
+      FROM per_side WHERE rk <= 64 GROUP BY 1, 2, 3
+    ),
+    uni AS (
+      SELECT ta, tb, hv,
+             row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rk,
+             count(*) OVER (PARTITION BY ta, tb) AS nd
+      FROM (SELECT DISTINCT ta, tb, hv FROM sides)
+    ),
+    est_uni AS (
+      SELECT ta, tb,
+             CASE WHEN max(nd) <= 64 THEN CAST(max(nd) AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976 / max(CASE WHEN rk = 64 THEN hv END) END AS est_u
+      FROM uni WHERE rk <= 64 GROUP BY 1, 2
+    )
+    SELECT e.ta || '&' || e.tb AS pair, e.exact_both,
+           round(greatest(0.0,
+             max(CASE WHEN s.side = 'a' THEN s.est END)
+             + max(CASE WHEN s.side = 'b' THEN s.est END) - u.est_u), 4) AS kmv_est,
+           round(abs(greatest(0.0,
+             max(CASE WHEN s.side = 'a' THEN s.est END)
+             + max(CASE WHEN s.side = 'b' THEN s.est END) - u.est_u) - e.exact_both)
+             / nullif(e.exact_both, 0), 4) AS rel_err
+    FROM exact e
+    JOIN est_side s ON s.ta = e.ta AND s.tb = e.tb
+    JOIN est_uni u ON u.ta = e.ta AND u.tb = e.tb
+    GROUP BY e.ta, e.tb, e.exact_both, u.est_u
+""",
+)
+def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N128: KMV set-intersection estimation (Bar-Yossef et al.
+    2002 sketches + inclusion-exclusion; Beyer et al. 2007 for the
+    intersection refinement) — audience overlap WITHOUT the exact
+    distinct pass: |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B), where the
+    union estimate comes from MERGING the two bottom-64 sketches (the KMV
+    algebra q_kmv_sketch demonstrates for rollups, here doing real set
+    arithmetic). Cross-engine EXACT like all the portable sketches: both
+    engines derive identical md5 bottom-k sets, so the estimate — not
+    just a verdict — hash-matches; exact_both and rel_err sit beside it
+    as the accuracy readout (the q_audience_overlap exact panel is the
+    contrast: THAT pays a per-pair distinct, this pays 64 longs per
+    side). Small sides (nd <= k) estimate exactly; clamped at 0."""
+    from pyspark.sql.window import Window
+
+    K = 64
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    pairs = d.sparkSession.createDataFrame(
+        [("view", "purchase"), ("click", "view"), ("signup", "purchase")], ["ta", "tb"]
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    h = d.select("event_type", hv.alias("hv"), "user_id")
+    sides = (
+        F.broadcast(pairs)
+        .join(h, h["event_type"].isin("view", "purchase", "click", "signup"))
+        .where((F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")))
+        .select(
+            "ta",
+            "tb",
+            F.when(F.col("event_type") == F.col("ta"), "a").otherwise("b").alias("side"),
+            "hv",
+            "user_id",
+        )
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        sides.groupBy("ta", "tb", "user_id")
+        .agg(F.count_distinct("side").alias("ns"))
+        .where(F.col("ns") == 2)
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    dd = sides.select("ta", "tb", "side", "hv").distinct()
+    wps = Window.partitionBy("ta", "tb", "side").orderBy("hv")
+    wns = Window.partitionBy("ta", "tb", "side")
+    ps = dd.select(
+        "ta", "tb", "side", "hv",
+        F.row_number().over(wps).alias("rk"),
+        F.count(F.lit(1)).over(wns).alias("nd"),
+    )
+    est_expr = F.when(F.max("nd") <= K, F.max("nd").cast("double")).otherwise(
+        F.lit(63.0) * F.lit(float(2**60)) / F.max(F.when(F.col("rk") == K, F.col("hv")))
+    )
+    est_side = ps.where(F.col("rk") <= K).groupBy("ta", "tb", "side").agg(est_expr.alias("est"))
+    du = sides.select("ta", "tb", "hv").distinct()
+    wpu = Window.partitionBy("ta", "tb").orderBy("hv")
+    wnu = Window.partitionBy("ta", "tb")
+    pu = du.select(
+        "ta", "tb", "hv",
+        F.row_number().over(wpu).alias("rk"),
+        F.count(F.lit(1)).over(wnu).alias("nd"),
+    )
+    est_uni = pu.where(F.col("rk") <= K).groupBy("ta", "tb").agg(est_expr.alias("est_u"))
+    wide = (
+        est_side.groupBy("ta", "tb")
+        .agg(
+            F.max(F.when(F.col("side") == "a", F.col("est"))).alias("ea"),
+            F.max(F.when(F.col("side") == "b", F.col("est"))).alias("eb"),
+        )
+        .join(est_uni, ["ta", "tb"])
+        .join(exact, ["ta", "tb"])
+    )
+    inter = F.greatest(F.lit(0.0), F.col("ea") + F.col("eb") - F.col("est_u"))
+    return wide.select(
+        F.concat(F.col("ta"), F.lit("&"), F.col("tb")).alias("pair"),
+        "exact_both",
+        F.round(inter, 4).alias("kmv_est"),
+        F.round(F.try_divide(F.abs(inter - F.col("exact_both")), F.col("exact_both")), 4).alias(
+            "rel_err"
+        ),
+    )
+
+

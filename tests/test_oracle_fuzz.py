@@ -73,6 +73,7 @@ EVENT_QUERIES = [
     "q_growth_accounting", "q_stratified_ate", "q_nelson_aalen",
     "q_welch_ttest", "q_new_returning_revenue", "q_max_drawdown",
     "q_seasonality_strength", "q_seasonal_anomaly", "q_interarrival_stats",
+    "q_qini_curve", "q_kmv_intersection",
     "q_top_paths", "q_forecast_eval", "q_changepoint_cusum",
     "q_survival_curve", "q_k_anonymity", "q_ab_test", "q_lag_features",
     "q_power_analysis", "q_grouped_udaf", "q_full_outer_reconcile",
@@ -87,6 +88,7 @@ DOC_QUERIES = [
     "q_quality_score", "q_repetition_filter", "q_doc_fingerprint",
     "q_flatmap_explode", "q_ngram_heavy_hitters", "q_bm25_topterms",
     "q_source_cap", "q_lang_confusion", "q_dedup_rate_report",
+    "q_classifier_report",
     "q_inverted_index", "q_cms_heavy_hitters", "q_unigram_surprisal",
     "q_mixture_resample", "q_auc_eval", "q_calibration", "q_zipf_fit",
     "q_bloom_index", "q_training_order", "q_corpus_entropy",

@@ -1751,3 +1751,71 @@ def test_streaming_drawdown_strength_anomaly_match_batch(spark, sf_dir):
         b = {tuple(r) for r in QUERIES[batch](spark, sf_dir).collect()}
         s = {tuple(r) for r in QUERIES[twin](spark, sf_dir).collect()}
         assert b == s, (batch, twin)
+
+
+def test_qini_curve_random_assignment_sanity(spark, sf_dir):
+    rows = sorted(QUERIES["q_qini_curve"](spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    nt = sum(r.n_treat for r in rows)
+    nc = sum(r.n_ctrl for r in rows)
+    ct = sum(r.conv_treat for r in rows)
+    cc = sum(r.conv_ctrl for r in rows)
+    # final Qini == total incremental conversions after arm-size correction
+    assert abs(rows[-1].qini - round(ct - cc * nt / nc, 4)) < 1e-9
+    # random md5 arms: total uplift stays within sampling noise of zero
+    # (binomial sd ~ sqrt(conversions); 15-user sf0.001 needs the +1 floor)
+    assert abs(rows[-1].qini) < 2.0 * math.sqrt(max(1, ct + cc)) + 1
+    # per-decile counts partition the user base
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    assert nt + nc == ev.user_id.nunique()
+
+
+def test_classifier_report_matches_confusion_and_kappa(spark, sf_dir):
+    conf = QUERIES["q_lang_confusion"](spark, sf_dir).collect()
+    m = {(r.labeled_lang, r.pred_lang): r.n for r in conf}
+    langs = sorted({a for a, _ in m} | {b for _, b in m})
+    rows = {r.lang: r for r in QUERIES["q_classifier_report"](spark, sf_dir).collect()}
+    n_total = sum(m.values())
+    agree = sum(v for (a, b), v in m.items() if a == b)
+    pe_num = 0
+    for lg in langs:
+        support = sum(v for (a, _), v in m.items() if a == lg)
+        tp = m.get((lg, lg), 0)
+        fp = sum(v for (a, b), v in m.items() if b == lg and a != lg)
+        fn = support - tp
+        r = rows[lg]
+        assert (r.support, r.tp, r.fp, r.fn) == (support, tp, fp, fn), lg
+        if tp + fp:
+            assert abs(r.precision - round(tp / (tp + fp), 6)) < 1e-9
+        if support:
+            assert abs(r.recall - round(tp / support, 6)) < 1e-9
+        assert r.kappa is None
+        pe_num += support * (tp + fp)
+    a = rows["<all>"]
+    acc = agree / n_total
+    pe = pe_num / (n_total * n_total)
+    assert abs(a.precision - round(acc, 6)) < 1e-9
+    assert abs(a.kappa - round((acc - pe) / (1 - pe), 6)) < 1e-9
+    # kappa must discount chance: strictly below raw accuracy for a
+    # non-degenerate classifier
+    assert a.kappa < a.precision
+
+
+def test_kmv_intersection_estimates_are_sane(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    sets = {t: set(g.user_id) for t, g in ev.groupby("event_type")}
+    rows = {r.pair: r for r in QUERIES["q_kmv_intersection"](spark, sf_dir).collect()}
+    for ta, tb in [("view", "purchase"), ("click", "view"), ("signup", "purchase")]:
+        r = rows[f"{ta}&{tb}"]
+        exact = len(sets[ta] & sets[tb])
+        assert r.exact_both == exact
+        # the sketch's documented accuracy envelope (~1/sqrt(62) rel-sd per
+        # side, 3 estimates combined): generous 60% band, exact when small
+        if len(sets[ta]) <= 64 and len(sets[tb]) <= 64 and len(sets[ta] | sets[tb]) <= 64:
+            assert r.kmv_est == float(exact)
+        else:
+            assert abs(r.kmv_est - exact) <= max(10.0, 0.6 * exact)

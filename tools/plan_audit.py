@@ -146,6 +146,9 @@ SINGLE_PARTITION_ALLOWANCE = {
     # the advisor-stance global value rank (approx-quantile threshold at
     # corpus scale, docstring) plus the one-row tail aggregate
     "q_hill_tail_index": 2,
+    # the languages^2-bounded confusion matrix feeds the one-row total and
+    # the one-row kappa-marginal aggregates — both matrix-sized, never docs
+    "q_classifier_report": 2,
     # one (n_nodes, Σdeg) one-row rollup per peeling round (4 unrolled
     # rounds); each serves both the stats row and the peel threshold and
     # carries only #tasks partial rows, never edges
