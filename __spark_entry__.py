@@ -170,6 +170,7 @@ _PRIORITY = [
     "q_streaming_drawdown", "q_streaming_strength",
     "q_streaming_seasonal_anomaly",
     "q_qini_curve", "q_classifier_report", "q_kmv_intersection",
+    "q_bootstrap_ci", "q_shapley_attribution",
 ]
 
 

@@ -145,6 +145,7 @@ TAIL = [
     "q_partition_pruned_scan", "q_csv_source", "q_lorenz_curve",
     "q_interarrival_stats",
     "q_qini_curve", "q_classifier_report", "q_kmv_intersection",
+    "q_bootstrap_ci", "q_shapley_attribution",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

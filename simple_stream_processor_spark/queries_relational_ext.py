@@ -8950,3 +8950,263 @@ def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative), 12dp literals shared by
+# both engines: P(X<=k) for k=0..4; u above the last -> 5.
+_POIS = (0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124, 0.996340153173)
+_B = 100
+
+
+def _pois_case_sql(ucol: str) -> str:
+    cases = " ".join(
+        f"WHEN {ucol} < {p!r} THEN {k}" for k, p in enumerate(_POIS)
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+
+_BOOT_ORACLE = f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    reps AS (SELECT CAST(range AS INTEGER) AS b FROM range({_B})),
+    draws AS (
+      SELECT r.b, u.cents,
+             ('0x' || substr(md5('boot:' || CAST(r.b AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS uu
+      FROM u, reps r
+    ),
+    w AS (SELECT b, cents, {_pois_case_sql('uu')} AS wt FROM draws),
+    means AS (
+      SELECT b,
+             CAST(sum(wt * CAST(cents AS HUGEINT)) AS DOUBLE)
+               / nullif(CAST(sum(wt) AS BIGINT), 0) AS m
+      FROM w GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM u
+    )
+    SELECT base.n_users,
+           round(CAST(base.total_cents AS DOUBLE) / base.n_users, 4) AS mean_cents,
+           CAST(count(m) AS BIGINT) AS n_replicates,
+           round(quantile_cont(m, 0.025), 4) AS ci_lo,
+           round(quantile_cont(m, 0.975), 4) AS ci_hi
+    FROM means, base
+    GROUP BY base.n_users, base.total_cents
+"""
+
+
+@query("q_bootstrap_ci", oracle=_BOOT_ORACLE)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N129: distributed Poisson bootstrap confidence interval (Chamandy
+    et al. 2012, 'Estimating uncertainty for massive data streams' — the
+    bootstrap that works when data cannot be resampled by index): each of
+    100 replicates weights every user by a Poisson(1) draw derived from
+    md5(replicate:user) through pinned inverse-CDF literals, so both
+    engines draw the IDENTICAL resamples — the replicate means hash-match,
+    not just the interval. Replicate means are exact integer
+    weight*cents sums (decimal-widened) to one division; the 2.5/97.5
+    percentiles over the 100-row replicate table are exact sort-based
+    (quantile_cont-identical). Scale: the fan-out is 100 x the USER
+    rollup (already shrunk from events), embarrassingly parallel, and
+    the whole CI machinery never touches raw events twice — the
+    textbook-bootstrap alternative (resample event rows B times) is the
+    thing this query exists to avoid at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.round(F.col("value") * 100).cast("long")
+            ).otherwise(F.lit(0))
+        ).alias("cents")
+    )
+    reps = spark.range(_B).select(F.col("id").cast("int").alias("b"))
+    uu = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(2**60))
+    )
+    draws = u.crossJoin(F.broadcast(reps)).select("b", "cents", uu.alias("uu"))
+    wt = F.lit(5)
+    for k in range(len(_POIS) - 1, -1, -1):
+        wt = F.when(F.col("uu") < _POIS[k], F.lit(k)).otherwise(wt)
+    w = draws.select("b", "cents", wt.alias("wt"))
+    means = w.groupBy("b").agg(
+        F.try_divide(
+            F.sum(F.col("wt") * F.col("cents").cast("decimal(38,0)")).cast("double"),
+            F.sum("wt"),
+        ).alias("m")
+    )
+    base = u.agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("cents").alias("total_cents")
+    )
+    ci = means.agg(
+        F.count("m").alias("n_replicates"),
+        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n_users",
+        F.round(F.col("total_cents").cast("double") / F.col("n_users"), 4).alias("mean_cents"),
+        "n_replicates",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+
+
+@query(
+    "q_shapley_attribution",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CASE WHEN 5 * sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > count(*) THEN 1 ELSE 0 END AS ec,
+             CASE WHEN 5 * sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > count(*) THEN 1 ELSE 0 END AS ev,
+             CASE WHEN 5 * sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) > count(*) THEN 1 ELSE 0 END AS es,
+             CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > count(*) THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT ec, ev, es,
+             CAST(count(*) AS BIGINT) AS nu,
+             CAST(sum(converted) AS BIGINT) AS conv
+      FROM u GROUP BY 1, 2, 3
+    ),
+    wide AS (
+      SELECT
+        coalesce(max(CASE WHEN ec=0 AND ev=0 AND es=0 THEN conv * CAST(1 AS DOUBLE) / nu END), 0.0) AS r000,
+        coalesce(max(CASE WHEN ec=1 AND ev=0 AND es=0 THEN conv * CAST(1 AS DOUBLE) / nu END), 0.0) AS r100,
+        coalesce(max(CASE WHEN ec=0 AND ev=1 AND es=0 THEN conv * CAST(1 AS DOUBLE) / nu END), 0.0) AS r010,
+        coalesce(max(CASE WHEN ec=0 AND ev=0 AND es=1 THEN conv * CAST(1 AS DOUBLE) / nu END), 0.0) AS r001,
+        coalesce(max(CASE WHEN ec=1 AND ev=1 AND es=0 THEN conv * CAST(1 AS DOUBLE) / nu END), 0.0) AS r110,
+        coalesce(max(CASE WHEN ec=1 AND ev=0 AND es=1 THEN conv * CAST(1 AS DOUBLE) / nu END), 0.0) AS r101,
+        coalesce(max(CASE WHEN ec=0 AND ev=1 AND es=1 THEN conv * CAST(1 AS DOUBLE) / nu END), 0.0) AS r011,
+        coalesce(max(CASE WHEN ec=1 AND ev=1 AND es=1 THEN conv * CAST(1 AS DOUBLE) / nu END), 0.0) AS r111,
+        coalesce(max(CASE WHEN ec=1 THEN 1 END), 0) AS dummy
+      FROM g
+    ),
+    exposed AS (
+      SELECT 'click' AS channel, CAST(coalesce(sum(CASE WHEN ec=1 THEN nu END), 0) AS BIGINT) AS n_exposed FROM g
+      UNION ALL
+      SELECT 'view', CAST(coalesce(sum(CASE WHEN ev=1 THEN nu END), 0) AS BIGINT) FROM g
+      UNION ALL
+      SELECT 'signup', CAST(coalesce(sum(CASE WHEN es=1 THEN nu END), 0) AS BIGINT) FROM g
+    ),
+    shap AS (
+      SELECT 'click' AS channel,
+             (r100 - r000) / 3.0 + (r110 - r010) / 6.0 + (r101 - r001) / 6.0 + (r111 - r011) / 3.0 AS s
+      FROM wide
+      UNION ALL
+      SELECT 'view',
+             (r010 - r000) / 3.0 + (r110 - r100) / 6.0 + (r011 - r001) / 6.0 + (r111 - r101) / 3.0
+      FROM wide
+      UNION ALL
+      SELECT 'signup',
+             (r001 - r000) / 3.0 + (r101 - r100) / 6.0 + (r011 - r010) / 6.0 + (r111 - r110) / 3.0
+      FROM wide
+    )
+    SELECT s.channel, e.n_exposed, round(s.s, 6) AS shapley_value
+    FROM shap s JOIN exposed e ON e.channel = s.channel
+""",
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N130: Shapley-value channel attribution (Shapley 1953; data-driven
+    marketing form of Zhao et al. 2018) — the game-theoretic successor to
+    q_linear_attribution's equal split: channels = above-uniform exposure
+    to click/view/signup (the exact integer 5*n_c > n contrast), coalition
+    value v(S) = conversion rate of users with exposure set EXACTLY S, and
+    each channel's value is the exact 3-player Shapley sum (weights 1/3,
+    1/6, 1/6, 1/3). The efficiency axiom — SUM of the three values ==
+    v(grand) - v(empty) — is pinned in pytest, so the attribution provably
+    allocates exactly the full lift. All 8 coalition rates come from ONE
+    user rollup + an 8-row aggregate (empty coalitions pinned to 0.0,
+    documented); the exposure/conversion contrasts are exact integers, the
+    rates one division each, the Shapley arithmetic a shared literal
+    expression tree."""
+    ev = _t(spark, sf_dir, "events")
+
+    def flag(t):
+        return F.when(
+            5 * F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)) > F.count(F.lit(1)), 1
+        ).otherwise(0)
+
+    u = ev.groupBy("user_id").agg(
+        flag("click").alias("ec"),
+        flag("view").alias("ev"),
+        flag("signup").alias("es"),
+        flag("purchase").alias("converted"),
+    )
+    g = u.groupBy("ec", "ev", "es").agg(
+        F.count(F.lit(1)).alias("nu"), F.sum("converted").alias("conv")
+    ).localCheckpoint(eager=False)
+
+    def r(ec, ev_, es):
+        return F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("ec") == ec) & (F.col("ev") == ev_) & (F.col("es") == es),
+                    F.col("conv") * F.lit(1.0) / F.col("nu"),
+                )
+            ),
+            F.lit(0.0),
+        )
+
+    wide = g.agg(
+        r(0, 0, 0).alias("r000"), r(1, 0, 0).alias("r100"), r(0, 1, 0).alias("r010"),
+        r(0, 0, 1).alias("r001"), r(1, 1, 0).alias("r110"), r(1, 0, 1).alias("r101"),
+        r(0, 1, 1).alias("r011"), r(1, 1, 1).alias("r111"),
+    )
+    # ONE aggregate each for exposure counts and Shapley terms, unpivoted
+    # with stack — two budgeted one-row exchanges over the 8-row coalition
+    # table instead of six
+    exposed = g.agg(
+        F.coalesce(F.sum(F.when(F.col("ec") == 1, F.col("nu"))), F.lit(0)).alias("x_click"),
+        F.coalesce(F.sum(F.when(F.col("ev") == 1, F.col("nu"))), F.lit(0)).alias("x_view"),
+        F.coalesce(F.sum(F.when(F.col("es") == 1, F.col("nu"))), F.lit(0)).alias("x_signup"),
+    ).select(
+        F.expr(
+            "stack(3, 'click', x_click, 'view', x_view, 'signup', x_signup)"
+            " AS (channel, n_exposed)"
+        )
+    )
+    c = F.col
+    s_click = ((c("r100") - c("r000")) / 3.0 + (c("r110") - c("r010")) / 6.0
+               + (c("r101") - c("r001")) / 6.0 + (c("r111") - c("r011")) / 3.0)
+    s_view = ((c("r010") - c("r000")) / 3.0 + (c("r110") - c("r100")) / 6.0
+              + (c("r011") - c("r001")) / 6.0 + (c("r111") - c("r101")) / 3.0)
+    s_signup = ((c("r001") - c("r000")) / 3.0 + (c("r101") - c("r100")) / 6.0
+                + (c("r011") - c("r010")) / 6.0 + (c("r111") - c("r110")) / 3.0)
+    shap = wide.select(
+        s_click.alias("s_click"), s_view.alias("s_view"), s_signup.alias("s_signup")
+    ).select(
+        F.expr(
+            "stack(3, 'click', s_click, 'view', s_view, 'signup', s_signup) AS (channel, s)"
+        )
+    )
+    return shap.join(F.broadcast(exposed), "channel").select(
+        "channel", "n_exposed", F.round(F.col("s"), 6).alias("shapley_value")
+    )
+
+

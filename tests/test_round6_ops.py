@@ -1819,3 +1819,89 @@ def test_kmv_intersection_estimates_are_sane(spark, sf_dir):
             assert r.kmv_est == float(exact)
         else:
             assert abs(r.kmv_est - exact) <= max(10.0, 0.6 * exact)
+
+
+def test_bootstrap_ci_replicates_match_python_and_cover_mean(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+    p = ev[ev.event_type == "purchase"].copy()
+    p["c"] = (p.value * 100).round().astype("int64")
+    cents = p.groupby("user_id").c.sum()
+    users = sorted(ev.user_id.unique())
+    cents = {u: int(cents.get(u, 0)) for u in users}
+    POIS = (0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124, 0.996340153173)
+
+    def w(b, u):
+        hv = int(hashlib.md5(f"boot:{b}:{u}".encode()).hexdigest()[:15], 16)
+        uu = hv / float(2**60)
+        for k, t in enumerate(POIS):
+            if uu < t:
+                return k
+        return 5
+
+    r = QUERIES["q_bootstrap_ci"](spark, sf_dir).collect()[0]
+    assert r.n_users == len(users) and r.n_replicates == 100
+    mean = sum(cents.values()) / len(users)
+    assert abs(r.mean_cents - round(mean, 4)) < 1e-9
+    # FULL replay: all 100 replicate means with the same hash-derived
+    # Poisson weights, then the same exact interpolated percentiles
+    ms = []
+    for b in range(100):
+        ws = {u: w(b, u) for u in users}
+        tot = sum(ws.values())
+        if tot:
+            ms.append(sum(ws[u] * cents[u] for u in users) / tot)
+    ms.sort()
+
+    def pct(q):
+        pos = q * (len(ms) - 1)
+        lo, f = int(pos), pos - int(pos)
+        return ms[lo] * (1 - f) + ms[min(lo + 1, len(ms) - 1)] * f
+
+    assert abs(r.ci_lo - round(pct(0.025), 4)) < 1e-6
+    assert abs(r.ci_hi - round(pct(0.975), 4)) < 1e-6
+    # interval is ordered and covers the point estimate on the fixtures
+    assert r.ci_lo <= r.mean_cents <= r.ci_hi
+    assert r.ci_lo < r.ci_hi
+
+
+def test_shapley_attribution_efficiency_axiom(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    g = ev.groupby("user_id").event_type
+    n = g.size()
+    flags = {}
+    for ch in ("click", "view", "signup", "purchase"):
+        cnt = ev[ev.event_type == ch].groupby("user_id").size().reindex(n.index).fillna(0)
+        flags[ch] = (5 * cnt > n).astype(int)
+    import collections
+
+    grp = collections.defaultdict(lambda: [0, 0])
+    for u in n.index:
+        key = (flags["click"][u], flags["view"][u], flags["signup"][u])
+        grp[key][0] += 1
+        grp[key][1] += int(flags["purchase"][u])
+    rate = {k: (v[1] / v[0] if v[0] else 0.0) for k, v in grp.items()}
+
+    def rr(k):
+        return rate.get(k, 0.0)
+
+    expect = {
+        "click": (rr((1, 0, 0)) - rr((0, 0, 0))) / 3 + (rr((1, 1, 0)) - rr((0, 1, 0))) / 6
+        + (rr((1, 0, 1)) - rr((0, 0, 1))) / 6 + (rr((1, 1, 1)) - rr((0, 1, 1))) / 3,
+        "view": (rr((0, 1, 0)) - rr((0, 0, 0))) / 3 + (rr((1, 1, 0)) - rr((1, 0, 0))) / 6
+        + (rr((0, 1, 1)) - rr((0, 0, 1))) / 6 + (rr((1, 1, 1)) - rr((1, 0, 1))) / 3,
+        "signup": (rr((0, 0, 1)) - rr((0, 0, 0))) / 3 + (rr((1, 0, 1)) - rr((1, 0, 0))) / 6
+        + (rr((0, 1, 1)) - rr((0, 1, 0))) / 6 + (rr((1, 1, 1)) - rr((1, 1, 0))) / 3,
+    }
+    rows = {r.channel: r for r in QUERIES["q_shapley_attribution"](spark, sf_dir).collect()}
+    for ch, val in expect.items():
+        assert abs(rows[ch].shapley_value - round(val, 6)) < 1e-6, ch
+        assert rows[ch].n_exposed == int(flags[ch].sum())
+    # efficiency axiom: the three values allocate exactly v(grand) - v(empty)
+    total = sum(expect.values())
+    assert abs(total - (rr((1, 1, 1)) - rr((0, 0, 0)))) < 1e-12

@@ -149,6 +149,12 @@ SINGLE_PARTITION_ALLOWANCE = {
     # the languages^2-bounded confusion matrix feeds the one-row total and
     # the one-row kappa-marginal aggregates — both matrix-sized, never docs
     "q_classifier_report": 2,
+    # the one-row base (users, total) aggregate plus the one-row CI
+    # percentile over the 100-row replicate-means table
+    "q_bootstrap_ci": 2,
+    # the 8-row coalition table feeds one exposure aggregate and one
+    # Shapley-rate aggregate (both stacked to 3 rows) — never events
+    "q_shapley_attribution": 2,
     # one (n_nodes, Σdeg) one-row rollup per peeling round (4 unrolled
     # rounds); each serves both the stats row and the peel threshold and
     # carries only #tasks partial rows, never edges
