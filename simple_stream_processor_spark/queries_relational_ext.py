@@ -6800,8 +6800,9 @@ def _daily_cents_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n_pos, n_neg, n_runs,
            round(mu, 4) AS expected_runs,
            round((n_runs - mu) / sqrt(var), 4) AS z_stat,
-           CASE WHEN (n_runs - mu) / sqrt(var) IS NULL THEN NULL
-                ELSE abs((n_runs - mu) / sqrt(var)) <= 1.96 END AS looks_random
+           CASE WHEN (n_runs - mu) / sqrt(var) IS NULL THEN 'n/a'
+                WHEN abs((n_runs - mu) / sqrt(var)) <= 1.96 THEN 'true'
+                ELSE 'false' END AS looks_random
     FROM stat
     """,
 )
@@ -6851,8 +6852,12 @@ def runs_test_tail(daily: DataFrame) -> DataFrame:
     )
     n1, n2, r = F.col("n_pos"), F.col("n_neg"), F.col("n_runs")
     mu = 2.0 * n1 * n2 / (n1 + n2) + 1
-    var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)).cast("double") / (
-        (n1 + n2) * (n1 + n2) * (n1 + n2 - 1)
+    # try_divide: a single nonzero-diff day makes the variance denominator
+    # (n1+n2-1) zero — ANSI plain division crashes (cross-engine fuzz);
+    # DuckDB /0 -> NULL matches
+    var = F.try_divide(
+        (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)).cast("double"),
+        (n1 + n2) * (n1 + n2) * (n1 + n2 - 1),
     )
     z = F.try_divide(r - mu, F.sqrt(var))
     return agg.select(
@@ -6862,8 +6867,13 @@ def runs_test_tail(daily: DataFrame) -> DataFrame:
         "n_runs",
         F.round(mu, 4).alias("expected_runs"),
         F.round(z, 4).alias("z_stat"),
-        F.when(z.isNull(), F.lit(None).cast("boolean"))
-        .otherwise(F.abs(z) <= 1.96)
+        # string verdict, not nullable boolean: an all-NULL boolean column
+        # coerces to float NaN in DuckDB's pandas bridge but stays object
+        # None in Spark's — the canonicalizer would see <nan> vs <null>
+        # (found by cross-engine fuzz on single-sign series)
+        F.when(z.isNull(), F.lit("n/a"))
+        .when(F.abs(z) <= 1.96, F.lit("true"))
+        .otherwise(F.lit("false"))
         .alias("looks_random"),
     )
 
@@ -7802,7 +7812,8 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n1 AS n_weekday, n2 AS n_weekend,
            round(m1, 4) AS mean_weekday, round(m2, 4) AS mean_weekend,
            round(tstat, 4) AS t_stat, round(df, 2) AS df,
-           CASE WHEN tstat IS NULL THEN NULL ELSE abs(tstat) > 1.96 END AS weekend_effect
+           CASE WHEN tstat IS NULL THEN 'n/a'
+                WHEN abs(tstat) > 1.96 THEN 'true' ELSE 'false' END AS weekend_effect
     FROM t
 """,
 )
@@ -7850,17 +7861,25 @@ def welch_tail(daily: DataFrame) -> DataFrame:
         ).cast("double").alias("q2"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
-    m1 = F.col("s1").cast("double") / n1
-    m2 = F.col("s2").cast("double") / n2
-    v1 = F.try_divide(F.col("q1") - F.col("s1").cast("double") * F.col("s1") / n1, n1 - 1)
-    v2 = F.try_divide(F.col("q2") - F.col("s2").cast("double") * F.col("s2") / n2, n2 - 1)
+    # try_divide throughout: a type whose days are ALL weekend (or all
+    # weekday) has n=0 on one side — ANSI plain division would crash
+    # (found by cross-engine fuzz); DuckDB's /0 -> NULL matches try_divide
+    m1 = F.try_divide(F.col("s1").cast("double"), n1)
+    m2 = F.try_divide(F.col("s2").cast("double"), n2)
+    v1 = F.try_divide(
+        F.col("q1") - F.try_divide(F.col("s1").cast("double") * F.col("s1"), n1), n1 - 1
+    )
+    v2 = F.try_divide(
+        F.col("q2") - F.try_divide(F.col("s2").cast("double") * F.col("s2"), n2), n2 - 1
+    )
     v = m.select("event_type", "n1", "n2", m1.alias("m1"), m2.alias("m2"), v1.alias("v1"), v2.alias("v2"))
-    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    se2 = F.try_divide(F.col("v1"), F.col("n1")) + F.try_divide(F.col("v2"), F.col("n2"))
     tstat = F.try_divide(F.col("m1") - F.col("m2"), F.sqrt(se2))
+    t1 = F.try_divide(F.col("v1"), F.col("n1"))
+    t2 = F.try_divide(F.col("v2"), F.col("n2"))
     df = F.try_divide(
         se2 * se2,
-        (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1")) / (F.col("n1") - 1)
-        + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2")) / (F.col("n2") - 1),
+        F.try_divide(t1 * t1, F.col("n1") - 1) + F.try_divide(t2 * t2, F.col("n2") - 1),
     )
     t = v.select("event_type", "n1", "n2", "m1", "m2", tstat.alias("tstat"), df.alias("dfv"))
     return t.select(
@@ -7871,8 +7890,11 @@ def welch_tail(daily: DataFrame) -> DataFrame:
         F.round(F.col("m2"), 4).alias("mean_weekend"),
         F.round(F.col("tstat"), 4).alias("t_stat"),
         F.round(F.col("dfv"), 2).alias("df"),
-        F.when(F.col("tstat").isNull(), F.lit(None).cast("boolean"))
-        .otherwise(F.abs(F.col("tstat")) > 1.96)
+        # string verdict (the looks_random lesson): nullable booleans coerce
+        # asymmetrically through the two engines' pandas bridges
+        F.when(F.col("tstat").isNull(), F.lit("n/a"))
+        .when(F.abs(F.col("tstat")) > 1.96, F.lit("true"))
+        .otherwise(F.lit("false"))
         .alias("weekend_effect"),
     )
 
@@ -8287,7 +8309,8 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(day * 86400 AS BIGINT) AS day_s,
            cents, rc AS residual_cents,
            round(rz, 4) AS robust_z,
-           CASE WHEN rz IS NULL THEN NULL ELSE abs(rz) > 3.0 END AS is_anomaly
+           CASE WHEN rz IS NULL THEN 'n/a'
+                WHEN abs(rz) > 3.0 THEN 'true' ELSE 'false' END AS is_anomaly
     FROM scored
     ORDER BY dev2 DESC, day
     LIMIT 10
@@ -8356,8 +8379,10 @@ def seasonal_anomaly_tail(d) -> DataFrame:
         "cents",
         F.col("rc").alias("residual_cents"),
         F.round(rz, 4).alias("robust_z"),
-        F.when(rz.isNull(), F.lit(None).cast("boolean"))
-        .otherwise(F.abs(rz) > 3.0)
+        # string verdict (the looks_random lesson)
+        F.when(rz.isNull(), F.lit("n/a"))
+        .when(F.abs(rz) > 3.0, F.lit("true"))
+        .otherwise(F.lit("false"))
         .alias("is_anomaly"),
         "dev2",
         "day",

@@ -23,20 +23,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q_tpch_q1",
     oracle="""
     WITH l AS (
-      SELECT l_returnflag, l_linestatus, l_quantity,
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qc,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
              CAST(round(l_discount * 100) AS BIGINT) AS dp,
              CAST(round(l_tax * 100) AS BIGINT) AS tp
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(qc) / 100.0, 2) AS sum_qty,
            round(sum(pc) / 100.0, 2) AS sum_base_price,
            round(sum(pc * (100 - dp)) / 10000.0, 2) AS sum_disc_price,
            round(sum(pc * (100 - dp) * (100 + tp)) / 1000000.0, 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(sum(pc) / 100.0 / count(*), 4) AS avg_price,
-           round(sum(dp) / 100.0 / count(*), 6) AS avg_disc,
+           ((200 * sum(qc) + count(*)) // (2 * count(*))) / 10000.0 AS avg_qty,
+           ((200 * sum(pc) + count(*)) // (2 * count(*))) / 10000.0 AS avg_price,
+           ((20000 * sum(dp) + count(*)) // (2 * count(*))) / 1000000.0 AS avg_disc,
            count(*) AS count_order
     FROM l
     GROUP BY l_returnflag, l_linestatus
@@ -55,19 +56,44 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     this shape."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qc = F.round(F.col("l_quantity") * 100, 0).cast("long")
     dp = F.round(F.col("l_discount") * 100, 0).cast("long")
     tp = F.round(F.col("l_tax") * 100, 0).cast("long")
     disc_u = (pc * (F.lit(100) - dp)).cast("decimal(38,0)")
     charge_u = (pc * (F.lit(100) - dp) * (F.lit(100) + tp)).cast("decimal(38,0)")
     n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(qc) / F.lit(100.0), 2).alias("sum_qty"),
         F.round(F.sum(pc) / F.lit(100.0), 2).alias("sum_base_price"),
         F.round(F.sum(disc_u) / F.lit(10000.0), 2).alias("sum_disc_price"),
         F.round(F.sum(charge_u) / F.lit(1000000.0), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.sum(pc) / F.lit(100.0) / n, 4).alias("avg_price"),
-        F.round(F.sum(dp) / F.lit(100.0) / n, 6).alias("avg_disc"),
+        # averages divide by n, so the true rational can sit EXACTLY on a
+        # decimal half-boundary where Spark's round (exact binary
+        # expansion) and DuckDB's (re-rounding multiply) disagree — found
+        # by cross-engine fuzz. Round half-up in EXACT integer arithmetic
+        # ((2*scaled + n) div (2n), nonneg domains), then one exact
+        # power-of-ten division for display.
+        (
+            F.expr(
+                "(200 * sum(cast(round(l_quantity * 100, 0) as long)) + count(1))"
+                " div (2 * count(1))"
+            )
+            / F.lit(10000.0)
+        ).alias("avg_qty"),
+        (
+            F.expr(
+                "(200 * sum(cast(round(l_extendedprice * 100, 0) as long)) + count(1))"
+                " div (2 * count(1))"
+            )
+            / F.lit(10000.0)
+        ).alias("avg_price"),
+        (
+            F.expr(
+                "(20000 * sum(cast(round(l_discount * 100, 0) as long)) + count(1))"
+                " div (2 * count(1))"
+            )
+            / F.lit(1000000.0)
+        ).alias("avg_disc"),
         n.alias("count_order"),
     )
 

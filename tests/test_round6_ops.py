@@ -1158,9 +1158,9 @@ def test_runs_test_matches_python_replay(spark, sf_dir):
         if var > 0:
             z = (runs - mu) / math.sqrt(var)
             assert abs(r.z_stat - round(z, 4)) < 1e-9
-            assert r.looks_random == (abs(z) <= 1.96)
+            assert r.looks_random == ("true" if abs(z) <= 1.96 else "false")
         else:
-            assert r.z_stat is None and r.looks_random is None
+            assert r.z_stat is None and r.looks_random == "n/a"
 
 
 def test_ccf_lag_zero_equals_pearson_and_acf_special_case(spark, sf_dir):
@@ -1514,7 +1514,7 @@ def test_welch_ttest_matches_python(spark, sf_dir):
             )
             assert abs(r.t_stat - round(tt, 4)) < 1e-3, t
             assert abs(r.df - round(df, 2)) < 0.1, t
-            assert r.weekend_effect == (abs(tt) > 1.96)
+            assert r.weekend_effect == ("true" if abs(tt) > 1.96 else "false")
 
 
 def test_new_returning_revenue_partitions_weekly_purchases(spark, sf_dir):
@@ -1630,7 +1630,7 @@ def test_seasonal_anomaly_matches_python_replay(spark, sf_dir):
         if esum > 0:
             rz = (2 * r.residual_cents - msum) * 2 / (1.4826 * esum)
             assert abs(r.robust_z - round(rz, 4)) < 1e-9
-            assert r.is_anomaly == (abs(rz) > 3.0)
+            assert r.is_anomaly == ("true" if abs(rz) > 3.0 else "false")
 
 
 def test_hill_tail_index_matches_python_replay(spark, sf_dir):
@@ -1905,3 +1905,22 @@ def test_shapley_attribution_efficiency_axiom(spark, sf_dir):
     # efficiency axiom: the three values allocate exactly v(grand) - v(empty)
     total = sum(expect.values())
     assert abs(total - (rr((1, 1, 1)) - rr((0, 0, 0)))) < 1e-12
+
+
+def test_welch_tail_survives_all_weekday_series(spark):
+    """Regression (cross-engine fuzz): a type whose days are ALL weekday
+    (or all weekend) must yield NULL stats, not an ANSI DIVIDE_BY_ZERO."""
+    from simple_stream_processor_spark.queries_relational_ext import welch_tail
+
+    daily = spark.createDataFrame(
+        [("a", 5, 100), ("a", 6, 200), ("b", 2, 100), ("b", 3, 300), ("b", 4, 150)],
+        ["event_type", "day", "cents"],
+    )  # days 5,6 = Tue,Wed; 2,3,4 = Sat,Sun,Mon
+    rows = {r.event_type: r for r in welch_tail(daily).collect()}
+    a = rows["a"]
+    assert a.n_weekend == 0 and a.mean_weekend is None
+    assert a.t_stat is None and a.weekend_effect == "n/a"
+    b = rows["b"]
+    assert (b.n_weekday, b.n_weekend) == (1, 2)
+    # one-day side: variance undefined -> NULL stats, never a crash
+    assert b.t_stat is None
