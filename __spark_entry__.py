@@ -171,6 +171,8 @@ _PRIORITY = [
     "q_streaming_seasonal_anomaly",
     "q_qini_curve", "q_classifier_report", "q_kmv_intersection",
     "q_bootstrap_ci", "q_shapley_attribution",
+    "q_streaming_nelson_aalen", "q_streaming_qini", "q_streaming_shapley",
+    "q_streaming_bootstrap",
 ]
 
 

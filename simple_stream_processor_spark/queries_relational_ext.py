@@ -7732,6 +7732,15 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    return na_curve(u)
+
+
+def na_curve(u: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Nelson-Aalen queries: from a
+    per-user (f, l) first/last-event table (the km_curve input), the
+    cumulative-hazard curve with its standard error and FH survival."""
+    from pyspark.sql.window import Window
+
     mx = u.agg(F.max("l").alias("m"))
     lab = u.crossJoin(F.broadcast(mx)).select(
         F.datediff(F.col("l").cast("date"), F.col("f").cast("date")).alias("day"),
@@ -8763,13 +8772,21 @@ def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats are the per-decile rate gap and the cumulative Qini division,
     both try_divide-guarded. The users-bounded ntile is the one budgeted
     single-partition exchange (q_stratified_ate stance)."""
-    from pyspark.sql.window import Window
-
     ev = _t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
-    ).select(
+    )
+    return qini_tail(u)
+
+
+def qini_tail(u: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Qini queries: from a per-user
+    (n_events, n_purchase) table (the ab_test_tail state shape), arms,
+    conversion, activity deciles, and the cumulative Qini curve."""
+    from pyspark.sql.window import Window
+
+    u = u.select(
         "user_id",
         "n_events",
         F.when(
@@ -9051,6 +9068,14 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("cents")
     )
+    return bootstrap_tail(u)
+
+
+def bootstrap_tail(u: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming bootstrap queries: from a
+    per-user purchase-cents table, the 100 Poisson-weighted replicate
+    means and the exact percentile interval."""
+    spark = u.sparkSession
     reps = spark.range(_B).select(F.col("id").cast("int").alias("b"))
     uu = (
         F.conv(
@@ -9171,13 +9196,25 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates one division each, the Shapley arithmetic a shared literal
     expression tree."""
     ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+            for t in ("click", "view", "signup", "purchase")
+        ],
+    )
+    return shapley_tail(counts)
+
+
+def shapley_tail(counts: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Shapley queries: from a
+    per-user (n, n_click, n_view, n_signup, n_purchase) count table,
+    exposure flags, coalition rates, and the exact 3-player Shapley sums."""
 
     def flag(t):
-        return F.when(
-            5 * F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)) > F.count(F.lit(1)), 1
-        ).otherwise(0)
+        return F.when(5 * F.col(f"n_{t}") > F.col("n"), 1).otherwise(0)
 
-    u = ev.groupBy("user_id").agg(
+    u = counts.select(
         flag("click").alias("ec"),
         flag("view").alias("ev"),
         flag("signup").alias("es"),

@@ -2133,3 +2133,93 @@ def q_streaming_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_stream_processor_spark.queries_relational_ext import seasonal_anomaly_tail
 
     return seasonal_anomaly_tail(_streaming_daily_global(spark, sf_dir))
+
+
+def _streaming_user_rollup(spark: SparkSession, sf_dir: str, *aggs):
+    """A per-user streaming rollup drained complete — one state row per user
+    forever (the q_streaming_ab bound); the shared head of the user-keyed
+    experiment/survival twins."""
+    import os as _os
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    u = sdf.groupBy("user_id").agg(*aggs)
+    drained, _ = run_stream_to_memory(u, output_mode="complete")
+    return drained
+
+
+@query("q_streaming_nelson_aalen", oracle=_relext_oracle("q_nelson_aalen"))
+def q_streaming_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Nelson-Aalen twin (N115b): per-user first/last timestamps
+    as state (min/max — commutative, replay-idempotent; the
+    q_streaming_survival bound) drained through the shared na_curve —
+    the live cumulative-hazard curve beside the KM twin, hash-matching
+    the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import na_curve
+
+    drained = _streaming_user_rollup(
+        spark, sf_dir, F.min("ts").alias("f"), F.max("ts").alias("l")
+    )
+    return na_curve(drained)
+
+
+@query("q_streaming_qini", oracle=_relext_oracle("q_qini_curve"))
+def q_streaming_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Qini twin (N127b): the per-user (n_events, n_purchase)
+    state — exactly the q_streaming_ab state — drained through the shared
+    qini_tail, so the live uplift-by-decile panel hash-matches the batch
+    oracle; arms and deciles re-derive at drain (pure functions of the
+    state)."""
+    from simple_stream_processor_spark.queries_relational_ext import qini_tail
+
+    drained = _streaming_user_rollup(
+        spark,
+        sf_dir,
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+    )
+    return qini_tail(drained)
+
+
+@query("q_streaming_shapley", oracle=_relext_oracle("q_shapley_attribution"))
+def q_streaming_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Shapley twin (N130b): per-user event-type counts as state
+    (5 integers per user forever), drained through the shared shapley_tail
+    — live channel attribution whose efficiency axiom still holds at every
+    trigger, hash-matching the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import shapley_tail
+
+    drained = _streaming_user_rollup(
+        spark,
+        sf_dir,
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+            for t in ("click", "view", "signup", "purchase")
+        ],
+    )
+    return shapley_tail(drained)
+
+
+@query("q_streaming_bootstrap", oracle=_relext_oracle("q_bootstrap_ci"))
+def q_streaming_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bootstrap twin (N129b): per-user purchase cents as state,
+    drained through the shared bootstrap_tail — the Poisson-bootstrap CI
+    refreshed per trigger (weights re-derive from the hash, so replays and
+    arrival order are invisible), hash-matching the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import bootstrap_tail
+
+    drained = _streaming_user_rollup(
+        spark,
+        sf_dir,
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.round(F.col("value") * 100).cast("long")
+            ).otherwise(F.lit(0))
+        ).alias("cents"),
+    )
+    return bootstrap_tail(drained)

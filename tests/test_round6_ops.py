@@ -1924,3 +1924,15 @@ def test_welch_tail_survives_all_weekday_series(spark):
     assert (b.n_weekday, b.n_weekend) == (1, 2)
     # one-day side: variance undefined -> NULL stats, never a crash
     assert b.t_stat is None
+
+
+def test_streaming_na_qini_shapley_bootstrap_match_batch(spark, sf_dir):
+    for batch, twin in [
+        ("q_nelson_aalen", "q_streaming_nelson_aalen"),
+        ("q_qini_curve", "q_streaming_qini"),
+        ("q_shapley_attribution", "q_streaming_shapley"),
+        ("q_bootstrap_ci", "q_streaming_bootstrap"),
+    ]:
+        b = {tuple(r) for r in QUERIES[batch](spark, sf_dir).collect()}
+        s = {tuple(r) for r in QUERIES[twin](spark, sf_dir).collect()}
+        assert b == s, (batch, twin)
