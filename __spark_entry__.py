@@ -173,6 +173,7 @@ _PRIORITY = [
     "q_bootstrap_ci", "q_shapley_attribution",
     "q_streaming_nelson_aalen", "q_streaming_qini", "q_streaming_shapley",
     "q_streaming_bootstrap",
+    "q_mann_whitney", "q_markov_entropy_rate",
 ]
 
 

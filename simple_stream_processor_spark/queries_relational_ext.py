@@ -9272,3 +9272,239 @@ def shapley_tail(counts: DataFrame) -> DataFrame:
     )
 
 
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type,
+             CASE WHEN (day + 3) % 7 + 1 >= 6 THEN 1 ELSE 0 END AS we,
+             cents
+      FROM daily
+    ),
+    rk AS (
+      SELECT event_type, we, cents,
+             rank() OVER (PARTITION BY event_type ORDER BY cents) AS rmin,
+             count(*) OVER (PARTITION BY event_type, cents) AS t
+      FROM g
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(CASE WHEN we = 0 THEN 1 END) AS BIGINT) AS n1,
+             CAST(count(CASE WHEN we = 1 THEN 1 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN we = 1 THEN 2 * rmin + t - 1 ELSE 0 END) AS BIGINT) AS r2x2
+      FROM rk GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type, CAST(sum(t * t * t - t) AS BIGINT) AS tie_cube
+      FROM (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS t FROM g GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    stat AS (
+      SELECT a.event_type, a.n1, a.n2,
+             a.r2x2 - a.n2 * (a.n2 + 1) AS u2x2,
+             a.n1 + a.n2 AS n,
+             t.tie_cube
+      FROM agg a JOIN ties t ON t.event_type = a.event_type
+    ),
+    z AS (
+      SELECT event_type, n1, n2, u2x2,
+             (u2x2 - n1 * n2)
+               / (2.0 * sqrt(
+                   n1 * CAST(n2 AS DOUBLE) / 12.0
+                   * ((n + 1) - CAST(tie_cube AS DOUBLE) / (n * (n - 1))))) AS zraw,
+             CAST(u2x2 AS DOUBLE) / (n1 * n2) - 1.0 AS delta
+      FROM stat
+    )
+    SELECT event_type, n1 AS n_weekday, n2 AS n_weekend,
+           u2x2 AS u_weekend_x2,
+           round(zraw, 4) AS z_stat,
+           round(delta, 6) AS cliffs_delta,
+           CASE WHEN zraw IS NULL OR isnan(zraw) THEN 'n/a'
+                WHEN abs(zraw) > 1.96 THEN 'true' ELSE 'false' END AS weekend_shift
+    FROM z
+""",
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N131: Mann-Whitney U rank-sum test (Mann & Whitney 1947) with
+    Cliff's delta (1993) for the weekend effect — the NONPARAMETRIC twin of
+    q_welch_ttest (N116): rank-based, so a single whale day cannot move it
+    where Welch's means swing, and delta = 2U/(n1*n2) - 1 is the
+    effect-size readout (P(weekend>weekday) - P(<)). EXACT-INTEGER rank
+    machinery: midranks are kept DOUBLED (2*rank_min + t - 1, BIGINT), so
+    the doubled rank sum, the doubled U, and the tie-correction cube sum
+    are all exact; the only floats are the tie-corrected variance and the
+    final z/delta divisions, identical trees both engines. A group with
+    zero variance (every day tied) gives sqrt(0) -> z NaN/NULL -> the 'n/a'
+    string verdict (the nullable-boolean canon lesson). Scale: rides the
+    daily rollup; two keyed windows + types-bounded arithmetic."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    g = daily.select(
+        "event_type",
+        F.when((F.col("day") + 3) % 7 + 1 >= 6, 1).otherwise(0).alias("we"),
+        "cents",
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents")
+    wt = Window.partitionBy("event_type", "cents")
+    rk = g.select(
+        "event_type",
+        "we",
+        "cents",
+        F.rank().over(wr).alias("rmin"),
+        F.count(F.lit(1)).over(wt).alias("t"),
+    )
+    agg = rk.groupBy("event_type").agg(
+        F.count(F.when(F.col("we") == 0, 1)).alias("n1"),
+        F.count(F.when(F.col("we") == 1, 1)).alias("n2"),
+        F.sum(
+            F.when(F.col("we") == 1, 2 * F.col("rmin") + F.col("t") - 1).otherwise(0)
+        ).alias("r2x2"),
+    )
+    ties = (
+        g.groupBy(F.col("event_type").alias("tet"), "cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("tet")
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_cube"))
+    )
+    st = agg.join(ties, F.col("event_type") == F.col("tet")).select(
+        "event_type",
+        "n1",
+        "n2",
+        (F.col("r2x2") - F.col("n2") * (F.col("n2") + 1)).alias("u2x2"),
+        (F.col("n1") + F.col("n2")).alias("n"),
+        "tie_cube",
+    )
+    var = (
+        F.col("n1") * F.col("n2").cast("double") / 12.0
+        * ((F.col("n") + 1) - F.col("tie_cube").cast("double") / (F.col("n") * (F.col("n") - 1)))
+    )
+    zraw = F.try_divide(F.col("u2x2") - F.col("n1") * F.col("n2"), 2.0 * F.sqrt(var))
+    delta = F.try_divide(F.col("u2x2").cast("double"), F.col("n1") * F.col("n2")) - 1.0
+    return st.select(
+        "event_type",
+        F.col("n1").alias("n_weekday"),
+        F.col("n2").alias("n_weekend"),
+        F.col("u2x2").alias("u_weekend_x2"),
+        F.round(zraw, 4).alias("z_stat"),
+        F.round(delta, 6).alias("cliffs_delta"),
+        F.when(zraw.isNull() | F.isnan(zraw), F.lit("n/a"))
+        .when(F.abs(zraw) > 1.96, F.lit("true"))
+        .otherwise(F.lit("false"))
+        .alias("weekend_shift"),
+    )
+
+
+
+
+@query(
+    "q_markov_entropy_rate",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    m AS (
+      SELECT event_type AS i, next_type AS j, CAST(count(*) AS BIGINT) AS nij
+      FROM o WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ri AS (SELECT i, CAST(sum(nij) AS BIGINT) AS ni FROM m GROUP BY 1),
+    tot AS (SELECT CAST(sum(nij) AS BIGINT) AS nn FROM m),
+    terms AS (
+      SELECT m.i, m.j, m.nij, ri.ni, tot.nn,
+             m.nij * ln(CAST(ri.ni AS DOUBLE) / m.nij) AS cond_term,
+             m.nij * ln(CAST(tot.nn AS DOUBLE) / ri.ni) AS marg_term
+      FROM m JOIN ri ON ri.i = m.i, tot
+    ),
+    folded AS (
+      SELECT max(nn) AS nn,
+             list_reduce(list_prepend(0.0, list(cond_term ORDER BY i, j)),
+                         (a, x) -> a + x) AS cond_sum,
+             list_reduce(list_prepend(0.0, list(marg_term ORDER BY i, j)),
+                         (a, x) -> a + x) AS marg_sum
+      FROM terms
+    )
+    SELECT CAST(nn AS BIGINT) AS n_transitions,
+           round(marg_sum / nn, 4) AS h_marginal_nats,
+           round(cond_sum / nn, 4) AS h_conditional_nats,
+           round((marg_sum - cond_sum) / nn, 4) AS predictability_gain_nats
+    FROM folded
+""",
+)
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N132: Markov entropy rate of the user-journey chain (Shannon;
+    the predictability ceiling of Song et al. 2010): from N40's transition
+    counts, the conditional entropy H(next|cur) = SUM n_ij*ln(n_i/n_ij)/N
+    vs the marginal H(cur), and their gap — the information one step of
+    context buys a next-action model (near-zero gap = journeys are
+    memoryless, sequence features are worthless; large gap = invest in
+    sequential models). Exact integer counts; both entropy sums fold in
+    sorted (i,j) order (the float-sum discipline); two one-row aggregates
+    over the types^2-bounded matrix. The sequence-level companion to
+    q_mutual_information (type vs hour) and q_corpus_entropy (tokens)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+    m = (
+        o.where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("i"), F.col("next_type").alias("j"))
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=False)
+    )
+    ri = m.groupBy(F.col("i").alias("ri_i")).agg(F.sum("nij").alias("ni"))
+    tot = m.agg(F.sum("nij").alias("nn"))
+    # the marginal fold rides the SAME (i,j) rows: SUM_j nij == ni, so
+    # SUM_ij nij*ln(nn/ni) == SUM_i ni*ln(nn/ni) — one aggregate, not three
+    terms = m.join(F.broadcast(ri), F.col("i") == F.col("ri_i")).crossJoin(F.broadcast(tot)).select(
+        "i",
+        "j",
+        "nij",
+        "ni",
+        "nn",
+        (F.col("nij") * F.log(F.col("ni").cast("double") / F.col("nij"))).alias("cond_term"),
+        (F.col("nij") * F.log(F.col("nn").cast("double") / F.col("ni"))).alias("marg_term"),
+    )
+    folded = terms.agg(
+        F.max("nn").alias("nn"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "j", F.col("cond_term").alias("v")))),
+                lambda t: t["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("cond_sum"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "j", F.col("marg_term").alias("v")))),
+                lambda t: t["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("marg_sum"),
+    )
+    return folded.select(
+        F.col("nn").alias("n_transitions"),
+        F.round(F.col("marg_sum") / F.col("nn"), 4).alias("h_marginal_nats"),
+        F.round(F.col("cond_sum") / F.col("nn"), 4).alias("h_conditional_nats"),
+        F.round((F.col("marg_sum") - F.col("cond_sum")) / F.col("nn"), 4).alias(
+            "predictability_gain_nats"
+        ),
+    )
+
+

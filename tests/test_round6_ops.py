@@ -1936,3 +1936,65 @@ def test_streaming_na_qini_shapley_bootstrap_match_batch(spark, sf_dir):
         b = {tuple(r) for r in QUERIES[batch](spark, sf_dir).collect()}
         s = {tuple(r) for r in QUERIES[twin](spark, sf_dir).collect()}
         assert b == s, (batch, twin)
+
+
+def test_mann_whitney_matches_python_replay(spark, sf_dir):
+    daily = _daily_cents_pd(sf_dir)
+    daily["we"] = ((daily.day + 3) % 7 + 1 >= 6).astype(int)
+    rows = {r.event_type: r for r in QUERIES["q_mann_whitney"](spark, sf_dir).collect()}
+    for t, g in daily.groupby("event_type"):
+        vals = sorted(zip(g.cents, g.we))
+        n = len(vals)
+        n1 = sum(1 for _, w in vals if w == 0)
+        n2 = n - n1
+        # doubled midranks with ties
+        from collections import Counter
+
+        tie = Counter(c for c, _ in vals)
+        # rank_min per value
+        rmin, seen = {}, 0
+        for c in sorted(tie):
+            rmin[c] = seen + 1
+            seen += tie[c]
+        r2x2 = sum(2 * rmin[c] + tie[c] - 1 for c, w in vals if w == 1)
+        u2x2 = r2x2 - n2 * (n2 + 1)
+        r = rows[t]
+        assert (r.n_weekday, r.n_weekend, r.u_weekend_x2) == (n1, n2, u2x2), t
+        tie_cube = sum(tc**3 - tc for tc in tie.values())
+        var = n1 * n2 / 12.0 * ((n + 1) - tie_cube / (n * (n - 1)))
+        if var > 0 and n1 and n2:
+            z = (u2x2 - n1 * n2) / (2.0 * math.sqrt(var))
+            assert abs(r.z_stat - round(z, 4)) < 1e-9
+            assert r.weekend_shift == ("true" if abs(z) > 1.96 else "false")
+            delta = u2x2 / (n1 * n2) - 1.0
+            assert abs(r.cliffs_delta - round(delta, 6)) < 1e-9
+            assert -1.0 <= r.cliffs_delta <= 1.0
+
+
+def test_markov_entropy_rate_matches_python_and_bounds(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    from collections import Counter
+
+    trans = Counter()
+    for _, g in ev.sort_values(["ts", "event_id"], kind="mergesort").groupby("user_id"):
+        seq = list(g.event_type)
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    ni = Counter()
+    for (a, _), c in trans.items():
+        ni[a] += c
+    nn = sum(trans.values())
+    h_cond = sum(c * math.log(ni[a] / c) for (a, _), c in trans.items()) / nn
+    h_marg = sum(c * math.log(nn / ni[a]) for (a, _), c in trans.items()) / nn
+    r = QUERIES["q_markov_entropy_rate"](spark, sf_dir).collect()[0]
+    assert r.n_transitions == nn
+    assert abs(r.h_conditional_nats - round(h_cond, 4)) < 1e-6
+    assert abs(r.h_marginal_nats - round(h_marg, 4)) < 1e-6
+    # conditioning can only reduce entropy; both bounded by ln(k)
+    assert r.h_conditional_nats <= r.h_marginal_nats + 1e-9
+    assert 0 <= r.h_conditional_nats <= math.log(len(ni)) + 1e-9
+    assert abs(r.predictability_gain_nats - round(h_marg - h_cond, 4)) < 1e-3

@@ -155,6 +155,9 @@ SINGLE_PARTITION_ALLOWANCE = {
     # the 8-row coalition table feeds one exposure aggregate and one
     # Shapley-rate aggregate (both stacked to 3 rows) — never events
     "q_shapley_attribution": 2,
+    # the one-row transition total plus the one-row double-entropy fold —
+    # both over the types^2-bounded matrix, never events
+    "q_markov_entropy_rate": 2,
     # one (n_nodes, Σdeg) one-row rollup per peeling round (4 unrolled
     # rounds); each serves both the stats row and the peel threshold and
     # carries only #tasks partial rows, never edges
