@@ -174,6 +174,7 @@ _PRIORITY = [
     "q_streaming_nelson_aalen", "q_streaming_qini", "q_streaming_shapley",
     "q_streaming_bootstrap",
     "q_mann_whitney", "q_markov_entropy_rate",
+    "q_streaming_mann_whitney", "q_block_maxima",
 ]
 
 

@@ -147,6 +147,7 @@ TAIL = [
     "q_qini_curve", "q_classifier_report", "q_kmv_intersection",
     "q_bootstrap_ci", "q_shapley_attribution",
     "q_mann_whitney", "q_markov_entropy_rate",
+    "q_block_maxima",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

@@ -9346,10 +9346,16 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily rollup; two keyed windows + types-bounded arithmetic."""
     from pyspark.sql.window import Window
 
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return mann_whitney_tail(daily)
+
+
+def mann_whitney_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Mann-Whitney queries: exact
+    doubled-midrank U, tie-corrected z, and Cliff's delta over a
+    (event_type, day, cents) daily table."""
+    from pyspark.sql.window import Window
+
     g = daily.select(
         "event_type",
         F.when((F.col("day") + 3) % 7 + 1 >= 6, 1).otherwise(0).alias("we"),
@@ -9504,6 +9510,103 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cond_sum") / F.col("nn"), 4).alias("h_conditional_nats"),
         F.round((F.col("marg_sum") - F.col("cond_sum")) / F.col("nn"), 4).alias(
             "predictability_gain_nats"
+        ),
+    )
+
+
+
+
+@query(
+    "q_block_maxima",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    wk AS (
+      SELECT day // 7 AS week, CAST(max(cents) AS BIGINT) AS mx
+      FROM daily GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(mx) AS BIGINT) AS sm,
+             CAST(sum(mx * CAST(mx AS HUGEINT)) AS DOUBLE) AS qm,
+             CAST(max(mx) AS BIGINT) AS observed_max
+      FROM wk
+    ),
+    fit AS (
+      SELECT n_blocks, sm, observed_max,
+             CAST(sm AS DOUBLE) / n_blocks AS mean_mx,
+             sqrt((qm - CAST(sm AS DOUBLE) * sm / n_blocks) / (n_blocks - 1)) AS sd_mx
+      FROM m
+    ),
+    p AS (
+      SELECT n_blocks, observed_max, mean_mx, sd_mx,
+             sd_mx * 0.7796968012336761 AS beta,
+             mean_mx - sd_mx * 0.7796968012336761 * 0.5772156649015329 AS mu
+      FROM fit
+    )
+    SELECT n_blocks, observed_max,
+           round(mean_mx, 4) AS mean_weekly_max,
+           round(mu, 4) AS gumbel_mu,
+           round(beta, 4) AS gumbel_beta,
+           round(1.0 - exp(-exp(-(1.5 * observed_max - mu) / beta)), 6)
+             AS p_exceed_150pct,
+           round(mu - beta * (-3.9415503865226063), 4) AS one_year_return_level
+    FROM p
+""",
+)
+def q_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N133: Gumbel block-maxima fit (Fisher-Tippett 1928, Gumbel 1958 —
+    the EVT complement to N122's Hill index: Hill reads the tail of
+    VALUES, this reads the distribution of maxima over TIME): weekly
+    maximum daily revenue fitted by moments (beta = sd*sqrt(6)/pi, mu =
+    mean - gamma*beta, constants pinned to 16 digits like the Poisson
+    thresholds), the exceedance probability of a 1.5x-record week, and
+    the 52-week return level — capacity-planning numbers (how big a
+    spike must the pipeline absorb once a year?). Block maxima are exact
+    integer cents; the moment fit uses decimal-widened squares to one
+    sqrt; single-block series pin NULL through try_divide. Scale: two
+    bounded rollups (days, then weeks) after the one corpus exchange."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.expr("unix_millis(ts) div 86400000").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    wk = daily.groupBy(F.expr("day div 7").alias("week")).agg(F.max("cents").alias("mx"))
+    m = wk.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("mx").alias("sm"),
+        F.sum(F.col("mx") * F.col("mx").cast("decimal(38,0)")).cast("double").alias("qm"),
+        F.max("mx").alias("observed_max"),
+    )
+    mean_mx = F.col("sm").cast("double") / F.col("n_blocks")
+    sd_mx = F.sqrt(
+        F.try_divide(
+            F.col("qm") - F.try_divide(F.col("sm").cast("double") * F.col("sm"), F.col("n_blocks")),
+            F.col("n_blocks") - 1,
+        )
+    )
+    fit = m.select(
+        "n_blocks", "observed_max", mean_mx.alias("mean_mx"), sd_mx.alias("sd_mx")
+    )
+    beta = F.col("sd_mx") * 0.7796968012336761
+    mu = F.col("mean_mx") - beta * 0.5772156649015329
+    p = fit.select("n_blocks", "observed_max", "mean_mx", beta.alias("beta"), mu.alias("mu"))
+    return p.select(
+        "n_blocks",
+        "observed_max",
+        F.round(F.col("mean_mx"), 4).alias("mean_weekly_max"),
+        F.round(F.col("mu"), 4).alias("gumbel_mu"),
+        F.round(F.col("beta"), 4).alias("gumbel_beta"),
+        F.round(
+            1.0 - F.exp(-F.exp(-(1.5 * F.col("observed_max") - F.col("mu")) / F.col("beta"))),
+            6,
+        ).alias("p_exceed_150pct"),
+        # ln(-ln(51/52)) pinned as a literal (the Poisson-threshold
+        # discipline) so both engines multiply the identical double
+        F.round(F.col("mu") - F.col("beta") * F.lit(-3.9415503865226063), 4).alias(
+            "one_year_return_level"
         ),
     )
 

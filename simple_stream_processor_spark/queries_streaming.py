@@ -2223,3 +2223,13 @@ def q_streaming_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents"),
     )
     return bootstrap_tail(drained)
+
+
+@query("q_streaming_mann_whitney", oracle=_relext_oracle("q_mann_whitney"))
+def q_streaming_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Mann-Whitney twin (N131b): the per-type daily-cents state
+    through the shared mann_whitney_tail — the nonparametric weekend-shift
+    verdict live beside the Welch twin, hash-matching the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import mann_whitney_tail
+
+    return mann_whitney_tail(_streaming_daily_by_type(spark, sf_dir))

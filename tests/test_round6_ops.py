@@ -1998,3 +1998,31 @@ def test_markov_entropy_rate_matches_python_and_bounds(spark, sf_dir):
     assert r.h_conditional_nats <= r.h_marginal_nats + 1e-9
     assert 0 <= r.h_conditional_nats <= math.log(len(ni)) + 1e-9
     assert abs(r.predictability_gain_nats - round(h_marg - h_cond, 4)) < 1e-3
+
+
+def test_streaming_mann_whitney_matches_batch(spark, sf_dir):
+    b = {tuple(r) for r in QUERIES["q_mann_whitney"](spark, sf_dir).collect()}
+    s = {tuple(r) for r in QUERIES["q_streaming_mann_whitney"](spark, sf_dir).collect()}
+    assert b == s
+
+
+def test_block_maxima_matches_python_replay(spark, sf_dir):
+    import statistics
+
+    daily = _daily_cents_pd(sf_dir).groupby("day").cents.sum()
+    weekly = {}
+    for d, c in daily.items():
+        weekly[d // 7] = max(weekly.get(d // 7, -(10**18)), int(c))
+    mx = list(weekly.values())
+    r = QUERIES["q_block_maxima"](spark, sf_dir).collect()[0]
+    assert r.n_blocks == len(mx) and r.observed_max == max(mx)
+    mean, sd = statistics.mean(mx), statistics.stdev(mx)
+    beta = sd * math.sqrt(6) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    assert abs(r.gumbel_beta - round(beta, 4)) < 0.01
+    assert abs(r.gumbel_mu - round(mu, 4)) < 0.01
+    p = 1.0 - math.exp(-math.exp(-(1.5 * max(mx) - mu) / beta))
+    assert abs(r.p_exceed_150pct - round(p, 6)) < 1e-4
+    assert 0.0 <= r.p_exceed_150pct <= 1.0
+    # the 1-in-52 return level must exceed the fitted location
+    assert r.one_year_return_level > r.gumbel_mu
