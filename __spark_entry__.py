@@ -175,6 +175,7 @@ _PRIORITY = [
     "q_streaming_bootstrap",
     "q_mann_whitney", "q_markov_entropy_rate",
     "q_streaming_mann_whitney", "q_block_maxima",
+    "q_overdispersion", "q_spearman",
 ]
 
 

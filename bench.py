@@ -148,6 +148,7 @@ TAIL = [
     "q_bootstrap_ci", "q_shapley_attribution",
     "q_mann_whitney", "q_markov_entropy_rate",
     "q_block_maxima",
+    "q_overdispersion", "q_spearman",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
 ]

@@ -9611,3 +9611,168 @@ def q_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "q_overdispersion",
+    oracle="""
+    WITH u AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * CAST(c AS HUGEINT)) AS DOUBLE) AS qc
+      FROM u GROUP BY 1
+    ),
+    s AS (
+      SELECT event_type, n_users,
+             CAST(sc AS DOUBLE) / n_users AS mean_c,
+             (qc - CAST(sc AS DOUBLE) * sc / n_users) / (n_users - 1) AS var_c
+      FROM m
+    )
+    SELECT event_type, n_users,
+           round(mean_c, 4) AS mean_per_user,
+           round(var_c, 4) AS var_per_user,
+           round(var_c / mean_c, 4) AS dispersion_index,
+           CASE WHEN var_c / mean_c IS NULL THEN 'n/a'
+                WHEN var_c / mean_c > 1.0 + 2.0 * sqrt(2.0 / (n_users - 1)) THEN 'overdispersed'
+                WHEN var_c / mean_c < 1.0 - 2.0 * sqrt(2.0 / (n_users - 1)) THEN 'underdispersed'
+                ELSE 'poisson_like' END AS verdict
+    FROM s
+""",
+)
+def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N134: overdispersion audit (Fisher's dispersion index
+    var/mean; Cox 1983) of per-user event counts — the distributional
+    assumption check UNDER the experiment family: q_ab_test and
+    q_power_analysis implicitly price variance, and an index far above 1
+    (negative-binomial-like burstiness, bots, power users) means Poisson
+    intuitions and naive sample-size math understate noise. Exact integer
+    count moments (decimal-widened squares) to two divisions; the verdict
+    band is the null sd of the index (~sqrt(2/(n-1))) at 2 sigmas, emitted
+    as a STRING (the nullable-verdict canon lesson — n/a on single-user
+    types). One (type, user) rollup then types-bounded arithmetic — the
+    q_ab_test exchange shape."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    m = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c").cast("decimal(38,0)")).cast("double").alias("qc"),
+    )
+    mean_c = F.col("sc").cast("double") / F.col("n_users")
+    var_c = F.try_divide(
+        F.col("qc") - F.try_divide(F.col("sc").cast("double") * F.col("sc"), F.col("n_users")),
+        F.col("n_users") - 1,
+    )
+    s = m.select("event_type", "n_users", mean_c.alias("mean_c"), var_c.alias("var_c"))
+    idx = F.try_divide(F.col("var_c"), F.col("mean_c"))
+    band = 2.0 * F.sqrt(F.try_divide(F.lit(2.0), F.col("n_users") - 1))
+    return s.select(
+        "event_type",
+        "n_users",
+        F.round(F.col("mean_c"), 4).alias("mean_per_user"),
+        F.round(F.col("var_c"), 4).alias("var_per_user"),
+        F.round(idx, 4).alias("dispersion_index"),
+        F.when(idx.isNull(), F.lit("n/a"))
+        .when(idx > 1.0 + band, F.lit("overdispersed"))
+        .when(idx < 1.0 - band, F.lit("underdispersed"))
+        .otherwise(F.lit("poisson_like"))
+        .alias("verdict"),
+    )
+
+
+
+
+@query(
+    "q_spearman",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2
+    ),
+    x AS (SELECT day, cents AS xc FROM daily WHERE event_type = 'view'),
+    y AS (SELECT day, cents AS yc FROM daily WHERE event_type = 'purchase'),
+    j AS (SELECT x.day, x.xc, y.yc FROM x JOIN y ON y.day = x.day),
+    rk AS (
+      SELECT day,
+             2 * rank() OVER (ORDER BY xc) + count(*) OVER (PARTITION BY xc) - 1 AS rx2,
+             2 * rank() OVER (ORDER BY yc) + count(*) OVER (PARTITION BY yc) - 1 AS ry2
+      FROM j
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(rx2) AS DOUBLE) AS sx,
+             CAST(sum(ry2) AS DOUBLE) AS sy,
+             CAST(sum(rx2 * CAST(rx2 AS HUGEINT)) AS DOUBLE) AS sxx,
+             CAST(sum(ry2 * CAST(ry2 AS HUGEINT)) AS DOUBLE) AS syy,
+             CAST(sum(rx2 * CAST(ry2 AS HUGEINT)) AS DOUBLE) AS sxy
+      FROM rk
+    )
+    SELECT n_days,
+           round((n * sxy - sx * sy)
+                 / (sqrt(greatest(0, n * sxx - sx * sx)) * sqrt(greatest(0, n * syy - sy * sy))),
+                 6) AS spearman_rho
+    FROM m
+""",
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N135: Spearman rank correlation (Spearman 1904) between view
+    and purchase daily revenue — the monotone-association companion to
+    N108's Pearson CCF at lag 0: rank-based, so one whale day cannot
+    manufacture correlation, and any monotone (not just linear) coupling
+    registers. EXACT rank machinery: doubled midranks (2*rank + t - 1,
+    the N131 trick) keep every moment sum an exact integer
+    (decimal-widened), and rho is Pearson-on-ranks through the shared
+    corr_from_moments tree — 6dp can never flip across engines or
+    partition orders. Constant series pin NULL via try_divide. Scale:
+    the two global rank windows run on the days-bounded joined series
+    (budgeted single-partition — the advisor stance); everything else is
+    the daily rollup everyone pays."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type", F.expr("unix_millis(ts) div 86400000").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    x = daily.where(F.col("event_type") == "view").select(
+        F.col("day").alias("xday"), F.col("cents").alias("xc")
+    )
+    y = daily.where(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("cents").alias("yc")
+    )
+    j = x.join(y, F.col("yday") == F.col("xday")).select(
+        F.col("xday").alias("day"), "xc", "yc"
+    )
+    rk = j.select(
+        "day",
+        (2 * F.rank().over(Window.orderBy("xc")) + F.count(F.lit(1)).over(Window.partitionBy("xc")) - 1).alias("rx2"),
+        (2 * F.rank().over(Window.orderBy("yc")) + F.count(F.lit(1)).over(Window.partitionBy("yc")) - 1).alias("ry2"),
+    )
+    m = rk.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx2").cast("double").alias("sx"),
+        F.sum("ry2").cast("double").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2").cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2").cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2").cast("decimal(38,0)")).cast("double").alias("sxy"),
+    )
+    return m.select(
+        "n_days",
+        F.round(
+            relational.corr_from_moments(
+                F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("syy"), F.col("sxy")
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+

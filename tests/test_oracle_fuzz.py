@@ -75,7 +75,7 @@ EVENT_QUERIES = [
     "q_seasonality_strength", "q_seasonal_anomaly", "q_interarrival_stats",
     "q_qini_curve", "q_kmv_intersection", "q_bootstrap_ci",
     "q_shapley_attribution", "q_mann_whitney", "q_markov_entropy_rate",
-    "q_block_maxima",
+    "q_block_maxima", "q_overdispersion", "q_spearman",
     "q_top_paths", "q_forecast_eval", "q_changepoint_cusum",
     "q_survival_curve", "q_k_anonymity", "q_ab_test", "q_lag_features",
     "q_power_analysis", "q_grouped_udaf", "q_full_outer_reconcile",

@@ -2026,3 +2026,61 @@ def test_block_maxima_matches_python_replay(spark, sf_dir):
     assert 0.0 <= r.p_exceed_150pct <= 1.0
     # the 1-in-52 return level must exceed the fitted location
     assert r.one_year_return_level > r.gumbel_mu
+
+
+def test_overdispersion_matches_python(spark, sf_dir):
+    import statistics
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    rows = {r.event_type: r for r in QUERIES["q_overdispersion"](spark, sf_dir).collect()}
+    for t, g in ev.groupby("event_type"):
+        counts = list(g.groupby("user_id").size())
+        r = rows[t]
+        assert r.n_users == len(counts)
+        assert abs(r.mean_per_user - round(statistics.mean(counts), 4)) < 1e-9
+        if len(counts) > 1:
+            var = statistics.variance(counts)
+            assert abs(r.var_per_user - round(var, 4)) < 1e-6
+            idx = var / statistics.mean(counts)
+            assert abs(r.dispersion_index - round(idx, 4)) < 1e-6
+            band = 2.0 * math.sqrt(2.0 / (len(counts) - 1))
+            expect = (
+                "overdispersed" if idx > 1 + band
+                else "underdispersed" if idx < 1 - band
+                else "poisson_like"
+            )
+            assert r.verdict == expect, t
+
+
+def test_spearman_matches_scipy_free_replay(spark, sf_dir):
+    daily = _daily_cents_pd(sf_dir)
+    x = daily[daily.event_type == "view"].set_index("day").cents
+    y = daily[daily.event_type == "purchase"].set_index("day").cents
+    both = x.to_frame("x").join(y.to_frame("y"), how="inner")
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            mr = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                out[order[k]] = mr
+            i = j + 1
+        return out
+
+    rx = midranks(list(both.x))
+    ry = midranks(list(both.y))
+    n = len(rx)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry))
+    r = QUERIES["q_spearman"](spark, sf_dir).collect()[0]
+    assert r.n_days == n
+    assert abs(r.spearman_rho - round(num / den, 6)) < 1e-4
+    assert -1.0 <= r.spearman_rho <= 1.0
