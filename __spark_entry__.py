@@ -31,31 +31,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness walks the dict in insertion order under a
-# 50-entry budget.  Rounds 1-5 verified 207 distinct queries (r2-r4: 50/50
-# green; r5: 49/50 — the one red, q_skew_report, was a DuckDB HUGEINT cast
-# bug in the oracle, fixed this round).  ROUND-6 window, per the round-5
-# judge: the 13 round-5 additions (first driver rows) + q_skew_report (red
-# → re-verify with the cast fix) + the 5 formerly-`no_oracle` queries whose
-# oracles were rewritten this round as hash-stable verdict contracts /
-# unrolled-CTE twins (q_approx_distinct, q_approx_quantiles,
-# q_hll_mergeable, q_bpe_merges, q_bpe_encode) = 19; the remaining 31 slots
-# re-confirm the OLDEST driver-green rows (r1 core + the first r2 rows).
-# After this window all 226 declared queries have a green driver row and
-# the `no_oracle` family is gone.  Round-6 additions sit at the registry
-# tail, queued for round 7.
+# 50-entry budget.  Rounds 1-6 verified 226 distinct queries green (the
+# round-6 window was 50/50, closing the `no_oracle` family).  ROUND-7
+# window, per the round-6 judge (task #3): the 50 OLDEST of the 114
+# never-driver-verified round-6 additions, in their declaration order
+# (q_zonemap_prune … q_streaming_jsd).  The remaining 64 round-6 additions
+# queue right behind as the deterministic round-8 window; round-7 additions
+# go at the registry tail behind them.  All previously driver-verified
+# queries follow, in their established relative order, plus the 5 early
+# queries the round-6 judge found had dropped out of rotation (task #6) —
+# _PRIORITY now covers the full registry (asserted by
+# test_priority_names_all_resolve_and_readme_count_matches).
 _PRIORITY = [
-    # --- round-6 window: 13 round-5 additions (first driver rows) ---
+    # --- round-7 window: 50 oldest never-driver-verified r6 additions ---
+    "q_zonemap_prune", "q_zorder_layout", "q_incremental_agg",
+    "q_ewma_smooth", "q_streaming_ewma", "q_graph_bfs",
+    "q_pmi_collocations", "q_ngram_novelty", "q_bpe_fertility",
+    "q_bisect_median", "q_weighted_median", "q_heaps_fit",
+    "q_streaming_zonemap",
+    "q_equidepth_hist", "q_burst_detection", "q_abc_classification",
+    "q_compaction_plan", "q_date_spine", "q_embedding_norm_audit",
+    "q_js_divergence",
+    "q_minhash_precision", "q_audience_overlap", "q_asof_tolerance",
+    "q_mutual_information", "q_streaming_novelty", "q_streaming_heaps",
+    "q_topk_with_other", "q_period_over_period", "q_user_saturation",
+    "q_whatif_grid", "q_cluster_size_dist",
+    "q_lift_table", "q_join_advisor", "q_bpe_generalization",
+    "q_streaming_saturation",
+    "q_debounce", "q_tiered_billing", "q_word_burstiness",
+    "q_hashed_features", "q_template_detect",
+    "q_lateness_audit", "q_salt_advisor", "q_dedup_threshold_curve",
+    "q_dedup_savings", "q_quality_trend",
+    "q_ship_lag", "q_cohort_ltv", "q_nearest_event_join",
+    "q_streaming_mi", "q_streaming_jsd",
+    # ---------- window boundary (50) ----------
+    # --- round-8 queue: remaining 64 never-driver-verified r6 additions ---
+    "q_streaming_audience",
+    "q_kmv_sketch", "q_srm_check", "q_seasonal_decompose",
+    "q_set_similarity_join", "q_good_turing",
+    "q_holt_linear", "q_cuped", "q_label_propagation",
+    "q_streaming_srm", "q_streaming_kmv",
+    "q_theil_sen", "q_sort_key_advisor", "q_span_corruption",
+    "q_streaming_holt", "q_streaming_seasonal",
+    "q_mann_kendall", "q_runs_test", "q_ccf_leadlag", "q_xmr_control",
+    "q_link_prediction", "q_degree_assortativity",
+    "q_growth_accounting", "q_stratified_ate",
+    "q_nearest_centroid", "q_silhouette", "q_char_bigram_entropy",
+    "q_streaming_ccf", "q_streaming_growth", "q_streaming_xmr",
+    "q_mix_shift", "q_nelson_aalen", "q_welch_ttest",
+    "q_new_returning_revenue",
+    "q_max_drawdown", "q_seasonality_strength", "q_bucketed_join",
+    "q_streaming_mann_kendall", "q_streaming_runs", "q_streaming_welch",
+    "q_seasonal_anomaly", "q_hill_tail_index",
+    "q_partition_pruned_scan", "q_csv_source", "q_lorenz_curve",
+    "q_interarrival_stats",
+    "q_streaming_drawdown", "q_streaming_strength",
+    "q_streaming_seasonal_anomaly",
+    "q_qini_curve", "q_classifier_report", "q_kmv_intersection",
+    "q_bootstrap_ci", "q_shapley_attribution",
+    "q_streaming_nelson_aalen", "q_streaming_qini", "q_streaming_shapley",
+    "q_streaming_bootstrap",
+    "q_mann_whitney", "q_markov_entropy_rate",
+    "q_streaming_mann_whitney", "q_block_maxima",
+    "q_overdispersion", "q_spearman",
+    # --- driver-verified r6 (the round-6 window, relative order kept) ---
     "q_random_projection", "q_bm25_search", "q_bigram_surprisal",
     "q_hll_portable", "q_streaming_hll", "q_conformal_threshold",
     "q_jl_recall", "q_wasserstein_drift", "q_benford_audit",
     "q_streaming_wasserstein", "q_gini_concentration", "q_time_weighted_avg",
     "q_skyline",
-    # --- r5's only red, re-verified with the BIGINT-cast oracle fix ---
     "q_skew_report",
-    # --- formerly no_oracle, now verdict-contract / unrolled-CTE oracles ---
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
     "q_bpe_merges", "q_bpe_encode",
-    # --- re-confirmation fill: oldest driver-green rows (r1 + first r2) ---
     "q_source_scan", "q_sink_fold_sum", "q_map_project", "q_filter_predicate",
     "q_flatmap_explode", "q_union_append", "q_take_limit", "q_parmap_ordered",
     "q_async_boundary", "q_recover_value", "q_recover_with_stream",
@@ -65,7 +112,6 @@ _PRIORITY = [
     "q_topk", "q_distinct", "q_set_ops", "q_rank_window", "q_scalar_funcs",
     "q_dedup", "q_exact_percentile", "q_histogram",
     "q_asof_join", "q_range_join", "q_rollup",
-    # ---------- window boundary (50) ----------
     # --- driver-verified in r5 (keep their relative order) ---
     "q_inverted_index", "q_cms_heavy_hitters", "q_unigram_surprisal",
     "q_ann_recall", "q_mixture_resample", "q_auc_eval", "q_calibration",
@@ -127,55 +173,9 @@ _PRIORITY = [
     "q_quality_score", "q_token_stats", "q_tfidf_topterms",
     "q_training_pipeline", "q_dedup_clusters", "q_text_tokens",
     "q_decontaminate", "q_repetition_filter",
-    # --- new in round 6 (registry tail; local-oracle-green at 3 SFs,
-    # queued for their first driver window in round 7) ---
-    "q_zonemap_prune", "q_zorder_layout", "q_incremental_agg",
-    "q_ewma_smooth", "q_streaming_ewma", "q_graph_bfs",
-    "q_pmi_collocations", "q_ngram_novelty", "q_bpe_fertility",
-    "q_bisect_median", "q_weighted_median", "q_heaps_fit",
-    "q_streaming_zonemap",
-    "q_equidepth_hist", "q_burst_detection", "q_abc_classification",
-    "q_compaction_plan", "q_date_spine", "q_embedding_norm_audit",
-    "q_js_divergence",
-    "q_minhash_precision", "q_audience_overlap", "q_asof_tolerance",
-    "q_mutual_information", "q_streaming_novelty", "q_streaming_heaps",
-    "q_topk_with_other", "q_period_over_period", "q_user_saturation",
-    "q_whatif_grid", "q_cluster_size_dist",
-    "q_lift_table", "q_join_advisor", "q_bpe_generalization",
-    "q_streaming_saturation",
-    "q_debounce", "q_tiered_billing", "q_word_burstiness",
-    "q_hashed_features", "q_template_detect",
-    "q_lateness_audit", "q_salt_advisor", "q_dedup_threshold_curve",
-    "q_dedup_savings", "q_quality_trend",
-    "q_ship_lag", "q_cohort_ltv", "q_nearest_event_join",
-    "q_streaming_mi", "q_streaming_jsd", "q_streaming_audience",
-    "q_kmv_sketch", "q_srm_check", "q_seasonal_decompose",
-    "q_set_similarity_join", "q_good_turing",
-    "q_holt_linear", "q_cuped", "q_label_propagation",
-    "q_streaming_srm", "q_streaming_kmv",
-    "q_theil_sen", "q_sort_key_advisor", "q_span_corruption",
-    "q_streaming_holt", "q_streaming_seasonal",
-    "q_mann_kendall", "q_runs_test", "q_ccf_leadlag", "q_xmr_control",
-    "q_link_prediction", "q_degree_assortativity",
-    "q_growth_accounting", "q_stratified_ate",
-    "q_nearest_centroid", "q_silhouette", "q_char_bigram_entropy",
-    "q_streaming_ccf", "q_streaming_growth", "q_streaming_xmr",
-    "q_mix_shift", "q_nelson_aalen", "q_welch_ttest",
-    "q_new_returning_revenue",
-    "q_max_drawdown", "q_seasonality_strength", "q_bucketed_join",
-    "q_streaming_mann_kendall", "q_streaming_runs", "q_streaming_welch",
-    "q_seasonal_anomaly", "q_hill_tail_index",
-    "q_partition_pruned_scan", "q_csv_source", "q_lorenz_curve",
-    "q_interarrival_stats",
-    "q_streaming_drawdown", "q_streaming_strength",
-    "q_streaming_seasonal_anomaly",
-    "q_qini_curve", "q_classifier_report", "q_kmv_intersection",
-    "q_bootstrap_ci", "q_shapley_attribution",
-    "q_streaming_nelson_aalen", "q_streaming_qini", "q_streaming_shapley",
-    "q_streaming_bootstrap",
-    "q_mann_whitney", "q_markov_entropy_rate",
-    "q_streaming_mann_whitney", "q_block_maxima",
-    "q_overdispersion", "q_spearman",
+    # --- r1/r2-green queries restored to rotation (r6 judge task #6) ---
+    "q_doc_fingerprint", "q_ngram_jaccard", "q_ann_bucketed",
+    "q_multimodal_meta", "q_udtf_chunks",
 ]
 
 

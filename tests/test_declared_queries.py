@@ -157,6 +157,10 @@ def test_priority_names_all_resolve_and_readme_count_matches():
     assert missing == [], f"_PRIORITY names not in registry: {missing}"
     dupes = {n for n in entry._PRIORITY if entry._PRIORITY.count(n) > 1}
     assert dupes == set(), f"duplicate _PRIORITY entries: {dupes}"
+    # Full-coverage equality (r6 judge task #6): every declared query must
+    # appear in _PRIORITY, or rotation can never re-confirm it.
+    unrotated = sorted(set(qs) - set(entry._PRIORITY))
+    assert unrotated == [], f"declared queries missing from _PRIORITY: {unrotated}"
 
     readme = (Path(__file__).parent.parent / "README.md").read_text()
     m = re.search(r"(\d+) declared queries", readme)
