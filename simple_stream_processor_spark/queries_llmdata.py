@@ -2379,7 +2379,10 @@ def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_pos",
         "n_neg",
-        (F.col("numer2") * F.lit(1.0) / (2 * F.col("n_pos") * F.col("n_neg"))).alias("auc"),
+        # try_divide: a single-class corpus (all docs one language) has
+        # n_pos*n_neg = 0 and AUC undefined; DuckDB's /0 -> NULL matches
+        # (adversarial-sweep find, round 7).
+        F.try_divide(F.col("numer2") * F.lit(1.0), 2 * F.col("n_pos") * F.col("n_neg")).alias("auc"),
     )
 
 
@@ -3051,9 +3054,15 @@ def ks_report(cnt: DataFrame) -> DataFrame:
             "source",
             "n_s",
             (F.col("n_tot") - F.col("n_s")).alias("n_rest"),
+            # try_divide: a single-source corpus has an EMPTY rest
+            # (n_tot - n_s = 0) and the drift is undefined; DuckDB's
+            # /0 -> NULL matches (adversarial-sweep find, round 7).
             F.abs(
                 F.col("s_cum") * F.lit(1.0) / F.col("n_s")
-                - (F.col("c_cum") - F.col("s_cum")) * F.lit(1.0) / (F.col("n_tot") - F.col("n_s"))
+                - F.try_divide(
+                    (F.col("c_cum") - F.col("s_cum")) * F.lit(1.0),
+                    F.col("n_tot") - F.col("n_s"),
+                )
             ).alias("gap"),
         )
     )
@@ -4429,9 +4438,15 @@ def emd_report(cnt: DataFrame) -> DataFrame:
             "n_s",
             "b",
             F.lead("b", 1).over(wsrc).alias("b_next"),
+            # try_divide: a single-source corpus has an EMPTY rest
+            # (n_tot - n_s = 0) and the drift is undefined; DuckDB's
+            # /0 -> NULL matches (adversarial-sweep find, round 7).
             F.abs(
                 F.col("s_cum") * F.lit(1.0) / F.col("n_s")
-                - (F.col("c_cum") - F.col("s_cum")) * F.lit(1.0) / (F.col("n_tot") - F.col("n_s"))
+                - F.try_divide(
+                    (F.col("c_cum") - F.col("s_cum")) * F.lit(1.0),
+                    F.col("n_tot") - F.col("n_s"),
+                )
             ).alias("gap"),
         )
     )
@@ -5520,8 +5535,10 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.crossJoin(F.broadcast(sav)).select(
         "corpus_tokens",
         "removable_tokens",
+        # try_divide: an all-empty-text corpus has corpus_tokens = 0;
+        # DuckDB's /0 -> NULL matches (adversarial-sweep find, round 7).
         F.round(
-            F.lit(100.0) * F.col("removable_tokens") / F.col("corpus_tokens"), 4
+            F.try_divide(F.lit(100.0) * F.col("removable_tokens"), F.col("corpus_tokens")), 4
         ).alias("pct_savings"),
     )
 
@@ -6237,7 +6254,10 @@ def q_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(acc, 6).alias("precision"),
         F.round(acc, 6).alias("recall"),
         F.round(acc, 6).alias("f1"),
-        F.round((acc - pe) / (1.0 - pe), 6).alias("kappa"),
+        # try_divide: a single-language corpus with perfect agreement puts
+        # ALL mass in one diagonal cell -> pe = 1 -> 0/0; DuckDB's float
+        # /0 -> NULL matches (adversarial-sweep find, round 7).
+        F.round(F.try_divide(acc - pe, 1.0 - pe), 6).alias("kappa"),
     )
     return rows_out.unionByName(allrow)
 

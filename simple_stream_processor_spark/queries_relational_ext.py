@@ -5061,7 +5061,9 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week",
         "cents",
         prev.alias("prev_cents"),
-        F.round(F.lit(100.0) * (F.col("cents") - prev) / prev, 4).alias("pct_change"),
+        # try_divide: a zero-revenue previous week (all values 0.0) is a
+        # legal frame; DuckDB's /0 -> NULL already matches.
+        F.round(F.try_divide(F.lit(100.0) * (F.col("cents") - prev), prev), 4).alias("pct_change"),
     )
 
 
@@ -5251,13 +5253,18 @@ def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
             "n_resp",
             F.round(F.col("n_resp").cast("double") / F.col("n_users"), 4).alias("resp_rate"),
+            # try_divide on the base-rate and gains denominators: a corpus
+            # with ZERO responders (rt = 0) is a legal frame; DuckDB's
+            # /0 -> NULL already matches (adversarial-sweep find, round 7).
             F.round(
-                (F.col("n_resp").cast("double") / F.col("n_users"))
-                / (F.col("rt").cast("double") / F.col("nt")),
+                F.try_divide(
+                    F.col("n_resp").cast("double") / F.col("n_users"),
+                    F.col("rt").cast("double") / F.col("nt"),
+                ),
                 4,
             ).alias("lift"),
             F.round(
-                F.sum("n_resp").over(wc).cast("double") / F.col("rt"), 4
+                F.try_divide(F.sum("n_resp").over(wc).cast("double"), F.col("rt")), 4
             ).alias("cum_gains"),
         )
     )
