@@ -23,6 +23,8 @@ lexicographic in both engines.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -412,10 +414,47 @@ def decontaminate(train: DataFrame, bench: DataFrame, text_col: str = "text", n:
 # --- Dedup cluster resolution (connected components) --------------------------
 
 
-# Observability for the most recent dedup_clusters call: which path ran
-# (driver union-find vs distributed label propagation), the bounded pair
-# probe, and the label-propagation rounds to convergence.
-LAST_RUN_INFO: dict = {}
+# Observability for the most recent dedup_clusters call on THIS thread:
+# which path ran (driver union-find vs distributed label propagation), the
+# bounded pair probe, and the label-propagation rounds to convergence.
+# Thread-local (r6 ADVICE): concurrent callers sharing one process
+# (parallel bench/pytest workers) each see only their own run's info
+# instead of interleaved clear/update from another thread.
+class _ThreadLocalRunInfo(threading.local):
+    def __init__(self):
+        self.data: dict = {}
+
+
+_RUN_INFO = _ThreadLocalRunInfo()
+
+
+class _RunInfoProxy:
+    """dict-like view over the calling thread's run info (keeps the
+    ``dedup.LAST_RUN_INFO["path"]`` API the tests and soaks read)."""
+
+    def clear(self) -> None:
+        _RUN_INFO.data.clear()
+
+    def update(self, d: dict) -> None:
+        _RUN_INFO.data.update(d)
+
+    def get(self, k, default=None):
+        return _RUN_INFO.data.get(k, default)
+
+    def __getitem__(self, k):
+        return _RUN_INFO.data[k]
+
+    def __setitem__(self, k, v) -> None:
+        _RUN_INFO.data[k] = v
+
+    def __contains__(self, k) -> bool:
+        return k in _RUN_INFO.data
+
+    def __repr__(self) -> str:
+        return repr(_RUN_INFO.data)
+
+
+LAST_RUN_INFO = _RunInfoProxy()
 
 
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20, driver_threshold: int = 200_000) -> DataFrame:

@@ -73,24 +73,28 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         # by cross-engine fuzz. Round half-up in EXACT integer arithmetic
         # ((2*scaled + n) div (2n), nonneg domains), then one exact
         # power-of-ten division for display.
+        # The scaled sums widen to decimal(38,0) BEFORE the 200x/20000x
+        # multiply (r6 ADVICE): sum(pc) grows ~6e13 per SF, so a BIGINT
+        # product would overflow around SF>=700 while the DuckDB oracle is
+        # implicitly HUGEINT-safe; `div` stays the exact integral division.
         (
             F.expr(
-                "(200 * sum(cast(round(l_quantity * 100, 0) as long)) + count(1))"
-                " div (2 * count(1))"
+                "(200 * cast(sum(cast(round(l_quantity * 100, 0) as long)) as decimal(38,0))"
+                " + count(1)) div (2 * count(1))"
             )
             / F.lit(10000.0)
         ).alias("avg_qty"),
         (
             F.expr(
-                "(200 * sum(cast(round(l_extendedprice * 100, 0) as long)) + count(1))"
-                " div (2 * count(1))"
+                "(200 * cast(sum(cast(round(l_extendedprice * 100, 0) as long)) as decimal(38,0))"
+                " + count(1)) div (2 * count(1))"
             )
             / F.lit(10000.0)
         ).alias("avg_price"),
         (
             F.expr(
-                "(20000 * sum(cast(round(l_discount * 100, 0) as long)) + count(1))"
-                " div (2 * count(1))"
+                "(20000 * cast(sum(cast(round(l_discount * 100, 0) as long)) as decimal(38,0))"
+                " + count(1)) div (2 * count(1))"
             )
             / F.lit(1000000.0)
         ).alias("avg_disc"),
