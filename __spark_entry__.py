@@ -176,6 +176,12 @@ _PRIORITY = [
     # --- r1/r2-green queries restored to rotation (r6 judge task #6) ---
     "q_doc_fingerprint", "q_ngram_jaccard", "q_ann_bucketed",
     "q_multimodal_meta", "q_udtf_chunks",
+    # --- new in round 7 (registry tail; local-oracle-green at 3 SFs,
+    # queued behind the r8 window for their first driver rows) ---
+    "q_kendall_tau", "q_pettitt_changepoint", "q_kruskal_wallis",
+    "q_anova", "q_cramers_v", "q_tukey_fences",
+    "q_streaming_kendall", "q_streaming_pettitt", "q_streaming_kruskal",
+    "q_streaming_anova", "q_streaming_tukey", "q_streaming_cramers",
 ]
 
 

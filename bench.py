@@ -151,6 +151,9 @@ TAIL = [
     "q_overdispersion", "q_spearman",
     # round-6 redefinitions (verdict-contract outputs; canon row predates)
     "q_approx_distinct", "q_approx_quantiles", "q_hll_mergeable",
+    # round-7 additions (first benched this round — no canon row yet)
+    "q_kendall_tau", "q_pettitt_changepoint", "q_kruskal_wallis",
+    "q_anova", "q_cramers_v", "q_tukey_fences",
 ]
 
 

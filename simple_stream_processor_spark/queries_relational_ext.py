@@ -9789,3 +9789,609 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "q_kendall_tau",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2
+    ),
+    x AS (SELECT day, cents AS xc FROM daily WHERE event_type = 'view'),
+    y AS (SELECT day, cents AS yc FROM daily WHERE event_type = 'purchase'),
+    j AS (SELECT x.day, x.xc, y.yc FROM x JOIN y ON y.day = x.day),
+    p AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN (a.xc - b.xc) * (a.yc - b.yc) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN (a.xc - b.xc) * (a.yc - b.yc) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+      FROM j a JOIN j b ON a.day < b.day
+    ),
+    tx AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT) AS n1
+           FROM (SELECT count(*)::BIGINT AS t FROM j GROUP BY xc)),
+    ty AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT) AS n2
+           FROM (SELECT count(*)::BIGINT AS t FROM j GROUP BY yc)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                  count(*)::BIGINT * (count(*) - 1) // 2 AS n0 FROM j)
+    SELECT nn.n_days, coalesce(p.nc, 0) AS n_concordant, coalesce(p.nd, 0) AS n_discordant,
+           round((coalesce(p.nc, 0) - coalesce(p.nd, 0))
+                 / sqrt(CAST((nn.n0 - tx.n1) AS DOUBLE) * (nn.n0 - ty.n2)), 6) AS tau_b
+    FROM nn, tx, ty LEFT JOIN p ON TRUE
+""",
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N136: Kendall tau-b rank correlation (Kendall 1938) between view
+    and purchase daily revenue — the third leg of the association family
+    (N108 Pearson CCF = linear, N135 Spearman = monotone-by-ranks,
+    tau-b = pairwise concordance with PROPER tie handling in the
+    denominator, which Spearman's midranks only approximate). EXACT
+    INTEGER machinery end-to-end: concordant/discordant pair counts from
+    one day<day self-join, tie corrections n1/n2 from per-value count
+    rollups, and ONE final division under try_divide (all-tied series
+    pin NULL). Scale: the pair join is O(days^2) bounded by the TIME
+    dimension per series — the documented q_theil_sen/q_ewma_smooth
+    trade — after the daily rollup everyone pays; never event-level."""
+    daily = _daily_cents_by_type(spark, sf_dir).where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    return kendall_tau_tail(daily)
+
+
+def kendall_tau_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Kendall queries over a
+    (event_type, day, cents) daily table filtered to view/purchase."""
+    x = daily.where(F.col("event_type") == "view").select(
+        F.col("day").alias("xday"), F.col("cents").alias("xc")
+    )
+    y = daily.where(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("cents").alias("yc")
+    )
+    j = x.join(y, F.col("yday") == F.col("xday")).select(
+        F.col("xday").alias("day"), "xc", "yc"
+    )
+    a = j.select(F.col("day").alias("da"), F.col("xc").alias("xa"), F.col("yc").alias("ya"))
+    b = j.select(F.col("day").alias("db"), F.col("xc").alias("xb"), F.col("yc").alias("yb"))
+    prod = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    p = a.join(b, F.col("da") < F.col("db")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(prod > 0, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(prod < 0, 1).otherwise(0)).alias("nd"),
+    )
+    tx = (
+        j.groupBy("xc").agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.coalesce(F.sum(F.expr("t * (t - 1) div 2")), F.lit(0)).alias("n1"))
+    )
+    ty = (
+        j.groupBy("yc").agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.coalesce(F.sum(F.expr("t * (t - 1) div 2")), F.lit(0)).alias("n2"))
+    )
+    nn = j.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("count(1) * (count(1) - 1) div 2").alias("n0"),
+    )
+    out = (
+        nn.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .join(F.broadcast(p), F.lit(True), "left")
+    )
+    return out.select(
+        "n_days",
+        F.coalesce(F.col("nc"), F.lit(0)).alias("n_concordant"),
+        F.coalesce(F.col("nd"), F.lit(0)).alias("n_discordant"),
+        # try_divide: a fully-tied series makes both tie-corrected pair
+        # counts zero; DuckDB's /0 -> NULL matches.
+        F.round(
+            F.try_divide(
+                F.coalesce(F.col("nc"), F.lit(0)) - F.coalesce(F.col("nd"), F.lit(0)),
+                F.sqrt((F.col("n0") - F.col("n1")).cast("double") * (F.col("n0") - F.col("n2"))),
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "q_pettitt_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT a.event_type, a.day,
+             CAST(sum(CASE WHEN a.cents > b.cents THEN 1
+                           WHEN a.cents < b.cents THEN -1 ELSE 0 END) AS BIGINT) AS dsum
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day <> a.day
+      GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT event_type, day,
+             CAST(sum(dsum) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS ut,
+             count(*) OVER (PARTITION BY event_type) AS n_days
+      FROM d
+    ),
+    u2 AS (
+      SELECT *, max(abs(ut)) OVER (PARTITION BY event_type) AS kmax FROM u
+    ),
+    k AS (
+      SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+             CAST(max(kmax) AS BIGINT) AS k_stat,
+             CAST(min(CASE WHEN abs(ut) = kmax THEN day END) AS BIGINT) AS change_day
+      FROM u2 GROUP BY event_type
+    )
+    SELECT event_type, n_days, k_stat, change_day,
+           round(least(1.0, 2.0 * exp(
+             -6.0 * k_stat * CAST(k_stat AS DOUBLE)
+             / (CAST(n_days AS DOUBLE) * n_days * n_days + CAST(n_days AS DOUBLE) * n_days))), 6)
+             AS p_approx
+    FROM k
+""",
+)
+def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N139: Pettitt rank changepoint test (Pettitt 1979) per event type —
+    the NONPARAMETRIC complement to N53's CUSUM (which localizes a LEVEL
+    shift in means and a whale day can drag): U_t = sum_{i<=t,j>t}
+    sign(x_i - x_j) peaks where the rank distribution splits, K = max|U_t|
+    localizes the most probable change day, and the classic approximation
+    p ~ 2exp(-6K^2/(n^3+n^2)) prices it. The O(n^2)-per-t triple sum
+    collapses via the antisymmetry identity U_t = cumsum_{i<=t} D_i with
+    D_i = sum_j sign(x_i - x_j) — ONE days^2 self-join per type (the
+    bounded N104 trade) + one cumulative window. Exact integers until the
+    single exp; single-day types drop (test undefined), matching the
+    oracle's inner join. Tie on max|U| resolves to the earliest day."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return pettitt_tail(daily)
+
+
+def pettitt_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Pettitt queries over a
+    (event_type, day, cents) daily table."""
+    from pyspark.sql.window import Window
+
+    a = daily.select(F.col("event_type").alias("et"), F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("event_type").alias("eb"), F.col("day").alias("db"), F.col("cents").alias("cb"))
+    d = (
+        a.join(b, (F.col("eb") == F.col("et")) & (F.col("db") != F.col("da")))
+        .groupBy(F.col("et").alias("event_type"), F.col("da").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("ca") > F.col("cb"), 1).when(F.col("ca") < F.col("cb"), -1).otherwise(0)
+            ).alias("dsum")
+        )
+    )
+    wcum = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    u = d.select(
+        "event_type",
+        "day",
+        F.sum("dsum").over(wcum).alias("ut"),
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+    )
+    u2 = u.withColumn("kmax", F.max(F.abs(F.col("ut"))).over(wall))
+    k = u2.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.max("kmax").alias("k_stat"),
+        F.min(F.when(F.abs(F.col("ut")) == F.col("kmax"), F.col("day"))).alias("change_day"),
+    )
+    n = F.col("n_days").cast("double")
+    return k.select(
+        "event_type",
+        "n_days",
+        "k_stat",
+        "change_day",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                2.0
+                * F.exp(
+                    -6.0 * F.col("k_stat") * F.col("k_stat").cast("double")
+                    / (n * n * n + n * n)
+                ),
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+@query(
+    "q_kruskal_wallis",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT event_type,
+             2 * rank() OVER (ORDER BY cents) + count(*) OVER (PARTITION BY cents) - 1 AS rk2
+      FROM daily
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ni, CAST(sum(rk2) AS BIGINT) AS r2
+      FROM rk GROUP BY 1
+    ),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * t * CAST(t AS HUGEINT) - t), 0) AS BIGINT) AS tie_cube
+      FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY cents)
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(ni) AS BIGINT) AS n,
+             list_reduce(list_prepend(0.0,
+               list(CAST(r2 * CAST(r2 AS HUGEINT) AS DOUBLE) / ni ORDER BY event_type)),
+               (a, x) -> a + x) AS srr
+      FROM g
+    )
+    SELECT m.k_groups, m.n AS n_days,
+           round(3.0 * srr / (CAST(m.n AS DOUBLE) * (m.n + 1)) - 3.0 * (m.n + 1), 4) AS h_stat,
+           round((3.0 * srr / (CAST(m.n AS DOUBLE) * (m.n + 1)) - 3.0 * (m.n + 1))
+                 / (1.0 - CAST(ties.tie_cube AS DOUBLE)
+                          / (CAST(m.n AS DOUBLE) * m.n * m.n - m.n)), 4) AS h_corrected,
+           CASE WHEN (1.0 - CAST(ties.tie_cube AS DOUBLE)
+                            / (CAST(m.n AS DOUBLE) * m.n * m.n - m.n)) IS NULL
+                  OR (1.0 - CAST(ties.tie_cube AS DOUBLE)
+                            / (CAST(m.n AS DOUBLE) * m.n * m.n - m.n)) = 0.0
+                  OR m.k_groups < 2 THEN 'n/a'
+                WHEN (3.0 * srr / (CAST(m.n AS DOUBLE) * (m.n + 1)) - 3.0 * (m.n + 1))
+                     / (1.0 - CAST(ties.tie_cube AS DOUBLE)
+                              / (CAST(m.n AS DOUBLE) * m.n * m.n - m.n))
+                     > CASE m.k_groups - 1 WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+                         WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 WHEN 5 THEN 11.070
+                         WHEN 6 THEN 12.592 ELSE 14.067 END
+                THEN 'true' ELSE 'false' END AS groups_differ
+    FROM m, ties
+""",
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N137: Kruskal-Wallis H test (Kruskal & Wallis 1952) — do the k
+    event types draw daily revenue from one distribution? The k-sample
+    generalization of N131's Mann-Whitney exactly as N140's ANOVA
+    generalizes N116's Welch, but rank-based: a whale day moves means,
+    not ranks. EXACT doubled-midrank machinery (2*rank + t - 1, the N131
+    trick) keeps every rank sum an exact integer; the sum over groups of
+    R_i^2/n_i folds in sorted event_type order (the float-sum
+    discipline, decimal-widened squares for 100 TB rank sums); the tie
+    correction and H division ride try_divide ('n/a' on a single day or
+    all-tied corpus). The verdict compares tie-corrected H against the
+    pinned chi-square 95% critical value for df = k-1 (both engines CASE
+    on the same literals). Scale: one pooled rank window over the
+    days x types-bounded daily table (budgeted single-partition, the
+    N135 stance) + types-bounded arithmetic."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return kruskal_tail(daily)
+
+
+def kruskal_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Kruskal-Wallis queries."""
+    from pyspark.sql.window import Window
+
+    rk = daily.select(
+        "event_type",
+        (2 * F.rank().over(Window.orderBy("cents"))
+         + F.count(F.lit(1)).over(Window.partitionBy("cents")) - 1).alias("rk2"),
+    )
+    g = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ni"), F.sum("rk2").alias("r2"))
+    ties = daily.groupBy(F.col("cents").alias("tc")).agg(F.count(F.lit(1)).alias("t")).agg(
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t").cast("decimal(38,0)") - F.col("t")),
+            F.lit(0),
+        ).cast("long").alias("tie_cube"))
+    m = g.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("ni").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "r2", "ni"))),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + (s["r2"] * s["r2"].cast("decimal(38,0)")).cast("double") / s["ni"],
+        ).alias("srr"),
+    )
+    nD = F.col("n").cast("double")
+    h = 3.0 * F.col("srr") / (nD * (F.col("n") + 1)) - 3.0 * (F.col("n") + 1)
+    # try_divide x2: n=1 zeroes n^3-n; an all-tied corpus zeroes the
+    # correction factor itself — both pin the 'n/a' verdict.
+    c = 1.0 - F.try_divide(F.col("tie_cube").cast("double"), nD * F.col("n") * F.col("n") - F.col("n"))
+    hc = F.try_divide(h, c)
+    crit = (
+        F.when(F.col("k_groups") - 1 == 1, 3.841)
+        .when(F.col("k_groups") - 1 == 2, 5.991)
+        .when(F.col("k_groups") - 1 == 3, 7.815)
+        .when(F.col("k_groups") - 1 == 4, 9.488)
+        .when(F.col("k_groups") - 1 == 5, 11.070)
+        .when(F.col("k_groups") - 1 == 6, 12.592)
+        .otherwise(14.067)
+    )
+    return m.crossJoin(F.broadcast(ties)).select(
+        "k_groups",
+        F.col("n").alias("n_days"),
+        F.round(h, 4).alias("h_stat"),
+        F.round(hc, 4).alias("h_corrected"),
+        F.when(c.isNull() | (c == 0.0) | (F.col("k_groups") < 2), F.lit("n/a"))
+        .when(hc > crit, F.lit("true"))
+        .otherwise(F.lit("false"))
+        .alias("groups_differ"),
+    )
+
+
+@query(
+    "q_anova",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ni,
+             CAST(sum(cents) AS BIGINT) AS si,
+             CAST(sum(cents * CAST(cents AS HUGEINT)) AS DOUBLE) AS qi
+      FROM daily GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(ni) AS BIGINT) AS n,
+             CAST(sum(si) AS BIGINT) AS s,
+             list_reduce(list_prepend(0.0, list(qi ORDER BY event_type)), (a, x) -> a + x) AS q,
+             list_reduce(list_prepend(0.0,
+               list(CAST(si * CAST(si AS HUGEINT) AS DOUBLE) / ni ORDER BY event_type)),
+               (a, x) -> a + x) AS sr
+      FROM g
+    )
+    SELECT k_groups, n AS n_days,
+           round(sr - CAST(s AS DOUBLE) * s / n, 4) AS ss_between,
+           round(q - sr, 4) AS ss_within,
+           round(((sr - CAST(s AS DOUBLE) * s / n) / (k_groups - 1))
+                 / ((q - sr) / (n - k_groups)), 4) AS f_stat,
+           round((sr - CAST(s AS DOUBLE) * s / n)
+                 / (q - CAST(s AS DOUBLE) * s / n), 6) AS eta_sq
+    FROM m
+""",
+)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N140: one-way ANOVA (Fisher) across event types on daily revenue —
+    the k-sample generalization of N116's Welch t-test on the MEANS axis,
+    beside N137's rank-based Kruskal-Wallis: F = MSB/MSW plus eta^2
+    effect size (share of variance the grouping explains). Exact integer
+    moments (decimal-widened squares); the per-group s_i^2/n_i and q_i
+    sums fold in sorted event_type order (float-sum discipline); every
+    division that a degenerate frame can zero (k=1, n=k, zero variance)
+    rides try_divide. One daily rollup + types-bounded arithmetic —
+    the q_ab_test exchange shape."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return anova_tail(daily)
+
+
+def anova_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming ANOVA queries."""
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum("cents").alias("si"),
+        F.sum(F.col("cents") * F.col("cents").cast("decimal(38,0)")).cast("double").alias("qi"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("s"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "qi"))),
+            F.lit(0.0), lambda acc, s: acc + s["qi"],
+        ).alias("q"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "si", "ni"))),
+            F.lit(0.0),
+            lambda acc, s: acc + (s["si"] * s["si"].cast("decimal(38,0)")).cast("double") / s["ni"],
+        ).alias("sr"),
+    )
+    ssb = F.col("sr") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("sr")
+    sst = F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    return m.select(
+        "k_groups",
+        F.col("n").alias("n_days"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(
+            F.try_divide(
+                F.try_divide(ssb, F.col("k_groups") - 1),
+                F.try_divide(ssw, F.col("n") - F.col("k_groups")),
+            ),
+            4,
+        ).alias("f_stat"),
+        F.round(F.try_divide(ssb, sst), 6).alias("eta_sq"),
+    )
+
+@query(
+    "q_cramers_v",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             count(*)::BIGINT AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT o.*,
+             CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+             CAST(sum(obs) OVER (PARTITION BY hr) AS BIGINT) AS col_n,
+             CAST(sum(obs) OVER () AS BIGINT) AS total_n
+      FROM o
+    ),
+    s AS (
+      SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+             CAST(count(DISTINCT hr) AS BIGINT) AS c,
+             CAST(max(total_n) AS BIGINT) AS n_events,
+             list_reduce(list_prepend(0.0, list(
+               (obs - (1.0 * row_n * col_n) / total_n)
+               * (obs - (1.0 * row_n * col_n) / total_n)
+               / ((1.0 * row_n * col_n) / total_n)
+               ORDER BY event_type, hr)), (a, x) -> a + x) AS chi2
+      FROM m
+    )
+    SELECT r AS n_rows, c AS n_cols, n_events,
+           round(chi2, 4) AS chi2,
+           round(sqrt(chi2 / (n_events * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM s
+""",
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N138: Cramer's V association strength (Cramer 1946) between event
+    type and hour-of-day — the EFFECT-SIZE readout on top of N8c's
+    chi-square statistic (chi2 grows with N, V = sqrt(chi2/(N*min(r-1,
+    c-1))) does not, so it is comparable across corpora and over time —
+    the number a drift dashboard should actually plot). Observed and
+    marginal counts are exact integers; the 120-cell chi-square terms
+    fold in sorted (type, hour) order (the float-sum discipline — the
+    cell table here is bigger than N8c's, where plain sum sufficed);
+    try_divide pins NULL when either dimension is constant (min(r-1,
+    c-1) = 0). One (type, hour) groupBy exchange, then window marginals
+    over the types x 24-bounded cell table."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.groupBy("event_type", F.hour("ts").cast("long").alias("hr")).agg(
+        F.count(F.lit(1)).alias("obs"))
+    return cramers_tail(o)
+
+
+def cramers_tail(o: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Cramer's-V queries over a
+    (event_type, hr, obs) contingency-cell table."""
+    from pyspark.sql.window import Window
+
+    m = (
+        o.withColumn("row_n", F.sum("obs").over(Window.partitionBy("event_type")))
+        .withColumn("col_n", F.sum("obs").over(Window.partitionBy("hr")))
+        .withColumn("total_n", F.sum("obs").over(Window.partitionBy()))
+    )
+    def term(s):
+        e = (F.lit(1.0) * s["row_n"] * s["col_n"]) / s["total_n"]
+        return (s["obs"] - e) * (s["obs"] - e) / e
+
+    s = m.agg(
+        F.countDistinct("event_type").alias("n_rows"),
+        F.countDistinct("hr").alias("n_cols"),
+        F.max("total_n").alias("n_events"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "hr", "obs", "row_n", "col_n", "total_n"))),
+            F.lit(0.0), lambda acc, st: acc + term(st),
+        ).alias("chi2"),
+    )
+    return s.select(
+        "n_rows", "n_cols", "n_events",
+        F.round(F.col("chi2"), 4).alias("chi2"),
+        # try_divide: a single-type (or single-hour) frame has
+        # min(r-1, c-1) = 0 and V undefined; DuckDB's /0 -> NULL matches.
+        F.round(
+            F.sqrt(F.try_divide(
+                F.col("chi2"),
+                F.col("n_events") * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1),
+            )),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "q_tukey_fences",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    q AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+             CAST(max(CASE WHEN rn = (n - 1) // 4 + 1 THEN cents END) AS BIGINT) AS q1lo,
+             CAST(max(CASE WHEN rn = least((n - 1) // 4 + 2, n) THEN cents END) AS BIGINT) AS q1hi,
+             CAST(max(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN cents END) AS BIGINT) AS q3lo,
+             CAST(max(CASE WHEN rn = least((3 * (n - 1)) // 4 + 2, n) THEN cents END) AS BIGINT) AS q3hi
+      FROM r GROUP BY event_type
+    ),
+    x AS (
+      SELECT event_type, n_days,
+             4 * q1lo + ((n_days - 1) % 4) * (q1hi - q1lo) AS q1x4,
+             4 * q3lo + ((3 * (n_days - 1)) % 4) * (q3hi - q3lo) AS q3x4
+      FROM q
+    ),
+    f AS (
+      SELECT event_type, n_days, q1x4, q3x4,
+             2 * q1x4 - 3 * (q3x4 - q1x4) AS lo8,
+             2 * q3x4 + 3 * (q3x4 - q1x4) AS hi8
+      FROM x
+    )
+    SELECT f.event_type, f.n_days,
+           round(q1x4 / 4.0, 2) AS q1, round(q3x4 / 4.0, 2) AS q3,
+           round((q3x4 - q1x4) / 4.0, 2) AS iqr,
+           CAST(coalesce(sum(CASE WHEN 8 * d.cents < f.lo8 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_low,
+           CAST(coalesce(sum(CASE WHEN 8 * d.cents > f.hi8 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_high
+    FROM f JOIN daily d ON d.event_type = f.event_type
+    GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def q_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N141: Tukey IQR fences outlier report (Tukey 1977 box-plot rule)
+    per event type — the DISTRIBUTION-SHAPE outlier screen beside N43's
+    rolling z-score (model-free, no normality assumption, robust to the
+    very outliers it hunts) and N8e's winsorization (which CLAMPS at
+    fixed percentiles; this FLAGS at quartile-derived fences). EXACT
+    INTEGER throughout: linearly-interpolated quartiles carry a x4
+    scale (the fractional part of (n-1)/4 is a quarter, so 4*q1 is an
+    integer), fences carry x8 (1.5*IQR doubles the quarter), and every
+    outlier comparison is 8*cents vs an integer fence — no float ever
+    classifies a day. Scale: two passes over the types x days daily
+    table (rank for quartiles, broadcast-join for fence counts)."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return tukey_tail(daily)
+
+
+def tukey_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Tukey-fence queries."""
+    from pyspark.sql.window import Window
+
+    r = daily.select(
+        "event_type", "cents",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("cents", "day")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    q = r.groupBy("event_type").agg(
+        F.max("n").alias("n_days"),
+        F.max(F.when(F.col("rn") == F.expr("(n - 1) div 4") + 1, F.col("cents"))).alias("q1lo"),
+        F.max(F.when(F.col("rn") == F.least(F.expr("(n - 1) div 4") + 2, F.col("n")), F.col("cents"))).alias("q1hi"),
+        F.max(F.when(F.col("rn") == F.expr("(3 * (n - 1)) div 4") + 1, F.col("cents"))).alias("q3lo"),
+        F.max(F.when(F.col("rn") == F.least(F.expr("(3 * (n - 1)) div 4") + 2, F.col("n")), F.col("cents"))).alias("q3hi"),
+    )
+    x = q.select(
+        F.col("event_type").alias("fet"),
+        "n_days",
+        (4 * F.col("q1lo") + ((F.col("n_days") - 1) % 4) * (F.col("q1hi") - F.col("q1lo"))).alias("q1x4"),
+        (4 * F.col("q3lo") + ((3 * (F.col("n_days") - 1)) % 4) * (F.col("q3hi") - F.col("q3lo"))).alias("q3x4"),
+    )
+    f = x.select(
+        "fet", "n_days", "q1x4", "q3x4",
+        (2 * F.col("q1x4") - 3 * (F.col("q3x4") - F.col("q1x4"))).alias("lo8"),
+        (2 * F.col("q3x4") + 3 * (F.col("q3x4") - F.col("q1x4"))).alias("hi8"),
+    )
+    j = F.broadcast(f).join(daily, daily["event_type"] == F.col("fet"))
+    return (
+        j.groupBy("fet", "n_days", "q1x4", "q3x4", "lo8", "hi8")
+        .agg(
+            F.coalesce(F.sum(F.when(8 * F.col("cents") < F.col("lo8"), 1).otherwise(0)), F.lit(0)).alias("n_low"),
+            F.coalesce(F.sum(F.when(8 * F.col("cents") > F.col("hi8"), 1).otherwise(0)), F.lit(0)).alias("n_high"),
+        )
+        .select(
+            F.col("fet").alias("event_type"),
+            "n_days",
+            F.round(F.col("q1x4") / 4.0, 2).alias("q1"),
+            F.round(F.col("q3x4") / 4.0, 2).alias("q3"),
+            F.round((F.col("q3x4") - F.col("q1x4")) / 4.0, 2).alias("iqr"),
+            "n_low",
+            "n_high",
+        )
+    )

@@ -2233,3 +2233,89 @@ def q_streaming_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_stream_processor_spark.queries_relational_ext import mann_whitney_tail
 
     return mann_whitney_tail(_streaming_daily_by_type(spark, sf_dir))
+
+@query("q_streaming_kendall", oracle=_relext_oracle("q_kendall_tau"))
+def q_streaming_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Kendall tau-b twin (N136b): the per-type daily-cents
+    state (filtered to the view/purchase pair) through the shared
+    kendall_tau_tail — live rank-concordance between traffic and revenue,
+    hash-matching the batch oracle. The pair statistic recomputes over the
+    days-bounded state at drain time (the q_streaming_acf argument)."""
+    from simple_stream_processor_spark.queries_relational_ext import kendall_tau_tail
+
+    daily = _streaming_daily_by_type(spark, sf_dir).where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    return kendall_tau_tail(daily)
+
+
+@query("q_streaming_pettitt", oracle=_relext_oracle("q_pettitt_changepoint"))
+def q_streaming_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Pettitt twin (N139b): daily-cents state through the
+    shared pettitt_tail — a live where-did-the-level-shift monitor whose
+    most-probable change day hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import pettitt_tail
+
+    return pettitt_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_kruskal", oracle=_relext_oracle("q_kruskal_wallis"))
+def q_streaming_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Kruskal-Wallis twin (N137b): daily-cents state through
+    the shared kruskal_tail — the live are-the-types-one-distribution
+    verdict, hash-matching the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import kruskal_tail
+
+    return kruskal_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_anova", oracle=_relext_oracle("q_anova"))
+def q_streaming_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANOVA twin (N140b): daily-cents state through the shared
+    anova_tail — live F/eta^2 across event types, hash-matching the batch
+    oracle; the mean-axis companion to the Kruskal twin."""
+    from simple_stream_processor_spark.queries_relational_ext import anova_tail
+
+    return anova_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_tukey", oracle=_relext_oracle("q_tukey_fences"))
+def q_streaming_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Tukey-fences twin (N141b): daily-cents state through the
+    shared tukey_tail — live IQR-fence outlier counts per type,
+    hash-matching the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import tukey_tail
+
+    return tukey_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+def _streaming_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (event_type, hr, obs) contingency-cell table as streaming
+    state — commutative counts bounded at types x 24 rows forever —
+    drained complete; the head of the Cramer's-V twin."""
+    import os as _os
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cells = sdf.groupBy(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    drained, _ = run_stream_to_memory(cells, output_mode="complete")
+    return drained
+
+
+@query("q_streaming_cramers", oracle=_relext_oracle("q_cramers_v"))
+def q_streaming_cramers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Cramer's-V twin (N138b): the types x 24 contingency-cell
+    count state through the shared cramers_tail — the live
+    association-strength drift number, hash-matching the batch oracle.
+    Counts are commutative, so arrival order and micro-batch boundaries
+    cannot change the drained table."""
+    from simple_stream_processor_spark.queries_relational_ext import cramers_tail
+
+    return cramers_tail(_streaming_hour_counts(spark, sf_dir))

@@ -109,6 +109,10 @@ SENSITIVE = [
     "q_overdispersion", "q_spearman", "q_cuped", "q_qini_curve",
     "q_srm_check", "q_good_turing", "q_bpe_fertility", "q_quality_trend",
     "q_char_bigram_entropy", "q_calibration", "q_user_saturation",
+    # round-7 stats family — rank/moment machinery with degenerate-zero
+    # denominators by construction (all guarded with try_divide)
+    "q_kendall_tau", "q_pettitt_changepoint", "q_kruskal_wallis",
+    "q_anova", "q_cramers_v", "q_tukey_fences",
 ]
 
 

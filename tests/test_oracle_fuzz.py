@@ -76,6 +76,8 @@ EVENT_QUERIES = [
     "q_qini_curve", "q_kmv_intersection", "q_bootstrap_ci",
     "q_shapley_attribution", "q_mann_whitney", "q_markov_entropy_rate",
     "q_block_maxima", "q_overdispersion", "q_spearman",
+    "q_kendall_tau", "q_pettitt_changepoint", "q_kruskal_wallis",
+    "q_anova", "q_cramers_v", "q_tukey_fences",
     "q_top_paths", "q_forecast_eval", "q_changepoint_cusum",
     "q_survival_curve", "q_k_anonymity", "q_ab_test", "q_lag_features",
     "q_power_analysis", "q_grouped_udaf", "q_full_outer_reconcile",
@@ -250,6 +252,7 @@ STREAMING_QUERIES = [
     "q_streaming_seasonal", "q_streaming_ccf", "q_streaming_growth",
     "q_streaming_xmr", "q_streaming_mann_kendall", "q_streaming_runs",
     "q_streaming_welch",
+    "q_streaming_kruskal", "q_streaming_anova", "q_streaming_cramers",
 ]
 
 

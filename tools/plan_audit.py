@@ -40,6 +40,19 @@ SINGLE_PARTITION_BUDGET = 1
 # be a plan whose single-partition exchanges each carry only
 # partial-aggregated rows (#tasks rows or one row), never record-level data.
 SINGLE_PARTITION_ALLOWANCE = {
+    # four one-row aggregates over the days-bounded joined series (pair
+    # sign counts, two tie rollups, the n/n0 count) — never event-level;
+    # the days^2 pair join itself shuffles normally
+    "q_kendall_tau": 4,
+    "q_streaming_kendall": 4,
+    # the pooled doubled-midrank window over the days x types daily table
+    # (budgeted, the q_spearman stance) + the one-row ties/moments folds
+    "q_kruskal_wallis": 2,
+    "q_streaming_kruskal": 2,
+    # the corpus-total window over the types x 24 cell table + the one-row
+    # sorted chi-square fold
+    "q_cramers_v": 2,
+    "q_streaming_cramers": 2,
     # the users-bounded activity-quintile ntile (documented swap to
     # approx-quantile bounds at corpus scale) plus the final one-row ATE
     # fold over the 5 stratum terms — never event-level data
