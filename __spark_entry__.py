@@ -182,6 +182,8 @@ _PRIORITY = [
     "q_anova", "q_cramers_v", "q_tukey_fences",
     "q_streaming_kendall", "q_streaming_pettitt", "q_streaming_kruskal",
     "q_streaming_anova", "q_streaming_tukey", "q_streaming_cramers",
+    "q_rake_keyphrases", "q_winnowing_fingerprint", "q_image_dhash_dedup",
+    "q_audio_loudness", "q_xyz_classification", "q_encoding_advisor",
 ]
 
 

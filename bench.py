@@ -154,6 +154,8 @@ TAIL = [
     # round-7 additions (first benched this round — no canon row yet)
     "q_kendall_tau", "q_pettitt_changepoint", "q_kruskal_wallis",
     "q_anova", "q_cramers_v", "q_tukey_fences",
+    "q_rake_keyphrases", "q_winnowing_fingerprint", "q_image_dhash_dedup",
+    "q_audio_loudness", "q_xyz_classification", "q_encoding_advisor",
 ]
 
 

@@ -567,3 +567,103 @@ def ahash_images(df: DataFrame, grid_w: int = 8, grid_h: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "phash", "decode_ok"])
 
     return df.select("media_id", "payload").mapInPandas(hash_batches, AHASH_SCHEMA)
+
+DHASH_SCHEMA = "media_id long, dhash long, decode_ok boolean"
+
+
+def dhash_images(df: DataFrame, grid_w: int = 8, grid_h: int = 4) -> DataFrame:
+    """Difference-hash (dHash) over REAL P6 payloads — the GRADIENT
+    companion to ``ahash_images``: pool the raster into the same exact-
+    integer grid_w x grid_h grayscale-sum grid, then set bit (r*(grid_w-1)
+    + c) iff block[r][c] > block[r][c+1] (horizontal brightness gradient).
+    dHash is invariant to global brightness/contrast shifts that flip
+    aHash bits (the mean moves, adjacent ORDER does not), so the two
+    hashes catch different edit families — run both, union the candidate
+    pairs. 28 bits at the default grid; purely integer comparisons, so
+    the hash replays in SQL (the aHash oracle precedent). Malformed or
+    non-grid-multiple rasters classify decode_ok=false."""
+    import numpy as np
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(p or b"")
+                parsed = _parse_ppm_p6_raw(payload)
+                dh, ok = 0, False
+                if parsed is not None:
+                    w, h, _maxval, rs, re_ = parsed
+                    if w % grid_w == 0 and h % grid_h == 0:
+                        arr = (
+                            np.frombuffer(payload[rs:re_], dtype="u1")
+                            .astype(np.int64)
+                            .reshape(h, w, 3)
+                        )
+                        gray = arr.sum(axis=2)
+                        bh, bw = h // grid_h, w // grid_w
+                        blocks = gray.reshape(grid_h, bh, grid_w, bw).sum(axis=(1, 3))
+                        bits = blocks[:, :-1] > blocks[:, 1:]
+                        dh = int(
+                            sum(
+                                1 << (r * (grid_w - 1) + c)
+                                for r in range(grid_h)
+                                for c in range(grid_w - 1)
+                                if bits[r, c]
+                            )
+                        )
+                        ok = True
+                rows.append((int(mid), dh, ok))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash", "decode_ok"])
+
+    return df.select("media_id", "payload").mapInPandas(hash_batches, DHASH_SCHEMA)
+
+
+LOUDNESS_SCHEMA = (
+    "media_id long, n_samples long, peak long, sumsq double, decode_ok boolean"
+)
+
+
+def loudness_audio(df: DataFrame) -> DataFrame:
+    """Loudness features over REAL WAV payloads: the same genuine RIFF
+    walk as ``decode_audio`` (magic, chunk iteration, PCM16 validation),
+    then the peak |sample| and the EXACT integer sum of squared samples
+    (int64-safe: 256 samples x 32768^2 < 2^38; emitted as double for the
+    one downstream sqrt). dBFS/RMS/crest derive declaratively in the
+    query so the Python stays a narrow scan-bound stage."""
+    import struct
+
+    import numpy as np
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(p or b"")
+                res = _parse_wav(payload)
+                if not res[-1]:
+                    rows.append((int(mid), 0, 0, 0.0, False))
+                    continue
+                # re-walk for the raw samples (bounded payloads; the parse
+                # above already validated the container)
+                pos, data = 12, None
+                while pos + 8 <= len(payload):
+                    cid = payload[pos : pos + 4]
+                    (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+                    if cid == b"data":
+                        data = payload[pos + 8 : pos + 8 + size]
+                    pos += 8 + size + (size % 2)
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                rows.append(
+                    (
+                        int(mid),
+                        int(samples.size),
+                        int(np.abs(samples).max()),
+                        float(int((samples * samples).sum())),
+                        True,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "peak", "sumsq", "decode_ok"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(parse, LOUDNESS_SCHEMA)

@@ -6262,3 +6262,329 @@ def q_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows_out.unionByName(allrow)
 
 
+
+@query(
+    "q_rake_keyphrases",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.pos, t.w
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos) t
+      WHERE length(text) > 0
+    ),
+    nonstop AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM tok
+      WHERE w NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it') AND w <> ''
+    ),
+    phr AS (
+      SELECT doc_id, isl,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             count(*)::BIGINT AS plen
+      FROM nonstop GROUP BY doc_id, isl
+    ),
+    ws AS (
+      SELECT n.w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(p.plen) AS HUGEINT) * 1000000 // count(*) AS score_ppm
+      FROM nonstop n JOIN phr p ON p.doc_id = n.doc_id AND p.isl = n.isl
+      GROUP BY n.w
+    ),
+    pw AS (
+      SELECT p.phrase, p.doc_id, p.isl,
+             CAST(sum(ws.score_ppm) AS BIGINT) AS pscore_ppm
+      FROM phr p
+      JOIN nonstop n ON n.doc_id = p.doc_id AND n.isl = p.isl
+      JOIN ws ON ws.w = n.w
+      GROUP BY 1, 2, 3
+    ),
+    agg AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(max(pscore_ppm) AS BIGINT) AS score_ppm
+      FROM pw GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, score_ppm,
+           round(score_ppm / 1000000.0, 4) AS rake_score
+    FROM agg
+    ORDER BY score_ppm DESC, phrase
+    LIMIT 20
+""",
+)
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L91: RAKE keyphrase extraction (Rapid Automatic Keyword
+    Extraction, Rose et al. 2010) — the unsupervised phrase miner the
+    curation stack lacked between single-token TF-IDF/BM25 term scoring
+    and corpus-level PMI collocations: candidate phrases are maximal
+    stopword-free token runs (gaps-and-islands: pos − row_number over
+    non-stop tokens), each word scores deg/freq where degree sums the
+    lengths of phrases containing it, and a phrase scores the sum of its
+    words. RANKING IS EXACT INTEGER: word scores carry ppm scale through
+    128-bit `div` (the PMI discipline — a float never orders the top-20
+    cut); the display score is one final division. Scale: one doc-keyed
+    exchange builds phrases; word stats are vocab-bounded aggregates
+    broadcast back; the LIMIT runs on the phrase-vocabulary table."""
+    from pyspark.sql.window import Window
+
+    from simple_stream_processor_spark.operators.text import STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    nonstop = tok.where(~F.col("w").isin(*STOPWORDS) & (F.col("w") != "")).select(
+        "doc_id", "pos", "w",
+        (F.col("pos") - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))).alias("isl"),
+    )
+    phr = nonstop.groupBy(F.col("doc_id").alias("pdoc"), F.col("isl").alias("pisl")).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    ws = (
+        nonstop.join(phr, (F.col("pdoc") == F.col("doc_id")) & (F.col("pisl") == F.col("isl")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+        .select(
+            F.col("w").alias("sw"),
+            F.expr("cast(deg as decimal(38,0)) * 1000000 div freq").cast("long").alias("score_ppm"),
+        )
+    )
+    pw = (
+        nonstop.join(phr, (F.col("pdoc") == F.col("doc_id")) & (F.col("pisl") == F.col("isl")))
+        .join(ws, F.col("sw") == F.col("w"))
+        .groupBy("phrase", "doc_id", "isl")
+        .agg(F.sum("score_ppm").alias("pscore_ppm"))
+    )
+    agg = pw.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.max("pscore_ppm").alias("score_ppm"),
+    )
+    return (
+        agg.select(
+            "phrase", "n_occurrences", "score_ppm",
+            F.round(F.col("score_ppm") / 1000000.0, 4).alias("rake_score"),
+        )
+        .orderBy(F.col("score_ppm").desc(), "phrase")
+        .limit(20)
+    )
+
+
+@query(
+    "q_winnowing_fingerprint",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lower(text) AS tx FROM documents WHERE length(text) >= 5
+    ),
+    grams AS (
+      SELECT doc_id, g.p AS pos,
+             ('0x' || substr(md5(substr(tx, CAST(g.p AS INT), 5)), 1, 8))::BIGINT AS hv
+      FROM base, LATERAL (SELECT unnest(range(1, length(tx) - 3)) AS p) g
+    ),
+    wmin AS (
+      SELECT doc_id, pos,
+             min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM grams
+    ),
+    fps AS (
+      SELECT doc_id, fp, CAST(max(n_grams) AS BIGINT) AS n_grams
+      FROM wmin WHERE pos <= n_grams - 3
+      GROUP BY doc_id, fp
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+             CAST(max(n_grams) - 3 AS BIGINT) AS n_windows
+      FROM fps GROUP BY doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_fingerprints) AS BIGINT) AS total_fingerprints,
+           CAST(sum(n_windows) AS BIGINT) AS total_windows,
+           round(CAST(sum(n_fingerprints) AS DOUBLE) / sum(n_windows), 6) AS density,
+           round(2.0 / 5.0, 6) AS expected_density
+    FROM per_doc
+""",
+)
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L92: winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS local fingerprinting algorithm): hash every
+    character 5-gram (md5-derived 32-bit, identical both engines), slide
+    a w=4 window, keep each window's MINIMUM hash — the guarantee theorem
+    says every shared substring of length >= w+k-1 = 8 leaves at least
+    one COMMON fingerprint, which neither MinHash (whole-doc similarity)
+    nor exact-substring span coverage (L58, suffix-array style) gives at
+    this cost. The panel reports fingerprint density against the
+    theoretical 2/(w+1) expectation — the selection-is-working audit.
+    Per-doc windows ride ONE doc-keyed exchange; fingerprints are the
+    only thing that would shuffle for a pair join at 100 TB. try_divide
+    covers the no-eligible-docs frame."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") >= 5)
+    base = docs.select("doc_id", F.lower("text").alias("tx"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(tx) - 4), p -> substring(tx, p, 5))")
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long").alias("hv"),
+    )
+    wmin = grams.select(
+        "doc_id", "pos",
+        F.min("hv").over(
+            Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+        ).alias("fp"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_grams"),
+    )
+    fps = (
+        wmin.where(F.col("pos") <= F.col("n_grams") - 3)
+        .groupBy("doc_id", "fp")
+        .agg(F.max("n_grams").alias("n_grams"))
+    )
+    per_doc = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        (F.max("n_grams") - 3).alias("n_windows"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_fingerprints").alias("total_fingerprints"),
+        F.sum("n_windows").alias("total_windows"),
+        F.round(F.try_divide(F.sum("n_fingerprints").cast("double"), F.sum("n_windows")), 6).alias("density"),
+        F.round(F.lit(2.0 / 5.0), 6).alias("expected_density"),
+    )
+
+
+@query(
+    "q_image_dhash_dedup",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(384.0 / length(text)) AS INT)), 1, 384) AS p
+      FROM documents WHERE length(text) > 0
+    ),
+    blocks AS (
+      SELECT doc_id,
+             list_transform(range(0, 32), j ->
+               list_sum(list_transform(range(0, 12), k ->
+                 ord(substr(p,
+                   3 * ((2 * (j // 8) + (k // 6)) * 16 + 2 * (j % 8) + ((k // 3) % 2))
+                     + (k % 3) + 1,
+                 1))))) AS bs
+      FROM px
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 28), b ->
+               CASE WHEN bs[(b // 7) * 8 + (b % 7) + 1] > bs[(b // 7) * 8 + (b % 7) + 2]
+                    THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS dhash
+      FROM blocks
+    ),
+    bands AS (
+      SELECT doc_id, dhash, t.i AS band_idx,
+             CASE WHEN t.i = 0 THEN dhash // 16384 ELSE dhash % 16384 END AS band_val
+      FROM hashed, unnest([0, 1]) AS t(i)
+    )
+    SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 1
+""",
+)
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L93: image near-dup by DIFFERENCE hash (dHash) over the real
+    netpbm codec — the gradient companion to L41's aHash: dHash bits
+    compare ADJACENT block sums (horizontal brightness gradient), so a
+    global brightness/contrast shift that flips aHash's above-average
+    bits leaves dHash untouched — the two hashes catch different
+    re-encode families and a production dedup runs both and unions the
+    candidate pairs. Same scale shape as L41: exact-integer pooling in
+    the Arrow codec path, 2x14-bit pigeonhole bands make the <=1-Hamming
+    join collision-proportional, only (media_id, 4-byte hash) ever
+    shuffles. Hash-matched against a SQL raster replay — possible only
+    because every step is integer."""
+    docs = _t(spark, sf_dir, "documents")
+    ppm = multimodal.documents_as_ppm(docs)
+    hashes = multimodal.dhash_images(ppm).where(F.col("decode_ok"))
+    bands = hashes.select(
+        "media_id", "dhash",
+        F.posexplode(F.array(F.expr("dhash div 16384"), F.col("dhash") % 16384)).alias("band_idx", "band_val"),
+    )
+    a = bands.select(F.col("media_id").alias("media_a"), F.col("dhash").alias("da"), "band_idx", "band_val")
+    b = bands.select(
+        F.col("media_id").alias("media_b"), F.col("dhash").alias("db"),
+        F.col("band_idx").alias("band_idx_b"), F.col("band_val").alias("band_val_b"),
+    )
+    ham = F.bit_count(F.col("da").bitwiseXOR(F.col("db")))
+    return (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("media_a") < F.col("media_b")),
+        )
+        .where(ham <= 1)
+        .select("media_a", "media_b", ham.cast("long").alias("hamming"))
+        .distinct()
+    )
+
+
+@query(
+    "q_audio_loudness",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, substr(text, 1, 256) AS tx FROM documents WHERE length(text) > 0
+    ), vals AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(tx, '.'), c -> (ord(c) - 128) * 256) AS v
+      FROM t
+    ), st AS (
+      SELECT doc_id AS media_id,
+             CAST(len(v) AS BIGINT) AS n_samples,
+             CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS peak,
+             CAST(list_sum(list_transform(v, x -> CAST(x AS HUGEINT) * x)) AS DOUBLE) AS sumsq
+      FROM vals
+    )
+    SELECT media_id, n_samples, peak,
+           round(sqrt(sumsq / n_samples), 4) AS rms,
+           CASE WHEN peak = 0 THEN NULL
+                ELSE round(20.0 * log10(peak / 32768.0), 4) END AS peak_dbfs,
+           CASE WHEN sumsq = 0 THEN NULL
+                ELSE round(10.0 * log10(sumsq / n_samples / (32768.0 * 32768.0)), 4) END AS rms_dbfs,
+           round(peak / sqrt(sumsq / n_samples), 4) AS crest_factor
+    FROM st
+""",
+)
+def q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L94: per-clip loudness panel over the REAL WAV codec — the audio
+    quality gate a speech-corpus pipeline filters on before paying for
+    transcription: peak and RMS in dBFS (clipping detection: peak at
+    0 dBFS; silence: rms_dbfs below a floor) and the crest factor
+    (peak/RMS — speech lives ~12-20 dB, tones and DC hum much lower).
+    The genuine RIFF walk (magic, chunk iteration, PCM16 validation)
+    yields peak |sample| and the EXACT integer sum of squares per clip;
+    RMS/dBFS derive declaratively, silent clips pin NULL dBFS (both
+    engines CASE), crest rides try_divide. Narrow scan-bound Arrow
+    stage — at 100 TB audio the cost is the scan, as it should be."""
+    docs = _t(spark, sf_dir, "documents")
+    wav = multimodal.text_to_wav(docs, sample_rate=8000, max_samples=256)
+    st = multimodal.loudness_audio(wav).where(F.col("decode_ok"))
+    rms = F.sqrt(F.col("sumsq") / F.col("n_samples"))
+    return st.select(
+        "media_id", "n_samples", "peak",
+        F.round(rms, 4).alias("rms"),
+        F.when(F.col("peak") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(20.0 * F.log10(F.col("peak") / 32768.0), 4))
+        .alias("peak_dbfs"),
+        F.when(F.col("sumsq") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(10.0 * F.log10(F.col("sumsq") / F.col("n_samples") / (32768.0 * 32768.0)), 4))
+        .alias("rms_dbfs"),
+        F.round(F.try_divide(F.col("peak"), rms), 4).alias("crest_factor"),
+    )

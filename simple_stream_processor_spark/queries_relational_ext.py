@@ -10395,3 +10395,145 @@ def tukey_tail(daily: DataFrame) -> DataFrame:
             "n_high",
         )
     )
+
+@query(
+    "q_xyz_classification",
+    oracle="""
+    WITH wk AS (
+      SELECT l_partkey, epoch_ms(l_shipdate) // 604800000 AS week,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(q * CAST(q AS HUGEINT)) AS HUGEINT) AS qq
+      FROM wk GROUP BY 1
+    ),
+    cls AS (
+      SELECT l_partkey,
+             CASE WHEN s = 0 THEN 'n/a'
+                  WHEN 4 * n * qq <= 5 * s * CAST(s AS HUGEINT) THEN 'X'
+                  WHEN n * qq <= 2 * s * CAST(s AS HUGEINT) THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM m
+    )
+    SELECT xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+           round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS pct_parts
+    FROM cls GROUP BY xyz_class
+""",
+)
+def q_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N142: XYZ demand-variability classification — the inventory-
+    planning twin of N80's ABC (ABC ranks by revenue CONTRIBUTION, XYZ
+    by demand PREDICTABILITY; the ABC-XYZ matrix is the classic
+    stocking-policy grid): per part, the coefficient of variation of
+    weekly shipped quantity classes X (cv <= 0.5, steady — forecast and
+    automate), Y (cv <= 1, seasonal/trending), Z (cv > 1, erratic —
+    safety stock or make-to-order). CLASSIFICATION IS EXACT INTEGER:
+    cv^2 = (n*q - s^2)/s^2 against t^2 thresholds cross-multiplies to
+    4nq <= 5s^2 (X) and nq <= 2s^2 (Y) in decimal/HUGEINT — no float
+    ever assigns a class; all-zero-quantity parts pin 'n/a'. One
+    (part, week) rollup then part-bounded arithmetic."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        "l_partkey", F.expr("unix_millis(l_shipdate) div 604800000").alias("week")
+    ).agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"))
+    m = wk.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q").cast("decimal(38,0)")).alias("qq"),
+    )
+    s2 = F.col("s") * F.col("s").cast("decimal(38,0)")
+    cls = m.select(
+        "l_partkey",
+        F.when(F.col("s") == 0, "n/a")
+        .when(4 * F.col("n") * F.col("qq") <= 5 * s2, "X")
+        .when(F.col("n") * F.col("qq") <= 2 * s2, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    out = cls.groupBy("xyz_class").agg(F.count(F.lit(1)).alias("n_parts"))
+    return out.select(
+        "xyz_class", "n_parts",
+        F.round(F.col("n_parts") * 100.0 / F.sum("n_parts").over(Window.partitionBy()), 4).alias("pct_parts"),
+    )
+
+
+@query(
+    "q_encoding_advisor",
+    oracle="""
+    WITH cols AS (
+      SELECT o_orderkey AS k, 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'o_orderdate', CAST(epoch_ms(o_orderdate) // 86400000 AS VARCHAR) FROM orders
+    ),
+    runs AS (
+      SELECT col, v,
+             CASE WHEN v IS DISTINCT FROM lag(v) OVER (PARTITION BY col ORDER BY k)
+                  THEN 1 ELSE 0 END AS chg
+      FROM cols
+    ),
+    agg AS (
+      SELECT col, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+             CAST(sum(chg) AS BIGINT) AS runs_current
+      FROM runs GROUP BY col
+    )
+    SELECT col AS column_name, n_rows, n_distinct, runs_current,
+           n_distinct AS runs_sorted,
+           CAST(CAST(runs_current AS HUGEINT) * 1000000 // n_rows AS BIGINT) AS rle_runs_ppm,
+           CASE WHEN runs_current > 8 * n_distinct THEN 'sort_helps' ELSE 'already_clustered' END AS advice
+    FROM agg
+""",
+)
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N143: RLE encoding advisor — the column-level companion to N105's
+    sort-key advisor (that one prices zone-map SKIPPING under a sort;
+    this one prices run-length COMPRESSION): per column, the run count
+    in the table's key order (the physical proxy: o_orderkey — parquet
+    row order is not a stable plan property, the key is) vs the floor a
+    sort would reach (runs_sorted = n_distinct), and the runs-per-row
+    ppm as exact 128-bit `div`. A column with few distincts but many
+    runs ('sort_helps') is where re-clustering buys storage; parquet's
+    RLE_DICTIONARY pages realize exactly this win. The four audited
+    columns unpivot into ONE (col, key)-ordered window pass — adding a
+    column is a UNION branch, not a new scan plan."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cols = None
+    for name, expr in [
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("o_custkey", F.col("o_custkey")),
+        ("o_orderdate", F.expr("cast(unix_millis(o_orderdate) div 86400000 as string)")),
+    ]:
+        part = o.select(F.col("o_orderkey").alias("k"), F.lit(name).alias("col"), expr.cast("string").alias("v"))
+        cols = part if cols is None else cols.unionAll(part)
+    runs = cols.select(
+        "col", "v",
+        F.when(
+            ~F.col("v").eqNullSafe(F.lag("v").over(Window.partitionBy("col").orderBy("k"))), 1
+        ).otherwise(0).alias("chg"),
+    )
+    agg = runs.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.sum("chg").alias("runs_current"),
+    )
+    return agg.select(
+        F.col("col").alias("column_name"),
+        "n_rows", "n_distinct", "runs_current",
+        F.col("n_distinct").alias("runs_sorted"),
+        F.expr("cast(cast(runs_current as decimal(38,0)) * 1000000 div n_rows as bigint)").alias("rle_runs_ppm"),
+        F.when(F.col("runs_current") > 8 * F.col("n_distinct"), "sort_helps")
+        .otherwise("already_clustered")
+        .alias("advice"),
+    )

@@ -113,6 +113,8 @@ SENSITIVE = [
     # denominators by construction (all guarded with try_divide)
     "q_kendall_tau", "q_pettitt_changepoint", "q_kruskal_wallis",
     "q_anova", "q_cramers_v", "q_tukey_fences",
+    # round-7 wave 2 — doc-shape-sensitive (empty texts, single docs)
+    "q_rake_keyphrases", "q_winnowing_fingerprint", "q_audio_loudness",
 ]
 
 

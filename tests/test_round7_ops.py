@@ -1,0 +1,189 @@
+"""Round-7 wave-2 replays and properties: RAKE, winnowing, dHash, loudness,
+XYZ classes, RLE encoding advisor."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_stream_processor_spark.registry import QUERIES
+import simple_stream_processor_spark.queries_llmdata  # noqa: F401
+import simple_stream_processor_spark.queries_relational_ext  # noqa: F401
+
+STOP = {"the", "a", "of", "and", "to", "in", "is", "it"}
+
+
+def _docs(spark, sf_dir):
+    from simple_stream_processor_spark.tables import load_table
+
+    return [
+        (r.doc_id, r.text)
+        for r in load_table(spark, "documents", sf_dir).select("doc_id", "text").collect()
+    ]
+
+
+def test_rake_matches_python_replay(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    phrases = []  # (phrase, words)
+    for _, text in docs:
+        if not text:
+            continue
+        run = []
+        for w in text.split(" ") + [None]:
+            if w is None or w in STOP or w == "":
+                if run:
+                    phrases.append((" ".join(run), list(run)))
+                run = []
+            else:
+                run.append(w)
+    freq, deg = Counter(), Counter()
+    for _, words in phrases:
+        for w in words:
+            freq[w] += 1
+            deg[w] += len(words)
+    score_ppm = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    agg = defaultdict(lambda: [0, 0])
+    for phrase, words in phrases:
+        agg[phrase][0] += 1
+        agg[phrase][1] = sum(score_ppm[w] for w in words)
+    top = sorted(agg.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    got = QUERIES["q_rake_keyphrases"](spark, sf_dir).collect()
+    assert [(r.phrase, r.n_occurrences, r.score_ppm) for r in got] == [
+        (p, n, s) for p, (n, s) in top
+    ]
+
+
+def test_winnowing_matches_python_replay_and_density_theorem(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tot_fp = tot_win = n_docs = 0
+    for _, text in docs:
+        tx = text.lower()
+        if len(tx) < 5:
+            continue
+        hv = [
+            int(hashlib.md5(tx[p : p + 5].encode()).hexdigest()[:8], 16)
+            for p in range(len(tx) - 4)
+        ]
+        wins = [min(hv[i : i + 4]) for i in range(len(hv) - 3)]
+        n_docs += 1
+        tot_fp += len(set(wins))
+        tot_win += len(wins)
+    got = QUERIES["q_winnowing_fingerprint"](spark, sf_dir).collect()[0]
+    assert (got.n_docs, got.total_fingerprints, got.total_windows) == (n_docs, tot_fp, tot_win)
+    # winnowing selects at most one fingerprint per window and at least one
+    # per w consecutive windows: density in (0, 1]
+    assert 0 < got.density <= 1.0
+
+
+def test_dhash_is_brightness_invariant_where_ahash_is_not(spark):
+    """The design claim L93 rides on: a global +brightness shift (no
+    saturation) leaves every dHash bit untouched (adjacent-block ORDER is
+    shift-invariant) while aHash bits may flip."""
+    import numpy as np
+
+    from simple_stream_processor_spark.operators import multimodal
+
+    rng = np.random.default_rng(7)
+    raster = rng.integers(10, 180, size=(8, 16, 3), dtype=np.uint8)
+    shifted = (raster.astype(np.int16) + 40).astype(np.uint8)  # no clipping
+
+    def ppm(arr):
+        return b"P6\n16 8\n255\n" + arr.tobytes()
+
+    df = spark.createDataFrame(
+        [(0, bytearray(ppm(raster))), (1, bytearray(ppm(shifted)))],
+        "media_id long, payload binary",
+    )
+    d = {r.media_id: r.dhash for r in multimodal.dhash_images(df).collect()}
+    assert d[0] == d[1], "dHash must survive a global brightness shift"
+
+
+def test_dhash_known_answer_gradient(spark):
+    """A raster whose block sums strictly increase left-to-right has
+    dhash == 0 (no left block exceeds its right neighbor); strictly
+    decreasing has all 28 bits set."""
+    import numpy as np
+
+    from simple_stream_processor_spark.operators import multimodal
+
+    inc = np.zeros((8, 16, 3), dtype=np.uint8)
+    for c in range(16):
+        inc[:, c, :] = c * 10
+    dec = inc[:, ::-1, :].copy()
+    df = spark.createDataFrame(
+        [(0, bytearray(b"P6\n16 8\n255\n" + inc.tobytes())),
+         (1, bytearray(b"P6\n16 8\n255\n" + dec.tobytes()))],
+        "media_id long, payload binary",
+    )
+    d = {r.media_id: r.dhash for r in multimodal.dhash_images(df).collect()}
+    assert d[0] == 0
+    assert d[1] == (1 << 28) - 1
+
+
+def test_audio_loudness_matches_sample_replay(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    got = {r.media_id: r for r in QUERIES["q_audio_loudness"](spark, sf_dir).collect()}
+    for doc_id, text in docs:
+        if not text:
+            assert doc_id not in got
+            continue
+        v = [(ord(c) - 128) * 256 for c in text[:256]]
+        r = got[doc_id]
+        peak = max(abs(x) for x in v)
+        ssq = sum(x * x for x in v)
+        assert (r.n_samples, r.peak) == (len(v), peak)
+        assert r.rms == pytest.approx(round(math.sqrt(ssq / len(v)), 4), abs=1e-9)
+        if peak:
+            assert r.peak_dbfs == pytest.approx(round(20 * math.log10(peak / 32768), 4), abs=1e-9)
+        else:
+            assert r.peak_dbfs is None and r.rms_dbfs is None
+
+
+def test_xyz_classes_match_cv_replay(spark, sf_dir):
+    from simple_stream_processor_spark.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey",
+        F.expr("unix_millis(l_shipdate) div 604800000").alias("week"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+    ).collect()
+    weekly = defaultdict(int)
+    for r in li:
+        weekly[(r.l_partkey, r.week)] += r.qc
+    parts = defaultdict(list)
+    for (pk, _), q in weekly.items():
+        parts[pk].append(q)
+    classes = Counter()
+    for pk, qs in parts.items():
+        n, s, qq = len(qs), sum(qs), sum(q * q for q in qs)
+        if s == 0:
+            classes["n/a"] += 1
+        elif 4 * n * qq <= 5 * s * s:
+            classes["X"] += 1
+        elif n * qq <= 2 * s * s:
+            classes["Y"] += 1
+        else:
+            classes["Z"] += 1
+    got = {r.xyz_class: r.n_parts for r in QUERIES["q_xyz_classification"](spark, sf_dir).collect()}
+    assert got == dict(classes)
+
+
+def test_encoding_advisor_matches_run_replay(spark, sf_dir):
+    from simple_stream_processor_spark.tables import load_table
+
+    rows = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey",
+        F.expr("cast(unix_millis(o_orderdate) div 86400000 as string)").alias("o_orderdate"),
+    ).collect()
+    rows.sort(key=lambda r: r.o_orderkey)
+    got = {r.column_name: r for r in QUERIES["q_encoding_advisor"](spark, sf_dir).collect()}
+    for col in ("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"):
+        vals = [str(getattr(r, col)) for r in rows]
+        runs = sum(1 for i, v in enumerate(vals) if i == 0 or v != vals[i - 1])
+        r = got[col]
+        assert (r.n_rows, r.n_distinct, r.runs_current) == (len(vals), len(set(vals)), runs)
+        assert r.rle_runs_ppm == runs * 1_000_000 // len(vals)
