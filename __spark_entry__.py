@@ -184,6 +184,7 @@ _PRIORITY = [
     "q_streaming_anova", "q_streaming_tukey", "q_streaming_cramers",
     "q_rake_keyphrases", "q_winnowing_fingerprint", "q_image_dhash_dedup",
     "q_audio_loudness", "q_xyz_classification", "q_encoding_advisor",
+    "q_price_elasticity", "q_kneser_ney_surprisal",
 ]
 
 

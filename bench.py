@@ -156,6 +156,7 @@ TAIL = [
     "q_anova", "q_cramers_v", "q_tukey_fences",
     "q_rake_keyphrases", "q_winnowing_fingerprint", "q_image_dhash_dedup",
     "q_audio_loudness", "q_xyz_classification", "q_encoding_advisor",
+    "q_price_elasticity", "q_kneser_ney_surprisal",
 ]
 
 

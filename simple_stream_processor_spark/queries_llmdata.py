@@ -6588,3 +6588,100 @@ def q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rms_dbfs"),
         F.round(F.try_divide(F.col("peak"), rms), 4).alias("crest_factor"),
     )
+
+@query(
+    "q_kneser_ney_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.pos, t.w
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos) t
+      WHERE length(text) > 0
+    ),
+    big AS (
+      SELECT doc_id, pos, w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ),
+    bb AS (SELECT doc_id, pos, w1, w2 FROM big WHERE w2 IS NOT NULL),
+    c2 AS (SELECT w1 AS g1, w2 AS g2, CAST(count(*) AS BIGINT) AS c12 FROM bb GROUP BY 1, 2),
+    c1 AS (SELECT g1, CAST(sum(c12) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS fan_out FROM c2 GROUP BY 1),
+    cont AS (SELECT g2, CAST(count(*) AS BIGINT) AS fan_in FROM c2 GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM c2),
+    scored AS (
+      SELECT bb.doc_id, bb.pos,
+             -ln(greatest(c2.c12 - 0.75, 0.0) / c1.c1
+                 + (0.75 * c1.fan_out / c1.c1) * (CAST(cont.fan_in AS DOUBLE) / tot.n_bigram_types))
+               AS s
+      FROM bb
+      JOIN c2 ON c2.g1 = bb.w1 AND c2.g2 = bb.w2
+      JOIN c1 ON c1.g1 = bb.w1
+      JOIN cont ON cont.g2 = bb.w2, tot
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             list_reduce(list_prepend(0.0, list(s ORDER BY pos)), (a, v) -> a + v) AS total
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, round(total / n_bigrams, 6) AS kn_surprisal
+    FROM agg
+""",
+)
+def q_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L95: interpolated Kneser-Ney bigram surprisal (Kneser & Ney 1995;
+    Chen & Goodman 1998 — the smoothing the REAL CCNet/KenLM perplexity
+    filter uses, one rung above L65's add-one): P(w2|w1) =
+    max(c12-d,0)/c1 + (d*fanout(w1)/c1)*P_cont(w2) with the
+    CONTINUATION probability P_cont = fan_in(w2)/|bigram types| — the
+    fix that stops high-frequency-but-narrow words ("Francisco": common,
+    but only ever after "San") from getting fat unigram backoff mass.
+    Add-one calls boilerplate fluent; KN is what production quality
+    filters actually price. Every count (c12, c1, fan-out, fan-in, type
+    total) is an exact integer, d = 0.75 a pinned literal, so ln sees
+    identical doubles; per-doc scores fold in token-position order.
+    Scale: the same vocab-bounded model tables as L65 (swap for CMS /
+    modular gram hashes at web scale — lookup changes, plan doesn't)."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    bb = tok.select(
+        "doc_id", "pos", F.col("w").alias("w1"), F.lead("w").over(wspec).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    c2 = bb.groupBy(F.col("w1").alias("g1"), F.col("w2").alias("g2")).agg(
+        F.count(F.lit(1)).alias("c12"))
+    c1 = c2.groupBy(F.col("g1").alias("h1")).agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("fan_out"))
+    cont = c2.groupBy(F.col("g2").alias("h2")).agg(F.count(F.lit(1)).alias("fan_in"))
+    tot = c2.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    p = (
+        F.greatest(F.col("c12") - 0.75, F.lit(0.0)) / F.col("c1")
+        + (0.75 * F.col("fan_out") / F.col("c1"))
+        * (F.col("fan_in").cast("double") / F.col("n_bigram_types"))
+    )
+    scored = (
+        bb.join(c2, (F.col("g1") == F.col("w1")) & (F.col("g2") == F.col("w2")))
+        .join(c1, F.col("h1") == F.col("w1"))
+        .join(cont, F.col("h2") == F.col("w2"))
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "pos", (-F.log(p)).alias("s"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", F.col("s").alias("t")))),
+                lambda st: st["t"],
+            ),
+            F.lit(0.0), lambda a, x: a + x,
+        ).alias("total"),
+    )
+    return agg.select(
+        "doc_id", "n_bigrams",
+        F.round(F.col("total") / F.col("n_bigrams"), 6).alias("kn_surprisal"),
+    )

@@ -10537,3 +10537,92 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("already_clustered")
         .alias("advice"),
     )
+
+@query(
+    "q_price_elasticity",
+    oracle="""
+    WITH wk AS (
+      SELECT p.p_brand AS brand, epoch_ms(l.l_shipdate) // 604800000 AS week,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ep_c,
+             CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS q_c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT brand, week,
+             ln(CAST(ep_c AS DOUBLE) / q_c) AS x,
+             ln(CAST(q_c AS DOUBLE) / 100.0) AS y
+      FROM wk WHERE ep_c > 0 AND q_c > 0
+    ),
+    m AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n_weeks,
+             list_reduce(list_prepend(0.0, list(x ORDER BY week)), (a, v) -> a + v) AS sx,
+             list_reduce(list_prepend(0.0, list(y ORDER BY week)), (a, v) -> a + v) AS sy,
+             list_reduce(list_prepend(0.0, list(x * x ORDER BY week)), (a, v) -> a + v) AS sxx,
+             list_reduce(list_prepend(0.0, list(y * y ORDER BY week)), (a, v) -> a + v) AS syy,
+             list_reduce(list_prepend(0.0, list(x * y ORDER BY week)), (a, v) -> a + v) AS sxy
+      FROM pts GROUP BY brand
+    )
+    SELECT brand, n_weeks,
+           round((n_weeks * sxy - sx * sy) / (n_weeks * sxx - sx * sx), 4) AS elasticity,
+           round((n_weeks * sxy - sx * sy) * (n_weeks * sxy - sx * sy)
+                 / ((n_weeks * sxx - sx * sx) * (n_weeks * syy - sy * sy)), 6) AS r_sq
+    FROM m
+""",
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N144: log-log price elasticity of demand per brand (the Marshall
+    demand-curve slope, estimated as OLS on ln(qty) ~ ln(price) —
+    Working 1943 form): per (brand, week) the realized average unit
+    price (sum extendedprice / sum qty, an exact integer ratio) and
+    total quantity, then regr_slope on the log-log points — elasticity
+    <-1 is elastic (discount to grow revenue), -1..0 inelastic (price
+    up), r^2 says whether to believe it. The pricing readout N88's
+    what-if grid ASSUMES; this measures it. Float discipline: ln sees
+    identical exact-integer ratios both engines; the five moment sums
+    fold in week order per brand (the sorted-fold rule); slope and r^2
+    ride try_divide (constant-price brands pin NULL — you cannot
+    estimate elasticity without price variation). One broadcast dim
+    join + a (brand, week)-bounded rollup; never row-level beyond the
+    first aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    wk = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr("unix_millis(l_shipdate) div 604800000").alias("week"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("ep_c"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q_c"),
+        )
+    )
+    pts = wk.where((F.col("ep_c") > 0) & (F.col("q_c") > 0)).select(
+        "brand", "week",
+        F.log(F.col("ep_c").cast("double") / F.col("q_c")).alias("x"),
+        F.log(F.col("q_c").cast("double") / 100.0).alias("y"),
+    )
+
+    def fold(expr_fn):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("week", "x", "y"))),
+            F.lit(0.0), lambda a, s: a + expr_fn(s),
+        )
+
+    m = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        fold(lambda s: s["x"]).alias("sx"),
+        fold(lambda s: s["y"]).alias("sy"),
+        fold(lambda s: s["x"] * s["x"]).alias("sxx"),
+        fold(lambda s: s["y"] * s["y"]).alias("syy"),
+        fold(lambda s: s["x"] * s["y"]).alias("sxy"),
+    )
+    num = F.col("n_weeks") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n_weeks") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n_weeks") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "brand", "n_weeks",
+        F.round(F.try_divide(num, denx), 4).alias("elasticity"),
+        F.round(F.try_divide(num * num, denx * deny), 6).alias("r_sq"),
+    )

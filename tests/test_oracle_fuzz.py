@@ -114,7 +114,7 @@ DOC_QUERIES = [
     "q_dedup_savings", "q_quality_trend",
     "q_set_similarity_join", "q_good_turing", "q_span_corruption",
     "q_rake_keyphrases", "q_winnowing_fingerprint", "q_image_dhash_dedup",
-    "q_audio_loudness",
+    "q_audio_loudness", "q_kneser_ney_surprisal",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -282,7 +282,7 @@ TPCH_QUERIES = [
     "q_market_basket", "q_table_profile", "q_benford_audit",
     "q_gini_concentration", "q_link_prediction", "q_degree_assortativity",
     "q_mix_shift", "q_hill_tail_index", "q_lorenz_curve",
-    "q_xyz_classification", "q_encoding_advisor",
+    "q_xyz_classification", "q_encoding_advisor", "q_price_elasticity",
 ]
 
 ORDER_STATUS = ["F", "O", "P"]

@@ -480,3 +480,59 @@ def test_ann_pq_lookup_is_broadcast_take_ordered(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark, sf_dir):
+    """Runtime row-level filtering, proven live (the third runtime lever
+    beside AQE coalescing and skew-split): when a selective dimension
+    filter feeds a SHUFFLE join, Spark's runtime bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter.*) must build a bloom
+    aggregate on the filtered side and push a might_contain probe into
+    the fact scan — at 100 TB this is the difference between shuffling
+    every lineitem row and shuffling only the ~5% that can join. The
+    session disables broadcast for the test (a broadcast join would get
+    DPP-style pruning for free; bloom is the SMJ/SHJ story) and restores
+    every conf after."""
+    from pyspark.sql import functions as F
+
+    from simple_stream_processor_spark.tables import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, "lineitem", sf_dir)
+        o = load_table(spark, "orders", sf_dir).where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), f"no bloom filter injected:\n{plan[:1500]}"
+        rows = j.collect()
+        # value check: the bloom filter must not change the join result
+        exact = (
+            load_table(spark, "lineitem", sf_dir)
+            .join(
+                load_table(spark, "orders", sf_dir).where(
+                    F.col("o_orderpriority") == "1-URGENT"
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert rows[0]["n"] == exact
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

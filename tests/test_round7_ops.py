@@ -187,3 +187,84 @@ def test_encoding_advisor_matches_run_replay(spark, sf_dir):
         r = got[col]
         assert (r.n_rows, r.n_distinct, r.runs_current) == (len(vals), len(set(vals)), runs)
         assert r.rle_runs_ppm == runs * 1_000_000 // len(vals)
+
+
+def test_price_elasticity_matches_ols_replay(spark, sf_dir):
+    from simple_stream_processor_spark.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey",
+        F.expr("unix_millis(l_shipdate) div 604800000").alias("week"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("epc"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+    ).collect()
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, "part", sf_dir).select("p_partkey", "p_brand").collect()
+    }
+    wk = defaultdict(lambda: [0, 0])
+    for r in li:
+        cell = wk[(brand[r.l_partkey], r.week)]
+        cell[0] += r.epc
+        cell[1] += r.qc
+    pts = defaultdict(list)
+    for (b, w), (ep, q) in wk.items():
+        if ep > 0 and q > 0:
+            pts[b].append((w, math.log(ep / q), math.log(q / 100.0)))
+    got = {r.brand: r for r in QUERIES["q_price_elasticity"](spark, sf_dir).collect()}
+    for b, series in pts.items():
+        series.sort()
+        n = len(series)
+        sx = sum(x for _, x, _ in series)
+        sy = sum(y for _, _, y in series)
+        sxx = sum(x * x for _, x, _ in series)
+        syy = sum(y * y for _, _, y in series)
+        sxy = sum(x * y for _, x, y in series)
+        r = got[b]
+        assert r.n_weeks == n
+        denx, deny = n * sxx - sx * sx, n * syy - sy * sy
+        if denx > 0:
+            slope = (n * sxy - sx * sy) / denx
+            assert r.elasticity == pytest.approx(round(slope, 4), abs=2e-4)
+            if deny > 0:
+                r2 = (n * sxy - sx * sy) ** 2 / (denx * deny)
+                assert r.r_sq == pytest.approx(round(r2, 6), abs=2e-6)
+
+
+def test_kneser_ney_matches_python_replay(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bigrams_by_doc = {}
+    c2 = Counter()
+    for doc_id, text in docs:
+        ws = [w for w in text.split(" ")] if text else []
+        bgs = [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+        if bgs:
+            bigrams_by_doc[doc_id] = bgs
+            c2.update(bgs)
+    c1, fan_out, fan_in = Counter(), Counter(), Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        fan_out[w1] += 1
+        fan_in[w2] += 1
+    B = len(c2)
+    d = 0.75
+    got = {r.doc_id: r for r in QUERIES["q_kneser_ney_surprisal"](spark, sf_dir).collect()}
+    for doc_id, bgs in bigrams_by_doc.items():
+        total = 0.0
+        for w1, w2 in bgs:
+            p = max(c2[(w1, w2)] - d, 0.0) / c1[w1] + (d * fan_out[w1] / c1[w1]) * (fan_in[w2] / B)
+            total += -math.log(p)
+        r = got[doc_id]
+        assert r.n_bigrams == len(bgs)
+        assert r.kn_surprisal == pytest.approx(round(total / len(bgs), 6), abs=2e-6)
+    # KN probabilities must be a proper conditional distribution: for a
+    # sampled context, sum over observed followers <= 1 (continuation mass
+    # covers the rest)
+    if c1:
+        w1 = max(c1, key=c1.get)
+        mass = sum(
+            max(c2[(a, b)] - d, 0.0) / c1[w1] + (d * fan_out[w1] / c1[w1]) * (fan_in[b] / B)
+            for (a, b) in c2
+            if a == w1
+        )
+        assert mass <= 1.0 + 1e-9
