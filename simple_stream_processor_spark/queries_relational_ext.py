@@ -10626,3 +10626,330 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(num, denx), 4).alias("elasticity"),
         F.round(F.try_divide(num * num, denx * deny), 6).alias("r_sq"),
     )
+
+
+_K_CORE_ORACLE = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a.l_partkey AS x, b.l_partkey AS y
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    ed AS MATERIALIZED (SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e),
+    n0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM ed),
+    n1 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n0 a ON a.node = ed.u
+      JOIN n0 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n2 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n1 a ON a.node = ed.u
+      JOIN n1 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n3 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n2 a ON a.node = ed.u
+      JOIN n2 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n4 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n3 a ON a.node = ed.u
+      JOIN n3 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n5 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n4 a ON a.node = ed.u
+      JOIN n4 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n6 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n5 a ON a.node = ed.u
+      JOIN n5 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n7 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n6 a ON a.node = ed.u
+      JOIN n6 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n8 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n7 a ON a.node = ed.u
+      JOIN n7 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n9 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n8 a ON a.node = ed.u
+      JOIN n8 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n10 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n9 a ON a.node = ed.u
+      JOIN n9 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n11 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n10 a ON a.node = ed.u
+      JOIN n10 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n12 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n11 a ON a.node = ed.u
+      JOIN n11 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n13 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n12 a ON a.node = ed.u
+      JOIN n12 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n14 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n13 a ON a.node = ed.u
+      JOIN n13 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n15 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n14 a ON a.node = ed.u
+      JOIN n14 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    ),
+    n16 AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM ed
+      JOIN n15 a ON a.node = ed.u
+      JOIN n15 b ON b.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= 3
+    )
+    SELECT 3 AS k,
+           CAST((SELECT count(*) FROM n0) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM n16) AS BIGINT) AS n_core_nodes,
+           CAST((SELECT count(*) FROM e
+                 JOIN n16 a ON a.node = e.x
+                 JOIN n16 b ON b.node = e.y) AS BIGINT) AS n_core_edges,
+           CASE WHEN (SELECT count(*) FROM n16) = (SELECT count(*) FROM n15)
+                THEN 'true' ELSE 'false' END AS converged
+"""
+
+
+@query("q_k_core", oracle=_K_CORE_ORACLE)
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N146: k-core decomposition (Seidman 1983; Batagelj-Zaversnik
+    peeling) of the w>=2-pruned part co-purchase graph — the cohesion
+    filter UNDER the graph family: PageRank ranks importance inside
+    whatever blob exists, label propagation names communities, the
+    3-core says which subgraph is structurally DENSE enough to trust
+    (every member keeps >= 3 co-purchase partners after all hangers-on
+    peel away) — the standard pre-filter before community/embedding work
+    pays for noisy tendrils. Synchronous peeling: 16 unrolled rounds,
+    each one degree aggregate over the surviving induced subgraph
+    (node-bounded exchanges, localCheckpoint lineage control — the
+    q_label_propagation discipline); the oracle unrolls the same rounds
+    as MATERIALIZED CTEs (non-materialized chaining would inline each
+    round into the next TWICE — exponential blowup, measured). The
+    converged flag ('n16 == n15') is part of the hash contract, so an
+    unconverged pathological graph is VISIBLE, not silently truncated.
+    Fixture peeling is real: sf0.01's w>=2 graph keeps 935 of 1880
+    nodes; sf0.1's keeps none (its pair graph is relatively sparser)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
+    b = items.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("y"))
+    e = (
+        a.join(b, (F.col("ok2") == F.col("ok")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y").agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2).select("x", "y").persist()
+    )
+    ed = e.select(F.col("x").alias("u"), F.col("y").alias("v")).unionAll(
+        e.select(F.col("y").alias("u"), F.col("x").alias("v"))
+    ).localCheckpoint()
+    nodes = ed.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    n0_count = nodes.count()
+    prev_count = n0_count
+    k, rounds = 3, 16
+    for i in range(rounds):
+        survivors = (
+            ed.join(nodes.withColumnRenamed("node", "su"), F.col("su") == F.col("u"))
+            .join(nodes.withColumnRenamed("node", "sv"), F.col("sv") == F.col("v"))
+            .groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select(F.col("u").alias("node"))
+        ).localCheckpoint()
+        if i == rounds - 1:
+            prev_count = nodes.count()  # bounded scalar: convergence witness
+        nodes = survivors
+    n_core = nodes.count()
+    core_edges = (
+        e.join(nodes.withColumnRenamed("node", "cx"), F.col("cx") == F.col("x"))
+        .join(nodes.withColumnRenamed("node", "cy"), F.col("cy") == F.col("y"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(k, n0_count, n_core, core_edges, "true" if n_core == prev_count else "false")],
+        "k int, n_nodes long, n_core_nodes long, n_core_edges long, converged string",
+    )
+
+@query(
+    "q_holt_winters",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type, count(*)::BIGINT AS n_days,
+             list(CAST(cents AS DOUBLE) ORDER BY day) AS xs
+      FROM daily GROUP BY 1 HAVING count(*) >= 14
+    ),
+    init AS (
+      SELECT event_type, n_days, xs,
+             list_reduce(list_prepend(0.0, xs[1:7]), (a, v) -> a + v) / 7.0 AS l0,
+             (list_reduce(list_prepend(0.0, xs[8:14]), (a, v) -> a + v) / 7.0
+              - list_reduce(list_prepend(0.0, xs[1:7]), (a, v) -> a + v) / 7.0) / 7.0 AS b0
+      FROM arr
+    ),
+    rec AS (
+      -- row-per-step recursion (the q_holt_linear lesson): every new column
+      -- derives from the PREVIOUS row's l/b/s — simultaneous update, matching
+      -- Spark's F.aggregate lambda; l_new is expanded inline where b/s need it
+      SELECT event_type, n_days, xs, 7 AS t,
+             l0 AS l, b0 AS b,
+             list_transform(xs[1:7], v -> v - l0) AS s,
+             CAST(0.0 AS DOUBLE) AS sae
+      FROM init
+      UNION ALL
+      SELECT event_type, n_days, xs, t + 1,
+             0.3 * (xs[t + 1] - s[(t % 7) + 1]) + 0.7 * (l + b),
+             0.05 * ((0.3 * (xs[t + 1] - s[(t % 7) + 1]) + 0.7 * (l + b)) - l) + 0.95 * b,
+             s[1:(t % 7)]
+               || [0.2 * (xs[t + 1]
+                          - (0.3 * (xs[t + 1] - s[(t % 7) + 1]) + 0.7 * (l + b)))
+                   + 0.8 * s[(t % 7) + 1]]
+               || s[(t % 7) + 2:7],
+             sae + abs(xs[t + 1] - (l + b + s[(t % 7) + 1]))
+      FROM rec WHERE t < n_days
+    )
+    SELECT event_type, n_days,
+           round(l, 4) AS level,
+           round(b, 4) AS trend,
+           round(l + b + s[(n_days % 7) + 1], 4) AS forecast_next,
+           round(list_max(s) - list_min(s), 4) AS seasonal_amplitude,
+           round(sae / (n_days - 7), 4) AS mae
+    FROM rec WHERE t = n_days
+""",
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N147: additive Holt-Winters triple exponential smoothing (Winters
+    1960; alpha=0.3, beta=0.05, gamma=0.2, m=7) of daily revenue per
+    event type — the level+trend+SEASONAL forecaster that completes the
+    smoothing ladder (N74 EWMA = level, N101 Holt = +trend, this =
+    +weekly shape), and the model-based complement to N100's descriptive
+    decomposition. Textbook init (l = first-week mean, b = week-over-week
+    mean change / 7, s = first-week deviations; series under 14 days
+    drop — you cannot initialize a season you never saw). The state is
+    {t, l, b, s[7], sae}: Spark folds it with F.aggregate (simultaneous
+    reads; l_new expanded inline inside b/s updates), and the oracle is
+    a row-per-step RECURSIVE CTE carrying the seasonal LIST — the
+    q_holt_linear lesson (a DuckDB struct list_reduce mutates fields
+    sequentially and diverges). The seasonal slot updates by slice
+    concatenation, identical in both engines. Output: final level/trend,
+    next-day forecast (with the right seasonal slot), seasonal
+    amplitude, and the in-sample one-step MAE that q_forecast_eval-style
+    baselines compare against. Scale: per-series fold over the
+    days-bounded array; the series dimension carries parallelism."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return holt_winters_tail(daily)
+
+
+def holt_winters_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Holt-Winters queries."""
+    arr = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"].cast("double"),
+        ).alias("xs"),
+    ).where(F.col("n_days") >= 14)
+    mean7 = lambda lo: F.aggregate(F.slice("xs", lo, 7), F.lit(0.0), lambda a, v: a + v) / 7.0
+    init = arr.select(
+        "event_type", "n_days", "xs",
+        mean7(1).alias("l0"),
+        ((mean7(8) - mean7(1)) / 7.0).alias("b0"),
+    )
+    state = "struct<t:int,l:double,b:double,s:array<double>,sae:double>"
+
+    def step(acc, x):
+        slot0 = acc["t"] % 7  # 0-based seasonal slot of the incoming day
+        s_old = F.element_at(acc["s"], slot0 + 1)
+        l_new = F.lit(0.3) * (x - s_old) + F.lit(0.7) * (acc["l"] + acc["b"])
+        b_new = F.lit(0.05) * (l_new - acc["l"]) + F.lit(0.95) * acc["b"]
+        s_upd = F.lit(0.2) * (x - l_new) + F.lit(0.8) * s_old
+        s_new = F.concat(
+            F.slice(acc["s"], 1, slot0),
+            F.array(s_upd),
+            F.slice(acc["s"], slot0 + 2, F.lit(6) - slot0),
+        )
+        return F.struct(
+            (acc["t"] + 1).alias("t"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+            s_new.alias("s"),
+            (acc["sae"] + F.abs(x - (acc["l"] + acc["b"] + s_old))).alias("sae"),
+        ).cast(state)
+
+    folded = init.select(
+        "event_type", "n_days",
+        F.aggregate(
+            F.slice(F.col("xs"), 8, F.greatest(F.size("xs") - 7, F.lit(0))),
+            F.struct(
+                F.lit(7).alias("t"),
+                F.col("l0").alias("l"),
+                F.col("b0").alias("b"),
+                F.transform(F.slice("xs", 1, 7), lambda v: v - F.col("l0")).alias("s"),
+                F.lit(0.0).alias("sae"),
+            ).cast(state),
+            step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type", "n_days",
+        F.round(F.col("st.l"), 4).alias("level"),
+        F.round(F.col("st.b"), 4).alias("trend"),
+        F.round(
+            F.col("st.l") + F.col("st.b")
+            + F.element_at("st.s", ((F.col("n_days") % 7) + 1).cast("int")),
+            4,
+        ).alias("forecast_next"),
+        F.round(F.array_max("st.s") - F.array_min("st.s"), 4).alias("seasonal_amplitude"),
+        F.round(F.col("st.sae") / (F.col("n_days") - 7), 4).alias("mae"),
+    )

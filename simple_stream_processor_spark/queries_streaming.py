@@ -2319,3 +2319,67 @@ def q_streaming_cramers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_stream_processor_spark.queries_relational_ext import cramers_tail
 
     return cramers_tail(_streaming_hour_counts(spark, sf_dir))
+
+@query("q_streaming_holt_winters", oracle=_relext_oracle("q_holt_winters"))
+def q_streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt-Winters twin (N147b): the per-type daily-cents
+    state through the shared holt_winters_tail — a live
+    level/trend/seasonal forecast panel whose numbers hash-match the
+    batch oracle; the bounded-state-then-fold argument of the Holt and
+    seasonal twins extended to the triple-smoothing state."""
+    from simple_stream_processor_spark.queries_relational_ext import holt_winters_tail
+
+    return holt_winters_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+def _streaming_docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw documents table drained through a memory sink (append) —
+    the head of doc-payload twins whose per-doc outputs need the full
+    text (multimodal codecs): each doc is one immutable row, so append
+    mode needs no state at all; the twin proves the codec path runs
+    incrementally per micro-batch."""
+    import os as _os
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    drained, _ = run_stream_to_memory(sdf, output_mode="append")
+    return drained
+
+
+def _llmdata_oracle(name: str) -> str:
+    from simple_stream_processor_spark import queries_llmdata  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES[name]
+
+
+@query("q_streaming_loudness", oracle=_llmdata_oracle("q_audio_loudness"))
+def q_streaming_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming audio-loudness twin (L94b): documents ingest as a
+    stream, synthesize their WAV payloads and run the REAL RIFF walk per
+    micro-batch (append mode — per-clip rows are immutable), then the
+    same declarative dBFS/crest tail as the batch query; hash-matches
+    the batch oracle. The continuous-ingest version of the audio quality
+    gate: clipping and silence surface as clips arrive, not at batch
+    close."""
+    from simple_stream_processor_spark.operators import multimodal
+
+    docs = _streaming_docs_raw(spark, sf_dir)
+    wav = multimodal.text_to_wav(docs, sample_rate=8000, max_samples=256)
+    st = multimodal.loudness_audio(wav).where(F.col("decode_ok"))
+    rms = F.sqrt(F.col("sumsq") / F.col("n_samples"))
+    return st.select(
+        "media_id", "n_samples", "peak",
+        F.round(rms, 4).alias("rms"),
+        F.when(F.col("peak") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(20.0 * F.log10(F.col("peak") / 32768.0), 4))
+        .alias("peak_dbfs"),
+        F.when(F.col("sumsq") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(10.0 * F.log10(F.col("sumsq") / F.col("n_samples") / (32768.0 * 32768.0)), 4))
+        .alias("rms_dbfs"),
+        F.round(F.try_divide(F.col("peak"), rms), 4).alias("crest_factor"),
+    )

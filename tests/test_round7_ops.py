@@ -268,3 +268,96 @@ def test_kneser_ney_matches_python_replay(spark, sf_dir):
             if a == w1
         )
         assert mass <= 1.0 + 1e-9
+
+
+def test_k_core_matches_peeling_replay(spark, sf_dir):
+    from simple_stream_processor_spark.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey").collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    pair_w = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair_w[(s[i], s[j])] += 1
+    edges = {p for p, w in pair_w.items() if w >= 2}
+    adj = defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    nodes = set(adj)
+    k = 3
+    # exact peel-to-fixpoint (the engine runs 16 synchronous rounds — at
+    # fixture scale that converges, which the 'converged' flag asserts)
+    while True:
+        drop = {n for n in nodes if sum(v in nodes for v in adj[n]) < k}
+        if not drop:
+            break
+        nodes -= drop
+    core_edges = sum(1 for x, y in edges if x in nodes and y in nodes)
+    got = QUERIES["q_k_core"](spark, sf_dir).collect()[0]
+    assert got.converged == "true", "16 rounds must converge at fixture scale"
+    assert (got.n_nodes, got.n_core_nodes, got.n_core_edges) == (
+        len(adj), len(nodes), core_edges,
+    )
+
+
+@pytest.fixture(scope="module")
+def daily(spark, sf_dir):
+    from simple_stream_processor_spark.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    rows = (
+        ev.groupBy("event_type", F.expr("unix_millis(ts) div 86400000").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    return [(r.event_type, r.day, r.cents) for r in rows]
+
+
+def test_holt_winters_matches_python_replay(spark, sf_dir, daily):
+    by_type = defaultdict(list)
+    for t, d, c in daily:
+        by_type[t].append((d, float(c)))
+    got = {r.event_type: r for r in QUERIES["q_holt_winters"](spark, sf_dir).collect()}
+    al, be, ga = 0.3, 0.05, 0.2
+    for t, series in by_type.items():
+        series.sort()
+        xs = [c for _, c in series]
+        n = len(xs)
+        if n < 14:
+            assert t not in got
+            continue
+        l = sum(xs[:7]) / 7.0
+        b = (sum(xs[7:14]) / 7.0 - sum(xs[:7]) / 7.0) / 7.0
+        s = [x - l for x in xs[:7]]
+        sae = 0.0
+        for t_i in range(7, n):
+            slot = t_i % 7
+            y = xs[t_i]
+            sae += abs(y - (l + b + s[slot]))
+            l_new = al * (y - s[slot]) + (1 - al) * (l + b)
+            b = be * (l_new - l) + (1 - be) * b
+            s[slot] = ga * (y - l_new) + (1 - ga) * s[slot]
+            l = l_new
+        r = got[t]
+        assert r.n_days == n
+        assert r.level == pytest.approx(round(l, 4), abs=2e-4)
+        assert r.trend == pytest.approx(round(b, 4), abs=2e-4)
+        assert r.forecast_next == pytest.approx(round(l + b + s[n % 7], 4), abs=2e-4)
+        assert r.mae == pytest.approx(round(sae / (n - 7), 4), abs=2e-4)
+
+
+def test_streaming_wave4_twins_match_batch(spark, sf_dir):
+    import simple_stream_processor_spark.queries_streaming  # noqa: F401
+
+    for b, s in [
+        ("q_holt_winters", "q_streaming_holt_winters"),
+        ("q_audio_loudness", "q_streaming_loudness"),
+    ]:
+        bb = sorted(map(tuple, QUERIES[b](spark, sf_dir).collect()))
+        ss = sorted(map(tuple, QUERIES[s](spark, sf_dir).collect()))
+        assert bb == ss, f"{s} != {b}"
