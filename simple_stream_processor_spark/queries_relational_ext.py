@@ -10953,3 +10953,115 @@ def holt_winters_tail(daily: DataFrame) -> DataFrame:
         F.round(F.array_max("st.s") - F.array_min("st.s"), 4).alias("seasonal_amplitude"),
         F.round(F.col("st.sae") / (F.col("n_days") - 7), 4).alias("mae"),
     )
+
+@query(
+    "q_sax_words",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * CAST(cents AS HUGEINT)) AS DOUBLE) AS q
+      FROM daily GROUP BY 1
+    ),
+    z AS (
+      SELECT event_type, n AS n_days,
+             CAST(s AS DOUBLE) / n AS mu,
+             sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS sd
+      FROM mom
+    ),
+    seg AS (
+      SELECT d.event_type, (row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) - 1) // 7 AS sg,
+             d.cents
+      FROM daily d
+    ),
+    paa AS (
+      SELECT s.event_type, s.sg,
+             CAST(sum(s.cents) AS BIGINT) AS seg_sum, CAST(count(*) AS BIGINT) AS seg_n
+      FROM seg s GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT p.event_type, p.sg, z.n_days,
+             CASE WHEN (CAST(p.seg_sum AS DOUBLE) / p.seg_n - z.mu) / z.sd IS NULL THEN 'n'
+                  WHEN (CAST(p.seg_sum AS DOUBLE) / p.seg_n - z.mu) / z.sd < -0.6745 THEN 'a'
+                  WHEN (CAST(p.seg_sum AS DOUBLE) / p.seg_n - z.mu) / z.sd < 0.0 THEN 'b'
+                  WHEN (CAST(p.seg_sum AS DOUBLE) / p.seg_n - z.mu) / z.sd < 0.6745 THEN 'c'
+                  ELSE 'd' END AS sym
+      FROM paa p JOIN z ON z.event_type = p.event_type
+    )
+    SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           string_agg(sym, '' ORDER BY sg) AS sax_word
+    FROM sym GROUP BY event_type
+""",
+)
+def q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N148: SAX symbolic aggregate approximation (Lin, Keogh et al.
+    2003) of each type's daily-revenue series — z-normalize, pool into
+    7-day PAA segments, and map each segment mean to an alphabet-of-4
+    symbol at the standard Gaussian breakpoints (-0.6745, 0, 0.6745 =
+    quartiles of N(0,1)): the series becomes a short WORD ('bbcdda...')
+    that motif mining, grep-style anomaly search, and cross-series
+    clustering can treat as text — the bridge between the time-series
+    family and the corpus operators (a SAX word can feed q_template_
+    detect or shingle dedup directly). Exact integer moments and segment
+    sums; z-scores are identical float trees; a constant series (sd = 0)
+    pins 'n' symbols through try_divide's NULL in BOTH engines rather
+    than one engine's NaN falling through differently. One daily rollup,
+    one per-type rank window (days-bounded), types x segments tiny."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return sax_tail(daily)
+
+
+def sax_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming SAX queries."""
+    mom = daily.groupBy(F.col("event_type").alias("met")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents").cast("decimal(38,0)")).cast("double").alias("q"),
+    )
+    z = mom.select(
+        "met",
+        F.col("n").alias("n_days"),
+        (F.col("s").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.try_divide(
+                F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n"),
+                F.col("n") - 1,
+            )
+        ).alias("sd"),
+    )
+    seg = daily.select(
+        "event_type",
+        F.expr(
+            "(row_number() over (partition by event_type order by day) - 1) div 7"
+        ).alias("sg"),
+        "cents",
+    )
+    paa = seg.groupBy("event_type", "sg").agg(
+        F.sum("cents").alias("seg_sum"), F.count(F.lit(1)).alias("seg_n")
+    )
+    zval = F.try_divide(
+        F.col("seg_sum").cast("double") / F.col("seg_n") - F.col("mu"), F.col("sd")
+    )
+    sym = paa.join(F.broadcast(z), F.col("met") == F.col("event_type")).select(
+        "event_type", "sg", "n_days",
+        F.when(zval.isNull(), "n")
+        .when(zval < -0.6745, "a")
+        .when(zval < 0.0, "b")
+        .when(zval < 0.6745, "c")
+        .otherwise("d")
+        .alias("sym"),
+    )
+    return sym.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("sg", "sym"))), lambda s: s["sym"]),
+            "",
+        ).alias("sax_word"),
+    )

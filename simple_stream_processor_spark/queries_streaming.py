@@ -2383,3 +2383,13 @@ def q_streaming_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rms_dbfs"),
         F.round(F.try_divide(F.col("peak"), rms), 4).alias("crest_factor"),
     )
+
+@query("q_streaming_sax", oracle=_relext_oracle("q_sax_words"))
+def q_streaming_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SAX twin (N148b): the per-type daily-cents state through
+    the shared sax_tail — each trigger re-symbolizes the bounded series,
+    so the live panel always shows the CURRENT word; hash-matches the
+    batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import sax_tail
+
+    return sax_tail(_streaming_daily_by_type(spark, sf_dir))

@@ -115,7 +115,7 @@ SENSITIVE = [
     "q_anova", "q_cramers_v", "q_tukey_fences",
     # round-7 wave 2 — doc-shape-sensitive (empty texts, single docs)
     "q_rake_keyphrases", "q_winnowing_fingerprint", "q_audio_loudness",
-    "q_kneser_ney_surprisal", "q_holt_winters",
+    "q_kneser_ney_surprisal", "q_holt_winters", "q_sax_words",
 ]
 
 

@@ -77,7 +77,7 @@ EVENT_QUERIES = [
     "q_shapley_attribution", "q_mann_whitney", "q_markov_entropy_rate",
     "q_block_maxima", "q_overdispersion", "q_spearman",
     "q_kendall_tau", "q_pettitt_changepoint", "q_kruskal_wallis",
-    "q_anova", "q_cramers_v", "q_tukey_fences", "q_holt_winters",
+    "q_anova", "q_cramers_v", "q_tukey_fences", "q_holt_winters", "q_sax_words",
     "q_top_paths", "q_forecast_eval", "q_changepoint_cusum",
     "q_survival_curve", "q_k_anonymity", "q_ab_test", "q_lag_features",
     "q_power_analysis", "q_grouped_udaf", "q_full_outer_reconcile",
@@ -255,7 +255,7 @@ STREAMING_QUERIES = [
     "q_streaming_xmr", "q_streaming_mann_kendall", "q_streaming_runs",
     "q_streaming_welch",
     "q_streaming_kruskal", "q_streaming_anova", "q_streaming_cramers",
-    "q_streaming_holt_winters",
+    "q_streaming_holt_winters", "q_streaming_sax",
 ]
 
 

@@ -361,3 +361,33 @@ def test_streaming_wave4_twins_match_batch(spark, sf_dir):
         bb = sorted(map(tuple, QUERIES[b](spark, sf_dir).collect()))
         ss = sorted(map(tuple, QUERIES[s](spark, sf_dir).collect()))
         assert bb == ss, f"{s} != {b}"
+
+
+def test_sax_words_match_python_replay(spark, sf_dir, daily):
+    by_type = defaultdict(list)
+    for t, d, c in daily:
+        by_type[t].append((d, c))
+    got = {r.event_type: r for r in QUERIES["q_sax_words"](spark, sf_dir).collect()}
+    for t, series in by_type.items():
+        series.sort()
+        xs = [c for _, c in series]
+        n = len(xs)
+        mu = sum(xs) / n
+        var = (sum(x * x for x in xs) - sum(xs) ** 2 / n) / (n - 1) if n > 1 else None
+        sd = math.sqrt(var) if var is not None else None
+        word = []
+        for sg in range((n + 6) // 7):
+            chunk = xs[7 * sg : 7 * sg + 7]
+            if not sd:
+                word.append("n")
+                continue
+            z = (sum(chunk) / len(chunk) - mu) / sd
+            word.append("a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d")
+        r = got[t]
+        assert (r.n_days, r.n_segments, r.sax_word) == (n, len(word), "".join(word))
+    # streaming twin identity
+    import simple_stream_processor_spark.queries_streaming  # noqa: F401
+
+    bb = sorted(map(tuple, QUERIES["q_sax_words"](spark, sf_dir).collect()))
+    ss = sorted(map(tuple, QUERIES["q_streaming_sax"](spark, sf_dir).collect()))
+    assert bb == ss
