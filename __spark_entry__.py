@@ -187,6 +187,7 @@ _PRIORITY = [
     "q_price_elasticity", "q_kneser_ney_surprisal",
     "q_k_core", "q_holt_winters", "q_streaming_holt_winters",
     "q_streaming_loudness", "q_sax_words", "q_streaming_sax",
+    "q_srp_simhash",
 ]
 
 

@@ -157,7 +157,7 @@ TAIL = [
     "q_rake_keyphrases", "q_winnowing_fingerprint", "q_image_dhash_dedup",
     "q_audio_loudness", "q_xyz_classification", "q_encoding_advisor",
     "q_price_elasticity", "q_kneser_ney_surprisal",
-    "q_k_core", "q_holt_winters", "q_sax_words",
+    "q_k_core", "q_holt_winters", "q_sax_words", "q_srp_simhash",
 ]
 
 

@@ -6685,3 +6685,108 @@ def q_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_bigrams",
         F.round(F.col("total") / F.col("n_bigrams"), 6).alias("kn_surprisal"),
     )
+
+
+_SRP_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS MATERIALIZED (
+      SELECT vec_id, v, CAST((CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:0'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 1 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:1'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 2 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:2'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 4 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:3'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 8 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:4'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 16 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:5'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 32 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:6'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 64 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:7'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 128 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:8'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 256 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:9'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 512 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:10'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 1024 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:11'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 2048 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:12'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 4096 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:13'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 8192 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:14'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 16384 ELSE 0 END) + (CASE WHEN (v[1] * (CASE WHEN ('0x' || substr(md5('srp:0:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[2] * (CASE WHEN ('0x' || substr(md5('srp:1:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[3] * (CASE WHEN ('0x' || substr(md5('srp:2:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[4] * (CASE WHEN ('0x' || substr(md5('srp:3:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[5] * (CASE WHEN ('0x' || substr(md5('srp:4:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[6] * (CASE WHEN ('0x' || substr(md5('srp:5:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[7] * (CASE WHEN ('0x' || substr(md5('srp:6:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[8] * (CASE WHEN ('0x' || substr(md5('srp:7:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[9] * (CASE WHEN ('0x' || substr(md5('srp:8:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[10] * (CASE WHEN ('0x' || substr(md5('srp:9:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[11] * (CASE WHEN ('0x' || substr(md5('srp:10:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[12] * (CASE WHEN ('0x' || substr(md5('srp:11:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[13] * (CASE WHEN ('0x' || substr(md5('srp:12:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[14] * (CASE WHEN ('0x' || substr(md5('srp:13:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[15] * (CASE WHEN ('0x' || substr(md5('srp:14:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[16] * (CASE WHEN ('0x' || substr(md5('srp:15:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[17] * (CASE WHEN ('0x' || substr(md5('srp:16:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[18] * (CASE WHEN ('0x' || substr(md5('srp:17:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[19] * (CASE WHEN ('0x' || substr(md5('srp:18:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[20] * (CASE WHEN ('0x' || substr(md5('srp:19:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[21] * (CASE WHEN ('0x' || substr(md5('srp:20:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[22] * (CASE WHEN ('0x' || substr(md5('srp:21:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[23] * (CASE WHEN ('0x' || substr(md5('srp:22:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[24] * (CASE WHEN ('0x' || substr(md5('srp:23:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[25] * (CASE WHEN ('0x' || substr(md5('srp:24:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[26] * (CASE WHEN ('0x' || substr(md5('srp:25:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[27] * (CASE WHEN ('0x' || substr(md5('srp:26:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[28] * (CASE WHEN ('0x' || substr(md5('srp:27:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[29] * (CASE WHEN ('0x' || substr(md5('srp:28:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[30] * (CASE WHEN ('0x' || substr(md5('srp:29:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[31] * (CASE WHEN ('0x' || substr(md5('srp:30:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[32] * (CASE WHEN ('0x' || substr(md5('srp:31:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[33] * (CASE WHEN ('0x' || substr(md5('srp:32:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[34] * (CASE WHEN ('0x' || substr(md5('srp:33:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[35] * (CASE WHEN ('0x' || substr(md5('srp:34:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[36] * (CASE WHEN ('0x' || substr(md5('srp:35:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[37] * (CASE WHEN ('0x' || substr(md5('srp:36:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[38] * (CASE WHEN ('0x' || substr(md5('srp:37:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[39] * (CASE WHEN ('0x' || substr(md5('srp:38:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[40] * (CASE WHEN ('0x' || substr(md5('srp:39:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[41] * (CASE WHEN ('0x' || substr(md5('srp:40:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[42] * (CASE WHEN ('0x' || substr(md5('srp:41:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[43] * (CASE WHEN ('0x' || substr(md5('srp:42:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[44] * (CASE WHEN ('0x' || substr(md5('srp:43:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[45] * (CASE WHEN ('0x' || substr(md5('srp:44:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[46] * (CASE WHEN ('0x' || substr(md5('srp:45:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[47] * (CASE WHEN ('0x' || substr(md5('srp:46:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[48] * (CASE WHEN ('0x' || substr(md5('srp:47:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[49] * (CASE WHEN ('0x' || substr(md5('srp:48:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[50] * (CASE WHEN ('0x' || substr(md5('srp:49:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[51] * (CASE WHEN ('0x' || substr(md5('srp:50:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[52] * (CASE WHEN ('0x' || substr(md5('srp:51:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[53] * (CASE WHEN ('0x' || substr(md5('srp:52:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[54] * (CASE WHEN ('0x' || substr(md5('srp:53:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[55] * (CASE WHEN ('0x' || substr(md5('srp:54:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[56] * (CASE WHEN ('0x' || substr(md5('srp:55:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[57] * (CASE WHEN ('0x' || substr(md5('srp:56:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[58] * (CASE WHEN ('0x' || substr(md5('srp:57:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[59] * (CASE WHEN ('0x' || substr(md5('srp:58:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[60] * (CASE WHEN ('0x' || substr(md5('srp:59:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[61] * (CASE WHEN ('0x' || substr(md5('srp:60:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[62] * (CASE WHEN ('0x' || substr(md5('srp:61:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[63] * (CASE WHEN ('0x' || substr(md5('srp:62:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) + v[64] * (CASE WHEN ('0x' || substr(md5('srp:63:15'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS sg
+      FROM e
+    ),
+    bands AS (
+      SELECT vec_id, v, sg, t.i AS band_idx,
+             CASE WHEN t.i = 0 THEN sg // 256 ELSE sg % 256 END AS band_val
+      FROM sig, unnest([0, 1]) AS t(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             bit_count(xor(a.sg, b.sg)) AS hamming,
+             a.v AS va, b.v AS vb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.sg, b.sg)) <= 2
+    )
+    SELECT vec_a, vec_b, CAST(hamming AS BIGINT) AS hamming,
+           round(list_dot_product(va, vb)
+                 / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) AS cos_sim
+    FROM cand
+"""
+
+
+SRP_N_PLANES = 16
+
+
+def _srp_signs() -> list[list[float]]:
+    """The deterministic ±1 hyperplane matrix for SRP simhash: the same
+    md5-parity Rademacher construction as the JL matrix (_rp_signs), under
+    the 'srp:' salt — both engines derive identical planes independently."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"srp:{i}:{j}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1.0
+            for i in range(RP_IN_DIM)
+        ]
+        for j in range(SRP_N_PLANES)
+    ]
+
+
+@query("q_srp_simhash", oracle=_SRP_ORACLE)
+def q_srp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L96: sign-random-projection simhash over embeddings (Charikar
+    2002; Goemans-Williamson hyperplane rounding) — the EMBEDDING-space
+    member of the simhash family (L3 hashes token sets; this hashes the
+    geometry): bit j = sign(v · r_j) for 16 deterministic Rademacher
+    hyperplanes (the md5-parity construction L63's JL matrix uses, 'srp:'
+    salt), so P(bit differs) = angle/pi and a small Hamming distance IS a
+    small angle — near-duplicate candidates come from 2x8-bit pigeonhole
+    bands at Hamming <= 2, each verified with the exact cosine readout.
+    Against L5's threshold dedup this needs no distance computation for
+    candidate generation at all: at 100 TB only (vec_id, 2-byte sig)
+    shuffles into the band join; vectors stay put until the
+    collision-proportional verify. Signature dots fold in index order
+    (identical trees both engines); the hyperplane matrix is a plan
+    literal."""
+    e = tables.spread(_t(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    signs = _srp_signs()
+    sig_expr = None
+    for j in range(SRP_N_PLANES):
+        sj = F.array(*[F.lit(s) for s in signs[j]])
+        dot = F.aggregate(F.zip_with(F.col("v"), sj, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+        bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig_expr = bit if sig_expr is None else sig_expr + bit
+    sig = e.select("vec_id", "v", sig_expr.cast("long").alias("sg")).localCheckpoint()
+    bands = sig.select(
+        "vec_id", "v", "sg",
+        F.posexplode(F.array(F.expr("sg div 256"), F.col("sg") % 256)).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("sg").alias("sga"),
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("sg").alias("sgb"),
+        F.col("band_idx").alias("bib"), F.col("band_val").alias("bvb"),
+    )
+    ham = F.bit_count(F.col("sga").bitwiseXOR(F.col("sgb")))
+
+    def dotp(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t)
+
+    cand = (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("bib"))
+            & (F.col("band_val") == F.col("bvb"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .where(ham <= 2)
+        .select("vec_a", "vec_b", ham.cast("long").alias("hamming"), "va", "vb")
+        .distinct()
+    )
+    cos = dotp(F.col("va"), F.col("vb")) / (
+        F.sqrt(dotp(F.col("va"), F.col("va"))) * F.sqrt(dotp(F.col("vb"), F.col("vb")))
+    )
+    return cand.select("vec_a", "vec_b", "hamming", F.round(cos, 6).alias("cos_sim"))

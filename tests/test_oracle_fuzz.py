@@ -367,6 +367,7 @@ EMBEDDING_QUERIES = [
     "q_embedding_quantize", "q_batch_ann", "q_kmeans", "q_pca_top_component",
     "q_hard_negatives", "q_pq_codes", "q_embedding_drift", "q_ann_recall",
     "q_ann_pq", "q_label_noise", "q_embedding_dedup", "q_cosine_topk",
+    "q_srp_simhash",
     "q_ann_ivf", "q_ann_bucketed", "q_semantic_dedup", "q_random_projection",
     "q_jl_recall", "q_embedding_norm_audit", "q_nearest_centroid",
     "q_silhouette",

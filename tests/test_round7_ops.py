@@ -391,3 +391,52 @@ def test_sax_words_match_python_replay(spark, sf_dir, daily):
     bb = sorted(map(tuple, QUERIES["q_sax_words"](spark, sf_dir).collect()))
     ss = sorted(map(tuple, QUERIES["q_streaming_sax"](spark, sf_dir).collect()))
     assert bb == ss
+
+
+def test_srp_simhash_matches_replay_and_angle_property(spark, sf_dir):
+    import numpy as np
+
+    from simple_stream_processor_spark.queries_llmdata import _srp_signs
+    from simple_stream_processor_spark.tables import load_table
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding").collect()
+    }
+    planes = np.array(_srp_signs())
+    sigs = {}
+    for vid, v in vecs.items():
+        dots = planes @ v
+        sigs[vid] = sum(1 << j for j, d in enumerate(dots) if d > 0)
+    # replay the 2x8-bit band candidate generation + hamming <= 2 gate
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for vid, s in sigs.items():
+        buckets[(0, s >> 8)].append(vid)
+        buckets[(1, s & 255)].append(vid)
+    expect = {}
+    for _, ids in buckets.items():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= 2:
+                    expect[(a, b)] = h
+    got = {(r.vec_a, r.vec_b): r for r in QUERIES["q_srp_simhash"](spark, sf_dir).collect()}
+    assert {k: r.hamming for k, r in got.items()} == expect
+    # SRP theory: P(bit differs) = angle/pi, so hamming<=2 pairs must have a
+    # higher mean cosine than random pairs
+    if got:
+        import itertools, random
+
+        cand_cos = [r.cos_sim for r in got.values()]
+        rng = random.Random(7)
+        ids = sorted(vecs)
+        rand_cos = []
+        for _ in range(500):
+            a, b = rng.sample(ids, 2)
+            va, vb = vecs[a], vecs[b]
+            rand_cos.append(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))))
+        assert sum(cand_cos) / len(cand_cos) > sum(rand_cos) / len(rand_cos)
