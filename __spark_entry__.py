@@ -31,41 +31,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness walks the dict in insertion order under a
-# 50-entry budget.  Rounds 1-6 verified 226 distinct queries green (the
-# round-6 window was 50/50, closing the `no_oracle` family).  ROUND-7
-# window, per the round-6 judge (task #3): the 50 OLDEST of the 114
-# never-driver-verified round-6 additions, in their declaration order
-# (q_zonemap_prune … q_streaming_jsd).  The remaining 64 round-6 additions
-# queue right behind as the deterministic round-8 window; round-7 additions
-# go at the registry tail behind them.  All previously driver-verified
-# queries follow, in their established relative order, plus the 5 early
-# queries the round-6 judge found had dropped out of rotation (task #6) —
-# _PRIORITY now covers the full registry (asserted by
+# 50-entry budget.  Rounds 1-7 verified 276 distinct queries green (the
+# round-7 window q_zonemap_prune … q_streaming_jsd came back 50/50 in
+# CORRECTNESS_r07.json).  ROUND-8 window, continuing the round-6 judge's
+# rotation discipline: the 64 remaining never-driver-verified round-6
+# additions, in their staged declaration order (q_streaming_audience …
+# q_spearman) — the driver verifies the first 50 of these; the overflow 14
+# plus the 27 round-7 additions queue immediately behind for round 9.
+# All previously driver-verified queries follow, in their established
+# relative order.  _PRIORITY covers the full registry (asserted by
 # test_priority_names_all_resolve_and_readme_count_matches).
 _PRIORITY = [
-    # --- round-7 window: 50 oldest never-driver-verified r6 additions ---
-    "q_zonemap_prune", "q_zorder_layout", "q_incremental_agg",
-    "q_ewma_smooth", "q_streaming_ewma", "q_graph_bfs",
-    "q_pmi_collocations", "q_ngram_novelty", "q_bpe_fertility",
-    "q_bisect_median", "q_weighted_median", "q_heaps_fit",
-    "q_streaming_zonemap",
-    "q_equidepth_hist", "q_burst_detection", "q_abc_classification",
-    "q_compaction_plan", "q_date_spine", "q_embedding_norm_audit",
-    "q_js_divergence",
-    "q_minhash_precision", "q_audience_overlap", "q_asof_tolerance",
-    "q_mutual_information", "q_streaming_novelty", "q_streaming_heaps",
-    "q_topk_with_other", "q_period_over_period", "q_user_saturation",
-    "q_whatif_grid", "q_cluster_size_dist",
-    "q_lift_table", "q_join_advisor", "q_bpe_generalization",
-    "q_streaming_saturation",
-    "q_debounce", "q_tiered_billing", "q_word_burstiness",
-    "q_hashed_features", "q_template_detect",
-    "q_lateness_audit", "q_salt_advisor", "q_dedup_threshold_curve",
-    "q_dedup_savings", "q_quality_trend",
-    "q_ship_lag", "q_cohort_ltv", "q_nearest_event_join",
-    "q_streaming_mi", "q_streaming_jsd",
-    # ---------- window boundary (50) ----------
-    # --- round-8 queue: remaining 64 never-driver-verified r6 additions ---
+    # --- round-8 window: 64 remaining never-driver-verified r6 additions
+    #     (driver budget covers the first 50; the rest head the r9 queue) ---
     "q_streaming_audience",
     "q_kmv_sketch", "q_srm_check", "q_seasonal_decompose",
     "q_set_similarity_join", "q_good_turing",
@@ -94,6 +72,40 @@ _PRIORITY = [
     "q_mann_whitney", "q_markov_entropy_rate",
     "q_streaming_mann_whitney", "q_block_maxima",
     "q_overdispersion", "q_spearman",
+    # ---------- window boundary (50 inside the list above) ----------
+    # --- round-9 queue: the 27 round-7 additions (local-oracle-green at
+    #     3 SFs in round 7, waiting for their first driver rows) ---
+    "q_kendall_tau", "q_pettitt_changepoint", "q_kruskal_wallis",
+    "q_anova", "q_cramers_v", "q_tukey_fences",
+    "q_streaming_kendall", "q_streaming_pettitt", "q_streaming_kruskal",
+    "q_streaming_anova", "q_streaming_tukey", "q_streaming_cramers",
+    "q_rake_keyphrases", "q_winnowing_fingerprint", "q_image_dhash_dedup",
+    "q_audio_loudness", "q_xyz_classification", "q_encoding_advisor",
+    "q_price_elasticity", "q_kneser_ney_surprisal",
+    "q_k_core", "q_holt_winters", "q_streaming_holt_winters",
+    "q_streaming_loudness", "q_sax_words", "q_streaming_sax",
+    "q_srp_simhash",
+    # --- driver-verified r7 (the round-7 window, relative order kept) ---
+    "q_zonemap_prune", "q_zorder_layout", "q_incremental_agg",
+    "q_ewma_smooth", "q_streaming_ewma", "q_graph_bfs",
+    "q_pmi_collocations", "q_ngram_novelty", "q_bpe_fertility",
+    "q_bisect_median", "q_weighted_median", "q_heaps_fit",
+    "q_streaming_zonemap",
+    "q_equidepth_hist", "q_burst_detection", "q_abc_classification",
+    "q_compaction_plan", "q_date_spine", "q_embedding_norm_audit",
+    "q_js_divergence",
+    "q_minhash_precision", "q_audience_overlap", "q_asof_tolerance",
+    "q_mutual_information", "q_streaming_novelty", "q_streaming_heaps",
+    "q_topk_with_other", "q_period_over_period", "q_user_saturation",
+    "q_whatif_grid", "q_cluster_size_dist",
+    "q_lift_table", "q_join_advisor", "q_bpe_generalization",
+    "q_streaming_saturation",
+    "q_debounce", "q_tiered_billing", "q_word_burstiness",
+    "q_hashed_features", "q_template_detect",
+    "q_lateness_audit", "q_salt_advisor", "q_dedup_threshold_curve",
+    "q_dedup_savings", "q_quality_trend",
+    "q_ship_lag", "q_cohort_ltv", "q_nearest_event_join",
+    "q_streaming_mi", "q_streaming_jsd",
     # --- driver-verified r6 (the round-6 window, relative order kept) ---
     "q_random_projection", "q_bm25_search", "q_bigram_surprisal",
     "q_hll_portable", "q_streaming_hll", "q_conformal_threshold",
@@ -176,18 +188,6 @@ _PRIORITY = [
     # --- r1/r2-green queries restored to rotation (r6 judge task #6) ---
     "q_doc_fingerprint", "q_ngram_jaccard", "q_ann_bucketed",
     "q_multimodal_meta", "q_udtf_chunks",
-    # --- new in round 7 (registry tail; local-oracle-green at 3 SFs,
-    # queued behind the r8 window for their first driver rows) ---
-    "q_kendall_tau", "q_pettitt_changepoint", "q_kruskal_wallis",
-    "q_anova", "q_cramers_v", "q_tukey_fences",
-    "q_streaming_kendall", "q_streaming_pettitt", "q_streaming_kruskal",
-    "q_streaming_anova", "q_streaming_tukey", "q_streaming_cramers",
-    "q_rake_keyphrases", "q_winnowing_fingerprint", "q_image_dhash_dedup",
-    "q_audio_loudness", "q_xyz_classification", "q_encoding_advisor",
-    "q_price_elasticity", "q_kneser_ney_surprisal",
-    "q_k_core", "q_holt_winters", "q_streaming_holt_winters",
-    "q_streaming_loudness", "q_sax_words", "q_streaming_sax",
-    "q_srp_simhash",
 ]
 
 
