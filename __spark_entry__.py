@@ -188,6 +188,18 @@ _PRIORITY = [
     # --- r1/r2-green queries restored to rotation (r6 judge task #6) ---
     "q_doc_fingerprint", "q_ngram_jaccard", "q_ann_bucketed",
     "q_multimodal_meta", "q_udtf_chunks",
+    # --- new in round 8 (registry tail; local-oracle-green at 3 SFs,
+    # queued behind the r9 window for their first driver rows) ---
+    "q_hhi_concentration", "q_theil_index", "q_mcnemar", "q_brown_forsythe",
+    "q_ohlc_bars", "q_page_hinkley", "q_bot_detection",
+    "q_time_decay_attribution", "q_pit_join", "q_session_stats",
+    "q_dtw_distance", "q_isotonic_calibration", "q_logrank_test",
+    "q_psi_drift", "q_cohens_kappa", "q_gopher_rules", "q_mojibake_audit",
+    "q_textrank_keywords", "q_embedding_discrimination", "q_ivf_nprobe_curve",
+    "q_streaming_psi", "q_streaming_gopher", "q_streaming_mojibake",
+    "q_streaming_kappa", "q_streaming_hhi", "q_streaming_theil",
+    "q_streaming_mcnemar", "q_streaming_brown_forsythe", "q_streaming_ohlc",
+    "q_streaming_page_hinkley", "q_streaming_dtw",
 ]
 
 

@@ -158,6 +158,13 @@ TAIL = [
     "q_audio_loudness", "q_xyz_classification", "q_encoding_advisor",
     "q_price_elasticity", "q_kneser_ney_surprisal",
     "q_k_core", "q_holt_winters", "q_sax_words", "q_srp_simhash",
+    # round 8
+    "q_hhi_concentration", "q_theil_index", "q_mcnemar", "q_brown_forsythe",
+    "q_ohlc_bars", "q_page_hinkley", "q_bot_detection",
+    "q_time_decay_attribution", "q_pit_join", "q_session_stats",
+    "q_dtw_distance", "q_isotonic_calibration", "q_logrank_test",
+    "q_psi_drift", "q_cohens_kappa", "q_gopher_rules", "q_mojibake_audit",
+    "q_textrank_keywords", "q_embedding_discrimination", "q_ivf_nprobe_curve",
 ]
 
 

@@ -6790,3 +6790,659 @@ def q_srp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(dotp(F.col("va"), F.col("va"))) * F.sqrt(dotp(F.col("vb"), F.col("vb")))
     )
     return cand.select("vec_a", "vec_b", "hamming", F.round(cos, 6).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: PSI drift, rater agreement, Gopher rule suite, encoding audit,
+# TextRank keywords, embedding discrimination, IVF nprobe tuning.
+# ---------------------------------------------------------------------------
+
+
+def psi_tail(cells: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming PSI queries: from the
+    (source, bin, np) count state — commutative, bounded at sources x 16
+    cells — each source's Population Stability Index vs the rest of the
+    corpus. Every grouping key is re-aliased so the derived subtrees of a
+    memory-sink state carry fresh attribute ids (the jsd_tail lesson)."""
+    tp = cells.groupBy(F.col("source").alias("s1")).agg(F.sum("np").alias("tp"))
+    tot = cells.groupBy(F.col("bin").alias("qbin")).agg(F.sum("np").alias("nq"))
+    gt = cells.agg(F.sum("np").alias("tq"))
+    srcs = tp.select(F.col("s1").alias("s0"))
+    grid = (
+        srcs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(gt))
+        .select(F.col("s0").alias("source"), F.col("qbin").alias("bin"), "nq", "tq")
+        .join(F.broadcast(tp), F.col("source") == F.col("s1"))
+        .drop("s1")
+        .join(
+            F.broadcast(cells.select(F.col("source").alias("s2"), F.col("bin").alias("b2"), "np")),
+            (F.col("source") == F.col("s2")) & (F.col("bin") == F.col("b2")),
+            "left",
+        )
+        .select(
+            "source", "bin", "tp",
+            F.greatest(
+                F.coalesce(F.col("np").cast("double") / F.col("tp"), F.lit(0.0)),
+                F.lit(0.0001),
+            ).alias("p"),
+            F.greatest(
+                F.coalesce(
+                    F.try_divide(
+                        (F.col("nq") - F.coalesce(F.col("np"), F.lit(0))).cast("double"),
+                        F.col("tq") - F.col("tp"),
+                    ),
+                    F.lit(0.0),
+                ),
+                F.lit(0.0001),
+            ).alias("q"),
+        )
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    out = (
+        grid.select("source", "bin", "tp", term.alias("term"))
+        .groupBy("source", F.col("tp").alias("n_docs"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col("bin"), F.col("term").alias("v")))),
+                        lambda s: s["v"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ),
+                4,
+            ).alias("psi")
+        )
+    )
+    return out.select(
+        "source", "n_docs", "psi",
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "moderate")
+        .otherwise("shifted")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q_psi_drift",
+    oracle="""
+    WITH cells AS (
+      SELECT source, least(15, n_chars // 64) AS bin, count(*)::BIGINT AS np
+      FROM documents GROUP BY 1, 2
+    ),
+    tp AS (SELECT source, CAST(sum(np) AS BIGINT) AS tp FROM cells GROUP BY 1),
+    tot AS (SELECT bin, CAST(sum(np) AS BIGINT) AS nq FROM cells GROUP BY 1),
+    gt AS (SELECT CAST(sum(np) AS BIGINT) AS tq FROM cells),
+    grid AS (
+      SELECT s.source, tot.bin, tp.tp,
+             greatest(coalesce(CAST(c.np AS DOUBLE) / tp.tp, 0.0), 0.0001) AS p,
+             greatest(coalesce(CAST(tot.nq - coalesce(c.np, 0) AS DOUBLE) / nullif(gt.tq - tp.tp, 0), 0.0), 0.0001) AS q
+      FROM (SELECT DISTINCT source FROM cells) s
+      CROSS JOIN tot CROSS JOIN gt
+      JOIN tp ON tp.source = s.source
+      LEFT JOIN cells c ON c.source = s.source AND c.bin = tot.bin
+    ),
+    terms AS (
+      SELECT source, bin, tp, (p - q) * ln(p / q) AS term FROM grid
+    ),
+    agg AS (
+      SELECT source, tp AS n_docs,
+             round(list_reduce(list_prepend(0.0, list(term ORDER BY bin)), (a, b) -> a + b), 4) AS psi
+      FROM terms GROUP BY source, tp
+    )
+    SELECT source, n_docs, psi,
+           CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate' ELSE 'shifted' END AS verdict
+    FROM agg
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L97: Population Stability Index per source vs the rest of the
+    corpus, over the 16-bin document-length grid — the FOURTH drift
+    metric on the one bounded-state pattern (L56 KS max-gap, L67 W1
+    transport, L73 JSD symmetric-info; PSI is what credit-risk and
+    model-monitoring teams threshold at the canonical 0.1/0.25 bands,
+    reported here as verdict strings). Distributions are exact integer
+    count ratios; empty cells clamp at the standard 1e-4 floor so
+    disjoint support never hits ln(0); the 16 cell terms fold in sorted
+    bin order. One doc-keyed pass, sources x 16 state thereafter."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "source", F.least(F.lit(15), F.expr("n_chars div 64")).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("np"))
+    return psi_tail(cells)
+
+
+def kappa_tail(counts: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming kappa queries over the
+    (lang, a, b, c, d) agreement-cell state (commutative counts,
+    langs-bounded): Cohen's kappa from exact integer marginals."""
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    num = (F.col("a").cast("decimal(38,0)") * F.col("d") - F.col("b").cast("decimal(38,0)") * F.col("c")) * 2
+    den = (
+        (F.col("a") + F.col("b")).cast("decimal(38,0)") * (F.col("b") + F.col("d"))
+        + (F.col("a") + F.col("c")).cast("decimal(38,0)") * (F.col("c") + F.col("d"))
+    )
+    return counts.select(
+        "lang",
+        n.alias("n_docs"),
+        F.round((F.col("a") + F.col("d")).cast("double") * 100.0 / n, 4).alias("pct_agree"),
+        F.round(F.try_divide(num.cast("double"), den.cast("double")), 6).alias("kappa"),
+    )
+
+
+def kappa_counts(docs: DataFrame) -> DataFrame:
+    """Per-language agreement cells between the two deterministic raters
+    (char-length gate vs token-count gate) — pure per-doc flags into one
+    commutative count aggregate (IS the streaming state)."""
+    r1 = (F.col("n_chars") >= 500).cast("int")
+    wc = F.size(F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0))
+    r2 = (wc >= 80).cast("int")
+    return docs.select("lang", r1.alias("r1"), r2.alias("r2")).groupBy("lang").agg(
+        F.sum(F.when((F.col("r1") == 1) & (F.col("r2") == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("r1") == 1) & (F.col("r2") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("r1") == 0) & (F.col("r2") == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("r1") == 0) & (F.col("r2") == 0), 1).otherwise(0)).alias("d"),
+    )
+
+
+@query(
+    "q_cohens_kappa",
+    oracle="""
+    WITH flags AS (
+      SELECT lang,
+             CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN len(list_filter(string_split(text, ' '), w -> length(w) > 0)) >= 80 THEN 1 ELSE 0 END AS r2
+      FROM documents
+    ),
+    g AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM flags GROUP BY 1
+    )
+    SELECT lang, CAST(a + b + c + d AS BIGINT) AS n_docs,
+           round(CAST(a + d AS DOUBLE) * 100.0 / (a + b + c + d), 4) AS pct_agree,
+           round(CAST(2 * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) AS DOUBLE)
+                 / CAST(CAST(a + b AS HUGEINT) * (b + d) + CAST(a + c AS HUGEINT) * (c + d) AS DOUBLE), 6) AS kappa
+    FROM g
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L98: Cohen's kappa inter-rater agreement (Cohen 1960) between two
+    deterministic quality raters (char-length gate vs token-count gate)
+    per language — the chance-corrected agreement measure for ANY pair
+    of labelers/filters (two quality models, a heuristic vs an LLM
+    judge, two annotation vendors): raw percent agreement flatters
+    skewed label rates, kappa does not. Exact integer cells with
+    decimal-widened marginal products (n^2-scale safe) to ONE division
+    under try_divide (a constant-rater frame pins NULL). One doc pass
+    into langs-bounded cells — scan-speed at any corpus size."""
+    return kappa_tail(kappa_counts(_t(spark, sf_dir, "documents")))
+
+
+def gopher_tail(g: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming Gopher queries over the
+    per-source counter state: append the pass-rate display ratio."""
+    return g.select(
+        "source", "n_docs", "n_pass",
+        "fail_wordcount", "fail_wordlen", "fail_alpha", "fail_stopwords",
+        F.round(F.col("n_pass").cast("double") * 100.0 / F.col("n_docs"), 4).alias("pass_pct"),
+    )
+
+
+def gopher_counts(docs: DataFrame) -> DataFrame:
+    """Per-source Gopher rule counters — per-doc pure flags into one
+    commutative aggregate (IS the streaming state)."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    d = docs.select(
+        "source",
+        F.size(toks).alias("nw"),
+        F.length(F.regexp_replace(F.col("text"), " ", "")).alias("wchars"),
+        F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))).alias("n_alpha"),
+        F.size(F.array_distinct(F.filter(toks, lambda w: w.isin(*text.STOPWORDS)))).alias("n_stop"),
+    )
+    flags = d.select(
+        "source",
+        F.when((F.col("nw") >= 50) & (F.col("nw") <= 100000), 1).otherwise(0).alias("r_wordcount"),
+        F.when(
+            (F.col("wchars") >= 3 * F.col("nw")) & (F.col("wchars") <= 10 * F.col("nw")) & (F.col("nw") > 0), 1
+        ).otherwise(0).alias("r_wordlen"),
+        F.when(5 * F.col("n_alpha") >= 4 * F.col("nw"), 1).otherwise(0).alias("r_alpha"),
+        F.when(F.col("n_stop") >= 2, 1).otherwise(0).alias("r_stopwords"),
+    )
+    scored = flags.select(
+        "source", "r_wordcount", "r_wordlen", "r_alpha", "r_stopwords",
+        (F.col("r_wordcount") * F.col("r_wordlen") * F.col("r_alpha") * F.col("r_stopwords")).alias("passed"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("passed").alias("n_pass"),
+        F.sum(1 - F.col("r_wordcount")).alias("fail_wordcount"),
+        F.sum(1 - F.col("r_wordlen")).alias("fail_wordlen"),
+        F.sum(1 - F.col("r_alpha")).alias("fail_alpha"),
+        F.sum(1 - F.col("r_stopwords")).alias("fail_stopwords"),
+    )
+
+
+_GOPHER_STOP_IN = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS nw,
+             length(replace(text, ' ', '')) AS wchars,
+             len(list_filter(list_filter(string_split(text, ' '), w -> length(w) > 0),
+                 w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+             len(list_distinct(list_filter(list_filter(string_split(text, ' '), w -> length(w) > 0),
+                 w -> w IN ({_GOPHER_STOP_IN})))) AS n_stop
+      FROM documents
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS r_wordcount,
+             CASE WHEN wchars >= 3 * nw AND wchars <= 10 * nw AND nw > 0 THEN 1 ELSE 0 END AS r_wordlen,
+             CASE WHEN 5 * n_alpha >= 4 * nw THEN 1 ELSE 0 END AS r_alpha,
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stopwords
+      FROM d
+    ),
+    scored AS (
+      SELECT source, r_wordcount, r_wordlen, r_alpha, r_stopwords,
+             r_wordcount * r_wordlen * r_alpha * r_stopwords AS passed
+      FROM flags
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(passed) AS BIGINT) AS n_pass,
+           CAST(sum(1 - r_wordcount) AS BIGINT) AS fail_wordcount,
+           CAST(sum(1 - r_wordlen) AS BIGINT) AS fail_wordlen,
+           CAST(sum(1 - r_alpha) AS BIGINT) AS fail_alpha,
+           CAST(sum(1 - r_stopwords) AS BIGINT) AS fail_stopwords,
+           round(CAST(sum(passed) AS DOUBLE) * 100.0 / count(*), 4) AS pass_pct
+    FROM scored GROUP BY 1
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L99: Gopher quality-rule suite (Rae et al. 2021, Table A1 subset)
+    — the published heuristic filter battery beside L12's composite
+    score: word-count bounds [50, 100k], mean word length in [3, 10]
+    (as EXACT integer cross-multiplications 3n <= chars <= 10n, no
+    ratios), >= 80% alphabetic words (5*n_alpha >= 4*n), >= 2 distinct
+    stop words; reported per source as rule-level failure counts + the
+    conjunction pass rate, which is how curation teams debug WHY a
+    source is being dropped. All flags are per-doc pure functions into
+    one commutative rollup — scan-speed, and directly streamable."""
+    return gopher_tail(gopher_counts(_t(spark, sf_dir, "documents")))
+
+
+def mojibake_tail(g: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming mojibake queries over the
+    per-source counter state: the ascii-share display ratio."""
+    return g.select(
+        "source", "n_docs", "docs_replacement_char", "docs_control_chars", "non_ascii_chars",
+        F.round(
+            F.try_divide(F.col("sum_ascii").cast("double") * 100.0, F.col("sum_chars").cast("double")), 4
+        ).alias("ascii_pct"),
+    )
+
+
+def mojibake_counts(docs: DataFrame) -> DataFrame:
+    """Per-source encoding-corruption counters — per-doc pure flags into
+    one commutative aggregate (IS the streaming state)."""
+    d = docs.select(
+        "source",
+        F.length("text").alias("n"),
+        F.length(F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", "")).alias("n_ascii"),
+        F.when(F.col("text").contains("�"), 1).otherwise(0).alias("has_replacement"),
+        F.when(F.length(F.regexp_replace(F.col("text"), "[\\x00-\\x08\\x0B-\\x1F]", "")) < F.length("text"), 1)
+        .otherwise(0).alias("has_control"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("has_replacement").alias("docs_replacement_char"),
+        F.sum("has_control").alias("docs_control_chars"),
+        F.sum(F.col("n") - F.col("n_ascii")).alias("non_ascii_chars"),
+        F.sum("n_ascii").alias("sum_ascii"),
+        F.sum("n").alias("sum_chars"),
+    )
+
+
+@query(
+    "q_mojibake_audit",
+    oracle=r"""
+    WITH d AS (
+      SELECT source, length(text) AS n,
+             length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS n_ascii,
+             CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS has_replacement,
+             CASE WHEN length(regexp_replace(text, '[\x00-\x08\x0B-\x1F]', '', 'g')) < length(text)
+                  THEN 1 ELSE 0 END AS has_control
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(has_replacement) AS BIGINT) AS docs_replacement_char,
+           CAST(sum(has_control) AS BIGINT) AS docs_control_chars,
+           CAST(sum(n - n_ascii) AS BIGINT) AS non_ascii_chars,
+           round(CAST(sum(n_ascii) AS DOUBLE) * 100.0 / CAST(sum(n) AS DOUBLE), 4) AS ascii_pct
+    FROM d GROUP BY 1
+    """,
+)
+def q_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L100: encoding-corruption (mojibake) audit per source — U+FFFD
+    replacement-character docs (the tombstone a broken decode leaves),
+    C0 control characters outside tab/newline (binary bleeding into
+    text), and the non-ASCII character share — the extraction-health
+    triage that runs BEFORE language ID trusts the bytes. Exact integer
+    counts (character-class strip-and-diff lengths, no per-char
+    explode); one ratio under try_divide. One doc pass into
+    sources-bounded counters — scan-speed, and directly streamable."""
+    return mojibake_tail(mojibake_counts(_t(spark, sf_dir, "documents")))
+
+
+@query(
+    "q_textrank_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), w -> length(w) > 0) AS t FROM documents
+    ),
+    adj AS (
+      SELECT DISTINCT t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+      WHERE t[i] <> t[i+1]
+    ),
+    e0 AS (
+      SELECT w1 AS src, w2 AS dst FROM adj
+      UNION
+      SELECT w2 AS src, w1 AS dst FROM adj
+    ),
+    deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+    r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / n.n_nodes AS r FROM deg, n),
+    it1 AS (
+      SELECT e.dst AS node,
+             round(CAST(0.15 AS DOUBLE) / n.n_nodes + CAST(0.85 AS DOUBLE) * sum(r.r / g.d), 9) AS r
+      FROM e0 e JOIN r0 r ON r.node = e.src JOIN deg g ON g.src = e.src
+      CROSS JOIN n GROUP BY e.dst, n.n_nodes
+    ),
+    it2 AS (
+      SELECT e.dst AS node,
+             round(CAST(0.15 AS DOUBLE) / n.n_nodes + CAST(0.85 AS DOUBLE) * sum(r.r / g.d), 9) AS r
+      FROM e0 e JOIN it1 r ON r.node = e.src JOIN deg g ON g.src = e.src
+      CROSS JOIN n GROUP BY e.dst, n.n_nodes
+    ),
+    it3 AS (
+      SELECT e.dst AS node,
+             round(CAST(0.15 AS DOUBLE) / n.n_nodes + CAST(0.85 AS DOUBLE) * sum(r.r / g.d), 9) AS r
+      FROM e0 e JOIN it2 r ON r.node = e.src JOIN deg g ON g.src = e.src
+      CROSS JOIN n GROUP BY e.dst, n.n_nodes
+    )
+    SELECT it3.node AS word, CAST(g.d AS BIGINT) AS degree, it3.r AS textrank
+    FROM it3 JOIN deg g ON g.src = it3.node
+    ORDER BY it3.r DESC, it3.node LIMIT 20
+    """,
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L101: TextRank keyword extraction (Mihalcea & Tarau 2004) —
+    PageRank over the word-adjacency co-occurrence graph, the
+    graph-centrality keyword ranker beside L28's TF-IDF (frequency) and
+    L91's RAKE (degree/frequency): a word is important if important
+    words neighbor it. Reuses the N-series pagerank operator verbatim
+    (3 unrolled power iterations, damping 0.85, per-iteration round(.,9)
+    resync — the cross-engine fixed-point discipline) on edges built by
+    one narrow slice-zip per doc + a vocab-bounded distinct; the rank
+    vector is vocabulary-sized and broadcasts against the edge table."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    t = docs.select(toks.alias("tk"))
+    pairs = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p")["w1"].alias("w1"), F.col("p")["w2"].alias("w2")).where(
+        F.col("w1") != F.col("w2")
+    )
+    adj = pairs.distinct()
+    edges = (
+        adj.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionByName(adj.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=False)
+    from simple_stream_processor_spark.operators import relational
+
+    ranks = relational.pagerank(edges, rounds=3, damping=0.85)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("src").alias("dnode"), "d"
+    )
+    return (
+        ranks.join(F.broadcast(deg), ranks["node"] == deg["dnode"])
+        .select(F.col("node").alias("word"), F.col("d").cast("long").alias("degree"), F.col("r").alias("textrank"))
+        .orderBy(F.col("textrank").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_embedding_discrimination",
+    oracle="""
+    WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT * FROM e0 WHERE list_dot_product(v, v) > 0),
+    ex AS (
+      SELECT label, t.i AS pos, v[t.i] AS x
+      FROM e0, unnest(range(1, len(v) + 1)) AS t(i)
+    ),
+    cent_long AS (SELECT label, pos, round(avg(x), 6) AS c FROM ex GROUP BY label, pos),
+    cent0 AS (SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cent_long GROUP BY label),
+    cent AS (SELECT * FROM cent0 WHERE list_dot_product(cv, cv) > 0),
+    cells AS (
+      SELECT e.label, c.c_label, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(
+               list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) * 1e9
+             ) AS BIGINT)) AS BIGINT) AS s
+      FROM e CROSS JOIN cent c
+      GROUP BY 1, 2
+    ),
+    intra AS (
+      SELECT label AS l1, n AS n_vecs, CAST(s AS DOUBLE) / n / 1e9 AS intra_raw
+      FROM cells WHERE label = c_label
+    ),
+    other AS (
+      SELECT label AS l2, max(CAST(s AS DOUBLE) / n / 1e9) AS other_raw
+      FROM cells WHERE label <> c_label GROUP BY 1
+    )
+    SELECT l1 AS label, n_vecs,
+           round(intra_raw, 6) AS intra_cos,
+           round(other_raw, 6) AS best_other_cos,
+           round(intra_raw - other_raw, 6) AS margin
+    FROM intra LEFT JOIN other ON l2 = l1
+    """,
+)
+def q_embedding_discrimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L102: embedding discrimination audit — per label, the mean cosine
+    of members to their OWN centroid vs the best (max) mean cosine to
+    any OTHER centroid, and the margin between them: do the embeddings
+    actually separate the classes the pipeline will cluster/filter on?
+    (A negative margin says the label's members sit closer to a foreign
+    centroid — retrain or re-label before SemDeDup/ANN trust the space.)
+    Costs n x k centroid cosines (NEVER n^2 pairs — the L61 cluster-
+    granularity trade); per-cell means use the floor-quantize pattern
+    (picocosine longs summed commutatively — map-side combinable at any
+    scale, no sorted fold over members). Zero-norm vectors/centroids are
+    filtered (cosine undefined; L87's audit flags them upstream)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).where(
+        F.aggregate(F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b) > 0
+    )
+    cents = similarity.ivf_centroids(emb).where(
+        F.aggregate(F.zip_with("cv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b) > 0
+    )
+    cells = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "label", "c_label",
+            F.floor(dedup.cosine(F.col("v"), F.col("cv")) * 1e9).alias("tcos"),
+        )
+        .groupBy("label", "c_label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tcos").alias("s"))
+    )
+    intra = cells.where(F.col("label") == F.col("c_label")).select(
+        F.col("label").alias("l1"),
+        F.col("n").alias("n_vecs"),
+        (F.col("s").cast("double") / F.col("n") / 1e9).alias("intra_raw"),
+    )
+    other = (
+        cells.where(F.col("label") != F.col("c_label"))
+        .groupBy(F.col("label").alias("l2"))
+        .agg(F.max(F.col("s").cast("double") / F.col("n") / 1e9).alias("other_raw"))
+    )
+    return (
+        intra.join(other, F.col("l1") == F.col("l2"), "left")
+        .select(
+            F.col("l1").alias("label"),
+            "n_vecs",
+            F.round(F.col("intra_raw"), 6).alias("intra_cos"),
+            F.round(F.col("other_raw"), 6).alias("best_other_cos"),
+            F.round(F.col("intra_raw") - F.col("other_raw"), 6).alias("margin"),
+        )
+    )
+
+
+@query(
+    "q_ivf_nprobe_curve",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (
+      SELECT label, t.i AS pos, v[t.i] AS x
+      FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+    ),
+    cent_long AS (SELECT label, pos, round(avg(x), 6) AS c FROM ex GROUP BY label, pos),
+    cent AS (SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cent_long GROUP BY label),
+    sims AS (
+      SELECT e.vec_id, e.label, e.v, c.c_label,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+               c.c_label ASC) AS rn
+      FROM e CROSS JOIN cent c
+    ),
+    inv AS (SELECT vec_id, v, c_label FROM sims WHERE rn = 1),
+    probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    pc AS (
+      SELECT c_label,
+             row_number() OVER (ORDER BY
+               list_dot_product(pv, cv) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) DESC,
+               c_label ASC) AS cr
+      FROM cent, probe QUALIFY cr <= 3
+    ),
+    scored AS (
+      SELECT i.vec_id, pc.cr,
+             list_dot_product(i.v, p.pv) / (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos_sim
+      FROM inv i JOIN pc ON i.c_label = pc.c_label, probe p
+      WHERE i.vec_id <> 0
+    ),
+    exact AS (
+      SELECT i.vec_id AS evid
+      FROM inv i, probe p
+      WHERE i.vec_id <> 0
+      ORDER BY list_dot_product(i.v, p.pv) / (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(p.pv, p.pv))) DESC,
+               i.vec_id ASC
+      LIMIT 10
+    ),
+    nprobes AS (SELECT unnest([1, 2, 3]) AS nprobe),
+    cand AS (
+      SELECT n.nprobe, s.vec_id, s.cos_sim FROM scored s JOIN nprobes n ON s.cr <= n.nprobe
+    ),
+    topk AS (
+      SELECT nprobe, vec_id,
+             row_number() OVER (PARTITION BY nprobe ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM cand QUALIFY rn <= 10
+    ),
+    n_cand AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY 1),
+    n_exact AS (SELECT CAST(count(*) AS BIGINT) AS ne FROM exact),
+    hits AS (
+      SELECT t.nprobe AS np2, CAST(count(*) AS BIGINT) AS n_hits
+      FROM topk t JOIN exact x ON x.evid = t.vec_id GROUP BY 1
+    )
+    SELECT CAST(c.nprobe AS INTEGER) AS nprobe, c.n_candidates,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(ne AS DOUBLE), 4) AS recall_at_10
+    FROM n_cand c LEFT JOIN hits h ON h.np2 = c.nprobe, n_exact
+    """,
+)
+def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L103: IVF nprobe tuning curve — recall@10 and candidate volume at
+    nprobe in {1,2,3}, from ONE scoring pass (the q_whatif_grid one-pass
+    sweep applied to N12's IVF index): the cost/recall frontier that
+    decides the serving nprobe BEFORE the index ships, beside L42's
+    single-config recall check. Every candidate is scored once with its
+    list's centroid rank attached; each nprobe's top-10 is a rank filter
+    over the same scored set, so adding a curve point costs a predicate,
+    not a re-scan. Exact-cosine sequential folds keep both rankings
+    bit-deterministic; recall denominators ride try_divide."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb).persist()
+    inv = similarity.ivf_assign(emb, cents)
+    probe = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("pv")
+    )
+    pc = (
+        cents.crossJoin(F.broadcast(probe))
+        .select(
+            "c_label",
+            F.row_number().over(
+                Window.orderBy(dedup.cosine(F.col("cv"), F.col("pv")).desc(), F.col("c_label").asc())
+            ).alias("cr"),
+        )
+        .where(F.col("cr") <= 3)
+    )
+    scored = (
+        inv.join(F.broadcast(pc), "c_label")
+        .where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "cr", dedup.cosine(F.col("v"), F.col("pv")).alias("cos_sim"))
+    )
+    exact = (
+        inv.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", dedup.cosine(F.col("v"), F.col("pv")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(F.col("vec_id").alias("evid"))
+    )
+    nprobes = spark.range(1, 4).select(F.col("id").cast("int").alias("nprobe"))
+    cand = scored.crossJoin(F.broadcast(nprobes)).where(F.col("cr") <= F.col("nprobe"))
+    topk = cand.select(
+        "nprobe", "vec_id",
+        F.row_number().over(
+            Window.partitionBy("nprobe").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        ).alias("rn"),
+    ).where(F.col("rn") <= 10)
+    n_cand = cand.groupBy("nprobe").agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("ne"))
+    hits = (
+        topk.join(F.broadcast(exact), topk["vec_id"] == exact["evid"])
+        .groupBy(F.col("nprobe").alias("np2"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_cand.join(hits, F.col("nprobe") == F.col("np2"), "left")
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "nprobe", "n_candidates",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.try_divide(F.coalesce(F.col("n_hits"), F.lit(0)).cast("double"), F.col("ne").cast("double")),
+                4,
+            ).alias("recall_at_10"),
+        )
+    )

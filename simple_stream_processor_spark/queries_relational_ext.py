@@ -11065,3 +11065,1263 @@ def sax_tail(daily: DataFrame) -> DataFrame:
             "",
         ).alias("sax_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: concentration/inequality, paired & dispersion tests, market bars,
+# sequential drift, traffic forensics, attribution, PIT join, sessions,
+# DTW, isotonic calibration, survival comparison.
+# ---------------------------------------------------------------------------
+
+
+def hhi_tail(rows: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming HHI queries: from the
+    (segment, custkey, cents) revenue state — commutative integer sums,
+    bounded at segments x customers rows — the Herfindahl-Hirschman
+    index and top-customer share per segment. All-integer moments
+    (decimal-widened squares) to two final display divisions."""
+    g = rows.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sumsq"),
+        F.max("cents").alias("cmax"),
+    )
+    return g.select(
+        "segment", "n_custs", "total_cents",
+        F.round(
+            F.try_divide(
+                F.col("sumsq").cast("double") * 10000.0,
+                F.col("total_cents").cast("double") * F.col("total_cents"),
+            ),
+            4,
+        ).alias("hhi"),
+        F.round(
+            F.try_divide(F.col("cmax").cast("double") * 100.0, F.col("total_cents").cast("double")),
+            4,
+        ).alias("max_share_pct"),
+    )
+
+
+def _customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment, custkey, cents) revenue rollup shared by the
+    concentration/inequality family (N149 HHI, N150 Theil): one
+    custkey-keyed exchange both sides bucket on at 100 TB."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        o.join(c, F.col("o_custkey") == F.col("ck"))
+        .groupBy("segment", F.col("o_custkey").alias("custkey"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+
+
+@query(
+    "q_hhi_concentration",
+    oracle="""
+    WITH rows_ AS (
+      SELECT c_mktsegment AS segment, o_custkey AS custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT segment, CAST(count(*) AS BIGINT) AS n_custs,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             sum(CAST(cents AS HUGEINT) * cents) AS sumsq,
+             CAST(max(cents) AS BIGINT) AS cmax
+      FROM rows_ GROUP BY 1
+    )
+    SELECT segment, n_custs, total_cents,
+           round(CAST(sumsq AS DOUBLE) * 10000.0 / (CAST(total_cents AS DOUBLE) * total_cents), 4) AS hhi,
+           round(CAST(cmax AS DOUBLE) * 100.0 / CAST(total_cents AS DOUBLE), 4) AS max_share_pct
+    FROM g
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N149: Herfindahl-Hirschman concentration index of customer revenue
+    per market segment (Herfindahl 1950 / Hirschman 1945) — the antitrust
+    and portfolio-risk standard beside N129's Gini and N113's Lorenz
+    curve: HHI = 10000 * sum(share_i^2), in the 0..10000 points scale
+    regulators quote, plus the top-customer share. EXACT INTEGER moments:
+    cents sums and decimal(38,0)-widened squares (the widen-BEFORE-
+    multiply discipline) survive any corpus scale; two final display
+    divisions ride try_divide (an all-zero-revenue segment pins NULL,
+    DuckDB /0 matching). One custkey exchange + a segments-bounded
+    rollup — the q_gini_concentration shape."""
+    return hhi_tail(_customer_revenue(spark, sf_dir))
+
+
+def theil_tail(rows: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming Theil queries. Per-customer
+    transcendental terms are FLOOR-QUANTIZED to integer picounits and
+    summed commutatively — floor(t*1e12) of bit-identical doubles is a
+    bit-identical long in both engines, and a long sum (decimal-widened)
+    is partial-aggregation-safe at any scale, unlike a float fold that
+    would need one global sort. The quantization IS the contract (both
+    engines compute the same quantized statistic), not an approximation
+    of one engine by the other."""
+    pos = rows.where(F.col("cents") > 0)
+    seg = pos.groupBy(F.col("segment").alias("sg")).agg(
+        F.count(F.lit(1)).alias("nj"), F.sum("cents").alias("sj")
+    )
+    terms = (
+        pos.join(F.broadcast(seg), F.col("segment") == F.col("sg"))
+        .select(
+            "segment", "nj",
+            F.floor(
+                (F.col("cents").cast("double") / F.col("sj"))
+                * F.log(F.col("cents").cast("double") * F.col("nj") / F.col("sj"))
+                * 1e12
+            ).cast("decimal(38,0)").alias("t_e12"),
+        )
+    )
+    within = terms.groupBy("segment", F.col("nj").alias("n_custs")).agg(
+        F.round(F.sum("t_e12").cast("double") / 1e12, 6).alias("theil")
+    ).select("segment", "n_custs", "theil")
+    tot = seg.agg(F.sum("nj").alias("n"), F.sum("sj").alias("s"))
+    btw = (
+        seg.crossJoin(F.broadcast(tot))
+        .select(
+            "sg",
+            ((F.col("sj").cast("double") / F.col("s"))
+             * F.log((F.col("sj").cast("double") * F.col("n")) / (F.col("s").cast("double") * F.col("nj")))
+             ).alias("term"),
+            "n",
+        )
+        .groupBy(F.col("n").alias("n_custs"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col("sg"), F.col("term").alias("v")))),
+                        lambda s: s["v"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ),
+                6,
+            ).alias("theil")
+        )
+        .select(F.lit("(between)").alias("segment"), "n_custs", "theil")
+    )
+    return within.unionByName(btw)
+
+
+@query(
+    "q_theil_index",
+    oracle="""
+    WITH rows_ AS (
+      SELECT c_mktsegment AS segment, o_custkey AS custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ),
+    pos AS (SELECT * FROM rows_ WHERE cents > 0),
+    seg AS (
+      SELECT segment, CAST(count(*) AS BIGINT) AS nj, CAST(sum(cents) AS BIGINT) AS sj
+      FROM pos GROUP BY 1
+    ),
+    terms AS (
+      SELECT p.segment, s.nj,
+             CAST(floor((CAST(p.cents AS DOUBLE) / s.sj)
+                  * ln(CAST(p.cents AS DOUBLE) * s.nj / s.sj) * 1e12) AS HUGEINT) AS t_e12
+      FROM pos p JOIN seg s ON s.segment = p.segment
+    ),
+    within AS (
+      SELECT segment, nj AS n_custs, round(CAST(sum(t_e12) AS DOUBLE) / 1e12, 6) AS theil
+      FROM terms GROUP BY segment, nj
+    ),
+    tot AS (SELECT CAST(sum(nj) AS BIGINT) AS n, CAST(sum(sj) AS BIGINT) AS s FROM seg),
+    btw AS (
+      SELECT '(between)' AS segment, tot.n AS n_custs,
+             round(list_reduce(list_prepend(0.0, list(
+               (CAST(sj AS DOUBLE) / tot.s) * ln((CAST(sj AS DOUBLE) * tot.n) / (CAST(tot.s AS DOUBLE) * nj))
+               ORDER BY segment)), (a, b) -> a + b), 6) AS theil
+      FROM seg, tot GROUP BY tot.n
+    )
+    SELECT * FROM within UNION ALL SELECT * FROM btw
+    """,
+)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N150: Theil T inequality index of customer revenue (Theil 1967),
+    decomposed into per-segment WITHIN components plus the BETWEEN-segment
+    component — the additively-decomposable inequality measure Gini is
+    not (which segment drives the concentration, not just how much).
+    Determinism: per-customer terms p_i*ln(p_i*n) are pure functions of
+    exact integers, floor-quantized to picounit longs and summed
+    COMMUTATIVELY (map-side combinable — the scale answer to float-fold
+    ordering; the bounded between-row keeps the classic sorted fold).
+    Zero/negative-revenue customers are excluded (ln domain). One
+    custkey exchange + segments-bounded arithmetic."""
+    return theil_tail(_customer_revenue(spark, sf_dir))
+
+
+def mcnemar_tail(pres: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming McNemar queries over the
+    (event_type, user_id, day) presence state (counts commutative,
+    bounded by active user-days). The half-period boundary derives from
+    the state's own min/max day at drain time."""
+    bounds = pres.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    ).select(F.expr("(dmin + dmax) div 2").alias("mid"))
+    flags = (
+        pres.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.max(F.when(F.col("day") <= F.col("mid"), 1).otherwise(0)).alias("x"),
+            F.max(F.when(F.col("day") > F.col("mid"), 1).otherwise(0)).alias("y"),
+        )
+    )
+    g = flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when((F.col("x") == 1) & (F.col("y") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("y") == 1), 1).otherwise(0)).alias("c"),
+    )
+    num = F.greatest(F.abs(F.col("b") - F.col("c")) - 1, F.lit(0))
+    chi2 = F.try_divide((num * num).cast("double"), (F.col("b") + F.col("c")).cast("double"))
+    return g.select(
+        "event_type", "n_users", "b", "c",
+        F.round(chi2, 4).alias("chi2_cc"),
+        F.when(chi2.isNull(), "n/a").when(chi2 > 3.841, "shifted").otherwise("stable").alias("verdict"),
+    )
+
+
+@query(
+    "q_mcnemar",
+    oracle="""
+    WITH pres AS (
+      SELECT event_type, user_id, epoch_ms(ts) // 86400000 AS day
+      FROM events GROUP BY 1, 2, 3
+    ),
+    mid AS (SELECT (min(day) + max(day)) // 2 AS mid FROM pres),
+    flags AS (
+      SELECT event_type, user_id,
+             max(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS x,
+             max(CASE WHEN day > mid THEN 1 ELSE 0 END) AS y
+      FROM pres, mid GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM flags GROUP BY 1
+    )
+    SELECT event_type, n_users, b, c,
+           round(CAST(greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0) AS DOUBLE)
+                 / CAST(b + c AS DOUBLE), 4) AS chi2_cc,
+           CASE WHEN b + c = 0 THEN 'n/a'
+                WHEN CAST(greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0) AS DOUBLE)
+                     / CAST(b + c AS DOUBLE) > 3.841 THEN 'shifted'
+                ELSE 'stable' END AS verdict
+    FROM g
+    """,
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N151: McNemar's paired test (McNemar 1947, continuity-corrected)
+    on first-half vs second-half per-user presence of each event type —
+    the PAIRED complement to the family's unpaired two-sample tests
+    (N116 Welch, N134 Mann-Whitney): only the discordant users b (did,
+    then stopped) and c (didn't, then started) carry signal, so secular
+    audience churn cancels out. Exact integer cells to one chi-square
+    division under try_divide (b+c=0 pins 'n/a' — the nullable-boolean
+    lesson applied as verdict strings). The period midpoint is a one-row
+    broadcast scalar; everything else is two keyed aggregates bounded by
+    active user-days."""
+    ev = _t(spark, sf_dir, "events")
+    pres = ev.groupBy(
+        "event_type", "user_id", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return mcnemar_tail(pres)
+
+
+def brown_forsythe_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming Brown-Forsythe queries over the
+    (event_type, day, cents) daily state: per-group exact medians via the
+    doubled-midrank rank windows (integer m2 = lo+hi), |2x - m2| absolute
+    deviations, then the one-way ANOVA machinery on the deviations."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("cents", "day")
+    ranked = daily.select(
+        "event_type", "day", "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("cnt"),
+    )
+    med = ranked.where(
+        (F.col("rk") == F.expr("(cnt + 1) div 2")) | (F.col("rk") == F.expr("(cnt + 2) div 2"))
+    ).groupBy(F.col("event_type").alias("et")).agg(F.sum("cents").alias("m2x"), F.count(F.lit(1)).alias("nm"))
+    med = med.select("et", F.when(F.col("nm") == 1, F.col("m2x") * 2).otherwise(F.col("m2x")).alias("m2"))
+    z = (
+        daily.join(F.broadcast(med), F.col("event_type") == F.col("et"))
+        .select("event_type", "day", F.abs(F.col("cents") * 2 - F.col("m2")).alias("z2"))
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum("z2").alias("si"),
+        F.sum(F.col("z2").cast("decimal(38,0)") * F.col("z2")).cast("double").alias("qi"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("s"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "qi"))),
+            F.lit(0.0), lambda acc, s: acc + s["qi"],
+        ).alias("q"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "si", "ni"))),
+            F.lit(0.0),
+            lambda acc, s: acc + (s["si"] * s["si"].cast("decimal(38,0)")).cast("double") / s["ni"],
+        ).alias("sr"),
+    )
+    ssb = F.col("sr") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("sr")
+    f_bf = F.try_divide(
+        F.try_divide(ssb, F.col("k_groups") - 1),
+        F.try_divide(ssw, F.col("n") - F.col("k_groups")),
+    )
+    return m.select(
+        "k_groups", F.col("n").alias("n_days"), F.round(f_bf, 4).alias("f_bf"),
+        F.when(f_bf.isNull(), "n/a").when(f_bf > 3.0, "heteroscedastic").otherwise("homoscedastic").alias("verdict"),
+    )
+
+
+@query(
+    "q_brown_forsythe",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, day, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents, day) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM daily
+    ),
+    med0 AS (
+      SELECT event_type, CAST(sum(cents) AS BIGINT) AS m2x, count(*) AS nm
+      FROM ranked WHERE rk = (cnt + 1) // 2 OR rk = (cnt + 2) // 2
+      GROUP BY 1
+    ),
+    med AS (SELECT event_type, CASE WHEN nm = 1 THEN m2x * 2 ELSE m2x END AS m2 FROM med0),
+    z AS (
+      SELECT d.event_type, d.day, abs(d.cents * 2 - med.m2) AS z2
+      FROM daily d JOIN med ON med.event_type = d.event_type
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ni,
+             CAST(sum(z2) AS BIGINT) AS si,
+             CAST(sum(CAST(z2 AS HUGEINT) * z2) AS DOUBLE) AS qi
+      FROM z GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(ni) AS BIGINT) AS n,
+             CAST(sum(si) AS BIGINT) AS s,
+             list_reduce(list_prepend(0.0, list(qi ORDER BY event_type)), (a, x) -> a + x) AS q,
+             list_reduce(list_prepend(0.0,
+               list(CAST(CAST(si AS HUGEINT) * si AS DOUBLE) / ni ORDER BY event_type)),
+               (a, x) -> a + x) AS sr
+      FROM g
+    )
+    SELECT k_groups, n AS n_days,
+           round(((sr - CAST(s AS DOUBLE) * s / n) / (k_groups - 1))
+                 / ((q - sr) / (n - k_groups)), 4) AS f_bf,
+           CASE WHEN ((sr - CAST(s AS DOUBLE) * s / n) / (k_groups - 1))
+                     / ((q - sr) / (n - k_groups)) IS NULL THEN 'n/a'
+                WHEN ((sr - CAST(s AS DOUBLE) * s / n) / (k_groups - 1))
+                     / ((q - sr) / (n - k_groups)) > 3.0 THEN 'heteroscedastic'
+                ELSE 'homoscedastic' END AS verdict
+    FROM m
+    """,
+)
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N152: Brown-Forsythe variance-homogeneity test (Brown & Forsythe
+    1974) across event types on daily revenue — the robust Levene
+    variant (median centers, not means) that answers "is N140's ANOVA
+    even valid?" and flags dispersion regresses the mean-tests miss.
+    Exact machinery: per-group medians as doubled midranks (integer
+    m2 = lo+hi, no half fractions), |2x - m2| deviations stay integer,
+    then the N140 ANOVA moments (decimal-widened squares, sorted
+    per-group folds, every degenerate division under try_divide with
+    'n/a' verdicts). One daily rollup + types-bounded rank windows."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return brown_forsythe_tail(daily)
+
+
+def ohlc_state(ev: DataFrame) -> DataFrame:
+    """The (event_type, day) candlestick state: lexicographic struct
+    MIN/MAX pick open/close deterministically ((ts_ms, event_id) is a
+    total order), integer extremes/sums for high/low/volume — every
+    aggregate commutative, so the state is streaming-mergeable and the
+    exchange carries one row per bar at any corpus scale."""
+    e = ev.select(
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return e.groupBy("event_type", "day").agg(
+        F.min(F.struct("ts_ms", "event_id", "cents")).alias("o"),
+        F.max(F.struct("ts_ms", "event_id", "cents")).alias("c"),
+        F.min("cents").alias("low_cents"),
+        F.max("cents").alias("high_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+def ohlc_tail(state: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming OHLC queries: unpack the
+    open/close structs."""
+    return state.select(
+        "event_type", "day",
+        F.col("o")["cents"].alias("open_cents"),
+        "high_cents", "low_cents",
+        F.col("c")["cents"].alias("close_cents"),
+        "n_events", "total_cents",
+    )
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day, epoch_ms(ts) AS ts_ms,
+             event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, day ORDER BY ts_ms, event_id) AS ra,
+             row_number() OVER (PARTITION BY event_type, day ORDER BY ts_ms DESC, event_id DESC) AS rd
+      FROM e
+    )
+    SELECT event_type, day,
+           CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N153: OHLC candlestick bars per (event_type, day) — the market-data
+    downsampling primitive (open/high/low/close/volume/turnover): open
+    and close are the FIRST/LAST values by (ts, event_id), picked via
+    lexicographic struct min/max instead of rank windows, which makes the
+    whole bar ONE commutative aggregate — no per-key sort, map-side
+    combinable, and directly reusable as streaming state (N153b). The
+    oracle replays the same total order with rank windows; integer cents
+    everywhere."""
+    return ohlc_tail(ohlc_state(_t(spark, sf_dir, "events")))
+
+
+def page_hinkley_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming Page-Hinkley queries over the
+    (day, cents) daily-total state: the sequential PH statistic as one
+    ordered fold (struct accumulator; all references to the PREVIOUS
+    state are explicit, so Spark's simultaneous lambda semantics and the
+    oracle's recursive CTE compute the identical expression tree)."""
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("xs")
+    )
+    init = F.struct(
+        F.lit(0).alias("t"),
+        F.lit(0).cast("long").alias("sm"),
+        F.lit(0.0).alias("m"),
+        F.lit(0.0).alias("minm"),
+        F.lit(0.0).alias("best"),
+        F.lit(-1).cast("long").alias("bday"),
+    )
+
+    def step(acc, x):
+        t1 = acc["t"] + 1
+        m1 = acc["m"] + x["cents"] - (acc["sm"] + x["cents"]).cast("double") / t1
+        minm1 = F.when(acc["t"] == 0, m1).otherwise(F.least(acc["minm"], m1))
+        gap = m1 - minm1
+        return F.struct(
+            t1.alias("t"),
+            (acc["sm"] + x["cents"]).alias("sm"),
+            m1.alias("m"),
+            minm1.alias("minm"),
+            F.greatest(acc["best"], gap).alias("best"),
+            F.when((acc["t"] == 0) | (gap > acc["best"]), x["day"]).otherwise(acc["bday"]).alias("bday"),
+        )
+
+    st = arr.select(F.aggregate("xs", init, step).alias("s")).select(
+        F.col("s")["t"].alias("n_days"),
+        F.round(F.col("s")["m"] - F.col("s")["minm"], 4).alias("ph_stat"),
+        F.round(F.col("s")["best"], 4).alias("max_drift"),
+        F.col("s")["bday"].alias("drift_day"),
+    )
+    return st.where(F.col("n_days") > 0)
+
+
+@query(
+    "q_page_hinkley",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    ord AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS t FROM daily),
+    nmax AS (SELECT count(*) AS n FROM ord),
+    ph AS (
+      SELECT t, day, CAST(cents AS BIGINT) AS sm,
+             CAST(cents AS DOUBLE) - CAST(cents AS DOUBLE) / 1 AS m,
+             CAST(cents AS DOUBLE) - CAST(cents AS DOUBLE) / 1 AS minm,
+             CAST(0.0 AS DOUBLE) AS best, day AS bday
+      FROM ord WHERE t = 1
+      UNION ALL
+      SELECT o.t, o.day, ph.sm + o.cents,
+             ph.m + o.cents - CAST(ph.sm + o.cents AS DOUBLE) / o.t,
+             least(ph.minm, ph.m + o.cents - CAST(ph.sm + o.cents AS DOUBLE) / o.t),
+             greatest(ph.best,
+                      (ph.m + o.cents - CAST(ph.sm + o.cents AS DOUBLE) / o.t)
+                      - least(ph.minm, ph.m + o.cents - CAST(ph.sm + o.cents AS DOUBLE) / o.t)),
+             CASE WHEN (ph.m + o.cents - CAST(ph.sm + o.cents AS DOUBLE) / o.t)
+                       - least(ph.minm, ph.m + o.cents - CAST(ph.sm + o.cents AS DOUBLE) / o.t)
+                       > ph.best
+                  THEN o.day ELSE ph.bday END
+      FROM ph JOIN ord o ON o.t = ph.t + 1
+    )
+    SELECT CAST(t AS INTEGER) AS n_days, round(m - minm, 4) AS ph_stat,
+           round(best, 4) AS max_drift, bday AS drift_day
+    FROM ph, nmax WHERE t = nmax.n
+    """,
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N154: Page-Hinkley sequential drift detection (Page 1954; Hinkley
+    1971) over the daily-revenue series — the ONLINE changepoint monitor
+    beside N93's retrospective CUSUM and N131's Pettitt: PH_t = sum of
+    deviations from the RUNNING mean, alarm strength = PH_t - min PH,
+    plus the day where the drift gap peaked. Sequential by definition,
+    so it folds over the days-bounded series (the q_ewma_smooth trade);
+    the mutually-referential (sum, m, min) state uses a recursive-CTE
+    oracle (the q_holt_linear lesson — DuckDB list_reduce struct state
+    mutates sequentially, a recursive CTE is simultaneous like Spark's
+    lambda). Exact integer inputs; doubles only through identical
+    expression trees."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.expr("unix_millis(ts) div 86400000").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return page_hinkley_tail(daily)
+
+
+@query(
+    "q_bot_detection",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),
+    gaps AS (
+      SELECT user_id, ts_ms,
+             ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS gap
+      FROM e
+    ),
+    pu AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(gap) AS BIGINT) AS k,
+             CAST(sum(gap) AS BIGINT) AS sg,
+             sum(CAST(gap AS HUGEINT) * gap) AS sgq,
+             CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS span_ms
+      FROM gaps GROUP BY 1
+    ),
+    scored AS (
+      SELECT user_id, n_events,
+             sqrt(greatest(CAST(sgq AS DOUBLE) / k - (CAST(sg AS DOUBLE) / k) * (CAST(sg AS DOUBLE) / k), 0.0))
+               / (CAST(sg AS DOUBLE) / k) AS cv,
+             CAST(n_events AS DOUBLE) * 86400000.0 / CAST(span_ms AS DOUBLE) AS rate
+      FROM pu
+    ),
+    v AS (
+      SELECT CASE WHEN n_events >= 20 AND cv IS NOT NULL AND cv < 0.3 THEN 'bot-regular'
+                  WHEN rate IS NOT NULL AND rate > 100.0 AND n_events >= 20 THEN 'bot-rate'
+                  ELSE 'human' END AS verdict,
+             n_events, cv
+      FROM scored
+    )
+    SELECT verdict, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           round(min(cv), 4) AS min_cv
+    FROM v GROUP BY 1
+    """,
+)
+def q_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N155: bot-traffic forensics — per-user inter-event-gap regularity
+    (coefficient of variation of millisecond gaps) and sustained event
+    rate, classified into bot-regular (metronomic timing humans do not
+    produce), bot-rate (sustained >100 events/day), and human; the
+    pre-filter ad-fraud and crawl pipelines run before any engagement
+    metric. Exact integer gap moments (decimal-widened squares) per
+    user; cv/rate are pure doubles of those integers so the verdicts
+    never flicker across engines or partitionings (variance clamped at
+    0 before sqrt — float error can land epsilon-negative). One user-
+    keyed window + rollup; output bounded at 3 verdict rows."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gaps = ev.select(
+        "user_id", "ts_ms",
+        (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("gap"),
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("gap").alias("k"),
+        F.sum("gap").alias("sg"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap")).alias("sgq"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("span_ms"),
+    )
+    mean = F.col("sg").cast("double") / F.col("k")
+    var = F.greatest(F.col("sgq").cast("double") / F.col("k") - mean * mean, F.lit(0.0))
+    cv = F.try_divide(F.sqrt(var), mean)
+    rate = F.try_divide(F.col("n_events").cast("double") * 86400000.0, F.col("span_ms").cast("double"))
+    scored = per_user.select("user_id", "n_events", cv.alias("cv"), rate.alias("rate"))
+    verdict = (
+        F.when((F.col("n_events") >= 20) & F.col("cv").isNotNull() & (F.col("cv") < 0.3), "bot-regular")
+        .when(F.col("rate").isNotNull() & (F.col("rate") > 100.0) & (F.col("n_events") >= 20), "bot-rate")
+        .otherwise("human")
+    )
+    return (
+        scored.select(verdict.alias("verdict"), "n_events", "cv")
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.max("n_events").alias("max_events"),
+            F.round(F.min("cv"), 4).alias("min_cv"),
+        )
+    )
+
+
+@query(
+    "q_time_decay_attribution",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events),
+    p AS (SELECT user_id AS pu, ts_ms AS pts, event_id AS pid FROM e WHERE event_type = 'purchase'),
+    t AS (SELECT user_id AS tu, event_type AS touch_type, ts_ms AS tts FROM e WHERE event_type <> 'purchase'),
+    pairs AS (
+      SELECT pid, touch_type,
+             ([256, 128, 64, 32, 16])[CAST((pts - tts) // 604800000 AS INTEGER) + 1] AS w
+      FROM p JOIN t ON tu = pu AND tts < pts AND pts - tts <= 30::BIGINT * 86400000
+    ),
+    credited AS (
+      SELECT touch_type, (w * 1000000) // sum(w) OVER (PARTITION BY pid) AS credit_ppm
+      FROM pairs
+    )
+    SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+    FROM credited GROUP BY 1
+    """,
+)
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N156: time-decay multi-touch attribution — each purchase splits
+    conversion credit over its prior-30-day touches with a 7-day
+    half-life, the recency-weighted model beside N33c's uniform linear
+    split. EXACT INTEGER throughout: weights are the power-of-two table
+    [256,128,64,32,16] indexed by whole weeks of age (no float decay),
+    per-touch credit = w*1e6 div sum(w) — integer division both engines
+    (Spark `div` / DuckDB BIGINT `//`), deterministic and commutatively
+    summable. The touch-purchase pair join is user-keyed with a 30-day
+    band (the N14 as-of shape); per-purchase normalization is one keyed
+    window over the purchase's own touches."""
+    from pyspark.sql import Window  # noqa: F401  (expr-based window below)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"), "event_id"
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts_ms").alias("pts"), F.col("event_id").alias("pid")
+    )
+    t = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("tu"), F.col("event_type").alias("touch_type"),
+        F.col("ts_ms").alias("tts"),
+    )
+    pairs = p.join(
+        t,
+        (F.col("pu") == F.col("tu"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("pts") - F.col("tts") <= F.lit(30 * 86400000)),
+    ).select(
+        "pid", "touch_type",
+        F.element_at(
+            F.array(*[F.lit(x).cast("long") for x in (256, 128, 64, 32, 16)]),
+            (F.expr("(pts - tts) div 604800000") + 1).cast("int"),
+        ).alias("w"),
+    )
+    credited = pairs.select(
+        "touch_type",
+        F.expr("(w * 1000000) div sum(w) over (partition by pid)").alias("credit_ppm"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit_ppm").alias("credit_ppm_total"),
+    )
+
+
+@query(
+    "q_pit_join",
+    oracle="""
+    WITH dayed AS (
+      SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    daily AS (SELECT user_id, day, count(*) AS n FROM dayed GROUP BY 1, 2),
+    tiered AS (
+      SELECT user_id, day,
+             CASE WHEN n >= 10 THEN 'heavy' WHEN n >= 3 THEN 'regular' ELSE 'light' END AS tier
+      FROM daily
+    ),
+    changes AS (
+      SELECT * FROM (
+        SELECT user_id, day, tier, lag(tier) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        FROM tiered
+      ) WHERE prev IS NULL OR tier <> prev
+    ),
+    intervals AS (
+      SELECT user_id AS iu, tier, day AS vfrom,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS vto
+      FROM changes
+    ),
+    purchases AS (
+      SELECT user_id AS pu, day AS pday, cents FROM dayed WHERE event_type = 'purchase'
+    )
+    SELECT tier, CAST(count(*) AS BIGINT) AS n_purchases, CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM purchases JOIN intervals
+      ON iu = pu AND pday >= vfrom AND (vto IS NULL OR pday < vto)
+    GROUP BY 1
+    """,
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N157: point-in-time-correct join — purchases enriched with the
+    SCD2 validity interval in force AT the purchase day (the feature-
+    store primitive that prevents training-serving leakage: never join a
+    fact to dimension state from its future). The dimension history is
+    built inline with the N32 machinery (daily activity tier, change
+    detection via lag, validity via lead); the PIT lookup is a user-
+    keyed interval join (the N15 range-join shape — at 100 TB, bucket
+    both sides by user so the interval probe is partition-local).
+    Deterministic end to end: tiers are exact-count CASE bands, interval
+    bounds are integer days."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    dayed = ev.select(
+        "user_id", F.expr("unix_millis(ts) div 86400000").alias("day"),
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = dayed.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    tiered = daily.select(
+        "user_id", "day",
+        F.when(F.col("n") >= 10, "heavy").when(F.col("n") >= 3, "regular").otherwise("light").alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    changes = tiered.select(
+        "user_id", "day", "tier", F.lag("tier").over(w).alias("prev")
+    ).where(F.col("prev").isNull() | (F.col("tier") != F.col("prev")))
+    intervals = changes.select(
+        F.col("user_id").alias("iu"), F.col("tier"),
+        F.col("day").alias("vfrom"),
+        F.lead("day").over(w).alias("vto"),
+    )
+    purchases = dayed.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("day").alias("pday"), "cents"
+    )
+    joined = purchases.join(
+        intervals,
+        (F.col("pu") == F.col("iu"))
+        & (F.col("pday") >= F.col("vfrom"))
+        & (F.col("vto").isNull() | (F.col("pday") < F.col("vto"))),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+@query(
+    "q_session_stats",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+    flagged AS (
+      SELECT user_id, ts_ms, event_id, event_type,
+             CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+                       OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, ts_ms, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    per AS (
+      SELECT user_id, sid, count(*) AS n,
+             CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS dwell_ms,
+             min(struct_pack(a := ts_ms, b := event_id, c := event_type))['c'] AS entry_type
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+           round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / count(*), 4) AS bounce_pct,
+           round(CAST(sum(dwell_ms) AS DOUBLE) / count(*) / 1000.0, 4) AS avg_dwell_s
+    FROM per GROUP BY 1
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N158: session dwell/bounce panel — 30-minute-gap sessionization
+    (the N13 gaps-and-islands machinery) rolled up by the session's
+    ENTRY event type: session count, bounce rate (single-event
+    sessions), mean dwell seconds — the landing-page quality readout
+    beside N13's windowed counts. Entry type via lexicographic struct
+    min (total order (ts, event_id) — no rank window); dwell sums exact
+    integer ms to one display division. One user-keyed sort carries the
+    lag flag + running session id; rollups are session- then
+    type-bounded."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    flagged = ev.select(
+        "user_id", "ts_ms", "event_id", "event_type",
+        F.when(
+            F.lag("ts_ms").over(w).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(w) > 1800000),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    sess = flagged.select(
+        "user_id", "ts_ms", "event_id", "event_type",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("dwell_ms"),
+        F.min(F.struct("ts_ms", "event_id", "event_type"))["event_type"].alias("entry_type"),
+    )
+    return per.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double") * 100.0 / F.count(F.lit(1)),
+            4,
+        ).alias("bounce_pct"),
+        F.round(F.sum("dwell_ms").cast("double") / F.count(F.lit(1)) / 1000.0, 4).alias("avg_dwell_s"),
+    )
+
+
+_DTW_INF = 1 << 50
+
+
+def dtw_tail(hourly: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming DTW queries over the
+    (event_type, hour, cents) hour-of-day state: densify to 24 points,
+    pack both series, run the ALL-INTEGER dynamic-programming warp.
+    Because every cell is exact integer arithmetic, the two engines may
+    use structurally different (but both correct) DP evaluations and
+    still produce the identical cost — no float ordering discipline
+    needed anywhere in this operator."""
+    spark = hourly.sparkSession
+    hours = spark.range(0, 24).select(F.col("id").alias("h"))
+    dense = (
+        hours.crossJoin(
+            hourly.where(F.col("event_type").isin("view", "purchase"))
+            .select(F.col("event_type").alias("et2")).distinct()
+        )
+        .join(
+            hourly.select(F.col("event_type").alias("et"), F.col("hour").alias("h2"), "cents"),
+            (F.col("h") == F.col("h2")) & (F.col("et") == F.col("et2")),
+            "left",
+        )
+        .select("et2", "h", F.coalesce(F.col("cents"), F.lit(0)).alias("c"))
+    )
+    series = dense.groupBy(F.col("et2").alias("event_type")).agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("h", "c"))), lambda s: s["c"]).alias("v")
+    )
+    ab = (
+        series.where(F.col("event_type") == "view").select(F.col("v").alias("a"))
+        .crossJoin(series.where(F.col("event_type") == "purchase").select(F.col("v").alias("b")))
+    )
+    inf = F.lit(_DTW_INF).cast("long")
+    base = F.concat(F.array(F.lit(0).cast("long")), F.array_repeat(inf, 24))
+
+    def outer(prev, i):
+        def inner(acc, j):
+            cost = F.abs(
+                F.element_at(F.col("a"), i.cast("int")) - F.element_at(F.col("b"), j.cast("int"))
+            )
+            last = F.element_at(acc, F.size(acc))
+            return F.concat(
+                acc,
+                F.array(
+                    cost
+                    + F.least(
+                        F.element_at(prev, (j + 1).cast("int")),
+                        F.element_at(prev, j.cast("int")),
+                        last,
+                    )
+                ),
+            )
+
+        return F.aggregate(F.sequence(F.lit(1), F.lit(24)), F.array(inf), inner)
+
+    dtw = F.element_at(F.aggregate(F.sequence(F.lit(1), F.lit(24)), base, outer), 25)
+    lockstep = F.aggregate(
+        F.zip_with(F.col("a"), F.col("b"), lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return ab.select(
+        F.lit(24).alias("n_points"),
+        dtw.alias("dtw_cost"),
+        lockstep.alias("lockstep_cost"),
+        F.round(F.try_divide(dtw.cast("double"), lockstep.cast("double")), 6).alias("warp_gain"),
+    )
+
+
+@query(
+    "q_dtw_distance",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hour,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    hours AS (SELECT unnest(range(0, 24)) AS h),
+    dense AS (
+      SELECT t.et, hours.h, coalesce(hy.cents, 0) AS c
+      FROM hours CROSS JOIN (SELECT DISTINCT event_type AS et FROM hourly
+                             WHERE event_type IN ('view', 'purchase')) t
+      LEFT JOIN hourly hy ON hy.hour = hours.h AND hy.event_type = t.et
+    ),
+    series AS (SELECT et, list(c ORDER BY h) AS v FROM dense GROUP BY 1),
+    ab AS (
+      SELECT a.v AS a, b.v AS b
+      FROM (SELECT v FROM series WHERE et = 'view') a,
+           (SELECT v FROM series WHERE et = 'purchase') b
+    ),
+    dp AS (
+      SELECT 0 AS k,
+             list_prepend(CAST(0 AS BIGINT), [CAST({_DTW_INF} AS BIGINT) FOR x IN range(24)]) AS prev,
+             [CAST({_DTW_INF} AS BIGINT)] AS curr,
+             a, b
+      FROM ab
+      UNION ALL
+      SELECT k + 1,
+             CASE WHEN (k % 24) = 0 AND k > 0 THEN curr ELSE prev END,
+             list_append(
+               CASE WHEN (k % 24) = 0 AND k > 0 THEN [CAST({_DTW_INF} AS BIGINT)] ELSE curr END,
+               abs(a[(k // 24) + 1] - b[(k % 24) + 1])
+               + least(
+                   (CASE WHEN (k % 24) = 0 AND k > 0 THEN curr ELSE prev END)[(k % 24) + 2],
+                   (CASE WHEN (k % 24) = 0 AND k > 0 THEN curr ELSE prev END)[(k % 24) + 1],
+                   (CASE WHEN (k % 24) = 0 AND k > 0 THEN [CAST({_DTW_INF} AS BIGINT)] ELSE curr END)
+                     [len(CASE WHEN (k % 24) = 0 AND k > 0 THEN [CAST({_DTW_INF} AS BIGINT)] ELSE curr END)]
+                 )
+             ),
+             a, b
+      FROM dp WHERE k < 576
+    ),
+    final AS (SELECT curr[25] AS dtw, a, b FROM dp WHERE k = 576),
+    lock AS (
+      SELECT dtw,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(abs(a[i+1] - b[i+1]) AS BIGINT) FOR i IN range(24)]), (x, y) -> x + y) AS BIGINT) AS lockstep
+      FROM final
+    )
+    SELECT 24 AS n_points, CAST(dtw AS BIGINT) AS dtw_cost,
+           lockstep AS lockstep_cost,
+           round(CAST(dtw AS DOUBLE) / CAST(lockstep AS DOUBLE), 6) AS warp_gain
+    FROM lock
+    """,
+)
+def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N159: dynamic time warping distance (Sakoe & Chiba 1978) between
+    the view and purchase hour-of-day revenue profiles — the elastic
+    series-similarity measure that N37's lockstep euclidean cannot
+    express (a 2-hour phase shift between traffic and conversion costs
+    lockstep dearly but warps cheaply); reported beside the lockstep L1
+    cost so warp_gain = dtw/lockstep <= 1 quantifies the phase
+    misalignment. ALL-INTEGER DP over the 24x24 grid (|a_i - b_j| cents
+    costs), so engine determinism is free — Spark runs a nested
+    array-fold (row-by-row wavefront), the oracle a flattened 576-step
+    recursive CTE, and the exact integer costs must agree. The series
+    are grid-bounded state (types x 24), the q_timeseries_similarity
+    trade: at 100 TB the profile rollup is the only data-sized pass."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("(unix_millis(ts) div 3600000) % 24").alias("hour")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    return dtw_tail(hourly)
+
+
+@query(
+    "q_isotonic_calibration",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS score, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    binned AS (
+      SELECT ntile(10) OVER (ORDER BY score, event_id) - 1 AS bin, y FROM ev
+    ),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM binned GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, n, pos,
+             CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+             CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+      FROM bins
+    ),
+    seg AS (
+      SELECT lo.bin AS i, hi.bin AS j,
+             CAST(hi.cp - (lo.cp - lo.pos) AS DOUBLE) / (hi.cn - (lo.cn - lo.n)) AS avg
+      FROM cum lo JOIN cum hi ON lo.bin <= hi.bin
+    ),
+    inner_min AS (
+      SELECT k.bin AS k, s.i, min(s.avg) AS mn
+      FROM cum k JOIN seg s ON s.i <= k.bin AND s.j >= k.bin
+      GROUP BY 1, 2
+    ),
+    fit AS (SELECT k, max(mn) AS fitted FROM inner_min GROUP BY 1)
+    SELECT c.bin, c.n, c.pos,
+           round(CAST(c.pos AS DOUBLE) / c.n, 6) AS raw_rate,
+           round(f.fitted, 6) AS fitted_rate
+    FROM cum c JOIN fit f ON f.k = c.bin
+    """,
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N160: isotonic regression calibration (PAVA; Ayer et al. 1955) of
+    purchase rate against the value score, computed by the CLOSED-FORM
+    min-max identity fitted(k) = max_{i<=k} min_{j>=k} avg(y[i..j]) over
+    10 score deciles — the monotone calibration map N8x's raw reliability
+    table (L44) cannot guarantee, without iterating pool-adjacent
+    violators. Segment averages are exact integer ratios off ONE prefix-
+    sum pass (cp/cn cumulative positives/counts), so the min-max over the
+    bounded 10x10x10 grid is deterministic; the decile assignment is an
+    exact-count ntile over the (score, event_id) total order (the
+    q_stratified_ate stance: swap for approx-quantile bounds at corpus
+    scale — the grid math downstream is scale-free either way)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("score"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    binned = ev.select(
+        (F.ntile(10).over(Window.orderBy("score", "event_id")) - 1).alias("bin"), "y"
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "n", "pos",
+        F.sum("n").over(wc).alias("cn"), F.sum("pos").over(wc).alias("cp"),
+    )
+    lo = cum.select(
+        F.col("bin").alias("i"),
+        (F.col("cn") - F.col("n")).alias("cn_lo"),
+        (F.col("cp") - F.col("pos")).alias("cp_lo"),
+    )
+    hi = cum.select(F.col("bin").alias("j"), F.col("cn").alias("cn_hi"), F.col("cp").alias("cp_hi"))
+    seg = (
+        lo.join(hi, F.col("i") <= F.col("j"))
+        .select(
+            "i", "j",
+            ((F.col("cp_hi") - F.col("cp_lo")).cast("double")
+             / (F.col("cn_hi") - F.col("cn_lo"))).alias("avg"),
+        )
+    )
+    k = cum.select(F.col("bin").alias("k"))
+    inner = (
+        k.join(seg, (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")))
+        .groupBy("k", "i")
+        .agg(F.min("avg").alias("mn"))
+    )
+    fit = inner.groupBy("k").agg(F.max("mn").alias("fitted"))
+    return (
+        cum.join(fit, F.col("bin") == F.col("k"))
+        .select(
+            "bin", "n", "pos",
+            F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("raw_rate"),
+            F.round(F.col("fitted"), 6).alias("fitted_rate"),
+        )
+    )
+
+
+def logrank_tail(users: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming log-rank queries over the
+    per-user survival state (user_id, g, t, ev): day-granularity risk
+    sets via one prefix window over the days-bounded event-time table,
+    exact integer O/E/V inputs, sorted folds for the day sums."""
+    from pyspark.sql import Window
+
+    per_day = users.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("ev")).otherwise(0)).alias("d1"),
+        F.sum("ev").alias("d"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("r1"),
+        F.count(F.lit(1)).alias("r"),
+    )
+    tot = users.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1_total"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_day.select(
+        "t", "d1", "d",
+        (F.coalesce(F.sum("r1").over(wt), F.lit(0))).alias("gone1"),
+        (F.coalesce(F.sum("r").over(wt), F.lit(0))).alias("gone"),
+    )
+    terms = risk.crossJoin(F.broadcast(tot)).select(
+        "t", "d1", "d",
+        (F.col("n1_total") - F.col("gone1")).alias("n1j"),
+        (F.col("n_total") - F.col("gone")).alias("nj"),
+    ).where(F.col("d") > 0)
+    e_term = F.col("d").cast("double") * F.col("n1j") / F.col("nj")
+    v_term = F.coalesce(
+        F.try_divide(
+            F.col("d").cast("double") * F.col("n1j") * (F.col("nj") - F.col("n1j")) * (F.col("nj") - F.col("d")),
+            F.col("nj").cast("double") * F.col("nj") * (F.col("nj") - 1),
+        ),
+        F.lit(0.0),
+    )
+    folded = terms.select("t", "d1", e_term.alias("e"), v_term.alias("v")).agg(
+        F.sum("d1").alias("o1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("e").alias("x")))),
+            F.lit(0.0), lambda a, s: a + s["x"],
+        ).alias("e1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("v").alias("x")))),
+            F.lit(0.0), lambda a, s: a + s["x"],
+        ).alias("vv"),
+    )
+    totals = users.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1_users"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n0_users"),
+    )
+    chi2 = F.try_divide(
+        (F.coalesce(F.col("o1"), F.lit(0)) - F.col("e1"))
+        * (F.coalesce(F.col("o1"), F.lit(0)) - F.col("e1")),
+        F.col("vv"),
+    )
+    return folded.crossJoin(F.broadcast(totals)).select(
+        "n1_users", "n0_users",
+        F.coalesce(F.col("o1"), F.lit(0)).alias("observed_g1"),
+        F.round(F.col("e1"), 4).alias("expected_g1"),
+        F.round(chi2, 4).alias("chi2"),
+        F.when(chi2.isNull(), "n/a").when(chi2 > 3.841, "different").otherwise("similar").alias("verdict"),
+    )
+
+
+@query(
+    "q_logrank_test",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ms(ts) // 86400000 AS day FROM events
+    ),
+    per_user AS (
+      SELECT user_id, min(day) AS d0, max(day) AS dlast,
+             min(CASE WHEN event_type = 'purchase' THEN day END) AS dp,
+             min(struct_pack(a := day, b := event_type))['b'] AS first_type
+      FROM ev GROUP BY 1
+    ),
+    users AS (
+      SELECT user_id,
+             CASE WHEN first_type = 'view' THEN 1 ELSE 0 END AS g,
+             CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dlast - d0 END AS t,
+             CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user
+    ),
+    per_day AS (
+      SELECT t,
+             CAST(sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+             CAST(count(*) AS BIGINT) AS r
+      FROM users GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_total,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0_total
+      FROM users
+    ),
+    risk AS (
+      SELECT t, d1, d,
+             CAST(coalesce(sum(r1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gone1,
+             CAST(coalesce(sum(r) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gone
+      FROM per_day
+    ),
+    terms AS (
+      SELECT t, d1, d, n1_total - gone1 AS n1j, n_total - gone AS nj
+      FROM risk, tot WHERE d > 0
+    ),
+    folded AS (
+      SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             coalesce(list_reduce(list_prepend(0.0, list(
+               CAST(d AS DOUBLE) * n1j / nj ORDER BY t)), (a, x) -> a + x), 0.0) AS e1,
+             coalesce(list_reduce(list_prepend(0.0, list(
+               coalesce(CAST(d AS DOUBLE) * n1j * (nj - n1j) * (nj - d)
+                        / nullif(CAST(nj AS DOUBLE) * nj * (nj - 1), 0.0), 0.0)
+               ORDER BY t)), (a, x) -> a + x), 0.0) AS vv
+      FROM terms
+    )
+    SELECT tot.n1_total AS n1_users, tot.n0_total AS n0_users,
+           CAST(coalesce(o1, 0) AS BIGINT) AS observed_g1,
+           round(e1, 4) AS expected_g1,
+           round((coalesce(o1, 0) - e1) * (coalesce(o1, 0) - e1) / nullif(vv, 0.0), 4) AS chi2,
+           CASE WHEN (coalesce(o1, 0) - e1) * (coalesce(o1, 0) - e1) / nullif(vv, 0.0) IS NULL THEN 'n/a'
+                WHEN (coalesce(o1, 0) - e1) * (coalesce(o1, 0) - e1) / nullif(vv, 0.0) > 3.841 THEN 'different'
+                ELSE 'similar' END AS verdict
+    FROM folded, tot
+    """,
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N161: log-rank test (Mantel 1966) comparing time-to-first-purchase
+    survival between users who entered via a view vs everyone else —
+    the hypothesis-test companion to N89's Kaplan-Meier curve and N114's
+    Nelson-Aalen hazard (is the separation between two survival curves
+    real, with censoring handled correctly — the naive conversion-rate
+    comparison silently drops censored users). At each day with events:
+    observed group-1 deaths vs the hypergeometric expectation/variance
+    from exact integer risk sets (prefix-window over the days-bounded
+    event-time table); the day terms fold in sorted order, and chi2
+    rides try_divide (a single-day or one-group frame pins 'n/a')."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("dlast"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias("dp"),
+        F.min(F.struct("day", "event_type"))["event_type"].alias("first_type"),
+    )
+    users = per_user.select(
+        "user_id",
+        F.when(F.col("first_type") == "view", 1).otherwise(0).alias("g"),
+        F.when(F.col("dp").isNotNull(), F.col("dp") - F.col("d0"))
+        .otherwise(F.col("dlast") - F.col("d0")).alias("t"),
+        F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    return logrank_tail(users)

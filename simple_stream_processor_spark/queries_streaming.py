@@ -2393,3 +2393,210 @@ def q_streaming_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_stream_processor_spark.queries_relational_ext import sax_tail
 
     return sax_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 8 twins: PSI / Gopher / mojibake / kappa over a document stream,
+# HHI+Theil over an order stream, McNemar / Brown-Forsythe / OHLC /
+# Page-Hinkley / DTW over the event stream.
+# ---------------------------------------------------------------------------
+
+
+def _llmdata_oracle(name: str) -> str:
+    from simple_stream_processor_spark import queries_llmdata  # noqa: F401  (registers the batch oracle)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    return ORACLES[name]
+
+
+def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@query("q_streaming_psi", oracle=_llmdata_oracle("q_psi_drift"))
+def q_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI twin (L97b): the (source, length-bin, count) cell
+    state — sources x 16 commutative rows — drained through the shared
+    psi_tail: the FOURTH live drift metric on the one bounded-state
+    pattern (KS max-gap, W1 transport, JSD symmetric-info, PSI banded
+    verdicts). Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import psi_tail
+
+    sdf = _stream_docs(spark, sf_dir)
+    cells = sdf.groupBy(
+        "source", F.least(F.lit(15), F.expr("n_chars div 64")).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("np"))
+    drained, _ = run_stream_to_memory(cells, output_mode="complete")
+    return psi_tail(drained)
+
+
+@query("q_streaming_gopher", oracle=_llmdata_oracle("q_gopher_rules"))
+def q_streaming_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gopher twin (L99b): per-doc rule flags are pure
+    functions, so the per-source counter table IS the streaming state
+    (commutative sums, sources-bounded); drained counters flow through
+    the shared gopher_tail — a live rule-level quality gate on a crawl,
+    hash-matching the batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import gopher_counts, gopher_tail
+
+    g = gopher_counts(_stream_docs(spark, sf_dir))
+    drained, _ = run_stream_to_memory(g, output_mode="complete")
+    return gopher_tail(drained)
+
+
+@query("q_streaming_mojibake", oracle=_llmdata_oracle("q_mojibake_audit"))
+def q_streaming_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mojibake twin (L100b): the per-source encoding-corruption
+    counters as commutative streaming state through the shared
+    mojibake_tail — broken decodes surface as the crawl ingests, not at
+    the next batch audit. Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import mojibake_counts, mojibake_tail
+
+    g = mojibake_counts(_stream_docs(spark, sf_dir))
+    drained, _ = run_stream_to_memory(g, output_mode="complete")
+    return mojibake_tail(drained)
+
+
+@query("q_streaming_kappa", oracle=_llmdata_oracle("q_cohens_kappa"))
+def q_streaming_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming kappa twin (L98b): the (lang, a, b, c, d) agreement
+    cells as commutative streaming state through the shared kappa_tail —
+    live rater-drift monitoring (a quality-model regression shows up as
+    kappa sliding, per trigger). Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import kappa_counts, kappa_tail
+
+    g = kappa_counts(_stream_docs(spark, sf_dir))
+    drained, _ = run_stream_to_memory(g, output_mode="complete")
+    return kappa_tail(drained)
+
+
+def _streaming_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (segment, custkey, cents) revenue state over an ORDER stream
+    with a static customer dimension (broadcast per micro-batch — the
+    q_streaming_enrich join shape): commutative integer sums bounded at
+    segments x customers rows; the shared head of the concentration/
+    inequality twins (N149b HHI, N150b Theil)."""
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("segment")
+    )
+    rows = (
+        sdf.join(F.broadcast(cust), sdf.o_custkey == F.col("ck"))
+        .groupBy("segment", F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    drained, _ = run_stream_to_memory(rows, output_mode="complete")
+    return drained
+
+
+@query("q_streaming_hhi", oracle=_relext_oracle("q_hhi_concentration"))
+def q_streaming_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HHI twin (N149b): the per-customer revenue state drained
+    through the shared hhi_tail — live concentration monitoring (a whale
+    customer emerging mid-day moves the index per trigger).
+    Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import hhi_tail
+
+    return hhi_tail(_streaming_customer_revenue(spark, sf_dir))
+
+
+@query("q_streaming_theil", oracle=_relext_oracle("q_theil_index"))
+def q_streaming_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Theil twin (N150b): the SAME revenue state as N149b
+    drained through theil_tail — one bounded state table serves both
+    concentration readouts (HHI points + decomposable Theil), the
+    KS/W1/JSD/PSI multi-metric pattern on the revenue axis.
+    Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import theil_tail
+
+    return theil_tail(_streaming_customer_revenue(spark, sf_dir))
+
+
+@query("q_streaming_mcnemar", oracle=_relext_oracle("q_mcnemar"))
+def q_streaming_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming McNemar twin (N151b): the (event_type, user, day)
+    presence state — counts commutative, bounded by active user-days
+    (the q_streaming_saturation precedent) — drained through the shared
+    mcnemar_tail; the half-period boundary re-derives from the state's
+    own min/max day each trigger. Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import mcnemar_tail
+
+    sdf = stream_events(spark, sf_dir)
+    pres = sdf.groupBy(
+        "event_type", "user_id",
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    drained, _ = run_stream_to_memory(pres, output_mode="complete")
+    return mcnemar_tail(drained)
+
+
+@query("q_streaming_brown_forsythe", oracle=_relext_oracle("q_brown_forsythe"))
+def q_streaming_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Brown-Forsythe twin (N152b): the per-type daily-cents
+    state through the shared brown_forsythe_tail — a live dispersion-
+    homogeneity monitor beside the streaming ANOVA twin (means) on the
+    same state table. Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import brown_forsythe_tail
+
+    return brown_forsythe_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_ohlc", oracle=_relext_oracle("q_ohlc_bars"))
+def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC twin (N153b): the candlestick bar state is ONE
+    commutative aggregate per (type, day) — lexicographic struct min/max
+    carry open/close, integer extremes/sums the rest — so the live bars
+    ARE the batch bars at every trigger (the canonical market-data
+    streaming downsampler). Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import ohlc_state, ohlc_tail
+
+    sdf = stream_events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    state = ohlc_state(sdf)
+    drained, _ = run_stream_to_memory(state, output_mode="complete")
+    return ohlc_tail(drained)
+
+
+@query("q_streaming_page_hinkley", oracle=_relext_oracle("q_page_hinkley"))
+def q_streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Page-Hinkley twin (N154b): the (day, cents) daily-total
+    state — days-bounded commutative sums — re-folded through the shared
+    page_hinkley_tail each trigger: the live mean-shift alarm the batch
+    detector only raises at the next scheduled run. The sequential fold
+    runs over bounded state at drain time, never over the stream (the
+    q_streaming_acf argument). Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import page_hinkley_tail
+
+    sdf = stream_events(spark, sf_dir)
+    daily = sdf.groupBy(
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    drained, _ = run_stream_to_memory(daily, output_mode="complete")
+    return page_hinkley_tail(drained)
+
+
+@query("q_streaming_dtw", oracle=_relext_oracle("q_dtw_distance"))
+def q_streaming_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DTW twin (N159b): the (event_type, hour-of-day, cents)
+    profile state — types x 24 commutative cells — re-warped through the
+    shared dtw_tail each trigger: a live phase-alignment monitor between
+    traffic and conversion profiles. The all-integer DP runs over the
+    bounded state at drain time. Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import dtw_tail
+
+    sdf = stream_events(spark, sf_dir)
+    hourly = sdf.groupBy(
+        "event_type",
+        F.expr("(unix_millis(cast(ts as timestamp)) div 3600000) % 24").alias("hour"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    drained, _ = run_stream_to_memory(hourly, output_mode="complete")
+    return dtw_tail(drained)

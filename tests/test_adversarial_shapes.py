@@ -116,6 +116,15 @@ SENSITIVE = [
     # round-7 wave 2 — doc-shape-sensitive (empty texts, single docs)
     "q_rake_keyphrases", "q_winnowing_fingerprint", "q_audio_loudness",
     "q_kneser_ney_surprisal", "q_holt_winters", "q_sax_words",
+    # round-8 — ratio/fold machinery over degenerate frames (single event,
+    # all-identical series, empty docs): every division rides try_divide
+    # or an exact-integer guard
+    "q_mcnemar", "q_brown_forsythe", "q_ohlc_bars", "q_page_hinkley",
+    "q_bot_detection", "q_time_decay_attribution", "q_pit_join",
+    "q_session_stats", "q_dtw_distance", "q_isotonic_calibration",
+    "q_logrank_test",
+    "q_psi_drift", "q_cohens_kappa", "q_gopher_rules", "q_mojibake_audit",
+    "q_textrank_keywords",
 ]
 
 

@@ -85,6 +85,10 @@ EVENT_QUERIES = [
     "q_topk_per_group", "q_count_window", "q_asof_join", "q_range_join",
     "q_pivot", "q_window_frames", "q_recover_value",
     "q_recover_with_stream",
+    "q_mcnemar", "q_brown_forsythe", "q_ohlc_bars", "q_page_hinkley",
+    "q_bot_detection", "q_time_decay_attribution", "q_pit_join",
+    "q_session_stats", "q_dtw_distance", "q_isotonic_calibration",
+    "q_logrank_test",
 ]
 # Queries reading ONLY the documents table (all oracle-declared).
 DOC_QUERIES = [
@@ -115,6 +119,8 @@ DOC_QUERIES = [
     "q_set_similarity_join", "q_good_turing", "q_span_corruption",
     "q_rake_keyphrases", "q_winnowing_fingerprint", "q_image_dhash_dedup",
     "q_audio_loudness", "q_kneser_ney_surprisal",
+    "q_psi_drift", "q_cohens_kappa", "q_gopher_rules", "q_mojibake_audit",
+    "q_textrank_keywords",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -216,6 +222,14 @@ def _check_parity(spark, sf_dir: str, names: list[str]) -> None:
 
 # One Spark query ≈ 0.3-1.5 s on the 4-cpu pytest session; 10 queries per
 # example × 3 examples keeps the suite's fuzz cost ~1 min while still
+# SPARK_GRAFT_FUZZ_ONLY=q_a,q_b restricts every pool to the named queries —
+# the per-batch targeted soak (new operators get a concentrated example
+# budget instead of a diluted share of the ~200-query pools).
+_ONLY = {q for q in os.environ.get("SPARK_GRAFT_FUZZ_ONLY", "").split(",") if q}
+if _ONLY:
+    EVENT_QUERIES = [q for q in EVENT_QUERIES if q in _ONLY]
+    DOC_QUERIES = [q for q in DOC_QUERIES if q in _ONLY]
+
 # exploring shapes the fixed fixtures can't. derandomize pins CI stability;
 # crank max_examples locally when hunting (see docs/EVIDENCE.md).
 _FUZZ_SETTINGS = dict(
@@ -371,7 +385,12 @@ EMBEDDING_QUERIES = [
     "q_ann_ivf", "q_ann_bucketed", "q_semantic_dedup", "q_random_projection",
     "q_jl_recall", "q_embedding_norm_audit", "q_nearest_centroid",
     "q_silhouette",
+    "q_embedding_discrimination", "q_ivf_nprobe_curve",
 ]
+if _ONLY:
+    STREAMING_QUERIES = [q for q in STREAMING_QUERIES if q in _ONLY]
+    TPCH_QUERIES = [q for q in TPCH_QUERIES if q in _ONLY]
+    EMBEDDING_QUERIES = [q for q in EMBEDDING_QUERIES if q in _ONLY]
 
 
 @st.composite

@@ -185,6 +185,15 @@ SINGLE_PARTITION_ALLOWANCE = {
     # two one-row counts (catalog size, sold-key semi-join) cross into the
     # one-row summary — never fact rows
     "q_dim_coverage": 2,
+    # the decile ntile sort (the q_stratified_ate stance: approx-quantile
+    # bounds at corpus scale) + the 10-row prefix-sum window, which feeds
+    # three consumers (lo/hi segment sides + the final join) — all
+    # deciles-bounded after the ntile, never event-level twice
+    "q_isotonic_calibration": 4,
+    # the days-bounded at-risk prefix window plus the one-row O/E/V fold
+    # and the one-row group-totals aggregate — all over the event-time
+    # table (≤ observation days) or #tasks partials, never user rows
+    "q_logrank_test": 3,
 }
 
 STREAMING_PREFIXES = ("q_stream", "q_streaming", "q_managed")
