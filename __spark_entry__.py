@@ -200,6 +200,16 @@ _PRIORITY = [
     "q_streaming_kappa", "q_streaming_hhi", "q_streaming_theil",
     "q_streaming_mcnemar", "q_streaming_brown_forsythe", "q_streaming_ohlc",
     "q_streaming_page_hinkley", "q_streaming_dtw",
+    "q_cochran_q", "q_fleiss_kappa", "q_price_index", "q_ndcg_eval",
+    "q_rbo_rankings", "q_burrows_delta", "q_hurst_exponent",
+    "q_weibull_fit", "q_croston",
+    "q_streaming_cochran", "q_streaming_fleiss", "q_streaming_hurst",
+    "q_streaming_croston", "q_streaming_logrank", "q_streaming_weibull",
+    "q_abc_xyz_matrix", "q_seasonal_mann_kendall", "q_code_switch_audit",
+    "q_token_budget_fill",
+    "q_streaming_seasonal_mk", "q_streaming_code_switch",
+    "q_streaming_price_index",
+    "q_poisson_rate_test", "q_streaming_abc_xyz", "q_streaming_poisson_rate",
 ]
 
 

@@ -165,6 +165,11 @@ TAIL = [
     "q_dtw_distance", "q_isotonic_calibration", "q_logrank_test",
     "q_psi_drift", "q_cohens_kappa", "q_gopher_rules", "q_mojibake_audit",
     "q_textrank_keywords", "q_embedding_discrimination", "q_ivf_nprobe_curve",
+    "q_cochran_q", "q_fleiss_kappa", "q_price_index", "q_ndcg_eval",
+    "q_rbo_rankings", "q_burrows_delta", "q_hurst_exponent",
+    "q_weibull_fit", "q_croston",
+    "q_abc_xyz_matrix", "q_seasonal_mann_kendall", "q_code_switch_audit",
+    "q_token_budget_fill", "q_poisson_rate_test",
 ]
 
 

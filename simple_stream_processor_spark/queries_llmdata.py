@@ -7446,3 +7446,600 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 wave 2: Fleiss kappa, nDCG, RBO, Burrows delta.
+# ---------------------------------------------------------------------------
+
+
+def fleiss_tail(g: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming Fleiss queries over the
+    (lang, n, sum_pos, sum_pnum) counter state: kappa from exact
+    decimal-widened marginals to one try_divide."""
+    n3 = (F.lit(3) * F.col("n")).cast("decimal(38,0)")
+    s1 = F.col("sum_pos").cast("decimal(38,0)")
+    s0 = n3 - s1
+    nk = F.col("sum_pnum").cast("decimal(38,0)") * n3 * n3 - F.lit(6) * F.col("n") * (s1 * s1 + s0 * s0)
+    dk = F.lit(6).cast("decimal(38,0)") * F.col("n") * (n3 * n3 - s1 * s1 - s0 * s0)
+    return g.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.round(F.col("sum_pos").cast("double") * 100.0 / (3 * F.col("n")), 4).alias("pos_rate_pct"),
+        F.round(F.try_divide(nk.cast("double"), dk.cast("double")), 6).alias("kappa_fleiss"),
+    )
+
+
+def fleiss_counts(docs: DataFrame) -> DataFrame:
+    """Per-language Fleiss cells for the three deterministic raters —
+    per-doc pure flags into one commutative aggregate (IS the streaming
+    state): sum_pnum carries the per-item n1^2 + (3-n1)^2 - 3 term."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    nstop = F.size(F.filter(toks, lambda w: w.isin(*text.STOPWORDS)))
+    r1 = (F.col("n_chars") >= 500).cast("int")
+    r2 = (F.size(toks) >= 80).cast("int")
+    r3 = (nstop * 20 >= F.size(toks)).cast("int")
+    n1 = r1 + r2 + r3
+    return docs.select("lang", n1.alias("n1")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n1").alias("sum_pos"),
+        F.sum(F.col("n1") * F.col("n1") + (3 - F.col("n1")) * (3 - F.col("n1")) - 3).alias("sum_pnum"),
+    )
+
+
+@query(
+    "q_fleiss_kappa",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, n_chars, list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
+      FROM documents
+    ),
+    flags AS (
+      SELECT lang,
+             (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END
+              + CASE WHEN len(toks) >= 80 THEN 1 ELSE 0 END
+              + CASE WHEN len(list_filter(toks, w -> w IN ({_GOPHER_STOP_IN}))) * 20 >= len(toks) THEN 1 ELSE 0 END) AS n1
+      FROM t
+    ),
+    g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n1) AS BIGINT) AS sum_pos,
+             CAST(sum(n1 * n1 + (3 - n1) * (3 - n1) - 3) AS BIGINT) AS sum_pnum
+      FROM flags GROUP BY 1
+    )
+    SELECT lang, n AS n_docs,
+           round(CAST(sum_pos AS DOUBLE) * 100.0 / (3 * n), 4) AS pos_rate_pct,
+           round(CAST(CAST(sum_pnum AS HUGEINT) * (3 * CAST(n AS HUGEINT)) * (3 * n)
+                      - 6 * n * (CAST(sum_pos AS HUGEINT) * sum_pos
+                                 + (3 * CAST(n AS HUGEINT) - sum_pos) * (3 * n - sum_pos)) AS DOUBLE)
+                 / CAST(6 * CAST(n AS HUGEINT) * ((3 * CAST(n AS HUGEINT)) * (3 * n)
+                        - CAST(sum_pos AS HUGEINT) * sum_pos
+                        - (3 * CAST(n AS HUGEINT) - sum_pos) * (3 * n - sum_pos)) AS DOUBLE), 6) AS kappa_fleiss
+    FROM g
+    """,
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L104: Fleiss' kappa (Fleiss 1971) — multi-rater chance-corrected
+    agreement across THREE deterministic quality raters (char-length,
+    token-count, stopword-fraction gates) per language, the r > 2
+    generalization of L98's Cohen kappa that annotation pipelines report
+    when more than two labelers vote. Exact integer cells end-to-end:
+    the per-item agreement numerators n1^2 + (3-n1)^2 - 3 sum
+    commutatively, the kappa rational is decimal-widened (n^3-scale
+    products) to ONE division under try_divide (a constant-rater frame
+    pins NULL). One doc pass into langs-bounded counters."""
+    return fleiss_tail(fleiss_counts(_t(spark, sf_dir, "documents")))
+
+
+@query(
+    "q_ndcg_eval",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (
+      SELECT label, t.i AS pos, v[t.i] AS x
+      FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+    ),
+    cent_long AS (SELECT label, pos, round(avg(x), 6) AS c FROM ex GROUP BY label, pos),
+    cent AS (SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cent_long GROUP BY label),
+    sims AS (
+      SELECT e.vec_id, e.v, c.c_label,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+               c.c_label ASC) AS rn
+      FROM e CROSS JOIN cent c
+    ),
+    inv AS (SELECT vec_id, v, c_label FROM sims WHERE rn = 1),
+    probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    pc AS (
+      SELECT c_label FROM cent, probe
+      ORDER BY list_dot_product(pv, cv) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) DESC, c_label ASC
+      LIMIT 3
+    ),
+    approx AS (
+      SELECT i.vec_id,
+             row_number() OVER (ORDER BY
+               list_dot_product(i.v, p.pv) / (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(p.pv, p.pv))) DESC,
+               i.vec_id ASC) AS rank
+      FROM inv i JOIN pc ON i.c_label = pc.c_label, probe p
+      WHERE i.vec_id <> 0 QUALIFY rank <= 10
+    ),
+    exact AS (
+      SELECT i.vec_id AS evid
+      FROM inv i, probe p WHERE i.vec_id <> 0
+      ORDER BY list_dot_product(i.v, p.pv) / (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(p.pv, p.pv))) DESC,
+               i.vec_id ASC
+      LIMIT 10
+    ),
+    rel AS (
+      SELECT a.rank, CASE WHEN x.evid IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM approx a LEFT JOIN exact x ON x.evid = a.vec_id
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS ne FROM exact),
+    scored AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             list_reduce(list_prepend(0.0, list(CAST(rel AS DOUBLE) / log2(rank + 1) ORDER BY rank)),
+                         (a, x) -> a + x) AS dcg
+      FROM rel
+    )
+    SELECT k AS k_eval,
+           round(dcg, 6) AS dcg,
+           round(list_reduce(list_prepend(0.0,
+             [1.0 / log2(CAST(i AS DOUBLE) + 1) FOR i IN range(1, least(k, ne)::INTEGER + 1)]),
+             (a, x) -> a + x), 6) AS idcg,
+           round(dcg / list_reduce(list_prepend(0.0,
+             [1.0 / log2(CAST(i AS DOUBLE) + 1) FOR i IN range(1, least(k, ne)::INTEGER + 1)]),
+             (a, x) -> a + x), 6) AS ndcg
+    FROM scored, ne
+    """,
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L105: nDCG@10 of the IVF(nprobe=3) ranking against the exact
+    brute-force top-10 — the POSITION-AWARE retrieval metric beside
+    L42/L103's recall@k: recall says the right vectors were found, nDCG
+    says they were found in the right ORDER (rank-1 misplacement costs
+    more than rank-10). Binary relevance from the exact set, DCG terms
+    1/log2(rank+1) folded in rank order (10 bounded terms), IDCG from
+    the ideal prefix; exact-cosine sequential folds keep both rankings
+    bit-deterministic and try_divide guards the empty-corpus frame."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = similarity.ann_ivf_topk(emb, probe_id=0, k=10, nprobe=3).select(
+        "vec_id",
+        F.row_number().over(
+            Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        ).alias("rank"),
+    )
+    probe = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("pv")
+    )
+    e = emb.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("evid"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    exact = (
+        e.crossJoin(F.broadcast(probe))
+        .select("evid", dedup.cosine(F.col("v"), F.col("pv")).alias("cs"))
+        .orderBy(F.col("cs").desc(), F.col("evid").asc())
+        .limit(10)
+        .select("evid")
+    )
+    rel = approx.join(F.broadcast(exact), approx["vec_id"] == exact["evid"], "left").select(
+        "rank", F.when(F.col("evid").isNotNull(), 1).otherwise(0).alias("rel")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("ne"))
+    scored = rel.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rank", "rel"))),
+            F.lit(0.0),
+            lambda a, s: a + s["rel"].cast("double") / F.log2(s["rank"] + 1),
+        ).alias("dcg"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("k"), F.col("ne"))),
+        F.lit(0.0),
+        lambda a, i: a + F.lit(1.0) / F.log2(i.cast("double") + 1),
+    )
+    return scored.crossJoin(F.broadcast(n_exact)).select(
+        F.col("k").alias("k_eval"),
+        F.round(F.col("dcg"), 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.round(F.try_divide(F.col("dcg"), idcg), 6).alias("ndcg"),
+    )
+
+
+@query(
+    "q_rbo_rankings",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT w, count(*) AS c FROM toks WHERE length(w) > 0 GROUP BY 1),
+    freq_top AS (
+      SELECT w AS fa, row_number() OVER (ORDER BY c DESC, w ASC) AS ra FROM tf QUALIFY ra <= 20
+    ),
+    tl AS (
+      SELECT list_filter(string_split(text, ' '), w -> length(w) > 0) AS t FROM documents
+    ),
+    adj AS (
+      SELECT DISTINCT t[i] AS w1, t[i+1] AS w2
+      FROM tl, unnest(range(1, len(t))) AS r(i)
+      WHERE t[i] <> t[i+1]
+    ),
+    e0 AS (SELECT w1 AS src, w2 AS dst FROM adj UNION SELECT w2 AS src, w1 AS dst FROM adj),
+    deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+    r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / n.n_nodes AS r FROM deg, n),
+    it1 AS (
+      SELECT e.dst AS node,
+             round(CAST(0.15 AS DOUBLE) / n.n_nodes + CAST(0.85 AS DOUBLE) * sum(r.r / g.d), 9) AS r
+      FROM e0 e JOIN r0 r ON r.node = e.src JOIN deg g ON g.src = e.src CROSS JOIN n GROUP BY e.dst, n.n_nodes
+    ),
+    it2 AS (
+      SELECT e.dst AS node,
+             round(CAST(0.15 AS DOUBLE) / n.n_nodes + CAST(0.85 AS DOUBLE) * sum(r.r / g.d), 9) AS r
+      FROM e0 e JOIN it1 r ON r.node = e.src JOIN deg g ON g.src = e.src CROSS JOIN n GROUP BY e.dst, n.n_nodes
+    ),
+    it3 AS (
+      SELECT e.dst AS node,
+             round(CAST(0.15 AS DOUBLE) / n.n_nodes + CAST(0.85 AS DOUBLE) * sum(r.r / g.d), 9) AS r
+      FROM e0 e JOIN it2 r ON r.node = e.src JOIN deg g ON g.src = e.src CROSS JOIN n GROUP BY e.dst, n.n_nodes
+    ),
+    tr_top AS (
+      SELECT node AS fb, row_number() OVER (ORDER BY r DESC, node ASC) AS rb
+      FROM it3 QUALIFY rb <= 20
+    ),
+    inter AS (
+      SELECT greatest(ra, rb) AS mrank FROM freq_top JOIN tr_top ON fb = fa
+    ),
+    depths AS (SELECT unnest(range(1, 21)) AS d),
+    od AS (
+      SELECT d, CAST(count(mrank) AS BIGINT) AS o
+      FROM depths LEFT JOIN inter ON mrank <= d GROUP BY 1
+    ),
+    agg AS (
+      SELECT
+        list_reduce(list_prepend(0.0, list(pow(0.9, d - 1) * o / d ORDER BY d)), (a, x) -> a + x) AS num,
+        list_reduce(list_prepend(0.0, list(pow(0.9, d - 1) ORDER BY d)), (a, x) -> a + x) AS den,
+        max(CASE WHEN d = 20 THEN o END) AS o20
+      FROM od
+    )
+    SELECT 20 AS depth, CAST(o20 AS BIGINT) AS overlap_at_20, round(num / den, 6) AS rbo
+    FROM agg
+    """,
+)
+def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L106: rank-biased overlap (Webber, Moffat & Zobel 2010; p = 0.9,
+    truncated at depth 20, weight-normalized) between the corpus
+    frequency top-20 and L101's TextRank top-20 — the top-weighted
+    ranking-agreement measure for comparing ANY two keyword/retrieval
+    rankings (Kendall tau over full lists overweights the tail nobody
+    reads). Per-depth overlaps are exact integer counts off ONE joined
+    (item, max-rank) table; the geometric weights fold in depth order
+    over 20 bounded terms."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w")).where(F.length("w") > 0)
+    freq_top = (
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("w").alias("fa"),
+            F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w").asc())).alias("ra"),
+        )
+        .where(F.col("ra") <= 20)
+    )
+    tr_top = q_textrank_keywords(spark, sf_dir).select(
+        F.col("word").alias("fb"),
+        F.row_number().over(Window.orderBy(F.col("textrank").desc(), F.col("word").asc())).alias("rb"),
+    )
+    inter = freq_top.join(tr_top, F.col("fa") == F.col("fb")).select(
+        F.greatest(F.col("ra"), F.col("rb")).alias("mrank")
+    )
+    depths = spark.range(1, 21).select(F.col("id").cast("int").alias("d"))
+    od = (
+        depths.join(F.broadcast(inter), F.col("mrank") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("mrank").alias("o"))
+    )
+    terms = od.select(
+        "d", "o",
+        (F.pow(F.lit(0.9), F.col("d") - 1) * F.col("o") / F.col("d")).alias("term"),
+        F.pow(F.lit(0.9), F.col("d") - 1).alias("wgt"),
+    )
+    agg = terms.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("d", F.col("term").alias("v")))),
+            F.lit(0.0), lambda a, s: a + s["v"],
+        ).alias("num"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("d", F.col("wgt").alias("v")))),
+            F.lit(0.0), lambda a, s: a + s["v"],
+        ).alias("den"),
+        F.max(F.when(F.col("d") == 20, F.col("o"))).alias("o20"),
+    )
+    return agg.select(
+        F.lit(20).alias("depth"),
+        F.col("o20").cast("long").alias("overlap_at_20"),
+        F.round(F.col("num") / F.col("den"), 6).alias("rbo"),
+    )
+
+
+@query(
+    "q_burrows_delta",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tok AS (SELECT source, w FROM toks WHERE length(w) > 0),
+    top AS (
+      SELECT w AS tw FROM (
+        SELECT w, count(*) AS c, row_number() OVER (ORDER BY count(*) DESC, w ASC) AS r
+        FROM tok GROUP BY w QUALIFY r <= 20
+      )
+    ),
+    totals AS (SELECT source AS s1, CAST(count(*) AS BIGINT) AS nt FROM tok GROUP BY 1),
+    counts AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS cw
+      FROM tok JOIN top ON tw = w GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.s1 AS src, p.tw AS word,
+             CAST(coalesce(c.cw, 0) AS DOUBLE) / t.nt AS f
+      FROM totals t CROSS JOIN top p
+      LEFT JOIN counts c ON c.source = t.s1 AND c.w = p.tw
+    ),
+    stats AS (
+      SELECT word AS w2, CAST(count(*) AS BIGINT) AS ns,
+             list_reduce(list_prepend(0.0, list(f ORDER BY src)), (a, x) -> a + x) AS sf,
+             list_reduce(list_prepend(0.0, list(f * f ORDER BY src)), (a, x) -> a + x) AS sf2
+      FROM grid GROUP BY 1
+    ),
+    z AS (
+      SELECT src, word,
+             coalesce((f - sf / ns) / nullif(sqrt(greatest(sf2 / ns - (sf / ns) * (sf / ns), 0.0)), 0.0), 0.0) AS z
+      FROM grid JOIN stats ON w2 = word
+    )
+    SELECT a.src AS source_a, b.src AS source_b,
+           round(list_reduce(list_prepend(0.0, list(abs(a.z - b.z) ORDER BY a.word)), (x, y) -> x + y)
+                 / count(*), 4) AS delta
+    FROM z a JOIN z b ON a.word = b.word AND a.src < b.src
+    GROUP BY 1, 2
+    """,
+)
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L107: Burrows' Delta stylometric distance (Burrows 2002) between
+    every source pair — authorship/provenance attribution from function-
+    word usage: per-source relative frequencies of the corpus top-20
+    words, z-scored per word across sources, delta = mean |z difference|
+    over the word panel. The mirror-site/content-farm detector that works
+    when shingle dedup does NOT (same author, different articles). All
+    frequencies are exact integer ratios; word-level stats fold over the
+    sources-bounded grid in source order, pair deltas in word order;
+    degenerate zero-variance words z-pin to 0 (coalesce over try_divide).
+    Output sources^2/2 pairs — bounded by the source catalog, never
+    docs."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") > 0
+    )
+    top = (
+        toks.groupBy(F.col("w").alias("tw")).agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "tw",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("tw").asc())).alias("r"),
+        )
+        .where(F.col("r") <= 20)
+        .select("tw")
+    )
+    totals = toks.groupBy(F.col("source").alias("s1")).agg(F.count(F.lit(1)).alias("nt"))
+    counts = (
+        toks.join(F.broadcast(top), F.col("w") == F.col("tw"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(top))
+        .join(
+            counts,
+            (F.col("s1") == F.col("source")) & (F.col("tw") == F.col("w")),
+            "left",
+        )
+        .select(
+            F.col("s1").alias("src"), F.col("tw").alias("word"),
+            (F.coalesce(F.col("cw"), F.lit(0)).cast("double") / F.col("nt")).alias("f"),
+        )
+    )
+    stats = grid.groupBy(F.col("word").alias("w2")).agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("src"), F.col("f").alias("v")))),
+            F.lit(0.0), lambda a, s: a + s["v"],
+        ).alias("sf"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("src"), F.col("f").alias("v")))),
+            F.lit(0.0), lambda a, s: a + s["v"] * s["v"],
+        ).alias("sf2"),
+    )
+    mu = F.col("sf") / F.col("ns")
+    sd = F.sqrt(F.greatest(F.col("sf2") / F.col("ns") - mu * mu, F.lit(0.0)))
+    z = grid.join(F.broadcast(stats), F.col("word") == F.col("w2")).select(
+        "src", "word",
+        F.coalesce(F.try_divide(F.col("f") - mu, sd), F.lit(0.0)).alias("z"),
+    )
+    a = z.select(F.col("src").alias("sa"), F.col("word").alias("wa"), F.col("z").alias("za"))
+    b = z.select(F.col("src").alias("sb"), F.col("word").alias("wb"), F.col("z").alias("zb"))
+    pairs = a.join(b, (F.col("wa") == F.col("wb")) & (F.col("sa") < F.col("sb")))
+    return (
+        pairs.groupBy("sa", "sb")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct(F.col("wa"), F.abs(F.col("za") - F.col("zb")).alias("v")))),
+                    F.lit(0.0), lambda acc, s: acc + s["v"],
+                ) / F.count(F.lit(1)),
+                4,
+            ).alias("delta")
+        )
+        .select(F.col("sa").alias("source_a"), F.col("sb").alias("source_b"), "delta")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 wave 3: code-switch audit, token-budget fill.
+# ---------------------------------------------------------------------------
+
+
+def code_switch_counts(docs: DataFrame) -> DataFrame:
+    """Per-source code-switch counters — per-doc top-2 language-marker
+    scores into commutative sums (IS the streaming state)."""
+    langs = sorted(text.LANG_MARKERS)
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    scores = [
+        F.size(F.filter(toks, lambda w: w.isin(*text.LANG_MARKERS[lg]))).alias(f"sc_{lg}")
+        for lg in langs
+    ]
+    d = docs.select("source", *scores)
+    arr = F.array_sort(F.array(*[F.col(f"sc_{lg}") for lg in langs]))
+    flagged = d.select(
+        "source",
+        F.element_at(arr, -1).alias("b1"),
+        F.element_at(arr, -2).alias("b2"),
+    ).select(
+        "source",
+        F.when(
+            (F.col("b1") > 0) & (F.col("b2") * 2 >= F.col("b1")) & (F.col("b2") >= 2), 1
+        ).otherwise(0).alias("mixed"),
+        F.when(F.col("b1") == 0, 1).otherwise(0).alias("unidentified"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("mixed").alias("n_mixed"),
+        F.sum("unidentified").alias("n_unidentified"),
+    )
+
+
+def code_switch_tail(g: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming code-switch queries."""
+    return g.select(
+        "source", "n_docs", "n_mixed", "n_unidentified",
+        F.round(F.col("n_mixed").cast("double") * 100.0 / F.col("n_docs"), 4).alias("mixed_pct"),
+    )
+
+
+def _cs_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang])
+    return f"len(list_filter(toks, w -> w IN ({markers})))"
+
+
+_CS_ARR = "list_sort([" + ", ".join(_cs_score_sql(lg) for lg in sorted(text.LANG_MARKERS)) + "])"
+
+@query(
+    "q_code_switch_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, {_CS_ARR} AS arr FROM t
+    ),
+    flagged AS (
+      SELECT source,
+             CASE WHEN arr[-1] > 0 AND arr[-2] * 2 >= arr[-1] AND arr[-2] >= 2 THEN 1 ELSE 0 END AS mixed,
+             CASE WHEN arr[-1] = 0 THEN 1 ELSE 0 END AS unidentified
+      FROM scored
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(mixed) AS BIGINT) AS n_mixed,
+           CAST(sum(unidentified) AS BIGINT) AS n_unidentified,
+           round(CAST(sum(mixed) AS DOUBLE) * 100.0 / count(*), 4) AS mixed_pct
+    FROM flagged GROUP BY 1
+    """,
+)
+def q_code_switch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L108: code-switching / mixed-language audit per source — docs whose
+    SECOND-best language-marker score is both material (>= 2 hits) and at
+    least half the best score are flagged mixed; docs matching no marker
+    at all are flagged unidentified. The curation gate between L13's
+    hard language-ID argmax and reality: mixed-language documents poison
+    monolingual training mixes and language-conditional quality filters,
+    and per-source mixed rates locate the crawl segments doing it. Exact
+    integer marker counts, top-2 via one sorted bounded array — no
+    ranking window; one doc pass into sources-bounded counters."""
+    return code_switch_tail(code_switch_counts(_t(spark, sf_dir, "documents")))
+
+
+@query(
+    "q_token_budget_fill",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS n_tokens,
+             len(list_distinct(list_filter(string_split(text, ' '), w -> length(w) > 0))) * 1000000
+               // greatest(len(list_filter(string_split(text, ' '), w -> length(w) > 0)), 1) AS ttr_ppm
+      FROM documents
+    ),
+    pos AS (SELECT * FROM scored WHERE n_tokens > 0),
+    sel AS (
+      SELECT source, n_tokens, ttr_ppm,
+             CAST(sum(n_tokens) OVER (ORDER BY ttr_ppm DESC, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM pos
+    ),
+    kept AS (SELECT * FROM sel WHERE cum_tokens <= 8000),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM kept)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
+           CAST(min(ttr_ppm) AS BIGINT) AS min_ttr_ppm,
+           round(CAST(sum(n_tokens) AS DOUBLE) * 100.0 / tt, 4) AS budget_share_pct
+    FROM kept, tot GROUP BY source, tt
+    """,
+)
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L109: token-budget corpus selection — greedy quality-ranked fill
+    (type-token-ratio ppm as the exact-integer quality proxy, doc_id
+    tie-break) until the training token budget (8000) is exhausted; the
+    data-mixing primitive that answers 'WHICH documents make the cut and
+    which sources get the budget' before a training run is priced. The
+    cumulative-token cut is one budgeted rank window over the scored doc
+    table (the q_lift_table allowance class — at corpus scale, a
+    two-level quality-bucket prefix sum replaces the global sort, the
+    q_training_order decomposition); everything else is exact integer
+    rollups."""
+    from pyspark.sql import Window
+
+    budget = 8000
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    scored = docs.select(
+        "doc_id", "source",
+        F.size(toks).alias("n_tokens"),
+        F.expr(
+            "size(array_distinct(filter(split(text, ' '), w -> length(w) > 0))) * 1000000"
+            " div greatest(size(filter(split(text, ' '), w -> length(w) > 0)), 1)"
+        ).alias("ttr_ppm"),
+    ).where(F.col("n_tokens") > 0)
+    wc = Window.orderBy(F.col("ttr_ppm").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sel = scored.select(
+        "source", "n_tokens", "ttr_ppm",
+        F.sum("n_tokens").over(wc).alias("cum_tokens"),
+    ).where(F.col("cum_tokens") <= budget)
+    tot = sel.agg(F.sum("n_tokens").alias("tt"))
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tokens").alias("tokens_selected"),
+            F.min("ttr_ppm").alias("min_ttr_ppm"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_selected", "tokens_selected", "min_ttr_ppm",
+            F.round(F.col("tokens_selected").cast("double") * 100.0 / F.col("tt"), 4).alias("budget_share_pct"),
+        )
+    )

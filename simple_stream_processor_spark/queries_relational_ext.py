@@ -12325,3 +12325,908 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("ev"),
     )
     return logrank_tail(users)
+
+
+# ---------------------------------------------------------------------------
+# Round 8 wave 2: Cochran Q, price indices, Hurst R/S, Weibull fit, Croston.
+# ---------------------------------------------------------------------------
+
+
+def cochran_tail(pres: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming Cochran queries over the
+    (event_type, user_id, day) presence state: three equal period thirds
+    from the state's own day bounds, exact integer Q."""
+    bounds = pres.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    flags = (
+        pres.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type", "user_id",
+            F.least(F.lit(2), F.expr("((day - dmin) * 3) div (dmax - dmin + 1)")).alias("p"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.max(F.when(F.col("p") == 0, 1).otherwise(0)).alias("x0"),
+            F.max(F.when(F.col("p") == 1, 1).otherwise(0)).alias("x1"),
+            F.max(F.when(F.col("p") == 2, 1).otherwise(0)).alias("x2"),
+        )
+    )
+    ri = F.col("x0") + F.col("x1") + F.col("x2")
+    g = flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x0").alias("c0"), F.sum("x1").alias("c1"), F.sum("x2").alias("c2"),
+        F.sum(ri * ri).alias("sum_r2"),
+    )
+    s = F.col("c0") + F.col("c1") + F.col("c2")
+    sum_c2 = (
+        F.col("c0").cast("decimal(38,0)") * F.col("c0")
+        + F.col("c1").cast("decimal(38,0)") * F.col("c1")
+        + F.col("c2").cast("decimal(38,0)") * F.col("c2")
+    )
+    qn = F.lit(2) * (F.lit(3) * sum_c2 - s.cast("decimal(38,0)") * s)
+    qd = F.lit(3).cast("decimal(38,0)") * s - F.col("sum_r2")
+    q = F.try_divide(qn.cast("double"), qd.cast("double"))
+    return g.select(
+        "event_type", "n_users",
+        F.col("c0"), F.col("c1"), F.col("c2"),
+        F.round(q, 4).alias("q_stat"),
+        F.when(q.isNull(), "n/a").when(q > 5.991, "shifted").otherwise("stable").alias("verdict"),
+    )
+
+
+@query(
+    "q_cochran_q",
+    oracle="""
+    WITH pres AS (
+      SELECT event_type, user_id, epoch_ms(ts) // 86400000 AS day
+      FROM events GROUP BY 1, 2, 3
+    ),
+    bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM pres),
+    flags AS (
+      SELECT event_type, user_id,
+             max(CASE WHEN least(2, ((day - dmin) * 3) // (dmax - dmin + 1)) = 0 THEN 1 ELSE 0 END) AS x0,
+             max(CASE WHEN least(2, ((day - dmin) * 3) // (dmax - dmin + 1)) = 1 THEN 1 ELSE 0 END) AS x1,
+             max(CASE WHEN least(2, ((day - dmin) * 3) // (dmax - dmin + 1)) = 2 THEN 1 ELSE 0 END) AS x2
+      FROM pres, bounds GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x0) AS BIGINT) AS c0, CAST(sum(x1) AS BIGINT) AS c1, CAST(sum(x2) AS BIGINT) AS c2,
+             CAST(sum((x0 + x1 + x2) * (x0 + x1 + x2)) AS BIGINT) AS sum_r2
+      FROM flags GROUP BY 1
+    )
+    SELECT event_type, n_users, c0, c1, c2,
+           round(CAST(2 * (3 * (CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1 + CAST(c2 AS HUGEINT) * c2)
+                           - CAST(c0 + c1 + c2 AS HUGEINT) * (c0 + c1 + c2)) AS DOUBLE)
+                 / CAST(3 * CAST(c0 + c1 + c2 AS HUGEINT) - sum_r2 AS DOUBLE), 4) AS q_stat,
+           CASE WHEN 3 * CAST(c0 + c1 + c2 AS HUGEINT) - sum_r2 = 0 THEN 'n/a'
+                WHEN CAST(2 * (3 * (CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1 + CAST(c2 AS HUGEINT) * c2)
+                               - CAST(c0 + c1 + c2 AS HUGEINT) * (c0 + c1 + c2)) AS DOUBLE)
+                     / CAST(3 * CAST(c0 + c1 + c2 AS HUGEINT) - sum_r2 AS DOUBLE) > 5.991 THEN 'shifted'
+                ELSE 'stable' END AS verdict
+    FROM g
+    """,
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N162: Cochran's Q test (Cochran 1950) — k=3-period repeated-measures
+    presence shift per event type, the k-sample generalization of N151's
+    McNemar (did the SAME users' engagement pattern change across thirds
+    of the observation window, with each user as their own control).
+    FULLY exact integers: Q = (k-1)(k*sum C_j^2 - S^2)/(k*S - sum R_i^2)
+    in decimal-widened arithmetic to ONE division under try_divide
+    (an all-or-nothing panel zeroes the denominator — 'n/a'); verdict at
+    the chi-square df=2 95% critical value. Same presence state as N151
+    — the two tests share the streaming head."""
+    ev = _t(spark, sf_dir, "events")
+    pres = ev.groupBy(
+        "event_type", "user_id", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return cochran_tail(pres)
+
+
+def price_index_tail(pm: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming price-index queries over the
+    (partkey, month, qty, rev_cents) state: unit prices as exact integer
+    division, Laspeyres/Paasche in basis points as pure integer
+    arithmetic, Fisher as the one geometric-mean double."""
+    priced = pm.select(
+        "partkey", "month", "qty",
+        F.expr("rev_cents div qty").alias("price_c"),
+    )
+    base_month = priced.agg(F.min("month").alias("m0"))
+    base = (
+        priced.crossJoin(F.broadcast(base_month))
+        .where(F.col("month") == F.col("m0"))
+        .select(F.col("partkey").alias("bpk"), F.col("qty").alias("q0"), F.col("price_c").alias("p0"))
+    )
+    joined = priced.join(F.broadcast(base), F.col("partkey") == F.col("bpk"))
+    g = joined.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("price_c").cast("decimal(38,0)") * F.col("q0")).alias("lnum"),
+        F.sum(F.col("p0").cast("decimal(38,0)") * F.col("q0")).alias("lden"),
+        F.sum(F.col("price_c").cast("decimal(38,0)") * F.col("qty")).alias("pnum"),
+        F.sum(F.col("p0").cast("decimal(38,0)") * F.col("qty")).alias("pden"),
+    )
+    lasp = F.expr("CASE WHEN lden = 0 THEN NULL ELSE (lnum * 10000) div lden END")
+    paas = F.expr("CASE WHEN pden = 0 THEN NULL ELSE (pnum * 10000) div pden END")
+    return g.select(
+        "month", "n_parts",
+        lasp.cast("long").alias("laspeyres_bp"),
+        paas.cast("long").alias("paasche_bp"),
+        F.round(F.sqrt(lasp.cast("double") * paas.cast("double")), 4).alias("fisher_bp"),
+    )
+
+
+@query(
+    "q_price_index",
+    oracle="""
+    WITH pm AS (
+      SELECT l_partkey AS partkey,
+             (year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS month,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1, 2 HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 0
+    ),
+    priced AS (SELECT partkey, month, qty, rev_cents // qty AS price_c FROM pm),
+    m0 AS (SELECT min(month) AS m0 FROM priced),
+    base AS (
+      SELECT partkey AS bpk, qty AS q0, price_c AS p0 FROM priced, m0 WHERE month = m0.m0
+    ),
+    g AS (
+      SELECT month, CAST(count(*) AS BIGINT) AS n_parts,
+             sum(CAST(price_c AS HUGEINT) * q0) AS lnum,
+             sum(CAST(p0 AS HUGEINT) * q0) AS lden,
+             sum(CAST(price_c AS HUGEINT) * qty) AS pnum,
+             sum(CAST(p0 AS HUGEINT) * qty) AS pden
+      FROM priced JOIN base ON bpk = partkey GROUP BY 1
+    )
+    SELECT month, n_parts,
+           CAST((lnum * 10000) // lden AS BIGINT) AS laspeyres_bp,
+           CAST((pnum * 10000) // pden AS BIGINT) AS paasche_bp,
+           round(sqrt(CAST((lnum * 10000) // lden AS DOUBLE) * CAST((pnum * 10000) // pden AS DOUBLE)), 4) AS fisher_bp
+    FROM g
+    """,
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N163: monthly price indices (Laspeyres 1871 / Paasche 1874 /
+    Fisher 1922) over the part catalog — the inflation-tracking rollup
+    finance and pricing teams run on transaction data: Laspeyres weights
+    by the BASE month's basket (did existing purchases get pricier),
+    Paasche by the current basket, Fisher the geometric compromise.
+    EXACT INTEGER throughout: unit prices = rev_cents div qty, index
+    points = (sum p_t*q_0 * 10000) div (sum p_0*q_0) in decimal-widened
+    basis points — no float enters until the one Fisher sqrt. One
+    (part, month) rollup, base-month broadcast, months-bounded output."""
+    li = _t(spark, sf_dir, "lineitem")
+    pm = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            ((F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1).alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev_cents"),
+        )
+        .where(F.col("qty") > 0)
+    )
+    return price_index_tail(pm)
+
+
+def hurst_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming Hurst queries over the
+    (day, cents) daily-total state: rescaled-range analysis at block
+    scales {8,16,32}. Block statistics use exact integer prefix sums
+    (an O(m^2) in-expression scan per block — m <= 32, trivial) so the
+    partial-sum deviations are pure doubles of exact integers; block
+    ln(R/S) terms and the final 3-point regression fold in index order."""
+    spark = daily.sparkSession
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("s")
+    ).select(F.transform(F.col("s"), lambda x: x["cents"]).alias("xs"))
+    scales = spark.createDataFrame([(8,), (16,), (32,)], "m int")
+    rows = arr.crossJoin(F.broadcast(scales)).where(F.size("xs") >= F.col("m"))
+
+    def block_ln_rs(b):
+        blk = F.slice(F.col("xs"), (b * F.col("m") + 1).cast("int"), F.col("m"))
+        ssum = F.aggregate(blk, F.lit(0).cast("long"), lambda a, x: a + x)
+        mean = ssum.cast("double") / F.col("m")
+        presum = F.transform(
+            F.sequence(F.lit(1), F.col("m")),
+            lambda j: F.aggregate(
+                F.slice(blk, 1, j.cast("int")), F.lit(0).cast("long"), lambda a, x: a + x
+            ).cast("double") - j.cast("double") * mean,
+        )
+        r = F.array_max(presum) - F.array_min(presum)
+        ss = F.aggregate(
+            blk, F.lit(0.0), lambda a, x: a + (x.cast("double") - mean) * (x - mean)
+        )
+        s = F.sqrt(ss / F.col("m"))
+        return F.when(s > 0, F.log(r / s))
+
+    per_scale = rows.select(
+        "m",
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), (F.size("xs") / F.col("m")).cast("int") - 1),
+                block_ln_rs,
+            ),
+            lambda v: v.isNotNull(),
+        ).alias("lnrs"),
+        F.size("xs").alias("n_days"),
+    ).where(F.size("lnrs") > 0)
+    pts = per_scale.select(
+        "m", "n_days",
+        F.size("lnrs").alias("n_blocks"),
+        (F.aggregate("lnrs", F.lit(0.0), lambda a, v: a + v) / F.size("lnrs")).alias("y"),
+        F.log(F.col("m").cast("double")).alias("x"),
+    )
+    g = pts.agg(
+        F.max("n_days").alias("n_days"),
+        F.count(F.lit(1)).alias("n_scales"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("m", F.col("x").alias("v")))),
+            F.lit(0.0), lambda a, s: a + s["v"],
+        ).alias("sx"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("m", F.col("y").alias("v")))),
+            F.lit(0.0), lambda a, s: a + s["v"],
+        ).alias("sy"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("m", (F.col("x") * F.col("y")).alias("v")))),
+            F.lit(0.0), lambda a, s: a + s["v"],
+        ).alias("sxy"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("m", (F.col("x") * F.col("x")).alias("v")))),
+            F.lit(0.0), lambda a, s: a + s["v"],
+        ).alias("sxx"),
+    )
+    h = F.try_divide(
+        F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n_scales"),
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_scales"),
+    )
+    return g.where(F.col("n_scales") > 0).select(
+        "n_days", "n_scales",
+        F.round(h, 4).alias("hurst"),
+        F.when(h.isNull(), "n/a")
+        .when(h > 0.6, "trending")
+        .when(h < 0.4, "mean-reverting")
+        .otherwise("random-walk")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q_hurst_exponent",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    series AS (SELECT list(cents ORDER BY day) AS xs FROM daily),
+    scales AS (SELECT unnest([8, 16, 32]) AS m),
+    rows_ AS (SELECT m, xs FROM series, scales WHERE len(xs) >= m),
+    per_block AS (
+      SELECT m, len(xs) AS n_days,
+             list_filter([
+               CASE WHEN sqrt(list_reduce(list_prepend(0.0,
+                        [ (CAST(x AS DOUBLE) - CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs[b*m+1 : b*m+m]), (u, v) -> u + v) AS DOUBLE) / m)
+                          * (x - CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs[b*m+1 : b*m+m]), (u, v) -> u + v) AS DOUBLE) / m)
+                          FOR x IN xs[b*m+1 : b*m+m] ]), (u, v) -> u + v) / m) > 0
+               THEN ln(
+                 (list_max([ CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs[b*m+1 : b*m+j]), (u, v) -> u + v) AS DOUBLE)
+                             - j * (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs[b*m+1 : b*m+m]), (u, v) -> u + v) AS DOUBLE) / m)
+                             FOR j IN range(1, m + 1) ])
+                  - list_min([ CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs[b*m+1 : b*m+j]), (u, v) -> u + v) AS DOUBLE)
+                               - j * (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs[b*m+1 : b*m+m]), (u, v) -> u + v) AS DOUBLE) / m)
+                               FOR j IN range(1, m + 1) ]))
+                 / sqrt(list_reduce(list_prepend(0.0,
+                     [ (CAST(x AS DOUBLE) - CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs[b*m+1 : b*m+m]), (u, v) -> u + v) AS DOUBLE) / m)
+                       * (x - CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs[b*m+1 : b*m+m]), (u, v) -> u + v) AS DOUBLE) / m)
+                       FOR x IN xs[b*m+1 : b*m+m] ]), (u, v) -> u + v) / m))
+               END
+               FOR b IN range(0, len(xs) // m) ], v -> v IS NOT NULL) AS lnrs
+      FROM rows_
+    ),
+    pts AS (
+      SELECT m, n_days, len(lnrs) AS n_blocks,
+             list_reduce(list_prepend(0.0, lnrs), (a, v) -> a + v) / len(lnrs) AS y,
+             ln(CAST(m AS DOUBLE)) AS x
+      FROM per_block WHERE len(lnrs) > 0
+    ),
+    g AS (
+      SELECT CAST(max(n_days) AS BIGINT) AS n_days, CAST(count(*) AS BIGINT) AS n_scales,
+             list_reduce(list_prepend(0.0, list(x ORDER BY m)), (a, v) -> a + v) AS sx,
+             list_reduce(list_prepend(0.0, list(y ORDER BY m)), (a, v) -> a + v) AS sy,
+             list_reduce(list_prepend(0.0, list(x * y ORDER BY m)), (a, v) -> a + v) AS sxy,
+             list_reduce(list_prepend(0.0, list(x * x ORDER BY m)), (a, v) -> a + v) AS sxx
+      FROM pts
+    )
+    SELECT n_days, CAST(n_scales AS BIGINT) AS n_scales,
+           round((sxy - sx * sy / n_scales) / nullif(sxx - sx * sx / n_scales, 0.0), 4) AS hurst,
+           CASE WHEN (sxy - sx * sy / n_scales) / nullif(sxx - sx * sx / n_scales, 0.0) IS NULL THEN 'n/a'
+                WHEN (sxy - sx * sy / n_scales) / nullif(sxx - sx * sx / n_scales, 0.0) > 0.6 THEN 'trending'
+                WHEN (sxy - sx * sy / n_scales) / nullif(sxx - sx * sx / n_scales, 0.0) < 0.4 THEN 'mean-reverting'
+                ELSE 'random-walk' END AS verdict
+    FROM g WHERE n_scales > 0
+    """,
+)
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N164: Hurst exponent via rescaled-range analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969) of the daily revenue series — long-memory
+    diagnosis beside N101's short-lag ACF: H > 0.5 means shocks persist
+    (trending), H < 0.5 mean-reversion, 0.5 a random walk; the number
+    that decides whether N112's drawdown statistics understate tail risk.
+    Per-block R/S at scales {8,16,32} from exact integer prefix sums
+    (O(m^2) in-expression, m <= 32); H = the 3-point log-log regression
+    slope, all folds in index order. The series is days-bounded state
+    (the page-hinkley shape) — one daily rollup is the only data pass."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.expr("unix_millis(ts) div 86400000").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return hurst_tail(daily)
+
+
+def weibull_tail(users: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming Weibull queries over the
+    per-user survival state (user_id, t, ev): median-rank linearized-CDF
+    regression over DISTINCT lifetimes (days-bounded points)."""
+    from pyspark.sql import Window
+
+    obs = users.where(F.col("ev") == 1)
+    n = obs.agg(F.count(F.lit(1)).alias("n"))
+    per_t = obs.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    pts = per_t.select(
+        "t", F.sum("c").over(wc).alias("chi")
+    ).crossJoin(F.broadcast(n)).select(
+        "t",
+        F.log(F.col("t").cast("double")).alias("x"),
+        F.log(-F.log(F.lit(1.0) - (F.col("chi").cast("double") - 0.3) / (F.col("n") + 0.4))).alias("y"),
+    )
+    g = pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", F.col("x").alias("v")))),
+            F.lit(0.0), lambda a, s: a + s["v"],
+        ).alias("sx"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", F.col("y").alias("v")))),
+            F.lit(0.0), lambda a, s: a + s["v"],
+        ).alias("sy"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", (F.col("x") * F.col("y")).alias("v")))),
+            F.lit(0.0), lambda a, s: a + s["v"],
+        ).alias("sxy"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", (F.col("x") * F.col("x")).alias("v")))),
+            F.lit(0.0), lambda a, s: a + s["v"],
+        ).alias("sxx"),
+    )
+    k = F.try_divide(
+        F.col("sxy") - F.try_divide(F.col("sx") * F.col("sy"), F.col("n_points")),
+        F.col("sxx") - F.try_divide(F.col("sx") * F.col("sx"), F.col("n_points")),
+    )
+    lam = F.exp(
+        F.try_divide(F.col("sx"), F.col("n_points"))
+        - F.try_divide(F.try_divide(F.col("sy"), F.col("n_points")), k)
+    )
+    return g.crossJoin(F.broadcast(n)).select(
+        F.col("n").alias("n_obs"),
+        "n_points",
+        F.round(k, 4).alias("shape_k"),
+        F.round(lam, 4).alias("scale_days"),
+    )
+
+
+@query(
+    "q_weibull_fit",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ms(ts) // 86400000 AS day FROM events
+    ),
+    per_user AS (
+      SELECT user_id, min(day) AS d0,
+             min(CASE WHEN event_type = 'purchase' THEN day END) AS dp
+      FROM ev GROUP BY 1
+    ),
+    users AS (
+      SELECT user_id, coalesce(dp, d0) - d0 + 1 AS t,
+             CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user
+    ),
+    obs AS (SELECT * FROM users WHERE ev = 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM obs),
+    per_t AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM obs GROUP BY 1),
+    pts AS (
+      SELECT t, ln(CAST(t AS DOUBLE)) AS x,
+             ln(-ln(1.0 - (CAST(sum(c) OVER (ORDER BY t) AS DOUBLE) - 0.3) / (n.n + 0.4))) AS y
+      FROM per_t, n
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_points,
+             list_reduce(list_prepend(0.0, list(x ORDER BY t)), (a, v) -> a + v) AS sx,
+             list_reduce(list_prepend(0.0, list(y ORDER BY t)), (a, v) -> a + v) AS sy,
+             list_reduce(list_prepend(0.0, list(x * y ORDER BY t)), (a, v) -> a + v) AS sxy,
+             list_reduce(list_prepend(0.0, list(x * x ORDER BY t)), (a, v) -> a + v) AS sxx
+      FROM pts
+    )
+    SELECT n.n AS n_obs, n_points,
+           round((sxy - sx * sy / nullif(n_points, 0)) / nullif(sxx - sx * sx / nullif(n_points, 0), 0.0), 4) AS shape_k,
+           round(exp(sx / nullif(n_points, 0)
+                     - (sy / nullif(n_points, 0)) / nullif((sxy - sx * sy / nullif(n_points, 0)) / nullif(sxx - sx * sx / nullif(n_points, 0), 0.0), 0.0)), 4) AS scale_days
+    FROM g, n
+    """,
+)
+def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N165: Weibull survival fit (Weibull 1951; median-rank regression,
+    Benard's approximation) of time-to-first-purchase — the PARAMETRIC
+    member of the survival family (N89 KM curve, N114 NA hazard, N161
+    log-rank): shape k < 1 means conversion hazard falls with time
+    (convert-early-or-never — spend retargeting budget early), k > 1
+    rising hazard. Linearized-CDF regression ln(-ln(1-F)) on ln(t) over
+    DISTINCT day lifetimes (days-bounded points, ECDF at each distinct
+    value) with all regression sums as sorted folds — no regr_* partial
+    float aggregation; slope/scale divisions under try_divide (a
+    single-point fit pins NULL)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias("dp"),
+    )
+    users = per_user.select(
+        "user_id",
+        (F.coalesce(F.col("dp"), F.col("d0")) - F.col("d0") + 1).alias("t"),
+        F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    return weibull_tail(users)
+
+
+def croston_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming Croston queries over the
+    (event_type, day, cents) daily state: dense day spine from the
+    state's own bounds, per-type sequential fold (alpha = 0.2) with all
+    previous-state references explicit (Spark simultaneous lambda ==
+    recursive-CTE oracle semantics)."""
+    bounds = daily.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    types = daily.select(F.col("event_type").alias("et")).distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("et", F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("d"))
+    )
+    dense = spine.join(
+        daily.select(F.col("event_type").alias("e2"), F.col("day").alias("d2"), "cents"),
+        (F.col("et") == F.col("e2")) & (F.col("d") == F.col("d2")),
+        "left",
+    ).select("et", "d", F.coalesce(F.col("cents"), F.lit(0)).alias("q"))
+    arr = dense.groupBy("et").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("d", "q"))), lambda s: s["q"]).alias("qs")
+    )
+    init = F.struct(
+        F.lit(0.0).alias("z"),
+        F.lit(0.0).alias("p"),
+        F.lit(1).cast("long").alias("gap"),
+        F.lit(0).alias("started"),
+        F.lit(0).cast("long").alias("nd"),
+    )
+
+    def step(acc, q):
+        demand = q > 0
+        z1 = F.when(
+            demand,
+            F.when(acc["started"] == 1, acc["z"] + F.lit(0.2) * (q.cast("double") - acc["z"]))
+            .otherwise(q.cast("double")),
+        ).otherwise(acc["z"])
+        p1 = F.when(
+            demand,
+            F.when(acc["started"] == 1, acc["p"] + F.lit(0.2) * (acc["gap"].cast("double") - acc["p"]))
+            .otherwise(acc["gap"].cast("double")),
+        ).otherwise(acc["p"])
+        return F.struct(
+            z1.alias("z"),
+            p1.alias("p"),
+            F.when(demand, F.lit(1).cast("long")).otherwise(acc["gap"] + 1).alias("gap"),
+            F.when(demand, 1).otherwise(acc["started"]).alias("started"),
+            (acc["nd"] + F.when(demand, 1).otherwise(0)).alias("nd"),
+        )
+
+    st = arr.select(
+        "et",
+        F.size("qs").alias("n_days"),
+        F.aggregate("qs", init, step).alias("s"),
+    )
+    return st.select(
+        F.col("et").alias("event_type"),
+        "n_days",
+        F.col("s")["nd"].alias("n_demand_days"),
+        F.round(F.col("s")["z"], 4).alias("smoothed_size"),
+        F.round(F.col("s")["p"], 4).alias("smoothed_interval"),
+        F.round(F.try_divide(F.col("s")["z"], F.col("s")["p"]), 4).alias("demand_per_day"),
+    )
+
+
+@query(
+    "q_croston",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+    spine AS (
+      SELECT t.et, b.dmin + u.i AS d, u.i + 1 AS t
+      FROM (SELECT DISTINCT event_type AS et FROM daily) t,
+           bounds b, unnest(range(0, CAST(b.dmax - b.dmin + 1 AS BIGINT))) AS u(i)
+    ),
+    dense AS (
+      SELECT s.et, s.t, coalesce(dy.cents, 0) AS q
+      FROM spine s LEFT JOIN daily dy ON dy.event_type = s.et AND dy.day = s.d
+    ),
+    nmax AS (SELECT max(t) AS n FROM dense),
+    cr AS (
+      SELECT et, t, q,
+             CASE WHEN q > 0 THEN CAST(q AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS z,
+             CASE WHEN q > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS p,
+             CASE WHEN q > 0 THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS gap,
+             CASE WHEN q > 0 THEN 1 ELSE 0 END AS started,
+             CASE WHEN q > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS nd
+      FROM dense WHERE t = 1
+      UNION ALL
+      SELECT d.et, d.t, d.q,
+             CASE WHEN d.q > 0 THEN
+               CASE WHEN cr.started = 1 THEN cr.z + CAST(0.2 AS DOUBLE) * (CAST(d.q AS DOUBLE) - cr.z)
+                    ELSE CAST(d.q AS DOUBLE) END
+             ELSE cr.z END,
+             CASE WHEN d.q > 0 THEN
+               CASE WHEN cr.started = 1 THEN cr.p + CAST(0.2 AS DOUBLE) * (CAST(cr.gap AS DOUBLE) - cr.p)
+                    ELSE CAST(cr.gap AS DOUBLE) END
+             ELSE cr.p END,
+             CASE WHEN d.q > 0 THEN CAST(1 AS BIGINT) ELSE cr.gap + 1 END,
+             CASE WHEN d.q > 0 THEN 1 ELSE cr.started END,
+             cr.nd + CASE WHEN d.q > 0 THEN 1 ELSE 0 END
+      FROM cr JOIN dense d ON d.et = cr.et AND d.t = cr.t + 1
+    )
+    SELECT et AS event_type, CAST(nmax.n AS INTEGER) AS n_days, nd AS n_demand_days,
+           round(z, 4) AS smoothed_size,
+           round(p, 4) AS smoothed_interval,
+           round(z / nullif(p, 0.0), 4) AS demand_per_day
+    FROM cr, nmax WHERE t = nmax.n
+    """,
+)
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N166: Croston's intermittent-demand method (Croston 1972) per
+    event type — the forecasting standard for sparse demand that plain
+    EWMA (N74) systematically underestimates: demand SIZE and demand
+    INTERVAL are smoothed separately (alpha = 0.2, only on demand days)
+    and the rate is their ratio. The per-day recursion folds over the
+    dense day spine (zero-filled from the state's own bounds, the N27
+    gap-fill shape); the multi-field state has no same-step
+    cross-references, and the oracle recursion carries ALL types in one
+    recursive CTE level (multi-row recursion). try_divide pins the
+    never-any-demand type to NULL."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    return croston_tail(daily)
+
+
+def abc_xyz_tail(pw: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming ABC-XYZ queries over the
+    (partkey, week, q, cents) state — one part-week-bounded commutative
+    state serves BOTH classifications (revenue sums for ABC, weekly
+    quantity moments for XYZ)."""
+    from pyspark.sql.window import Window
+
+    rev = pw.groupBy(F.col("partkey").alias("l_partkey")).agg(F.sum("cents").alias("cents"))
+    wc = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    abc = rev.select(
+        F.col("l_partkey").alias("apk"),
+        "cents",
+        F.sum("cents").over(wc).alias("cum"),
+        F.sum("cents").over(wt).alias("tot"),
+    ).select(
+        "apk", "cents", "tot",
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    m = pw.groupBy(F.col("partkey").alias("l_partkey")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q").cast("decimal(38,0)")).alias("qq"),
+    )
+    s2 = F.col("s") * F.col("s").cast("decimal(38,0)")
+    xyz = m.select(
+        F.col("l_partkey").alias("xpk"),
+        F.when(F.col("s") == 0, "n/a")
+        .when(4 * F.col("n") * F.col("qq") <= 5 * s2, "X")
+        .when(F.col("n") * F.col("qq") <= 2 * s2, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    j = abc.join(xyz, F.col("apk") == F.col("xpk"))
+    return j.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("revenue_cents"),
+        F.round(
+            F.try_divide(F.sum("cents").cast("double") * 100.0, F.max("tot").cast("double")), 4
+        ).alias("revenue_pct"),
+    )
+
+
+@query(
+    "q_abc_xyz_matrix",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    abc AS (
+      SELECT l_partkey AS apk, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(cents) OVER () AS BIGINT) AS tot
+      FROM rev
+    ),
+    abc2 AS (
+      SELECT apk, cents, tot,
+             CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                  WHEN cum * 100 <= tot * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM abc
+    ),
+    wk AS (
+      SELECT l_partkey, epoch_ms(l_shipdate) // 604800000 AS week,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT l_partkey AS xpk, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s,
+             sum(CAST(q AS HUGEINT) * q) AS qq
+      FROM wk GROUP BY 1
+    ),
+    xyz AS (
+      SELECT xpk,
+             CASE WHEN s = 0 THEN 'n/a'
+                  WHEN 4 * n * qq <= 5 * CAST(s AS HUGEINT) * s THEN 'X'
+                  WHEN n * qq <= 2 * CAST(s AS HUGEINT) * s THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM m
+    )
+    SELECT abc_class, xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           round(CAST(sum(cents) AS DOUBLE) * 100.0 / nullif(max(tot), 0), 4) AS revenue_pct
+    FROM abc2 JOIN xyz ON xpk = apk
+    GROUP BY 1, 2
+    """,
+)
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N167: the ABC-XYZ stocking-policy matrix — N80's revenue-Pareto
+    classes crossed with N142's demand-variability classes into the
+    9-cell grid inventory planning actually uses (AX = automate, CZ =
+    make-to-order or delist), with part counts and revenue share per
+    cell. Both classifications keep their exact-integer machinery (rank
+    windows over part-cardinality rollups, cross-multiplied CV classes
+    in decimal/HUGEINT) and share ONE (part, week)-bounded rollup — the
+    state the streaming twin drains. One budgeted single-partition
+    window inherited from the ABC side (the q_abc_classification
+    allowance argument)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pw = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.expr("unix_millis(l_shipdate) div 604800000").alias("week"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cents"),
+    )
+    return abc_xyz_tail(pw)
+
+
+def seasonal_mk_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming seasonal Mann-Kendall queries
+    over the (day, cents) daily-total state: per-weekday-stratum sign
+    pairs and tie-corrected variances, summed across strata."""
+    d = daily.select("day", "cents", F.expr("((day % 7) + 7) % 7").alias("wd"))
+    a = d.select(F.col("wd").alias("wa"), F.col("day").alias("di"), F.col("cents").alias("ci"))
+    b = d.select(F.col("wd").alias("wb"), F.col("day").alias("dj"), F.col("cents").alias("cj"))
+    s = (
+        a.join(b, F.col("wa") == F.col("wb"))
+        .where(F.col("dj") > F.col("di"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("cj") > F.col("ci"), 1)
+                    .when(F.col("cj") < F.col("ci"), -1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("s_stat")
+        )
+    )
+    per_stratum = d.groupBy(F.col("wd").alias("nw")).agg(F.count(F.lit(1)).alias("nk"))
+    ties = (
+        d.groupBy(F.col("wd").alias("tw"), "cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("tw")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias("tie_term"))
+    )
+    var = (
+        per_stratum.join(ties, F.col("nw") == F.col("tw"))
+        .agg(
+            F.sum(
+                F.col("nk") * (F.col("nk") - 1) * (2 * F.col("nk") + 5) - F.col("tie_term")
+            ).alias("var_s_x18"),
+            F.count(F.lit(1)).alias("n_strata"),
+            F.sum("nk").alias("n_days"),
+        )
+    )
+    v = s.crossJoin(F.broadcast(var))
+    zraw = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(F.col("var_s_x18") / 18.0))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(F.col("var_s_x18") / 18.0))
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        "n_days", "n_strata", "s_stat", "var_s_x18",
+        F.round(zraw, 4).alias("z_stat"),
+        F.when(zraw > 1.96, F.lit("increasing"))
+        .when(zraw < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+@query(
+    "q_seasonal_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    d AS (SELECT day, cents, ((day % 7) + 7) % 7 AS wd FROM daily),
+    s AS (
+      SELECT CAST(coalesce(sum(CASE WHEN b.cents > a.cents THEN 1
+                                    WHEN b.cents < a.cents THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+      FROM d a JOIN d b ON a.wd = b.wd AND b.day > a.day
+    ),
+    per_stratum AS (SELECT wd, CAST(count(*) AS BIGINT) AS nk FROM d GROUP BY 1),
+    ties AS (
+      SELECT wd, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT wd, cents, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    var_ AS (
+      SELECT CAST(sum(nk * (nk - 1) * (2 * nk + 5) - tie_term) AS BIGINT) AS var_s_x18,
+             CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(nk) AS BIGINT) AS n_days
+      FROM per_stratum JOIN ties ON ties.wd = per_stratum.wd
+    ),
+    z AS (
+      SELECT n_days, n_strata, s_stat, var_s_x18,
+             CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s_x18 / 18.0)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s_x18 / 18.0)
+                  ELSE 0.0 END AS zraw
+      FROM s, var_
+    )
+    SELECT n_days, n_strata, s_stat, var_s_x18,
+           round(zraw, 4) AS z_stat,
+           CASE WHEN zraw > 1.96 THEN 'increasing'
+                WHEN zraw < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM z
+    """,
+)
+def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N168: seasonal Mann-Kendall trend test (Hirsch & Slack 1984) on
+    the daily revenue total, stratified by day-of-week — the trend test
+    to run when the series has a weekly cycle N106's plain MK mistakes
+    for noise (or trend): sign pairs only compare Mondays with Mondays,
+    so the weekend dip never enters S; per-stratum tie-corrected
+    variances sum across strata. Same exact-integer machinery as N106
+    (S and the x18 variance numerator are BIGINT; one division + one
+    IEEE sqrt in the identical expression tree); the pair join is
+    days^2/7-bounded — cheaper than plain MK."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.expr("unix_millis(ts) div 86400000").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return seasonal_mk_tail(daily)
+
+
+def poisson_rate_tail(counts: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming Poisson-rate queries over the
+    (event_type, day, k) daily count state: calendar-day halves from the
+    state's own bounds, exact integer counts into one z expression."""
+    bounds = counts.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax")).select(
+        F.expr("(dmin + dmax) div 2").alias("mid"),
+        F.col("dmin"), F.col("dmax"),
+    )
+    g = (
+        counts.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("mid"), F.col("k")).otherwise(0)).alias("k1"),
+            F.sum(F.when(F.col("day") > F.col("mid"), F.col("k")).otherwise(0)).alias("k2"),
+            (F.max("mid") - F.max("dmin") + 1).alias("t1"),
+            (F.max("dmax") - F.max("mid")).alias("t2"),
+        )
+    )
+    r1 = F.col("k1").cast("double") / F.col("t1")
+    r2 = F.col("k2").cast("double") / F.col("t2")
+    se = F.sqrt(
+        F.col("k1").cast("double") / (F.col("t1") * F.col("t1"))
+        + F.col("k2").cast("double") / (F.col("t2") * F.col("t2"))
+    )
+    z = F.when(
+        (F.col("t1") > 0) & (F.col("t2") > 0) & (F.col("k1") + F.col("k2") > 0),
+        (r1 - r2) / se,
+    )
+    return g.select(
+        "event_type", "k1", "k2", "t1", "t2",
+        F.round(z, 4).alias("z_stat"),
+        F.when(z.isNull(), "n/a")
+        .when(F.abs(z) > 1.96, "rate-changed")
+        .otherwise("stable")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q_poisson_rate_test",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day, CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT (min(day) + max(day)) // 2 AS mid, min(day) AS dmin, max(day) AS dmax FROM counts
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN day <= mid THEN k ELSE 0 END) AS BIGINT) AS k1,
+             CAST(sum(CASE WHEN day > mid THEN k ELSE 0 END) AS BIGINT) AS k2,
+             CAST(max(mid) - max(dmin) + 1 AS BIGINT) AS t1,
+             CAST(max(dmax) - max(mid) AS BIGINT) AS t2
+      FROM counts, bounds GROUP BY 1
+    ),
+    z AS (
+      SELECT event_type, k1, k2, t1, t2,
+             CASE WHEN t1 > 0 AND t2 > 0 AND k1 + k2 > 0 THEN
+               (CAST(k1 AS DOUBLE) / t1 - CAST(k2 AS DOUBLE) / t2)
+               / sqrt(CAST(k1 AS DOUBLE) / (t1 * t1) + CAST(k2 AS DOUBLE) / (t2 * t2))
+             END AS zraw
+      FROM g
+    )
+    SELECT event_type, k1, k2, t1, t2,
+           round(zraw, 4) AS z_stat,
+           CASE WHEN zraw IS NULL THEN 'n/a'
+                WHEN abs(zraw) > 1.96 THEN 'rate-changed'
+                ELSE 'stable' END AS verdict
+    FROM z
+    """,
+)
+def q_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N169: two-sample Poisson rate test per event type — did the
+    events-per-calendar-day RATE change between the first and second half
+    of the observation window (the volume companion to N151's presence
+    McNemar and N154's mean-level Page-Hinkley: counts, not values or
+    membership). Wald z on the rate difference with exact integer counts
+    and calendar-day exposures; a single-day window pins 'n/a' via an
+    explicit CASE (lazy both engines) rather than a reachable zero
+    division. One daily-count rollup — types x days bounded state, the
+    streaming twin drains it unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    return poisson_rate_tail(counts)

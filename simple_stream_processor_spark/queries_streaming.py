@@ -2600,3 +2600,228 @@ def q_streaming_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     drained, _ = run_stream_to_memory(hourly, output_mode="complete")
     return dtw_tail(drained)
+
+
+# ---------------------------------------------------------------------------
+# Round 8 wave-2 twins: Cochran, Fleiss, Hurst, Croston, Weibull, log-rank.
+# ---------------------------------------------------------------------------
+
+
+def _streaming_presence_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (event_type, user_id, day) presence state — counts commutative,
+    bounded by active user-days — shared by the paired/repeated-measures
+    twins (N151b McNemar, N162b Cochran)."""
+    sdf = stream_events(spark, sf_dir)
+    pres = sdf.groupBy(
+        "event_type", "user_id",
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    drained, _ = run_stream_to_memory(pres, output_mode="complete")
+    return drained
+
+
+@query("q_streaming_cochran", oracle=_relext_oracle("q_cochran_q"))
+def q_streaming_cochran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Cochran twin (N162b): the SAME presence state as the
+    McNemar twin drained through cochran_tail — one bounded state table
+    serves both the paired 2-period and the repeated-measures 3-period
+    shift tests (the multi-metric-per-state pattern). Hash-matches the
+    batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import cochran_tail
+
+    return cochran_tail(_streaming_presence_state(spark, sf_dir))
+
+
+@query("q_streaming_fleiss", oracle=_llmdata_oracle("q_fleiss_kappa"))
+def q_streaming_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Fleiss twin (L104b): the (lang, n, sum_pos, sum_pnum)
+    counter state — per-doc pure rater flags into commutative sums —
+    through the shared fleiss_tail: live multi-rater drift monitoring.
+    Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import fleiss_counts, fleiss_tail
+
+    g = fleiss_counts(_stream_docs(spark, sf_dir))
+    drained, _ = run_stream_to_memory(g, output_mode="complete")
+    return fleiss_tail(drained)
+
+
+@query("q_streaming_hurst", oracle=_relext_oracle("q_hurst_exponent"))
+def q_streaming_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Hurst twin (N164b): the (day, cents) daily-total state
+    re-analyzed through hurst_tail per trigger — live long-memory
+    diagnosis of the revenue series; the R/S block scan runs over
+    days-bounded state at drain time. Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import hurst_tail
+
+    sdf = stream_events(spark, sf_dir)
+    daily = sdf.groupBy(
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    drained, _ = run_stream_to_memory(daily, output_mode="complete")
+    return hurst_tail(drained)
+
+
+@query("q_streaming_croston", oracle=_relext_oracle("q_croston"))
+def q_streaming_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Croston twin (N166b): the per-type daily-cents state
+    through croston_tail — the live intermittent-demand forecast, dense
+    spine and sequential fold re-run over bounded state at drain time.
+    Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import croston_tail
+
+    return croston_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+def _streaming_user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user survival state (user_id, d0, dlast, dp, first_type) —
+    min/max/min-struct aggregates, all commutative, one row per user —
+    shared by the survival twins (N161b log-rank, N165b Weibull)."""
+    sdf = stream_events(spark, sf_dir).select(
+        "user_id", "event_type",
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day"),
+    )
+    per_user = sdf.groupBy("user_id").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("dlast"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias("dp"),
+        F.min(F.struct("day", "event_type"))["event_type"].alias("first_type"),
+    )
+    drained, _ = run_stream_to_memory(per_user, output_mode="complete")
+    return drained
+
+
+@query("q_streaming_logrank", oracle=_relext_oracle("q_logrank_test"))
+def q_streaming_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming log-rank twin (N161b): the per-user survival state —
+    commutative min/max aggregates, one row per user — drained through
+    the shared logrank_tail: a live is-the-cohort-separation-real
+    monitor. Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import logrank_tail
+
+    st = _streaming_user_survival(spark, sf_dir)
+    users = st.select(
+        "user_id",
+        F.when(F.col("first_type") == "view", 1).otherwise(0).alias("g"),
+        F.when(F.col("dp").isNotNull(), F.col("dp") - F.col("d0"))
+        .otherwise(F.col("dlast") - F.col("d0")).alias("t"),
+        F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    return logrank_tail(users)
+
+
+@query("q_streaming_weibull", oracle=_relext_oracle("q_weibull_fit"))
+def q_streaming_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Weibull twin (N165b): the SAME per-user survival state
+    as the log-rank twin through weibull_tail — one user-bounded state,
+    two survival readouts (nonparametric test + parametric fit).
+    Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import weibull_tail
+
+    st = _streaming_user_survival(spark, sf_dir)
+    users = st.select(
+        "user_id",
+        (F.coalesce(F.col("dp"), F.col("d0")) - F.col("d0") + 1).alias("t"),
+        F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    return weibull_tail(users)
+
+
+@query("q_streaming_seasonal_mk", oracle=_relext_oracle("q_seasonal_mann_kendall"))
+def q_streaming_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming seasonal-MK twin (N168b): the (day, cents) daily-total
+    state re-stratified through seasonal_mk_tail per trigger — the live
+    deseasonalized trend verdict beside the plain streaming MK twin on
+    the per-type state. Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import seasonal_mk_tail
+
+    sdf = stream_events(spark, sf_dir)
+    daily = sdf.groupBy(
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    drained, _ = run_stream_to_memory(daily, output_mode="complete")
+    return seasonal_mk_tail(drained)
+
+
+@query("q_streaming_code_switch", oracle=_llmdata_oracle("q_code_switch_audit"))
+def q_streaming_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming code-switch twin (L108b): per-source mixed/unidentified
+    counters as commutative streaming state through code_switch_tail —
+    mixed-language crawl segments surface as they ingest. Hash-matches
+    the batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import code_switch_counts, code_switch_tail
+
+    g = code_switch_counts(_stream_docs(spark, sf_dir))
+    drained, _ = run_stream_to_memory(g, output_mode="complete")
+    return code_switch_tail(drained)
+
+
+@query("q_streaming_price_index", oracle=_relext_oracle("q_price_index"))
+def q_streaming_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming price-index twin (N163b): the (part, month, qty, cents)
+    state over a LINEITEM stream — the first fact-table stream twin —
+    drained through price_index_tail: live Laspeyres/Paasche/Fisher
+    readouts as shipments ingest. Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import price_index_tail
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+    pm = (
+        sdf.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            ((F.year(F.col("l_shipdate").cast("timestamp")) - 1992) * 12
+             + F.month(F.col("l_shipdate").cast("timestamp")) - 1).alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev_cents"),
+        )
+    )
+    drained, _ = run_stream_to_memory(pm, output_mode="complete")
+    return price_index_tail(drained.where(F.col("qty") > 0))
+
+
+@query("q_streaming_abc_xyz", oracle=_relext_oracle("q_abc_xyz_matrix"))
+def q_streaming_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ABC-XYZ twin (N167b): the (part, week, qty, cents) state
+    over the lineitem stream — ONE part-week-bounded commutative state
+    drained through abc_xyz_tail serves BOTH classifications (revenue
+    Pareto + demand variability): the live stocking-policy grid.
+    Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import abc_xyz_tail
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+    pw = sdf.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.expr("unix_millis(cast(l_shipdate as timestamp)) div 604800000").alias("week"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cents"),
+    )
+    drained, _ = run_stream_to_memory(pw, output_mode="complete")
+    return abc_xyz_tail(drained)
+
+
+@query("q_streaming_poisson_rate", oracle=_relext_oracle("q_poisson_rate_test"))
+def q_streaming_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Poisson-rate twin (N169b): the (event_type, day, count)
+    state — types x days commutative rows — through poisson_rate_tail:
+    the live volume-shift alarm per type. Hash-matches the batch
+    oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import poisson_rate_tail
+
+    sdf = stream_events(spark, sf_dir)
+    counts = sdf.groupBy(
+        "event_type",
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    drained, _ = run_stream_to_memory(counts, output_mode="complete")
+    return poisson_rate_tail(drained)

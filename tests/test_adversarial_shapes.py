@@ -125,6 +125,12 @@ SENSITIVE = [
     "q_logrank_test",
     "q_psi_drift", "q_cohens_kappa", "q_gopher_rules", "q_mojibake_audit",
     "q_textrank_keywords",
+    # round-8 wave 2
+    "q_cochran_q", "q_hurst_exponent", "q_weibull_fit", "q_croston",
+    "q_fleiss_kappa", "q_rbo_rankings", "q_burrows_delta",
+    # round-8 wave 3
+    "q_seasonal_mann_kendall", "q_code_switch_audit", "q_token_budget_fill",
+    "q_poisson_rate_test",
 ]
 
 

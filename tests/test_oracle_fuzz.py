@@ -89,6 +89,8 @@ EVENT_QUERIES = [
     "q_bot_detection", "q_time_decay_attribution", "q_pit_join",
     "q_session_stats", "q_dtw_distance", "q_isotonic_calibration",
     "q_logrank_test",
+    "q_cochran_q", "q_hurst_exponent", "q_weibull_fit", "q_croston",
+    "q_seasonal_mann_kendall", "q_poisson_rate_test",
 ]
 # Queries reading ONLY the documents table (all oracle-declared).
 DOC_QUERIES = [
@@ -121,6 +123,8 @@ DOC_QUERIES = [
     "q_audio_loudness", "q_kneser_ney_surprisal",
     "q_psi_drift", "q_cohens_kappa", "q_gopher_rules", "q_mojibake_audit",
     "q_textrank_keywords",
+    "q_fleiss_kappa", "q_rbo_rankings", "q_burrows_delta",
+    "q_code_switch_audit", "q_token_budget_fill",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -299,6 +303,7 @@ TPCH_QUERIES = [
     "q_mix_shift", "q_hill_tail_index", "q_lorenz_curve",
     "q_xyz_classification", "q_encoding_advisor", "q_price_elasticity",
     "q_k_core",
+    "q_abc_xyz_matrix", "q_price_index",
 ]
 
 ORDER_STATUS = ["F", "O", "P"]
@@ -385,7 +390,7 @@ EMBEDDING_QUERIES = [
     "q_ann_ivf", "q_ann_bucketed", "q_semantic_dedup", "q_random_projection",
     "q_jl_recall", "q_embedding_norm_audit", "q_nearest_centroid",
     "q_silhouette",
-    "q_embedding_discrimination", "q_ivf_nprobe_curve",
+    "q_embedding_discrimination", "q_ivf_nprobe_curve", "q_ndcg_eval",
 ]
 if _ONLY:
     STREAMING_QUERIES = [q for q in STREAMING_QUERIES if q in _ONLY]

@@ -399,3 +399,231 @@ def test_brown_forsythe_scale_invariance_of_f(spark, sf_dir):
         f = (ssb / (k - 1)) / (ssw / (n - k))
         row = QUERIES["q_brown_forsythe"](spark, sf_dir).collect()[0]
         assert abs(row.f_bf - round(f, 4)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# wave 2
+# ---------------------------------------------------------------------------
+
+
+def test_cochran_q_matches_python_replay(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    days = [r.ts_ms // 86400000 for r in ev]
+    dmin, dmax = min(days), max(days)
+    per = defaultdict(lambda: [0, 0, 0])
+    for r in ev:
+        d = r.ts_ms // 86400000
+        p = min(2, ((d - dmin) * 3) // (dmax - dmin + 1))
+        per[(r.event_type, r.user_id)][p] = 1
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])  # c0 c1 c2 sum_r2 n
+    for (et, _u), xs in per.items():
+        a = agg[et]
+        for j in range(3):
+            a[j] += xs[j]
+        a[3] += sum(xs) ** 2
+        a[4] += 1
+    got = {r.event_type: r for r in QUERIES["q_cochran_q"](spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for et, (c0, c1, c2, sr2, n) in agg.items():
+        s = c0 + c1 + c2
+        den = 3 * s - sr2
+        assert (got[et].c0, got[et].c1, got[et].c2, got[et].n_users) == (c0, c1, c2, n)
+        if den:
+            q = 2 * (3 * (c0 * c0 + c1 * c1 + c2 * c2) - s * s) / den
+            assert abs(got[et].q_stat - round(q, 4)) < 1e-9
+        else:
+            assert got[et].verdict == "n/a"
+
+
+def test_fleiss_kappa_bounds(spark, sf_dir):
+    rows = QUERIES["q_fleiss_kappa"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.kappa_fleiss is not None:
+            assert r.kappa_fleiss <= 1.0 + 1e-9
+        assert 0.0 <= r.pos_rate_pct <= 100.0
+
+
+def test_price_index_base_month_is_10000(spark, sf_dir):
+    rows = {r.month: r for r in QUERIES["q_price_index"](spark, sf_dir).collect()}
+    m0 = min(rows)
+    # the base month prices against its own basket: exactly 10000 bp
+    assert rows[m0].laspeyres_bp == 10000
+    assert rows[m0].paasche_bp == 10000
+    for r in rows.values():
+        assert r.laspeyres_bp > 0 and r.paasche_bp > 0
+        # Fisher is the geometric mean of the two
+        assert abs(r.fisher_bp - round(math.sqrt(float(r.laspeyres_bp) * r.paasche_bp), 4)) < 1e-9
+
+
+def test_ndcg_bounds_and_idcg_dominance(spark, sf_dir):
+    row = QUERIES["q_ndcg_eval"](spark, sf_dir).collect()[0]
+    assert 0.0 <= row.ndcg <= 1.0 + 1e-9
+    assert row.dcg <= row.idcg + 1e-9
+    assert row.k_eval <= 10
+
+
+def test_rbo_bounds_and_overlap_consistency(spark, sf_dir):
+    row = QUERIES["q_rbo_rankings"](spark, sf_dir).collect()[0]
+    assert 0.0 <= row.rbo <= 1.0 + 1e-9
+    assert 0 <= row.overlap_at_20 <= 20
+    # full agreement at every depth would give rbo == 1; overlap 20 of 20
+    if row.overlap_at_20 == 20:
+        assert row.rbo <= 1.0 + 1e-9
+
+
+def test_burrows_delta_symmetric_nonnegative(spark, sf_dir):
+    rows = QUERIES["q_burrows_delta"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b  # canonical pair order, no dupes
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert r.delta >= 0.0
+
+
+def test_hurst_matches_python_replay(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts_ms // 86400000] += r.cents
+    xs = [daily[d] for d in sorted(daily)]
+    pts = []
+    for m in (8, 16, 32):
+        if len(xs) < m:
+            continue
+        lnrs = []
+        for b in range(len(xs) // m):
+            blk = xs[b * m:(b + 1) * m]
+            mean = sum(blk) / m
+            devs = []
+            run = 0
+            for x in blk:
+                run += x
+                devs.append(run - (len(devs) + 1) * mean)
+            rr = max(devs) - min(devs)
+            ss = math.sqrt(sum((x - mean) ** 2 for x in blk) / m)
+            if ss > 0:
+                lnrs.append(math.log(rr / ss))
+        if lnrs:
+            pts.append((math.log(m), sum(lnrs) / len(lnrs)))
+    rows = QUERIES["q_hurst_exponent"](spark, sf_dir).collect()
+    if not pts:
+        assert rows == []
+        return
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = sxx - sx * sx / n
+    row = rows[0]
+    assert row.n_scales == n
+    if den:
+        assert abs(row.hurst - round((sxy - sx * sy / n) / den, 4)) < 1e-6
+
+
+def test_weibull_fit_reasonable(spark, sf_dir):
+    row = QUERIES["q_weibull_fit"](spark, sf_dir).collect()[0]
+    assert row.n_points <= row.n_obs
+    if row.shape_k is not None:
+        assert row.scale_days is None or row.scale_days > 0
+
+
+def test_croston_matches_python_replay(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    daily = defaultdict(int)
+    types = set()
+    for r in ev:
+        daily[(r.event_type, r.ts_ms // 86400000)] += r.cents
+        types.add(r.event_type)
+    days = [d for (_t, d) in daily]
+    dmin, dmax = min(days), max(days)
+    got = {r.event_type: r for r in QUERIES["q_croston"](spark, sf_dir).collect()}
+    assert set(got) == types
+    for et in types:
+        z = p = 0.0
+        gap, started, nd = 1, False, 0
+        for d in range(dmin, dmax + 1):
+            q = daily.get((et, d), 0)
+            if q > 0:
+                z = z + 0.2 * (q - z) if started else float(q)
+                p = p + 0.2 * (gap - p) if started else float(gap)
+                gap, started = 1, True
+                nd += 1
+            else:
+                gap += 1
+        g = got[et]
+        assert g.n_days == dmax - dmin + 1
+        assert g.n_demand_days == nd
+        assert abs(g.smoothed_size - round(z, 4)) < 1e-9
+        assert abs(g.smoothed_interval - round(p, 4)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# wave 3
+# ---------------------------------------------------------------------------
+
+
+def test_abc_xyz_matrix_partitions_parts(spark, sf_dir):
+    from simple_stream_processor_spark.tables import load_table
+
+    n_parts = load_table(spark, "lineitem", sf_dir).select("l_partkey").distinct().count()
+    rows = QUERIES["q_abc_xyz_matrix"](spark, sf_dir).collect()
+    assert sum(r.n_parts for r in rows) == n_parts
+    assert {r.abc_class for r in rows} <= {"A", "B", "C"}
+    assert {r.xyz_class for r in rows} <= {"X", "Y", "Z", "n/a"}
+    total_pct = sum(r.revenue_pct for r in rows)
+    assert abs(total_pct - 100.0) < 0.01
+
+
+def test_seasonal_mk_consistent_with_plain_mk_inputs(spark, sf_dir):
+    row = QUERIES["q_seasonal_mann_kendall"](spark, sf_dir).collect()[0]
+    assert row.n_strata <= 7
+    assert row.trend in ("increasing", "decreasing", "no_trend")
+    # |S| can never exceed the number of within-stratum pairs
+    max_pairs = row.n_days * (row.n_days - 1) // 2
+    assert abs(row.s_stat) <= max_pairs
+
+
+def test_code_switch_counts_partition_docs(spark, sf_dir):
+    from simple_stream_processor_spark.tables import load_table
+
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    rows = QUERIES["q_code_switch_audit"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_mixed <= r.n_docs
+        assert 0 <= r.n_unidentified <= r.n_docs
+
+
+def test_token_budget_fill_respects_budget_and_greedy_rule(spark, sf_dir):
+    rows = QUERIES["q_token_budget_fill"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.tokens_selected for r in rows)
+    assert total <= 8000
+    share = sum(r.budget_share_pct for r in rows)
+    assert abs(share - 100.0) < 0.01
+
+
+def test_poisson_rate_matches_python_replay(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r.event_type, r.ts_ms // 86400000)] += 1
+    days = [d for (_t, d) in daily]
+    dmin, dmax = min(days), max(days)
+    mid = (dmin + dmax) // 2
+    agg = defaultdict(lambda: [0, 0])
+    for (et, d), k in daily.items():
+        agg[et][0 if d <= mid else 1] += k
+    t1, t2 = mid - dmin + 1, dmax - mid
+    got = {r.event_type: r for r in QUERIES["q_poisson_rate_test"](spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for et, (k1, k2) in agg.items():
+        g = got[et]
+        assert (g.k1, g.k2, g.t1, g.t2) == (k1, k2, t1, t2)
+        if t1 > 0 and t2 > 0 and k1 + k2 > 0:
+            z = (k1 / t1 - k2 / t2) / math.sqrt(k1 / (t1 * t1) + k2 / (t2 * t2))
+            assert abs(g.z_stat - round(z, 4)) < 1e-9

@@ -194,6 +194,20 @@ SINGLE_PARTITION_ALLOWANCE = {
     # and the one-row group-totals aggregate — all over the event-time
     # table (≤ observation days) or #tasks partials, never user rows
     "q_logrank_test": 3,
+    # two global top-20 rank windows (frequency ranking + the TextRank
+    # re-rank, both over vocab-bounded score tables)
+    "q_rbo_rankings": 2,
+    # the global sign-pair one-row aggregate plus the one-row stratum
+    # variance rollup — both over days-bounded partials, never events
+    "q_seasonal_mann_kendall": 2,
+    # the budgeted quality-rank window over the scored doc table (the
+    # q_lift_table class; two-level decomposition documented) plus the
+    # one-row selected-total aggregate
+    "q_token_budget_fill": 2,
+    # the days-bounded distinct-lifetime prefix window, the one-row
+    # uncensored-count aggregate, and the one-row regression fold —
+    # all over <= observation-days rows or #tasks partials
+    "q_weibull_fit": 3,
 }
 
 STREAMING_PREFIXES = ("q_stream", "q_streaming", "q_managed")
