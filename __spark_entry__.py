@@ -210,6 +210,8 @@ _PRIORITY = [
     "q_streaming_seasonal_mk", "q_streaming_code_switch",
     "q_streaming_price_index",
     "q_poisson_rate_test", "q_streaming_abc_xyz", "q_streaming_poisson_rate",
+    "q_friedman_test", "q_keyword_trend",
+    "q_streaming_friedman", "q_streaming_keyword_trend",
 ]
 
 

@@ -8043,3 +8043,111 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tokens_selected").cast("double") * 100.0 / F.col("tt"), 4).alias("budget_share_pct"),
         )
     )
+
+
+def keyword_trend_tail(cells: DataFrame) -> DataFrame:
+    """cells: (week, word, c) weekly token counts. Trending = top-20 by
+    the exact integer smoothed rate ratio between the last two weeks."""
+    from pyspark.sql import Window
+
+    weeks = cells.agg(F.max("week").alias("w2")).select(
+        "w2", (F.col("w2") - 1).alias("w1")
+    )
+    tot = cells.groupBy(F.col("week").alias("tw")).agg(F.sum("c").alias("n"))
+    last = (
+        cells.crossJoin(F.broadcast(weeks))
+        .where(F.col("week") == F.col("w2"))
+        .select(F.col("word").alias("word2"), F.col("c").alias("c2"))
+    )
+    prev = (
+        cells.crossJoin(F.broadcast(weeks))
+        .where(F.col("week") == F.col("w1"))
+        .select(F.col("word").alias("word1"), F.col("c").alias("c1"))
+    )
+    n2 = tot.crossJoin(F.broadcast(weeks)).where(F.col("tw") == F.col("w2")).select(
+        F.col("n").alias("n2")
+    )
+    n1 = tot.crossJoin(F.broadcast(weeks)).where(F.col("tw") == F.col("w1")).select(
+        F.col("n").alias("n1")
+    )
+    j = (
+        last.join(prev, F.col("word2") == F.col("word1"), "full")
+        .select(
+            F.coalesce(F.col("word2"), F.col("word1")).alias("word"),
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    # exact integer trend score: ((c2+1) * (n1+V)) * 1e6 div ((c1+1) * (n2+V))
+    # with V = 1 smoothing mass on each side; monotone in the smoothed
+    # rate ratio, so the top-20 cut is float-free
+    score = F.expr(
+        "((c2 + 1) * cast(n1 + 1 as decimal(38,0)) * 1000000)"
+        " div ((c1 + 1) * cast(n2 + 1 as decimal(38,0)))"
+    ).cast("long")
+    scored = j.select(
+        "word", "c1", "c2", score.alias("trend_ppm")
+    )
+    w = Window.orderBy(F.col("trend_ppm").desc(), F.col("word").asc())
+    return (
+        scored.select("word", "c1", "c2", "trend_ppm", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 20)
+    )
+
+
+@query(
+    "q_keyword_trend",
+    oracle="""
+WITH cells AS (
+  SELECT doc_id // 64 AS week, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+cc AS (
+  SELECT week, word, CAST(count(*) AS BIGINT) AS c
+  FROM cells WHERE length(word) > 0 GROUP BY 1, 2
+),
+weeks AS (SELECT max(week) AS w2, max(week) - 1 AS w1 FROM cc),
+tot AS (SELECT week AS tw, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY 1),
+last_ AS (SELECT word AS word2, c AS c2 FROM cc, weeks WHERE week = w2),
+prev_ AS (SELECT word AS word1, c AS c1 FROM cc, weeks WHERE week = w1),
+n2 AS (SELECT n AS n2 FROM tot, weeks WHERE tw = w2),
+n1 AS (SELECT n AS n1 FROM tot, weeks WHERE tw = w1),
+j AS (
+  SELECT coalesce(word2, word1) AS word,
+         coalesce(c2, 0) AS c2, coalesce(c1, 0) AS c1
+  FROM last_ FULL JOIN prev_ ON word1 = word2
+),
+scored AS (
+  SELECT word, c1, c2,
+         CAST(((c2 + 1) * CAST(n1.n1 + 1 AS HUGEINT) * 1000000) // ((c1 + 1) * CAST(n2.n2 + 1 AS HUGEINT)) AS BIGINT) AS trend_ppm
+  FROM j, n1, n2
+)
+SELECT word, c1, c2, trend_ppm,
+       CAST(row_number() OVER (ORDER BY trend_ppm DESC, word ASC) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= 20
+""",
+)
+def q_keyword_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L110: trending-term detection — top-20 words by week-over-week
+    smoothed rate ratio between the last two ingestion buckets (doc_id
+    div 64, the L84 novelty-curve time axis): the emerging-topic /
+    campaign-launch monitor a corpus dashboard runs beside L84's
+    saturation curve (what is NEW vs what is GROWING). The score
+    (c2+1)(N1+1)*1e6 div ((c1+1)(N2+1)) is the add-one-smoothed rate
+    ratio as ONE exact 128-bit integer (decimal/HUGEINT widened — the
+    PMI ranking discipline), so the top-20 cut is float-free and
+    survives any corpus scale; vocab x weeks bounded state throughout,
+    directly drained by the streaming twin."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.expr("doc_id div 64").alias("week"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .where(F.length("word") > 0)
+        .groupBy("week", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return keyword_trend_tail(cells)

@@ -10140,8 +10140,8 @@ def kruskal_tail(daily: DataFrame) -> DataFrame:
       FROM g
     )
     SELECT k_groups, n AS n_days,
-           round(sr - CAST(s AS DOUBLE) * s / n, 4) AS ss_between,
-           round(q - sr, 4) AS ss_within,
+           sr - CAST(s AS DOUBLE) * s / n AS ss_between,
+           q - sr AS ss_within,
            round(((sr - CAST(s AS DOUBLE) * s / n) / (k_groups - 1))
                  / ((q - sr) / (n - k_groups)), 4) AS f_stat,
            round((sr - CAST(s AS DOUBLE) * s / n)
@@ -10187,11 +10187,18 @@ def anova_tail(daily: DataFrame) -> DataFrame:
     ssb = F.col("sr") - F.col("s").cast("double") * F.col("s") / F.col("n")
     ssw = F.col("q") - F.col("sr")
     sst = F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    # ss magnitudes reach cents^2 scale (1e11+ at fuzz scale), where a
+    # 4dp decimal round asks for more significant digits than a double
+    # carries — Spark (exact-decimal path) and DuckDB (multiply-divide
+    # path) disagree at the ulp. The unrounded doubles are bit-identical
+    # (exact integer inputs through identical expression trees), so emit
+    # them raw (the q_quality_score raw-IEEE precedent); the O(1)-scale
+    # F and eta^2 keep their display rounding.
     return m.select(
         "k_groups",
         F.col("n").alias("n_days"),
-        F.round(ssb, 4).alias("ss_between"),
-        F.round(ssw, 4).alias("ss_within"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
         F.round(
             F.try_divide(
                 F.try_divide(ssb, F.col("k_groups") - 1),
@@ -13230,3 +13237,143 @@ def q_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
     ).agg(F.count(F.lit(1)).alias("k"))
     return poisson_rate_tail(counts)
+
+
+def friedman_tail(daily: DataFrame) -> DataFrame:
+    """daily: (event_type, day, cents). Blocks = days with ALL types
+    present; within-block doubled midranks keep ranks exact integers."""
+    types = daily.select(F.col("event_type").alias("t1")).distinct()
+    ktab = types.agg(F.count(F.lit(1)).alias("k"))
+    per_day = daily.groupBy(F.col("day").alias("bd")).agg(F.count(F.lit(1)).alias("nt"))
+    blocks = per_day.crossJoin(F.broadcast(ktab)).where(F.col("nt") == F.col("k")).select(
+        F.col("bd"), F.col("k")
+    )
+    d = daily.join(F.broadcast(blocks), F.col("day") == F.col("bd")).select(
+        "event_type", "day", "cents", "k"
+    )
+    # doubled midrank of each type's cents within its day
+    a = d.select(F.col("day").alias("da"), F.col("event_type").alias("ea"), F.col("cents").alias("ca"), "k")
+    b = d.select(F.col("day").alias("db"), F.col("event_type").alias("eb"), F.col("cents").alias("cb"))
+    r2 = (
+        a.join(b, F.col("da") == F.col("db"))
+        .groupBy("da", "ea", "k")
+        .agg(
+            (
+                F.sum(F.when(F.col("cb") < F.col("ca"), 2).otherwise(0))
+                + F.sum(F.when(F.col("cb") == F.col("ca"), 1).otherwise(0))
+                + 1
+            ).alias("rank2")
+        )
+    )
+    # per-type rank-sum (x2): R2_j = sum of doubled midranks
+    rj = r2.groupBy(F.col("ea").alias("event_type"), F.col("k").alias("kk")).agg(
+        F.sum("rank2").alias("r2_sum"), F.count(F.lit(1)).alias("b")
+    )
+    # chi2 = 12/(b k (k+1)) * sum Rj^2 - 3 b (k+1), with Rj = r2_sum/2:
+    # = 3/(b k (k+1)) * sum r2_sum^2 - 3 b (k+1)   (exact integers to one division)
+    g = rj.agg(
+        F.max("kk").alias("k"),
+        F.max("b").alias("b"),
+        F.count(F.lit(1)).alias("k_check"),
+        F.sum(F.col("r2_sum").cast("decimal(38,0)") * F.col("r2_sum")).alias("sum_r2sq"),
+    )
+    chi2 = F.try_divide(
+        F.lit(3).cast("double") * F.col("sum_r2sq").cast("double"),
+        (F.col("b") * F.col("k") * (F.col("k") + 1)).cast("double"),
+    ) - 3.0 * F.col("b") * (F.col("k") + 1)
+    # chi-square 95% critical values for df = k-1 (pinned, k <= 8)
+    crit = (
+        F.when(F.col("k") == 2, 3.841)
+        .when(F.col("k") == 3, 5.991)
+        .when(F.col("k") == 4, 7.815)
+        .when(F.col("k") == 5, 9.488)
+        .when(F.col("k") == 6, 11.070)
+        .when(F.col("k") == 7, 12.592)
+        .otherwise(14.067)
+    )
+    return g.select(
+        F.col("k").alias("k_treatments"),
+        F.col("b").alias("n_blocks"),
+        F.round(chi2, 4).alias("chi2"),
+        F.when(chi2.isNull(), "n/a")
+        .when(chi2 > crit, "ordering-differs")
+        .otherwise("exchangeable")
+        .alias("verdict"),
+    )
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    return friedman_tail(daily)
+
+
+@query(
+    "q_friedman_test",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+ktab AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM daily),
+blocks AS (
+  SELECT day AS bd, k FROM (SELECT day, count(*) AS nt FROM daily GROUP BY 1), ktab
+  WHERE nt = k
+),
+d AS (
+  SELECT event_type, day, cents, k FROM daily JOIN blocks ON bd = day
+),
+r2 AS (
+  SELECT a.day, a.event_type, a.k,
+         CAST(sum(CASE WHEN b.cents < a.cents THEN 2 ELSE 0 END)
+              + sum(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END) + 1 AS BIGINT) AS rank2
+  FROM d a JOIN d b ON b.day = a.day
+  GROUP BY 1, 2, 3
+),
+rj AS (
+  SELECT event_type, max(k) AS kk, CAST(sum(rank2) AS BIGINT) AS r2_sum,
+         CAST(count(*) AS BIGINT) AS b
+  FROM r2 GROUP BY 1
+),
+g AS (
+  SELECT CAST(max(kk) AS BIGINT) AS k, CAST(max(b) AS BIGINT) AS b,
+         sum(CAST(r2_sum AS HUGEINT) * r2_sum) AS sum_r2sq
+  FROM rj
+),
+z AS (
+  SELECT k, b,
+         CAST(3 AS DOUBLE) * CAST(sum_r2sq AS DOUBLE) / CAST(b * k * (k + 1) AS DOUBLE)
+           - 3.0 * b * (k + 1) AS chi2,
+         CASE WHEN k = 2 THEN 3.841 WHEN k = 3 THEN 5.991 WHEN k = 4 THEN 7.815
+              WHEN k = 5 THEN 9.488 WHEN k = 6 THEN 11.070 WHEN k = 7 THEN 12.592
+              ELSE 14.067 END AS crit
+  FROM g
+)
+SELECT k AS k_treatments, b AS n_blocks,
+       round(chi2, 4) AS chi2,
+       CASE WHEN chi2 IS NULL THEN 'n/a'
+            WHEN chi2 > crit THEN 'ordering-differs'
+            ELSE 'exchangeable' END AS verdict
+FROM z
+""",
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N170: Friedman rank test (Friedman 1937) — do the event types keep
+    the SAME revenue ordering day after day, with each day as its own
+    block (the repeated-measures companion to N137's independent-sample
+    Kruskal-Wallis, and the magnitude-aware sibling of N162's binary
+    Cochran Q). Blocks are the days where EVERY type reported; within-
+    block DOUBLED midranks keep rank sums exact integers, and the
+    chi-square statistic reduces to 3*sum(R2_j^2)/(b*k*(k+1)) - 3b(k+1)
+    — decimal-widened integer moments to ONE division under try_divide;
+    the verdict thresholds against the pinned df = k-1 95% critical
+    value. The within-day rank join is k^2-per-day bounded over the
+    types x days daily state the streaming twin drains."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    return friedman_tail(daily)

@@ -2825,3 +2825,36 @@ def q_streaming_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("k"))
     drained, _ = run_stream_to_memory(counts, output_mode="complete")
     return poisson_rate_tail(drained)
+
+
+@query("q_streaming_friedman", oracle=_relext_oracle("q_friedman_test"))
+def q_streaming_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Friedman twin (N170b): the per-type daily-cents state
+    through friedman_tail — the live is-the-type-ordering-stable verdict
+    beside the streaming Kruskal/ANOVA twins on the same state table.
+    Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import friedman_tail
+
+    return friedman_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_keyword_trend", oracle=_llmdata_oracle("q_keyword_trend"))
+def q_streaming_keyword_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyword-trend twin (L110b): the (week, word, count)
+    state — vocab x buckets commutative cells — through
+    keyword_trend_tail: emerging terms surface as the crawl ingests.
+    Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import keyword_trend_tail
+
+    sdf = _stream_docs(spark, sf_dir)
+    cells = (
+        sdf.select(
+            F.expr("doc_id div 64").alias("week"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .where(F.length("word") > 0)
+        .groupBy("week", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    drained, _ = run_stream_to_memory(cells, output_mode="complete")
+    return keyword_trend_tail(drained)

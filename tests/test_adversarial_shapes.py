@@ -130,7 +130,7 @@ SENSITIVE = [
     "q_fleiss_kappa", "q_rbo_rankings", "q_burrows_delta",
     # round-8 wave 3
     "q_seasonal_mann_kendall", "q_code_switch_audit", "q_token_budget_fill",
-    "q_poisson_rate_test",
+    "q_poisson_rate_test", "q_friedman_test", "q_keyword_trend",
 ]
 
 

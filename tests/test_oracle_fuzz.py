@@ -90,7 +90,7 @@ EVENT_QUERIES = [
     "q_session_stats", "q_dtw_distance", "q_isotonic_calibration",
     "q_logrank_test",
     "q_cochran_q", "q_hurst_exponent", "q_weibull_fit", "q_croston",
-    "q_seasonal_mann_kendall", "q_poisson_rate_test",
+    "q_seasonal_mann_kendall", "q_poisson_rate_test", "q_friedman_test",
 ]
 # Queries reading ONLY the documents table (all oracle-declared).
 DOC_QUERIES = [
@@ -124,7 +124,7 @@ DOC_QUERIES = [
     "q_psi_drift", "q_cohens_kappa", "q_gopher_rules", "q_mojibake_audit",
     "q_textrank_keywords",
     "q_fleiss_kappa", "q_rbo_rankings", "q_burrows_delta",
-    "q_code_switch_audit", "q_token_budget_fill",
+    "q_code_switch_audit", "q_token_budget_fill", "q_keyword_trend",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]

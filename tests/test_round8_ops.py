@@ -627,3 +627,36 @@ def test_poisson_rate_matches_python_replay(spark, sf_dir):
         if t1 > 0 and t2 > 0 and k1 + k2 > 0:
             z = (k1 / t1 - k2 / t2) / math.sqrt(k1 / (t1 * t1) + k2 / (t2 * t2))
             assert abs(g.z_stat - round(z, 4)) < 1e-9
+
+
+def test_friedman_matches_python_replay(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r.event_type, r.ts_ms // 86400000)] += r.cents
+    types = sorted({t for (t, _d) in daily})
+    k = len(types)
+    days = sorted({d for (_t, d) in daily})
+    blocks = [d for d in days if all((t, d) in daily for t in types)]
+    r2sum = defaultdict(int)
+    for d in blocks:
+        vals = {t: daily[(t, d)] for t in types}
+        for t in types:
+            rank2 = sum(2 for u in types if vals[u] < vals[t]) + sum(
+                1 for u in types if vals[u] == vals[t]
+            ) + 1
+            r2sum[t] += rank2
+    row = QUERIES["q_friedman_test"](spark, sf_dir).collect()[0]
+    assert row.k_treatments == k and row.n_blocks == len(blocks)
+    if blocks:
+        chi2 = 3.0 * sum(v * v for v in r2sum.values()) / (len(blocks) * k * (k + 1)) - 3.0 * len(blocks) * (k + 1)
+        assert abs(row.chi2 - round(chi2, 4)) < 1e-6
+
+
+def test_keyword_trend_score_is_rate_ratio_monotone(spark, sf_dir):
+    rows = sorted(QUERIES["q_keyword_trend"](spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert len(rows) <= 20
+    scores = [r.trend_ppm for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.c1 >= 0 and r.c2 >= 0 and r.trend_ppm >= 0

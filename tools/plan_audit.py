@@ -208,6 +208,13 @@ SINGLE_PARTITION_ALLOWANCE = {
     # uncensored-count aggregate, and the one-row regression fold —
     # all over <= observation-days rows or #tasks partials
     "q_weibull_fit": 3,
+    # the one-row type-count scalar, the one-row moment fold, and the
+    # blocks-bounded block-filter rollup — all over types/days partials
+    "q_friedman_test": 3,
+    # the two one-row week-total scalars, the one-row max-week bound,
+    # and the global top-20 rank window over the vocab-bounded score
+    # table (the q_rbo_rankings class)
+    "q_keyword_trend": 4,
 }
 
 STREAMING_PREFIXES = ("q_stream", "q_streaming", "q_managed")
