@@ -212,6 +212,7 @@ _PRIORITY = [
     "q_poisson_rate_test", "q_streaming_abc_xyz", "q_streaming_poisson_rate",
     "q_friedman_test", "q_keyword_trend",
     "q_streaming_friedman", "q_streaming_keyword_trend",
+    "q_bm25_k1_sweep", "q_streaming_textrank", "q_streaming_burrows",
 ]
 
 

@@ -7141,6 +7141,31 @@ def q_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_tail(mojibake_counts(_t(spark, sf_dir, "documents")))
 
 
+def textrank_tail(adj: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming TextRank queries over the
+    distinct (w1, w2) adjacency state: symmetrize, run the N-series
+    pagerank operator (3 unrolled iterations, round(.,9) resync), rank
+    the top-20 keywords."""
+    from simple_stream_processor_spark.operators import relational
+
+    edges = (
+        adj.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionByName(adj.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=False)
+    ranks = relational.pagerank(edges, rounds=3, damping=0.85)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("src").alias("dnode"), "d"
+    )
+    return (
+        ranks.join(F.broadcast(deg), ranks["node"] == deg["dnode"])
+        .select(F.col("node").alias("word"), F.col("d").cast("long").alias("degree"), F.col("r").alias("textrank"))
+        .orderBy(F.col("textrank").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
 @query(
     "q_textrank_keywords",
     oracle="""
@@ -7207,25 +7232,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("p")["w1"].alias("w1"), F.col("p")["w2"].alias("w2")).where(
         F.col("w1") != F.col("w2")
     )
-    adj = pairs.distinct()
-    edges = (
-        adj.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
-        .unionByName(adj.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
-        .distinct()
-    )
-    edges = edges.localCheckpoint(eager=False)
-    from simple_stream_processor_spark.operators import relational
-
-    ranks = relational.pagerank(edges, rounds=3, damping=0.85)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).select(
-        F.col("src").alias("dnode"), "d"
-    )
-    return (
-        ranks.join(F.broadcast(deg), ranks["node"] == deg["dnode"])
-        .select(F.col("node").alias("word"), F.col("d").cast("long").alias("degree"), F.col("r").alias("textrank"))
-        .orderBy(F.col("textrank").desc(), F.col("word"))
-        .limit(20)
-    )
+    return textrank_tail(pairs.distinct())
 
 
 @query(
@@ -7822,11 +7829,24 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("source", F.explode(F.split("text", " ")).alias("w")).where(
-        F.length("w") > 0
+    cells = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return burrows_tail(cells)
+
+
+def burrows_tail(cells: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming Burrows queries over the
+    (source, word, cnt) vocabulary-count state (vocab x sources bounded,
+    commutative): top-20 corpus words, per-source relative-frequency
+    z-profiles, pairwise mean |z| deltas."""
+    from pyspark.sql import Window
+
     top = (
-        toks.groupBy(F.col("w").alias("tw")).agg(F.count(F.lit(1)).alias("c"))
+        cells.groupBy(F.col("w").alias("tw")).agg(F.sum("cnt").alias("c"))
         .select(
             "tw",
             F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("tw").asc())).alias("r"),
@@ -7834,11 +7854,11 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r") <= 20)
         .select("tw")
     )
-    totals = toks.groupBy(F.col("source").alias("s1")).agg(F.count(F.lit(1)).alias("nt"))
+    totals = cells.groupBy(F.col("source").alias("s1")).agg(F.sum("cnt").alias("nt"))
     counts = (
-        toks.join(F.broadcast(top), F.col("w") == F.col("tw"))
+        cells.join(F.broadcast(top), F.col("w") == F.col("tw"))
         .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).alias("cw"))
+        .agg(F.sum("cnt").alias("cw"))
     )
     grid = (
         totals.crossJoin(F.broadcast(top))
@@ -8151,3 +8171,92 @@ def q_keyword_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return keyword_trend_tail(cells)
+
+
+@query(
+    "q_bm25_k1_sweep",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.w FROM documents, unnest(string_split(text, ' ')) AS t(w) WHERE t.w <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+    corp AS (SELECT count(*) AS n, CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok WHERE w IN ('join', 'scan', 'vector') GROUP BY 1, 2
+    ),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok WHERE w IN ('join', 'scan', 'vector') GROUP BY 1),
+    k1s AS (SELECT unnest([9, 12, 15]) AS k1_x10),
+    term_score AS (
+      SELECT tf.doc_id, tf.w, k1s.k1_x10,
+             ln((corp.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * (CAST(k1_x10 AS DOUBLE) / 10.0 + 1.0))
+               / (tf.tf + (CAST(k1_x10 AS DOUBLE) / 10.0) * (0.25 + 0.75 * dl.len / corp.avgdl)) AS ts
+      FROM tf JOIN df USING (w) JOIN dl USING (doc_id), corp, k1s
+    ),
+    scored AS (
+      SELECT k1_x10, doc_id,
+             list_reduce(list_prepend(0.0, list(ts ORDER BY w)), (a, x) -> a + x) AS score
+      FROM term_score GROUP BY 1, 2
+    )
+    SELECT CAST(k1_x10 AS INTEGER) AS k1_x10, doc_id, round(score, 6) AS bm25,
+           CAST(row_number() OVER (PARTITION BY k1_x10 ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def q_bm25_k1_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L111: BM25 k1 tuning sweep — the term-frequency-saturation knob
+    swept over {0.9, 1.2, 1.5} in ONE scoring pass (the what-if-grid
+    discipline applied to L64's serving scorer): per k1, the top-5
+    documents with scores, so relevance engineers see exactly WHICH
+    rankings flip before a parameter ships. k1 rides as an exact x10
+    integer key; every score input stays exact (tf, df, N, len; one
+    avgdl division) and per-doc folds run in sorted term order, so all
+    three frontiers are bit-deterministic; each curve point is a rank
+    filter over the same scored set, partitioned by k1 (never a global
+    sort)."""
+    from pyspark.sql import Window
+
+    d = tables.spread(_t(spark, sf_dir, "documents"), "doc_id")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    corp = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtok = tok.where(F.col("w").isin(*BM25_QUERY_TERMS))
+    tf = qtok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = qtok.groupBy(F.col("w").alias("df_w")).agg(F.count_distinct("doc_id").alias("df"))
+    k1s = spark.createDataFrame([(9,), (12,), (15,)], "k1_x10 int")
+    dl_j = dl.select(F.col("doc_id").alias("dl_doc"), "len")
+    k1 = F.col("k1_x10").cast("double") / 10.0
+    ts = (
+        tf.join(F.broadcast(df_t), tf.w == df_t.df_w)
+        .join(dl_j, tf.doc_id == dl_j.dl_doc)
+        .crossJoin(F.broadcast(corp))
+        .crossJoin(F.broadcast(k1s))
+        .select(
+            "doc_id", "w", "k1_x10",
+            (
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (F.lit(0.25) + F.lit(0.75) * F.col("len") / F.col("avgdl")))
+            ).alias("ts"),
+        )
+    )
+    scored = ts.groupBy("k1_x10", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("w", F.col("ts").alias("v")))),
+            F.lit(0.0), lambda a, s: a + s["v"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("k1_x10").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.select(
+            "k1_x10", "doc_id",
+            F.round(F.col("score"), 6).alias("bm25"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= 5)
+    )

@@ -2858,3 +2858,51 @@ def q_streaming_keyword_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained, _ = run_stream_to_memory(cells, output_mode="complete")
     return keyword_trend_tail(drained)
+
+
+@query("q_streaming_textrank", oracle=_llmdata_oracle("q_textrank_keywords"))
+def q_streaming_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TextRank twin (L101b): the (w1, w2) adjacency-pair count
+    state — vocab^2-bounded commutative cells, arrival-order-proof — with
+    the pagerank iterations re-run over the drained graph through
+    textrank_tail: live keyword centrality as the crawl ingests.
+    Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import textrank_tail
+
+    sdf = _stream_docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    t = sdf.select(toks.alias("tk"))
+    pairs = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p")["w1"].alias("w1"), F.col("p")["w2"].alias("w2")).where(
+        F.col("w1") != F.col("w2")
+    )
+    state = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    drained, _ = run_stream_to_memory(state, output_mode="complete")
+    return textrank_tail(drained.select("w1", "w2"))
+
+
+@query("q_streaming_burrows", oracle=_llmdata_oracle("q_burrows_delta"))
+def q_streaming_burrows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Burrows twin (L107b): the (source, word, count)
+    vocabulary state — commutative, vocab x sources bounded — through
+    burrows_tail: the live stylometric distance matrix (a content farm
+    spinning up mid-crawl drifts toward its twin source per trigger).
+    Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import burrows_tail
+
+    sdf = _stream_docs(spark, sf_dir)
+    cells = (
+        sdf.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    drained, _ = run_stream_to_memory(cells, output_mode="complete")
+    return burrows_tail(drained)

@@ -131,6 +131,7 @@ SENSITIVE = [
     # round-8 wave 3
     "q_seasonal_mann_kendall", "q_code_switch_audit", "q_token_budget_fill",
     "q_poisson_rate_test", "q_friedman_test", "q_keyword_trend",
+    "q_bm25_k1_sweep",
 ]
 
 

@@ -125,6 +125,7 @@ DOC_QUERIES = [
     "q_textrank_keywords",
     "q_fleiss_kappa", "q_rbo_rankings", "q_burrows_delta",
     "q_code_switch_audit", "q_token_budget_fill", "q_keyword_trend",
+    "q_bm25_k1_sweep",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -660,3 +660,18 @@ def test_keyword_trend_score_is_rate_ratio_monotone(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     for r in rows:
         assert r.c1 >= 0 and r.c2 >= 0 and r.trend_ppm >= 0
+
+
+def test_bm25_sweep_default_k1_matches_bm25_search_ranking(spark, sf_dir):
+    rows = QUERIES["q_bm25_k1_sweep"](spark, sf_dir).collect()
+    by_k1 = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.k1_x10, r.rank)):
+        by_k1[r.k1_x10].append(r)
+    assert set(by_k1) <= {9, 12, 15}
+    # the k1 = 1.2 slice must agree with q_bm25_search's top ranking prefix
+    search = QUERIES["q_bm25_search"](spark, sf_dir).collect()
+    top_search = [r.doc_id for r in search][: len(by_k1.get(12, []))]
+    assert [r.doc_id for r in by_k1.get(12, [])] == top_search
+    for rs in by_k1.values():
+        scores = [r.bm25 for r in rs]
+        assert scores == sorted(scores, reverse=True)
