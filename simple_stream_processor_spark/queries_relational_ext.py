@@ -7605,7 +7605,7 @@ def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT segment,
            n1 AS n_p1, n2 AS n_p2, r1 AS cents_p1, r2 AS cents_p2,
-           round((share1 * bign2 - n1) * rate1, 4) AS volume_effect,
+           (share1 * bign2 - n1) * rate1 AS volume_effect,
            (n2 - share1 * bign2) * rate1 AS mix_effect,
            n2 * (rate2 - rate1) AS rate_effect
     FROM eff
@@ -7676,7 +7676,7 @@ def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("n_p2"),
         F.col("r1").alias("cents_p1"),
         F.col("r2").alias("cents_p2"),
-        F.round((F.col("share1") * F.col("bign2") - F.col("n1")) * F.col("rate1"), 4).alias("volume_effect"),
+        ((F.col("share1") * F.col("bign2") - F.col("n1")) * F.col("rate1")).alias("volume_effect"),
         # cents-scale magnitudes with genuine fractions: a 4dp round here
         # exceeds double precision once the corpus grows (the q_anova
         # round-8 lesson) — the unrounded doubles are bit-identical

@@ -1465,9 +1465,13 @@ def test_mix_shift_bridge_identity_and_replay(spark, sf_dir):
         rate1 = c1 / n1 if n1 else 0.0
         rate2 = c2 / n2 if n2 else 0.0
         share1 = n1 / n1_total if n1_total else 0.0
-        assert abs(r.volume_effect - round((share1 * n2_total - n1) * rate1, 4)) < 1e-6
-        assert abs(r.mix_effect - round((n2 - share1 * n2_total) * rate1, 4)) < 1e-6
-        assert abs(r.rate_effect - round(n2 * (rate2 - rate1), 4)) < 1e-6
+        # the effects emit unrounded doubles since round 8 (cents-scale
+        # magnitudes with fractions exceed double precision at 4dp) —
+        # compare with a relative tolerance instead of the old round(.,4)
+        tol = 1e-9 * max(1.0, abs(r.volume_effect), abs(r.mix_effect), abs(r.rate_effect))
+        assert abs(r.volume_effect - (share1 * n2_total - n1) * rate1) < tol
+        assert abs(r.mix_effect - (n2 - share1 * n2_total) * rate1) < tol
+        assert abs(r.rate_effect - n2 * (rate2 - rate1)) < tol
         bridge += r.volume_effect + r.mix_effect + r.rate_effect
     # the accounting identity: the bridge explains the whole revenue change
     assert abs(bridge - (r2_total - r1_total)) < 0.01 * max(1, len(rows))
