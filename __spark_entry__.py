@@ -31,19 +31,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness walks the dict in insertion order under a
-# 50-entry budget.  Rounds 1-7 verified 276 distinct queries green (the
-# round-7 window q_zonemap_prune … q_streaming_jsd came back 50/50 in
-# CORRECTNESS_r07.json).  ROUND-8 window, continuing the round-6 judge's
-# rotation discipline: the 64 remaining never-driver-verified round-6
-# additions, in their staged declaration order (q_streaming_audience …
-# q_spearman) — the driver verifies the first 50 of these; the overflow 14
-# plus the 27 round-7 additions queue immediately behind for round 9.
-# All previously driver-verified queries follow, in their established
-# relative order.  _PRIORITY covers the full registry (asserted by
+# 50-entry budget.  Rounds 1-8 verified 326 distinct queries green (the
+# round-8 window q_streaming_audience … q_qini_curve came back 50/50 in
+# CORRECTNESS_r08.json).  ROUND-9 window, continuing the rotation
+# discipline (r8 judge task #1): the 14 remaining never-driver-verified
+# round-6 additions (q_classifier_report … q_spearman) + all 27 round-7
+# additions (q_kendall_tau … q_srp_simhash) + the 9 oldest round-8
+# additions (q_hhi_concentration … q_pit_join), each block in its staged
+# declaration order — exactly 50.  The remaining 54 round-8 additions
+# queue immediately behind for round 10.  All previously driver-verified
+# queries follow, in their established relative order.  _PRIORITY covers
+# the full registry (asserted by
 # test_priority_names_all_resolve_and_readme_count_matches).
 _PRIORITY = [
-    # --- round-8 window: 64 remaining never-driver-verified r6 additions
-    #     (driver budget covers the first 50; the rest head the r9 queue) ---
+    # --- round-9 window (50): 14 r6 leftovers, staged order kept ---
+    "q_classifier_report", "q_kmv_intersection",
+    "q_bootstrap_ci", "q_shapley_attribution",
+    "q_streaming_nelson_aalen", "q_streaming_qini", "q_streaming_shapley",
+    "q_streaming_bootstrap",
+    "q_mann_whitney", "q_markov_entropy_rate",
+    "q_streaming_mann_whitney", "q_block_maxima",
+    "q_overdispersion", "q_spearman",
+    # --- r9 window cont.: all 27 round-7 additions, staged order kept ---
+    "q_kendall_tau", "q_pettitt_changepoint", "q_kruskal_wallis",
+    "q_anova", "q_cramers_v", "q_tukey_fences",
+    "q_streaming_kendall", "q_streaming_pettitt", "q_streaming_kruskal",
+    "q_streaming_anova", "q_streaming_tukey", "q_streaming_cramers",
+    "q_rake_keyphrases", "q_winnowing_fingerprint", "q_image_dhash_dedup",
+    "q_audio_loudness", "q_xyz_classification", "q_encoding_advisor",
+    "q_price_elasticity", "q_kneser_ney_surprisal",
+    "q_k_core", "q_holt_winters", "q_streaming_holt_winters",
+    "q_streaming_loudness", "q_sax_words", "q_streaming_sax",
+    "q_srp_simhash",
+    # --- r9 window cont.: the 9 oldest round-8 additions, staged order ---
+    "q_hhi_concentration", "q_theil_index", "q_mcnemar", "q_brown_forsythe",
+    "q_ohlc_bars", "q_page_hinkley", "q_bot_detection",
+    "q_time_decay_attribution", "q_pit_join",
+    # ---------- window boundary (50 inside the list above) ----------
+    # --- round-10 queue: the remaining 54 round-8 additions
+    #     (local-oracle-green at 3 SFs in round 8, judge-re-run green,
+    #     waiting for their first driver rows; staged order kept) ---
+    "q_session_stats",
+    "q_dtw_distance", "q_isotonic_calibration", "q_logrank_test",
+    "q_psi_drift", "q_cohens_kappa", "q_gopher_rules", "q_mojibake_audit",
+    "q_textrank_keywords", "q_embedding_discrimination", "q_ivf_nprobe_curve",
+    "q_streaming_psi", "q_streaming_gopher", "q_streaming_mojibake",
+    "q_streaming_kappa", "q_streaming_hhi", "q_streaming_theil",
+    "q_streaming_mcnemar", "q_streaming_brown_forsythe", "q_streaming_ohlc",
+    "q_streaming_page_hinkley", "q_streaming_dtw",
+    "q_cochran_q", "q_fleiss_kappa", "q_price_index", "q_ndcg_eval",
+    "q_rbo_rankings", "q_burrows_delta", "q_hurst_exponent",
+    "q_weibull_fit", "q_croston",
+    "q_streaming_cochran", "q_streaming_fleiss", "q_streaming_hurst",
+    "q_streaming_croston", "q_streaming_logrank", "q_streaming_weibull",
+    "q_abc_xyz_matrix", "q_seasonal_mann_kendall", "q_code_switch_audit",
+    "q_token_budget_fill",
+    "q_streaming_seasonal_mk", "q_streaming_code_switch",
+    "q_streaming_price_index",
+    "q_poisson_rate_test", "q_streaming_abc_xyz", "q_streaming_poisson_rate",
+    "q_friedman_test", "q_keyword_trend",
+    "q_streaming_friedman", "q_streaming_keyword_trend",
+    "q_bm25_k1_sweep", "q_streaming_textrank", "q_streaming_burrows",
+    # --- driver-verified r8 (the round-8 window, relative order kept) ---
     "q_streaming_audience",
     "q_kmv_sketch", "q_srm_check", "q_seasonal_decompose",
     "q_set_similarity_join", "q_good_turing",
@@ -65,26 +114,7 @@ _PRIORITY = [
     "q_interarrival_stats",
     "q_streaming_drawdown", "q_streaming_strength",
     "q_streaming_seasonal_anomaly",
-    "q_qini_curve", "q_classifier_report", "q_kmv_intersection",
-    "q_bootstrap_ci", "q_shapley_attribution",
-    "q_streaming_nelson_aalen", "q_streaming_qini", "q_streaming_shapley",
-    "q_streaming_bootstrap",
-    "q_mann_whitney", "q_markov_entropy_rate",
-    "q_streaming_mann_whitney", "q_block_maxima",
-    "q_overdispersion", "q_spearman",
-    # ---------- window boundary (50 inside the list above) ----------
-    # --- round-9 queue: the 27 round-7 additions (local-oracle-green at
-    #     3 SFs in round 7, waiting for their first driver rows) ---
-    "q_kendall_tau", "q_pettitt_changepoint", "q_kruskal_wallis",
-    "q_anova", "q_cramers_v", "q_tukey_fences",
-    "q_streaming_kendall", "q_streaming_pettitt", "q_streaming_kruskal",
-    "q_streaming_anova", "q_streaming_tukey", "q_streaming_cramers",
-    "q_rake_keyphrases", "q_winnowing_fingerprint", "q_image_dhash_dedup",
-    "q_audio_loudness", "q_xyz_classification", "q_encoding_advisor",
-    "q_price_elasticity", "q_kneser_ney_surprisal",
-    "q_k_core", "q_holt_winters", "q_streaming_holt_winters",
-    "q_streaming_loudness", "q_sax_words", "q_streaming_sax",
-    "q_srp_simhash",
+    "q_qini_curve",
     # --- driver-verified r7 (the round-7 window, relative order kept) ---
     "q_zonemap_prune", "q_zorder_layout", "q_incremental_agg",
     "q_ewma_smooth", "q_streaming_ewma", "q_graph_bfs",
@@ -188,31 +218,6 @@ _PRIORITY = [
     # --- r1/r2-green queries restored to rotation (r6 judge task #6) ---
     "q_doc_fingerprint", "q_ngram_jaccard", "q_ann_bucketed",
     "q_multimodal_meta", "q_udtf_chunks",
-    # --- new in round 8 (registry tail; local-oracle-green at 3 SFs,
-    # queued behind the r9 window for their first driver rows) ---
-    "q_hhi_concentration", "q_theil_index", "q_mcnemar", "q_brown_forsythe",
-    "q_ohlc_bars", "q_page_hinkley", "q_bot_detection",
-    "q_time_decay_attribution", "q_pit_join", "q_session_stats",
-    "q_dtw_distance", "q_isotonic_calibration", "q_logrank_test",
-    "q_psi_drift", "q_cohens_kappa", "q_gopher_rules", "q_mojibake_audit",
-    "q_textrank_keywords", "q_embedding_discrimination", "q_ivf_nprobe_curve",
-    "q_streaming_psi", "q_streaming_gopher", "q_streaming_mojibake",
-    "q_streaming_kappa", "q_streaming_hhi", "q_streaming_theil",
-    "q_streaming_mcnemar", "q_streaming_brown_forsythe", "q_streaming_ohlc",
-    "q_streaming_page_hinkley", "q_streaming_dtw",
-    "q_cochran_q", "q_fleiss_kappa", "q_price_index", "q_ndcg_eval",
-    "q_rbo_rankings", "q_burrows_delta", "q_hurst_exponent",
-    "q_weibull_fit", "q_croston",
-    "q_streaming_cochran", "q_streaming_fleiss", "q_streaming_hurst",
-    "q_streaming_croston", "q_streaming_logrank", "q_streaming_weibull",
-    "q_abc_xyz_matrix", "q_seasonal_mann_kendall", "q_code_switch_audit",
-    "q_token_budget_fill",
-    "q_streaming_seasonal_mk", "q_streaming_code_switch",
-    "q_streaming_price_index",
-    "q_poisson_rate_test", "q_streaming_abc_xyz", "q_streaming_poisson_rate",
-    "q_friedman_test", "q_keyword_trend",
-    "q_streaming_friedman", "q_streaming_keyword_trend",
-    "q_bm25_k1_sweep", "q_streaming_textrank", "q_streaming_burrows",
 ]
 
 
