@@ -7642,11 +7642,19 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, s: a + s["rel"].cast("double") / F.log2(s["rank"] + 1),
         ).alias("dcg"),
     )
-    idcg = F.aggregate(
-        F.sequence(F.lit(1), F.least(F.col("k"), F.col("ne"))),
-        F.lit(0.0),
-        lambda a, i: a + F.lit(1.0) / F.log2(i.cast("double") + 1),
-    )
+    # Zero-candidate guard (r8 ADVICE): with an empty IVF candidate set
+    # least(k, ne) = 0 and Spark's sequence(1, 0) defaults to step -1,
+    # yielding [1, 0] whose i=0 term is 1/log2(1) → DIVIDE_BY_ZERO under
+    # ANSI, while DuckDB's range(1, 1) is empty (idcg = 0, ndcg NULL via
+    # try_divide).  Pin the empty-range semantics explicitly.
+    idcg = F.when(
+        F.least(F.col("k"), F.col("ne")) >= 1,
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("k"), F.col("ne"))),
+            F.lit(0.0),
+            lambda a, i: a + F.lit(1.0) / F.log2(i.cast("double") + 1),
+        ),
+    ).otherwise(F.lit(0.0))
     return scored.crossJoin(F.broadcast(n_exact)).select(
         F.col("k").alias("k_eval"),
         F.round(F.col("dcg"), 6).alias("dcg"),

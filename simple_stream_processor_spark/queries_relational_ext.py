@@ -13305,14 +13305,6 @@ def friedman_tail(daily: DataFrame) -> DataFrame:
     )
 
 
-def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
-    return friedman_tail(daily)
-
-
 @query(
     "q_friedman_test",
     oracle="""

@@ -145,3 +145,51 @@ def test_degenerate_shapes_match_duckdb(spark, tmp_path_factory, shape):
     else:
         pool = SENSITIVE
     _check_parity(spark, tmpdir, pool)
+
+
+# Degenerate EMBEDDINGS shapes (round-9; the r8 ADVICE zero-candidate find):
+# probe-only corpora make the IVF candidate set empty — q_ndcg_eval's
+# unguarded idcg fold hit Spark's sequence(1, 0) step -1 default and threw
+# DIVIDE_BY_ZERO on 1/log2(1) while the DuckDB oracle's empty range returned
+# idcg = 0.  These shapes hit that frame (and its tie/identical-vector
+# neighbors) every run.
+EMB_SHAPES = {
+    # only the probe vector exists: every vec_id <> 0 derivation is empty
+    "probe_only": ([[0.5] + [0.0] * 63], [0]),
+    # a single non-probe candidate: k=1 frontiers, rank-1-only folds
+    "probe_plus_one": ([[0.5] + [0.0] * 63, [0.4] + [0.1] * 63], [0, 1]),
+    # all-identical vectors: every cosine ties at 1.0, one label per vector
+    "identical_vecs": ([[0.5] + [0.1] * 63] * 5, [0, 1, 2, 3, 4]),
+}
+
+EMB_SENSITIVE = [
+    "q_ndcg_eval", "q_ivf_nprobe_curve", "q_embedding_discrimination",
+    "q_nearest_centroid", "q_silhouette", "q_cosine_topk", "q_batch_ann",
+    "q_ann_ivf", "q_embedding_norm_audit", "q_jl_recall", "q_srp_simhash",
+    "q_embedding_dedup",
+]
+
+
+@pytest.mark.parametrize("shape", sorted(EMB_SHAPES))
+def test_degenerate_embeddings_match_duckdb(spark, tmp_path_factory, shape):
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from test_oracle_fuzz import _SF0001, _TABLES
+
+    vecs, labels = EMB_SHAPES[shape]
+    tmpdir = str(tmp_path_factory.mktemp(f"adv_emb_{shape}"))
+    for t in _TABLES:
+        if t != "embeddings":
+            shutil.copy(os.path.join(_SF0001, f"{t}.parquet"), os.path.join(tmpdir, f"{t}.parquet"))
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())),
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmpdir, "embeddings.parquet"))
+    _check_parity(spark, tmpdir, EMB_SENSITIVE)

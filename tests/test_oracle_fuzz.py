@@ -225,8 +225,6 @@ def _check_parity(spark, sf_dir: str, names: list[str]) -> None:
         con.close()
 
 
-# One Spark query ≈ 0.3-1.5 s on the 4-cpu pytest session; 10 queries per
-# example × 3 examples keeps the suite's fuzz cost ~1 min while still
 # SPARK_GRAFT_FUZZ_ONLY=q_a,q_b restricts every pool to the named queries —
 # the per-batch targeted soak (new operators get a concentrated example
 # budget instead of a diluted share of the ~200-query pools).
@@ -235,6 +233,8 @@ if _ONLY:
     EVENT_QUERIES = [q for q in EVENT_QUERIES if q in _ONLY]
     DOC_QUERIES = [q for q in DOC_QUERIES if q in _ONLY]
 
+# One Spark query ≈ 0.3-1.5 s on the 4-cpu pytest session; 10 queries per
+# example × 3 examples keeps the suite's fuzz cost ~1 min while still
 # exploring shapes the fixed fixtures can't. derandomize pins CI stability;
 # crank max_examples locally when hunting (see docs/EVIDENCE.md).
 _FUZZ_SETTINGS = dict(
