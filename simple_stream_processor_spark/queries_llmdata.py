@@ -8032,11 +8032,18 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break) until the training token budget (8000) is exhausted; the
     data-mixing primitive that answers 'WHICH documents make the cut and
     which sources get the budget' before a training run is priced. The
-    cumulative-token cut is one budgeted rank window over the scored doc
-    table (the q_lift_table allowance class — at corpus scale, a
-    two-level quality-bucket prefix sum replaces the global sort, the
-    q_training_order decomposition); everything else is exact integer
-    rollups."""
+    oracle ranks with a textbook global running-sum window; the Spark
+    plan must NOT — the global cumulative token count is decomposed with
+    the two-level prefix sum (the q_training_order machinery, round-9):
+    256 ttr_ppm-range buckets partition the quality order, per-bucket
+    token totals cross a broadcast self-join for the higher-bucket
+    offsets (a ≤256-row nested-loop, no ordered window, no
+    single-partition exchange), offsets broadcast back, and the
+    intra-bucket running sum is a partition-local window.  cum_tokens =
+    offset + intra sum is exact-integer-identical to the global window
+    by associativity; at 100 TB no doc-cardinality rows ever cross one
+    partition — the only single-partition step left is the one-row
+    selected-total aggregate."""
     from pyspark.sql import Window
 
     budget = 8000
@@ -8050,13 +8057,30 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(size(filter(split(text, ' '), w -> length(w) > 0)), 1)"
         ).alias("ttr_ppm"),
     ).where(F.col("n_tokens") > 0)
-    wc = Window.orderBy(F.col("ttr_ppm").desc(), "doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    # ttr_ppm ∈ [0, 1e6] → 256 value-range buckets; bucket is monotone in
+    # ttr_ppm, so (bucket DESC, ttr_ppm DESC, doc_id) ≡ the global greedy
+    # order and the bucket boundary never splits a tie group's order.
+    b = scored.withColumn("qb", F.expr("ttr_ppm div 3907"))
+    bn = b.groupBy("qb").agg(F.sum("n_tokens").alias("bn"))
+    hi = bn.select(F.col("qb").alias("hqb"), F.col("bn").alias("hbn"))
+    offs = (
+        bn.join(F.broadcast(hi), F.col("hqb") > F.col("qb"), "left")
+        .groupBy("qb")
+        .agg(F.coalesce(F.sum("hbn"), F.lit(0)).alias("off"))
     )
-    sel = scored.select(
-        "source", "n_tokens", "ttr_ppm",
-        F.sum("n_tokens").over(wc).alias("cum_tokens"),
-    ).where(F.col("cum_tokens") <= budget)
+    intra = (
+        Window.partitionBy("qb")
+        .orderBy(F.col("ttr_ppm").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sel = (
+        b.join(F.broadcast(offs), "qb")
+        .select(
+            "source", "n_tokens", "ttr_ppm",
+            (F.col("off") + F.sum("n_tokens").over(intra)).alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+    )
     tot = sel.agg(F.sum("n_tokens").alias("tt"))
     return (
         sel.groupBy("source")

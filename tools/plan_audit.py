@@ -200,10 +200,6 @@ SINGLE_PARTITION_ALLOWANCE = {
     # the global sign-pair one-row aggregate plus the one-row stratum
     # variance rollup — both over days-bounded partials, never events
     "q_seasonal_mann_kendall": 2,
-    # the budgeted quality-rank window over the scored doc table (the
-    # q_lift_table class; two-level decomposition documented) plus the
-    # one-row selected-total aggregate
-    "q_token_budget_fill": 2,
     # the days-bounded distinct-lifetime prefix window, the one-row
     # uncensored-count aggregate, and the one-row regression fold —
     # all over <= observation-days rows or #tasks partials
