@@ -218,6 +218,9 @@ _PRIORITY = [
     # --- r1/r2-green queries restored to rotation (r6 judge task #6) ---
     "q_doc_fingerprint", "q_ngram_jaccard", "q_ann_bucketed",
     "q_multimodal_meta", "q_udtf_chunks",
+    # --- new in round 9 (registry tail; local-oracle-green at 3 SFs,
+    # queued behind the r10 window for their first driver rows) ---
+    "q_multimodal_bmp",
 ]
 
 

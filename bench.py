@@ -171,6 +171,7 @@ TAIL = [
     "q_abc_xyz_matrix", "q_seasonal_mann_kendall", "q_code_switch_audit",
     "q_token_budget_fill", "q_poisson_rate_test",
     "q_friedman_test", "q_keyword_trend", "q_bm25_k1_sweep",
+    "q_multimodal_bmp",
 ]
 
 

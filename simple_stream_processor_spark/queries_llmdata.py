@@ -919,6 +919,54 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_bmp",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(360.0 / length(text)) AS INT)), 1, 360) AS p
+      FROM documents WHERE length(text) > 0
+    ), vals AS (
+      SELECT doc_id, list_transform(regexp_extract_all(p, '.'), c -> ord(c)) AS v FROM px
+    )
+    SELECT doc_id AS media_id, 'BMP' AS format, 15 AS width, 8 AS height,
+           CAST(120 AS BIGINT) AS n_pixels,
+           round(list_sum(v) / 360.0, 4) AS px_mean,
+           CAST(list_min(v) AS BIGINT) AS px_min,
+           CAST(list_max(v) AS BIGINT) AS px_max,
+           TRUE AS decode_ok
+    FROM vals
+    """,
+)
+def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11d (round 9): multimodal decode through a SECOND real binary
+    container — each document renders into an actual uncompressed 24-bit
+    Windows BMP (little-endian BITMAPFILEHEADER + BITMAPINFOHEADER +
+    stride-padded BGR raster, built with pure Spark expressions), and the
+    Arrow-batched mapInPandas decoder genuinely struct-unpacks the headers
+    and computes numpy pixel statistics over the DE-PADDED raster.  Width
+    15 is deliberately stride-unaligned (45-byte rows pad to 48), so the
+    oracle — a byte-level SQL replay of the cycled text — hash-mismatches
+    on any padding-arithmetic error rather than silently passing.
+    Shrinks the stubbed decode surface beside netpbm (q_multimodal_decode)
+    and WAV (q_multimodal_audio); PIL/ffmpeg formats remain honestly
+    stubbed (operators/multimodal.py guards)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_bmp(docs, width=15, height=8)
+    feats = multimodal.decode_bmp(media)
+    return feats.select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "n_pixels",
+        F.round(F.col("px_mean"), 4).alias("px_mean"),
+        "px_min",
+        "px_max",
+        "decode_ok",
+    )
+
+
+@query(
     "q_batch_ann",
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1178,3 +1178,80 @@ def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
     rows = sorted(q_skyline(spark, sf_dir).collect(), key=lambda r: (r.price, r.size))
     sizes = [r.size for r in rows]
     assert sizes == sorted(sizes)
+
+
+def test_bmp_parser_goldens():
+    """The round-9 real codec (operators/multimodal.py:_parse_bmp) against
+    hand-built BMPs: stride-unaligned width (padding excluded from stats),
+    stride-aligned width, top-down (negative height), and the malformed
+    family — every bad payload classifies decode_ok=False instead of
+    raising."""
+    import struct
+
+    from simple_stream_processor_spark.operators.multimodal import (
+        _bmp_header,
+        _parse_bmp,
+    )
+
+    def bmp(width, height, rows, height_field=None):
+        hdr = bytearray(_bmp_header(width, abs(height_field or height)))
+        if height_field is not None:
+            hdr[22:26] = struct.pack("<i", height_field)
+        stride = ((width * 3 + 3) // 4) * 4
+        body = b"".join(bytes(r) + b"\x00" * (stride - len(r)) for r in rows)
+        return bytes(hdr) + body
+
+    # 1x2 (3-byte rows pad to 4): padding zeros must NOT drag px_min/mean
+    fmt, w, h, npx, mean, lo, hi, ok = _parse_bmp(
+        bmp(1, 2, [[10, 20, 30], [40, 50, 60]])
+    )
+    assert (fmt, w, h, npx, lo, hi, ok) == ("BMP", 1, 2, 2, 10, 60, True)
+    assert abs(mean - 35.0) < 1e-9
+
+    # 4x1 stride-aligned (12-byte row, no padding)
+    fmt, w, h, npx, mean, lo, hi, ok = _parse_bmp(bmp(4, 1, [list(range(12))]))
+    assert (fmt, w, h, npx, lo, hi, ok) == ("BMP", 4, 1, 4, 0, 11, True)
+
+    # top-down BMP: height field -2, same stats as the bottom-up twin
+    td = _parse_bmp(bmp(1, 2, [[10, 20, 30], [40, 50, 60]], height_field=-2))
+    assert td[:4] == ("BMP", 1, 2, 2) and td[-1] is True
+    assert abs(td[4] - 35.0) < 1e-9
+
+    good = bmp(1, 1, [[1, 2, 3]])
+    bad = [
+        b"",  # empty
+        b"PNG" + good[3:],  # wrong magic
+        good[:-2],  # truncated raster
+        good[:28] + struct.pack("<H", 8) + good[30:],  # 8bpp (palette) unsupported
+        good[:30] + struct.pack("<I", 1) + good[34:],  # BI_RLE8 compression
+        good[:18] + struct.pack("<i", 0) + good[22:],  # zero width
+        good[:10] + struct.pack("<I", 10) + good[14:],  # offset inside the headers
+    ]
+    assert all(_parse_bmp(p)[-1] is False for p in bad)
+
+
+def test_decode_bmp_real_codec_distributed(spark):
+    """decode_bmp over a mixed DataFrame: documents_as_bmp payloads decode
+    with exact stats (padding stripped); a malformed payload in the same
+    batch classifies decode_ok=False without failing the scan."""
+    from simple_stream_processor_spark.operators.multimodal import (
+        decode_bmp,
+        documents_as_bmp,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "zz")], "doc_id long, text string"
+    )
+    media = documents_as_bmp(docs, width=15, height=8)
+    rows = {r.media_id: r for r in decode_bmp(media).collect()}
+    r1 = rows[1]
+    assert (r1.format, r1.width, r1.height, r1.n_pixels, r1.decode_ok) == ("BMP", 15, 8, 120, True)
+    # 'abc' cycled to 360 bytes: mean = (97+98+99)/3, min=97, max=99
+    assert abs(r1.px_mean - 98.0) < 1e-9 and (r1.px_min, r1.px_max) == (97, 99)
+    assert rows[2].px_min == 122 and rows[2].px_max == 122
+
+    mixed = spark.createDataFrame(
+        [(7, bytearray(b"not a bmp"))], "media_id long, payload binary"
+    )
+    bad = decode_bmp(mixed).collect()[0]
+    assert bad.decode_ok is False and bad.format == "invalid"

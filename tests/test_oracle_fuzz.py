@@ -107,7 +107,7 @@ DOC_QUERIES = [
     "q_char_bigram_entropy",
     "q_quantile_normalize", "q_quality_prune", "q_dedup_keep_rule",
     "q_corpus_delta", "q_sequence_pack", "q_mixture_weights",
-    "q_pii_redact", "q_multimodal_decode", "q_multimodal_meta",
+    "q_pii_redact", "q_multimodal_decode", "q_multimodal_bmp", "q_multimodal_meta",
     "q_stratified_sample", "q_schema_evolution_union", "q_chi_square",
     "q_simhash_dedup", "q_tfidf_topterms", "q_training_pipeline",
     "q_text_tokens", "q_decontaminate", "q_minhash_recall", "q_dsir_select",
