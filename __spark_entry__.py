@@ -221,6 +221,26 @@ _PRIORITY = [
     # --- new in round 9 (registry tail; local-oracle-green at 3 SFs,
     # queued behind the r10 window for their first driver rows) ---
     "q_multimodal_bmp",
+    "q_jarque_bera",
+    "q_cox_stuart",
+    "q_bollinger_bands",
+    "q_durbin_watson",
+    "q_rsi_cutler",
+    "q_jonckheere",
+    "q_vwap",
+    "q_newsvendor",
+    "q_promo_uplift",
+    "q_flesch_reading",
+    "q_oov_rate",
+    "q_matryoshka",
+    "q_streaming_jarque_bera",
+    "q_streaming_cox_stuart",
+    "q_streaming_bollinger",
+    "q_streaming_durbin_watson",
+    "q_streaming_rsi",
+    "q_streaming_jonckheere",
+    "q_streaming_flesch",
+    "q_streaming_oov",
 ]
 
 

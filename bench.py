@@ -172,6 +172,9 @@ TAIL = [
     "q_token_budget_fill", "q_poisson_rate_test",
     "q_friedman_test", "q_keyword_trend", "q_bm25_k1_sweep",
     "q_multimodal_bmp",
+    "q_jarque_bera", "q_cox_stuart", "q_bollinger_bands", "q_durbin_watson",
+    "q_rsi_cutler", "q_jonckheere", "q_vwap", "q_newsvendor",
+    "q_promo_uplift", "q_flesch_reading", "q_oov_rate", "q_matryoshka",
 ]
 
 

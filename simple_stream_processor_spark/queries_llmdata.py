@@ -8340,3 +8340,251 @@ def q_bm25_k1_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: readability + vocabulary-coverage audits (L112-L113) and the
+# Matryoshka truncation-quality probe (L114).
+# ---------------------------------------------------------------------------
+
+
+def flesch_counts(docs: DataFrame) -> DataFrame:
+    """Per-source readability counter state: doc/word/sentence/syllable
+    sums — commutative integer sums bounded at #sources rows, so it IS the
+    streaming state the twin drains."""
+    per = docs.select(
+        "source",
+        F.expr("size(filter(split(text, ' '), w -> length(w) > 0))").alias("w"),
+        F.greatest(F.expr("regexp_count(text, '[.!?]')"), F.lit(1)).alias("s"),
+        F.expr("regexp_count(lower(text), '[aeiouy]+')").alias("vg"),
+    ).select("source", "w", "s", F.greatest(F.col("vg"), F.col("w")).alias("syl"))
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("s").alias("n_sentences"),
+        F.sum("syl").alias("n_syllables"),
+    )
+
+
+def flesch_tail(g: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Flesch queries: the two
+    rate divisions under try_divide (an all-empty source -> 'n/a') and
+    the fixed-coefficient score/grade formulas in one identical
+    operation order both engines."""
+    wps = F.try_divide(F.col("n_words").cast("double"), F.col("n_sentences").cast("double"))
+    spw = F.try_divide(F.col("n_syllables").cast("double"), F.col("n_words").cast("double"))
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return g.select(
+        "source", "n_docs", "n_words", "n_sentences", "n_syllables",
+        F.round(ease, 4).alias("flesch_ease"),
+        F.round(grade, 4).alias("fk_grade"),
+        F.when(ease.isNull(), "n/a")
+        .when(ease >= 60, "plain")
+        .when(ease >= 30, "difficult")
+        .otherwise("very-difficult")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q_flesch_reading",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS w,
+             greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg
+      FROM documents
+    ),
+    per2 AS (SELECT source, w, s, greatest(vg, w) AS syl FROM per),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(s) AS BIGINT) AS n_sentences,
+             CAST(sum(syl) AS BIGINT) AS n_syllables
+      FROM per2 GROUP BY 1
+    )
+    SELECT source, n_docs, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4) AS flesch_ease,
+           round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59, 4) AS fk_grade,
+           CASE WHEN n_words = 0 THEN 'n/a'
+                WHEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) >= 60 THEN 'plain'
+                WHEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) >= 30 THEN 'difficult'
+                ELSE 'very-difficult' END AS verdict
+    FROM g
+    """,
+)
+def q_flesch_reading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L112: Flesch reading ease + Flesch-Kincaid grade (Flesch 1948;
+    Kincaid et al. 1975) per source — the readability axis of corpus
+    quality beside L8's surface ratios and L99's Gopher rules:
+    systematically unreadable or trivially-simple sources shift a
+    training mix's style distribution. Deterministic whole-corpus
+    counts: words = nonempty space-split tokens, sentences =
+    [.!?]-terminator count clamped >= 1 per doc, syllables = the
+    vowel-group proxy clamped >= 1 per word (greatest(vg, w) — the
+    documented regex-only proxy, identical in both engines). Per-source
+    exact integer sums, two try_divide rates, fixed published
+    coefficients. Scale: one corpus scan into a sources-bounded counter
+    state (the streaming twin drains exactly that state)."""
+    return flesch_tail(flesch_counts(_t(spark, sf_dir, "documents")))
+
+
+def oov_counts(docs: DataFrame) -> DataFrame:
+    """(source, token, c) count state — the same drainable vocab-bounded
+    state q_corpus_entropy streams; all downstream vocabulary/coverage
+    math re-aggregates from it, never from a second corpus scan."""
+    toks = docs.select(
+        "source",
+        F.explode(F.expr("filter(split(text, ' '), w -> length(w) > 0)")).alias("token"),
+    )
+    return toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+
+
+def oov_tail(st: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming OOV queries: corpus top-1000
+    vocabulary by (count DESC, token) from the count state, broadcast
+    anti-membership, per-source exact ppm rate."""
+    tf = st.groupBy("token").agg(F.sum("c").alias("tc"))
+    vocab = tf.orderBy(F.col("tc").desc(), F.col("token")).limit(1000).select(
+        F.col("token").alias("vtoken")
+    )
+    j = st.join(F.broadcast(vocab), st["token"] == F.col("vtoken"), "left")
+    g = j.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("vtoken").isNull(), F.col("c")).otherwise(0)).alias("n_oov"),
+    )
+    return g.select(
+        "source", "n_tokens", "n_oov",
+        F.expr("CASE WHEN n_tokens = 0 THEN NULL ELSE (1000000 * n_oov) div n_tokens END").alias("oov_ppm"),
+    )
+
+
+@query(
+    "q_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS token
+      FROM documents
+    ),
+    tf AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+    vocab AS (
+      SELECT token AS vtoken FROM tf ORDER BY c DESC, token LIMIT 1000
+    ),
+    g AS (
+      SELECT t.source, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.vtoken IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM toks t LEFT JOIN vocab v ON v.vtoken = t.token
+      GROUP BY 1
+    )
+    SELECT source, n_tokens, n_oov,
+           CAST((1000000 * n_oov) // n_tokens AS BIGINT) AS oov_ppm
+    FROM g
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L113: out-of-vocabulary rate per source against the corpus
+    top-1000 vocabulary — the tokenizer-coverage audit beside L45's BPE
+    fertility: a source whose tokens mostly fall outside the head
+    vocabulary will fragment under any fixed tokenizer and distort the
+    token budget L109 prices. Vocabulary = exact top-1000 by (count
+    DESC, token) — a TakeOrderedAndProject k-cut, NOT a global sort —
+    broadcast back as a membership probe; per-source OOV occurrences
+    and exact integer ppm (lazy CASE guards the all-empty source; the
+    streaming twin drains the same (source, token, c) state). Scale:
+    one tokenize scan into vocab-bounded counts, a 1000-row broadcast,
+    map-side rollup."""
+    return oov_tail(oov_counts(_t(spark, sf_dir, "documents")))
+
+
+@query(
+    "q_matryoshka",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id AS evid,
+             list_dot_product(e.v, p.pv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS fc,
+             list_dot_product(e.v[1:16], p.pv[1:16])
+               / (sqrt(list_dot_product(e.v[1:16], e.v[1:16])) * sqrt(list_dot_product(p.pv[1:16], p.pv[1:16]))) AS pc
+      FROM e, probe p WHERE e.vec_id <> 0
+    ),
+    ranked AS (
+      SELECT evid, fc, pc,
+             row_number() OVER (ORDER BY fc DESC, evid) AS rf,
+             row_number() OVER (ORDER BY pc DESC, evid) AS rp
+      FROM sims
+    ),
+    g AS (
+      SELECT
+        CAST(sum(CASE WHEN rf <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS k_full,
+        CAST(sum(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        list_reduce(list_prepend(0.0, list(fc ORDER BY evid) FILTER (rf <= 10)), (a, x) -> a + x) AS sum_fc,
+        list_reduce(list_prepend(0.0, list(pc ORDER BY evid) FILTER (rp <= 10)), (a, x) -> a + x) AS sum_pc
+      FROM ranked WHERE rf <= 10 OR rp <= 10
+    )
+    SELECT k_full AS k_eval, n_overlap,
+           round(100.0 * n_overlap / CAST(k_full AS DOUBLE), 4) AS overlap_pct,
+           round(sum_fc / CAST(k_full AS DOUBLE), 6) AS mean_full_cos,
+           round(sum_pc / CAST(k_full AS DOUBLE), 6) AS mean_prefix_cos
+    FROM g
+    """,
+)
+def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L114: Matryoshka truncation-quality probe (Kusupati et al. 2022 —
+    Matryoshka Representation Learning): how much of the exact full-dim
+    (64) cosine top-10 survives when vectors are truncated to their
+    first 16 dimensions — the measurement that prices the 4x
+    storage/bandwidth cut before an ANN index is rebuilt on truncated
+    vectors (the dimension-axis sibling of L42's PQ recall and L43's JL
+    recall, which quantize and project instead of truncating).  Both
+    rankings are exact sequential-fold cosines with (cos DESC, vec_id)
+    tie-breaks; overlap@10 and the mean cosines are vec_id-sorted folds
+    over the two 10-row frontiers; try_divide pins the probe-only
+    corpus (k=0) to NULL row semantics. The prefix norm is nonzero
+    under the embedding contract (dim 0 is pinned nonzero), so no
+    cosine denominator degenerates. Scale: one broadcast probe pass;
+    both frontiers are TakeOrderedAndProject k-cuts (per-partition
+    top-10 then a 10-row merge — the oracle's textbook global rank
+    windows are exactly what the Spark plan must NOT do), so the only
+    single-partition step is the <= 20-row frontier-join aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("pv")
+    )
+    e = emb.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("evid"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    sims = e.crossJoin(F.broadcast(probe)).select(
+        "evid",
+        dedup.cosine(F.col("v"), F.col("pv")).alias("fc"),
+        dedup.cosine(F.slice(F.col("v"), 1, 16), F.slice(F.col("pv"), 1, 16)).alias("pc"),
+    )
+    tf = sims.orderBy(F.col("fc").desc(), "evid").limit(10).select(F.col("evid").alias("fid"), "fc")
+    tp = sims.orderBy(F.col("pc").desc(), "evid").limit(10).select(F.col("evid").alias("pid"), "pc")
+    j = tf.join(tp, F.col("fid") == F.col("pid"), "full")
+    g = j.agg(
+        F.sum(F.when(F.col("fid").isNotNull(), 1).otherwise(0)).alias("k_full"),
+        F.sum(F.when(F.col("fid").isNotNull() & F.col("pid").isNotNull(), 1).otherwise(0)).alias("n_overlap"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.when(F.col("fid").isNotNull(), F.struct(F.col("fid").alias("evid"), F.col("fc"))))),
+            F.lit(0.0), lambda a, x: a + x["fc"],
+        ).alias("sum_fc"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.when(F.col("pid").isNotNull(), F.struct(F.col("pid").alias("evid"), F.col("pc"))))),
+            F.lit(0.0), lambda a, x: a + x["pc"],
+        ).alias("sum_pc"),
+    )
+    return g.select(
+        F.col("k_full").alias("k_eval"),
+        "n_overlap",
+        F.round(F.try_divide(F.lit(100.0) * F.col("n_overlap"), F.col("k_full").cast("double")), 4).alias("overlap_pct"),
+        F.round(F.try_divide(F.col("sum_fc"), F.col("k_full").cast("double")), 6).alias("mean_full_cos"),
+        F.round(F.try_divide(F.col("sum_pc"), F.col("k_full").cast("double")), 6).alias("mean_prefix_cos"),
+    )

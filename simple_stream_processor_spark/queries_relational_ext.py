@@ -13394,3 +13394,700 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     return friedman_tail(daily)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: distribution / trend / market-signal family over the daily state
+# (N171-N176), plus the lineitem pricing/stocking trio (N177-N179).
+# ---------------------------------------------------------------------------
+
+
+def jarque_bera_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Jarque-Bera queries: exact
+    integer daily state -> one mean, three sorted central-moment folds
+    (day order, bit-identical to DuckDB list_reduce), skew/kurtosis/JB
+    with try_divide on the constant-series frame (s2 = 0 -> NULL/'n/a')."""
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").alias("s"),
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("xs"),
+    )
+    g = g.select(
+        "event_type", "n_days", "xs",
+        (F.col("s").cast("double") / F.col("n_days")).alias("mean"),
+    )
+
+    def fold(power: int):
+        def term(x):
+            d = x["cents"].cast("double") - F.col("mean")
+            if power == 2:
+                return d * d
+            if power == 3:
+                return (d * d) * d
+            return (d * d) * (d * d)
+
+        return F.aggregate(F.transform("xs", term), F.lit(0.0), lambda a, x: a + x)
+
+    g = g.select(
+        "event_type", "n_days",
+        fold(2).alias("s2"), fold(3).alias("s3"), fold(4).alias("s4"),
+    )
+    nd = F.col("n_days").cast("double")
+    m2 = F.col("s2") / nd
+    skew = F.try_divide(F.col("s3") / nd, F.sqrt(m2) * m2)
+    kurt = F.try_divide(F.col("s4") / nd, m2 * m2)
+    jb = nd / F.lit(6.0) * (skew * skew + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0))
+    return g.select(
+        "event_type", "n_days",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+        F.when(jb.isNull(), "n/a")
+        .when(jb > 5.991, "non-normal")
+        .otherwise("normal")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q_jarque_bera",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS DOUBLE) / count(*) AS mean
+      FROM daily GROUP BY 1
+    ),
+    folds AS (
+      SELECT d.event_type, m.n_days,
+        list_reduce(list_prepend(0.0, list(
+          ((d.cents - m.mean) * (d.cents - m.mean)) ORDER BY d.day)), (a, x) -> a + x) AS s2,
+        list_reduce(list_prepend(0.0, list(
+          (((d.cents - m.mean) * (d.cents - m.mean)) * (d.cents - m.mean)) ORDER BY d.day)), (a, x) -> a + x) AS s3,
+        list_reduce(list_prepend(0.0, list(
+          (((d.cents - m.mean) * (d.cents - m.mean)) * ((d.cents - m.mean) * (d.cents - m.mean))) ORDER BY d.day)), (a, x) -> a + x) AS s4
+      FROM daily d JOIN m USING (event_type)
+      GROUP BY d.event_type, m.n_days
+    ),
+    stats AS (
+      SELECT event_type, n_days,
+             (s3 / n_days) / (sqrt(s2 / n_days) * (s2 / n_days)) AS skew,
+             (s4 / n_days) / ((s2 / n_days) * (s2 / n_days)) AS kurt
+      FROM folds
+    )
+    SELECT event_type, n_days,
+           round(skew, 6) AS skewness,
+           round(kurt, 6) AS kurtosis,
+           round(CAST(n_days AS DOUBLE) / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0), 6) AS jb_stat,
+           CASE WHEN skew IS NULL THEN 'n/a'
+                WHEN CAST(n_days AS DOUBLE) / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) > 5.991
+                  THEN 'non-normal' ELSE 'normal' END AS verdict
+    FROM stats
+    """,
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N171: Jarque-Bera normality test (Jarque & Bera 1980) of daily
+    revenue per event type — the moment-based screen that says whether
+    the z-score/XmR family's normal-theory control limits (N43, N109)
+    are even applicable to this metric, from skewness and kurtosis
+    alone. Exact integer daily cents; the mean is one exact-int
+    division; the three central-moment sums are SORTED sequential folds
+    (day order) so both engines accumulate bit-identically, and the only
+    guarded division is the constant-series s2 = 0 frame (try_divide ->
+    'n/a'). JB = n/6*(S^2 + (K-3)^2/4) thresholds against the chi-square
+    df=2 95% critical value 5.991. Scale: one map-side-combined daily
+    rollup, then a types-bounded fold — no window, no shuffle beyond the
+    5-row group state."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return jarque_bera_tail(daily)
+
+
+def cox_stuart_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Cox-Stuart queries: rank the
+    days, pair x_i with x_{i+ceil(n/2)}, sign-count the pairs, z against
+    the binomial normal approximation (ties excluded; m' = 0 -> 'n/a')."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    wn = Window.partitionBy("event_type")
+    r = daily.select(
+        "event_type", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_days"),
+    )
+    a = r.select("event_type", "n_days", F.col("rn").alias("i"), F.col("cents").alias("x"))
+    b = r.select(F.col("event_type").alias("et2"), F.col("rn").alias("j"), F.col("cents").alias("y"))
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("j") == F.col("i") + F.expr("(n_days + 1) div 2"))
+        & (F.col("i") <= F.expr("n_days div 2")),
+    )
+    g = pairs.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.sum(F.when(F.col("y") > F.col("x"), 1).otherwise(0)).alias("n_plus"),
+        F.sum(F.when(F.col("y") < F.col("x"), 1).otherwise(0)).alias("n_minus"),
+    )
+    m = F.col("n_plus") + F.col("n_minus")
+    z = F.try_divide((2 * F.col("n_plus") - m).cast("double"), F.sqrt(m.cast("double")))
+    return g.select(
+        "event_type", "n_days", "n_plus", "n_minus",
+        F.round(z, 6).alias("z"),
+        F.when(z.isNull(), "n/a")
+        .when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("no-trend")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q_cox_stuart",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.event_type, a.n_days, a.cents AS x, b.cents AS y
+      FROM r a JOIN r b
+        ON b.event_type = a.event_type AND b.rn = a.rn + (a.n_days + 1) // 2
+      WHERE a.rn <= a.n_days // 2
+    ),
+    g AS (
+      SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+             CAST(sum(CASE WHEN y > x THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+             CAST(sum(CASE WHEN y < x THEN 1 ELSE 0 END) AS BIGINT) AS n_minus
+      FROM pairs GROUP BY 1
+    )
+    SELECT event_type, n_days, n_plus, n_minus,
+           round(CAST(2 * n_plus - (n_plus + n_minus) AS DOUBLE)
+                 / sqrt(CAST(n_plus + n_minus AS DOUBLE)), 6) AS z,
+           CASE WHEN n_plus + n_minus = 0 THEN 'n/a'
+                WHEN CAST(2 * n_plus - (n_plus + n_minus) AS DOUBLE)
+                     / sqrt(CAST(n_plus + n_minus AS DOUBLE)) > 1.96 THEN 'increasing'
+                WHEN CAST(2 * n_plus - (n_plus + n_minus) AS DOUBLE)
+                     / sqrt(CAST(n_plus + n_minus AS DOUBLE)) < -1.96 THEN 'decreasing'
+                ELSE 'no-trend' END AS verdict
+    FROM g
+    """,
+)
+def q_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N172: Cox-Stuart sign trend test (Cox & Stuart 1955) on daily
+    revenue per event type — the assumption-free quick screen beside
+    N106's Mann-Kendall: pair each first-half day with its second-half
+    counterpart (offset ceil(n/2), middle dropped when n is odd) and
+    sign-test the pairs. Needs only n/2 comparisons vs Mann-Kendall's
+    n^2/2, the classic cheap-first-pass ordering. Everything is exact
+    integers until the one z division (try_divide: all-tied pairs ->
+    'n/a'); the pairing self-join is rank-equality on the types x days
+    state, never event-level."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return cox_stuart_tail(daily)
+
+
+def bollinger_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Bollinger queries: 7-day
+    trailing count/sum/sum-of-squares (decimal-widened BEFORE the
+    multiply), breakout flags via the exact integer comparison
+    L^2 > 4*(n*ss - s^2) with L = n*x - s — no float enters the verdict."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    cd = F.col("cents").cast("decimal(38,0)")
+    r = daily.select(
+        "event_type", "day", "cents",
+        F.count(F.lit(1)).over(w).alias("win_n"),
+        F.sum(cd).over(w).alias("win_sum"),
+        F.sum(cd * cd).over(w).alias("win_sumsq"),
+    )
+    wn = F.col("win_n").cast("decimal(38,0)")
+    m = wn * F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum")
+    l = wn * F.col("cents") - F.col("win_sum")
+    up = (l > 0) & (l * l > 4 * m)
+    dn = (l < 0) & (l * l > 4 * m)
+    return r.select(
+        "event_type", "day", "cents", "win_n",
+        F.round(F.col("win_sum").cast("double") / F.col("win_n"), 2).alias("mean_cents"),
+        F.round(F.sqrt(m.cast("double")) / F.col("win_n"), 2).alias("sd_cents"),
+        up.alias("breach_upper"),
+        dn.alias("breach_lower"),
+    )
+
+
+@query(
+    "q_bollinger_bands",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day, cents,
+             CAST(count(*) OVER w AS BIGINT) AS win_n,
+             sum(CAST(cents AS HUGEINT)) OVER w AS win_sum,
+             sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) OVER w AS win_sumsq
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, cents, win_n,
+           round(CAST(win_sum AS DOUBLE) / win_n, 2) AS mean_cents,
+           round(sqrt(CAST(win_n * win_sumsq - win_sum * win_sum AS DOUBLE)) / win_n, 2) AS sd_cents,
+           (win_n * cents - win_sum > 0 AND
+            (win_n * cents - win_sum) * (win_n * cents - win_sum)
+              > 4 * (win_n * win_sumsq - win_sum * win_sum)) AS breach_upper,
+           (win_n * cents - win_sum < 0 AND
+            (win_n * cents - win_sum) * (win_n * cents - win_sum)
+              > 4 * (win_n * win_sumsq - win_sum * win_sum)) AS breach_lower
+    FROM r
+    """,
+)
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N173: Bollinger bands (Bollinger 1980s; mean +/- 2 sigma over a
+    7-day trailing window) on daily revenue per event type, with EXACT
+    integer breakout flags: a breach of the upper band is n*x - s > 0
+    AND (n*x - s)^2 > 4*(n*ss - s^2) — the band comparison cross-
+    multiplied so no sqrt or division touches the verdict (display
+    mean/sd are the only floats, derived from the same exact integers;
+    Spark decimal(38,0) ≡ DuckDB HUGEINT per the widen-before-multiply
+    rule). The volatility-envelope complement to N43's rolling z-score:
+    z-scores standardize the point, bands flag the regime. One keyed
+    trailing window over the types x days state."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return bollinger_tail(daily)
+
+
+def durbin_watson_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Durbin-Watson queries:
+    successive differences (mean cancels, so residual diffs ARE value
+    diffs — exact integers), decimal-widened squares, DW = n*num / M
+    with M = n*ss - s^2 in one try_divide."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type", "cents",
+        (F.col("cents") - F.lag("cents").over(w)).cast("decimal(38,0)").alias("diff"),
+    )
+    cd = F.col("cents").cast("decimal(38,0)")
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(cd * cd).alias("ss"),
+        F.sum(F.col("diff") * F.col("diff")).alias("num"),
+    )
+    m = F.col("n_days") * F.col("ss") - F.col("s") * F.col("s")
+    dw = F.try_divide((F.col("n_days") * F.col("num")).cast("double"), m.cast("double"))
+    return g.select(
+        "event_type", "n_days",
+        F.round(dw, 6).alias("dw"),
+        F.when(dw.isNull(), "n/a")
+        .when(dw < 1.0, "positive-autocorr")
+        .when(dw > 3.0, "negative-autocorr")
+        .otherwise("none")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q_durbin_watson",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, cents,
+             CAST(cents - lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS HUGEINT) AS diff
+      FROM daily
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS HUGEINT) AS s,
+             sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ss,
+             sum(diff * diff) AS num
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           round(CAST(n_days * num AS DOUBLE) / CAST(n_days * ss - s * s AS DOUBLE), 6) AS dw,
+           CASE WHEN n_days * ss - s * s = 0 OR num IS NULL THEN 'n/a'
+                WHEN CAST(n_days * num AS DOUBLE) / CAST(n_days * ss - s * s AS DOUBLE) < 1.0 THEN 'positive-autocorr'
+                WHEN CAST(n_days * num AS DOUBLE) / CAST(n_days * ss - s * s AS DOUBLE) > 3.0 THEN 'negative-autocorr'
+                ELSE 'none' END AS verdict
+    FROM g
+    """,
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N174: Durbin-Watson serial-correlation statistic (Durbin & Watson
+    1950) of daily revenue per event type — the residual-autocorrelation
+    check that says whether N49's forecast errors or N65's A/B readouts
+    can treat days as independent. Key identity: residuals about the
+    mean difference to PLAIN value differences (the mean cancels), so
+    the numerator sum-of-squared-diffs is exact integer arithmetic, the
+    denominator is the exact moment M = n*ss - s^2 (decimal-widened
+    before every multiply), and DW = n*num/M is ONE try_divide (constant
+    series or n=1 -> 'n/a'). DW ~ 2(1 - rho): < 1 flags positive serial
+    correlation, > 3 negative. Scale: one lag window + one aggregate
+    over the types x days state."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return durbin_watson_tail(daily)
+
+
+def rsi_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming RSI queries: day-over-day
+    diffs, 7-diff trailing gain/loss sums (exact integers), RSI =
+    100*gains/(gains+losses) in one try_divide (flat window -> 'n/a')."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type", "day",
+        (F.col("cents") - F.lag("cents").over(w)).alias("diff"),
+    ).where(F.col("diff").isNotNull())
+    ww = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    r = d.select(
+        "event_type", "day",
+        F.count(F.lit(1)).over(ww).alias("win_n"),
+        F.sum(F.greatest(F.col("diff"), F.lit(0))).over(ww).alias("gains"),
+        F.sum(F.greatest(-F.col("diff"), F.lit(0))).over(ww).alias("losses"),
+    )
+    rsi = F.try_divide(F.lit(100.0) * F.col("gains"), (F.col("gains") + F.col("losses")).cast("double"))
+    return r.select(
+        "event_type", "day", "win_n", "gains", "losses",
+        F.round(rsi, 4).alias("rsi"),
+        F.when(rsi.isNull(), "n/a")
+        .when(rsi > 70, "overbought")
+        .when(rsi < 30, "oversold")
+        .otherwise("neutral")
+        .alias("signal"),
+    )
+
+
+@query(
+    "q_rsi_cutler",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, day,
+             cents - lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS diff
+      FROM daily QUALIFY diff IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, day,
+             CAST(count(*) OVER w AS BIGINT) AS win_n,
+             CAST(sum(greatest(diff, 0)) OVER w AS BIGINT) AS gains,
+             CAST(sum(greatest(-diff, 0)) OVER w AS BIGINT) AS losses
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, win_n, gains, losses,
+           round(100.0 * gains / CAST(gains + losses AS DOUBLE), 4) AS rsi,
+           CASE WHEN gains + losses = 0 THEN 'n/a'
+                WHEN 100.0 * gains / CAST(gains + losses AS DOUBLE) > 70 THEN 'overbought'
+                WHEN 100.0 * gains / CAST(gains + losses AS DOUBLE) < 30 THEN 'oversold'
+                ELSE 'neutral' END AS signal
+    FROM r
+    """,
+)
+def q_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N175: Cutler's RSI (the simple-moving-average variant of Wilder
+    1978's relative strength index — Cutler's form is chosen precisely
+    because it is NON-recursive, so both engines compute it from the
+    same bounded window with zero smoothing-state divergence risk) over
+    a 7-diff trailing window of daily revenue per event type. Gains and
+    losses are exact integer sums of signed day-over-day diffs; RSI =
+    100*gains/(gains+losses) is the single try_divide (a flat window ->
+    'n/a'); the overbought/oversold bands are the textbook 70/30. The
+    momentum complement to N74's EWMA level: EWMA says where the level
+    is, RSI says whether the recent moves were one-sided. One lag + one
+    trailing window over the types x days state."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return rsi_tail(daily)
+
+
+def jonckheere_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Jonckheere queries: week
+    buckets as the ordered groups, cross-group pair sign counts via one
+    keyed self-join, ties at half weight, z against the no-tie H0
+    moments (all exact integers until the final division)."""
+    d = daily.select("event_type", F.expr("day div 7").alias("w"), "cents")
+    a = d.select("event_type", F.col("w").alias("w1"), F.col("cents").alias("x"))
+    b = d.select(F.col("event_type").alias("et2"), F.col("w").alias("w2"), F.col("cents").alias("y"))
+    pairs = a.join(b, (F.col("event_type") == F.col("et2")) & (F.col("w2") > F.col("w1")))
+    jt = pairs.groupBy("event_type").agg(
+        F.sum(F.when(F.col("y") > F.col("x"), 1).otherwise(0)).alias("jt"),
+        F.sum(F.when(F.col("y") == F.col("x"), 1).otherwise(0)).alias("ties"),
+    )
+    # rename the join key on the moment side: joining two derivations of
+    # one memory-sink view on a same-named column throws Catalyst
+    # "conflicting references" in the streaming twin (the ewma_tail lesson)
+    sizes = d.groupBy(F.col("event_type").alias("t_et"), "w").agg(F.count(F.lit(1)).alias("nw"))
+    tot = sizes.groupBy("t_et").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("nw").alias("n_days"),
+        F.sum(F.col("nw") * F.col("nw")).alias("sum_sq"),
+        F.sum(F.col("nw") * F.col("nw") * (2 * F.col("nw") + 3)).alias("sum_sq23"),
+    )
+    g = jt.join(tot, F.col("event_type") == F.col("t_et"))
+    nn = F.col("n_days") * F.col("n_days")
+    e = (nn - F.col("sum_sq")).cast("double") / F.lit(4.0)
+    var = (nn * (2 * F.col("n_days") + 3) - F.col("sum_sq23")).cast("double") / F.lit(72.0)
+    z = F.try_divide(F.col("jt").cast("double") + F.lit(0.5) * F.col("ties") - e, F.sqrt(var))
+    return g.select(
+        "event_type", "n_days", "n_groups", "jt", "ties",
+        F.round(z, 6).alias("z"),
+        F.when(z.isNull(), "n/a")
+        .when(z > 1.96, "upward")
+        .when(z < -1.96, "downward")
+        .otherwise("no-trend")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q_jonckheere",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (SELECT event_type, day // 7 AS w, cents FROM daily),
+    jt AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END) AS BIGINT) AS jt,
+             CAST(sum(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END) AS BIGINT) AS ties
+      FROM d a JOIN d b ON b.event_type = a.event_type AND b.w > a.w
+      GROUP BY 1
+    ),
+    sizes AS (SELECT event_type, w, count(*) AS nw FROM d GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(nw) AS BIGINT) AS n_days,
+             CAST(sum(nw * nw) AS BIGINT) AS sum_sq,
+             CAST(sum(nw * nw * (2 * nw + 3)) AS BIGINT) AS sum_sq23
+      FROM sizes GROUP BY 1
+    ),
+    g AS (SELECT jt.event_type, n_days, n_groups, jt, ties, sum_sq, sum_sq23
+          FROM jt JOIN tot ON tot.event_type = jt.event_type)
+    SELECT event_type, n_days, n_groups, jt, ties,
+           round((CAST(jt AS DOUBLE) + 0.5 * ties - CAST(n_days * n_days - sum_sq AS DOUBLE) / 4.0)
+                 / sqrt(CAST(n_days * n_days * (2 * n_days + 3) - sum_sq23 AS DOUBLE) / 72.0), 6) AS z,
+           CASE WHEN n_days * n_days * (2 * n_days + 3) - sum_sq23 = 0 THEN 'n/a'
+                WHEN (CAST(jt AS DOUBLE) + 0.5 * ties - CAST(n_days * n_days - sum_sq AS DOUBLE) / 4.0)
+                     / sqrt(CAST(n_days * n_days * (2 * n_days + 3) - sum_sq23 AS DOUBLE) / 72.0) > 1.96 THEN 'upward'
+                WHEN (CAST(jt AS DOUBLE) + 0.5 * ties - CAST(n_days * n_days - sum_sq AS DOUBLE) / 4.0)
+                     / sqrt(CAST(n_days * n_days * (2 * n_days + 3) - sum_sq23 AS DOUBLE) / 72.0) < -1.96 THEN 'downward'
+                ELSE 'no-trend' END AS verdict
+    FROM g
+    """,
+)
+def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N176: Jonckheere-Terpstra ordered-alternative trend test
+    (Jonckheere 1954, Terpstra 1952) — are daily revenues
+    stochastically INCREASING across ordered week buckets?  The
+    dose-response sibling of N137's Kruskal-Wallis: KW only asks 'do
+    the groups differ', JT exploits the week ordering for power against
+    monotone drift. JT = sum over ordered group pairs of
+    #(later > earlier), ties at half weight (midrank convention); the
+    H0 moments E = (N^2 - sum n_w^2)/4 and V = (N^2(2N+3) - sum
+    n_w^2(2n_w+3))/72 are exact integer expressions, and z is the one
+    guarded division (single-group or empty frame -> 'n/a'). The
+    cross-group pair join is (types x days)^2-bounded on the daily
+    state, never event-level."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return jonckheere_tail(daily)
+
+
+@query(
+    "q_vwap",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS pv
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ym, n_lines, sum_qty,
+           round(CAST(pv AS DOUBLE) / CAST(sum_qty AS DOUBLE), 4) AS vwap_cents
+    FROM g
+    """,
+)
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N177: monthly volume-weighted average price (the execution-quality
+    benchmark every trading/procurement desk reports) over lineitem:
+    VWAP = sum(price*qty)/sum(qty) per ship month. Exact integer
+    price-cents x quantity products summed map-side, ONE try_divide at
+    the end — the textbook 'weighted mean without floats until the last
+    step' shape. Distinct from N163's price indices (those compare two
+    periods' baskets; VWAP is the within-period benchmark). Scale: one
+    map-side-combined aggregate, months-bounded output."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.select(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long").alias("ym"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).groupBy("ym").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("qty").alias("sum_qty"),
+        F.sum(F.col("price_cents") * F.col("qty")).alias("pv"),
+    )
+    vwap = F.try_divide(F.col("pv").cast("double"), F.col("sum_qty").cast("double"))
+    return g.select("ym", "n_lines", "sum_qty", F.round(vwap, 4).alias("vwap_cents"))
+
+
+@query(
+    "q_newsvendor",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, qty,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY qty) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM d
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_lines, CAST(rn AS BIGINT) AS k_rank,
+           75 AS cr_pct, qty AS optimal_qty
+    FROM r WHERE rn = (3 * n + 3) // 4
+    """,
+)
+def q_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N178: newsvendor optimal stocking quantity (Arrow, Harris &
+    Marschak 1951 critical-fractile solution) per return-flag segment:
+    with underage cost 3x overage, the optimal stock is the smallest q
+    with F(q) >= 0.75 — the CEILING order statistic k = ceil(3n/4) =
+    (3n+3) div 4 of the demand distribution, NOT the interpolated
+    percentile (N31 interpolates; inventory must be a real attainable
+    demand value, so the inverse-CDF order statistic is the correct
+    primitive and ties make the rank-k VALUE unique regardless of tie
+    order). Exact integers end to end. Scale: one keyed rank window
+    over the demand projection — the sort-based percentile trade
+    documented at N76 applies when the sort would spill."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select("l_returnflag", F.col("l_quantity").cast("long").alias("qty"))
+    w = Window.partitionBy("l_returnflag").orderBy("qty")
+    wn = Window.partitionBy("l_returnflag")
+    r = d.select(
+        "l_returnflag", "qty",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.where(F.col("rn") == F.expr("(3 * n + 3) div 4")).select(
+        "l_returnflag",
+        F.col("n").alias("n_lines"),
+        F.col("rn").alias("k_rank"),
+        F.lit(75).alias("cr_pct"),
+        F.col("qty").alias("optimal_qty"),
+    )
+
+
+@query(
+    "q_promo_uplift",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_ms(l_shipdate) // 86400000 AS day,
+             l_discount >= 0.05 AS treat,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    bounds AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM d),
+    p AS (SELECT treat, day >= mid AS post, cents FROM d, bounds),
+    g AS (
+      SELECT
+        CAST(sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+        CAST(sum(CASE WHEN treat AND NOT post THEN cents ELSE 0 END) AS BIGINT) AS s_tp,
+        CAST(sum(CASE WHEN treat AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_tq,
+        CAST(sum(CASE WHEN treat AND post THEN cents ELSE 0 END) AS BIGINT) AS s_tq,
+        CAST(sum(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+        CAST(sum(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0 END) AS BIGINT) AS s_cp,
+        CAST(sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_cq,
+        CAST(sum(CASE WHEN NOT treat AND post THEN cents ELSE 0 END) AS BIGINT) AS s_cq
+      FROM p
+    )
+    SELECT n_tp AS n_treat_pre, n_tq AS n_treat_post, n_cp AS n_ctrl_pre, n_cq AS n_ctrl_post,
+           round(CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE), 4) AS mean_treat_pre,
+           round(CAST(s_tq AS DOUBLE) / CAST(n_tq AS DOUBLE), 4) AS mean_treat_post,
+           round(CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE), 4) AS mean_ctrl_pre,
+           round(CAST(s_cq AS DOUBLE) / CAST(n_cq AS DOUBLE), 4) AS mean_ctrl_post,
+           round((CAST(s_tq AS DOUBLE) / CAST(n_tq AS DOUBLE) - CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE))
+               - (CAST(s_cq AS DOUBLE) / CAST(n_cq AS DOUBLE) - CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)), 4) AS did_cents,
+           CASE WHEN n_tp = 0 OR n_tq = 0 OR n_cp = 0 OR n_cq = 0 THEN 'n/a'
+                WHEN (CAST(s_tq AS DOUBLE) / CAST(n_tq AS DOUBLE) - CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE))
+                   - (CAST(s_cq AS DOUBLE) / CAST(n_cq AS DOUBLE) - CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)) > 0
+                  THEN 'positive-uplift' ELSE 'no-uplift' END AS verdict
+    FROM g
+    """,
+)
+def q_promo_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N179: difference-in-differences promo readout (Card & Krueger
+    1994 popularized the design; Ashenfelter 1978) over lineitem:
+    discounted lines (>= 5%) are the treated group, the ship-date-range
+    midpoint splits pre/post (an exact integer from the one-row
+    min/max bounds, broadcast back), and DiD = (treat_post - treat_pre)
+    - (ctrl_post - ctrl_pre) nets out the common time trend that a
+    naive before/after (N86 period-over-period) cannot. The causal
+    sibling of N102's CUPED (variance reduction) and N113's stratified
+    ATE (confounder adjustment): DiD is the panel-structure member of
+    the family. All four cell means are exact-int divisions under
+    try_divide (any empty cell -> 'n/a'); one conditional-sum pass over
+    the projection, one-row output."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.expr("unix_millis(l_shipdate) div 86400000").alias("day"),
+        (F.col("l_discount") >= 0.05).alias("treat"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    bounds = d.agg(F.expr("(min(day) + max(day) + 1) div 2").alias("mid"))
+    p = d.crossJoin(F.broadcast(bounds)).select(
+        "treat", (F.col("day") >= F.col("mid")).alias("post"), "cents"
+    )
+
+    def cell(t, po, what):
+        cond = (F.col("treat") == t) & (F.col("post") == po)
+        if what == "n":
+            return F.sum(F.when(cond, 1).otherwise(0))
+        return F.sum(F.when(cond, F.col("cents")).otherwise(0))
+
+    g = p.agg(
+        cell(True, False, "n").alias("n_tp"), cell(True, False, "s").alias("s_tp"),
+        cell(True, True, "n").alias("n_tq"), cell(True, True, "s").alias("s_tq"),
+        cell(False, False, "n").alias("n_cp"), cell(False, False, "s").alias("s_cp"),
+        cell(False, True, "n").alias("n_cq"), cell(False, True, "s").alias("s_cq"),
+    )
+
+    def mean(s, n):
+        return F.try_divide(F.col(s).cast("double"), F.col(n).cast("double"))
+
+    did = (mean("s_tq", "n_tq") - mean("s_tp", "n_tp")) - (mean("s_cq", "n_cq") - mean("s_cp", "n_cp"))
+    return g.select(
+        F.col("n_tp").alias("n_treat_pre"), F.col("n_tq").alias("n_treat_post"),
+        F.col("n_cp").alias("n_ctrl_pre"), F.col("n_cq").alias("n_ctrl_post"),
+        F.round(mean("s_tp", "n_tp"), 4).alias("mean_treat_pre"),
+        F.round(mean("s_tq", "n_tq"), 4).alias("mean_treat_post"),
+        F.round(mean("s_cp", "n_cp"), 4).alias("mean_ctrl_pre"),
+        F.round(mean("s_cq", "n_cq"), 4).alias("mean_ctrl_post"),
+        F.round(did, 4).alias("did_cents"),
+        F.when(did.isNull(), "n/a").when(did > 0, "positive-uplift").otherwise("no-uplift").alias("verdict"),
+    )

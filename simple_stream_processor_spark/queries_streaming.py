@@ -2402,13 +2402,6 @@ def q_streaming_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _llmdata_oracle(name: str) -> str:
-    from simple_stream_processor_spark import queries_llmdata  # noqa: F401  (registers the batch oracle)
-    from simple_stream_processor_spark.registry import ORACLES
-
-    return ORACLES[name]
-
-
 def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
     return (
@@ -2906,3 +2899,113 @@ def q_streaming_burrows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained, _ = run_stream_to_memory(cells, output_mode="complete")
     return burrows_tail(drained)
+
+
+# ---------------------------------------------------------------------------
+# Round 9 twins: Jarque-Bera / Cox-Stuart / Bollinger / Durbin-Watson /
+# RSI / Jonckheere over the event stream's daily state, Flesch + OOV over
+# the document stream's counter states.
+# ---------------------------------------------------------------------------
+
+
+@query("q_streaming_jarque_bera", oracle=_relext_oracle("q_jarque_bera"))
+def q_streaming_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Jarque-Bera twin (N171b): the types x days daily-cents
+    state through the shared jarque_bera_tail — live normality
+    screening of the revenue metric (a fat-tailed regime shows up as
+    kurtosis drift per trigger, before control-limit alarms misfire);
+    hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import jarque_bera_tail
+
+    return jarque_bera_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_cox_stuart", oracle=_relext_oracle("q_cox_stuart"))
+def q_streaming_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Cox-Stuart twin (N172b): the daily-cents state through
+    the shared cox_stuart_tail — each trigger re-pairs the CURRENT
+    half-series, so the cheap sign-trend screen stays live as days
+    accumulate; hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import cox_stuart_tail
+
+    return cox_stuart_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_bollinger", oracle=_relext_oracle("q_bollinger_bands"))
+def q_streaming_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bollinger twin (N173b): the daily-cents state through
+    the shared bollinger_tail — the live volatility envelope (today's
+    bar re-bands as its revenue accumulates, breach flags stay exact
+    integers); hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import bollinger_tail
+
+    return bollinger_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_durbin_watson", oracle=_relext_oracle("q_durbin_watson"))
+def q_streaming_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Durbin-Watson twin (N174b): the daily-cents state
+    through the shared durbin_watson_tail — live serial-correlation
+    monitoring of the metric the forecast/A-B family assumes
+    independent; hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import durbin_watson_tail
+
+    return durbin_watson_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_rsi", oracle=_relext_oracle("q_rsi_cutler"))
+def q_streaming_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming RSI twin (N175b): the daily-cents state through the
+    shared rsi_tail — the live momentum gauge (overbought/oversold
+    bands re-evaluate per trigger from exact integer gain/loss sums);
+    hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import rsi_tail
+
+    return rsi_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_jonckheere", oracle=_relext_oracle("q_jonckheere"))
+def q_streaming_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Jonckheere twin (N176b): the daily-cents state through
+    the shared jonckheere_tail — the ordered week buckets grow as the
+    stream runs, so the dose-response trend readout sharpens per
+    trigger; hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import jonckheere_tail
+
+    return jonckheere_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_flesch", oracle=_llmdata_oracle("q_flesch_reading"))
+def q_streaming_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Flesch twin (L112b): per-doc readability counts are pure
+    projections, so the per-source counter table IS the streaming state
+    (commutative sums, sources-bounded); drained counters flow through
+    the shared flesch_tail — a live readability gate on a crawl;
+    hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import flesch_counts, flesch_tail
+
+    g = flesch_counts(_stream_docs(spark, sf_dir))
+    drained, _ = run_stream_to_memory(g, output_mode="complete")
+    return flesch_tail(drained)
+
+
+@query("q_streaming_oov", oracle=_llmdata_oracle("q_oov_rate"))
+def q_streaming_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OOV twin (L113b): the (source, token, c) count state —
+    commutative, vocab x sources bounded — through the shared oov_tail,
+    which re-derives the corpus top-1000 vocabulary per trigger, so the
+    coverage audit tracks the vocabulary as it shifts mid-crawl;
+    hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import oov_tail
+
+    sdf = _stream_docs(spark, sf_dir)
+    st = (
+        sdf.select(
+            "source",
+            F.explode(F.expr("filter(split(text, ' '), w -> length(w) > 0)")).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    drained, _ = run_stream_to_memory(st, output_mode="complete")
+    return oov_tail(drained)

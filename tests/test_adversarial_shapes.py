@@ -132,6 +132,10 @@ SENSITIVE = [
     "q_seasonal_mann_kendall", "q_code_switch_audit", "q_token_budget_fill",
     "q_poisson_rate_test", "q_friedman_test", "q_keyword_trend",
     "q_bm25_k1_sweep",
+    # round-9 — moment/sign/window machinery over degenerate daily frames
+    # (constant series, n=1, all-tied pairs) plus the doc-audit pair
+    "q_jarque_bera", "q_cox_stuart", "q_bollinger_bands", "q_durbin_watson",
+    "q_rsi_cutler", "q_jonckheere", "q_flesch_reading", "q_oov_rate",
 ]
 
 
@@ -166,7 +170,7 @@ EMB_SENSITIVE = [
     "q_ndcg_eval", "q_ivf_nprobe_curve", "q_embedding_discrimination",
     "q_nearest_centroid", "q_silhouette", "q_cosine_topk", "q_batch_ann",
     "q_ann_ivf", "q_embedding_norm_audit", "q_jl_recall", "q_srp_simhash",
-    "q_embedding_dedup",
+    "q_embedding_dedup", "q_matryoshka",
 ]
 
 

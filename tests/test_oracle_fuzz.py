@@ -91,6 +91,9 @@ EVENT_QUERIES = [
     "q_logrank_test",
     "q_cochran_q", "q_hurst_exponent", "q_weibull_fit", "q_croston",
     "q_seasonal_mann_kendall", "q_poisson_rate_test", "q_friedman_test",
+    # round-9: the distribution/trend/market-signal family (all try_divided)
+    "q_jarque_bera", "q_cox_stuart", "q_bollinger_bands", "q_durbin_watson",
+    "q_rsi_cutler", "q_jonckheere",
 ]
 # Queries reading ONLY the documents table (all oracle-declared).
 DOC_QUERIES = [
@@ -126,6 +129,8 @@ DOC_QUERIES = [
     "q_fleiss_kappa", "q_rbo_rankings", "q_burrows_delta",
     "q_code_switch_audit", "q_token_budget_fill", "q_keyword_trend",
     "q_bm25_k1_sweep",
+    # round-9: readability + vocabulary-coverage audits
+    "q_flesch_reading", "q_oov_rate",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -275,6 +280,9 @@ STREAMING_QUERIES = [
     "q_streaming_welch",
     "q_streaming_kruskal", "q_streaming_anova", "q_streaming_cramers",
     "q_streaming_holt_winters", "q_streaming_sax",
+    # round-9 twins over the daily state
+    "q_streaming_jarque_bera", "q_streaming_cox_stuart", "q_streaming_bollinger",
+    "q_streaming_durbin_watson", "q_streaming_rsi", "q_streaming_jonckheere",
 ]
 
 
@@ -306,8 +314,8 @@ TPCH_QUERIES = [
     "q_k_core",
     "q_abc_xyz_matrix", "q_price_index",
     # round-9: the base-4 bracket-narrowing rewrite put the bisection
-    # invariant under random lineitem shapes
-    "q_bisect_median",
+    # invariant under random lineitem shapes, plus the pricing/stocking trio
+    "q_bisect_median", "q_vwap", "q_newsvendor", "q_promo_uplift",
 ]
 
 ORDER_STATUS = ["F", "O", "P"]
@@ -395,6 +403,7 @@ EMBEDDING_QUERIES = [
     "q_jl_recall", "q_embedding_norm_audit", "q_nearest_centroid",
     "q_silhouette",
     "q_embedding_discrimination", "q_ivf_nprobe_curve", "q_ndcg_eval",
+    "q_matryoshka",
 ]
 if _ONLY:
     STREAMING_QUERIES = [q for q in STREAMING_QUERIES if q in _ONLY]

@@ -204,6 +204,9 @@ SINGLE_PARTITION_ALLOWANCE = {
     # uncensored-count aggregate, and the one-row regression fold —
     # all over <= observation-days rows or #tasks partials
     "q_weibull_fit": 3,
+    # the one-row ship-date-range bounds scalar plus the one-row 2x2
+    # DiD cell aggregate — both over #tasks partials, never line-level
+    "q_promo_uplift": 2,
     # the one-row type-count scalar, the one-row moment fold, and the
     # blocks-bounded block-filter rollup — all over types/days partials
     "q_friedman_test": 3,
