@@ -2546,17 +2546,27 @@ def q_streaming_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_streaming_ohlc", oracle=_relext_oracle("q_ohlc_bars"))
 def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming OHLC twin (N153b): the candlestick bar state is ONE
-    commutative aggregate per (type, day) — lexicographic struct min/max
-    carry open/close, integer extremes/sums the rest — so the live bars
-    ARE the batch bars at every trigger (the canonical market-data
-    streaming downsampler). Hash-matches the batch oracle."""
-    from simple_stream_processor_spark.queries_relational_ext import ohlc_state, ohlc_tail
+    """Streaming OHLC twin (N153b): candlestick bars on the PRODUCTION
+    stateful path — ``applyInPandasWithState`` keeps ONE fixed-width bar
+    row per (type, day) group (open/close are lexicographic (ts, id)
+    witnesses, extremes/sums in integer cents; every merge commutative),
+    each micro-batch emits only the bars it touched, and the latest-wins
+    drain (max n_events per key — strictly increasing across emissions)
+    reads back the final bars. State is |types| x |days| rows at ANY
+    stream rate — the canonical market-data streaming downsampler.
+    The transformWithStateInPandas port of the same state machine ships
+    container-gated in streaming/ohlc.py (google.protobuf absent here).
+    Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.streaming.ohlc import (
+        ohlc_bars_stateful,
+        ohlc_latest_bars,
+        prepare_ohlc_events,
+    )
 
     sdf = stream_events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
-    state = ohlc_state(sdf)
-    drained, _ = run_stream_to_memory(state, output_mode="complete")
-    return ohlc_tail(drained)
+    bars = ohlc_bars_stateful(prepare_ohlc_events(sdf))
+    drained, _ = run_stream_to_memory(bars, output_mode="update")
+    return ohlc_latest_bars(drained)
 
 
 @query("q_streaming_page_hinkley", oracle=_relext_oracle("q_page_hinkley"))

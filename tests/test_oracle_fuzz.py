@@ -283,6 +283,8 @@ STREAMING_QUERIES = [
     # round-9 twins over the daily state
     "q_streaming_jarque_bera", "q_streaming_cox_stuart", "q_streaming_bollinger",
     "q_streaming_durbin_watson", "q_streaming_rsi", "q_streaming_jonckheere",
+    # the applyInPandasWithState production bar state (streaming/ohlc.py)
+    "q_streaming_ohlc",
 ]
 
 
