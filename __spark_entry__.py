@@ -241,6 +241,10 @@ _PRIORITY = [
     "q_streaming_jonckheere",
     "q_streaming_flesch",
     "q_streaming_oov",
+    # --- round-9 wave 2 (queue tail: first verified in a later window) ---
+    "q_multimodal_png",
+    "q_rrf_fusion",
+    "q_streaming_zipf",
 ]
 
 

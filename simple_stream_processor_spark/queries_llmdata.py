@@ -967,6 +967,53 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_png",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(351.0 / length(text)) AS INT)), 1, 351) AS p
+      FROM documents WHERE length(text) > 0
+    ), vals AS (
+      SELECT doc_id, list_transform(regexp_extract_all(p, '.'), c -> ord(c)) AS v FROM px
+    )
+    SELECT doc_id AS media_id, 'PNG' AS format, 13 AS width, 9 AS height,
+           CAST(117 AS BIGINT) AS n_pixels,
+           round(list_sum(v) / 351.0, 4) AS px_mean,
+           CAST(list_min(v) AS BIGINT) AS px_min,
+           CAST(list_max(v) AS BIGINT) AS px_max,
+           TRUE AS decode_ok
+    FROM vals
+    """,
+)
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11e (round 9): the first COMPRESSED real codec rung — each
+    document is encoded into an actual Sub-filtered zlib-DEFLATE PNG
+    (signature, CRC-32'd IHDR/IDAT/IEND chunks) and the Arrow-batched
+    decoder walks the chunks, VERIFIES every CRC-32, inflates the IDAT
+    stream, unfilters the scanlines (Sub forces real reconstruction:
+    skipping it yields wrong pixels, not missing ones), and computes
+    numpy pixel statistics.  The oracle replays the SOURCE bytes (the
+    cycled text) in SQL, so any error in compression, CRC, or filter
+    arithmetic hash-mismatches.  Completes the decode ladder
+    netpbm -> WAV -> BMP -> PNG (operators/multimodal.py); PIL/ffmpeg
+    formats remain honestly stubbed."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_png(docs, width=13, height=9)
+    feats = multimodal.decode_png(media)
+    return feats.select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "n_pixels",
+        F.round(F.col("px_mean"), 4).alias("px_mean"),
+        "px_min",
+        "px_max",
+        "decode_ok",
+    )
+
+
+@query(
     "q_batch_ann",
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2515,27 +2562,39 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy-tailed freq distribution keeps far smaller than the vocab)
     plus an intra-frequency partition-local row_number. The regression
     itself is one aggregate (regr_slope/regr_r2 combine map-side)."""
-    from pyspark.sql.window import Window
-
     docs = _t(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    per_freq = vocab.groupBy("freq").agg(F.count(F.lit(1)).alias("n_terms_f"))
+    return zipf_tail(vocab)
+
+
+def zipf_tail(vocab: DataFrame) -> DataFrame:
+    """Shared tail of the batch/streaming Zipf queries: decomposed-rank
+    log-log regression over a (token, freq) vocabulary table (see
+    q_zipf_fit's docstring for the rank decomposition)."""
+    from pyspark.sql.window import Window
+
+    # the streaming twin feeds a memory-sink view whose self-derived joins
+    # hit the documented conflicting-attributes class — rename the
+    # broadcast side's key and join by equality (the ewma_tail fix)
+    per_freq = vocab.groupBy(F.col("freq").alias("h_freq")).agg(
+        F.count(F.lit(1)).alias("n_terms_f")
+    )
     higher = per_freq.select(
-        "freq",
+        "h_freq",
         F.coalesce(
             F.sum("n_terms_f").over(
-                Window.orderBy(F.col("freq").desc()).rowsBetween(Window.unboundedPreceding, -1)
+                Window.orderBy(F.col("h_freq").desc()).rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ).alias("n_higher"),
     )
     intra = Window.partitionBy("freq").orderBy("token")
     ranked = (
-        vocab.join(F.broadcast(higher), "freq")
+        vocab.join(F.broadcast(higher), F.col("freq") == F.col("h_freq"))
         .select("freq", (F.col("n_higher") + F.row_number().over(intra)).alias("rnk"))
     )
     return ranked.agg(
@@ -8588,3 +8647,108 @@ def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(F.col("sum_fc"), F.col("k_full").cast("double")), 6).alias("mean_full_cos"),
         F.round(F.try_divide(F.col("sum_pc"), F.col("k_full").cast("double")), 6).alias("mean_prefix_cos"),
     )
+
+
+_RRF_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, source, t.w FROM documents, unnest(string_split(text, ' ')) AS t(w) WHERE t.w <> ''
+    ),
+    dl AS (SELECT doc_id, source, count(*) AS len FROM tok GROUP BY 1, 2),
+    corp AS (SELECT count(*) AS n, CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok WHERE w IN ('join', 'scan', 'vector') GROUP BY 1, 2
+    ),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok WHERE w IN ('join', 'scan', 'vector') GROUP BY 1),
+    term_score AS (
+      SELECT tf.doc_id, tf.w,
+             ln((corp.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / corp.avgdl)) AS ts
+      FROM tf JOIN df USING (w) JOIN dl USING (doc_id), corp
+    ),
+    lex_scored AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0.0, list(ts ORDER BY w)), (a, x) -> a + x) AS score
+      FROM term_score GROUP BY doc_id
+    ),
+    lex_cut AS (
+      -- cut on the RAW score (exactly the q_bm25_search top-20 contract),
+      -- then rank inside the cut on the rounded score (the fused input)
+      SELECT doc_id, round(score, 6) AS bm25
+      FROM lex_scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    ),
+    lex_top AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+      FROM lex_cut
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS probe_v FROM e WHERE vec_id = 0),
+    sem_scored AS (
+      SELECT vec_id,
+             list_dot_product(v, probe_v)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(probe_v, probe_v))) AS cs
+      FROM e, p WHERE vec_id <> 0
+    ),
+    sem_cut AS (
+      SELECT vec_id, round(cs, 6) AS cos_sim
+      FROM sem_scored ORDER BY cs DESC, vec_id ASC LIMIT 20
+    ),
+    sem_top AS (
+      SELECT vec_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS sem_rank
+      FROM sem_cut
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+             l.lex_rank, s.sem_rank,
+             coalesce(1000000000 // (60 + l.lex_rank), 0)
+               + coalesce(1000000000 // (60 + s.sem_rank), 0) AS rrf_ppb
+      FROM lex_top l FULL OUTER JOIN sem_top s ON l.doc_id = s.vec_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, CAST(rrf_ppb AS BIGINT) AS rrf_ppb
+    FROM fused ORDER BY rrf_ppb DESC, doc_id ASC LIMIT 20
+"""
+
+
+@query("q_rrf_fusion", oracle=_RRF_ORACLE)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L117 (round 9): reciprocal-rank fusion of lexical and semantic
+    retrieval (Cormack, Clarke & Büttcher 2009: score = sum over systems
+    of 1/(k + rank), k=60) — THE standard hybrid-search combiner, and in
+    a training-data pipeline the dedupe-aware retrieval step that picks
+    seed documents by both surface terms and embedding neighborhood.
+    The lexical leg is the q_bm25_search top-20 (doc_id space); the
+    semantic leg is the q_cosine_topk brute-force cosine top-20 against
+    probe vec_id=0 (the embeddings table is keyed by the same id
+    domain); fusion is a full outer join of two 20-row frames with the
+    RRF sum in EXACT integer parts-per-billion (1e9 div (60+rank)) — no
+    float ever crosses the fusion, so rank arithmetic cannot drift
+    between engines.  100 TB shape: each leg ends in a distributed
+    TakeOrdered (no corpus sort, no corpus join); the fusion itself is
+    k-bounded."""
+    from pyspark.sql.window import Window
+
+    lex = q_bm25_search(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("lex_rank"),
+    )
+    sem = (
+        similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), probe_id=0, k=20)
+        .select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos6"))
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos6").desc(), F.col("vec_id").asc()))
+            .alias("sem_rank"),
+        )
+    )
+    fused = lex.join(sem, lex["doc_id"] == sem["vec_id"], "full").select(
+        F.coalesce(lex["doc_id"], sem["vec_id"]).alias("doc_id"),
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(F.expr("1000000000 div (60 + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr("1000000000 div (60 + sem_rank)"), F.lit(0))
+        ).cast("long").alias("rrf_ppb"),
+    )
+    return fused.orderBy(F.col("rrf_ppb").desc(), F.col("doc_id").asc()).limit(20)

@@ -3019,3 +3019,24 @@ def q_streaming_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained, _ = run_stream_to_memory(st, output_mode="complete")
     return oov_tail(drained)
+
+
+@query("q_streaming_zipf", oracle=_llmdata_oracle("q_zipf_fit"))
+def q_streaming_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Zipf twin (L115b, round 9): the (token, freq) vocabulary
+    state — commutative counts, vocab-bounded like the OOV/heaps twins —
+    drained through the shared zipf_tail (decomposed-rank log-log
+    regression): a LIVE rank-frequency health check on the crawl; a
+    slope drifting away from -1 mid-ingest flags template or synthetic
+    floods batches before the next batch audit would. Hash-matches the
+    batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import zipf_tail
+
+    sdf = _stream_docs(spark, sf_dir)
+    vocab = (
+        sdf.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    drained, _ = run_stream_to_memory(vocab, output_mode="complete")
+    return zipf_tail(drained)

@@ -136,6 +136,11 @@ SENSITIVE = [
     # (constant series, n=1, all-tied pairs) plus the doc-audit pair
     "q_jarque_bera", "q_cox_stuart", "q_bollinger_bands", "q_durbin_watson",
     "q_rsi_cutler", "q_jonckheere", "q_flesch_reading", "q_oov_rate",
+    # round-9 wave 2 — doc-shape-sensitive: PNG encode needs non-empty
+    # text (the builder filter must agree with the oracle's), RRF's
+    # lexical leg can be empty (no query-term hits) or disjoint from the
+    # fixed embeddings id domain
+    "q_multimodal_png", "q_rrf_fusion",
 ]
 
 

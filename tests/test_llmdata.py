@@ -1255,3 +1255,92 @@ def test_decode_bmp_real_codec_distributed(spark):
     )
     bad = decode_bmp(mixed).collect()[0]
     assert bad.decode_ok is False and bad.format == "invalid"
+
+
+def test_png_parser_goldens():
+    """The round-9 compressed codec (operators/multimodal.py:_parse_png)
+    against hand-built PNGs: Sub-filter roundtrip (unfiltering is load-
+    bearing), None/Up filter rows, CRC verification, and the malformed
+    family — every bad payload classifies decode_ok=False, never raises."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from simple_stream_processor_spark.operators.multimodal import (
+        _parse_png,
+        _png_chunk,
+        _PNG_SIG,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    s = rng.integers(0, 256, 13 * 9 * 3, dtype=np.uint8)
+    good = encode_png(s, 13, 9)
+    fmt, w, h, npx, mean, lo, hi, ok = _parse_png(good)
+    assert (fmt, w, h, npx, ok) == ("PNG", 13, 9, 117, True)
+    assert abs(mean - s.mean()) < 1e-9 and (lo, hi) == (int(s.min()), int(s.max()))
+
+    # hand-built stream with filter types 0 (None) then 2 (Up): row2 = raw2 + row1
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    row1 = bytes([10, 20, 30, 40, 50, 60])
+    row2_raw = bytes([1, 2, 3, 4, 5, 6])  # decodes to 11,22,33,44,55,66
+    scan = b"\x00" + row1 + b"\x02" + row2_raw
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    fmt, w, h, npx, mean, lo, hi, ok = _parse_png(payload)
+    expect = list(row1) + [11, 22, 33, 44, 55, 66]
+    assert (fmt, w, h, npx, ok) == ("PNG", 2, 2, 4, True)
+    assert abs(mean - sum(expect) / 12.0) < 1e-9 and (lo, hi) == (min(expect), max(expect))
+
+    # corrupt one IDAT byte -> CRC mismatch must classify, not raise
+    idat_pos = good.index(b"IDAT") + 4
+    corrupted = good[:idat_pos] + bytes([good[idat_pos] ^ 0xFF]) + good[idat_pos + 1 :]
+    bad = [
+        b"",
+        b"BM" + good[2:],  # wrong magic
+        good[:-6],  # truncated IEND
+        corrupted,  # CRC mismatch
+        _PNG_SIG + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)),  # palette
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"not zlib")
+        + _png_chunk(b"IEND", b""),  # inflate failure
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x05" + row1 + b"\x00" + row2_raw))
+        + _png_chunk(b"IEND", b""),  # unsupported filter type 5
+    ]
+    assert all(_parse_png(p)[-1] is False for p in bad)
+
+
+def test_decode_png_real_codec_distributed(spark):
+    """decode_png over a mixed DataFrame: documents_as_png payloads survive
+    the full compress -> CRC -> inflate -> unfilter roundtrip with exact
+    stats; a malformed payload in the same batch classifies decode_ok=False
+    without failing the scan."""
+    from simple_stream_processor_spark.operators.multimodal import (
+        decode_png,
+        documents_as_png,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "zz")], "doc_id long, text string"
+    )
+    media = documents_as_png(docs, width=13, height=9)
+    rows = {r.media_id: r for r in decode_png(media).collect()}
+    r1 = rows[1]
+    assert (r1.format, r1.width, r1.height, r1.n_pixels, r1.decode_ok) == ("PNG", 13, 9, 117, True)
+    # 'abc' cycled to 351 bytes = 117 full cycles: mean = 98 exactly
+    assert abs(r1.px_mean - 98.0) < 1e-9 and (r1.px_min, r1.px_max) == (97, 99)
+    assert rows[2].px_min == 122 and rows[2].px_max == 122
+
+    mixed = spark.createDataFrame(
+        [(7, bytearray(b"\x89PNG but not really"))], "media_id long, payload binary"
+    )
+    bad = decode_png(mixed).collect()[0]
+    assert bad.decode_ok is False and bad.format == "invalid"

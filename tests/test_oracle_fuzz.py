@@ -110,12 +110,13 @@ DOC_QUERIES = [
     "q_char_bigram_entropy",
     "q_quantile_normalize", "q_quality_prune", "q_dedup_keep_rule",
     "q_corpus_delta", "q_sequence_pack", "q_mixture_weights",
-    "q_pii_redact", "q_multimodal_decode", "q_multimodal_bmp", "q_multimodal_meta",
+    "q_pii_redact", "q_multimodal_decode", "q_multimodal_bmp", "q_multimodal_png",
+    "q_multimodal_meta",
     "q_stratified_sample", "q_schema_evolution_union", "q_chi_square",
     "q_simhash_dedup", "q_tfidf_topterms", "q_training_pipeline",
     "q_text_tokens", "q_decontaminate", "q_minhash_recall", "q_dsir_select",
     "q_bm25_search", "q_bigram_surprisal", "q_conformal_threshold",
-    "q_wasserstein_drift",
+    "q_wasserstein_drift", "q_rrf_fusion",
     "q_pmi_collocations", "q_ngram_novelty", "q_bpe_fertility",
     "q_heaps_fit", "q_js_divergence", "q_minhash_precision",
     "q_cluster_size_dist", "q_bpe_generalization", "q_word_burstiness",
@@ -285,6 +286,8 @@ STREAMING_QUERIES = [
     "q_streaming_durbin_watson", "q_streaming_rsi", "q_streaming_jonckheere",
     # the applyInPandasWithState production bar state (streaming/ohlc.py)
     "q_streaming_ohlc",
+    # round-9 wave 2: the vocab-state Zipf twin
+    "q_streaming_zipf",
 ]
 
 

@@ -574,7 +574,9 @@ def test_binary_codecs_never_raise_on_fuzz(spark, payload):
     not fail a 100 TB scan. Valid-prefix mutations are covered by the
     codec goldens; this pins the no-throw contract on random input."""
     from simple_stream_processor_spark.operators.multimodal import (
+        _parse_bmp,
         _parse_netpbm,
+        _parse_png,
         _parse_ppm_p6_raw,
         _parse_wav,
     )
@@ -585,6 +587,8 @@ def test_binary_codecs_never_raise_on_fuzz(spark, payload):
     assert raw is None or len(raw) == 5
     wav = _parse_wav(payload)
     assert isinstance(wav, tuple)
+    assert isinstance(_parse_bmp(payload), tuple)
+    assert isinstance(_parse_png(payload), tuple)
 
 
 @given(

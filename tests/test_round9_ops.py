@@ -321,3 +321,72 @@ def test_matryoshka_matches_python_replay(spark, sf_dir):
         assert abs(got.mean_full_cos - round(mean_f, 6)) < 1e-6
         # truncation can only lose information: overlap is at most k
         assert 0 <= got.n_overlap <= got.k_eval
+
+
+def test_rrf_fusion_matches_python_replay(spark, sf_dir):
+    """Full-stack RRF replay: BM25 (k1=1.2, b=0.75, the q_bm25_search
+    contract) and brute-force cosine vs probe 0 re-derived in pure
+    Python, fused with exact integer 1e9 div (60+rank) — row-for-row
+    against the declared query."""
+    from simple_stream_processor_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").collect()
+    terms = ("join", "scan", "vector")
+    dl, tf = {}, defaultdict(int)
+    for r in docs:
+        toks = [w for w in r.text.split(" ") if w]
+        if toks:
+            dl[r.doc_id] = len(toks)
+            for w in toks:
+                if w in terms:
+                    tf[(r.doc_id, w)] += 1
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    df = defaultdict(set)
+    for (d, w) in tf:
+        df[w].add(d)
+    score = defaultdict(list)
+    for (d, w), c in tf.items():
+        idf = math.log((n - len(df[w]) + 0.5) / (len(df[w]) + 0.5) + 1.0)
+        score[d].append((w, idf * (c * 2.2) / (c + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))))
+    bm25 = {}
+    for d, parts in score.items():
+        acc = 0.0
+        for _, s in sorted(parts):  # term-sorted fold from 0.0 (engine contract)
+            acc += s
+        bm25[d] = acc
+    lex_cut = sorted(bm25, key=lambda d: (-bm25[d], d))[:20]
+    lex_rank = {
+        d: i + 1
+        for i, d in enumerate(sorted(lex_cut, key=lambda d: (-round(bm25[d], 6), d)))
+    }
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb}
+    pv = vecs[0]
+    pnorm = math.sqrt(sum(x * x for x in pv))
+    cos = {
+        v: sum(a * b for a, b in zip(vec, pv)) / (math.sqrt(sum(a * a for a in vec)) * pnorm)
+        for v, vec in vecs.items()
+        if v != 0
+    }
+    sem_cut = sorted(cos, key=lambda v: (-cos[v], v))[:20]
+    sem_rank = {
+        v: i + 1
+        for i, v in enumerate(sorted(sem_cut, key=lambda v: (-round(cos[v], 6), v)))
+    }
+
+    fused = {}
+    for d in set(lex_rank) | set(sem_rank):
+        fused[d] = (1_000_000_000 // (60 + lex_rank[d]) if d in lex_rank else 0) + (
+            1_000_000_000 // (60 + sem_rank[d]) if d in sem_rank else 0
+        )
+    expect = [
+        (d, lex_rank.get(d), sem_rank.get(d), fused[d])
+        for d in sorted(fused, key=lambda d: (-fused[d], d))[:20]
+    ]
+    got = [
+        (r.doc_id, r.lex_rank, r.sem_rank, r.rrf_ppb)
+        for r in QUERIES["q_rrf_fusion"](spark, sf_dir).collect()
+    ]
+    assert got == expect
