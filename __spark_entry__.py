@@ -245,6 +245,7 @@ _PRIORITY = [
     "q_multimodal_png",
     "q_rrf_fusion",
     "q_streaming_zipf",
+    "q_streaming_rrf",
 ]
 
 

@@ -8732,8 +8732,17 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
         .alias("lex_rank"),
     )
-    sem = (
-        similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), probe_id=0, k=20)
+    return rrf_fusion_tail(lex, rrf_sem_leg(_t(spark, sf_dir, "embeddings")))
+
+
+def rrf_sem_leg(emb: DataFrame) -> DataFrame:
+    """The semantic RRF leg, shared batch/streaming: brute-force cosine
+    top-20 vs probe vec 0 (raw-score cut), re-ranked on the rounded score
+    inside the 20-row cut."""
+    from pyspark.sql.window import Window
+
+    return (
+        similarity.cosine_topk(emb, probe_id=0, k=20)
         .select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos6"))
         .select(
             "vec_id",
@@ -8742,6 +8751,11 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sem_rank"),
         )
     )
+
+
+def rrf_fusion_tail(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """Shared RRF combine: full outer join of the two k-row ranked legs,
+    score in exact integer parts-per-billion."""
     fused = lex.join(sem, lex["doc_id"] == sem["vec_id"], "full").select(
         F.coalesce(lex["doc_id"], sem["vec_id"]).alias("doc_id"),
         "lex_rank",

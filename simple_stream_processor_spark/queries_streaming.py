@@ -3040,3 +3040,96 @@ def q_streaming_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained, _ = run_stream_to_memory(vocab, output_mode="complete")
     return zipf_tail(drained)
+
+
+@query("q_streaming_rrf", oracle=_llmdata_oracle("q_rrf_fusion"))
+def q_streaming_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming RRF twin (L117b, round 9): live hybrid retrieval — the
+    lexical BM25 leg's sufficient statistics ride ONE bounded streaming
+    state (per-HIT-doc (len, tf_join, tf_scan, tf_vector) rows unioned
+    with a sentinel key=-1 corpus-totals row, all commutative sums, state
+    bounded by query-hit docs + 1 — never the corpus), BM25 re-derives at
+    drain time from those exact integers (df/n/avgdl), and the fused
+    top-20 rides the SAME rrf_sem_leg + rrf_fusion_tail as the batch
+    query over the static embeddings dimension.  The per-doc score sums
+    term contributions in fixed alphabetical (join, scan, vector) order
+    with absent terms contributing exactly 0.0 — bit-identical to the
+    batch leg's w-sorted fold.  Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import rrf_fusion_tail, rrf_sem_leg
+    from pyspark.sql.window import Window
+
+    sdf = _stream_docs(spark, sf_dir)
+    tf_expr = {
+        w: F.size(F.expr(f"filter(split(text, ' '), w -> w = '{w}')")).cast("long")
+        for w in ("join", "scan", "vector")
+    }
+    stats = sdf.select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), w -> w <> '')")).cast("long").alias("len"),
+        tf_expr["join"].alias("tf_join"),
+        tf_expr["scan"].alias("tf_scan"),
+        tf_expr["vector"].alias("tf_vector"),
+    ).where(F.col("len") > 0)
+    hit = stats.where(
+        (F.col("tf_join") + F.col("tf_scan") + F.col("tf_vector")) > 0
+    ).select(
+        F.col("doc_id").alias("key"), "len", "tf_join", "tf_scan", "tf_vector",
+        F.lit(1).cast("long").alias("cnt"), F.col("len").alias("sumlen"),
+    )
+    corp = stats.select(
+        F.lit(-1).cast("long").alias("key"),
+        F.lit(0).cast("long").alias("len"),
+        F.lit(0).cast("long").alias("tf_join"),
+        F.lit(0).cast("long").alias("tf_scan"),
+        F.lit(0).cast("long").alias("tf_vector"),
+        F.lit(1).cast("long").alias("cnt"),
+        F.col("len").alias("sumlen"),
+    )
+    state = hit.unionByName(corp).groupBy("key").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sumlen").alias("sumlen"),
+        F.sum("len").alias("len"),
+        F.sum("tf_join").alias("tf_join"),
+        F.sum("tf_scan").alias("tf_scan"),
+        F.sum("tf_vector").alias("tf_vector"),
+    )
+    drained, _ = run_stream_to_memory(state, output_mode="complete")
+
+    corp_row = drained.where(F.col("key") == -1).select(
+        F.col("cnt").alias("n"),
+        (F.col("sumlen").cast("double") / F.col("cnt")).alias("avgdl"),
+    )
+    hits = drained.where(F.col("key") >= 0).select(
+        F.col("key").alias("doc_id"), "len", "tf_join", "tf_scan", "tf_vector"
+    )
+    dfs = hits.groupBy().agg(
+        *[
+            F.sum(F.when(F.col(f"tf_{w}") > 0, 1).otherwise(0)).alias(f"df_{w}")
+            for w in ("join", "scan", "vector")
+        ]
+    )
+    scored = hits.crossJoin(F.broadcast(dfs)).crossJoin(F.broadcast(corp_row))
+
+    def contrib(w: str):
+        tf = F.col(f"tf_{w}")
+        dfw = F.col(f"df_{w}")
+        return F.when(
+            tf > 0,
+            F.log((F.col("n") - dfw + 0.5) / (dfw + 0.5) + 1.0)
+            * (tf * F.lit(2.2))
+            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("len") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+
+    # fixed alphabetical order == the batch leg's w-sorted fold from 0.0
+    scored = scored.select(
+        "doc_id", (contrib("join") + contrib("scan") + contrib("vector")).alias("score")
+    )
+    lex_cut = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(20)
+    lex = lex_cut.select("doc_id", F.round(F.col("score"), 6).alias("bm25")).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("lex_rank"),
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    return rrf_fusion_tail(lex, rrf_sem_leg(emb))

@@ -286,8 +286,9 @@ STREAMING_QUERIES = [
     "q_streaming_durbin_watson", "q_streaming_rsi", "q_streaming_jonckheere",
     # the applyInPandasWithState production bar state (streaming/ohlc.py)
     "q_streaming_ohlc",
-    # round-9 wave 2: the vocab-state Zipf twin
-    "q_streaming_zipf",
+    # round-9 wave 2: the vocab-state Zipf twin + the live hybrid-retrieval
+    # twin (hit-doc BM25 statistics state + sentinel corpus row)
+    "q_streaming_zipf", "q_streaming_rrf",
 ]
 
 
