@@ -175,6 +175,8 @@ TAIL = [
     "q_jarque_bera", "q_cox_stuart", "q_bollinger_bands", "q_durbin_watson",
     "q_rsi_cutler", "q_jonckheere", "q_vwap", "q_newsvendor",
     "q_promo_uplift", "q_flesch_reading", "q_oov_rate", "q_matryoshka",
+    # round-9 wave 2
+    "q_multimodal_png", "q_rrf_fusion",
 ]
 
 
