@@ -887,12 +887,20 @@ def _parse_png(payload: bytes):
         pos = end + 4
     if width <= 0 or not idat or not saw_end:
         return _PNG_FAIL
+    stride = width * 3
+    expected = height * (stride + 1)
+    # DEFLATE-bomb guard: the inflated size is fully determined by IHDR, so
+    # (a) reject absurd declared dimensions and (b) inflate with a hard
+    # max_length — a crafted ~1030:1 bomb must classify, not OOM the
+    # executor (the classify-don't-crash contract).
+    if expected > (1 << 28):  # 256 MiB of scanlines ≈ 89 Mpx — far past any fixture
+        return _PNG_FAIL
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error:
         return _PNG_FAIL
-    stride = width * 3
-    if len(raw) != height * (stride + 1):
+    if len(raw) != expected or d.unconsumed_tail or d.unused_data or d.decompress(b"", 1):
         return _PNG_FAIL
     lines = np.frombuffer(raw, dtype="u1").reshape(height, stride + 1)
     filters, data = lines[:, 0], lines[:, 1:].astype(np.int16)
@@ -941,9 +949,15 @@ def documents_as_png(docs: DataFrame, width: int = 13, height: int = 9) -> DataF
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # substr counts CHARS but encode emits BYTES: a multibyte char
+        # makes the buffer longer than `raw` (never shorter — UTF-8 is
+        # >= 1 byte per char). Truncate to exactly `raw` bytes so the
+        # encoder cannot raise and fail the scan — the BMP builder's
+        # degrade-don't-crash behavior (the stats then diverge from the
+        # per-char oracle, surfacing as a hash mismatch, not a job abort).
         for pdf in batches:
             out = [
-                (int(mid), encode_png(np.frombuffer(bytes(b), dtype="u1"), width, height))
+                (int(mid), encode_png(np.frombuffer(bytes(b), dtype="u1")[:raw], width, height))
                 for mid, b in zip(pdf["media_id"], pdf["b"])
             ]
             yield pd.DataFrame(out, columns=["media_id", "payload"])

@@ -11487,19 +11487,28 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brown_forsythe_tail(daily)
 
 
-def ohlc_state(ev: DataFrame) -> DataFrame:
-    """The (event_type, day) candlestick state: lexicographic struct
-    MIN/MAX pick open/close deterministically ((ts_ms, event_id) is a
-    total order), integer extremes/sums for high/low/volume — every
-    aggregate commutative, so the state is streaming-mergeable and the
-    exchange carries one row per bar at any corpus scale."""
-    e = ev.select(
+def ohlc_projection(ev: DataFrame) -> DataFrame:
+    """The ONE projection both OHLC paths share (batch ohlc_state and the
+    stateful streaming port in streaming/ohlc.py): integer cents,
+    epoch-day bucketing, the (ts_ms, event_id) total order. Editing it
+    here changes both paths together — by construction they cannot
+    drift."""
+    return ev.select(
         "event_type",
         F.expr("unix_millis(ts) div 86400000").alias("day"),
         F.unix_millis("ts").alias("ts_ms"),
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+
+
+def ohlc_state(ev: DataFrame) -> DataFrame:
+    """The (event_type, day) candlestick state: lexicographic struct
+    MIN/MAX pick open/close deterministically ((ts_ms, event_id) is a
+    total order), integer extremes/sums for high/low/volume — every
+    aggregate commutative, so the state is streaming-mergeable and the
+    exchange carries one row per bar at any corpus scale."""
+    e = ohlc_projection(ev)
     return e.groupBy("event_type", "day").agg(
         F.min(F.struct("ts_ms", "event_id", "cents")).alias("o"),
         F.max(F.struct("ts_ms", "event_id", "cents")).alias("c"),

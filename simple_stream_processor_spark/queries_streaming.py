@@ -3047,8 +3047,10 @@ def q_streaming_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming RRF twin (L117b, round 9): live hybrid retrieval — the
     lexical BM25 leg's sufficient statistics ride ONE bounded streaming
     state (per-HIT-doc (len, tf_join, tf_scan, tf_vector) rows unioned
-    with a sentinel key=-1 corpus-totals row, all commutative sums, state
-    bounded by query-hit docs + 1 — never the corpus), BM25 re-derives at
+    with an is_corp=true corpus-totals sentinel row — the flag, not a
+    magic id, keys the sentinel, so no real doc_id can collide — all
+    commutative sums, state bounded by query-hit docs + 1, never the
+    corpus), BM25 re-derives at
     drain time from those exact integers (df/n/avgdl), and the fused
     top-20 rides the SAME rrf_sem_leg + rrf_fusion_tail as the batch
     query over the static embeddings dimension.  The per-doc score sums
@@ -3070,14 +3072,19 @@ def q_streaming_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf_expr["scan"].alias("tf_scan"),
         tf_expr["vector"].alias("tf_vector"),
     ).where(F.col("len") > 0)
+    # is_corp disambiguates the sentinel from any real doc_id (a doc_id
+    # of -1 must NOT merge into the corpus-totals row), so the state key
+    # is (key, is_corp) — collision-proof for the full long domain
     hit = stats.where(
         (F.col("tf_join") + F.col("tf_scan") + F.col("tf_vector")) > 0
     ).select(
-        F.col("doc_id").alias("key"), "len", "tf_join", "tf_scan", "tf_vector",
+        F.col("doc_id").alias("key"), F.lit(False).alias("is_corp"),
+        "len", "tf_join", "tf_scan", "tf_vector",
         F.lit(1).cast("long").alias("cnt"), F.col("len").alias("sumlen"),
     )
     corp = stats.select(
         F.lit(-1).cast("long").alias("key"),
+        F.lit(True).alias("is_corp"),
         F.lit(0).cast("long").alias("len"),
         F.lit(0).cast("long").alias("tf_join"),
         F.lit(0).cast("long").alias("tf_scan"),
@@ -3085,7 +3092,7 @@ def q_streaming_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("cnt"),
         F.col("len").alias("sumlen"),
     )
-    state = hit.unionByName(corp).groupBy("key").agg(
+    state = hit.unionByName(corp).groupBy("key", "is_corp").agg(
         F.sum("cnt").alias("cnt"),
         F.sum("sumlen").alias("sumlen"),
         F.sum("len").alias("len"),
@@ -3095,11 +3102,11 @@ def q_streaming_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained, _ = run_stream_to_memory(state, output_mode="complete")
 
-    corp_row = drained.where(F.col("key") == -1).select(
+    corp_row = drained.where(F.col("is_corp")).select(
         F.col("cnt").alias("n"),
         (F.col("sumlen").cast("double") / F.col("cnt")).alias("avgdl"),
     )
-    hits = drained.where(F.col("key") >= 0).select(
+    hits = drained.where(~F.col("is_corp")).select(
         F.col("key").alias("doc_id"), "len", "tf_join", "tf_scan", "tf_vector"
     )
     dfs = hits.groupBy().agg(

@@ -75,36 +75,37 @@ BAR_STATE_SCHEMA = StructType(
 
 def prepare_ohlc_events(sdf: DataFrame) -> DataFrame:
     """Project the streaming events relation to the bar-state inputs —
-    the SAME expressions as the batch ohlc_state so the two paths cannot
-    drift (integer cents, epoch-day bucketing)."""
-    return sdf.select(
-        "event_type",
-        F.expr("unix_millis(ts) div 86400000").alias("day"),
-        F.unix_millis("ts").alias("ts_ms"),
-        "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
+    delegates to the batch ohlc_projection (queries_relational_ext), so
+    the two paths share ONE set of expressions and cannot drift (integer
+    cents, epoch-day bucketing)."""
+    from simple_stream_processor_spark.queries_relational_ext import ohlc_projection
+
+    return ohlc_projection(sdf)
 
 
 def _fold_batch(pdf: pd.DataFrame) -> tuple:
     """Fold one Arrow batch of a single (event_type, day) group into a bar
-    tuple. Vectorized column ops only (idxmin over a lexicographic key),
-    no per-row Python."""
-    # lexicographic (ts_ms, event_id) order without a full sort: stable
-    # argsort on the two columns
-    order = pdf.sort_values(["ts_ms", "event_id"], kind="mergesort").index
-    first, last = order[0], order[-1]
+    tuple. O(n) vectorized two-phase argmin/argmax for the lexicographic
+    (ts_ms, event_id) witnesses — no sort, no frame copy."""
+    ts = pdf["ts_ms"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+    cents = pdf["cents"].to_numpy()
+    lo_ts, hi_ts = ts.min(), ts.max()
+    first = int(eid[ts == lo_ts].argmin())
+    first = int((ts == lo_ts).nonzero()[0][first])
+    last = int(eid[ts == hi_ts].argmax())
+    last = int((ts == hi_ts).nonzero()[0][last])
     return (
-        int(pdf["ts_ms"][first]),
-        int(pdf["event_id"][first]),
-        int(pdf["cents"][first]),
-        int(pdf["ts_ms"][last]),
-        int(pdf["event_id"][last]),
-        int(pdf["cents"][last]),
-        int(pdf["cents"].min()),
-        int(pdf["cents"].max()),
+        int(ts[first]),
+        int(eid[first]),
+        int(cents[first]),
+        int(ts[last]),
+        int(eid[last]),
+        int(cents[last]),
+        int(cents.min()),
+        int(cents.max()),
         int(len(pdf)),
-        int(pdf["cents"].sum()),
+        int(cents.sum()),
     )
 
 
@@ -123,6 +124,35 @@ def _merge_bars(a: tuple, b: tuple) -> tuple:
     )
 
 
+def _fold_and_emit(bar, pdfs, event_type, day):
+    """The bar state machine, shared by BOTH stateful APIs: fold the
+    batch(es) into the carried bar, return (new_bar, emit_frame_or_None).
+    One body means a fix to the fold/emit mapping cannot reach only one
+    of the two paths."""
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        batch_bar = _fold_batch(pdf)
+        bar = batch_bar if bar is None else _merge_bars(bar, batch_bar)
+    if bar is None:
+        return None, None
+    frame = pd.DataFrame(
+        [
+            {
+                "event_type": event_type,
+                "day": int(day),
+                "open_cents": bar[2],
+                "high_cents": bar[7],
+                "low_cents": bar[6],
+                "close_cents": bar[5],
+                "n_events": bar[8],
+                "total_cents": bar[9],
+            }
+        ]
+    )
+    return bar, frame
+
+
 def ohlc_bars_stateful(prepared: DataFrame) -> DataFrame:
     """Streaming OHLC bars with explicit per-(event_type, day) group state
     (``applyInPandasWithState``): each micro-batch folds its rows into the
@@ -133,28 +163,11 @@ def ohlc_bars_stateful(prepared: DataFrame) -> DataFrame:
     def update_bar(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         event_type, day = key_tuple
         bar = tuple(state.get) if state.exists else None
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            batch_bar = _fold_batch(pdf.reset_index(drop=True))
-            bar = batch_bar if bar is None else _merge_bars(bar, batch_bar)
-        if bar is None:
+        bar, frame = _fold_and_emit(bar, pdfs, event_type, day)
+        if frame is None:
             return
         state.update(bar)
-        yield pd.DataFrame(
-            [
-                {
-                    "event_type": event_type,
-                    "day": int(day),
-                    "open_cents": bar[2],
-                    "high_cents": bar[7],
-                    "low_cents": bar[6],
-                    "close_cents": bar[5],
-                    "n_events": bar[8],
-                    "total_cents": bar[9],
-                }
-            ]
-        )
+        yield frame
 
     return prepared.groupBy("event_type", "day").applyInPandasWithState(
         update_bar, OHLC_OUTPUT_SCHEMA, BAR_STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
@@ -215,28 +228,11 @@ def ohlc_bars_tws(prepared: DataFrame) -> DataFrame:
         def handleInputRows(self, key, rows, timer_values):
             event_type, day = key
             bar = tuple(self.bar.get()) if self.bar.exists() else None
-            for pdf in rows:
-                if pdf.empty:
-                    continue
-                batch_bar = _fold_batch(pdf.reset_index(drop=True))
-                bar = batch_bar if bar is None else _merge_bars(bar, batch_bar)
-            if bar is None:
+            bar, frame = _fold_and_emit(bar, rows, event_type, day)
+            if frame is None:
                 return
             self.bar.update(bar)
-            yield pd.DataFrame(
-                [
-                    {
-                        "event_type": event_type,
-                        "day": int(day),
-                        "open_cents": bar[2],
-                        "high_cents": bar[7],
-                        "low_cents": bar[6],
-                        "close_cents": bar[5],
-                        "n_events": bar[8],
-                        "total_cents": bar[9],
-                    }
-                ]
-            )
+            yield frame
 
         def close(self) -> None:
             pass

@@ -1344,3 +1344,42 @@ def test_decode_png_real_codec_distributed(spark):
     )
     bad = decode_png(mixed).collect()[0]
     assert bad.decode_ok is False and bad.format == "invalid"
+
+
+def test_png_bomb_and_multibyte_guards(spark):
+    """Review findings pinned: (1) a DEFLATE bomb (valid 2x2 IHDR, ~200 MB
+    of compressed zeros) must CLASSIFY decode_ok=False via the bounded
+    decompressobj, not inflate to gigabytes; (2) a document with multibyte
+    text must not crash the encode scan — the builder truncates to the
+    exact byte budget (the BMP degrade-don't-crash behavior)."""
+    import struct
+    import time
+    import zlib
+
+    from simple_stream_processor_spark.operators.multimodal import (
+        _parse_png,
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        documents_as_png,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (200 * 1024 * 1024), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    t0 = time.time()
+    assert _parse_png(bomb)[-1] is False
+    assert time.time() - t0 < 1.0, "bomb guard must reject without inflating"
+
+    # absurd declared dimensions reject before any allocation
+    huge = _PNG_SIG + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0))
+    assert _parse_png(huge)[-1] is False
+
+    docs = spark.createDataFrame([(1, "café"), (2, "plain")], "doc_id long, text string")
+    rows = {r.media_id: r for r in decode_png(documents_as_png(docs, width=13, height=9)).collect()}
+    assert rows[2].decode_ok is True  # ascii neighbor unaffected
+    assert rows[1].decode_ok is True  # multibyte doc encodes (truncated), scan survives
