@@ -390,3 +390,46 @@ def test_rrf_fusion_matches_python_replay(spark, sf_dir):
         for r in QUERIES["q_rrf_fusion"](spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_streaming_rrf_sentinel_survives_negative_doc_id(spark, sf_dir, tmp_path):
+    """Pin for the review's sentinel-collision finding: a document with
+    doc_id = -1 (the old magic sentinel value) must behave as a normal
+    document — counted in the corpus totals, rankable as a hit — because
+    the state key is (key, is_corp), not a magic id. Full Spark-vs-DuckDB
+    parity on the mutated corpus."""
+    import os
+    import shutil
+
+    import duckdb
+    import pandas as pd
+
+    import tools.check_oracles as co
+    import simple_stream_processor_spark.queries_streaming  # noqa: F401  (registers the twin)
+    from simple_stream_processor_spark.registry import ORACLES
+
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = str(tmp_path)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(os.path.join(src, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
+    docs = pd.read_parquet(os.path.join(d, "documents.parquet"))
+    # give the first doc the sentinel-colliding id and force a query-term hit
+    docs.loc[docs.index[0], "doc_id"] = -1
+    docs.loc[docs.index[0], "text"] = "join scan vector join"
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+
+    sdf = QUERIES["q_streaming_rrf"](spark, d).toPandas()
+    con = duckdb.connect()
+    try:
+        for t in ("documents", "embeddings"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+        odf = con.execute(ORACLES["q_rrf_fusion"]).fetchdf()
+    finally:
+        con.close()
+    scols, srows = co.normalize(sdf)
+    ocols, orows = co.normalize(odf)
+    assert scols == ocols and srows == orows
+    # the -1 doc actually participated (4 query-term tokens => a hit);
+    # normalize() stringifies cells, so match the canonical form
+    assert any("-1" in r for r in srows), "doc_id=-1 should rank as a hit"
