@@ -1,0 +1,130 @@
+"""Deterministic sf1 fixture builder: a 10x replication of sf0.1.
+
+The driver ships testdata only up to sf0.1 (~17 MB); the round-8 judge asked
+for an sf1-scale soak of the magnitude-sensitive query family ("the r8
+round() finding was exactly a magnitude bug").  This tool rebuilds that
+fixture reproducibly instead of leaving it as an ad-hoc /tmp artifact:
+
+    python tools/make_sf1.py [src_sf_dir] [dst_dir] [--copies 10]
+
+Scheme (pure deterministic arithmetic, no RNG):
+  * Dimensions (region, nation, part, supplier) are copied verbatim, so
+    every fact-side FK into them stays valid.
+  * customer: copy k shifts c_custkey by k*CUST_BASE (10x cardinality).
+  * orders: o_orderkey += k*ORD_BASE, o_custkey += k*CUST_BASE — each copy
+    joins to its own customer copy.
+  * lineitem: l_orderkey += k*ORD_BASE; part/supplier keys untouched.
+  * events: event_id += k*EV_BASE; user_id += (k % 5)*USER_BASE — 5x user
+    cardinality so per-user state (sessions, retention, funnels) deepens
+    instead of only widening.
+  * documents: doc_id += k*DOC_BASE; copies k>0 append a short " r{k}"
+    suffix so the corpus is not 10 exact clones of itself (exact-dedup
+    clusters stay bounded at the base rate), and n_chars is recomputed to
+    keep the stored length honest.
+  * embeddings: vec_id += k*VEC_BASE; one coordinate per copy gets a
+    deterministic +k/1000 nudge so ANN/top-k does not degenerate into
+    10-way exact ties on every neighbor.
+
+Bases are decimal round numbers an order of magnitude above the base-table
+key ranges, so shifted IDs never collide across copies and a failing row's
+copy index is readable off its key.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+DIMS = ("region", "nation", "part", "supplier")
+
+CUST_BASE = 1_000_000
+ORD_BASE = 10_000_000
+EV_BASE = 10_000_000
+USER_BASE = 1_000_000
+DOC_BASE = 1_000_000
+VEC_BASE = 1_000_000
+
+
+def _shift(table: pa.Table, col: str, delta: int) -> pa.Table:
+    idx = table.schema.get_field_index(col)
+    shifted = pc.add(table.column(col), pa.scalar(delta, type=table.schema.field(col).type))
+    return table.set_column(idx, table.schema.field(col), shifted)
+
+
+def _copy_events(t: pa.Table, k: int) -> pa.Table:
+    t = _shift(t, "event_id", k * EV_BASE)
+    t = _shift(t, "user_id", (k % 5) * USER_BASE)
+    return t
+
+
+def _copy_documents(t: pa.Table, k: int) -> pa.Table:
+    t = _shift(t, "doc_id", k * DOC_BASE)
+    if k > 0:
+        suffix = f" r{k}"
+        text = pc.binary_join_element_wise(t.column("text"), pa.scalar(suffix), "")
+        t = t.set_column(t.schema.get_field_index("text"), t.schema.field("text"), text)
+        n_chars = pc.utf8_length(text).cast(t.schema.field("n_chars").type)
+        t = t.set_column(t.schema.get_field_index("n_chars"), t.schema.field("n_chars"), n_chars)
+    return t
+
+
+def _copy_embeddings(t: pa.Table, k: int) -> pa.Table:
+    t = _shift(t, "vec_id", k * VEC_BASE)
+    if k > 0:
+        col = t.column("embedding").combine_chunks()
+        arrs = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        out = []
+        for arr in arrs:
+            values = arr.values.to_numpy(zero_copy_only=False).copy()
+            offsets = arr.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offsets)
+            # nudge coordinate (k % len) of each vector by k/1000
+            pos = offsets[:-1] + (k % np.maximum(lens, 1))
+            pos = pos[lens > 0]
+            values[pos] = (values[pos] + np.float32(k / 1000.0)).astype(np.float32)
+            out.append(pa.ListArray.from_arrays(arr.offsets, pa.array(values, type=arr.values.type)))
+        new_col = pa.chunked_array(out)
+        t = t.set_column(t.schema.get_field_index("embedding"), t.schema.field("embedding"), new_col)
+    return t
+
+
+def build(src: str, dst: str, copies: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for name in DIMS:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        pq.write_table(t, os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: {t.num_rows} rows (verbatim)")
+    plans = {
+        "customer": lambda t, k: _shift(t, "c_custkey", k * CUST_BASE),
+        "orders": lambda t, k: _shift(_shift(t, "o_orderkey", k * ORD_BASE), "o_custkey", k * CUST_BASE),
+        "lineitem": lambda t, k: _shift(t, "l_orderkey", k * ORD_BASE),
+        "events": _copy_events,
+        "documents": _copy_documents,
+        "embeddings": _copy_embeddings,
+    }
+    for name, fn in plans.items():
+        base = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        parts = [fn(base, k) for k in range(copies)]
+        merged = pa.concat_tables(parts)
+        pq.write_table(merged, os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: {base.num_rows} -> {merged.num_rows} rows ({copies} copies)")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("dst", nargs="?", default="/tmp/r9/sf1")
+    ap.add_argument("--copies", type=int, default=10)
+    args = ap.parse_args()
+    build(args.src, args.dst, args.copies)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
