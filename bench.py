@@ -266,7 +266,12 @@ def main() -> int:
         "tail_errors": tail_errors,
         "baseline_pipeline": baseline,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # SPARK_GRAFT_BENCH_DETAIL redirects the ledger — off-sf runs (e.g. the
+    # sf1 scale study) must not clobber the canonical sf0.1 BENCH_DETAIL.json
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     print(json.dumps(detail), file=sys.stderr)
