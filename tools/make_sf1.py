@@ -49,6 +49,8 @@ EV_BASE = 10_000_000
 USER_BASE = 1_000_000
 DOC_BASE = 1_000_000
 VEC_BASE = 1_000_000
+PART_BASE = 100_000
+SUPP_BASE = 10_000
 
 
 def _shift(table: pa.Table, col: str, delta: int) -> pa.Table:
@@ -94,9 +96,22 @@ def _copy_embeddings(t: pa.Table, k: int) -> pa.Table:
     return t
 
 
-def build(src: str, dst: str, copies: int) -> None:
+def build(src: str, dst: str, copies: int, shift_parts: bool = False) -> None:
+    """Two graph regimes, one switch:
+
+    Default (``shift_parts=False``): part/supplier are copied verbatim, so
+    every copy re-sells the SAME parts — co-purchase pair multiplicities
+    multiply by ``copies`` and the w>=2-pruned graph DENSIFIES 335x
+    (measured: 3,573 -> 1,196,000 edges at 10x) — the adversarial stress
+    variant for the iterative graph family (and for any single-node oracle).
+
+    ``shift_parts=True``: part/supplier replicate with shifted keys and
+    lineitem's l_partkey/l_suppkey shift with them — the graph grows
+    LINEARLY (10x nodes, 10x edges, same density), which is how a real
+    corpus scales and what the linear-scale soak should use."""
     os.makedirs(dst, exist_ok=True)
-    for name in DIMS:
+    dims = DIMS if not shift_parts else tuple(d for d in DIMS if d not in ("part", "supplier"))
+    for name in dims:
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         pq.write_table(t, os.path.join(dst, f"{name}.parquet"))
         print(f"{name}: {t.num_rows} rows (verbatim)")
@@ -108,6 +123,14 @@ def build(src: str, dst: str, copies: int) -> None:
         "documents": _copy_documents,
         "embeddings": _copy_embeddings,
     }
+    if shift_parts:
+        plans["lineitem"] = lambda t, k: _shift(
+            _shift(_shift(t, "l_orderkey", k * ORD_BASE), "l_partkey", k * PART_BASE),
+            "l_suppkey",
+            k * SUPP_BASE,
+        )
+        plans["part"] = lambda t, k: _shift(t, "p_partkey", k * PART_BASE)
+        plans["supplier"] = lambda t, k: _shift(t, "s_suppkey", k * SUPP_BASE)
     for name, fn in plans.items():
         base = pq.read_table(os.path.join(src, f"{name}.parquet"))
         parts = [fn(base, k) for k in range(copies)]
@@ -121,8 +144,14 @@ def main() -> int:
     ap.add_argument("src", nargs="?", default="/root/testdata/sf0.1")
     ap.add_argument("dst", nargs="?", default="/tmp/r9/sf1")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument(
+        "--shift-parts",
+        action="store_true",
+        help="replicate part/supplier with shifted keys (linear-scale graph) "
+        "instead of verbatim dims (densified stress graph)",
+    )
     args = ap.parse_args()
-    build(args.src, args.dst, args.copies)
+    build(args.src, args.dst, args.copies, shift_parts=args.shift_parts)
     return 0
 
 
