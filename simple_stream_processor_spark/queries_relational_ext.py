@@ -6319,34 +6319,34 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_label_propagation",
     oracle="""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
       SELECT a.l_partkey AS src, b.l_partkey AS dst
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
       GROUP BY 1, 2
       HAVING count(*) >= 2
     ),
-    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-    c1 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
+    c1 AS MATERIALIZED (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
            FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
-    m1 AS (SELECT node, max(c) AS mc FROM c1 GROUP BY 1),
-    l1 AS (SELECT c.node, min(c.label) AS label
+    m1 AS MATERIALIZED (SELECT node, max(c) AS mc FROM c1 GROUP BY 1),
+    l1 AS MATERIALIZED (SELECT c.node, min(c.label) AS label
            FROM c1 c JOIN m1 m ON m.node = c.node AND c.c = m.mc GROUP BY 1),
-    c2 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+    c2 AS MATERIALIZED (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
            FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
-    m2 AS (SELECT node, max(c) AS mc FROM c2 GROUP BY 1),
-    l2 AS (SELECT c.node, min(c.label) AS label
+    m2 AS MATERIALIZED (SELECT node, max(c) AS mc FROM c2 GROUP BY 1),
+    l2 AS MATERIALIZED (SELECT c.node, min(c.label) AS label
            FROM c2 c JOIN m2 m ON m.node = c.node AND c.c = m.mc GROUP BY 1),
-    c3 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+    c3 AS MATERIALIZED (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
            FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
-    m3 AS (SELECT node, max(c) AS mc FROM c3 GROUP BY 1),
-    l3 AS (SELECT c.node, min(c.label) AS label
+    m3 AS MATERIALIZED (SELECT node, max(c) AS mc FROM c3 GROUP BY 1),
+    l3 AS MATERIALIZED (SELECT c.node, min(c.label) AS label
            FROM c3 c JOIN m3 m ON m.node = c.node AND c.c = m.mc GROUP BY 1),
-    c4 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+    c4 AS MATERIALIZED (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
            FROM e JOIN l3 l ON l.node = e.src GROUP BY 1, 2),
-    m4 AS (SELECT node, max(c) AS mc FROM c4 GROUP BY 1),
-    l4 AS (SELECT c.node, min(c.label) AS label
+    m4 AS MATERIALIZED (SELECT node, max(c) AS mc FROM c4 GROUP BY 1),
+    l4 AS MATERIALIZED (SELECT c.node, min(c.label) AS label
            FROM c4 c JOIN m4 m ON m.node = c.node AND c.c = m.mc GROUP BY 1)
     SELECT label AS community, count(*)::BIGINT AS n_nodes,
            CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node
