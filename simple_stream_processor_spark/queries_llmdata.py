@@ -5757,8 +5757,21 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint = gated_broadcast(
         docs.count(), int(spark.conf.get("spark.graft.broadcast_gate_rows", "100000"))
     )
-    tk = shingle_table(docs).withColumnRenamed("shingle", "tok")
-    sz = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # tk feeds FIVE consumers (dfreq, the rank window, csets, and through
+    # them both broadcast builds) — persist it once, exactly as
+    # minhash_dedup does, so the shingle explode runs one time instead of
+    # per-branch (each broadcast side is its own driver-collected job, so
+    # without the persist the explode re-runs serially per broadcast).
+    tk = shingle_table(docs).withColumnRenamed("shingle", "tok").persist()
+    # ONE doc-keyed aggregation produces the verification arrays AND the
+    # set sizes (sz = size of the distinct-shingle set). Persisted because
+    # THREE broadcast builds consume it (sz, aset, bset) and each build is
+    # its own serialized driver job — without the cache the aggregation
+    # re-runs per broadcast.
+    csets = tk.groupBy("doc_id").agg(
+        F.collect_list("tok").alias("shset"), F.count(F.lit(1)).alias("sz")
+    ).persist()
+    sz = csets.select("doc_id", "sz")
     dfreq = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         tk.join(dfreq, "tok")
@@ -5770,32 +5783,48 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(hint(sz), "doc_id")
     )
-    # prefix length for t=0.5: |s| - ceil(0.5*|s|) + 1 == floor(|s|/2) + 1
-    prefix = ranked.where(F.col("rk") <= F.expr("sz div 2") + 1).select("doc_id", "tok")
-    pa = prefix.withColumnsRenamed({"doc_id": "doc_a", "tok": "ptok"})
-    pb = prefix.withColumnsRenamed({"doc_id": "doc_b", "tok": "ptok"})
+    # prefix length for t=0.5: |s| - ceil(0.5*|s|) + 1 == floor(|s|/2) + 1.
+    # sz rides along so the length filter (J >= 1/2 forces 2*min >= max)
+    # prunes INSIDE the candidate join, before the distinct — no post-hoc
+    # sz joins, and spurious cross-length pairs never reach the exchange.
+    # Persisted: AQE broadcasts one side of the self-join below, so without
+    # the cache the dfreq-join + rank-window pipeline runs TWICE (broadcast
+    # build job + probe side of the main job).
+    prefix = (
+        ranked.where(F.col("rk") <= F.expr("sz div 2") + 1)
+        .select("doc_id", "tok", "sz")
+        .persist()
+    )
+    pa = prefix.withColumnsRenamed({"doc_id": "doc_a", "tok": "ptok", "sz": "sz_a"})
+    pb = prefix.withColumnsRenamed({"doc_id": "doc_b", "tok": "ptok", "sz": "sz_b"})
     cand = (
         pa.join(pb, "ptok")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (2 * F.least("sz_a", "sz_b") >= F.greatest("sz_a", "sz_b"))
+        )
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
         .distinct()
     )
-    # length filter: J >= 1/2 forces 2*min(|A|,|B|) >= max(|A|,|B|)
-    sa = sz.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})
-    sb = sz.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})
-    cand = (
-        cand.join(hint(sa), "doc_a")
-        .join(hint(sb), "doc_b")
-        .where(2 * F.least("sz_a", "sz_b") >= F.greatest("sz_a", "sz_b"))
-    )
-    # exact verification: count shared shingles of each surviving pair
-    ta = tk.withColumnsRenamed({"doc_id": "doc_a"})
-    tb = tk.withColumnsRenamed({"doc_id": "doc_b"})
+    # exact verification on COLLECTED per-doc shingle arrays (the
+    # _scored_pairs shape), not exploded (pair, shingle) rows: the exploded
+    # form materializes sum_over_pairs(|A|) rows into a (doc_b, tok)
+    # sort-merge join — at the 10x-replicated sf1 fixture (40 M candidates,
+    # ~200 shingles/doc) that is ~8e9 string rows and >80 GB of spill
+    # (measured: the one bench failure of the round-9 sf1 sweep). Collected
+    # arrays keep the pair stream SLIM through both joins — csets rides the
+    # SAME doc-count-gated broadcast as the sz joins, so candidates never
+    # shuffle carrying arrays — and array_intersect counts the exact
+    # distinct intersection per pair in one narrow pass. Past the gate (doc
+    # count > threshold) the joins degrade to shuffles whose bytes equal
+    # the exploded form's — the inherent Omega(cand x set-size) verify
+    # cost — but with ~|A| fewer rows through every exchange.
+    aset = csets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a"))
+    bset = csets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b"))
     inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("inter_sz"))
+        cand.join(hint(aset), "doc_a")
+        .join(hint(bset), "doc_b")
+        .withColumn("inter_sz", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long"))
     )
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("inter_sz")
     return inter.where(2 * F.col("inter_sz") >= union_sz).select(

@@ -23,6 +23,12 @@ def _rows(df):
 def test_size_table_broadcast_is_gated(spark, sf_dir):
     q = QUERIES["q_set_similarity_join"]
     baseline = _rows(q(spark, sf_dir))
+    # The query persists csets/prefix; the baseline run materialized those
+    # caches with broadcast-hinted plans, and a cache HIT would splice that
+    # stored plan (BroadcastExchange included) into the gated run below.
+    # Clear so the gated run compiles fresh — the gate is a compile-time
+    # property, not a cache-reuse property.
+    spark.catalog.clearCache()
 
     confs = {
         "spark.graft.broadcast_gate_rows": "0",
@@ -41,6 +47,7 @@ def test_size_table_broadcast_is_gated(spark, sf_dir):
         )
         assert _rows(df) == baseline, "gated (shuffle-join) plan changed the result"
     finally:
+        spark.catalog.clearCache()
         for k, v in saved.items():
             if v is None:
                 spark.conf.unset(k)
