@@ -25,6 +25,14 @@ Two tiers keep the per-round feedback fast without losing coverage:
 Each query is timed end-to-end: plan build + execution + a driver-side
 count materialization — the full lifecycle a user pays for. A warmup pass
 first amortizes JVM/codegen/Arrow startup so numbers measure the engine.
+
+SPARK_GRAFT_BENCH_CLEARCACHE=1 clears the session cache after each query's
+reps. Default off (the canon ledgers were pinned with accumulation, where
+it is negligible at sf0.1); turn it ON for off-sf scale studies — at sf1
+the dedup family's persisted shingle tables otherwise stay resident in the
+8 GB heap and tax every later query with GC/eviction, which is ordering
+noise, not engine cost (measured: q_tpch_q1 15.97 s inside the accumulated
+sweep vs 0.94 s clean — a pure scan+agg cannot be 16x super-linear).
 """
 
 from __future__ import annotations
@@ -181,6 +189,7 @@ TAIL = [
 
 
 def _run_tier(spark, sf_dir, names, reps):
+    clear_cache = os.environ.get("SPARK_GRAFT_BENCH_CLEARCACHE", "0") == "1"
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -188,6 +197,8 @@ def _run_tier(spark, sf_dir, names, reps):
     for name in names:
         if name not in QUERIES:
             continue
+        if clear_cache:
+            spark.catalog.clearCache()
         runs: list[float] = []
         n = 0
         for _ in range(reps):
