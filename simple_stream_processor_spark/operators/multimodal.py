@@ -315,8 +315,15 @@ def documents_as_ppm(docs: DataFrame, width: int = 16, height: int = 8) -> DataF
     oracle. The construction is pure Spark expressions (repeat + substr +
     encode): payload bytes never touch Python on the build side."""
     n = width * height * 3
-    body = F.expr(f"substr(repeat(text, CAST(ceil({n}.0 / length(text)) AS INT)), 1, {n})")
-    return docs.where(F.length("text") > 0).select(
+    # The raster contract is defined over the PRINTABLE-ASCII projection of
+    # the text ('[^ -~]' stripped, same class in Java regex and RE2): for
+    # ASCII one char IS one byte, so the SQL oracles' per-char ord() replay
+    # is byte-exact; raw multibyte text would encode to MORE bytes than the
+    # char-counted substr budget and silently misalign every row vs the
+    # oracle (latent round-3 hazard, fixed round 9).
+    docs = docs.withColumn("t_ascii", F.regexp_replace("text", "[^ -~]", ""))
+    body = F.expr(f"substr(repeat(t_ascii, CAST(ceil({n}.0 / length(t_ascii)) AS INT)), 1, {n})")
+    return docs.where(F.length("t_ascii") > 0).select(
         F.col("doc_id").alias("media_id"),
         F.concat(F.encode(F.lit(f"P6\n{width} {height}\n255\n"), "UTF-8"), F.encode(body, "UTF-8")).alias("payload"),
     )
@@ -446,12 +453,17 @@ def text_to_wav(docs: DataFrame, sample_rate: int = 8000, max_samples: int = 256
     import struct
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
         import numpy as np
 
         for pdf in batches:
             out = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = (text or "").encode("utf-8")[:max_samples]
+                # Printable-ASCII projection (see documents_as_ppm): one
+                # char == one byte, so the oracle's per-char substr(t,1,256)
+                # replay counts the SAME samples as this byte slice.
+                b = re.sub(r"[^ -~]", "", text or "").encode("ascii")[:max_samples]
                 if not b:
                     continue
                 samples = ((np.frombuffer(b, dtype="u1").astype("i4") - 128) * 256).astype("<i2")
@@ -717,8 +729,12 @@ def documents_as_bmp(docs: DataFrame, width: int = 15, height: int = 8) -> DataF
     raw = width * height * 3
     row = width * 3
     pad = ((row + 3) // 4) * 4 - row
-    body = F.expr(f"substr(repeat(text, CAST(ceil({raw}.0 / length(text)) AS INT)), 1, {raw})")
-    docs = docs.where(F.length("text") > 0).select(F.col("doc_id").alias("media_id"), body.alias("b"))
+    # Printable-ASCII projection: keeps the char-counted substr budget
+    # byte-exact under encode (see documents_as_ppm) — raw multibyte text
+    # would emit rows longer than the BMP stride and misalign the raster.
+    docs = docs.withColumn("t_ascii", F.regexp_replace("text", "[^ -~]", ""))
+    body = F.expr(f"substr(repeat(t_ascii, CAST(ceil({raw}.0 / length(t_ascii)) AS INT)), 1, {raw})")
+    docs = docs.where(F.length("t_ascii") > 0).select(F.col("doc_id").alias("media_id"), body.alias("b"))
     parts = [F.lit(_bmp_header(width, height))]
     for r in range(height):
         parts.append(F.encode(F.expr(f"substr(b, {1 + row * r}, {row})"), "UTF-8"))
@@ -941,20 +957,21 @@ def documents_as_png(docs: DataFrame, width: int = 13, height: int = 9) -> DataF
     an Arrow-batched mapInPandas (the decode rung under test is
     downstream; the builder is fixture plumbing)."""
     raw = width * height * 3
-    body = F.expr(f"substr(repeat(text, CAST(ceil({raw}.0 / length(text)) AS INT)), 1, {raw})")
-    prepared = docs.where(F.length("text") > 0).select(
+    # Printable-ASCII projection (see documents_as_ppm): one char == one
+    # byte, so the char-counted substr budget and the oracle's per-char
+    # ord() replay are byte-exact for ANY corpus.
+    docs = docs.withColumn("t_ascii", F.regexp_replace("text", "[^ -~]", ""))
+    body = F.expr(f"substr(repeat(t_ascii, CAST(ceil({raw}.0 / length(t_ascii)) AS INT)), 1, {raw})")
+    prepared = docs.where(F.length("t_ascii") > 0).select(
         F.col("doc_id").alias("media_id"), F.encode(body, "UTF-8").alias("b")
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        # substr counts CHARS but encode emits BYTES: a multibyte char
-        # makes the buffer longer than `raw` (never shorter — UTF-8 is
-        # >= 1 byte per char). Truncate to exactly `raw` bytes so the
-        # encoder cannot raise and fail the scan — the BMP builder's
-        # degrade-don't-crash behavior (the stats then diverge from the
-        # per-char oracle, surfacing as a hash mismatch, not a job abort).
+        # The ASCII projection makes len(bytes) == raw exactly; the [:raw]
+        # truncation stays as a belt-and-braces guard so the encoder can
+        # never raise and fail the scan (degrade-don't-crash).
         for pdf in batches:
             out = [
                 (int(mid), encode_png(np.frombuffer(bytes(b), dtype="u1")[:raw], width, height))

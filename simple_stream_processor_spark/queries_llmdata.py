@@ -876,8 +876,9 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH px AS (
       SELECT doc_id,
-             substr(repeat(text, CAST(ceil(384.0 / length(text)) AS INT)), 1, 384) AS p
-      FROM documents WHERE length(text) > 0
+             substr(repeat(t, CAST(ceil(384.0 / length(t)) AS INT)), 1, 384) AS p
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents)
+      WHERE length(t) > 0
     ), vals AS (
       SELECT doc_id, list_transform(regexp_extract_all(p, '.'), c -> ord(c)) AS v FROM px
     )
@@ -923,8 +924,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH px AS (
       SELECT doc_id,
-             substr(repeat(text, CAST(ceil(360.0 / length(text)) AS INT)), 1, 360) AS p
-      FROM documents WHERE length(text) > 0
+             substr(repeat(t, CAST(ceil(360.0 / length(t)) AS INT)), 1, 360) AS p
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents)
+      WHERE length(t) > 0
     ), vals AS (
       SELECT doc_id, list_transform(regexp_extract_all(p, '.'), c -> ord(c)) AS v FROM px
     )
@@ -971,8 +973,9 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH px AS (
       SELECT doc_id,
-             substr(repeat(text, CAST(ceil(351.0 / length(text)) AS INT)), 1, 351) AS p
-      FROM documents WHERE length(text) > 0
+             substr(repeat(t, CAST(ceil(351.0 / length(t)) AS INT)), 1, 351) AS p
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents)
+      WHERE length(t) > 0
     ), vals AS (
       SELECT doc_id, list_transform(regexp_extract_all(p, '.'), c -> ord(c)) AS v FROM px
     )
@@ -1689,8 +1692,9 @@ def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH px AS (
       SELECT doc_id,
-             substr(repeat(text, CAST(ceil(384.0 / length(text)) AS INT)), 1, 384) AS p
-      FROM documents WHERE length(text) > 0
+             substr(repeat(t, CAST(ceil(384.0 / length(t)) AS INT)), 1, 384) AS p
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents)
+      WHERE length(t) > 0
     ), vals AS (
       -- nearest-neighbor 16x8 -> 8x4: target pixel i=(ty*8+tx) samples
       -- source pixel (2*ty)*16 + 2*tx; 3 channel bytes per pixel
@@ -1796,7 +1800,8 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_audio",
     oracle="""
     WITH t AS (
-      SELECT doc_id, substr(text, 1, 256) AS tx FROM documents WHERE length(text) > 0
+      SELECT doc_id, substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 256) AS tx
+      FROM documents WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) > 0
     ), vals AS (
       SELECT doc_id,
              list_transform(regexp_extract_all(tx, '.'), c -> (ord(c) - 128) * 256) AS v
@@ -2096,8 +2101,9 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH px AS (
       SELECT doc_id,
-             substr(repeat(text, CAST(ceil(384.0 / length(text)) AS INT)), 1, 384) AS p
-      FROM documents WHERE length(text) > 0
+             substr(repeat(t, CAST(ceil(384.0 / length(t)) AS INT)), 1, 384) AS p
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents)
+      WHERE length(t) > 0
     ),
     blocks AS (
       -- 16x8 raster, 8x4 grid of 2x2-pixel blocks; block j sums 12 bytes
@@ -2562,13 +2568,18 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy-tailed freq distribution keeps far smaller than the vocab)
     plus an intra-frequency partition-local row_number. The regression
     itself is one aggregate (regr_slope/regr_r2 combine map-side)."""
-    docs = _t(spark, sf_dir, "documents")
-    vocab = (
+    return zipf_tail(zipf_counts(_t(spark, sf_dir, "documents")))
+
+
+def zipf_counts(docs: DataFrame) -> DataFrame:
+    """(token, freq) vocabulary state — ONE definition shared by the batch
+    query and the streaming twin (the oov_counts/flesch_counts pattern),
+    so a tokenization change cannot drift the two sides apart."""
+    return (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    return zipf_tail(vocab)
 
 
 def zipf_tail(vocab: DataFrame) -> DataFrame:
@@ -6601,8 +6612,9 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH px AS (
       SELECT doc_id,
-             substr(repeat(text, CAST(ceil(384.0 / length(text)) AS INT)), 1, 384) AS p
-      FROM documents WHERE length(text) > 0
+             substr(repeat(t, CAST(ceil(384.0 / length(t)) AS INT)), 1, 384) AS p
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents)
+      WHERE length(t) > 0
     ),
     blocks AS (
       SELECT doc_id,
@@ -6676,7 +6688,8 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_audio_loudness",
     oracle="""
     WITH t AS (
-      SELECT doc_id, substr(text, 1, 256) AS tx FROM documents WHERE length(text) > 0
+      SELECT doc_id, substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 256) AS tx
+      FROM documents WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) > 0
     ), vals AS (
       SELECT doc_id,
              list_transform(regexp_extract_all(tx, '.'), c -> (ord(c) - 128) * 256) AS v

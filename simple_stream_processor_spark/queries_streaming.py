@@ -474,8 +474,9 @@ def q_streaming_watermark_cadence(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH px AS (
       SELECT doc_id,
-             substr(repeat(text, CAST(ceil(384.0 / length(text)) AS INT)), 1, 384) AS p
-      FROM documents WHERE length(text) > 0
+             substr(repeat(t, CAST(ceil(384.0 / length(t)) AS INT)), 1, 384) AS p
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents)
+      WHERE length(t) > 0
     ), vals AS (
       SELECT doc_id, list_transform(regexp_extract_all(p, '.'), c -> ord(c)) AS v FROM px
     )
@@ -3006,17 +3007,9 @@ def q_streaming_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     which re-derives the corpus top-1000 vocabulary per trigger, so the
     coverage audit tracks the vocabulary as it shifts mid-crawl;
     hash-matches the batch oracle."""
-    from simple_stream_processor_spark.queries_llmdata import oov_tail
+    from simple_stream_processor_spark.queries_llmdata import oov_counts, oov_tail
 
-    sdf = _stream_docs(spark, sf_dir)
-    st = (
-        sdf.select(
-            "source",
-            F.explode(F.expr("filter(split(text, ' '), w -> length(w) > 0)")).alias("token"),
-        )
-        .groupBy("source", "token")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    st = oov_counts(_stream_docs(spark, sf_dir))
     drained, _ = run_stream_to_memory(st, output_mode="complete")
     return oov_tail(drained)
 
@@ -3030,14 +3023,9 @@ def q_streaming_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope drifting away from -1 mid-ingest flags template or synthetic
     floods batches before the next batch audit would. Hash-matches the
     batch oracle."""
-    from simple_stream_processor_spark.queries_llmdata import zipf_tail
+    from simple_stream_processor_spark.queries_llmdata import zipf_counts, zipf_tail
 
-    sdf = _stream_docs(spark, sf_dir)
-    vocab = (
-        sdf.select(F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    vocab = zipf_counts(_stream_docs(spark, sf_dir))
     drained, _ = run_stream_to_memory(vocab, output_mode="complete")
     return zipf_tail(drained)
 
