@@ -18,6 +18,8 @@ import shutil
 
 import duckdb
 import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SF0001 = "/root/testdata/sf0.001"
@@ -59,6 +61,77 @@ def _normalize():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod.normalize
+
+
+def _compare_media(spark, sf_dir: str) -> None:
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    normalize = _normalize()
+    con = duckdb.connect()
+    try:
+        for t in _TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name in MEDIA_QUERIES:
+            sdf = queries[name](spark, sf_dir).toPandas()
+            odf = con.execute(oracles[name]).fetchdf()
+            scols, srows = normalize(sdf)
+            ocols, orows = normalize(odf)
+            assert scols == ocols, f"{name}: column mismatch {scols} vs {ocols}"
+            assert len(srows) == len(orows), (
+                f"{name}: row count {len(srows)} vs {len(orows)}"
+            )
+            assert srows == orows, (
+                f"{name}: value mismatch\nspark={srows[:4]}\noracle={orows[:4]}"
+            )
+    finally:
+        con.close()
+
+
+def _write_docs(sf_dir: str, texts: list[str]) -> None:
+    for t in _TABLES:
+        if t != "documents":
+            dst = os.path.join(sf_dir, f"{t}.parquet")
+            if not os.path.exists(dst):
+                shutil.copy(os.path.join(_SF0001, f"{t}.parquet"), dst)
+    pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["srcU"] * len(texts),
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    ).to_parquet(os.path.join(sf_dir, "documents.parquet"), index=False)
+
+
+# Mixed alphabet: printable ASCII, 2-byte (é/ß), 3-byte (CJK), 4-byte
+# (emoji), and stripped control chars — random interleavings exercise the
+# projection/repeat/ceil boundaries the fixed corpus can't (e.g. an ASCII
+# projection whose length divides the raster size exactly).
+_ALPHABET = "ab z09.~!é ß中日\U0001f600\n\t"
+
+
+@settings(
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "3")),
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet=_ALPHABET, min_size=0, max_size=60),
+        min_size=4,
+        max_size=16,
+    )
+)
+def test_media_oracle_parity_fuzzed_unicode(spark, tmp_path_factory, texts):
+    sf_dir = str(tmp_path_factory.mktemp("uni"))
+    _write_docs(sf_dir, texts)
+    _compare_media(spark, sf_dir)
 
 
 def test_media_queries_match_oracles_on_unicode_corpus(spark, tmp_path):
