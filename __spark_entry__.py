@@ -31,46 +31,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness walks the dict in insertion order under a
-# 50-entry budget.  Rounds 1-8 verified 326 distinct queries green (the
-# round-8 window q_streaming_audience … q_qini_curve came back 50/50 in
-# CORRECTNESS_r08.json).  ROUND-9 window, continuing the rotation
-# discipline (r8 judge task #1): the 14 remaining never-driver-verified
-# round-6 additions (q_classifier_report … q_spearman) + all 27 round-7
-# additions (q_kendall_tau … q_srp_simhash) + the 9 oldest round-8
-# additions (q_hhi_concentration … q_pit_join), each block in its staged
-# declaration order — exactly 50.  The remaining 54 round-8 additions
-# queue immediately behind for round 10.  All previously driver-verified
-# queries follow, in their established relative order.  _PRIORITY covers
-# the full registry (asserted by
+# 50-entry budget.  Rounds 1-9 verified 376 distinct queries green (the
+# round-9 window q_classifier_report … q_pit_join came back 50/50 in
+# CORRECTNESS_r09.json).  ROUND-10 window, continuing the rotation
+# discipline (r9 judge task #1): the 50 oldest never-driver-verified
+# queries — the first 50 of the 54 remaining round-8 additions, staged
+# order kept.  The 4 newest round-8 additions
+# (q_streaming_keyword_trend … q_streaming_burrows) queue immediately
+# behind together with the 25 round-9 additions for round 11
+# (4 + 25 + ≤21 r10 additions = ≤50, retiring the never-driver-verified
+# debt to zero after r11).  All previously driver-verified queries
+# follow, in their established relative order.  _PRIORITY covers the
+# full registry (asserted by
 # test_priority_names_all_resolve_and_readme_count_matches).
 _PRIORITY = [
-    # --- round-9 window (50): 14 r6 leftovers, staged order kept ---
-    "q_classifier_report", "q_kmv_intersection",
-    "q_bootstrap_ci", "q_shapley_attribution",
-    "q_streaming_nelson_aalen", "q_streaming_qini", "q_streaming_shapley",
-    "q_streaming_bootstrap",
-    "q_mann_whitney", "q_markov_entropy_rate",
-    "q_streaming_mann_whitney", "q_block_maxima",
-    "q_overdispersion", "q_spearman",
-    # --- r9 window cont.: all 27 round-7 additions, staged order kept ---
-    "q_kendall_tau", "q_pettitt_changepoint", "q_kruskal_wallis",
-    "q_anova", "q_cramers_v", "q_tukey_fences",
-    "q_streaming_kendall", "q_streaming_pettitt", "q_streaming_kruskal",
-    "q_streaming_anova", "q_streaming_tukey", "q_streaming_cramers",
-    "q_rake_keyphrases", "q_winnowing_fingerprint", "q_image_dhash_dedup",
-    "q_audio_loudness", "q_xyz_classification", "q_encoding_advisor",
-    "q_price_elasticity", "q_kneser_ney_surprisal",
-    "q_k_core", "q_holt_winters", "q_streaming_holt_winters",
-    "q_streaming_loudness", "q_sax_words", "q_streaming_sax",
-    "q_srp_simhash",
-    # --- r9 window cont.: the 9 oldest round-8 additions, staged order ---
-    "q_hhi_concentration", "q_theil_index", "q_mcnemar", "q_brown_forsythe",
-    "q_ohlc_bars", "q_page_hinkley", "q_bot_detection",
-    "q_time_decay_attribution", "q_pit_join",
-    # ---------- window boundary (50 inside the list above) ----------
-    # --- round-10 queue: the remaining 54 round-8 additions
-    #     (local-oracle-green at 3 SFs in round 8, judge-re-run green,
-    #     waiting for their first driver rows; staged order kept) ---
+    # --- round-10 window (50): the 50 oldest never-driver-verified
+    #     round-8 additions (local-oracle-green at 3 SFs in round 8,
+    #     judge-re-run green in r9; staged order kept) ---
     "q_session_stats",
     "q_dtw_distance", "q_isotonic_calibration", "q_logrank_test",
     "q_psi_drift", "q_cohens_kappa", "q_gopher_rules", "q_mojibake_audit",
@@ -90,8 +67,59 @@ _PRIORITY = [
     "q_streaming_price_index",
     "q_poisson_rate_test", "q_streaming_abc_xyz", "q_streaming_poisson_rate",
     "q_friedman_test", "q_keyword_trend",
-    "q_streaming_friedman", "q_streaming_keyword_trend",
+    "q_streaming_friedman",
+    # ---------- window boundary (50 inside the list above) ----------
+    # --- round-11 queue: the 4 newest round-8 additions (staged order),
+    #     then the 25 round-9 additions, then any r10 additions ---
+    "q_streaming_keyword_trend",
     "q_bm25_k1_sweep", "q_streaming_textrank", "q_streaming_burrows",
+    # (r9 additions, staged order kept)
+    "q_multimodal_bmp",
+    "q_jarque_bera",
+    "q_cox_stuart",
+    "q_bollinger_bands",
+    "q_durbin_watson",
+    "q_rsi_cutler",
+    "q_jonckheere",
+    "q_vwap",
+    "q_newsvendor",
+    "q_promo_uplift",
+    "q_flesch_reading",
+    "q_oov_rate",
+    "q_matryoshka",
+    "q_streaming_jarque_bera",
+    "q_streaming_cox_stuart",
+    "q_streaming_bollinger",
+    "q_streaming_durbin_watson",
+    "q_streaming_rsi",
+    "q_streaming_jonckheere",
+    "q_streaming_flesch",
+    "q_streaming_oov",
+    "q_multimodal_png",
+    "q_rrf_fusion",
+    "q_streaming_zipf",
+    "q_streaming_rrf",
+    # --- driver-verified r9 (the round-9 window, relative order kept) ---
+    "q_classifier_report", "q_kmv_intersection",
+    "q_bootstrap_ci", "q_shapley_attribution",
+    "q_streaming_nelson_aalen", "q_streaming_qini", "q_streaming_shapley",
+    "q_streaming_bootstrap",
+    "q_mann_whitney", "q_markov_entropy_rate",
+    "q_streaming_mann_whitney", "q_block_maxima",
+    "q_overdispersion", "q_spearman",
+    "q_kendall_tau", "q_pettitt_changepoint", "q_kruskal_wallis",
+    "q_anova", "q_cramers_v", "q_tukey_fences",
+    "q_streaming_kendall", "q_streaming_pettitt", "q_streaming_kruskal",
+    "q_streaming_anova", "q_streaming_tukey", "q_streaming_cramers",
+    "q_rake_keyphrases", "q_winnowing_fingerprint", "q_image_dhash_dedup",
+    "q_audio_loudness", "q_xyz_classification", "q_encoding_advisor",
+    "q_price_elasticity", "q_kneser_ney_surprisal",
+    "q_k_core", "q_holt_winters", "q_streaming_holt_winters",
+    "q_streaming_loudness", "q_sax_words", "q_streaming_sax",
+    "q_srp_simhash",
+    "q_hhi_concentration", "q_theil_index", "q_mcnemar", "q_brown_forsythe",
+    "q_ohlc_bars", "q_page_hinkley", "q_bot_detection",
+    "q_time_decay_attribution", "q_pit_join",
     # --- driver-verified r8 (the round-8 window, relative order kept) ---
     "q_streaming_audience",
     "q_kmv_sketch", "q_srm_check", "q_seasonal_decompose",
@@ -218,34 +246,6 @@ _PRIORITY = [
     # --- r1/r2-green queries restored to rotation (r6 judge task #6) ---
     "q_doc_fingerprint", "q_ngram_jaccard", "q_ann_bucketed",
     "q_multimodal_meta", "q_udtf_chunks",
-    # --- new in round 9 (registry tail; local-oracle-green at 3 SFs,
-    # queued behind the r10 window for their first driver rows) ---
-    "q_multimodal_bmp",
-    "q_jarque_bera",
-    "q_cox_stuart",
-    "q_bollinger_bands",
-    "q_durbin_watson",
-    "q_rsi_cutler",
-    "q_jonckheere",
-    "q_vwap",
-    "q_newsvendor",
-    "q_promo_uplift",
-    "q_flesch_reading",
-    "q_oov_rate",
-    "q_matryoshka",
-    "q_streaming_jarque_bera",
-    "q_streaming_cox_stuart",
-    "q_streaming_bollinger",
-    "q_streaming_durbin_watson",
-    "q_streaming_rsi",
-    "q_streaming_jonckheere",
-    "q_streaming_flesch",
-    "q_streaming_oov",
-    # --- round-9 wave 2 (queue tail: first verified in a later window) ---
-    "q_multimodal_png",
-    "q_rrf_fusion",
-    "q_streaming_zipf",
-    "q_streaming_rrf",
 ]
 
 
