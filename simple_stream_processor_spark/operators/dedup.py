@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from simple_stream_processor_spark.registry import scoped_persist
+
 N_MINHASH = 8  # 8 hash functions → 2 bands × 4 rows (threshold ≈ (1/2)^(1/4) ≈ 0.84 per-band)
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits in signed BIGINT
 
@@ -182,12 +184,16 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> DataFr
     table; signatures + per-doc set sizes come out of ONE aggregation over
     it; bands/pairs/verify all reuse cached intermediates. shingles are
     ~5-10× text size — MEMORY_AND_DISK spills rather than OOMs; at 100 TB
-    replace the persist with recompute-on-candidates (see verify_jaccard)."""
-    sh = shingle_table(docs, k=k).persist()
+    replace the persist with recompute-on-candidates (see verify_jaccard).
+    Both persists are QUERY-SCOPED (registry.scoped_persist): they live
+    until the caller materializes, then the next declared query (or a
+    bench/test harness calling release_scoped_caches) drops them — a
+    long-lived session no longer accumulates shingle tables in the heap."""
+    sh = scoped_persist(shingle_table(docs, k=k))
     # sigs has a single consumer (the band table) — persisting it would
     # only add a materialization pass
     sigs = minhash_signatures(sh)
-    pairs = candidate_pairs(lsh_band_table(sigs)).persist()
+    pairs = scoped_persist(candidate_pairs(lsh_band_table(sigs)))
     return verify_jaccard(pairs, sh, threshold)
 
 
@@ -272,11 +278,11 @@ def ngram_jaccard_lsh(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     Recall below the ≈0.84 LSH design threshold is partial but fully
     deterministic (md5 banding, no RNG) — the oracle runs the identical
     algorithm and must agree exactly."""
-    sh = shingle_table(docs, k=2).persist()
+    sh = scoped_persist(shingle_table(docs, k=2))
     # sigs has a single consumer (the band table) — persisting it would
     # only add a materialization pass
     sigs = minhash_signatures(sh)
-    pairs = candidate_pairs(lsh_band_table(sigs)).persist()
+    pairs = scoped_persist(candidate_pairs(lsh_band_table(sigs)))
     return verify_jaccard(pairs, sh, threshold)
 
 
@@ -299,9 +305,9 @@ def ngram_containment_lsh(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     two verification semantics. Recall inherits LSH's Jaccard-tuned
     banding (a tiny-subset-of-huge-doc pair may not collide; catching
     those needs asymmetric sketches — documented limit, not hidden)."""
-    sh = shingle_table(docs, k=2).persist()
+    sh = scoped_persist(shingle_table(docs, k=2))
     sigs = minhash_signatures(sh)
-    pairs = candidate_pairs(lsh_band_table(sigs)).persist()
+    pairs = scoped_persist(candidate_pairs(lsh_band_table(sigs)))
     return verify_containment(pairs, sh, threshold)
 
 

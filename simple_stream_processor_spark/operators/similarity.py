@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from simple_stream_processor_spark.registry import scoped_persist
+
 from simple_stream_processor_spark.operators.dedup import cosine
 from simple_stream_processor_spark.tables import spread
 
@@ -126,7 +128,7 @@ def ann_ivf_topk(emb: DataFrame, probe_id: int, k: int = 10, nprobe: int = 3) ->
     index), and each probe touches nprobe/k_clusters of the data. Recall
     is partial by design; the oracle runs the identical algorithm, so the
     gate verifies the distributed implementation."""
-    cents = ivf_centroids(emb).persist()
+    cents = scoped_persist(ivf_centroids(emb))
     inv = ivf_assign(emb, cents)
     probe = emb.where(F.col("vec_id") == probe_id).select(
         F.col("embedding").cast("array<double>").alias("pv")

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from simple_stream_processor_spark.registry import scoped_persist
+
 # Marker stopword sets for the n-gram/stopword language heuristic.
 # Tiny by design: the operator demonstrates the blocking pattern (per-language
 # marker hit counts → argmax with deterministic tie-break), which is what a
@@ -279,7 +281,7 @@ def bpe_merges(df: DataFrame, text_col: str = "text", rounds: int = 5) -> DataFr
             "freq",
         )
     )
-    words = words.persist()
+    words = scoped_persist(words)
     # the per-round jobs touch only the vocab table: when it is small,
     # 32-task stages are pure scheduler overhead (16+ micro-jobs at 8
     # rounds) — collapse to one partition; a 100 TB corpus with a

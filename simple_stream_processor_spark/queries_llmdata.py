@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_stream_processor_spark.operators import dedup, multimodal, similarity, text
-from simple_stream_processor_spark.registry import query
+from simple_stream_processor_spark.registry import query, scoped_persist
 from simple_stream_processor_spark import tables
 from simple_stream_processor_spark.tables import load_table
 
@@ -230,19 +230,31 @@ _MINHASH_SIGS = ",\n             ".join(
     + [f"min(('0x' || substr(md5('x' || shingle), {1 + 8 * i}, 8))::BIGINT) AS sig{i + 4}" for i in range(4)]
 )
 
-# Session-scoped memo for the verified near-dup pair set: q_minhash_dedup
+# Session-scoped memo for the verified near-dup pair PLAN: q_minhash_dedup
 # and q_dedup_clusters share the same (expensive) pair-detection pipeline;
-# materializing it once per (session, sf) is the shared-intermediate
-# pattern a production pipeline uses (pairs are a persisted index table,
-# cluster resolution a consumer of it).
+# the memo shares the logical plan, while the persist itself is
+# QUERY-SCOPED (r9 judge task #3): a consumer query re-registers the cache
+# on access and the next declared query releases it, so the pair index
+# never taxes later, unrelated queries with heap/GC pressure.  (The prior
+# unscoped persist measurably inflated the driver bench tail — the r9 sf1
+# study's 16 spurious super-linear flags.)
 _PAIRS_MEMO: dict = {}
+
+
+def _scoped_memo_cache(df: DataFrame) -> DataFrame:
+    """Re-register a memoized DataFrame as a query-scoped cache when a
+    prior release (next-query boundary, clearCache) dropped its storage."""
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        scoped_persist(df)
+    return df
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _PAIRS_MEMO:
-        _PAIRS_MEMO[key] = dedup.minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.5).persist()
-    return _PAIRS_MEMO[key]
+        _PAIRS_MEMO[key] = dedup.minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return _scoped_memo_cache(_PAIRS_MEMO[key])
 
 
 # Same shared-intermediate pattern at bigram granularity: the shingle table
@@ -254,10 +266,11 @@ _NGRAM_CAND_MEMO: dict = {}
 def _ngram_candidates(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key not in _NGRAM_CAND_MEMO:
-        sh = dedup.shingle_table(_t(spark, sf_dir, "documents"), k=2).persist()
-        pairs = dedup.candidate_pairs(dedup.lsh_band_table(dedup.minhash_signatures(sh))).persist()
+        sh = dedup.shingle_table(_t(spark, sf_dir, "documents"), k=2)
+        pairs = dedup.candidate_pairs(dedup.lsh_band_table(dedup.minhash_signatures(sh)))
         _NGRAM_CAND_MEMO[key] = (sh, pairs)
-    return _NGRAM_CAND_MEMO[key]
+    sh, pairs = _NGRAM_CAND_MEMO[key]
+    return _scoped_memo_cache(sh), _scoped_memo_cache(pairs)
 
 @query(
     "q_minhash_dedup",
@@ -3600,7 +3613,7 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     throughout; the only corpus-scale machinery exercised is the same
     shingle/signature/band code the production path runs."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    sh = dedup.shingle_table(docs).persist()
+    sh = scoped_persist(dedup.shingle_table(docs))
     cand = dedup.candidate_pairs(dedup.lsh_band_table(dedup.minhash_signatures(sh)))
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = sh.select(F.col("doc_id").alias("da"), "shingle")
@@ -5773,15 +5786,36 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash_dedup does, so the shingle explode runs one time instead of
     # per-branch (each broadcast side is its own driver-collected job, so
     # without the persist the explode re-runs serially per broadcast).
-    tk = shingle_table(docs).withColumnRenamed("shingle", "tok").persist()
+    # All three pipeline persists are QUERY-SCOPED (registry.scoped_persist,
+    # r9 judge task #3): released at the next declared-query boundary, so a
+    # long-lived session stops accumulating shingle tables in the heap.
+    tk = scoped_persist(shingle_table(docs).withColumnRenamed("shingle", "tok"))
+    # One stats pass over the (now cached) shingle table feeds the BYTE
+    # gate below; 2 bounded scalars, and it warms the cache every later
+    # branch reuses, so the explode still runs exactly once.
+    n_sh, sh_bytes = tk.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum(F.length("tok")), F.lit(0))
+    ).first()
     # ONE doc-keyed aggregation produces the verification arrays AND the
     # set sizes (sz = size of the distinct-shingle set). Persisted because
     # THREE broadcast builds consume it (sz, aset, bset) and each build is
     # its own serialized driver job — without the cache the aggregation
     # re-runs per broadcast.
-    csets = tk.groupBy("doc_id").agg(
-        F.collect_list("tok").alias("shset"), F.count(F.lit(1)).alias("sz")
-    ).persist()
+    csets = scoped_persist(
+        tk.groupBy("doc_id").agg(
+            F.collect_list("tok").alias("shset"), F.count(F.lit(1)).alias("sz")
+        )
+    )
+    # The aset/bset broadcasts carry FULL per-doc shingle ARRAYS — hundreds
+    # of strings per doc, not the slim (doc_id, sz) ints the row gate was
+    # calibrated for.  Gate them on estimated BYTES as well (string bytes +
+    # ~48 B/element object+slot overhead, deliberately generous): just
+    # under the row gate, an array table can still be hundreds of MB and
+    # OOM the driver on the broadcast build.  Past either gate the verify
+    # joins degrade to shuffle joins (AQE picks), value-identical.
+    est_array_bytes = int(sh_bytes) + 48 * int(n_sh)
+    gate_bytes = int(spark.conf.get("spark.graft.broadcast_gate_bytes", str(64 << 20)))
+    array_hint = hint if est_array_bytes <= gate_bytes else (lambda d: d)
     sz = csets.select("doc_id", "sz")
     dfreq = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
@@ -5801,10 +5835,9 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: AQE broadcasts one side of the self-join below, so without
     # the cache the dfreq-join + rank-window pipeline runs TWICE (broadcast
     # build job + probe side of the main job).
-    prefix = (
+    prefix = scoped_persist(
         ranked.where(F.col("rk") <= F.expr("sz div 2") + 1)
         .select("doc_id", "tok", "sz")
-        .persist()
     )
     pa = prefix.withColumnsRenamed({"doc_id": "doc_a", "tok": "ptok", "sz": "sz_a"})
     pb = prefix.withColumnsRenamed({"doc_id": "doc_b", "tok": "ptok", "sz": "sz_b"})
@@ -5833,8 +5866,8 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     aset = csets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a"))
     bset = csets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b"))
     inter = (
-        cand.join(hint(aset), "doc_a")
-        .join(hint(bset), "doc_b")
+        cand.join(array_hint(aset), "doc_a")
+        .join(array_hint(bset), "doc_b")
         .withColumn("inter_sz", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long"))
     )
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("inter_sz")
@@ -7546,7 +7579,7 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = similarity.ivf_centroids(emb).persist()
+    cents = scoped_persist(similarity.ivf_centroids(emb))
     inv = similarity.ivf_assign(emb, cents)
     probe = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("pv")

@@ -10826,6 +10826,8 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     nodes = ed.select(F.col("u").alias("node")).distinct().localCheckpoint()
     n0_count = nodes.count()
+    # ed/nodes are eager checkpoints: e's cache has served both branches
+    e.unpersist()
     prev_count = n0_count
     k, rounds = 3, 16
     for i in range(rounds):

@@ -7,12 +7,55 @@ dicts to the driver.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+
+# Query-scoped cache registry (r9 judge task #3): the dedup / set-similarity
+# family persists multi-consumer intermediates (shingle tables, candidate
+# pairs) that the CALLER materializes — the query function cannot unpersist
+# them before returning, so historically they outlived the query and taxed
+# every later query with heap/GC pressure (measured: 16 spurious
+# super-linear flags in the r9 sf1 study vanished under cache clearing).
+# scoped_persist() registers each persist here; release_scoped_caches()
+# drops them all.  Every declared query releases the PREVIOUS query's
+# scoped caches on entry (see the wrapper in ``query``), and bench.py
+# releases after each query's action — so in any sequential harness a
+# scoped cache lives exactly from its persist to the end of its query's
+# materialization, never into the next query's timing slot.
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame, level=None) -> DataFrame:
+    """Persist ``df`` for the duration of the current declared query only.
+
+    Same semantics as ``df.persist(level)`` while the query builds and its
+    caller materializes; released automatically when the next declared
+    query starts, or explicitly via ``release_scoped_caches()`` (bench.py
+    does this after every timed action)."""
+    df.persist() if level is None else df.persist(level)
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def release_scoped_caches() -> int:
+    """Unpersist every scoped cache registered since the last release.
+    Returns the number released (0 when already clean). Safe to call at
+    any time: unpersisting an evicted/cleared DataFrame is a no-op."""
+    n = 0
+    while _SCOPED_CACHES:
+        df = _SCOPED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            # session already stopped — nothing left to release
+            pass
+    return n
 
 
 def query(name: str, oracle: str | None = None):
@@ -21,7 +64,13 @@ def query(name: str, oracle: str | None = None):
         # hides dead code and can swap in a subtly different twin
         if name in QUERIES:
             raise ValueError(f"query {name!r} registered twice")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_scoped_caches()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

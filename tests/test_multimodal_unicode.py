@@ -21,8 +21,12 @@ import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SF0001 = "/root/testdata/sf0.001"
+_SF0001 = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+if not os.path.isdir(_SF0001):  # no fixture on this checkout — skip, don't error
+    pytest.skip(f"fixture dir {_SF0001} missing", allow_module_level=True)
 _TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
 
 MEDIA_QUERIES = [

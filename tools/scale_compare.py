@@ -46,6 +46,9 @@ def main() -> int:
     small, big = _times(args.small), _times(args.big)
     allow = {q for q in args.allow.split(",") if q}
     shared = sorted(set(small) & set(big))
+    if not shared:
+        print("no shared queries between the two ledgers — nothing to compare")
+        return 1
     rows = []
     for q in shared:
         factor = big[q] / max(small[q], args.floor)
@@ -55,9 +58,6 @@ def main() -> int:
     limit = args.ratio * args.budget
     flagged = [r for r in rows if r[0] > limit and r[1] not in allow]
     print(f"{len(shared)} shared queries; ideal linear factor {args.ratio}x, flag limit {limit}x")
-    if not rows:
-        print("no shared queries between the two ledgers — nothing to compare")
-        return 1
     print(f"{'factor':>8}  {'small_s':>8}  {'big_s':>8}  query")
     for factor, q, s, b in rows[:25]:
         mark = " <-- SUPER-LINEAR" if factor > limit and q not in allow else (" (allowed)" if factor > limit else "")
