@@ -99,6 +99,17 @@ _PRIORITY = [
     "q_rrf_fusion",
     "q_streaming_zipf",
     "q_streaming_rrf",
+    # (r10 additions, staged order kept)
+    "q_multimodal_gif",
+    "q_macd",
+    "q_streaming_macd",
+    "q_anderson_darling",
+    "q_streaming_anderson",
+    "q_cvm_drift",
+    "q_streaming_cvm",
+    "q_blocklist_scrub",
+    "q_streaming_blocklist",
+    "q_mmr_rerank",
     # --- driver-verified r9 (the round-9 window, relative order kept) ---
     "q_classifier_report", "q_kmv_intersection",
     "q_bootstrap_ci", "q_shapley_attribution",

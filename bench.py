@@ -185,6 +185,17 @@ TAIL = [
     "q_promo_uplift", "q_flesch_reading", "q_oov_rate", "q_matryoshka",
     # round-9 wave 2
     "q_multimodal_png", "q_rrf_fusion",
+    # round-10 additions (first benched this round — no canon row yet)
+    "q_multimodal_gif",
+    "q_macd",
+    "q_streaming_macd",
+    "q_anderson_darling",
+    "q_streaming_anderson",
+    "q_cvm_drift",
+    "q_streaming_cvm",
+    "q_blocklist_scrub",
+    "q_streaming_blocklist",
+    "q_mmr_rerank",
 ]
 
 

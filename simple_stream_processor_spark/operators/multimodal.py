@@ -998,3 +998,279 @@ def decode_png(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return df.select("media_id", "payload").mapInPandas(parse, PNG_SCHEMA)
+
+
+# --- Real codec: GIF87a (grayscale-palette LZW) --------------------------------
+# The FIFTH real rung on the decode ladder (netpbm -> WAV -> BMP -> PNG ->
+# GIF), and the first with a NON-zlib entropy coder: GIF image data is
+# variable-width LZW (9..12-bit codes, LSB-first bit packing, CLEAR/EOI
+# control codes, dictionary reset at 4096), so this rung exercises a
+# dictionary coder the PNG rung's DEFLATE never touches.  Pure stdlib +
+# numpy; PIL/ffmpeg remain honestly stubbed above.
+
+GIF_SCHEMA = BMP_SCHEMA  # same feature surface as the other image rungs
+
+_GIF_FAIL = ("invalid", 0, 0, 0, 0.0, 0, 0, False)
+_GIF_MAGIC = b"GIF87a"
+_GIF_CLEAR = 256  # with min-code-size 8: clear = 2^8, EOI = 2^8 + 1
+_GIF_EOI = 257
+
+
+def _lzw_compress_gif(data: bytes, max_width: int = 12) -> bytes:
+    """GIF-variant LZW over byte symbols (min code size 8): emit CLEAR,
+    greedy longest-prefix coding growing the code width whenever the next
+    free slot crosses 2^width (the decoder mirror-grows AFTER installing
+    each entry, so the two stay in lockstep), CLEAR + reset when the
+    dictionary fills at 4096, EOI last; codes pack LSB-first."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, _GIF_EOI + 1, 9
+
+    table, nxt, width = fresh()
+    emit(_GIF_CLEAR, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        # "Late change" (the giflib convention): the width grows one code
+        # AFTER the table crosses 2^width, because the decoder installs
+        # each entry one code later than the encoder does — growing here
+        # (nxt == 2^width + 1) makes both sides switch starting at the
+        # same stream position.  An early-change encoder desyncs every
+        # spec decoder at code 2^width.
+        if nxt == (1 << width) + 1 and width < max_width:
+            width += 1
+        elif nxt == (1 << max_width):
+            emit(_GIF_CLEAR, width)
+            table, nxt, width = fresh()
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(_GIF_EOI, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_gif(data: bytes, max_out: int, max_width: int = 12):
+    """Inverse of ``_lzw_compress_gif``; returns the decoded bytes or None
+    on any malformed stream (code beyond the table, missing EOI, output
+    exceeding ``max_out`` — the LZW-bomb guard: expansion is capped by the
+    caller's declared raster size, a crafted stream must classify, not
+    OOM)."""
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return None  # ran out before EOI
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == _GIF_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == _GIF_EOI:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if len(out) > max_out:
+            return None  # LZW bomb: more indices than the declared raster
+        if prev is not None and len(table) < (1 << max_width):
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) and width < max_width:
+            width += 1
+        prev = entry
+
+
+def encode_gif(indices, width: int, height: int) -> bytes:
+    """Build a REAL GIF87a from a flat u1 index array of length
+    width*height: logical screen descriptor, 256-entry grayscale global
+    color table (palette[i] = (i,i,i), so index == gray level), image
+    descriptor, LZW-compressed data in length-prefixed sub-blocks,
+    terminator, trailer."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype="u1").reshape(-1)
+    if idx.size != width * height:
+        raise ValueError("index count != width*height")
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    lzw = _lzw_compress_gif(idx.tobytes())
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    return (
+        _GIF_MAGIC
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+        + palette
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + b"\x08"
+        + bytes(blocks)
+        + b"\x00\x3b"
+    )
+
+
+def _parse_gif(payload: bytes):
+    """Parse one GIF87a payload: magic, logical-screen + global color
+    table, extension-block skip, image descriptor (no local table, no
+    interlace), sub-block walk, variable-width LZW decode (with the
+    raster-size bomb guard), then numpy pixel statistics over the
+    PALETTE-MAPPED RGB samples — a real decoder reports colors, not
+    indices (the grayscale palette makes them numerically equal, which is
+    what lets the SQL oracle replay the source bytes).  Malformed payloads
+    (bad magic, truncated descriptors, missing color table, interlace,
+    bad LZW stream, wrong index count, absurd declared dimensions)
+    classify decode_ok=False instead of raising."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] != _GIF_MAGIC:
+        return _GIF_FAIL
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    if not packed & 0x80:  # global color table is how our palette ships
+        return _GIF_FAIL
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    if len(payload) < pos + 3 * gct_n:
+        return _GIF_FAIL
+    palette = np.frombuffer(payload, dtype="u1", count=3 * gct_n, offset=pos).reshape(gct_n, 3)
+    pos += 3 * gct_n
+    # skip extension blocks (87a rarely has them; tolerate for robustness)
+    while pos < len(payload) and payload[pos] == 0x21:
+        pos += 2  # introducer + label
+        while pos < len(payload) and payload[pos] != 0:
+            pos += 1 + payload[pos]
+        pos += 1
+    if pos + 10 > len(payload) or payload[pos] != 0x2C:
+        return _GIF_FAIL
+    _left, _top, width, height, ipacked = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+    pos += 10
+    if width <= 0 or height <= 0 or width * height > (1 << 24):  # 16 Mpx guard
+        return _GIF_FAIL
+    if ipacked & 0xC0:  # local color table / interlace unsupported
+        return _GIF_FAIL
+    if pos >= len(payload) or payload[pos] != 8:  # 8-bit min code size
+        return _GIF_FAIL
+    pos += 1
+    lzw = bytearray()
+    while True:
+        if pos >= len(payload):
+            return _GIF_FAIL
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        if pos + n > len(payload):
+            return _GIF_FAIL
+        lzw += payload[pos : pos + n]
+        pos += n
+    if pos >= len(payload) or payload[pos] != 0x3B:
+        return _GIF_FAIL
+    raw = _lzw_decompress_gif(bytes(lzw), max_out=width * height)
+    if raw is None or len(raw) != width * height:
+        return _GIF_FAIL
+    idx = np.frombuffer(raw, dtype="u1")
+    if int(idx.max()) >= gct_n:
+        return _GIF_FAIL
+    samples = palette[idx]  # (n_pixels, 3) RGB via palette lookup
+    return (
+        "GIF",
+        int(width),
+        int(height),
+        int(width * height),
+        float(samples.mean()),
+        int(samples.min()),
+        int(samples.max()),
+        True,
+    )
+
+
+def documents_as_gif(docs: DataFrame, width: int = 20, height: int = 18) -> DataFrame:
+    """Render each document into a REAL GIF87a whose pixel indices are the
+    text's bytes cycled to width*height over the grayscale palette — the
+    same deterministic byte contract as documents_as_bmp/png, so the
+    decode path keeps an exact DuckDB oracle over the SOURCE bytes while
+    the Spark path must survive a genuine LZW compress -> decompress
+    roundtrip.  LZW needs Python, so the builder is an Arrow-batched
+    mapInPandas like the PNG builder."""
+    raw = width * height
+    # Printable-ASCII projection (see documents_as_ppm): one char == one
+    # byte, so the char-counted substr budget and the oracle's per-char
+    # ord() replay are byte-exact for ANY corpus.
+    docs = docs.withColumn("t_ascii", F.regexp_replace("text", "[^ -~]", ""))
+    body = F.expr(f"substr(repeat(t_ascii, CAST(ceil({raw}.0 / length(t_ascii)) AS INT)), 1, {raw})")
+    prepared = docs.where(F.length("t_ascii") > 0).select(
+        F.col("doc_id").alias("media_id"), F.encode(body, "UTF-8").alias("b")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = [
+                (int(mid), encode_gif(np.frombuffer(bytes(b), dtype="u1")[:raw], width, height))
+                for mid, b in zip(pdf["media_id"], pdf["b"])
+            ]
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return prepared.mapInPandas(build, "media_id long, payload binary")
+
+
+def decode_gif(df: DataFrame) -> DataFrame:
+    """REAL GIF87a decode via ``mapInPandas`` — descriptor walk, sub-block
+    reassembly, variable-width LZW decode, palette-mapped numpy pixel
+    statistics. Input needs (media_id, payload); everything else is pruned
+    before the Arrow transfer."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "format", "width", "height", "n_pixels", "px_mean", "px_min", "px_max", "decode_ok"]
+        for pdf in batches:
+            out = [
+                (int(mid), *_parse_gif(bytes(p or b"")))
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(parse, GIF_SCHEMA)

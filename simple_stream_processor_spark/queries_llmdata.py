@@ -1030,6 +1030,58 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_gif",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(repeat(t, CAST(ceil(360.0 / length(t)) AS INT)), 1, 360) AS p
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents)
+      WHERE length(t) > 0
+    ), vals AS (
+      SELECT doc_id, list_transform(regexp_extract_all(p, '.'), c -> ord(c)) AS v FROM px
+    )
+    SELECT doc_id AS media_id, 'GIF' AS format, 20 AS width, 18 AS height,
+           CAST(360 AS BIGINT) AS n_pixels,
+           round(list_sum(v) / 360.0, 4) AS px_mean,
+           CAST(list_min(v) AS BIGINT) AS px_min,
+           CAST(list_max(v) AS BIGINT) AS px_max,
+           TRUE AS decode_ok
+    FROM vals
+    """,
+)
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11f (round 10): the FIFTH real codec rung, and the first with a
+    NON-zlib entropy coder — each document is encoded into an actual
+    GIF87a (logical screen descriptor, 256-entry grayscale global color
+    table, image descriptor, variable-width 9..12-bit LZW with LSB-first
+    bit packing, CLEAR/EOI control codes, dictionary reset at 4096,
+    length-prefixed sub-blocks) and the Arrow-batched decoder walks the
+    descriptors, reassembles the sub-blocks, LZW-decodes under a
+    raster-size bomb guard, and computes numpy pixel statistics over the
+    PALETTE-MAPPED RGB samples.  The grayscale palette (index == gray)
+    is what lets the oracle replay the SOURCE bytes in SQL: any error in
+    the code-width growth (the classic giflib late-change convention,
+    pinned by an independent bit-packing golden in tests), the KwKwK
+    case, or sub-block framing hash-mismatches.  Extends the ladder
+    netpbm -> WAV -> BMP -> PNG -> GIF (operators/multimodal.py);
+    PIL/ffmpeg formats remain honestly stubbed."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_gif(docs, width=20, height=18)
+    feats = multimodal.decode_gif(media)
+    return feats.select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "n_pixels",
+        F.round(F.col("px_mean"), 4).alias("px_mean"),
+        "px_min",
+        "px_max",
+        "decode_ok",
+    )
+
+
+@query(
     "q_batch_ann",
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -8841,3 +8893,359 @@ def rrf_fusion_tail(lex: DataFrame, sem: DataFrame) -> DataFrame:
         ).cast("long").alias("rrf_ppb"),
     )
     return fused.orderBy(F.col("rrf_ppb").desc(), F.col("doc_id").asc()).limit(20)
+
+
+def cvm_report(cnt: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Cramér-von Mises queries:
+    from a (source, b, n) binned-count table, each source's CvM
+    two-sample criterion against the rest of the corpus, evaluated on
+    the POOLED empirical measure (tie-safe):
+    T = (n·m/N²)·Σ_b cn_b·(F_src(b) − F_rest(b))².  The whole sum is
+    EXACT integer arithmetic — gap_b = (s_cum·m − rest_cum·n)/(n·m), so
+    T = Σ cn·(s_cum·m − rest_cum·n)² / (N²·n·m·n·m) with one double
+    division at the end — no float fold to order (decimal(38,0) ≡
+    DuckDB HUGEINT; at true 100 TB doc counts the N⁵ numerator would
+    need a pre-scaled float fold instead — documented trade, the grid
+    itself stays sources × 10⁴ rows regardless of corpus size)."""
+    from pyspark.sql.window import Window
+
+    bins = cnt.select(F.col("b").alias("gb")).distinct()
+    srcs = cnt.groupBy("source").agg(F.sum("n").alias("n_s")).select(
+        F.col("source").alias("g_source"), "n_s"
+    )
+    tot = cnt.agg(F.sum("n").alias("n_tot"))
+    grid = (
+        srcs.crossJoin(F.broadcast(bins))
+        .join(
+            cnt,
+            (cnt["source"] == F.col("g_source")) & (cnt["b"] == F.col("gb")),
+            "left",
+        )
+        .select(
+            F.col("g_source").alias("source"),
+            "n_s",
+            F.col("gb").alias("b"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    cum = grid.select(
+        "source", "n_s", "b",
+        F.sum("n").over(Window.partitionBy("source").orderBy("b")).alias("s_cum"),
+    )
+    corpus = cnt.groupBy("b").agg(F.sum("n").alias("cn"))
+    ccum = corpus.select(
+        F.col("b").alias("cb"), "cn",
+        F.sum("cn").over(Window.orderBy("b")).alias("c_cum"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = cum.join(F.broadcast(ccum), cum["b"] == F.col("cb")).crossJoin(F.broadcast(tot))
+    m = F.col("n_tot") - F.col("n_s")
+    # numerator of the per-bin gap over the common denominator n_s*m
+    num = dec(F.col("s_cum")) * dec(m) - dec(F.col("c_cum") - F.col("s_cum")) * dec(F.col("n_s"))
+    g = j.select(
+        "source", "n_s", m.alias("n_rest"), (dec(F.col("cn")) * num * num).alias("term")
+    ).groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_source"),
+        F.max("n_rest").cast("long").alias("n_rest"),
+        F.sum("term").alias("snum"),
+    )
+    n_tot2 = (F.col("n_source") + F.col("n_rest")).cast("double")
+    denom = (
+        n_tot2 * n_tot2
+        * F.col("n_source").cast("double") * F.col("n_rest").cast("double")
+        * F.col("n_source").cast("double") * F.col("n_rest").cast("double")
+    )
+    t = F.try_divide(F.col("snum").cast("double"), denom)
+    return g.select(
+        "source", "n_source", "n_rest",
+        F.round(t, 6).alias("cvm_t"),
+        F.when(t.isNull(), "n/a").when(t > 0.461, "drift").otherwise("stable").alias("verdict"),
+    )
+
+
+@query(
+    "q_cvm_drift",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             CAST(floor(((len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' '))::DOUBLE)
+             * (1 - len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE)) * 10000) AS BIGINT) AS b
+      FROM documents
+    ),
+    cnt AS (SELECT source, b, count(*) AS n FROM scored GROUP BY 1, 2),
+    bins AS (SELECT DISTINCT b FROM cnt),
+    srcs AS (SELECT source, sum(n) AS n_s FROM cnt GROUP BY 1),
+    tot AS (SELECT sum(n) AS n_tot FROM cnt),
+    grid AS (
+      SELECT s.source, s.n_s, g.b, coalesce(c.n, 0) AS n
+      FROM srcs s CROSS JOIN bins g
+      LEFT JOIN cnt c ON c.source = s.source AND c.b = g.b
+    ),
+    cum AS (
+      SELECT source, n_s, b,
+             sum(n) OVER (PARTITION BY source ORDER BY b) AS s_cum
+      FROM grid
+    ),
+    corpus AS (SELECT b, sum(n) AS cn FROM cnt GROUP BY 1),
+    ccum AS (SELECT b, cn, sum(cn) OVER (ORDER BY b) AS c_cum FROM corpus),
+    terms AS (
+      SELECT cum.source, cum.n_s, (t.n_tot - cum.n_s) AS n_rest,
+             CAST(ccum.cn AS HUGEINT)
+               * (CAST(cum.s_cum AS HUGEINT) * CAST(t.n_tot - cum.n_s AS HUGEINT)
+                  - CAST(ccum.c_cum - cum.s_cum AS HUGEINT) * CAST(cum.n_s AS HUGEINT))
+               * (CAST(cum.s_cum AS HUGEINT) * CAST(t.n_tot - cum.n_s AS HUGEINT)
+                  - CAST(ccum.c_cum - cum.s_cum AS HUGEINT) * CAST(cum.n_s AS HUGEINT)) AS term
+      FROM cum JOIN ccum ON ccum.b = cum.b CROSS JOIN tot t
+    ),
+    g AS (
+      SELECT source,
+             CAST(max(n_s) AS BIGINT) AS n_source,
+             CAST(max(n_rest) AS BIGINT) AS n_rest,
+             sum(term) AS snum
+      FROM terms GROUP BY 1
+    )
+    SELECT source, n_source, n_rest,
+           round(CAST(snum AS DOUBLE)
+                 / (CAST(n_source + n_rest AS DOUBLE) * (n_source + n_rest)
+                    * n_source * n_rest * n_source * n_rest), 6) AS cvm_t,
+           CASE WHEN n_rest = 0 THEN 'n/a'
+                WHEN CAST(snum AS DOUBLE)
+                     / (CAST(n_source + n_rest AS DOUBLE) * (n_source + n_rest)
+                        * n_source * n_rest * n_source * n_rest) > 0.461 THEN 'drift'
+                ELSE 'stable' END AS verdict
+    FROM g
+    """,
+)
+def q_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L118 (round 10): Cramér-von Mises two-sample drift test per source
+    (Anderson 1962 two-sample form) over the SAME 1e4-grid quality-score
+    bins as q_ks_drift — the INTEGRATED-discrepancy complement to KS's
+    max-gap: CvM reads the whole ECDF difference, so broad mild drift
+    that never produces one big gap still scores (and the 5% asymptotic
+    critical value 0.461 flags it). Tie-safe by construction: the
+    criterion is evaluated on the pooled empirical measure (Σ over bins
+    weighted by pooled counts), and the entire sum is EXACT integer
+    arithmetic with one double division at the end — no float fold, no
+    ordering discipline needed. Same scale shape as KS: sources × 10⁴
+    bounded tables, one (source, bin) exchange, broadcast grid."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", ks_score_bin().alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cvm_report(cnt)
+
+
+# The curation policy blocklist: a broadcastable dimension in production
+# (regulator terms, PII markers, competitor names); a fixed literal here so
+# the oracle is self-contained.  Shared by the batch query and the
+# streaming twin.
+BLOCKLIST_TERMS = ["slow", "dup", "hash", "vector"]
+
+
+def blocklist_counts(docs: DataFrame) -> DataFrame:
+    """Per-(source, term) hit counters over the blocklist — the
+    commutative state the streaming twin keeps: doc counts, docs with
+    >= 1 hit, and total term occurrences, all from ONE token pass with
+    the blocklist as a literal array filter (in production: a broadcast
+    join against the policy dimension — never a shuffle of the corpus)."""
+    toks = F.split(F.col("text"), " ")
+    hits = F.filter(toks, lambda t: t.isin(*BLOCKLIST_TERMS))
+    return docs.select(
+        "source",
+        F.size(hits).alias("n_hits"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0)).alias("flagged_docs"),
+        F.sum("n_hits").alias("total_hits"),
+    )
+
+
+def blocklist_tail(counts: DataFrame) -> DataFrame:
+    """Shared tail: flag rate + hits/doc + the scrub verdict (quarantine a
+    source whose flag rate crosses 50% — the per-source kill switch a
+    crawl pipeline applies before any doc-level scrubbing)."""
+    rate = F.col("flagged_docs").cast("double") / F.col("n_docs").cast("double")
+    return counts.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("flagged_docs").cast("long").alias("flagged_docs"),
+        F.col("total_hits").cast("long").alias("total_hits"),
+        F.round(rate, 6).alias("flag_rate"),
+        F.round(F.col("total_hits").cast("double") / F.col("n_docs").cast("double"), 6).alias("hits_per_doc"),
+        F.when(rate > 0.5, "quarantine").otherwise("scrub-docs").alias("verdict"),
+    ).orderBy("source")
+
+
+@query(
+    "q_blocklist_scrub",
+    oracle="""
+    WITH h AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('slow', 'dup', 'hash', 'vector'))) AS n_hits
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             count(*)::BIGINT AS n_docs,
+             CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+             CAST(sum(n_hits) AS BIGINT) AS total_hits
+      FROM h GROUP BY 1
+    )
+    SELECT source, n_docs, flagged_docs, total_hits,
+           round(CAST(flagged_docs AS DOUBLE) / n_docs, 6) AS flag_rate,
+           round(CAST(total_hits AS DOUBLE) / n_docs, 6) AS hits_per_doc,
+           CASE WHEN CAST(flagged_docs AS DOUBLE) / n_docs > 0.5
+                THEN 'quarantine' ELSE 'scrub-docs' END AS verdict
+    FROM g ORDER BY source
+    """,
+)
+def q_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L119 (round 10): policy-blocklist scrub audit — the curation gate
+    every production corpus passes before training (regulator terms, PII
+    markers, site-specific bans): per source, how many documents hit the
+    blocklist, the total occurrence mass, and the per-source verdict
+    (quarantine the source vs scrub individual docs). Scale shape: ONE
+    token pass with the blocklist as a literal array filter (production:
+    broadcast join against the policy dimension — the corpus never
+    shuffles; counters are the only exchange, sources-bounded). The
+    whole report is exact integers until the two display ratios."""
+    return blocklist_tail(blocklist_counts(_t(spark, sf_dir, "documents")))
+
+
+@query(
+    "q_mmr_rerank",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, label, v,
+             list_dot_product(v, pv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS rel
+      FROM e, p WHERE vec_id <> 0
+      ORDER BY rel DESC, vec_id ASC LIMIT 10
+    ),
+    sims AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (SELECT vec_id, label, rel, 0.7 * rel AS mmr FROM cand
+           ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+    sel1 AS (SELECT vec_id FROM s1),
+    r2 AS (SELECT c.vec_id, c.label, c.rel,
+                  0.7 * c.rel - 0.3 * coalesce(max(s.sim), 0.0) AS mmr
+           FROM cand c LEFT JOIN sims s ON s.a_id = c.vec_id AND s.b_id IN (SELECT vec_id FROM sel1)
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1) GROUP BY 1, 2, 3),
+    s2 AS (SELECT vec_id, label, rel, mmr FROM r2 ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+    sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+    r3 AS (SELECT c.vec_id, c.label, c.rel,
+                  0.7 * c.rel - 0.3 * coalesce(max(s.sim), 0.0) AS mmr
+           FROM cand c LEFT JOIN sims s ON s.a_id = c.vec_id AND s.b_id IN (SELECT vec_id FROM sel2)
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2) GROUP BY 1, 2, 3),
+    s3 AS (SELECT vec_id, label, rel, mmr FROM r3 ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+    sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+    r4 AS (SELECT c.vec_id, c.label, c.rel,
+                  0.7 * c.rel - 0.3 * coalesce(max(s.sim), 0.0) AS mmr
+           FROM cand c LEFT JOIN sims s ON s.a_id = c.vec_id AND s.b_id IN (SELECT vec_id FROM sel3)
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3) GROUP BY 1, 2, 3),
+    s4 AS (SELECT vec_id, label, rel, mmr FROM r4 ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+    sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+    r5 AS (SELECT c.vec_id, c.label, c.rel,
+                  0.7 * c.rel - 0.3 * coalesce(max(s.sim), 0.0) AS mmr
+           FROM cand c LEFT JOIN sims s ON s.a_id = c.vec_id AND s.b_id IN (SELECT vec_id FROM sel4)
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4) GROUP BY 1, 2, 3),
+    s5 AS (SELECT vec_id, label, rel, mmr FROM r5 ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+    ranked AS (
+      SELECT 1 AS round, * FROM s1
+      UNION ALL SELECT 2, * FROM s2
+      UNION ALL SELECT 3, * FROM s3
+      UNION ALL SELECT 4, * FROM s4
+      UNION ALL SELECT 5, * FROM s5
+    )
+    SELECT CAST(round AS INT) AS round, vec_id, label,
+           round(rel, 6) AS rel, round(mmr, 6) AS mmr_score
+    FROM ranked ORDER BY round
+    """,
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L120 (round 10): Maximal Marginal Relevance re-ranking (Carbonell &
+    Goldstein 1998) — the diversity half of the retrieval-serving story
+    the ANN ladder (L6/L6b/L51) and RRF fusion (L117) leave open: from
+    the probe's cosine top-10, greedily select k=5 maximizing
+    0.7·rel(d) − 0.3·max_{s∈S} sim(d, s), so near-duplicate hits (the
+    exact thing q_minhash_dedup detects in text space) stop crowding the
+    context window. Scale shape: ONE corpus-wide scoring pass (the same
+    broadcast-probe narrow scan as q_cosine_topk) collapses to a k-row
+    candidate table; the greedy loop then runs on broadcast-sized frames
+    only (10 candidates, 90 pair sims, 5 one-row argmax picks with eager
+    1-row checkpoints) — the corpus is never touched again, so the
+    iterative part costs the same at 100 TB as at 1 MB. Raw-double
+    comparisons with identical expression trees both engines; display
+    rounds to 6dp."""
+    from simple_stream_processor_spark.operators.dedup import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    probe = e.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    cand = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "label", "v", cosine(F.col("v"), F.col("pv")).alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .localCheckpoint(eager=True)  # 10 rows: the loop below re-reads it ~15x
+    )
+    a = cand.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
+    b = cand.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", cosine(F.col("av"), F.col("bv")).alias("sim"))
+        .localCheckpoint(eager=True)  # 90 rows
+    )
+    base = cand.select("vec_id", "label", "rel")
+    selected = None
+    for r in range(1, 6):
+        if selected is None:
+            scored = base.select(
+                "vec_id", "label", "rel", (F.lit(0.7) * F.col("rel")).alias("mmr_score")
+            )
+        else:
+            sel_ids = selected.select(F.col("vec_id").alias("b_id"))
+            pen = (
+                sims.join(F.broadcast(sel_ids), "b_id")
+                .groupBy("a_id")
+                .agg(F.max("sim").alias("max_sim"))
+            )
+            remaining = base.join(
+                F.broadcast(selected.select("vec_id")), "vec_id", "left_anti"
+            )
+            scored = (
+                remaining.join(F.broadcast(pen), remaining["vec_id"] == pen["a_id"], "left")
+                .select(
+                    "vec_id", "label", "rel",
+                    (
+                        F.lit(0.7) * F.col("rel")
+                        - F.lit(0.3) * F.coalesce(F.col("max_sim"), F.lit(0.0))
+                    ).alias("mmr_score"),
+                )
+            )
+        pick = (
+            scored.orderBy(F.col("mmr_score").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select(F.lit(r).alias("round"), "vec_id", "label", "rel", "mmr_score")
+            .localCheckpoint(eager=True)  # 1 row: keeps the loop's plan flat
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+    return selected.select(
+        "round", "vec_id", "label",
+        F.round("rel", 6).alias("rel"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    ).orderBy("round")

@@ -14102,3 +14102,294 @@ def q_promo_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(did, 4).alias("did_cents"),
         F.when(did.isNull(), "n/a").when(did > 0, "positive-uplift").otherwise("no-uplift").alias("verdict"),
     )
+
+
+def macd_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming MACD queries: from an
+    (event_type, day, cents) daily table, collect the day-sorted series
+    per type and run the {e12, e26, sig} struct fold — three mutually
+    sequential EMAs (the 2/(n+1) convention: fast 12, slow 26, signal 9
+    over the MACD line), so the holt_tail row-per-step discipline
+    applies: Spark F.aggregate reads the OLD accumulator for every
+    field and the oracle mirrors with a RECURSIVE CTE (simultaneous
+    update), NOT a DuckDB struct list_reduce (sequential field
+    mutation). Init: e12_1 = e26_1 = x_1 (so macd_1 = 0), sig_1 = 0.
+    Scale: the fold is per-SERIES over the days-bounded array; the
+    series dimension carries the parallelism, one daily rollup is the
+    only corpus-sized exchange."""
+    arr = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"].cast("double"),
+        ).alias("xs"),
+    )
+    a12, a26, a9 = 2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0
+    state = "struct<e12:double,e26:double,sig:double>"
+    folded = arr.select(
+        "event_type",
+        "n_days",
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            F.struct(
+                F.element_at("xs", 1).alias("e12"),
+                F.element_at("xs", 1).alias("e26"),
+                F.lit(0.0).alias("sig"),
+            ).cast(state),
+            lambda acc, x: F.struct(
+                (F.lit(a12) * x + F.lit(1.0 - a12) * acc["e12"]).alias("e12"),
+                (F.lit(a26) * x + F.lit(1.0 - a26) * acc["e26"]).alias("e26"),
+                (
+                    F.lit(a9)
+                    * (
+                        (F.lit(a12) * x + F.lit(1.0 - a12) * acc["e12"])
+                        - (F.lit(a26) * x + F.lit(1.0 - a26) * acc["e26"])
+                    )
+                    + F.lit(1.0 - a9) * acc["sig"]
+                ).alias("sig"),
+            ).cast(state),
+        ).alias("s"),
+    )
+    macd = F.col("s.e12") - F.col("s.e26")
+    hist = macd - F.col("s.sig")
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(macd, 4).alias("macd"),
+        F.round(F.col("s.sig"), 4).alias("signal"),
+        F.round(hist, 4).alias("histogram"),
+        F.when(hist > 0, "bullish").when(hist < 0, "bearish").otherwise("none").alias("verdict"),
+    )
+
+
+@query(
+    "q_macd",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n_days,
+             list(CAST(cents AS DOUBLE) ORDER BY day) AS xs
+      FROM daily GROUP BY 1
+    ),
+    rec AS (
+      -- row-per-step recursion reading the PREVIOUS row's e12/e26/sig
+      -- (simultaneous update), matching Spark's F.aggregate semantics
+      SELECT event_type, n_days, xs, 1 AS step,
+             xs[1] AS e12, xs[1] AS e26, CAST(0.0 AS DOUBLE) AS sig
+      FROM arr
+      UNION ALL
+      SELECT event_type, n_days, xs, step + 1,
+             (2.0 / 13.0) * xs[step + 1] + (1.0 - 2.0 / 13.0) * e12,
+             (2.0 / 27.0) * xs[step + 1] + (1.0 - 2.0 / 27.0) * e26,
+             (2.0 / 10.0) * (((2.0 / 13.0) * xs[step + 1] + (1.0 - 2.0 / 13.0) * e12)
+                             - ((2.0 / 27.0) * xs[step + 1] + (1.0 - 2.0 / 27.0) * e26))
+               + (1.0 - 2.0 / 10.0) * sig
+      FROM rec WHERE step < n_days
+    )
+    SELECT event_type, n_days,
+           round(e12 - e26, 4) AS macd,
+           round(sig, 4) AS signal,
+           round((e12 - e26) - sig, 4) AS histogram,
+           CASE WHEN (e12 - e26) - sig > 0 THEN 'bullish'
+                WHEN (e12 - e26) - sig < 0 THEN 'bearish'
+                ELSE 'none' END AS verdict
+    FROM rec WHERE step = n_days
+    """,
+)
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N180 (round 10): MACD momentum indicator (Appel 1979; fast EMA12 −
+    slow EMA26, signal = EMA9 of the MACD line, histogram = MACD −
+    signal) on daily revenue per event type — the third rung of the
+    finance-panel family beside Bollinger (volatility regime) and RSI
+    (bounded momentum): MACD reads trend CHANGE via the crossover of two
+    smoothing horizons. Three mutually sequential EMA recursions fold as
+    one {e12, e26, sig} struct pass per series (the holt_tail
+    discipline); oracle = row-per-step RECURSIVE CTE with identical
+    expression trees, so the doubles are bit-identical before the final
+    round(4)."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return macd_tail(daily)
+
+
+def _phi_col(z):
+    """Standard normal CDF via the Abramowitz & Stegun 7.1.26 erf
+    polynomial (|abs err| <= 1.5e-7), expressed with the exact same
+    operation tree the DuckDB oracle uses — plain */+- chains, one
+    exp(), one sqrt(2.0) — so both engines produce bit-identical doubles
+    (exp() is the only <=1-ulp-divergence risk, absorbed by the final
+    round(6) many orders of magnitude above it)."""
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        (
+            (
+                (F.lit(1.061405429) * t - F.lit(1.453152027)) * t
+                + F.lit(1.421413741)
+            )
+            * t
+            - F.lit(0.284496736)
+        )
+        * t
+        + F.lit(0.254829592)
+    ) * t
+    erf = F.lit(1.0) - poly * F.exp(-(x * x))
+    phi = F.lit(0.5) * (F.lit(1.0) + F.signum(z) * erf)
+    # clamp: the polynomial's 1.5e-7 absolute error can push extreme-tail
+    # values to <= 0 and ln() to NaN — clamp identically on both sides
+    return F.greatest(F.lit(1e-10), F.least(F.lit(1.0 - 1e-10), phi))
+
+
+def anderson_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Anderson-Darling queries:
+    per type, exact integer sums give mean and sample sd; each day's
+    z-score contributes (2i−1)·ln Φ(z_(i)) + (2j−1)·ln Φ(−z_(j)) with i
+    the ascending and j = n+1−i the descending rank (one window pass —
+    the two classic sums restated per-row); terms fold in sorted-i order
+    (the repo's float discipline) into A² = −n − S/n and the small-sample
+    adjustment A²* = A²(1 + 0.75/n + 2.25/n²), flagged against the 5%
+    critical value 0.752 (Stephens 1974, case 3)."""
+    from pyspark.sql.window import Window
+
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")).alias("ss"),
+    )
+    nd = F.col("n_days").cast("double")
+    mean = F.col("s").cast("double") / nd
+    m = F.col("n_days") * F.col("ss") - F.col("s") * F.col("s")
+    sd = F.sqrt(
+        F.try_divide(m.cast("double"), (F.col("n_days") * (F.col("n_days") - 1)).cast("double"))
+    )
+    # the small side renames its join key: stats shares lineage with daily,
+    # and a memory-sink daily (the streaming twin) trips Spark's
+    # conflicting-reference check on raw self-joins (the ewma_tail rule)
+    stats = g.select(
+        F.col("event_type").alias("st_type"), "n_days", mean.alias("mean"), sd.alias("sd")
+    )
+
+    w = Window.partitionBy("event_type").orderBy(F.col("cents").asc(), F.col("day").asc())
+    ranked = (
+        daily.select("event_type", "day", "cents", F.row_number().over(w).alias("i"))
+        .join(F.broadcast(stats), F.col("event_type") == F.col("st_type"))
+        .drop("st_type")
+    )
+    z = F.try_divide(F.col("cents").cast("double") - F.col("mean"), F.col("sd"))
+    j = (F.col("n_days") - F.col("i") + 1).cast("double")
+    term = F.when(
+        F.col("sd").isNull() | (F.col("sd") == 0), F.lit(None).cast("double")
+    ).otherwise(
+        (F.lit(2.0) * F.col("i").cast("double") - F.lit(1.0)) * F.log(_phi_col(z))
+        + (F.lit(2.0) * j - F.lit(1.0)) * F.log(_phi_col(-z))
+    )
+    folded = ranked.select("event_type", "n_days", "i", term.alias("term")).groupBy(
+        "event_type", "n_days"
+    ).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "term"))), lambda s: s["term"]
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("big_s")
+    )
+    nd2 = F.col("n_days").cast("double")
+    a2 = -nd2 - F.col("big_s") / nd2
+    a2_star = a2 * (F.lit(1.0) + F.lit(0.75) / nd2 + F.lit(2.25) / (nd2 * nd2))
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(a2, 6).alias("a2"),
+        F.round(a2_star, 6).alias("a2_star"),
+        F.when(F.isnan(a2_star) | a2_star.isNull(), "n/a")
+        .when(a2_star > 0.752, "non-normal")
+        .otherwise("normal")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q_anderson_darling",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, count(*)::BIGINT AS n_days,
+             CAST(sum(cents) AS HUGEINT) AS s,
+             sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ss
+      FROM daily GROUP BY 1
+    ),
+    stats AS (
+      SELECT event_type, n_days,
+             CAST(s AS DOUBLE) / n_days AS mean,
+             CASE WHEN n_days <= 1 OR n_days * ss - s * s <= 0 THEN NULL
+                  ELSE sqrt(CAST(n_days * ss - s * s AS DOUBLE)
+                            / CAST(n_days * (n_days - 1) AS DOUBLE)) END AS sd
+      FROM g
+    ),
+    ranked AS (
+      SELECT d.event_type, d.cents, st.n_days, st.mean, st.sd,
+             (CAST(d.cents AS DOUBLE) - st.mean) / st.sd AS z,
+             row_number() OVER (PARTITION BY d.event_type ORDER BY d.cents ASC, d.day ASC) AS i
+      FROM daily d JOIN stats st ON st.event_type = d.event_type
+    ),
+    phix AS (SELECT *, abs(z) / sqrt(2.0) AS x FROM ranked),
+    phit AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM phix),
+    phi AS (
+      SELECT event_type, n_days, i, sd,
+             greatest(1e-10, least(1.0 - 1e-10,
+               0.5 * (1.0 + sign(z) * (1.0 - ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t - 0.284496736) * t + 0.254829592) * t * exp(-(x * x)))))) AS phi_pos,
+             greatest(1e-10, least(1.0 - 1e-10,
+               0.5 * (1.0 + sign(-z) * (1.0 - ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t - 0.284496736) * t + 0.254829592) * t * exp(-(x * x)))))) AS phi_neg
+      FROM phit
+    ),
+    terms AS (
+      SELECT event_type, n_days, i,
+             CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                  ELSE (2.0 * i - 1.0) * ln(phi_pos)
+                       + (2.0 * (n_days - i + 1) - 1.0) * ln(phi_neg) END AS term
+      FROM phi
+    ),
+    folded AS (
+      SELECT event_type, n_days,
+             list_reduce(list_prepend(0.0, list(term ORDER BY i)), (a, b) -> a + b) AS big_s
+      FROM terms GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, n_days,
+             -CAST(n_days AS DOUBLE) - big_s / n_days AS a2,
+             (-CAST(n_days AS DOUBLE) - big_s / n_days)
+               * (1.0 + 0.75 / n_days + 2.25 / (CAST(n_days AS DOUBLE) * n_days)) AS a2_star
+      FROM folded
+    )
+    SELECT event_type, n_days,
+           round(a2, 6) AS a2,
+           round(a2_star, 6) AS a2_star,
+           CASE WHEN a2_star IS NULL OR isnan(a2_star) THEN 'n/a'
+                WHEN a2_star > 0.752 THEN 'non-normal'
+                ELSE 'normal' END AS verdict
+    FROM scored
+    """,
+)
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N181 (round 10): Anderson-Darling normality test (Anderson &
+    Darling 1952; Stephens 1974 case-3 small-sample adjustment) on daily
+    revenue per event type — the tail-weighted EDF complement to N171
+    Jarque-Bera (moment-based): A-D reads the EDF-vs-Φ discrepancy with
+    1/(F(1−F)) weighting, so tail departures that moments smear show up
+    directly. One window pass assigns ascending/descending ranks so the
+    two classic log-CDF sums restate per-row; Φ comes from the shared
+    A&S 7.1.26 erf polynomial (_phi_col) written as the identical
+    operation tree in the oracle, and terms fold in sorted-i order, so
+    both engines agree bit-exactly far below the round(6)."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return anderson_tail(daily)

@@ -661,6 +661,8 @@ def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(120)
+        from simple_stream_processor_spark.streaming.runner import audit_record
+        audit_record(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
 
@@ -1394,6 +1396,8 @@ def dsir_score_stream(
             .start()
         )
         q.awaitTermination(120)
+        from simple_stream_processor_spark.streaming.runner import audit_record
+        audit_record(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
 
@@ -3128,3 +3132,59 @@ def q_streaming_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = load_table(spark, "embeddings", sf_dir)
     return rrf_fusion_tail(lex, rrf_sem_leg(emb))
+
+
+@query("q_streaming_macd", oracle=_relext_oracle("q_macd"))
+def q_streaming_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MACD twin (N180b, round 10): the daily-cents state
+    through the shared macd_tail — the live momentum-crossover gauge
+    (today's bar re-smooths all three EMAs as its revenue accumulates);
+    hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import macd_tail
+
+    return macd_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_anderson", oracle=_relext_oracle("q_anderson_darling"))
+def q_streaming_anderson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Anderson-Darling twin (N181b, round 10): the daily-cents
+    state through the shared anderson_tail — live normality monitoring
+    of the metric the z-score/XmR alerting families assume Gaussian;
+    hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import anderson_tail
+
+    return anderson_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_cvm", oracle=_llmdata_oracle("q_cvm_drift"))
+def q_streaming_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Cramér-von Mises twin (L118b, round 10): the same
+    (source, score-bin) streaming state as q_streaming_ks — bounded at
+    sources × 10k cells forever — drained through the shared cvm_report
+    tail: the integrated-discrepancy drift monitor beside KS's max-gap,
+    live on a document stream. Hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import cvm_report, ks_score_bin
+
+    cnt = (
+        _stream_docs(spark, sf_dir)
+        .select("source", ks_score_bin().alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    drained, _ = run_stream_to_memory(cnt, output_mode="complete")
+    return cvm_report(drained)
+
+
+@query("q_streaming_blocklist", oracle=_llmdata_oracle("q_blocklist_scrub"))
+def q_streaming_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming blocklist twin (L119b, round 10): per-doc hit counts are
+    pure functions, so the per-source counter table IS the streaming
+    state (commutative sums, sources-bounded); drained counters flow
+    through the shared blocklist_tail — the policy kill switch fires as
+    the crawl ingests, not at the next batch audit. Hash-matches the
+    batch oracle."""
+    from simple_stream_processor_spark.queries_llmdata import blocklist_counts, blocklist_tail
+
+    g = blocklist_counts(_stream_docs(spark, sf_dir))
+    drained, _ = run_stream_to_memory(g, output_mode="complete")
+    return blocklist_tail(drained)

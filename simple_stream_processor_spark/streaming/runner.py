@@ -17,6 +17,41 @@ from pyspark.sql import DataFrame, SparkSession
 
 TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
 
+# Streaming audit capture (r9 judge task #5): when SPARK_GRAFT_STREAM_AUDIT=1,
+# every stream this module (or a foreachBatch query) runs appends one record
+# here — the final micro-batch physical plan plus all progress dicts — so
+# tools/stream_audit.py can assert the Python-boundary and state-bound
+# disciplines over the LIVE micro-batch plans, which tools/plan_audit.py
+# (batch-only) structurally skips. Off by default: zero overhead on the
+# driver/bench paths.
+AUDIT_LOG: list[dict] = []
+
+
+def _audit_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_STREAM_AUDIT", "0") == "1"
+
+
+def audit_record(query, progress: list[dict] | None = None) -> None:
+    """Append a (plan, progress) audit record for a finished StreamingQuery.
+    Safe on any query state; never raises into the caller."""
+    if not _audit_enabled():
+        return
+    rec: dict = {"plan": "", "progress": progress or []}
+    try:
+        if progress is None:
+            rec["progress"] = [
+                p.asDict() if hasattr(p, "asDict") else p for p in query.recentProgress
+            ]
+    except Exception:
+        pass
+    try:
+        # the last executed micro-batch's physical plan; every batch of an
+        # AvailableNow drain compiles the same shape, so one is representative
+        rec["plan"] = query._jsq.explainInternal(False)
+    except Exception as exc:
+        rec["plan_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    AUDIT_LOG.append(rec)
+
 
 def _tmpdir(kind: str) -> str:
     path = os.path.join(TMP_ROOT, kind, uuid.uuid4().hex[:12])
@@ -78,4 +113,5 @@ def run_stream_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     progress = [p.asDict() if hasattr(p, "asDict") else p for p in query.recentProgress]
+    audit_record(query, progress)
     return spark.table(name), progress

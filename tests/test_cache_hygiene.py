@@ -81,6 +81,18 @@ def test_next_query_entry_releases_previous_scoped_caches(spark, sf_dir):
     assert _cache_manager_empty(spark)
 
 
+def test_same_query_reinvocation_keeps_its_own_warm_index(spark, sf_dir):
+    """Re-invoking the SAME query must not drop its own scoped caches:
+    min-of-reps benchmarking and the production shared-index pattern both
+    measure the warm path; only a DIFFERENT query taking over releases."""
+    QUERIES["q_minhash_dedup"](spark, sf_dir).count()
+    assert not _cache_manager_empty(spark)
+    QUERIES["q_minhash_dedup"](spark, sf_dir)  # same owner: no release
+    assert not _cache_manager_empty(spark), "same-query rep dropped its own index"
+    QUERIES["q_topk"](spark, sf_dir)  # different owner: releases
+    assert _cache_manager_empty(spark)
+
+
 def test_release_is_idempotent_and_counts(spark):
     assert release_scoped_caches() == 0
     df = scoped_persist(spark.range(10).toDF("x"))

@@ -1386,3 +1386,109 @@ def test_png_bomb_and_multibyte_guards(spark):
     rows = {r.media_id: r for r in decode_png(documents_as_png(docs, width=13, height=9)).collect()}
     assert rows[2].decode_ok is True  # ascii neighbor unaffected
     assert rows[1].decode_ok is True  # multibyte doc encodes (truncated), scan survives
+
+
+def test_gif_lzw_goldens():
+    """The round-10 LZW pair (operators/multimodal.py:_lzw_compress_gif /
+    _lzw_decompress_gif) against an INDEPENDENTLY computed bit-packing
+    golden: codes [CLEAR, 65, 66, 66, 65, EOI] at 9 bits, LSB-first — the
+    literal below was produced by a separate packer implementation, so a
+    convention drift (MSB-first, early-change width growth) breaks here
+    even though encoder+decoder would stay self-consistent.  Plus the
+    roundtrip soak: width growth past 9 bits, dictionary reset at 4096,
+    KwKwK chains, and the decode-side expansion (bomb) guard."""
+    import random
+
+    from simple_stream_processor_spark.operators.multimodal import (
+        _lzw_compress_gif,
+        _lzw_decompress_gif,
+    )
+
+    golden = bytes.fromhex("00830811122420")
+    assert _lzw_compress_gif(b"ABBA") == golden
+    assert _lzw_decompress_gif(golden, max_out=4) == b"ABBA"
+
+    rng = random.Random(7)
+    for n in (0, 1, 5, 360, 5000, 120_000):  # 120k random forces 12-bit + reset
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert _lzw_decompress_gif(_lzw_compress_gif(data), max_out=n) == data
+    for pat in (b"a" * 100_000, b"ab" * 50_000, bytes(range(256)) * 400):
+        assert _lzw_decompress_gif(_lzw_compress_gif(pat), max_out=len(pat)) == pat
+    # expansion guard: the same stream with a smaller cap must classify
+    assert _lzw_decompress_gif(_lzw_compress_gif(b"x" * 10_000), max_out=100) is None
+    # truncated stream (no EOI) must classify
+    enc = _lzw_compress_gif(b"hello world hello world")
+    assert _lzw_decompress_gif(enc[:-2], max_out=64) is None
+
+
+def test_gif_parser_goldens():
+    """The round-10 GIF87a container (operators/multimodal.py:_parse_gif)
+    against encode_gif roundtrips and the malformed family — every bad
+    payload classifies decode_ok=False, never raises."""
+    import random
+    import struct
+
+    import numpy as np
+
+    from simple_stream_processor_spark.operators.multimodal import (
+        _parse_gif,
+        encode_gif,
+    )
+
+    rng = random.Random(7)
+    idx = np.frombuffer(bytes(rng.randrange(256) for _ in range(360)), dtype="u1")
+    good = encode_gif(idx, 20, 18)
+    fmt, w, h, npx, mean, lo, hi, ok = _parse_gif(good)
+    assert (fmt, w, h, npx, ok) == ("GIF", 20, 18, 360, True)
+    assert abs(mean - float(idx.mean())) < 1e-9 and (lo, hi) == (int(idx.min()), int(idx.max()))
+
+    desc = 13 + 768  # magic + logical screen descriptor + 256-entry palette
+    assert good[desc] == 0x2C
+    bad = [
+        b"",
+        b"GIF89a" + good[6:],                     # wrong version magic
+        good[:40],                                # truncated in the palette
+        good[:-1],                                # missing trailer
+        good[:desc] + b"\x2d" + good[desc + 1:],  # clobbered image descriptor
+        good[:desc + 9] + b"\x40" + good[desc + 10:],   # interlace flag
+        good[:desc + 10] + b"\x07" + good[desc + 11:],  # wrong min code size
+        good[:13] + good[13 + 768:],              # palette ripped out
+    ]
+    # absurd declared dimensions: the 16 Mpx guard classifies pre-decode
+    huge = bytearray(good)
+    huge[desc + 5 : desc + 9] = struct.pack("<HH", 65535, 65535)
+    bad.append(bytes(huge))
+    # one flipped LZW byte: classifies (stream or index-count invalid)
+    flip = bytearray(good)
+    flip[desc + 15] ^= 0xFF
+    bad.append(bytes(flip))
+    assert all(_parse_gif(p)[-1] is False for p in bad)
+
+
+def test_decode_gif_real_codec_distributed(spark):
+    """decode_gif over a mixed DataFrame: documents_as_gif payloads survive
+    the full LZW compress -> sub-block -> decode roundtrip with exact
+    stats; a malformed payload in the same batch classifies
+    decode_ok=False without failing the scan."""
+    from simple_stream_processor_spark.operators.multimodal import (
+        decode_gif,
+        documents_as_gif,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+         (1, "zzzzzzzz", "en", "s0", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = documents_as_gif(docs, width=20, height=18)
+    rows = {r.media_id: r for r in decode_gif(media).collect()}
+    assert rows[0].decode_ok is True and rows[0].n_pixels == 360
+    # doc 1 cycles 'z' (=122): constant raster, stats pin the palette map
+    assert rows[1].px_min == 122 and rows[1].px_max == 122 and rows[1].decode_ok
+
+    mixed = media.unionByName(
+        spark.createDataFrame([(99, bytearray(b"NOTAGIF"))], "media_id long, payload binary")
+    )
+    out = {r.media_id: r for r in decode_gif(mixed).collect()}
+    assert out[99].decode_ok is False and out[99].format == "invalid"
+    assert out[0].decode_ok is True

@@ -33,6 +33,7 @@ MEDIA_QUERIES = [
     "q_multimodal_decode",
     "q_multimodal_bmp",
     "q_multimodal_png",
+    "q_multimodal_gif",
     "q_multimodal_resize",
     "q_image_phash_dedup",
     "q_image_dhash_dedup",

@@ -263,6 +263,69 @@ def test_random_tables_match_duckdb_oracles(spark, tmp_path_factory, events, doc
     _check_parity(spark, tmpdir, list(picks[:10]))
 
 
+# Standing unicode fuzz dimension (r9 judge task #6): the r9 payload-contract
+# bug (char/byte divergence in text->bytes builders) was latent for six
+# rounds because every fixture AND this file's WORDS alphabet were pure
+# ASCII. Any operator that ENCODES text to bytes — md5/hash on
+# encode(UTF-8), shingle signatures, fingerprints — plus the
+# unicode-sensitive audits now fuzzes over a mixed-unicode corpus by
+# default: accented Latin (2-byte), CJK (3-byte), emoji (4-byte), Cyrillic/
+# Greek, and an all-multibyte token whose ASCII projection is empty.
+UNICODE_WORDS = WORDS + [
+    "café", "naïve", "über", "résumé",          # 2-byte Latin
+    "日本語", "中文", "데이터",                    # 3-byte CJK/Hangul
+    "\U0001f600", "x\U0001f680y",               # 4-byte emoji, embedded
+    "данные", "αβγ",                            # Cyrillic, Greek
+    "ééé中文",                                   # all-multibyte
+]
+
+# Queries whose Spark side hashes/encodes document text (or audits its
+# byte/codepoint structure) — the class the r9 bug lived in.
+ENCODE_QUERIES = [
+    "q_dedup_text_exact", "q_doc_fingerprint", "q_minhash_dedup",
+    "q_simhash_dedup", "q_ngram_jaccard", "q_ngram_containment",
+    "q_winnowing_fingerprint", "q_hashed_features", "q_set_similarity_join",
+    "q_mojibake_audit", "q_code_switch_audit", "q_text_normalize",
+]
+if _ONLY:
+    ENCODE_QUERIES = [q for q in ENCODE_QUERIES if q in _ONLY]
+
+
+@st.composite
+def _documents_frame_unicode(draw):
+    n = draw(st.integers(min_value=8, max_value=25 * _SCALE))
+    texts = draw(
+        st.lists(
+            st.lists(st.sampled_from(UNICODE_WORDS), min_size=0, max_size=40).map(" ".join),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    langs = draw(st.lists(st.sampled_from(LANGS), min_size=n, max_size=n))
+    srcs = draw(st.lists(st.sampled_from([f"src{i}" for i in range(5)]), min_size=n, max_size=n))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(range(n), dtype="int64"),
+            "text": texts,
+            "lang": langs,
+            "source": srcs,
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+
+
+@settings(**_FUZZ_SETTINGS)
+@given(
+    events=_events_frame(),
+    documents=_documents_frame_unicode(),
+    picks=st.permutations(ENCODE_QUERIES),
+)
+def test_unicode_documents_match_duckdb_oracles(spark, tmp_path_factory, events, documents, picks):
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_unicode"))
+    _materialize(tmpdir, events, documents)
+    _check_parity(spark, tmpdir, list(picks[:6]))
+
+
 # Streaming twins over the events/documents streams (file source on the
 # fuzz dir). Each drains bounded state via AvailableNow and shares its
 # oracle with the batch twin, so this fuzzes the state-machine front half —

@@ -138,6 +138,10 @@ SINGLE_PARTITION_ALLOWANCE = {
     # same grid machinery as q_ks_drift (shared cnt/ccum/tot shape): the
     # corpus-ECDF running sum over the bounded bin grid + the one-row total
     "q_wasserstein_drift": 2,
+    # same grid machinery again (cvm_report reuses the cnt/ccum/tot shape):
+    # the corpus-ECDF running sum over the bounded 1e4-bin grid + the
+    # one-row grand-total aggregate — binned partials, never docs
+    "q_cvm_drift": 2,
     # the n_vec scalar, the last round's norm scalar, and the Rayleigh
     # eigenvalue — one-row aggregates over d- and d²-bounded tables
     "q_pca_top_component": 3,
