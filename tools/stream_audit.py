@@ -14,10 +14,14 @@ progress dicts), and asserts:
     FlatMapGroupsInPandas, TransformWithStateInPandas) are the sanctioned
     slow path and are allowed.
 (b) State is data-bounded: for every stateful operator in the final
-    progress, ``numRowsTotal`` <= total input rows the stream admitted
-    (summed numInputRows across batches). State proportional to input is
-    the contract every family documents (keys, open windows, buffered
-    join rows); state EXCEEDING input means an eviction or keying bug.
+    progress, ``numRowsTotal`` <= factor x total input rows the stream
+    admitted (summed numInputRows across batches; factor defaults to 1 —
+    keys/windows/sessions/buffered join rows never outnumber inputs —
+    with documented STATE_BOUND_FACTORS overrides for derived-unit state
+    like ngram vocabularies, covariance cells, and overlapping windows).
+    State past its factor means an eviction or keying bug; lifetime-keyed
+    state (the failure class this audit exists for) blows ANY fixed
+    factor as the stream runs.
 (c) Eviction actually evicts: for the families whose whole point is
     removing state (event-time sessionizer, dropDuplicatesWithinWatermark
     under a multi-batch feed), the summed ``numRowsRemoved`` must be > 0.
@@ -46,6 +50,29 @@ os.environ["SPARK_GRAFT_STREAM_AUDIT"] = "1"
 
 # Row-at-a-time Python eval — never allowed anywhere in this repo.
 FORBIDDEN = ("BatchEvalPython",)
+
+# State-bound overrides: numRowsTotal <= factor * total input rows.  The
+# default factor 1 holds for key/window/session-grained state; these
+# queries legitimately keep DERIVED-UNIT state whose cardinality exceeds
+# the document/event count but is still data-bounded (it cannot grow with
+# stream LIFETIME, which is what this audit exists to catch — a per-event
+# key that never evicts would blow any of these factors as the stream ran):
+STATE_BOUND_FACTORS = {
+    # distinct word-ngram vocabulary cells (<= corpus token count, ~100
+    # tokens/doc at the fixture shapes; vocab saturates sublinearly with SF)
+    "q_streaming_novelty": 60,
+    # sources x vocabulary word cells (entropy/OOV/stylometry panels)
+    "q_streaming_entropy": 3,
+    "q_streaming_oov": 3,
+    "q_streaming_burrows": 3,
+    "q_streaming_textrank": 3,   # word-vertex + co-occurrence edge state
+    "q_streaming_bloom": 3,      # per-source filter-partial cells
+    # d x d covariance + d mean cells: CONSTANT (64^2 + margins) regardless
+    # of corpus size — the factor only bites at the tiny sf0.001 fixture
+    "q_streaming_pca": 9,
+    # overlapping windows: window/slide = 2 open windows per event bucket
+    "q_streaming_sliding": 2,
+}
 # The eviction families: queries that feed multiple micro-batches and whose
 # state store must shrink (numRowsRemoved > 0) as the watermark passes keys.
 EVICTING = {
@@ -90,11 +117,13 @@ def _audit_one(name, fn, spark, sf_dir, failures):
         # final-batch state per operator: the LAST progress carries the
         # closing numRowsTotal for each state store
         final_ops = _state_ops(progress[-1:]) if progress else []
+        factor = STATE_BOUND_FACTORS.get(name, 1)
         for so in final_ops:
             total_state = int(so.get("numRowsTotal", 0) or 0)
-            if total_in and total_state > total_in:
+            if total_in and total_state > factor * total_in:
                 failures.append(
-                    (name, f"stream {i}: state rows {total_state} exceed input rows {total_in} "
+                    (name, f"stream {i}: state rows {total_state} exceed "
+                           f"{factor}x input rows {total_in} "
                            f"(operator {so.get('operatorName', '?')})")
                 )
         removed_total += sum(
@@ -170,6 +199,12 @@ def main() -> int:
     from simple_stream_processor_spark.session import get_spark
 
     queries = entry.queries()
+    # q_managed_source / q_managed_sink are lifecycle-managed RESOURCE
+    # queries (plan_audit also classifies them streaming): they exercise
+    # open/close-once semantics, not a Structured Streaming query — no
+    # micro-batch plan or state store exists to audit, so they stay out
+    # of this walk (their lifecycle invariants are pytest-pinned in
+    # tests/test_lifecycle.py).
     names = [n for n in queries if re.match(r"q_stream", n)]
     if only:
         names = [n for n in names if n in only]
