@@ -5,7 +5,7 @@ single summary JSON line, exiting 0 only when all are green:
 
     python tools/gate.py                 # full gate (oracle at sf0.01, vanilla session)
     python tools/gate.py --fast          # oracle at sf0.001 (quicker iteration)
-    python tools/gate.py --skip pytest   # skip a stage (comma-separated)
+    python tools/gate.py --skip pytest   # skip stages (plan_audit,oracles,stream_audit,pytest)
     python tools/gate.py --bench         # also run bench.py at sf0.1 and hold
                                          # the headline to BENCH_CANON.json budgets
 
@@ -15,6 +15,9 @@ Stages:
   * oracles    — ``ORACLE_VANILLA=1 tools/check_oracles.py <sf_dir>``:
     all declared queries vs DuckDB on a default-config session (the
     driver's harness shape).
+  * stream_audit — ``tools/stream_audit.py``: every live micro-batch plan
+    free of BatchEvalPython, state bounded by input, eviction families
+    actually evict (round 10 — the streaming half plan_audit skips).
   * pytest     — ``python -m pytest tests/ -x -q``.
   * bench      — (opt-in) ``python bench.py`` then ``tools/bench_compare.py
     BENCH_CANON.json BENCH_DETAIL.json``: fails on a >1.5x-beyond-spread
@@ -68,6 +71,10 @@ def main() -> int:
             "oracles",
             [sys.executable, "tools/check_oracles.py", sf_dir],
             env={"ORACLE_VANILLA": "1"},
+        )
+    if "stream_audit" not in skip:
+        results["stream_audit"] = _run(
+            "stream_audit", [sys.executable, "tools/stream_audit.py", "/root/testdata/sf0.001"]
         )
     if "pytest" not in skip:
         results["pytest"] = _run("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
