@@ -110,6 +110,11 @@ _PRIORITY = [
     "q_blocklist_scrub",
     "q_streaming_blocklist",
     "q_mmr_rerank",
+    "q_theta_forecast",
+    "q_streaming_theta",
+    "q_adamic_adar",
+    "q_mrr_eval",
+    "q_streaming_mmr",
     # --- driver-verified r9 (the round-9 window, relative order kept) ---
     "q_classifier_report", "q_kmv_intersection",
     "q_bootstrap_ci", "q_shapley_attribution",

@@ -9118,6 +9118,64 @@ def q_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_tail(blocklist_counts(_t(spark, sf_dir, "documents")))
 
 
+def mmr_greedy(cand: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming MMR queries: from a k-row
+    (vec_id, label, v, rel) candidate table (ALREADY collapsed from the
+    corpus — broadcast-sized by contract), greedily select 5 maximizing
+    0.7·rel − 0.3·max-sim-to-selected with 1-row eager checkpoints per
+    pick; raw-double comparisons, display rounded to 6dp."""
+    from simple_stream_processor_spark.operators.dedup import cosine
+
+    cand = cand.localCheckpoint(eager=True)  # k rows: the loop re-reads it ~15x
+    a = cand.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
+    b = cand.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", cosine(F.col("av"), F.col("bv")).alias("sim"))
+        .localCheckpoint(eager=True)  # k*(k-1) rows
+    )
+    base = cand.select("vec_id", "label", "rel")
+    selected = None
+    for r in range(1, 6):
+        if selected is None:
+            scored = base.select(
+                "vec_id", "label", "rel", (F.lit(0.7) * F.col("rel")).alias("mmr_score")
+            )
+        else:
+            sel_ids = selected.select(F.col("vec_id").alias("b_id"))
+            pen = (
+                sims.join(F.broadcast(sel_ids), "b_id")
+                .groupBy("a_id")
+                .agg(F.max("sim").alias("max_sim"))
+            )
+            remaining = base.join(
+                F.broadcast(selected.select("vec_id")), "vec_id", "left_anti"
+            )
+            scored = (
+                remaining.join(F.broadcast(pen), remaining["vec_id"] == pen["a_id"], "left")
+                .select(
+                    "vec_id", "label", "rel",
+                    (
+                        F.lit(0.7) * F.col("rel")
+                        - F.lit(0.3) * F.coalesce(F.col("max_sim"), F.lit(0.0))
+                    ).alias("mmr_score"),
+                )
+            )
+        pick = (
+            scored.orderBy(F.col("mmr_score").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select(F.lit(r).alias("round"), "vec_id", "label", "rel", "mmr_score")
+            .localCheckpoint(eager=True)  # 1 row: keeps the loop's plan flat
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+    return selected.select(
+        "round", "vec_id", "label",
+        F.round("rel", 6).alias("rel"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    ).orderBy("round")
+
+
 @query(
     "q_mmr_rerank",
     oracle="""
@@ -9200,52 +9258,103 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "v", cosine(F.col("v"), F.col("pv")).alias("rel"))
         .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
         .limit(10)
-        .localCheckpoint(eager=True)  # 10 rows: the loop below re-reads it ~15x
     )
-    a = cand.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
-    b = cand.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
-    sims = (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", cosine(F.col("av"), F.col("bv")).alias("sim"))
-        .localCheckpoint(eager=True)  # 90 rows
+    return mmr_greedy(cand)
+
+
+@query(
+    "q_mrr_eval",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id AS pid, label AS plabel, v AS pv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT p.pid, p.plabel, e.vec_id, e.label,
+             list_dot_product(e.v, p.pv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY list_dot_product(e.v, p.pv)
+                                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) DESC,
+                                e.vec_id ASC) AS rnk
+      FROM e JOIN p ON e.vec_id <> p.pid
     )
-    base = cand.select("vec_id", "label", "rel")
-    selected = None
-    for r in range(1, 6):
-        if selected is None:
-            scored = base.select(
-                "vec_id", "label", "rel", (F.lit(0.7) * F.col("rel")).alias("mmr_score")
-            )
-        else:
-            sel_ids = selected.select(F.col("vec_id").alias("b_id"))
-            pen = (
-                sims.join(F.broadcast(sel_ids), "b_id")
-                .groupBy("a_id")
-                .agg(F.max("sim").alias("max_sim"))
-            )
-            remaining = base.join(
-                F.broadcast(selected.select("vec_id")), "vec_id", "left_anti"
-            )
-            scored = (
-                remaining.join(F.broadcast(pen), remaining["vec_id"] == pen["a_id"], "left")
-                .select(
-                    "vec_id", "label", "rel",
-                    (
-                        F.lit(0.7) * F.col("rel")
-                        - F.lit(0.3) * F.coalesce(F.col("max_sim"), F.lit(0.0))
-                    ).alias("mmr_score"),
-                )
-            )
-        pick = (
-            scored.orderBy(F.col("mmr_score").desc(), F.col("vec_id").asc())
-            .limit(1)
-            .select(F.lit(r).alias("round"), "vec_id", "label", "rel", "mmr_score")
-            .localCheckpoint(eager=True)  # 1 row: keeps the loop's plan flat
+    SELECT pid AS probe_id, plabel AS probe_label,
+           CAST(min(CASE WHEN label = plabel THEN rnk END) AS BIGINT) AS first_rel_rank,
+           CAST(sum(CASE WHEN rnk <= 5 AND label = plabel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top5,
+           round(sum(CASE WHEN rnk <= 5 AND label = plabel THEN 1 ELSE 0 END) / 5.0, 2) AS p_at_5,
+           round(1.0 / min(CASE WHEN label = plabel THEN rnk END), 6) AS rr
+    FROM scored GROUP BY 1, 2 ORDER BY probe_id
+    """,
+)
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L121 (round 10): retrieval-quality eval — per-probe first-relevant
+    rank (the MRR numerator), precision@5, and reciprocal rank for the
+    exact-cosine ranking, with same-label vectors as the relevance set —
+    the RANKED-list complement to L42's recall@10 and L105's nDCG, and
+    the harness that prices the ANN ladder's serving quality per probe
+    rather than in aggregate. Scale shape: ONE corpus pass scores all 5
+    broadcast probes (the q_batch_ann shape); p@5 rides a per-probe
+    WindowGroupLimit; the first-relevant rank AVOIDS ranking the full
+    corpus — it is 1 + count(rows lexicographically above the best
+    relevant row), two aggregates instead of a corpus-wide window (the
+    oracle, at fixture scale, uses the plain rank window — value parity
+    is what the gate checks, and the cosine folds are bit-identical by
+    the list_dot_product discipline)."""
+    from pyspark.sql.window import Window
+
+    from simple_stream_processor_spark.operators.dedup import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("pid"), F.col("label").alias("plabel"), F.col("v").alias("pv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("pid"))
+        .select("pid", "plabel", "vec_id", "label", cosine(F.col("v"), F.col("pv")).alias("cos"))
+    )
+    # best relevant row per probe (max by the ranking order), then the
+    # first-relevant rank = 1 + rows ranked strictly above it
+    rel = scored.where(F.col("label") == F.col("plabel"))
+    best = rel.groupBy(F.col("pid").alias("b_pid")).agg(
+        F.max(F.struct(F.col("cos"), (-F.col("vec_id")).alias("nvid"))).alias("b")
+    )
+    better = (
+        scored.join(F.broadcast(best), F.col("pid") == F.col("b_pid"), "left")
+        .where(
+            (F.col("cos") > F.col("b.cos"))
+            | ((F.col("cos") == F.col("b.cos")) & (-F.col("vec_id") > F.col("b.nvid")))
         )
-        selected = pick if selected is None else selected.unionByName(pick)
-    return selected.select(
-        "round", "vec_id", "label",
-        F.round("rel", 6).alias("rel"),
-        F.round("mmr_score", 6).alias("mmr_score"),
-    ).orderBy("round")
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_better"))
+    )
+    # p@5 per probe: WindowGroupLimit rank filter (the q_batch_ann shape)
+    w = Window.partitionBy("pid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    top5 = scored.select("pid", "plabel", "label", F.row_number().over(w).alias("rnk")).where(
+        F.col("rnk") <= 5
+    )
+    p5 = top5.groupBy("pid", "plabel").agg(
+        F.sum(F.when(F.col("label") == F.col("plabel"), 1).otherwise(0)).alias("n_rel_top5")
+    )
+    has_rel = rel.groupBy(F.col("pid").alias("r_pid")).agg(F.count(F.lit(1)).alias("n_rel"))
+    out = (
+        p5.join(F.broadcast(better.withColumnRenamed("pid", "bt_pid")), F.col("pid") == F.col("bt_pid"), "left")
+        .join(F.broadcast(has_rel), F.col("pid") == F.col("r_pid"), "left")
+        .select(
+            F.col("pid").alias("probe_id"),
+            F.col("plabel").alias("probe_label"),
+            F.when(
+                F.col("n_rel").isNotNull(), F.coalesce(F.col("n_better"), F.lit(0)) + 1
+            ).cast("long").alias("first_rel_rank"),
+            F.col("n_rel_top5").cast("long").alias("n_rel_top5"),
+            F.round(F.col("n_rel_top5") / F.lit(5.0), 2).alias("p_at_5"),
+            F.round(
+                F.lit(1.0) / (F.coalesce(F.col("n_better"), F.lit(0)) + 1), 6
+            ).alias("rr"),
+        )
+    )
+    # a probe with NO same-label vector has NULL rank and NULL rr
+    out = out.withColumn(
+        "rr", F.when(F.col("first_rel_rank").isNull(), F.lit(None).cast("double")).otherwise(F.col("rr"))
+    )
+    return out.orderBy("probe_id")

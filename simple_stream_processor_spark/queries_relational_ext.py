@@ -14393,3 +14393,215 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines agree bit-exactly far below the round(6)."""
     daily = _daily_cents_by_type(spark, sf_dir)
     return anderson_tail(daily)
+
+
+def theta_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Theta queries: per type,
+    exact-integer OLS sums give the linear trend (theta=0 line); the
+    theta=2 line z_t = 2·x_t − (a + b·t) doubles the local curvature and
+    is smoothed by SES (α=0.3) in one indexed struct fold (simultaneous
+    update — the holt_tail discipline; the oracle mirrors with a
+    row-per-step RECURSIVE CTE); the forecast is the M3 combination
+    0.5·(SES level + trend extrapolation at n+1)."""
+    arr = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").cast("decimal(38,0)").alias("sx"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"].cast("double"),
+        ).alias("xs"),
+    )
+    # OLS over t = 1..n with exact integer identities: sum t = n(n+1)/2,
+    # sum t^2 = n(n+1)(2n+1)/6 — long arithmetic (exact to ~3e6 days, far
+    # past any daily series); sum t*x folds from the indexed array
+    st = F.expr("n_days * (n_days + 1) div 2")
+    st2 = F.expr("n_days * (n_days + 1) * (2 * n_days + 1) div 6")
+    stx = F.aggregate(
+        F.transform(F.col("xs"), lambda x, i: (i.cast("double") + F.lit(1.0)) * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nd = F.col("n_days").cast("double")
+    with_trend = arr.select(
+        "event_type", "n_days", "sx", "xs",
+        stx.alias("stx"), st.alias("st"), st2.alias("st2"),
+    )
+    b = F.try_divide(
+        nd * F.col("stx") - F.col("st").cast("double") * F.col("sx").cast("double"),
+        (F.col("n_days") * F.col("st2") - F.col("st") * F.col("st")).cast("double"),
+    )
+    with_trend = with_trend.select(
+        "event_type", "n_days", "xs",
+        b.alias("b"),
+        ((F.col("sx").cast("double") - b * F.col("st").cast("double")) / nd).alias("a"),
+    )
+    # SES(0.3) over the theta-2 line, indexed fold (z_t needs t)
+    zed = F.transform(
+        F.col("xs"),
+        lambda x, i: F.lit(2.0) * x - (F.col("a") + F.col("b") * (i.cast("double") + F.lit(1.0))),
+    )
+    folded = with_trend.select(
+        "event_type", "n_days", "a", "b",
+        F.aggregate(
+            F.slice(zed, 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            F.element_at(zed, 1),
+            lambda acc, z: F.lit(0.3) * z + F.lit(0.7) * acc,
+        ).alias("ses_level"),
+    )
+    nd2 = F.col("n_days").cast("double")
+    trend_next = F.col("a") + F.col("b") * (nd2 + F.lit(1.0))
+    fc = F.lit(0.5) * (F.col("ses_level") + trend_next)
+    return folded.select(
+        "event_type", "n_days",
+        F.round(F.col("b"), 6).alias("trend_slope"),
+        F.round(F.col("a"), 6).alias("trend_intercept"),
+        F.round(F.col("ses_level"), 4).alias("theta2_ses"),
+        F.round(fc, 4).alias("forecast_next"),
+    )
+
+
+@query(
+    "q_theta_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type, count(*)::BIGINT AS n_days,
+             CAST(sum(cents) AS HUGEINT) AS sx,
+             list(CAST(cents AS DOUBLE) ORDER BY day) AS xs
+      FROM daily GROUP BY 1
+    ),
+    trended AS (
+      SELECT event_type, n_days, xs,
+             (CAST(n_days AS DOUBLE)
+                * list_reduce(list_prepend(0.0,
+                    list_transform(xs, (x, i) -> CAST(i AS DOUBLE) * x)), (p, q) -> p + q)
+              - CAST(n_days * (n_days + 1) // 2 AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(CAST(n_days AS HUGEINT) * (n_days * (n_days + 1) * (2 * n_days + 1) // 6)
+                    - (n_days * (n_days + 1) // 2) * (n_days * (n_days + 1) // 2) AS DOUBLE) AS b,
+             sx
+      FROM arr
+    ),
+    ab AS (
+      SELECT event_type, n_days, xs, b,
+             (CAST(sx AS DOUBLE) - b * CAST(n_days * (n_days + 1) // 2 AS DOUBLE))
+               / CAST(n_days AS DOUBLE) AS a
+      FROM trended
+    ),
+    rec AS (
+      SELECT event_type, n_days, xs, a, b, 1 AS step,
+             2.0 * xs[1] - (a + b * 1.0) AS l
+      FROM ab
+      UNION ALL
+      SELECT event_type, n_days, xs, a, b, step + 1,
+             0.3 * (2.0 * xs[step + 1] - (a + b * CAST(step + 1 AS DOUBLE))) + 0.7 * l
+      FROM rec WHERE step < n_days
+    )
+    SELECT event_type, n_days,
+           round(b, 6) AS trend_slope,
+           round(a, 6) AS trend_intercept,
+           round(l, 4) AS theta2_ses,
+           round(0.5 * (l + (a + b * (CAST(n_days AS DOUBLE) + 1.0))), 4) AS forecast_next
+    FROM rec WHERE step = n_days
+    """,
+)
+def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N182 (round 10): Theta-method forecast (Assimakopoulos &
+    Nikolopoulos 2000 — the M3-competition winner; Hyndman & Billah 2003
+    show it equals SES with drift) on daily revenue per event type: the
+    theta=0 line is the exact-integer OLS trend, the theta=2 line doubles
+    local curvature and is SES-smoothed (α=0.3), and the forecast is
+    their average — the forecasting family's fourth member beside
+    seasonal-naive (N49), Holt (N101), and Holt-Winters (N147), covering
+    the trend-without-seasonality regime. OLS sums use the closed-form
+    Σt/Σt² integer identities so only the final ratios are floats; the
+    SES fold and its recursive-CTE oracle share the holt_tail
+    simultaneous-update discipline."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return theta_tail(daily)
+
+
+@query(
+    "q_adamic_adar",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS w
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT x, y FROM pairs WHERE w >= 2),
+    adj AS (SELECT x AS a, y AS b FROM e UNION ALL SELECT y, x FROM e),
+    deg AS (SELECT a AS node, count(*) AS d FROM adj GROUP BY 1),
+    wedges AS (
+      SELECT l.a AS u, r.b AS v, l.b AS mid, 1.0 / ln(dm.d) AS term
+      FROM adj l JOIN adj r ON r.a = l.b AND l.a < r.b
+      JOIN deg dm ON dm.node = l.b
+    ),
+    cand AS (
+      SELECT u, v, count(*)::BIGINT AS cn,
+             list_reduce(list_prepend(0.0, list(term ORDER BY mid)), (p, q) -> p + q) AS aa
+      FROM wedges GROUP BY 1, 2
+    ),
+    nonedge AS (
+      SELECT c.* FROM cand c LEFT JOIN e ON e.x = c.u AND e.y = c.v
+      WHERE e.x IS NULL
+    )
+    SELECT CAST(u AS BIGINT) AS part_a, CAST(v AS BIGINT) AS part_b,
+           cn AS common_neighbors, round(aa, 9) AS aa_score
+    FROM nonedge
+    ORDER BY round(aa, 9) DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N183 (round 10): Adamic-Adar link prediction (Adamic & Adar 2003)
+    over the repeat-co-purchase part graph — the degree-weighted upgrade
+    of N110's common-neighbors count: a shared RARE neighbor (1/ln deg)
+    is stronger evidence than a shared hub, which is exactly the
+    boilerplate-hub problem co-purchase graphs have. Same
+    collision-proportional wedge pass as N110/N52 (Σ deg(mid)² rows,
+    degree-orientation-boundable at 100 TB); each pair's score folds in
+    sorted-mid order (the float discipline), and ranking uses the
+    9dp-ROUNDED score (the cross-engine float-ranking rule: a 1-ulp ln()
+    divergence must not flip the LIMIT boundary) with exact id
+    tiebreaks."""
+    e = _repeat_copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = e.select(F.col("x").alias("a"), F.col("y").alias("b")).unionAll(
+        e.select(F.col("y").alias("a"), F.col("x").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    l = adj.select(F.col("a").alias("u"), F.col("b").alias("mid"))
+    r = adj.select(F.col("a").alias("rmid"), F.col("b").alias("v"))
+    dm = deg.select(F.col("node").alias("dnode"), F.col("d").alias("dm"))
+    wedges = (
+        l.join(r, l["mid"] == r["rmid"])
+        .where(F.col("u") < F.col("v"))
+        .join(F.broadcast(dm), F.col("mid") == F.col("dnode"))
+        .select("u", "v", "mid", (F.lit(1.0) / F.log(F.col("dm").cast("double"))).alias("term"))
+    )
+    cand = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("mid", "term"))), lambda s: s["term"]
+            ),
+            F.lit(0.0),
+            lambda p, q: p + q,
+        ).alias("aa"),
+    )
+    nonedge = cand.join(e, (cand["u"] == e["x"]) & (cand["v"] == e["y"]), "left_anti")
+    return (
+        nonedge.select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round(F.col("aa"), 9).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

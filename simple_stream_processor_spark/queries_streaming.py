@@ -3188,3 +3188,59 @@ def q_streaming_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = blocklist_counts(_stream_docs(spark, sf_dir))
     drained, _ = run_stream_to_memory(g, output_mode="complete")
     return blocklist_tail(drained)
+
+
+@query("q_streaming_theta", oracle=_relext_oracle("q_theta_forecast"))
+def q_streaming_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Theta twin (N182b, round 10): the daily-cents state
+    through the shared theta_tail — the live trend+SES combination
+    forecast re-fits as today's bar accumulates; hash-matches the batch
+    oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import theta_tail
+
+    return theta_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_mmr", oracle=_llmdata_oracle("q_mmr_rerank"))
+def q_streaming_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MMR twin (L120b, round 10): relevance-vs-probe is a pure
+    per-vector function, so the streaming state is the per-vector best
+    score (idempotent max, vector-count-bounded); the drained scores cut
+    the same top-10 candidate set, vectors rejoin from the static store
+    by id (the online-serving pattern: the stream carries scores, the
+    vector store carries payloads), and the shared mmr_greedy tail picks
+    the diversified 5. Hash-matches the batch oracle."""
+    import os as _os
+
+    from simple_stream_processor_spark.operators.dedup import cosine
+    from simple_stream_processor_spark.queries_llmdata import mmr_greedy
+    from simple_stream_processor_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    e_static = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probe = e_static.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    scored = (
+        sdf.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id", "label",
+            cosine(F.col("embedding").cast("array<double>"), F.col("pv")).alias("rel"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("rel").alias("rel"))
+    )
+    drained, _ = run_stream_to_memory(scored, output_mode="complete")
+    top = drained.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(10)
+    cand = top.join(
+        e_static.withColumnRenamed("vec_id", "s_vid"), F.col("vec_id") == F.col("s_vid")
+    ).select("vec_id", "label", "v", "rel")
+    return mmr_greedy(cand)
