@@ -14538,13 +14538,14 @@ def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj AS (SELECT x AS a, y AS b FROM e UNION ALL SELECT y, x FROM e),
     deg AS (SELECT a AS node, count(*) AS d FROM adj GROUP BY 1),
     wedges AS (
-      SELECT l.a AS u, r.b AS v, l.b AS mid, 1.0 / ln(dm.d) AS term
+      SELECT l.a AS u, r.b AS v,
+             CAST(round(1e12 / ln(dm.d)) AS BIGINT) AS term_ppt
       FROM adj l JOIN adj r ON r.a = l.b AND l.a < r.b
       JOIN deg dm ON dm.node = l.b
     ),
     cand AS (
       SELECT u, v, count(*)::BIGINT AS cn,
-             list_reduce(list_prepend(0.0, list(term ORDER BY mid)), (p, q) -> p + q) AS aa
+             CAST(sum(term_ppt) AS BIGINT) AS aa_ppt
       FROM wedges GROUP BY 1, 2
     ),
     nonedge AS (
@@ -14552,9 +14553,9 @@ def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE e.x IS NULL
     )
     SELECT CAST(u AS BIGINT) AS part_a, CAST(v AS BIGINT) AS part_b,
-           cn AS common_neighbors, round(aa, 9) AS aa_score
+           cn AS common_neighbors, round(aa_ppt / 1e12, 9) AS aa_score
     FROM nonedge
-    ORDER BY round(aa, 9) DESC, part_a ASC, part_b ASC
+    ORDER BY aa_ppt DESC, part_a ASC, part_b ASC
     LIMIT 20
     """,
 )
@@ -14565,11 +14566,15 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     is stronger evidence than a shared hub, which is exactly the
     boilerplate-hub problem co-purchase graphs have. Same
     collision-proportional wedge pass as N110/N52 (Σ deg(mid)² rows,
-    degree-orientation-boundable at 100 TB); each pair's score folds in
-    sorted-mid order (the float discipline), and ranking uses the
-    9dp-ROUNDED score (the cross-engine float-ranking rule: a 1-ulp ln()
-    divergence must not flip the LIMIT boundary) with exact id
-    tiebreaks."""
+    degree-orientation-boundable at 100 TB); each neighbor's weight
+    quantizes to integer parts-per-trillion (round(1e12/ln deg)) so the
+    per-pair score is a COMMUTATIVE exact long sum — no per-pair array
+    state, no fold-order discipline, pure map-side combine (the first
+    cut folded collected per-pair term arrays and ground for >12 min on
+    the densified sf1 graph's 101 M candidate pairs — the r9
+    set-similarity lesson re-learned) — and the ranking at the LIMIT
+    boundary is the exact INTEGER sum with id tiebreaks, satisfying the
+    cross-engine float-ranking rule outright."""
     e = _repeat_copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     adj = e.select(F.col("x").alias("a"), F.col("y").alias("b")).unionAll(
         e.select(F.col("y").alias("a"), F.col("x").alias("b"))
@@ -14582,17 +14587,16 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(r, l["mid"] == r["rmid"])
         .where(F.col("u") < F.col("v"))
         .join(F.broadcast(dm), F.col("mid") == F.col("dnode"))
-        .select("u", "v", "mid", (F.lit(1.0) / F.log(F.col("dm").cast("double"))).alias("term"))
+        .select(
+            "u", "v",
+            F.round(F.lit(1e12) / F.log(F.col("dm").cast("double")), 0)
+            .cast("long")
+            .alias("term_ppt"),
+        )
     )
     cand = wedges.groupBy("u", "v").agg(
         F.count(F.lit(1)).alias("cn"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("mid", "term"))), lambda s: s["term"]
-            ),
-            F.lit(0.0),
-            lambda p, q: p + q,
-        ).alias("aa"),
+        F.sum("term_ppt").alias("aa_ppt"),
     )
     nonedge = cand.join(e, (cand["u"] == e["x"]) & (cand["v"] == e["y"]), "left_anti")
     return (
@@ -14600,8 +14604,10 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u").alias("part_a"),
             F.col("v").alias("part_b"),
             F.col("cn").alias("common_neighbors"),
-            F.round(F.col("aa"), 9).alias("aa_score"),
+            F.round(F.col("aa_ppt") / F.lit(1e12), 9).alias("aa_score"),
+            F.col("aa_ppt"),
         )
-        .orderBy(F.desc("aa_score"), F.asc("part_a"), F.asc("part_b"))
+        .orderBy(F.desc("aa_ppt"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
+        .drop("aa_ppt")
     )

@@ -85,6 +85,7 @@ EVENT_QUERIES = [
     "q_topk_per_group", "q_count_window", "q_asof_join", "q_range_join",
     "q_pivot", "q_window_frames", "q_recover_value",
     "q_recover_with_stream",
+    "q_macd", "q_anderson_darling", "q_theta_forecast",
     "q_mcnemar", "q_brown_forsythe", "q_ohlc_bars", "q_page_hinkley",
     "q_bot_detection", "q_time_decay_attribution", "q_pit_join",
     "q_session_stats", "q_dtw_distance", "q_isotonic_calibration",
@@ -132,6 +133,8 @@ DOC_QUERIES = [
     "q_bm25_k1_sweep",
     # round-9: readability + vocabulary-coverage audits
     "q_flesch_reading", "q_oov_rate",
+    # round-10: GIF codec roundtrip, CvM drift, blocklist scrub
+    "q_multimodal_gif", "q_cvm_drift", "q_blocklist_scrub",
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -286,6 +289,8 @@ ENCODE_QUERIES = [
     "q_simhash_dedup", "q_ngram_jaccard", "q_ngram_containment",
     "q_winnowing_fingerprint", "q_hashed_features", "q_set_similarity_join",
     "q_mojibake_audit", "q_code_switch_audit", "q_text_normalize",
+    # round-10: the GIF builder shares the text->payload ASCII projection
+    "q_multimodal_gif",
 ]
 if _ONLY:
     ENCODE_QUERIES = [q for q in ENCODE_QUERIES if q in _ONLY]
@@ -352,6 +357,9 @@ STREAMING_QUERIES = [
     # round-9 wave 2: the vocab-state Zipf twin + the live hybrid-retrieval
     # twin (hit-doc BM25 statistics state + sentinel corpus row)
     "q_streaming_zipf", "q_streaming_rrf",
+    # round-10 twins: daily-state MACD/A-D/Theta + doc-counter CvM/blocklist
+    "q_streaming_macd", "q_streaming_anderson", "q_streaming_theta",
+    "q_streaming_cvm", "q_streaming_blocklist",
 ]
 
 
@@ -378,6 +386,7 @@ TPCH_QUERIES = [
     "q_pagerank", "q_densest_subgraph", "q_triangle_count",
     "q_market_basket", "q_table_profile", "q_benford_audit",
     "q_gini_concentration", "q_link_prediction", "q_degree_assortativity",
+    "q_adamic_adar",
     "q_mix_shift", "q_hill_tail_index", "q_lorenz_curve",
     "q_xyz_classification", "q_encoding_advisor", "q_price_elasticity",
     "q_k_core",
@@ -473,6 +482,8 @@ EMBEDDING_QUERIES = [
     "q_silhouette",
     "q_embedding_discrimination", "q_ivf_nprobe_curve", "q_ndcg_eval",
     "q_matryoshka",
+    # round-10: diversified re-rank + per-probe retrieval eval
+    "q_mmr_rerank", "q_mrr_eval",
 ]
 if _ONLY:
     STREAMING_QUERIES = [q for q in STREAMING_QUERIES if q in _ONLY]
