@@ -5845,8 +5845,11 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One stats pass over the (now cached) shingle table feeds the BYTE
     # gate below; 2 bounded scalars, and it warms the cache every later
     # branch reuses, so the explode still runs exactly once.
+    # octet_length, not length: the gate bounds JVM BYTES of the collected
+    # arrays, and multibyte text is up to 4 UTF-8 bytes per char (r10
+    # review find — a CJK corpus could pass a char-counted gate 4x over)
     n_sh, sh_bytes = tk.agg(
-        F.count(F.lit(1)), F.coalesce(F.sum(F.length("tok")), F.lit(0))
+        F.count(F.lit(1)), F.coalesce(F.sum(F.octet_length("tok")), F.lit(0))
     ).first()
     # ONE doc-keyed aggregation produces the verification arrays AND the
     # set sizes (sz = size of the distinct-shingle set). Persisted because
@@ -8902,7 +8905,7 @@ def cvm_report(cnt: DataFrame) -> DataFrame:
     the POOLED empirical measure (tie-safe):
     T = (n·m/N²)·Σ_b cn_b·(F_src(b) − F_rest(b))².  The whole sum is
     EXACT integer arithmetic — gap_b = (s_cum·m − rest_cum·n)/(n·m), so
-    T = Σ cn·(s_cum·m − rest_cum·n)² / (N²·n·m·n·m) with one double
+    T = Σ cn·(s_cum·m − rest_cum·n)² / (N²·n·m) with one double
     division at the end — no float fold to order (decimal(38,0) ≡
     DuckDB HUGEINT; at true 100 TB doc counts the N⁵ numerator would
     need a pre-scaled float fold instead — documented trade, the grid
@@ -8949,10 +8952,15 @@ def cvm_report(cnt: DataFrame) -> DataFrame:
         F.max("n_rest").cast("long").alias("n_rest"),
         F.sum("term").alias("snum"),
     )
+    # T = (n·m/N²)·Σ cn·gap² with gap = num/(n·m) reduces to
+    # Σ cn·num² / (N²·n·m) — ONE factor of n·m survives (r10 review find:
+    # the first cut divided by N²·n²·m², shrinking T by n·m and making the
+    # 0.461 critical value unreachable; both engines mirrored the error so
+    # the parity gate was structurally blind — the hand-computed pin in
+    # tests/test_round10_ops.py now anchors the statistic externally).
     n_tot2 = (F.col("n_source") + F.col("n_rest")).cast("double")
     denom = (
         n_tot2 * n_tot2
-        * F.col("n_source").cast("double") * F.col("n_rest").cast("double")
         * F.col("n_source").cast("double") * F.col("n_rest").cast("double")
     )
     t = F.try_divide(F.col("snum").cast("double"), denom)
@@ -9010,11 +9018,11 @@ def cvm_report(cnt: DataFrame) -> DataFrame:
     SELECT source, n_source, n_rest,
            round(CAST(snum AS DOUBLE)
                  / (CAST(n_source + n_rest AS DOUBLE) * (n_source + n_rest)
-                    * n_source * n_rest * n_source * n_rest), 6) AS cvm_t,
+                    * n_source * n_rest), 6) AS cvm_t,
            CASE WHEN n_rest = 0 THEN 'n/a'
                 WHEN CAST(snum AS DOUBLE)
                      / (CAST(n_source + n_rest AS DOUBLE) * (n_source + n_rest)
-                        * n_source * n_rest * n_source * n_rest) > 0.461 THEN 'drift'
+                        * n_source * n_rest) > 0.461 THEN 'drift'
                 ELSE 'stable' END AS verdict
     FROM g
     """,

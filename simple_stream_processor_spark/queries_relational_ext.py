@@ -10826,8 +10826,6 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     nodes = ed.select(F.col("u").alias("node")).distinct().localCheckpoint()
     n0_count = nodes.count()
-    # ed/nodes are eager checkpoints: e's cache has served both branches
-    e.unpersist()
     prev_count = n0_count
     k, rounds = 3, 16
     for i in range(rounds):
@@ -10847,6 +10845,7 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nodes.withColumnRenamed("node", "cy"), F.col("cy") == F.col("y"))
         .count()
     )
+    e.unpersist()  # core_edges was the last consumer (r10 review find)
     return spark.createDataFrame(
         [(k, n0_count, n_core, core_edges, "true" if n_core == prev_count else "false")],
         "k int, n_nodes long, n_core_nodes long, n_core_edges long, converged string",
