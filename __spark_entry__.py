@@ -115,6 +115,12 @@ _PRIORITY = [
     "q_adamic_adar",
     "q_mrr_eval",
     "q_streaming_mmr",
+    "q_grubbs_test",
+    "q_streaming_grubbs",
+    "q_pacf",
+    "q_streaming_pacf",
+    "q_chow_test",
+    "q_streaming_chow",
     # --- driver-verified r9 (the round-9 window, relative order kept) ---
     "q_classifier_report", "q_kmv_intersection",
     "q_bootstrap_ci", "q_shapley_attribution",

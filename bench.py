@@ -201,6 +201,13 @@ TAIL = [
     "q_adamic_adar",
     "q_mrr_eval",
     "q_streaming_mmr",
+    # round-10 wave 2: outlier / AR-order / structural-break trio + twins
+    "q_grubbs_test",
+    "q_streaming_grubbs",
+    "q_pacf",
+    "q_streaming_pacf",
+    "q_chow_test",
+    "q_streaming_chow",
 ]
 
 

@@ -14610,3 +14610,532 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("aa_ppt")
     )
+
+
+def grubbs_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Grubbs queries: per type,
+    exact integer sums give mean and sample sd; the suspect day is ranked
+    on the EXACT integer |n·x − S| (float never orders the pick), then
+    G = |n·x* − S| / (n·sd).  The critical value is the classic
+    t-quantile form G_crit = ((n−1)/√n)·√(t²/(ν+t²)) with
+    t = t_{α/(2n), ν}, ν = n−2, α = 0.05, where the t quantile comes from
+    the A&S 26.2.23 rational normal quantile pushed through the
+    A&S 26.7.5 Cornish-Fisher expansion (through ν⁻³) — the approximation
+    IS the spec, written as the identical operation tree in the oracle so
+    both engines agree bit-exactly far below the round(6)."""
+    from pyspark.sql.window import Window
+
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    # the small side renames its join key (the anderson_tail rule: a
+    # memory-sink daily trips the conflicting-reference check on raw
+    # self-joins)
+    stats = g.select(F.col("event_type").alias("st_type"), "n_days", "s", "ss")
+    joined = (
+        daily.join(F.broadcast(stats), F.col("event_type") == F.col("st_type"))
+        .drop("st_type")
+        .select(
+            "event_type",
+            "day",
+            "n_days",
+            "s",
+            "ss",
+            F.abs(
+                F.col("n_days").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")
+                - F.col("s")
+            ).alias("ad"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("ad").desc(), F.col("day").asc())
+    top = joined.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+
+    # The critical value is a function of n alone, and its t-quantile
+    # expression tree is large enough that inlining it per output column
+    # blows Janino's 64 KB generated-method limit (codegen falls back to
+    # interpreted; measured 2x slower).  Computing it once on the
+    # DISTINCT n_days frame puts ONE copy of the tree in its own tiny
+    # codegen stage, broadcast back — and matches the statistic's
+    # structure: G_crit depends on n alone, not the data.
+    nvals = g.select("n_days").distinct()
+    ndv = F.col("n_days").cast("double")
+    # t_{alpha/(2n), n-2} via A&S 26.2.23 + 26.7.5, alpha = 0.05
+    q = F.lit(0.05) / (F.lit(2.0) * ndv)
+    sq = F.sqrt(F.lit(-2.0) * F.log(q))
+    z = sq - (
+        (F.lit(2.515517) + F.lit(0.802853) * sq + F.lit(0.010328) * sq * sq)
+        / (
+            F.lit(1.0)
+            + F.lit(1.432788) * sq
+            + F.lit(0.189269) * sq * sq
+            + F.lit(0.001308) * sq * sq * sq
+        )
+    )
+    nu = ndv - F.lit(2.0)
+    t = (
+        z
+        + (z * z * z + z) / (F.lit(4.0) * nu)
+        + (F.lit(5.0) * z * z * z * z * z + F.lit(16.0) * z * z * z + F.lit(3.0) * z)
+        / (F.lit(96.0) * nu * nu)
+        + (
+            F.lit(3.0) * z * z * z * z * z * z * z
+            + F.lit(19.0) * z * z * z * z * z
+            + F.lit(17.0) * z * z * z
+            - F.lit(15.0) * z
+        )
+        / (F.lit(384.0) * nu * nu * nu)
+    )
+    crit = nvals.select(
+        F.col("n_days").alias("cn"),
+        F.when(F.col("n_days") < 3, F.lit(None).cast("double"))
+        .otherwise(((ndv - F.lit(1.0)) / F.sqrt(ndv)) * F.sqrt((t * t) / (nu + t * t)))
+        .alias("g_crit_v"),
+    )
+    with_crit = top.join(F.broadcast(crit), F.col("n_days") == F.col("cn")).drop("cn")
+
+    nd = F.col("n_days").cast("double")
+    m = F.col("n_days") * F.col("ss") - F.col("s") * F.col("s")
+    sd = F.sqrt(
+        F.try_divide(m.cast("double"), (F.col("n_days") * (F.col("n_days") - 1)).cast("double"))
+    )
+    g_stat = F.when(sd.isNull() | (sd == 0) | (F.col("n_days") < 3), F.lit(None).cast("double")).otherwise(
+        F.col("ad").cast("double") / (nd * sd)
+    )
+    g_crit = F.col("g_crit_v")
+    return (
+        with_crit
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("suspect_day"),
+            F.round(g_stat, 6).alias("g_stat"),
+            F.round(g_crit, 6).alias("g_crit"),
+            F.when(g_stat.isNull() | g_crit.isNull(), "n/a")
+            .when(g_stat > g_crit, "outlier")
+            .otherwise("clean")
+            .alias("verdict"),
+        )
+    )
+
+
+@query(
+    "q_grubbs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, count(*)::BIGINT AS n_days,
+             CAST(sum(cents) AS HUGEINT) AS s,
+             sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ss
+      FROM daily GROUP BY 1
+    ),
+    ranked AS (
+      SELECT d.event_type, d.day, g.n_days, g.s, g.ss,
+             abs(CAST(g.n_days AS HUGEINT) * d.cents - g.s) AS ad,
+             row_number() OVER (
+               PARTITION BY d.event_type
+               ORDER BY abs(CAST(g.n_days AS HUGEINT) * d.cents - g.s) DESC, d.day ASC
+             ) AS rn
+      FROM daily d JOIN g ON g.event_type = d.event_type
+    ),
+    top AS (SELECT * FROM ranked WHERE rn = 1),
+    scored AS (
+      SELECT event_type, n_days, day,
+             CASE WHEN n_days <= 1 OR n_days * ss - s * s <= 0 OR n_days < 3 THEN NULL
+                  ELSE CAST(ad AS DOUBLE)
+                       / (CAST(n_days AS DOUBLE)
+                          * sqrt(CAST(n_days * ss - s * s AS DOUBLE)
+                                 / CAST(n_days * (n_days - 1) AS DOUBLE))) END AS g_stat,
+             sqrt(-2.0 * ln(0.05 / (2.0 * CAST(n_days AS DOUBLE)))) AS sq,
+             CAST(n_days AS DOUBLE) AS nd
+      FROM top
+    ),
+    zq AS (
+      SELECT *,
+             sq - ((2.515517 + 0.802853 * sq + 0.010328 * sq * sq)
+                   / (1.0 + 1.432788 * sq + 0.189269 * sq * sq + 0.001308 * sq * sq * sq)) AS z,
+             nd - 2.0 AS nu
+      FROM scored
+    ),
+    tq AS (
+      SELECT *,
+             z + (z * z * z + z) / (4.0 * nu)
+               + (5.0 * z * z * z * z * z + 16.0 * z * z * z + 3.0 * z) / (96.0 * nu * nu)
+               + (3.0 * z * z * z * z * z * z * z + 19.0 * z * z * z * z * z
+                  + 17.0 * z * z * z - 15.0 * z) / (384.0 * nu * nu * nu) AS t
+      FROM zq
+    ),
+    crit AS (
+      SELECT event_type, n_days, day, g_stat,
+             CASE WHEN n_days < 3 THEN NULL
+                  ELSE ((nd - 1.0) / sqrt(nd)) * sqrt((t * t) / (nu + t * t)) END AS g_crit
+      FROM tq
+    )
+    SELECT event_type, n_days, day AS suspect_day,
+           round(g_stat, 6) AS g_stat,
+           round(g_crit, 6) AS g_crit,
+           CASE WHEN g_stat IS NULL OR g_crit IS NULL THEN 'n/a'
+                WHEN g_stat > g_crit THEN 'outlier'
+                ELSE 'clean' END AS verdict
+    FROM crit
+    """,
+)
+def q_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N184 (round 10): Grubbs' maximum-normed-residual outlier test
+    (Grubbs 1950; Stefansky 1972 critical form) on daily revenue per
+    event type — the single-suspect hypothesis-test complement to N141's
+    Tukey fences (distribution-free flags) and N109's XmR chart
+    (sequential limits): Grubbs asks whether the ONE most extreme day is
+    consistent with the Gaussian the rest of the panel assumes, at a
+    stated significance.  The suspect day is ranked on the exact integer
+    |n·x − S| so float never orders the pick; G and the t-quantile
+    critical value are identical operation trees on both engines."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return grubbs_tail(daily)
+
+
+def pacf_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming PACF queries: lag-1..3
+    autocorrelations from EXACT integer moment sums (the acf_tail
+    discipline — n²·Σx_t·x_{t+k} − n·S·(A_k+B_k) + (n−k)·S² over
+    n²·SS − n·S², one double division at the end), then the
+    Durbin-Levinson recursion unrolled closed-form:
+    φ11 = r1, φ22 = (r2−r1²)/(1−r1²), φ21 = φ11 − φ22·φ11,
+    φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2).
+    The suggested AR order is the largest k with |φkk| > 1.96/√n."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "cents",
+        *[F.lag("cents", k).over(w).alias(f"_l{k}") for k in (1, 2, 3)],
+    )
+
+    def _ksums(k: int):
+        c = F.col("cents").cast("decimal(38,0)")
+        lcol = F.col(f"_l{k}").cast("decimal(38,0)")
+        present = F.col(f"_l{k}").isNotNull()
+        return [
+            F.sum(F.when(present, c * lcol)).alias(f"p{k}"),
+            F.sum(F.when(present, lcol)).alias(f"a{k}"),
+            F.sum(F.when(present, c)).alias(f"b{k}"),
+        ]
+
+    # the cross-sum side renames its join key: both aggregates share the
+    # daily lineage, and a memory-sink daily (the streaming twin) trips
+    # Spark's conflicting-reference check on raw self-joins (the
+    # anderson_tail rule)
+    cross = lagged.groupBy("event_type").agg(
+        *(_ksums(1) + _ksums(2) + _ksums(3))
+    ).withColumnRenamed("event_type", "cx_type")
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    j = g.join(F.broadcast(cross), F.col("event_type") == F.col("cx_type")).drop("cx_type")
+
+    n_dec = F.col("n_days").cast("decimal(38,0)")
+    den = (n_dec * n_dec * F.col("ss") - n_dec * F.col("s") * F.col("s")).cast("double")
+
+    def _r(k: int):
+        num = (
+            n_dec * n_dec * F.col(f"p{k}")
+            - n_dec * F.col("s") * (F.col(f"a{k}") + F.col(f"b{k}"))
+            + (n_dec - F.lit(k)) * F.col("s") * F.col("s")
+        ).cast("double")
+        return F.try_divide(num, den)
+
+    r1, r2, r3 = _r(1), _r(2), _r(3)
+    phi11 = r1
+    phi22 = F.try_divide(r2 - r1 * r1, F.lit(1.0) - r1 * r1)
+    phi21 = phi11 - phi22 * phi11
+    phi33 = F.try_divide(
+        r3 - phi21 * r2 - phi22 * r1,
+        F.lit(1.0) - phi21 * r1 - phi22 * r2,
+    )
+    thr = F.lit(1.96) / F.sqrt(F.col("n_days").cast("double"))
+    ar_order = (
+        F.when(F.abs(phi33) > thr, F.lit(3))
+        .when(F.abs(phi22) > thr, F.lit(2))
+        .when(F.abs(phi11) > thr, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return j.select(
+        "event_type",
+        "n_days",
+        F.round(phi11, 6).alias("pacf1"),
+        F.round(phi22, 6).alias("pacf2"),
+        F.round(phi33, 6).alias("pacf3"),
+        ar_order.alias("ar_order"),
+    )
+
+
+@query(
+    "q_pacf",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, cents,
+             lag(cents, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+             lag(cents, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+             lag(cents, 3) OVER (PARTITION BY event_type ORDER BY day) AS l3
+      FROM daily
+    ),
+    cross_s AS (
+      SELECT event_type,
+             sum(CASE WHEN l1 IS NOT NULL THEN CAST(cents AS HUGEINT) * l1 END) AS p1,
+             sum(CASE WHEN l1 IS NOT NULL THEN CAST(l1 AS HUGEINT) END) AS a1,
+             sum(CASE WHEN l1 IS NOT NULL THEN CAST(cents AS HUGEINT) END) AS b1,
+             sum(CASE WHEN l2 IS NOT NULL THEN CAST(cents AS HUGEINT) * l2 END) AS p2,
+             sum(CASE WHEN l2 IS NOT NULL THEN CAST(l2 AS HUGEINT) END) AS a2,
+             sum(CASE WHEN l2 IS NOT NULL THEN CAST(cents AS HUGEINT) END) AS b2,
+             sum(CASE WHEN l3 IS NOT NULL THEN CAST(cents AS HUGEINT) * l3 END) AS p3,
+             sum(CASE WHEN l3 IS NOT NULL THEN CAST(l3 AS HUGEINT) END) AS a3,
+             sum(CASE WHEN l3 IS NOT NULL THEN CAST(cents AS HUGEINT) END) AS b3
+      FROM lagged GROUP BY 1
+    ),
+    g AS (
+      SELECT event_type, count(*)::BIGINT AS n_days,
+             CAST(sum(cents) AS HUGEINT) AS s,
+             sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ss
+      FROM daily GROUP BY 1
+    ),
+    j AS (SELECT * FROM g JOIN cross_s USING (event_type)),
+    rr AS (
+      SELECT event_type, n_days,
+             CAST(CAST(n_days AS HUGEINT) * n_days * ss - CAST(n_days AS HUGEINT) * s * s AS DOUBLE) AS den,
+             CAST(CAST(n_days AS HUGEINT) * n_days * p1 - CAST(n_days AS HUGEINT) * s * (a1 + b1) + (CAST(n_days AS HUGEINT) - 1) * s * s AS DOUBLE) AS num1,
+             CAST(CAST(n_days AS HUGEINT) * n_days * p2 - CAST(n_days AS HUGEINT) * s * (a2 + b2) + (CAST(n_days AS HUGEINT) - 2) * s * s AS DOUBLE) AS num2,
+             CAST(CAST(n_days AS HUGEINT) * n_days * p3 - CAST(n_days AS HUGEINT) * s * (a3 + b3) + (CAST(n_days AS HUGEINT) - 3) * s * s AS DOUBLE) AS num3
+      FROM j
+    ),
+    acf AS (
+      SELECT event_type, n_days,
+             CASE WHEN den = 0 THEN NULL ELSE num1 / den END AS r1,
+             CASE WHEN den = 0 THEN NULL ELSE num2 / den END AS r2,
+             CASE WHEN den = 0 THEN NULL ELSE num3 / den END AS r3
+      FROM rr
+    ),
+    dl1 AS (
+      SELECT *, r1 AS phi11,
+             CASE WHEN 1.0 - r1 * r1 = 0 THEN NULL
+                  ELSE (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi22
+      FROM acf
+    ),
+    dl2 AS (
+      SELECT *, phi11 - phi22 * phi11 AS phi21 FROM dl1
+    ),
+    dl3 AS (
+      SELECT *,
+             CASE WHEN 1.0 - phi21 * r1 - phi22 * r2 = 0 THEN NULL
+                  ELSE (r3 - phi21 * r2 - phi22 * r1)
+                       / (1.0 - phi21 * r1 - phi22 * r2) END AS phi33
+      FROM dl2
+    )
+    SELECT event_type, n_days,
+           round(phi11, 6) AS pacf1,
+           round(phi22, 6) AS pacf2,
+           round(phi33, 6) AS pacf3,
+           CASE WHEN abs(phi33) > 1.96 / sqrt(CAST(n_days AS DOUBLE)) THEN 3
+                WHEN abs(phi22) > 1.96 / sqrt(CAST(n_days AS DOUBLE)) THEN 2
+                WHEN abs(phi11) > 1.96 / sqrt(CAST(n_days AS DOUBLE)) THEN 1
+                ELSE 0 END AS ar_order
+    FROM dl3
+    """,
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N185 (round 10): partial autocorrelation function at lags 1–3 via
+    the Durbin-Levinson recursion unrolled closed-form (Durbin 1960;
+    Box-Jenkins AR-order identification) on daily revenue per event type
+    — the AR-order complement to N59's ACF: the ACF says WHETHER memory
+    exists, the PACF says how many AR lags explain it (φkk is the lag-k
+    correlation with lags 1..k−1 regressed out).  Lag sums come off one
+    bounded window pass (never a self-join); every moment is an exact
+    integer until a single double division, and the recursion's
+    arithmetic tree is mirrored verbatim in the oracle."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return pacf_tail(daily)
+
+
+def chow_tail(daily: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming Chow queries: the candidate
+    breakpoint is the mid-range day (exact integer (min+max) div 2); per
+    type ONE aggregate pass yields per-segment exact integer OLS sums
+    (n, Σd, Σc, Σd², Σdc, Σc²); pooled sums are their exact integer
+    totals.  Each SSR uses the scaled closed form
+    (Sxx·Syy − Sxy²)/(n·Sxx) with S's the n-scaled central moments, and
+    F = ((SSR_p − SSR₁ − SSR₂)/2) / ((SSR₁+SSR₂)/(n−4)) is compared to
+    the EXACT closed-form F(2, n−4) upper-5% point
+    (m/2)·(0.05^(−2/m) − 1) — no quantile approximation needed at
+    d1 = 2."""
+    split = daily.groupBy("event_type").agg(
+        F.expr("(min(day) + max(day)) div 2").alias("split_day")
+    )
+    sp = split.select(F.col("event_type").alias("sp_type"), "split_day")
+    seg = (
+        daily.join(F.broadcast(sp), F.col("event_type") == F.col("sp_type"))
+        .drop("sp_type")
+        .select(
+            "event_type",
+            "split_day",
+            F.when(F.col("day") <= F.col("split_day"), F.lit(1)).otherwise(F.lit(2)).alias("seg"),
+            F.col("day").cast("decimal(38,0)").alias("d"),
+            F.col("cents").cast("decimal(38,0)").alias("c"),
+        )
+    )
+
+    def _segsums(i: int):
+        inseg = F.col("seg") == i
+        return [
+            F.sum(F.when(inseg, F.lit(1)).otherwise(F.lit(0))).alias(f"n{i}"),
+            F.sum(F.when(inseg, F.col("d"))).alias(f"sd{i}"),
+            F.sum(F.when(inseg, F.col("c"))).alias(f"sc{i}"),
+            F.sum(F.when(inseg, F.col("d") * F.col("d"))).alias(f"sdd{i}"),
+            F.sum(F.when(inseg, F.col("d") * F.col("c"))).alias(f"sdc{i}"),
+            F.sum(F.when(inseg, F.col("c") * F.col("c"))).alias(f"scc{i}"),
+        ]
+
+    agg = seg.groupBy("event_type", "split_day").agg(*(_segsums(1) + _segsums(2)))
+
+    def _ssr(n, sd, sc, sdd, sdc, scc):
+        n_dec = n.cast("decimal(38,0)")
+        sxx = n_dec * sdd - sd * sd
+        sxy = n_dec * sdc - sd * sc
+        syy = n_dec * scc - sc * sc
+        return F.try_divide(
+            (sxx * syy - sxy * sxy).cast("double"), (n_dec * sxx).cast("double")
+        )
+
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    ssr1 = _ssr(n1, F.col("sd1"), F.col("sc1"), F.col("sdd1"), F.col("sdc1"), F.col("scc1"))
+    ssr2 = _ssr(n2, F.col("sd2"), F.col("sc2"), F.col("sdd2"), F.col("sdc2"), F.col("scc2"))
+    ssrp = _ssr(
+        n,
+        F.col("sd1") + F.col("sd2"),
+        F.col("sc1") + F.col("sc2"),
+        F.col("sdd1") + F.col("sdd2"),
+        F.col("sdc1") + F.col("sdc2"),
+        F.col("scc1") + F.col("scc2"),
+    )
+    m = (n - F.lit(4)).cast("double")
+    f_stat = F.try_divide(
+        (ssrp - ssr1 - ssr2) / F.lit(2.0),
+        (ssr1 + ssr2) / m,
+    )
+    f_crit = (m / F.lit(2.0)) * (
+        F.exp((F.lit(-2.0) / m) * F.log(F.lit(0.05))) - F.lit(1.0)
+    )
+    bad = (n1 < 3) | (n2 < 3) | (n < 5) | f_stat.isNull()
+    return agg.select(
+        "event_type",
+        (n1 + n2).cast("long").alias("n_days"),
+        "split_day",
+        F.round(f_stat, 6).alias("f_stat"),
+        F.when(n - F.lit(4) < 1, F.lit(None).cast("double")).otherwise(F.round(f_crit, 6)).alias("f_crit"),
+        F.when(bad, "n/a")
+        .when(f_stat > f_crit, "break")
+        .otherwise("stable")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q_chow_test",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    split AS (
+      SELECT event_type, (min(day) + max(day)) // 2 AS split_day
+      FROM daily GROUP BY 1
+    ),
+    seg AS (
+      SELECT d.event_type, s.split_day,
+             CASE WHEN d.day <= s.split_day THEN 1 ELSE 2 END AS seg,
+             CAST(d.day AS HUGEINT) AS dd, CAST(d.cents AS HUGEINT) AS cc
+      FROM daily d JOIN split s ON s.event_type = d.event_type
+    ),
+    agg AS (
+      SELECT event_type, split_day,
+             sum(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN seg = 1 THEN dd END) AS sd1,
+             sum(CASE WHEN seg = 1 THEN cc END) AS sc1,
+             sum(CASE WHEN seg = 1 THEN dd * dd END) AS sdd1,
+             sum(CASE WHEN seg = 1 THEN dd * cc END) AS sdc1,
+             sum(CASE WHEN seg = 1 THEN cc * cc END) AS scc1,
+             sum(CASE WHEN seg = 2 THEN 1 ELSE 0 END) AS n2,
+             sum(CASE WHEN seg = 2 THEN dd END) AS sd2,
+             sum(CASE WHEN seg = 2 THEN cc END) AS sc2,
+             sum(CASE WHEN seg = 2 THEN dd * dd END) AS sdd2,
+             sum(CASE WHEN seg = 2 THEN dd * cc END) AS sdc2,
+             sum(CASE WHEN seg = 2 THEN cc * cc END) AS scc2
+      FROM seg GROUP BY 1, 2
+    ),
+    ssr AS (
+      SELECT event_type, split_day, n1, n2,
+             CASE WHEN CAST(n1 AS HUGEINT) * (CAST(n1 AS HUGEINT) * sdd1 - sd1 * sd1) = 0 THEN NULL
+                  ELSE CAST((CAST(n1 AS HUGEINT) * sdd1 - sd1 * sd1) * (CAST(n1 AS HUGEINT) * scc1 - sc1 * sc1)
+                            - (CAST(n1 AS HUGEINT) * sdc1 - sd1 * sc1) * (CAST(n1 AS HUGEINT) * sdc1 - sd1 * sc1) AS DOUBLE)
+                       / CAST(CAST(n1 AS HUGEINT) * (CAST(n1 AS HUGEINT) * sdd1 - sd1 * sd1) AS DOUBLE) END AS ssr1,
+             CASE WHEN CAST(n2 AS HUGEINT) * (CAST(n2 AS HUGEINT) * sdd2 - sd2 * sd2) = 0 THEN NULL
+                  ELSE CAST((CAST(n2 AS HUGEINT) * sdd2 - sd2 * sd2) * (CAST(n2 AS HUGEINT) * scc2 - sc2 * sc2)
+                            - (CAST(n2 AS HUGEINT) * sdc2 - sd2 * sc2) * (CAST(n2 AS HUGEINT) * sdc2 - sd2 * sc2) AS DOUBLE)
+                       / CAST(CAST(n2 AS HUGEINT) * (CAST(n2 AS HUGEINT) * sdd2 - sd2 * sd2) AS DOUBLE) END AS ssr2,
+             CASE WHEN CAST(n1 + n2 AS HUGEINT) * (CAST(n1 + n2 AS HUGEINT) * (sdd1 + sdd2) - (sd1 + sd2) * (sd1 + sd2)) = 0 THEN NULL
+                  ELSE CAST((CAST(n1 + n2 AS HUGEINT) * (sdd1 + sdd2) - (sd1 + sd2) * (sd1 + sd2))
+                              * (CAST(n1 + n2 AS HUGEINT) * (scc1 + scc2) - (sc1 + sc2) * (sc1 + sc2))
+                            - (CAST(n1 + n2 AS HUGEINT) * (sdc1 + sdc2) - (sd1 + sd2) * (sc1 + sc2))
+                              * (CAST(n1 + n2 AS HUGEINT) * (sdc1 + sdc2) - (sd1 + sd2) * (sc1 + sc2)) AS DOUBLE)
+                       / CAST(CAST(n1 + n2 AS HUGEINT) * (CAST(n1 + n2 AS HUGEINT) * (sdd1 + sdd2) - (sd1 + sd2) * (sd1 + sd2)) AS DOUBLE) END AS ssrp
+      FROM agg
+    ),
+    f AS (
+      SELECT event_type, split_day, n1, n2, n1 + n2 AS n,
+             CASE WHEN ssr1 IS NULL OR ssr2 IS NULL OR ssrp IS NULL OR (ssr1 + ssr2) / (CAST(n1 + n2 AS DOUBLE) - 4.0) = 0 THEN NULL
+                  ELSE ((ssrp - ssr1 - ssr2) / 2.0)
+                       / ((ssr1 + ssr2) / (CAST(n1 + n2 AS DOUBLE) - 4.0)) END AS f_stat,
+             (CAST(n1 + n2 AS DOUBLE) - 4.0) AS m
+      FROM ssr
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, split_day,
+           round(f_stat, 6) AS f_stat,
+           CASE WHEN n - 4 < 1 THEN NULL
+                ELSE round((m / 2.0) * (exp((-2.0 / m) * ln(0.05)) - 1.0), 6) END AS f_crit,
+           CASE WHEN n1 < 3 OR n2 < 3 OR n < 5 OR f_stat IS NULL THEN 'n/a'
+                WHEN f_stat > (m / 2.0) * (exp((-2.0 / m) * ln(0.05)) - 1.0) THEN 'break'
+                ELSE 'stable' END AS verdict
+    FROM f
+    """,
+)
+def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N186 (round 10): Chow structural-break F-test (Chow 1960) at the
+    mid-range day of each event type's daily-revenue series — the
+    PARAMETRIC break detector beside N139 Pettitt (rank-based location
+    shift) and N53 CUSUM (level-shift localization): Chow asks whether
+    one linear trend explains both halves or the slope/intercept
+    themselves changed, the regression-regime question the trend
+    forecasters (N101 Holt, N182 Theta) silently assume away.  One
+    aggregate pass collects exact integer OLS sums for both segments;
+    the pooled fit reuses their exact totals; the F(2, n−4) critical
+    value is closed-form exact — no quantile approximation — and the
+    whole tree is mirrored verbatim in the oracle."""
+    daily = _daily_cents_by_type(spark, sf_dir)
+    return chow_tail(daily)

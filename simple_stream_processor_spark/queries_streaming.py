@@ -3244,3 +3244,37 @@ def q_streaming_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         e_static.withColumnRenamed("vec_id", "s_vid"), F.col("vec_id") == F.col("s_vid")
     ).select("vec_id", "label", "v", "rel")
     return mmr_greedy(cand)
+
+
+@query("q_streaming_grubbs", oracle=_relext_oracle("q_grubbs_test"))
+def q_streaming_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Grubbs twin (N184b, round 10): the daily-cents state
+    through the shared grubbs_tail — the live worst-day alarm (is
+    today's most extreme revenue day statistically an outlier, at 5%?)
+    beside the XmR/z-score monitors; state bounded at types × days
+    forever; hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import grubbs_tail
+
+    return grubbs_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_pacf", oracle=_relext_oracle("q_pacf"))
+def q_streaming_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PACF twin (N185b, round 10): the daily-cents state
+    through the shared pacf_tail — live AR-order identification (does
+    the forecasting family need one lag or three?) refreshing as each
+    day's revenue accumulates; hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import pacf_tail
+
+    return pacf_tail(_streaming_daily_by_type(spark, sf_dir))
+
+
+@query("q_streaming_chow", oracle=_relext_oracle("q_chow_test"))
+def q_streaming_chow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Chow twin (N186b, round 10): the daily-cents state
+    through the shared chow_tail — a live did-the-regime-change monitor
+    (one trend or two?) whose mid-range breakpoint moves with the data;
+    hash-matches the batch oracle."""
+    from simple_stream_processor_spark.queries_relational_ext import chow_tail
+
+    return chow_tail(_streaming_daily_by_type(spark, sf_dir))

@@ -95,6 +95,8 @@ EVENT_QUERIES = [
     # round-9: the distribution/trend/market-signal family (all try_divided)
     "q_jarque_bera", "q_cox_stuart", "q_bollinger_bands", "q_durbin_watson",
     "q_rsi_cutler", "q_jonckheere",
+    # round-10 wave 2: outlier / AR-order / structural-break trio
+    "q_grubbs_test", "q_pacf", "q_chow_test",
 ]
 # Queries reading ONLY the documents table (all oracle-declared).
 DOC_QUERIES = [
@@ -360,6 +362,8 @@ STREAMING_QUERIES = [
     # round-10 twins: daily-state MACD/A-D/Theta + doc-counter CvM/blocklist
     "q_streaming_macd", "q_streaming_anderson", "q_streaming_theta",
     "q_streaming_cvm", "q_streaming_blocklist",
+    # round-10 wave 2 twins over the daily state
+    "q_streaming_grubbs", "q_streaming_pacf", "q_streaming_chow",
 ]
 
 

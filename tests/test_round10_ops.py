@@ -145,3 +145,125 @@ def test_adamic_adar_matches_python_reference(spark, sf_dir):
         for r in QUERIES["q_adamic_adar"](spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_grubbs_matches_python_reference(spark):
+    """Replay the G statistic AND the t-quantile critical value
+    (A&S 26.2.23 normal quantile + 26.7.5 Cornish-Fisher) in plain
+    Python; a constructed series with one gross spike must flag."""
+    from simple_stream_processor_spark.queries_relational_ext import grubbs_tail
+
+    xs = [100, 104, 98, 101, 99, 103, 97, 102, 100, 500]  # day 9 is the spike
+    n = len(xs)
+    s = sum(xs)
+    ss = sum(x * x for x in xs)
+    sd = math.sqrt((n * ss - s * s) / (n * (n - 1)))
+    ads = [abs(n * x - s) for x in xs]
+    ad = max(ads)
+    suspect = ads.index(ad)
+    g = ad / (n * sd)
+    q = 0.05 / (2.0 * n)
+    sq = math.sqrt(-2.0 * math.log(q))
+    z = sq - (
+        (2.515517 + 0.802853 * sq + 0.010328 * sq * sq)
+        / (1.0 + 1.432788 * sq + 0.189269 * sq * sq + 0.001308 * sq * sq * sq)
+    )
+    nu = n - 2.0
+    t = (
+        z
+        + (z * z * z + z) / (4.0 * nu)
+        + (5.0 * z ** 5 + 16.0 * z ** 3 + 3.0 * z) / (96.0 * nu * nu)
+        + (3.0 * z ** 7 + 19.0 * z ** 5 + 17.0 * z ** 3 - 15.0 * z) / (384.0 * nu ** 3)
+    )
+    crit = ((n - 1.0) / math.sqrt(n)) * math.sqrt((t * t) / (nu + t * t))
+    row = grubbs_tail(_daily(spark, xs)).collect()[0]
+    assert row["suspect_day"] == suspect
+    assert row["g_stat"] == pytest.approx(round(g, 6), abs=1e-9)
+    assert row["g_crit"] == pytest.approx(round(crit, 6), abs=1e-9)
+    assert row["verdict"] == "outlier"
+    # sanity on the quantile machinery itself: for n=10, nu=8 the exact
+    # t_{0.0025, 8} is 3.83252; the expansion must land within 1%
+    assert abs(t - 3.83252) / 3.83252 < 0.01
+
+    calm = grubbs_tail(_daily(spark, [100, 104, 98, 101, 99, 103, 97, 102])).collect()[0]
+    assert calm["verdict"] == "clean"
+
+
+def test_pacf_matches_python_reference(spark):
+    """Replay the exact-integer ACF sums and the unrolled Durbin-Levinson
+    recursion; an AR(1)-ish alternating series must close the loop."""
+    from simple_stream_processor_spark.queries_relational_ext import pacf_tail
+
+    xs = [120, 95, 130, 88, 141, 90, 135, 92, 128, 85, 138, 94]
+    n = len(xs)
+    s = sum(xs)
+    ss = sum(x * x for x in xs)
+    den = n * n * ss - n * s * s
+
+    def r(k):
+        p = sum(xs[i] * xs[i - k] for i in range(k, n))
+        a = sum(xs[:-k])
+        b = sum(xs[k:])
+        return (n * n * p - n * s * (a + b) + (n - k) * s * s) / den
+
+    r1, r2, r3 = r(1), r(2), r(3)
+    phi11 = r1
+    phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    phi21 = phi11 - phi22 * phi11
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (1.0 - phi21 * r1 - phi22 * r2)
+    row = pacf_tail(_daily(spark, xs)).collect()[0]
+    assert row["pacf1"] == pytest.approx(round(phi11, 6), abs=1e-9)
+    assert row["pacf2"] == pytest.approx(round(phi22, 6), abs=1e-9)
+    assert row["pacf3"] == pytest.approx(round(phi33, 6), abs=1e-9)
+    thr = 1.96 / math.sqrt(n)
+    expected_order = 3 if abs(phi33) > thr else 2 if abs(phi22) > thr else 1 if abs(phi11) > thr else 0
+    assert row["ar_order"] == expected_order
+    # the alternating construction has strong negative lag-1 memory
+    assert row["pacf1"] < -0.5
+
+
+def test_chow_matches_python_reference(spark):
+    """Replay the segment/pooled OLS sums and the closed-form F(2, n-4)
+    critical value; a constructed slope break must flag 'break' and a
+    single clean trend must not."""
+    from simple_stream_processor_spark.queries_relational_ext import chow_tail
+
+    # days 0..9: slope +2 around 100; days 10..19: slope +30 around 140;
+    # the small alternating jitter keeps every SSR strictly positive
+    xs = [100 + 2 * i + (1 if i % 2 else -1) for i in range(10)] + [
+        140 + 30 * (i - 10) + (2 if i % 2 else -2) for i in range(10, 20)
+    ]
+
+    def ssr(pts):
+        m = len(pts)
+        sd_ = sum(d for d, _ in pts)
+        sc_ = sum(c for _, c in pts)
+        sdd = sum(d * d for d, _ in pts)
+        sdc = sum(d * c for d, c in pts)
+        scc = sum(c * c for _, c in pts)
+        sxx = m * sdd - sd_ * sd_
+        sxy = m * sdc - sd_ * sc_
+        syy = m * scc - sc_ * sc_
+        return (sxx * syy - sxy * sxy) / (m * sxx)
+
+    pts = list(enumerate(xs))
+    split = (0 + 19) // 2
+    seg1 = [p for p in pts if p[0] <= split]
+    seg2 = [p for p in pts if p[0] > split]
+    n = len(pts)
+    ssr_p, ssr1, ssr2 = ssr(pts), ssr(seg1), ssr(seg2)
+    f = ((ssr_p - ssr1 - ssr2) / 2.0) / ((ssr1 + ssr2) / (n - 4.0))
+    m_ = n - 4.0
+    crit = (m_ / 2.0) * (math.exp((-2.0 / m_) * math.log(0.05)) - 1.0)
+    row = chow_tail(_daily(spark, xs)).collect()[0]
+    assert row["split_day"] == split
+    assert row["f_stat"] == pytest.approx(round(f, 6), abs=1e-9)
+    assert row["f_crit"] == pytest.approx(round(crit, 6), abs=1e-9)
+    assert row["verdict"] == "break"
+    # closed-form F(2, m) check against the textbook value F(2, 16) = 3.634
+    assert crit == pytest.approx(3.6337, abs=0.001)
+
+    clean = chow_tail(
+        _daily(spark, [100 + 3 * i + (1 if i % 2 else -1) for i in range(20)])
+    ).collect()[0]
+    assert clean["verdict"] == "stable"
