@@ -15034,9 +15034,15 @@ def chow_tail(daily: DataFrame) -> DataFrame:
         F.col("scc1") + F.col("scc2"),
     )
     m = (n - F.lit(4)).cast("double")
-    f_stat = F.try_divide(
-        (ssrp - ssr1 - ssr2) / F.lit(2.0),
-        (ssr1 + ssr2) / m,
+    # n < 5 is guarded EXPLICITLY (not left to the division): at n = 4,
+    # m = 0 and Spark's double division yields NULL while DuckDB's IEEE
+    # division yields inf (f = x/inf = 0.0) — a silent cross-engine
+    # divergence on a legal tiny group
+    f_stat = F.when(n < 5, F.lit(None).cast("double")).otherwise(
+        F.try_divide(
+            (ssrp - ssr1 - ssr2) / F.lit(2.0),
+            (ssr1 + ssr2) / m,
+        )
     )
     f_crit = (m / F.lit(2.0)) * (
         F.exp((F.lit(-2.0) / m) * F.log(F.lit(0.05))) - F.lit(1.0)
@@ -15109,7 +15115,7 @@ def chow_tail(daily: DataFrame) -> DataFrame:
     ),
     f AS (
       SELECT event_type, split_day, n1, n2, n1 + n2 AS n,
-             CASE WHEN ssr1 IS NULL OR ssr2 IS NULL OR ssrp IS NULL OR (ssr1 + ssr2) / (CAST(n1 + n2 AS DOUBLE) - 4.0) = 0 THEN NULL
+             CASE WHEN n1 + n2 < 5 OR ssr1 IS NULL OR ssr2 IS NULL OR ssrp IS NULL OR (ssr1 + ssr2) / (CAST(n1 + n2 AS DOUBLE) - 4.0) = 0 THEN NULL
                   ELSE ((ssrp - ssr1 - ssr2) / 2.0)
                        / ((ssr1 + ssr2) / (CAST(n1 + n2 AS DOUBLE) - 4.0)) END AS f_stat,
              (CAST(n1 + n2 AS DOUBLE) - 4.0) AS m

@@ -267,3 +267,16 @@ def test_chow_matches_python_reference(spark):
         _daily(spark, [100 + 3 * i + (1 if i % 2 else -1) for i in range(20)])
     ).collect()[0]
     assert clean["verdict"] == "stable"
+
+
+def test_chow_tiny_groups_are_na(spark):
+    """n = 4 makes the F denominator's df hit zero: Spark's double
+    division yields NULL while DuckDB's IEEE division yields inf (and
+    f = x/inf = 0.0) — the explicit n < 5 guard must keep both engines
+    at NULL/'n/a'.  Same for n = 3 (a degenerate one-point segment)."""
+    from simple_stream_processor_spark.queries_relational_ext import chow_tail
+
+    for xs in ([100, 150, 90, 160], [100, 150, 90]):
+        row = chow_tail(_daily(spark, xs)).collect()[0]
+        assert row["f_stat"] is None
+        assert row["verdict"] == "n/a"
