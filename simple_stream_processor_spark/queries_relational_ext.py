@@ -14829,21 +14829,18 @@ def pacf_tail(daily: DataFrame) -> DataFrame:
             F.sum(F.when(present, c)).alias(f"b{k}"),
         ]
 
-    # the cross-sum side renames its join key: both aggregates share the
-    # daily lineage, and a memory-sink daily (the streaming twin) trips
-    # Spark's conflicting-reference check on raw self-joins (the
-    # anderson_tail rule)
-    cross = lagged.groupBy("event_type").agg(
-        *(_ksums(1) + _ksums(2) + _ksums(3))
-    ).withColumnRenamed("event_type", "cx_type")
-    g = daily.groupBy("event_type").agg(
+    # lagged preserves every daily row and its cents, so the per-type
+    # totals (n, S, SS) ride the SAME groupBy as the lag cross-sums —
+    # one aggregate pass, no self-join (and no conflicting-reference
+    # hazard on a memory-sink daily)
+    j = lagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
         F.sum(
             F.col("cents").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")
         ).alias("ss"),
+        *(_ksums(1) + _ksums(2) + _ksums(3)),
     )
-    j = g.join(F.broadcast(cross), F.col("event_type") == F.col("cx_type")).drop("cx_type")
 
     n_dec = F.col("n_days").cast("decimal(38,0)")
     den = (n_dec * n_dec * F.col("ss") - n_dec * F.col("s") * F.col("s")).cast("double")
