@@ -250,10 +250,34 @@ def _scoped_memo_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+# Trigram (k=3) shingle table + LSH candidate pairs: the shared head of the
+# whole MinHash family — verified pairs (q_minhash_dedup and the cluster
+# consumers), precision (q_minhash_precision) and the threshold grid
+# (q_dedup_threshold_curve) all verify the SAME candidate set.  Persisting
+# these two intermediates query-scoped matters: _scored_pairs counts the
+# pair table before joining it, so an unpersisted plan recomputes the
+# shingle→signature→band→self-join chain ~4x per query (measured 9.9 s for
+# q_minhash_precision at sf0.1; ~2.5 s persisted).
+_TRIGRAM_CAND_MEMO: dict = {}
+
+
+def _trigram_candidates(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _TRIGRAM_CAND_MEMO:
+        sh = dedup.shingle_table(_t(spark, sf_dir, "documents"), k=3)
+        pairs = dedup.candidate_pairs(dedup.lsh_band_table(dedup.minhash_signatures(sh)))
+        _TRIGRAM_CAND_MEMO[key] = (sh, pairs)
+    sh, pairs = _TRIGRAM_CAND_MEMO[key]
+    return _scoped_memo_cache(sh), _scoped_memo_cache(pairs)
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _PAIRS_MEMO:
-        _PAIRS_MEMO[key] = dedup.minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+        sh, pairs = _trigram_candidates(spark, sf_dir)
+        _PAIRS_MEMO[key] = dedup.verify_jaccard(pairs, sh, threshold=0.5)
+    else:
+        _trigram_candidates(spark, sf_dir)  # re-register the shared head's caches
     return _scoped_memo_cache(_PAIRS_MEMO[key])
 
 
@@ -5264,9 +5288,7 @@ def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact candidate generation q_minhash_dedup uses (shingle → 8-hash
     signature → 2×4 bands → collision pairs), one verify join, one
     summary row."""
-    docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs, k=3)
-    cand = dedup.candidate_pairs(dedup.lsh_band_table(dedup.minhash_signatures(sh)))
+    sh, cand = _trigram_candidates(spark, sf_dir)
     joined, inter = dedup._scored_pairs(cand, sh, broadcast_threshold=100_000)
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     scored = joined.select(F.when(jac >= 0.5, 1).otherwise(0).alias("ok"))
@@ -5620,9 +5642,7 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inter·100 ≥ t·(na+nb−inter)) — no float Jaccard ever computed.
     Shape: the shared candidate generation + one verify join + a
     4-way grid explode over the collision-bounded pair table."""
-    docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs, k=3)
-    cand = dedup.candidate_pairs(dedup.lsh_band_table(dedup.minhash_signatures(sh)))
+    sh, cand = _trigram_candidates(spark, sf_dir)
     joined, inter = dedup._scored_pairs(cand, sh, broadcast_threshold=100_000)
     scored = joined.select(
         "doc_a", "doc_b", inter.alias("inter"), F.col("n_a").alias("na"), F.col("n_b").alias("nb")
@@ -6656,6 +6676,13 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-doc windows ride ONE doc-keyed exchange; fingerprints are the
     only thing that would shuffle for a pair join at 100 TB. try_divide
     covers the no-eligible-docs frame."""
+    # r10 optimization attempt, REVERTED (measured negative result, see
+    # OPTIMIZATION_r10.md): computing the gram hashes array-side
+    # (transform + md5 per element) halves the exchanges but runs the md5
+    # INTERPRETED — higher-order-function lambda bodies don't get codegen —
+    # and measured ~2x slower than this exploded+window form, whose md5 is
+    # a codegen'd row expression. The window exchange is the price of the
+    # codegen'd hash; it stays.
     from pyspark.sql.window import Window
 
     docs = _t(spark, sf_dir, "documents").where(F.length("text") >= 5)
