@@ -307,7 +307,7 @@ def cohort_retention(
     )
 
 
-def pagerank(edges: DataFrame, rounds: int = 3, damping: float = 0.85) -> DataFrame:
+def pagerank(edges: DataFrame, rounds: int = 3, damping: float = 0.85, deg: DataFrame | None = None) -> DataFrame:
     """PageRank power iteration over a directed edge table (src, dst) with
     no dangling nodes (every src has out-edges — symmetric graphs satisfy
     this by construction). Returns (node, r, n_nodes) after ``rounds``
@@ -324,11 +324,19 @@ def pagerank(edges: DataFrame, rounds: int = 3, damping: float = 0.85) -> DataFr
     is hash-checkable. At corpus scale: persist the edge table (scanned
     per iteration) and swap the broadcast for a src-bucketed
     co-partitioned join once ranks outgrow the threshold."""
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .select(F.col("src").alias("dnode"), "d")
-    )
+    from simple_stream_processor_spark.registry import scoped_persist
+
+    # query-scoped persist (r10): deg is re-read by every iteration's
+    # broadcast build, the n_nodes count, AND the caller's final degree
+    # join — without the cache the node-table aggregate re-scans the edge
+    # table once per consumer (4+ times for 3 rounds). Callers that need
+    # the degree table themselves pass it in (pre-persisted) and share it.
+    if deg is None:
+        deg = scoped_persist(
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .select(F.col("src").alias("dnode"), "d")
+        )
     n = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     ranks = deg.select(F.col("dnode").alias("node")).crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("r"), "n_nodes"

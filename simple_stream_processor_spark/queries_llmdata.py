@@ -9156,55 +9156,67 @@ def q_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mmr_greedy(cand: DataFrame) -> DataFrame:
     """Shared tail of the batch and streaming MMR queries: from a k-row
     (vec_id, label, v, rel) candidate table (ALREADY collapsed from the
-    corpus — broadcast-sized by contract), greedily select 5 maximizing
-    0.7·rel − 0.3·max-sim-to-selected with 1-row eager checkpoints per
-    pick; raw-double comparisons, display rounded to 6dp."""
-    from simple_stream_processor_spark.operators.dedup import cosine
+    corpus — k <= 10 by contract), greedily select 5 maximizing
+    0.7·rel − 0.3·max-sim-to-selected; raw-double comparisons, display
+    rounded to 6dp (Spark-side)."""
+    # r10 optimization: the greedy loop ran ~10 sequential Spark jobs
+    # (per-pick 1-row eager checkpoints + broadcast builds) over a table
+    # that is k<=10 rows BY CONTRACT. Collect the candidate rows once
+    # (bounded-by-construction, the dedup_clusters/BPE driver-witness
+    # pattern) and run the identical greedy in driver Python: pair cosines
+    # as the same LEFT-FOLD sequential sums F.aggregate produced (IEEE
+    # doubles match bit-for-bit — the list_dot_product equivalence the
+    # oracle already relies on), picks compare raw doubles with the same
+    # (score desc, vec_id asc) tie-break, and the 6dp display rounding
+    # stays SPARK-side (F.round is HALF_UP; Python round is banker's).
+    spark = cand.sparkSession
+    rows = cand.select("vec_id", "label", "rel", "v").collect()  # k <= 10
 
-    cand = cand.localCheckpoint(eager=True)  # k rows: the loop re-reads it ~15x
-    a = cand.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
-    b = cand.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
-    sims = (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", cosine(F.col("av"), F.col("bv")).alias("sim"))
-        .localCheckpoint(eager=True)  # k*(k-1) rows
-    )
-    base = cand.select("vec_id", "label", "rel")
-    selected = None
-    for r in range(1, 6):
-        if selected is None:
-            scored = base.select(
-                "vec_id", "label", "rel", (F.lit(0.7) * F.col("rel")).alias("mmr_score")
-            )
-        else:
-            sel_ids = selected.select(F.col("vec_id").alias("b_id"))
-            pen = (
-                sims.join(F.broadcast(sel_ids), "b_id")
-                .groupBy("a_id")
-                .agg(F.max("sim").alias("max_sim"))
-            )
-            remaining = base.join(
-                F.broadcast(selected.select("vec_id")), "vec_id", "left_anti"
-            )
-            scored = (
-                remaining.join(F.broadcast(pen), remaining["vec_id"] == pen["a_id"], "left")
-                .select(
-                    "vec_id", "label", "rel",
-                    (
-                        F.lit(0.7) * F.col("rel")
-                        - F.lit(0.3) * F.coalesce(F.col("max_sim"), F.lit(0.0))
-                    ).alias("mmr_score"),
+    def dot(u, w):
+        acc = 0.0
+        for ui, wi in zip(u, w):
+            acc += ui * wi
+        return acc
+
+    import math
+
+    norms = {r["vec_id"]: math.sqrt(dot(r["v"], r["v"])) for r in rows}
+    sim = {}
+    for ra in rows:
+        for rb in rows:
+            if ra["vec_id"] != rb["vec_id"]:
+                sim[(ra["vec_id"], rb["vec_id"])] = dot(ra["v"], rb["v"]) / (
+                    norms[ra["vec_id"]] * norms[rb["vec_id"]]
                 )
-            )
-        pick = (
-            scored.orderBy(F.col("mmr_score").desc(), F.col("vec_id").asc())
-            .limit(1)
-            .select(F.lit(r).alias("round"), "vec_id", "label", "rel", "mmr_score")
-            .localCheckpoint(eager=True)  # 1 row: keeps the loop's plan flat
-        )
-        selected = pick if selected is None else selected.unionByName(pick)
-    return selected.select(
+    selected: list = []
+    chosen: list = []
+    for rnd in range(1, 6):
+        best = None
+        for r in rows:
+            if r["vec_id"] in chosen:
+                continue
+            pen = max((sim[(r["vec_id"], s)] for s in chosen), default=0.0)
+            score = 0.7 * r["rel"] - 0.3 * (pen if chosen else 0.0)
+            key = (-score, r["vec_id"])
+            if best is None or key < best[0]:
+                best = (key, r, score)
+        if best is None:
+            break
+        chosen.append(best[1]["vec_id"])
+        selected.append((rnd, best[1]["vec_id"], best[1]["label"], best[1]["rel"], best[2]))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("round", T.IntegerType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("label", cand.schema["label"].dataType),
+            T.StructField("rel", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
+    )
+    out = spark.createDataFrame(spark.sparkContext.parallelize(selected, numSlices=1), schema)
+    return out.select(
         "round", "vec_id", "label",
         F.round("rel", 6).alias("rel"),
         F.round("mmr_score", 6).alias("mmr_score"),

@@ -2191,12 +2191,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_clusters iteration pattern, and what "persist the edges" means
     # at cluster scale (there: reliable checkpoint to survive executor loss)
     edges = edges.localCheckpoint(eager=False)
-    ranks = relational.pagerank(edges, rounds=3, damping=0.85)
-    deg = (
+    # ONE persisted degree table shared by the power iteration's broadcasts
+    # and the final degree join (r10 — previously aggregated twice)
+    deg = scoped_persist(
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
         .select(F.col("src").alias("dnode"), "d")
     )
+    ranks = relational.pagerank(edges, rounds=3, damping=0.85, deg=deg)
     return (
         ranks.join(F.broadcast(deg), ranks["node"] == deg["dnode"])
         .select(F.col("node").alias("part_key"), F.col("d").cast("long").alias("degree"), F.col("r").alias("pagerank"))
@@ -2641,7 +2643,10 @@ def densest_peel_rounds(edges: DataFrame, n_rounds: int) -> DataFrame:
     rounds = []
     cur = edges
     for r in range(n_rounds):
-        deg = degrees(cur)
+        # query-scoped persist (r10): each round's degree table feeds the
+        # stats rollup, the peel-threshold broadcast AND the keep filter —
+        # unshared, the node aggregate re-scans the round's edge table 3x
+        deg = scoped_persist(degrees(cur))
         tot = deg.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("d"), F.lit(0)).alias("sd"),
@@ -4654,11 +4659,19 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(h) + 1).cast("long").alias("lo_rank"),
         (h - F.floor(h)).alias("frac"),
     )
+    # one explode instead of a unionAll of two selects over base_grid: the
+    # union duplicated the whole one-row total-aggregate subtree (two
+    # SinglePartition exchanges for the same scalar)
     grid = base_grid.select(
-        "i", "frac", F.lit(0).alias("kind"), F.col("lo_rank").alias("rank")
-    ).unionAll(
-        base_grid.select("i", "frac", F.lit(1).alias("kind"), (F.col("lo_rank") + 1).alias("rank"))
-    )
+        "i",
+        "frac",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("kind"), F.col("lo_rank").alias("rank")),
+                F.struct(F.lit(1).alias("kind"), (F.col("lo_rank") + 1).alias("rank")),
+            )
+        ).alias("kr"),
+    ).select("i", "frac", F.col("kr.kind").alias("kind"), F.col("kr.rank").alias("rank"))
     bvals = (
         cumt.join(
             F.broadcast(grid),

@@ -651,7 +651,11 @@ def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions",
+        os.environ.get(
+            "SPARK_GRAFT_STREAM_STATE_PARTITIONS",
+            str(min(spark.sparkContext.defaultParallelism, 8)),
+        ),
     )
     try:
         q = (
@@ -1387,7 +1391,13 @@ def dsir_score_stream(
         state["scored"].append(scored.localCheckpoint())  # eager: pin the state in force NOW
 
     saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get(
+            "SPARK_GRAFT_STREAM_STATE_PARTITIONS",
+            str(min(spark.sparkContext.defaultParallelism, 8)),
+        ),
+    )
     try:
         q = (
             sdf.writeStream.foreachBatch(handle)

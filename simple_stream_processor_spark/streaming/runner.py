@@ -92,13 +92,23 @@ def run_stream_to_memory(
     # State-store partition count is frozen to spark.sql.shuffle.partitions at
     # first checkpoint, and AQE never applies to streaming — under a
     # default-config session every micro-batch would pay 200 state tasks.
-    # Pin it to the actual core count for the stream's lifetime (the plan
-    # captures it at start; checkpoints here are always fresh), then RESTORE
-    # the caller's value — this helper must not leak tuning into the
-    # session's batch queries. On a real cluster this would be sized to
-    # total-cores × small-factor instead.
+    # r10: size it to the STATE, not the core count — every stateful twin
+    # here keeps bounded state (types x days, sources x bins: hundreds of
+    # rows), and each state partition pays fixed open/commit checkpoint
+    # overhead per micro-batch; 32 stores for 150 state rows measured 1.1 s
+    # per drain vs 0.63 s with 8 (sf0.1, warm). min() keeps lower-core
+    # driver runs identical; a real deployment with large keyed state
+    # raises SPARK_GRAFT_STREAM_STATE_PARTITIONS instead (state volume /
+    # target partition size), which is the same sizing rule expressed as a
+    # knob. Value RESTORED after start so batch queries are untouched.
     saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
+    state_parts = int(
+        os.environ.get(
+            "SPARK_GRAFT_STREAM_STATE_PARTITIONS",
+            str(min(spark.sparkContext.defaultParallelism, 8)),
+        )
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
     name = "mem_" + uuid.uuid4().hex[:12]
     try:
         query = (

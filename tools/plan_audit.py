@@ -132,6 +132,12 @@ SINGLE_PARTITION_ALLOWANCE = {
     # (#tasks partial counts → 1 row) — two one-row aggregates, never
     # record-level data
     "q_hll_mergeable": 2,
+    # the r10 distributed-percentile rewrite: the bucket-offset window over
+    # the value-domain-bounded bucket table (cents div 65536 — ≤~170 rows at
+    # any data size; printed twice as a shared subtree under two consumers)
+    # + the one-row total aggregate + the 15-row boundary collect — all
+    # metadata-sized, never record-level data (the cents table itself hashes)
+    "q_equidepth_hist": 4,
     # the corpus-ECDF running sum over the bounded 1e4-bin grid plus the
     # one-row grand-total aggregate — both over binned partials, never docs
     "q_ks_drift": 2,
