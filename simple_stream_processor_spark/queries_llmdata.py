@@ -2241,7 +2241,10 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent), which no float-DCT pHash could."""
     docs = _t(spark, sf_dir, "documents")
     ppm = multimodal.documents_as_ppm(docs)
-    hashes = multimodal.ahash_images(ppm).where(F.col("decode_ok"))
+    # r10 optimization (guide §5): the banded <=1-Hamming self-join reads
+    # the hash table TWICE (side a, side b) — unpersisted, each side re-ran
+    # the whole Arrow codec decode; the table is (media_id, hash)-narrow
+    hashes = scoped_persist(multimodal.ahash_images(ppm).where(F.col("decode_ok")))
     bands = hashes.select(
         "media_id",
         "phash",
@@ -3466,23 +3469,45 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = e.crossJoin(F.broadcast(mu_row)).select(
         "vec_id", F.zip_with("v", "mu", lambda x, m: x - m).alias("cv")
     )
+    # r10 optimization (guide §2.3 "shuffle fewer bytes"): the Gram matrix is
+    # symmetric, so emit only the UPPER TRIANGLE per vector — d(d+1)/2
+    # products instead of d² (2080 vs 4096 at d=64, the query's one
+    # data-sized stage) — and mirror the aggregated table afterwards. The
+    # (i,j) and (j,i) products are the same x*y term, so the mirrored
+    # rounded covariance is bit-identical to the full-square aggregate.
     prods = cv.select(
         F.explode(
             F.flatten(
                 F.transform(
                     "cv",
                     lambda x, i: F.transform(
-                        "cv", lambda y, j: F.struct(i.alias("i"), j.alias("j"), (x * y).alias("p"))
+                        F.slice(F.col("cv"), i + 1, F.size("cv") - i),
+                        lambda y, j: F.struct(i.alias("i"), (i + j).alias("j"), (x * y).alias("p")),
                     ),
                 )
             )
         ).alias("t")
     ).select("t.i", "t.j", "t.p")
     n = e.agg(F.count(F.lit(1)).alias("n_vec"))
-    cov = (
+    cov_tri = (
         prods.crossJoin(F.broadcast(n))
         .groupBy("i", "j")
         .agg(F.round(F.sum("p") / (F.max("n_vec") - 1), 6).alias("c"))
+    )
+    # mirror by exploding each aggregated row into 1 (diagonal) or 2 rows —
+    # NOT a unionAll, which would duplicate the corpus-sized Gram aggregate
+    # subtree (the q_equidepth_hist lesson)
+    tri_s = F.struct(F.col("i").alias("i"), F.col("j").alias("j"), F.col("c").alias("c"))
+    flip_s = F.struct(F.col("j").alias("i"), F.col("i").alias("j"), F.col("c").alias("c"))
+    cov = (
+        cov_tri.select(
+            F.explode(
+                F.when(F.col("i") == F.col("j"), F.array(tri_s)).otherwise(
+                    F.array(tri_s, flip_s)
+                )
+            ).alias("t")
+        )
+        .select("t.i", "t.j", "t.c")
         # materialize the d² table ONCE: each unrolled round references cov
         # (and every prior round) — without lineage truncation the plan
         # tree replicates the corpus-sized Gram aggregate combinatorially
@@ -6775,7 +6800,10 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     because every step is integer."""
     docs = _t(spark, sf_dir, "documents")
     ppm = multimodal.documents_as_ppm(docs)
-    hashes = multimodal.dhash_images(ppm).where(F.col("decode_ok"))
+    # r10 optimization (guide §5): the banded <=1-Hamming self-join reads
+    # the hash table TWICE (side a, side b) — unpersisted, each side re-ran
+    # the whole Arrow codec decode; the table is (media_id, hash)-narrow
+    hashes = scoped_persist(multimodal.dhash_images(ppm).where(F.col("decode_ok")))
     bands = hashes.select(
         "media_id", "dhash",
         F.posexplode(F.array(F.expr("dhash div 16384"), F.col("dhash") % 16384)).alias("band_idx", "band_val"),

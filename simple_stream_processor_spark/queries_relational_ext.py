@@ -6529,23 +6529,33 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.select(F.col("y").alias("src"), F.col("x").alias("dst"))
         )
     ).localCheckpoint(eager=False)
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # r10 optimization (guide §2.4): round 1 collapses to ONE aggregate —
+    # with identity labels over a DISTINCT pair set every neighbor label is
+    # distinct, so every (dst, label) count is 1 and the mode tie-break
+    # (min label among max counts) is simply min(src) per dst. Provably the
+    # oracle's c1/m1/l1 chain: c1 rows all have c = 1, m1 is 1, l1 = min.
+    labels = (
+        edges.groupBy("dst")
+        .agg(F.min("src").alias("label"))
+        .select(F.col("dst").alias("node"), "label")
+        .localCheckpoint(eager=False)
     )
-    for _ in range(4):
+    for _ in range(3):
         cnt = (
             edges.join(labels, edges["src"] == labels["node"])
             .select("dst", "label")
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        mx = cnt.groupBy("dst").agg(F.max("c").alias("mc"))
+        # r10 optimization (guide §2.4): the max-count join + min-label
+        # rollup (3 ops, one extra exchange) folds into ONE aggregate —
+        # max(struct(c, -label)) orders by count then by SMALLEST label
+        # (labels are positive part keys), so m.nl recovers exactly the
+        # old min-label-among-max-count winner.
         labels = (
-            cnt.join(mx, "dst")
-            .where(F.col("c") == F.col("mc"))
-            .groupBy("dst")
-            .agg(F.min("label").alias("label"))
-            .select(F.col("dst").alias("node"), "label")
+            cnt.groupBy("dst")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels.groupBy(F.col("label").alias("community")).agg(
@@ -7420,7 +7430,12 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = graphs.select("graph", F.col("x").alias("a"), F.col("y").alias("b")).unionAll(
         graphs.select("graph", F.col("y").alias("a"), F.col("x").alias("b"))
     )
-    deg = adj.groupBy("graph", F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    # r10 optimization (guide §5): the degree table feeds THREE consumers
+    # (da broadcast, db broadcast, gstats) — unpersisted, each broadcast
+    # build re-ran the adj aggregate over the checkpointed pair table
+    deg = scoped_persist(
+        adj.groupBy("graph", F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    )
     da = deg.select(F.col("graph").alias("g1"), F.col("node").alias("na"), F.col("d").alias("dx"))
     db = deg.select(F.col("graph").alias("g2"), F.col("node").alias("nb"), F.col("d").alias("dy"))
     ends = adj.join(
