@@ -67,6 +67,29 @@ FEATURE_SCHEMA = (
 )
 
 
+def _codec_parallelize(df: DataFrame) -> DataFrame:
+    """Spread a CPU-heavy Python codec stage across the session's cores
+    (guide §2/§6). A kilobyte-scale fixture table scans as ONE partition
+    (580 KiB documents.parquet < maxPartitionBytes), so a codec chain
+    serializes on a single worker — measured: q_multimodal_gif ran 3.5 s
+    wall ≈ its single-core LZW CPU budget; with this repartition 1.7 s.
+    Applied ONLY to the LZW (GIF) encode stage: a blanket wrap of all 16
+    mapInPandas sites was measured and REVERTED — the .rdd partition probe
+    + round-robin exchange cost ~0.3 s per stage, more than the cheap
+    C-backed/netpbm decoders gain (q_multimodal_decode 0.30→0.66 s,
+    q_image_dhash_dedup 0.65→1.19 s under the blanket wrap). Repartitions
+    UP to defaultParallelism only when the input has fewer partitions; a
+    real many-partition scan (the 100 TB case) is left untouched, so no
+    shuffle is ever added at cluster scale. Streaming micro-batches are
+    left alone (their parallelism is the source's)."""
+    if df.isStreaming:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract each payload via ``mapInPandas``.
 
@@ -979,7 +1002,7 @@ def documents_as_png(docs: DataFrame, width: int = 13, height: int = 9) -> DataF
             ]
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return prepared.mapInPandas(build, "media_id long, payload binary")
+    return _codec_parallelize(prepared).mapInPandas(build, "media_id long, payload binary")
 
 
 def decode_png(df: DataFrame) -> DataFrame:
@@ -1255,7 +1278,7 @@ def documents_as_gif(docs: DataFrame, width: int = 20, height: int = 18) -> Data
             ]
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return prepared.mapInPandas(build, "media_id long, payload binary")
+    return _codec_parallelize(prepared).mapInPandas(build, "media_id long, payload binary")
 
 
 def decode_gif(df: DataFrame) -> DataFrame:
