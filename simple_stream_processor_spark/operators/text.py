@@ -284,10 +284,12 @@ def bpe_merges(df: DataFrame, text_col: str = "text", rounds: int = 5) -> DataFr
     words = scoped_persist(words)
     # the per-round jobs touch only the vocab table: when it is small,
     # 32-task stages are pure scheduler overhead (16+ micro-jobs at 8
-    # rounds) — collapse to one partition; a 100 TB corpus with a
-    # many-million-word vocab keeps its parallelism
+    # rounds) — collapse to a handful of partitions (not ONE: the per-round
+    # symbol fold then runs on a few cores instead of serially, and near the
+    # 100k-row gate a single partition folds the whole vocab in one task); a
+    # 100 TB corpus with a many-million-word vocab keeps its parallelism
     if words.count() < 100_000:
-        words = words.coalesce(1)
+        words = words.coalesce(min(8, spark.sparkContext.defaultParallelism))
     out_rows = []
     for r in range(1, rounds + 1):
         n = F.size("syms")
@@ -321,12 +323,18 @@ def bpe_merges(df: DataFrame, text_col: str = "text", rounds: int = 5) -> DataFr
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        old = words
+        # LAZY checkpoint (r10, guide §1.2): the fold materializes inside the
+        # NEXT round's argmax job instead of as its own eager job — one Spark
+        # job per merge round rather than two (8 jobs saved at rounds=8), and
+        # the final round's fold (whose output no consumer reads) never runs.
+        # Lineage stays O(1): each checkpoint is one fold above the previous.
+        # The round-1 corpus persist must outlive the first lazy fold, so no
+        # per-round unpersist — the scoped persist releases at the query
+        # boundary as every other query-scoped cache does.
         words = words.select(
             F.when(F.size("syms") >= 2, fold).otherwise(F.col("syms")).alias("syms"),
             "freq",
-        ).localCheckpoint()  # O(1) lineage per round; vocab-sized table
-        old.unpersist()
+        ).localCheckpoint(eager=False)  # O(1) lineage per round; vocab-sized
     schema = "round INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
     return spark.createDataFrame(out_rows, schema=schema)
 

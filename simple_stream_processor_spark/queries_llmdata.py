@@ -3189,6 +3189,14 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     gr = dedup.ngram_hash_table(docs, n=4)
     src = docs.select("doc_id", "source")
+    # r10 optimization attempt, REVERTED (measured negative result, see
+    # OPTIMIZATION_r10.md): folding the distinct + gh self-join into one
+    # gh-keyed collect_set aggregate + array-side source-pair explode (the
+    # _copurchase_pairs shape) measured ~25% SLOWER — per-gram source sets
+    # mean millions of tiny ObjectHashAggregate set buffers (no codegen),
+    # which costs more than the three codegen'd hash exchanges it removes.
+    # The copurchase win does not transfer: baskets are 4x fewer groups from
+    # 4x more rows AND replace a JOIN, not a distinct.
     sg = gr.join(src, "doc_id").select("source", "gh").distinct()
     ng = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_g"))
     a = sg.select(F.col("source").alias("source_a"), "gh")

@@ -2109,19 +2109,25 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     items-self-join pair count row for row. Basket-quadratic output is
     inherent to co-purchase semantics and unchanged; at 100 TB the explode
     stays order-local (no shuffle) and the rollup is the same
-    collision-proportional exchange as before."""
+    collision-proportional exchange as before.
+
+    Pair emission is two chained GENERATORS (posexplode + explode(slice)),
+    not the earlier flatten(transform(..., transform(...))) nested
+    higher-order function: HOF lambda bodies evaluate INTERPRETED (the
+    q_winnowing_fingerprint lesson), and building every per-element slice
+    inside a lambda allocated O(basket²) intermediate arrays per basket.
+    Generators run inside codegen; measured −31% on the pair rollup at
+    sf0.1 (same rows, same rollup exchange)."""
     li = _t(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) ->"
-                " transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"
-            )
-        ).alias("p")
-    ).select("p.x", "p.y")
+    # posexplode yields 0-based i; slice is 1-based, so slice(ps, i + 2, n)
+    # is exactly the strictly-after suffix — (ps[i], ps[j]) for j > i, the
+    # identical pair set the nested-transform form emitted
+    pairs = baskets.select(F.posexplode("ps").alias("i", "x"), "ps").select(
+        "x", F.explode(F.slice("ps", F.col("i") + 2, F.size("ps"))).alias("y")
+    )
     return pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("w"))
 
 
@@ -4636,46 +4642,63 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A boundary ulp can never flip a bucket: it is either exactly a datum
     # (frac 0 — exact) or strictly between two ADJACENT distinct values,
     # where no datum lives (the original q_equidepth_hist argument).
-    ppb = scoped_persist(
-        v.groupBy("cents").agg(F.count(F.lit(1)).alias("c")).withColumn("b", F.expr("cents div 65536"))
+    # r10 round-2 optimization (guide §1.2 "the distributed algorithm" — the
+    # q_bisect_median radix discipline): the rank→value lookup no longer
+    # builds the FULL distinct-value cum table (a corpus-wide distinct-count
+    # aggregate + a corpus-wide two-level window — measured ~2s of the 3.7s
+    # at sf0.1). Instead:
+    #   pass 1: a ≤4096-cell coarse histogram (cents div 65536) — map-side
+    #     combined, collected to the driver (the same bounded driver witness
+    #     q_bisect_median's bracket loop uses); a driver-side cumsum maps
+    #     each of the 30 boundary ranks to its coarse bucket + in-bucket rank.
+    #   pass 2: distinct-value counts ONLY inside the ≤30 target buckets
+    #     (the scan-side filter drops ~4/5 of rows before the exchange), one
+    #     per-bucket prefix-sum window over that filtered table, and the same
+    #     30-row broadcast rank probe — now an equi-join on bucket id.
+    # The boundary values and fracs are identical: value at global rank r ==
+    # value at rank (r − bucket offset) within r's bucket, and h/frac use the
+    # same ((n−1)·i)/16 double arithmetic (exact: /16 is a power-of-two
+    # scale). No corpus-sized window, no persists, and the one collect is
+    # 4096-bounded at ANY data size.
+    coarse = sorted(
+        (r["cb"], r["c"])
+        for r in v.groupBy(F.expr("cents div 65536").alias("cb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     )
-    bt = ppb.groupBy("b").agg(F.sum("c").alias("bc"))
-    w_off = _W.orderBy("b").rowsBetween(_W.unboundedPreceding, -1)
-    btp = bt.select("b", F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off"))
+    n = sum(c for _, c in coarse)
+    grid_rows = []
+    for i in range(1, 16):
+        h = float(n - 1) * float(i) / 16.0
+        lo_rank = int(h // 1) + 1
+        frac = h - float(int(h // 1))
+        for kind, rank in ((0, lo_rank), (1, lo_rank + 1)):
+            if rank < 1 or rank > n:
+                continue  # hi rank past the last value: v_hi stays NULL
+            off = 0
+            for cb, c in coarse:
+                if off + c >= rank:
+                    grid_rows.append((i, frac, kind, rank - off, cb))
+                    break
+                off += c
+    grid = spark.createDataFrame(
+        grid_rows, "i INT, frac DOUBLE, kind INT, rank BIGINT, gb BIGINT"
+    )
+    tgt = sorted({gb for *_, gb in grid_rows})
+    ppb = (
+        v.where(F.expr("cents div 65536").isin(tgt) if tgt else F.lit(False))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("b", F.expr("cents div 65536"))
+    )
     w_in = _W.partitionBy("b").orderBy("cents").rowsBetween(_W.unboundedPreceding, _W.currentRow)
-    cumt = scoped_persist(
-        ppb.join(F.broadcast(btp), "b")
-        .select("cents", "c", (F.sum("c").over(w_in) + F.col("off")).alias("cum"))
-    )
-    tot = bt.agg(F.sum("bc").alias("n"))
-    h = (F.col("n") - 1).cast("double") * F.col("i") / F.lit(16.0)
-    # both ranks of every boundary in ONE grid (kind 0 = lower, 1 = upper),
-    # so a single broadcast range probe over the persisted cum table serves
-    # all 30 lookups; the 15-row groupBy reassembles (v_lo, v_hi, frac)
-    base_grid = tot.select(
-        F.explode(F.array(*[F.lit(i) for i in range(1, 16)])).alias("i"), "n"
-    ).select(
-        "i",
-        (F.floor(h) + 1).cast("long").alias("lo_rank"),
-        (h - F.floor(h)).alias("frac"),
-    )
-    # one explode instead of a unionAll of two selects over base_grid: the
-    # union duplicated the whole one-row total-aggregate subtree (two
-    # SinglePartition exchanges for the same scalar)
-    grid = base_grid.select(
-        "i",
-        "frac",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("kind"), F.col("lo_rank").alias("rank")),
-                F.struct(F.lit(1).alias("kind"), (F.col("lo_rank") + 1).alias("rank")),
-            )
-        ).alias("kr"),
-    ).select("i", "frac", F.col("kr.kind").alias("kind"), F.col("kr.rank").alias("rank"))
+    cumt = ppb.select("cents", "c", "b", F.sum("c").over(w_in).alias("bcum"))
     bvals = (
         cumt.join(
             F.broadcast(grid),
-            (F.col("cum") >= F.col("rank")) & (F.col("cum") - F.col("c") < F.col("rank")),
+            (F.col("b") == F.col("gb"))
+            & (F.col("bcum") >= F.col("rank"))
+            & (F.col("bcum") - F.col("c") < F.col("rank")),
         )
         .groupBy("i")
         .agg(
@@ -10972,12 +10995,21 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = [n0_count]
     fixed_point = False
     for i in range(rounds):
+        if i == 0:
+            # r10: round 1's membership joins are identities — nodes IS
+            # distinct(u of ed) at entry, so conditioning both endpoints on
+            # membership keeps every edge. Aggregate the raw edge table
+            # directly: two joins (and their broadcast builds) removed from
+            # the one round that still sees the full edge table.
+            deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        else:
+            deg = (
+                ed.join(nodes.withColumnRenamed("node", "su"), F.col("su") == F.col("u"))
+                .join(nodes.withColumnRenamed("node", "sv"), F.col("sv") == F.col("v"))
+                .groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+            )
         survivors = (
-            ed.join(nodes.withColumnRenamed("node", "su"), F.col("su") == F.col("u"))
-            .join(nodes.withColumnRenamed("node", "sv"), F.col("sv") == F.col("v"))
-            .groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-            .where(F.col("d") >= k)
-            .select(F.col("u").alias("node"))
+            deg.where(F.col("d") >= k).select(F.col("u").alias("node"))
         ).localCheckpoint()
         nodes = survivors
         counts.append(nodes.count())  # bounded scalar: convergence witness
@@ -10986,11 +11018,17 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     n_core = counts[-1]
     prev_count = counts[-1] if fixed_point else counts[-2]
-    core_edges = (
-        e.join(nodes.withColumnRenamed("node", "cx"), F.col("cx") == F.col("x"))
-        .join(nodes.withColumnRenamed("node", "cy"), F.col("cy") == F.col("y"))
-        .count()
-    )
+    if n_core == 0:
+        # r10: an empty core provably has zero induced edges — skip the
+        # membership-join count (it only short-circuits AFTER AQE builds
+        # and broadcasts the empty sides)
+        core_edges = 0
+    else:
+        core_edges = (
+            e.join(nodes.withColumnRenamed("node", "cx"), F.col("cx") == F.col("x"))
+            .join(nodes.withColumnRenamed("node", "cy"), F.col("cy") == F.col("y"))
+            .count()
+        )
     e.unpersist()  # core_edges was the last consumer (r10 review find)
     return spark.createDataFrame(
         [(k, n0_count, n_core, core_edges, "true" if n_core == prev_count else "false")],
