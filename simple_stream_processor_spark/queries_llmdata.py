@@ -6720,6 +6720,15 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").where(F.length("text") >= 5)
     base = docs.select("doc_id", F.lower("text").alias("tx"))
+    # r10 optimization attempt #2, REVERTED (measured negative result, see
+    # OPTIMIZATION_r10.md): deriving n_grams scan-side as length(tx) − 4
+    # (deleting the count-over-partition Window below) measured 77% SLOWER
+    # under alternating A/B (2.72 s → 4.82 s min-of-5, identical output) —
+    # the extra pass-through column widens every exploded row through the
+    # doc-keyed exchange and the window sort buffer, costing more than the
+    # second Window operator it removes (which shares the first window's
+    # exchange and sort). Both negative results stay recorded so round 11
+    # does not re-try either form.
     grams = base.select(
         "doc_id",
         F.posexplode(
