@@ -268,7 +268,13 @@ def _retry_budget_outliers(spark, sf_dir, timings, tail_timings, reps):
     fails the budget gate. Disable with SPARK_GRAFT_BENCH_RETRIES=0."""
     from simple_stream_processor_spark.registry import release_scoped_caches
 
-    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "40"))
+    # Cap raised 40 -> 120 (r10 session 2): a sustained co-tenant
+    # interference window pushed 45+ of the 290 rows over budget in one
+    # sweep and the 40-cap ran out mid-tail, leaving x5-x14 transients
+    # (q_mrr_eval 12.3s vs 0.86 canon; 1.1s solo immediately after) in the
+    # ledger unretried. 120 still bounds worst-case added wall to minutes
+    # and remains a no-op on a quiet run (the committed ledger needed 0).
+    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "120"))
     if max_retries <= 0:
         return {}
     try:
