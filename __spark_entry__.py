@@ -31,46 +31,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness walks the dict in insertion order under a
-# 50-entry budget.  Rounds 1-9 verified 376 distinct queries green (the
-# round-9 window q_classifier_report … q_pit_join came back 50/50 in
-# CORRECTNESS_r09.json).  ROUND-10 window, continuing the rotation
-# discipline (r9 judge task #1): the 50 oldest never-driver-verified
-# queries — the first 50 of the 54 remaining round-8 additions, staged
-# order kept.  The 4 newest round-8 additions
-# (q_streaming_keyword_trend … q_streaming_burrows) queue immediately
-# behind together with the 25 round-9 additions for round 11
-# (4 + 25 + ≤21 r10 additions = ≤50, retiring the never-driver-verified
-# debt to zero after r11).  All previously driver-verified queries
-# follow, in their established relative order.  _PRIORITY covers the
-# full registry (asserted by
+# 50-entry budget.  Rounds 1-10 verified 426 distinct queries green (the
+# round-10 window q_session_stats … q_streaming_friedman came back 50/50 in
+# CORRECTNESS_r10.json).  ROUND-11 window, continuing the rotation
+# discipline (r10 judge task #8): the FINAL 50 never-driver-verified
+# queries — the 4 newest round-8 additions, the 25 round-9 additions and
+# the 21 round-10 additions, staged order kept — retiring the
+# never-driver-verified debt to zero (4 + 25 + 21 = 50 exactly).  All
+# previously driver-verified queries follow, in their established
+# relative order.  _PRIORITY covers the full registry (asserted by
 # test_priority_names_all_resolve_and_readme_count_matches).
 _PRIORITY = [
-    # --- round-10 window (50): the 50 oldest never-driver-verified
-    #     round-8 additions (local-oracle-green at 3 SFs in round 8,
-    #     judge-re-run green in r9; staged order kept) ---
-    "q_session_stats",
-    "q_dtw_distance", "q_isotonic_calibration", "q_logrank_test",
-    "q_psi_drift", "q_cohens_kappa", "q_gopher_rules", "q_mojibake_audit",
-    "q_textrank_keywords", "q_embedding_discrimination", "q_ivf_nprobe_curve",
-    "q_streaming_psi", "q_streaming_gopher", "q_streaming_mojibake",
-    "q_streaming_kappa", "q_streaming_hhi", "q_streaming_theil",
-    "q_streaming_mcnemar", "q_streaming_brown_forsythe", "q_streaming_ohlc",
-    "q_streaming_page_hinkley", "q_streaming_dtw",
-    "q_cochran_q", "q_fleiss_kappa", "q_price_index", "q_ndcg_eval",
-    "q_rbo_rankings", "q_burrows_delta", "q_hurst_exponent",
-    "q_weibull_fit", "q_croston",
-    "q_streaming_cochran", "q_streaming_fleiss", "q_streaming_hurst",
-    "q_streaming_croston", "q_streaming_logrank", "q_streaming_weibull",
-    "q_abc_xyz_matrix", "q_seasonal_mann_kendall", "q_code_switch_audit",
-    "q_token_budget_fill",
-    "q_streaming_seasonal_mk", "q_streaming_code_switch",
-    "q_streaming_price_index",
-    "q_poisson_rate_test", "q_streaming_abc_xyz", "q_streaming_poisson_rate",
-    "q_friedman_test", "q_keyword_trend",
-    "q_streaming_friedman",
-    # ---------- window boundary (50 inside the list above) ----------
-    # --- round-11 queue: the 4 newest round-8 additions (staged order),
-    #     then the 25 round-9 additions, then any r10 additions ---
+    # --- round-11 window (50): the last never-driver-verified queries —
+    #     4 r8 + 25 r9 + 21 r10 additions (local-oracle-green at 3 SFs
+    #     in their build rounds; staged order kept) ---
     "q_streaming_keyword_trend",
     "q_bm25_k1_sweep", "q_streaming_textrank", "q_streaming_burrows",
     # (r9 additions, staged order kept)
@@ -121,6 +95,28 @@ _PRIORITY = [
     "q_streaming_pacf",
     "q_chow_test",
     "q_streaming_chow",
+    # ---------- window boundary (50 inside the list above) ----------
+    # --- driver-verified r10 (the round-10 window, relative order kept) ---
+    "q_session_stats",
+    "q_dtw_distance", "q_isotonic_calibration", "q_logrank_test",
+    "q_psi_drift", "q_cohens_kappa", "q_gopher_rules", "q_mojibake_audit",
+    "q_textrank_keywords", "q_embedding_discrimination", "q_ivf_nprobe_curve",
+    "q_streaming_psi", "q_streaming_gopher", "q_streaming_mojibake",
+    "q_streaming_kappa", "q_streaming_hhi", "q_streaming_theil",
+    "q_streaming_mcnemar", "q_streaming_brown_forsythe", "q_streaming_ohlc",
+    "q_streaming_page_hinkley", "q_streaming_dtw",
+    "q_cochran_q", "q_fleiss_kappa", "q_price_index", "q_ndcg_eval",
+    "q_rbo_rankings", "q_burrows_delta", "q_hurst_exponent",
+    "q_weibull_fit", "q_croston",
+    "q_streaming_cochran", "q_streaming_fleiss", "q_streaming_hurst",
+    "q_streaming_croston", "q_streaming_logrank", "q_streaming_weibull",
+    "q_abc_xyz_matrix", "q_seasonal_mann_kendall", "q_code_switch_audit",
+    "q_token_budget_fill",
+    "q_streaming_seasonal_mk", "q_streaming_code_switch",
+    "q_streaming_price_index",
+    "q_poisson_rate_test", "q_streaming_abc_xyz", "q_streaming_poisson_rate",
+    "q_friedman_test", "q_keyword_trend",
+    "q_streaming_friedman",
     # --- driver-verified r9 (the round-9 window, relative order kept) ---
     "q_classifier_report", "q_kmv_intersection",
     "q_bootstrap_ci", "q_shapley_attribution",

@@ -4356,24 +4356,47 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (rare in lineitem) only pass through the per-round distincts below,
     # and dropping the dedup exchange saves its shuffle at build time
     items = li.select("l_orderkey", "l_partkey").localCheckpoint()
-    seed = li.agg(F.min("l_partkey").alias("s")).collect()[0]["s"]
+    # r11: ONE setup aggregate yields the seed AND the incidence cardinality
+    # that gates the per-round broadcast hints (was two jobs: seed collect +
+    # a would-be count); the agg runs on the checkpointed RDD, scan speed.
+    seed_row = items.agg(
+        F.min("l_partkey").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    seed, items_n = seed_row["s"], seed_row["n"]
+    # r11 (guide §3.1/§5): the frontier, settled set and touched-order set
+    # are node-/order-bounded — orders of magnitude under the incidence
+    # table. Hinting them BROADCAST removes both per-round shuffle stages
+    # of the incidence table's join sides (the SMJ re-sorted 600k rows per
+    # round) — each round becomes one broadcast-probe pass over the
+    # checkpointed incidence RDD. The hint is GATED on the pre-counted
+    # incidence cardinality (the repo-wide gated_broadcast discipline):
+    # past the gate every join degrades to the old AQE-picked plan,
+    # value-identical, so 100 TB frontiers never force an OOM broadcast.
+    from simple_stream_processor_spark.operators.dedup import gated_broadcast
+
+    hint = gated_broadcast(
+        int(items_n), int(spark.conf.get("spark.graft.broadcast_gate_rows", "100000")) * 40
+    )
     dist = spark.createDataFrame([(int(seed), 0)], schema="node LONG, hops INT")
     frontier = dist.select("node")
     for k in range(1, 7):
         oks = (
-            frontier.join(items, frontier["node"] == items["l_partkey"])
+            hint(frontier).join(items, frontier["node"] == items["l_partkey"])
             .select("l_orderkey")
             .distinct()
         )
         nxt = (
-            oks.join(items, "l_orderkey")
+            items.join(hint(oks), "l_orderkey")
             .select(F.col("l_partkey").alias("node"))
             .distinct()
-            .join(dist, "node", "left_anti")
+            .join(hint(dist), "node", "left_anti")
             .select("node", F.lit(k).cast("int").alias("hops"))
         )
-        nxt = nxt.localCheckpoint()  # O(1) lineage per round, like pagerank
-        if nxt.isEmpty():  # bounded driver witness: frontier drained
+        # r11: LAZY checkpoint + count — ONE job per round materializes the
+        # checkpoint AND serves as the bounded driver convergence witness
+        # (was two: an eager checkpoint job + an isEmpty job).
+        nxt = nxt.localCheckpoint(eager=False)  # O(1) lineage per round
+        if nxt.count() == 0:  # frontier drained
             break
         # the union of checkpointed rounds has O(rounds) flat lineage —
         # re-checkpointing it each round was one redundant job per round
@@ -6557,11 +6580,21 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct, so every (dst, label) count is 1 and the mode tie-break
     # (min label among max counts) is simply min(src) per dst. Provably the
     # oracle's c1/m1/l1 chain: c1 rows all have c = 1, m1 is 1, l1 = min.
+    #
+    # r11 (guide §5 driver rules, measured): the per-round label
+    # localCheckpoints are GONE. Each round's label table feeds exactly ONE
+    # consumer (the next round's join), so checkpointing bought no subtree
+    # dedup — only lineage flattening, which a 3-round unroll does not need
+    # (the full plan is ~40 operators). Each lazy checkpoint call cost
+    # ~0.7 s of driver-side planning + codegen per round (profiled:
+    # localCheckpoint was 3.66 s of the 4.59 s build); one end-to-end plan
+    # pays that once. The EDGE checkpoint stays: edges is referenced by
+    # every round and by the round-1 aggregate, and the checkpoint caches
+    # it instead of re-running the basket build 4x.
     labels = (
         edges.groupBy("dst")
         .agg(F.min("src").alias("label"))
         .select(F.col("dst").alias("node"), "label")
-        .localCheckpoint(eager=False)
     )
     for _ in range(3):
         cnt = (
@@ -6579,7 +6612,6 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt.groupBy("dst")
             .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
             .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("label"))
-            .localCheckpoint(eager=False)
         )
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -10980,7 +11012,9 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = e.select(F.col("x").alias("u"), F.col("y").alias("v")).unionAll(
         e.select(F.col("y").alias("u"), F.col("x").alias("v"))
     ).localCheckpoint()
-    nodes = ed.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    # r11: lazy checkpoint + count — one job materializes the node table AND
+    # yields n0 (was an eager checkpoint job followed by a count job)
+    nodes = ed.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=False)
     n0_count = nodes.count()
     k, rounds = 3, 16
     # r10 optimization: fixed-point early exit. Peeling is monotone
@@ -10992,6 +11026,17 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One bounded one-row count per round (on the checkpointed node table)
     # replaces up to 13 dead edge-table joins — sf0.1's w>=2 graph peels to
     # empty in 3 rounds, sf0.01's to its 3-core in 4.
+    # r11 (guide §3.1): every membership set is ≤ n0 nodes (peeling is
+    # monotone), so the per-round joins and the final core_edges count get a
+    # BROADCAST hint gated on the pre-counted n0 (the repo-wide
+    # gated_broadcast discipline) — each round becomes one broadcast-probe
+    # pass over the checkpointed edge RDD instead of an AQE shuffle pair;
+    # past the gate the joins degrade to the old plan, value-identical.
+    from simple_stream_processor_spark.operators.dedup import gated_broadcast
+
+    hint = gated_broadcast(
+        int(n0_count), int(spark.conf.get("spark.graft.broadcast_gate_rows", "100000"))
+    )
     counts = [n0_count]
     fixed_point = False
     for i in range(rounds):
@@ -11004,13 +11049,15 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         else:
             deg = (
-                ed.join(nodes.withColumnRenamed("node", "su"), F.col("su") == F.col("u"))
-                .join(nodes.withColumnRenamed("node", "sv"), F.col("sv") == F.col("v"))
+                ed.join(hint(nodes.withColumnRenamed("node", "su")), F.col("su") == F.col("u"))
+                .join(hint(nodes.withColumnRenamed("node", "sv")), F.col("sv") == F.col("v"))
                 .groupBy("u").agg(F.count(F.lit(1)).alias("d"))
             )
+        # r11: lazy checkpoint + count — ONE job per round materializes the
+        # survivor set AND serves as the convergence witness (was two)
         survivors = (
             deg.where(F.col("d") >= k).select(F.col("u").alias("node"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         nodes = survivors
         counts.append(nodes.count())  # bounded scalar: convergence witness
         if counts[-1] == counts[-2]:
@@ -11025,8 +11072,8 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         core_edges = 0
     else:
         core_edges = (
-            e.join(nodes.withColumnRenamed("node", "cx"), F.col("cx") == F.col("x"))
-            .join(nodes.withColumnRenamed("node", "cy"), F.col("cy") == F.col("y"))
+            e.join(hint(nodes.withColumnRenamed("node", "cx")), F.col("cx") == F.col("x"))
+            .join(hint(nodes.withColumnRenamed("node", "cy")), F.col("cy") == F.col("y"))
             .count()
         )
     e.unpersist()  # core_edges was the last consumer (r10 review find)
@@ -14807,15 +14854,20 @@ def grubbs_tail(daily: DataFrame) -> DataFrame:
     A&S 26.7.5 Cornish-Fisher expansion (through ν⁻³) — the approximation
     IS the spec, written as the identical operation tree in the oracle so
     both engines agree bit-exactly far below the round(6)."""
-    from pyspark.sql.window import Window
+    from simple_stream_processor_spark.registry import scoped_persist
 
-    g = daily.groupBy("event_type").agg(
+    # r11 (guide §5): g feeds THREE consumers (the stats broadcast, nvals →
+    # the crit broadcast, and through `top` the final projection) —
+    # unpersisted, the per-type aggregate re-ran once per broadcast build.
+    # scoped_persist computes it once; both broadcast builds read the
+    # InMemoryRelation.
+    g = scoped_persist(daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
         F.sum(
             F.col("cents").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")
         ).alias("ss"),
-    )
+    ))
     # the small side renames its join key (the anderson_tail rule: a
     # memory-sink daily trips the conflicting-reference check on raw
     # self-joins)
@@ -14835,8 +14887,17 @@ def grubbs_tail(daily: DataFrame) -> DataFrame:
             ).alias("ad"),
         )
     )
-    w = Window.partitionBy("event_type").orderBy(F.col("ad").desc(), F.col("day").asc())
-    top = joined.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    # r11 (guide §2.4): the row_number window (exchange + full sort of the
+    # panel) collapses to ONE max(struct(ad, -day)) aggregate — struct
+    # ordering is (ad DESC ⇒ max, then -day ⇒ smallest day), exactly the
+    # window's (ad DESC, day ASC) rank-1 row. n_days/s/ss are per-type
+    # constants, so grouping on them too changes nothing.
+    top = (
+        joined.groupBy("event_type", "n_days", "s", "ss")
+        .agg(F.max(F.struct(F.col("ad"), (-F.col("day")).alias("md"))).alias("m"))
+        .select("event_type", "n_days", "s", "ss",
+                F.col("m.ad").alias("ad"), (-F.col("m.md")).alias("day"))
+    )
 
     # The critical value is a function of n alone, and its t-quantile
     # expression tree is large enough that inlining it per output column
