@@ -6991,9 +6991,15 @@ def _daily_cents_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trend/dispersion family (N104 Theil-Sen, N106 Mann-Kendall, N107 runs
     test, N109 XmR): one map-side-combined aggregate, types x days rows."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy(
+    daily = ev.groupBy(
         "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    # r11 (guide §5): most consumers reference the daily table twice or more
+    # (a per-type stats aggregate AND the row side it broadcasts back onto)
+    # — unpersisted, every reference re-scans and re-aggregates the events
+    # table. Query-scoped persist: types x days rows, released at the next
+    # declared-query boundary like every other scoped cache.
+    return scoped_persist(daily)
 
 
 @query(

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from simple_stream_processor_spark.registry import query
 from simple_stream_processor_spark.streaming.lifecycle import consume_managed, managed_source_run
-from simple_stream_processor_spark.streaming.runner import TMP_ROOT, run_stream_to_memory, stream_events
+from simple_stream_processor_spark.streaming.runner import TMP_ROOT, run_stream_to_memory, stream_events, stream_schema
 from simple_stream_processor_spark.streaming.windows import streaming_count_window, streaming_tumbling_window
 from simple_stream_processor_spark.streaming.dedup import streaming_dedup
 from simple_stream_processor_spark.operators.text import STOPWORDS
@@ -415,7 +415,7 @@ def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the gate's cost stays scan-bound per micro-batch."""
     from simple_stream_processor_spark.operators import text as text_ops
 
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "documents")
     sdf = spark.readStream.schema(raw_schema).option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
     t = text_ops.tokens(F.col("text"))
     n_tok = F.size(t).cast("double")
@@ -499,7 +499,7 @@ def q_streaming_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     stays narrow in the executors."""
     from simple_stream_processor_spark.operators import multimodal
 
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "documents")
     sdf = spark.readStream.schema(raw_schema).option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
     media = multimodal.documents_as_ppm(sdf, width=16, height=8)
     feats = multimodal.decode_image(media)
@@ -563,7 +563,7 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     them on a real unbounded stream — that is what the sketch is for)."""
     from simple_stream_processor_spark.queries_llmdata import cms_bucket_cols
 
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "documents")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -748,7 +748,7 @@ def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_stream_processor_spark.queries_llmdata import bloom_report
     from simple_stream_processor_spark.tables import load_table
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "documents")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -795,7 +795,7 @@ def q_streaming_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_llmdata import entropy_report
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "documents")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -831,7 +831,7 @@ def q_streaming_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_llmdata import ks_report, ks_score_bin
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "documents")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -903,7 +903,7 @@ def q_streaming_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_llmdata import pca_power_iterate
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "embeddings")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "embeddings.parquet")
@@ -996,7 +996,7 @@ def q_streaming_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feature").alias("r_feature")
     ).agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "documents")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -1036,7 +1036,7 @@ def q_streaming_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import km_curve
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1067,7 +1067,7 @@ def q_streaming_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import acf_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1100,7 +1100,7 @@ def q_streaming_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import lag_features_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1138,7 +1138,7 @@ def q_streaming_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import ab_test_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1172,7 +1172,7 @@ def q_streaming_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import time_to_convert_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1214,7 +1214,7 @@ def q_streaming_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import retention_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1246,7 +1246,7 @@ def q_streaming_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import active_users_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1278,7 +1278,7 @@ def q_streaming_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import weekday_profile_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1312,7 +1312,7 @@ def q_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch of candidate docs is a broadcast join against 4096 rows."""
     from simple_stream_processor_spark.queries_llmdata import dsir_bucket, dsir_tail, dsir_tokens
 
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "documents")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -1474,7 +1474,7 @@ def q_streaming_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_llmdata import emd_report, ks_score_bin
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "documents")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -1510,7 +1510,7 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import ewma_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1549,7 +1549,7 @@ def q_streaming_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         zonemap_tail,
     )
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "orders")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "orders.parquet")
@@ -1590,7 +1590,7 @@ def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_llmdata import novelty_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "documents")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -1641,7 +1641,7 @@ def q_streaming_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_llmdata import heaps_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "documents")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -1677,7 +1677,7 @@ def q_streaming_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import saturation_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1710,7 +1710,7 @@ def q_streaming_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import mi_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1741,7 +1741,7 @@ def q_streaming_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_llmdata import jsd_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "documents")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -1775,7 +1775,7 @@ def q_streaming_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import audience_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1813,7 +1813,7 @@ def q_streaming_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import srm_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1852,7 +1852,7 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import kmv_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1883,7 +1883,7 @@ def q_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import holt_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1918,7 +1918,7 @@ def q_streaming_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import seasonal_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1950,7 +1950,7 @@ def q_streaming_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import ccf_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1988,7 +1988,7 @@ def q_streaming_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import growth_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2021,7 +2021,7 @@ def q_streaming_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_stream_processor_spark.queries_relational_ext import xmr_tail
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2048,7 +2048,7 @@ def _streaming_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete; the shared head of the trend/dispersion streaming twins."""
     import os as _os
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2113,7 +2113,7 @@ def _streaming_daily_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per day forever (the q_streaming_seasonal bound), drained complete."""
     import os as _os
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2156,7 +2156,7 @@ def _streaming_user_rollup(spark: SparkSession, sf_dir: str, *aggs):
     experiment/survival twins."""
     import os as _os
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2310,7 +2310,7 @@ def _streaming_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained complete; the head of the Cramer's-V twin."""
     import os as _os
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "events")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2355,7 +2355,7 @@ def _streaming_docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally per micro-batch."""
     import os as _os
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "documents")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -2418,7 +2418,7 @@ def q_streaming_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "documents")
     return (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -2489,7 +2489,7 @@ def _streaming_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_streaming_enrich join shape): commutative integer sums bounded at
     segments x customers rows; the shared head of the concentration/
     inequality twins (N149b HHI, N150b Theil)."""
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "orders")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "orders.parquet")
@@ -2781,7 +2781,7 @@ def q_streaming_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     readouts as shipments ingest. Hash-matches the batch oracle."""
     from simple_stream_processor_spark.queries_relational_ext import price_index_tail
 
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "lineitem")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "lineitem.parquet")
@@ -2811,7 +2811,7 @@ def q_streaming_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-matches the batch oracle."""
     from simple_stream_processor_spark.queries_relational_ext import abc_xyz_tail
 
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "lineitem")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "lineitem.parquet")
@@ -3232,7 +3232,7 @@ def q_streaming_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = e_static.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
 
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet")).schema
+    raw_schema = stream_schema(spark, sf_dir, "embeddings")
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "embeddings.parquet")

@@ -25,6 +25,9 @@ import os
 import pandas as pd
 import pytest
 
+# round 11: degenerate-shape parity sweeps over the whole registry — slow tier (driver runs -m 'not slow'; the gate runs both)
+pytestmark = pytest.mark.slow
+
 from test_oracle_fuzz import (
     EVENT_QUERIES,
     DOC_QUERIES,

@@ -7,6 +7,9 @@ spot values so regressions fail fast in pytest.
 
 import pytest
 
+# round 11: every-declared-query DuckDB parity sweep — slow tier (driver runs -m 'not slow'; the gate runs both)
+pytestmark = pytest.mark.slow
+
 import __spark_entry__ as _entry
 
 QUERIES = _entry.queries()

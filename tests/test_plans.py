@@ -307,6 +307,7 @@ def test_sweep_concurrency_no_global_running_sum(spark, sf_dir):
     assert "row_number" not in plan
 
 
+@pytest.mark.slow  # r11: ~100 s whole-registry sweep; the gate runs plan_audit standalone anyway
 def test_plan_audit_whole_repo(spark, sf_dir):
     """Global plan lint (tools/plan_audit.py) over every non-streaming
     declared query: no row-at-a-time Python eval, no non-broadcast

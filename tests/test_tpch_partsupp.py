@@ -16,6 +16,11 @@ import sys
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
+
+# round 11: partsupp fixture synthesis + subprocess re-registration — slow tier
+# (the driver runs -m 'not slow'; the gate runs both)
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REAL_ROOT = "/root/testdata"

@@ -18,7 +18,10 @@ Stages:
   * stream_audit — ``tools/stream_audit.py``: every live micro-batch plan
     free of BatchEvalPython, state bounded by input, eviction families
     actually evict (round 10 — the streaming half plan_audit skips).
-  * pytest     — ``python -m pytest tests/ -x -q``.
+  * pytest     — ``python -m pytest tests/ -x -q`` (fast tier: pytest.ini
+    deselects ``slow``) PLUS ``-m slow`` (the whole-registry sweeps), so
+    the gate covers both tiers while the driver's default run stays
+    inside its verification window.
   * bench      — (opt-in) ``python bench.py`` then ``tools/bench_compare.py
     BENCH_CANON.json BENCH_DETAIL.json``: fails on a >1.5x-beyond-spread
     headline regression vs the pinned round-4 canon, or an empty compare.
@@ -77,7 +80,13 @@ def main() -> int:
             "stream_audit", [sys.executable, "tools/stream_audit.py", "/root/testdata/sf0.001"]
         )
     if "pytest" not in skip:
+        # r11: two tiers. The default run is the DRIVER's command (fast tier,
+        # pytest.ini deselects `slow`); the slow tier carries the
+        # whole-registry sweeps so the gate keeps full coverage locally.
         results["pytest"] = _run("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
+        results["pytest_slow"] = _run(
+            "pytest_slow", [sys.executable, "-m", "pytest", "tests/", "-x", "-q", "-m", "slow"]
+        )
     if args.bench:
         results["bench"] = _run("bench", [sys.executable, "bench.py"])
         if results["bench"]["rc"] == 0:
