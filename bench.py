@@ -217,6 +217,7 @@ def _run_tier(spark, sf_dir, names, reps):
     clear_cache = os.environ.get("SPARK_GRAFT_BENCH_CLEARCACHE", "0") == "1"
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    colds: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name in names:
@@ -246,13 +247,19 @@ def _run_tier(spark, sf_dir, names, reps):
         best = min(runs)
         timings[name] = round(best, 3)
         spreads[name] = round(max(runs) - best, 3)
+        # r11 (r10 judge finding #3): rep 1 runs with no scoped cache and a
+        # fresh plan — publish it as the COLD number beside the min, so the
+        # warm floor that persist-heavy queries reach on reps 2-3 (scoped
+        # caches survive same-query reps by design) is never mistaken for
+        # cold latency. Methodology (min of reps) is unchanged.
+        colds[name] = round(runs[0], 3)
         total += best
         print(
             f"# {name}: {best:.3f}s min of {len(runs)} (spread +{spreads[name]:.3f}s, {n} rows)",
             file=sys.stderr,
         )
     release_scoped_caches()  # the tier's last query must not leak either
-    return timings, spreads, errors, total
+    return timings, spreads, colds, errors, total
 
 
 def _retry_budget_outliers(spark, sf_dir, timings, tail_timings, reps):
@@ -341,23 +348,48 @@ def main() -> int:
         print(f"# warmup pandas-udf: skipped ({type(exc).__name__})", file=sys.stderr)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    timings, spreads, errors, total = _run_tier(spark, sf_dir, HEADLINE, reps)
+    timings, spreads, colds, errors, total = _run_tier(spark, sf_dir, HEADLINE, reps)
 
     tail_timings: dict[str, float] = {}
     tail_errors: dict[str, str] = {}
     tail_total = 0.0
     if os.environ.get("SPARK_GRAFT_BENCH_TAIL", "1") != "0":
-        tail_timings, _, tail_errors, tail_total = _run_tier(spark, sf_dir, TAIL, 1)
+        tail_timings, _, _, tail_errors, tail_total = _run_tier(spark, sf_dir, TAIL, 1)
 
+    # r11 (r10 judge finding #4): publish the PRE-retry totals too, so both
+    # statistics are always available and the one-sided self-heal pass can
+    # never silently flatter a cross-round comparison.
+    pre_retry_total = round(total, 3)
+    pre_retry_tail_total = round(tail_total, 3)
     retried = _retry_budget_outliers(spark, sf_dir, timings, tail_timings, reps)
     if retried:  # totals must reflect the merged mins
         total = sum(timings.values())
         tail_total = sum(tail_timings.values())
+    # ADVICE r10: a sweep that needed MASS retries is suspect, not healed —
+    # make it visible in both ledgers and on stderr.
+    n_rows = max(1, len(timings) + len(tail_timings))
+    retry_heavy = len(retried) > 0.10 * n_rows
+    if retry_heavy:
+        print(
+            f"# WARNING: {len(retried)}/{n_rows} rows needed budget retries "
+            "(>10%) — ambient interference suspected; treat this ledger's "
+            "cross-round deltas with caution",
+            file=sys.stderr,
+        )
 
     try:
         baseline = _baseline_pipeline_metrics(spark)
     except Exception as exc:
         baseline = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
+    # stable full-ledger digest (r10 judge finding #5): downstream diffs can
+    # tell top-5 churn from real drops — the digest moves only when the SET
+    # of benched queries moves.
+    import hashlib
+
+    ledger_digest = hashlib.md5(
+        ",".join(sorted(list(timings) + list(tail_timings))).encode()
+    ).hexdigest()[:12]
 
     detail = {
         "metric": "headline_total",
@@ -367,11 +399,16 @@ def main() -> int:
         "reps": reps,
         "queries": timings,
         "spread": spreads,
+        "cold": colds,
         "errors": errors,
         "tail_total": round(tail_total, 3),
         "tail_queries": tail_timings,
         "tail_errors": tail_errors,
         "retried": retried,
+        "pre_retry_total": pre_retry_total,
+        "pre_retry_tail_total": pre_retry_tail_total,
+        "retry_heavy": retry_heavy,
+        "ledger_digest": ledger_digest,
         "baseline_pipeline": baseline,
     }
     # SPARK_GRAFT_BENCH_DETAIL redirects the ledger — off-sf runs (e.g. the
@@ -397,6 +434,14 @@ def main() -> int:
         "errors_n": len(errors) + len(tail_errors),
         "tail_total": round(tail_total, 3),
         "tail_n": len(tail_timings),
+        # r11 additions (additions-only, r10 judge findings #4/#5): pre-retry
+        # totals so the self-heal pass is visible, retry count + heavy flag,
+        # and a stable full-ledger digest so top-5 churn never reads as drops.
+        "pre_retry_total": pre_retry_total,
+        "pre_retry_tail_total": pre_retry_tail_total,
+        "retried_n": len(retried),
+        "retry_heavy": retry_heavy,
+        "ledger_digest": ledger_digest,
         "queries": top5,
         "detail": "BENCH_DETAIL.json",
     }

@@ -4681,13 +4681,28 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The boundary values and fracs are identical: value at global rank r ==
     # value at rank (r − bucket offset) within r's bucket, and h/frac use the
     # same ((n−1)·i)/16 double arithmetic (exact: /16 is a power-of-two
-    # scale). No corpus-sized window, no persists, and the one collect is
-    # 4096-bounded at ANY data size.
+    # scale). No corpus-sized window, no persists.
+    # DOMAIN NOTE (r10 advisor): the "≤4096-cell" bound on this collect is a
+    # PRICE-DOMAIN bound, not a law of nature — cells = value_range / 65536,
+    # so it holds while cents < 65536·4096 (≈ $2.68 M, far above the TPC-H
+    # price domain). A wider value domain grows the collect linearly, so the
+    # assert below makes the assumption LOUD instead of silently collecting
+    # an unbounded histogram; re-derive the radix width from min/max (the
+    # q_bisect_median bracket probe) before lifting it. Also note the
+    # eager-construction semantics: this collect runs Spark jobs at
+    # DataFrame-BUILD time, so the boundaries snapshot the input as of the
+    # call, not as of the caller's later action (fine for the declared
+    # immutable-fixture contract; a streaming/incremental caller must
+    # rebuild the DataFrame per trigger).
     coarse = sorted(
         (r["cb"], r["c"])
         for r in v.groupBy(F.expr("cents div 65536").alias("cb"))
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
+    )
+    assert len(coarse) <= 4096, (
+        f"equidepth coarse histogram outgrew its radix width ({len(coarse)} cells): "
+        "value domain wider than cents < 65536*4096 — widen the radix base"
     )
     n = sum(c for _, c in coarse)
     grid_rows = []

@@ -29,6 +29,10 @@ hypothesis = pytest.importorskip("hypothesis")
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# round 11: randomized whole-pool fuzz sweeps — slow tier (the driver runs
+# -m 'not slow'; tools/gate.py runs both tiers)
+pytestmark = pytest.mark.slow
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SF0001 = "/root/testdata/sf0.001"
 _TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
