@@ -240,6 +240,32 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", *counts, out.alias("redacted"), F.md5(out).alias("redacted_md5"))
 
 
+def _sql_str(s: str) -> str:
+    """Escape a Python string as a Spark SQL single-quoted literal
+    (backslash-style escapes are on by default in Spark's parser)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_fold_expr(left: str, right: str):
+    """The greedy adjacent-pair merge fold as ONE SQL expression.
+
+    Identical operator tree to the previous per-op Column construction
+    (aggregate / CASE WHEN / element_at / concat / slice — the SQL parser
+    produces the same Catalyst nodes), but built with a single py4j call
+    instead of ~30: at ~1 ms per py4j round trip here, the old form cost
+    ~0.2 s of driver time PER MERGE ROUND in every BPE query (guide §5 —
+    the driver should do almost no work; r11). Returns the full
+    size-guarded CASE so callers replace their whole per-round projection."""
+    merged = _sql_str(left + right)
+    fold = (
+        "aggregate(slice(syms, 2, size(syms) - 1), slice(syms, 1, 1), "
+        "(acc, s) -> CASE WHEN element_at(acc, -1) = {l} AND s = {r} "
+        "THEN concat(slice(acc, 1, size(acc) - 1), array({m})) "
+        "ELSE concat(acc, array(s)) END)"
+    ).format(l=_sql_str(left), r=_sql_str(right), m=merged)
+    return F.expr(f"CASE WHEN size(syms) >= 2 THEN {fold} ELSE syms END")
+
+
 def bpe_merges(df: DataFrame, text_col: str = "text", rounds: int = 5) -> DataFrame:
     """Byte-pair-encoding vocabulary induction: learn the first ``rounds``
     BPE merges from the corpus (most-frequent adjacent symbol pair per
@@ -332,16 +358,6 @@ def bpe_merges(df: DataFrame, text_col: str = "text", rounds: int = 5) -> DataFr
         _free_oldest_ckpt()  # the argmax just materialized checkpoint r-1
         left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["pair_count"])
         out_rows.append((r, left, right, left + right, cnt))
-        fold = F.aggregate(
-            F.slice("syms", 2, F.size("syms") - 1),
-            F.slice("syms", 1, 1),
-            lambda acc, s: F.when(
-                (F.element_at(acc, -1) == F.lit(left)) & (s == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
         # LAZY checkpoint (r10, guide §1.2): the fold materializes inside the
         # NEXT round's argmax job instead of as its own eager job — one Spark
         # job per merge round rather than two (8 jobs saved at rounds=8), and
@@ -351,7 +367,7 @@ def bpe_merges(df: DataFrame, text_col: str = "text", rounds: int = 5) -> DataFr
         # per-round unpersist — the scoped persist releases at the query
         # boundary as every other query-scoped cache does.
         words = words.select(
-            F.when(F.size("syms") >= 2, fold).otherwise(F.col("syms")).alias("syms"),
+            bpe_fold_expr(left, right).alias("syms"),
             "freq",
         ).localCheckpoint(eager=False)  # O(1) lineage per round; vocab-sized
         ckpts.append(words)
@@ -378,20 +394,7 @@ def bpe_encode_counts(df: DataFrame, merges: list, text_col: str = "text") -> Da
         F.filter(F.split("word", "(?!^)"), lambda s: s != "").alias("syms"),
     )
     for left, right in merges:
-        fold = F.aggregate(
-            F.slice("syms", 2, F.size("syms") - 1),
-            F.slice("syms", 1, 1),
-            lambda acc, s: F.when(
-                (F.element_at(acc, -1) == F.lit(left)) & (s == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        vocab = vocab.select(
-            "word",
-            F.when(F.size("syms") >= 2, fold).otherwise(F.col("syms")).alias("syms"),
-        )
+        vocab = vocab.select("word", bpe_fold_expr(left, right).alias("syms"))
     lut = vocab.select("word", F.size("syms").alias("n_syms"))
     return (
         tok.join(F.broadcast(lut), "word")

@@ -4969,20 +4969,9 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split("word", "(?!^)"), lambda s: s != "").alias("syms"),
     )
     for left, right in merges:
-        fold = F.aggregate(
-            F.slice("syms", 2, F.size("syms") - 1),
-            F.slice("syms", 1, 1),
-            lambda acc, s: F.when(
-                (F.element_at(acc, -1) == F.lit(left)) & (s == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        vocab = vocab.select(
-            "word",
-            F.when(F.size("syms") >= 2, fold).otherwise(F.col("syms")).alias("syms"),
-        )
+        # r11: one-expr fold (text.bpe_fold_expr) — same Catalyst tree,
+        # ~30 py4j calls per merge round collapsed to 1 (guide §5)
+        vocab = vocab.select("word", text.bpe_fold_expr(left, right).alias("syms"))
     lut = vocab.select(
         "word", F.size("syms").alias("n_syms"), F.length("word").alias("n_chars")
     )

@@ -11,8 +11,15 @@ scoped caches released between queries), and optionally:
   * --explain FILE_PREFIX
                 dump each query's .explain("formatted") to
                 FILE_PREFIX<query>.txt (the plans/r10/ evidence files).
+  * --explain-rounds FILE_PREFIX
+                (r11, r10 judge task #9) additionally capture the plan of
+                EVERY localCheckpoint call made while the query builds —
+                the per-round plans that the final .explain truncates for
+                iterative queries (BFS / label-prop / PCA / bisect class).
+                Written to FILE_PREFIX<query>_round<k>.txt.
 
-Usage: python tools/qtime.py [--reps N] [--noop] [--explain PREFIX] [--sf DIR] q_a q_b ...
+Usage: python tools/qtime.py [--reps N] [--noop] [--explain PREFIX]
+           [--explain-rounds PREFIX] [--sf DIR] q_a q_b ...
 """
 
 from __future__ import annotations
@@ -34,6 +41,7 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--noop", action="store_true")
     ap.add_argument("--explain", default=None)
+    ap.add_argument("--explain-rounds", default=None)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
@@ -81,8 +89,47 @@ def main() -> int:
             df = queries[name](spark, args.sf)
             with open(f"{args.explain}{name}.txt", "w") as fh:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
+        if args.explain_rounds:
+            release_scoped_caches()
+            _capture_round_plans(spark, queries[name], args.sf, args.explain_rounds, name)
         release_scoped_caches()
     return 0
+
+
+def _capture_round_plans(spark, fn, sf_dir, prefix, name):
+    """Build the query once with DataFrame.localCheckpoint patched to dump
+    the plan ABOVE each checkpoint — the per-round plans the final explain
+    cannot show for iterative queries. Capture-only: the checkpoint then
+    proceeds unchanged, so the query's behavior is identical."""
+    # Spark 4: concrete sessions build pyspark.sql.classic.dataframe.DataFrame,
+    # which OVERRIDES localCheckpoint — patch the class whose method actually
+    # dispatches, falling back to the facade for older layouts.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - pre-4.0 layout
+        from pyspark.sql import DataFrame
+
+    counter = [0]
+    orig = DataFrame.localCheckpoint
+
+    def patched(self, eager=True):
+        counter[0] += 1
+        try:
+            txt = self._sc._jvm.PythonSQLUtils.explainString(
+                self._jdf.queryExecution(), "formatted"
+            )
+            with open(f"{prefix}{name}_round{counter[0]}.txt", "w") as fh:
+                fh.write(txt)
+        except Exception as exc:  # capture must never break the query
+            print(f"# round-plan capture failed: {type(exc).__name__}: {exc}")
+        return orig(self, eager=eager)
+
+    DataFrame.localCheckpoint = patched
+    try:
+        fn(spark, sf_dir).count()
+    finally:
+        DataFrame.localCheckpoint = orig
+    print(f"{name}: captured {counter[0]} round plans -> {prefix}{name}_round*.txt")
 
 
 if __name__ == "__main__":
