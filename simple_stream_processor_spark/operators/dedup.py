@@ -191,9 +191,12 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> DataFr
     long-lived session no longer accumulates shingle tables in the heap."""
     sh = scoped_persist(shingle_table(docs, k=k))
     # sigs has a single consumer (the band table) — persisting it would
-    # only add a materialization pass
+    # only add a materialization pass; the BAND table is self-joined, so
+    # persisting IT stops each join side re-running the md5 signature
+    # aggregate (r11, guide §5 — the pipeline's most expensive stage)
     sigs = minhash_signatures(sh)
-    pairs = scoped_persist(candidate_pairs(lsh_band_table(sigs)))
+    bands = scoped_persist(lsh_band_table(sigs))
+    pairs = scoped_persist(candidate_pairs(bands))
     return verify_jaccard(pairs, sh, threshold)
 
 
@@ -280,9 +283,12 @@ def ngram_jaccard_lsh(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     algorithm and must agree exactly."""
     sh = scoped_persist(shingle_table(docs, k=2))
     # sigs has a single consumer (the band table) — persisting it would
-    # only add a materialization pass
+    # only add a materialization pass; the BAND table is self-joined, so
+    # persisting IT stops each join side re-running the md5 signature
+    # aggregate (r11, guide §5 — the pipeline's most expensive stage)
     sigs = minhash_signatures(sh)
-    pairs = scoped_persist(candidate_pairs(lsh_band_table(sigs)))
+    bands = scoped_persist(lsh_band_table(sigs))
+    pairs = scoped_persist(candidate_pairs(bands))
     return verify_jaccard(pairs, sh, threshold)
 
 
@@ -307,7 +313,8 @@ def ngram_containment_lsh(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     those needs asymmetric sketches — documented limit, not hidden)."""
     sh = scoped_persist(shingle_table(docs, k=2))
     sigs = minhash_signatures(sh)
-    pairs = scoped_persist(candidate_pairs(lsh_band_table(sigs)))
+    bands = scoped_persist(lsh_band_table(sigs))  # self-joined (r11, see above)
+    pairs = scoped_persist(candidate_pairs(bands))
     return verify_containment(pairs, sh, threshold)
 
 

@@ -265,9 +265,15 @@ def _trigram_candidates(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key not in _TRIGRAM_CAND_MEMO:
         sh = dedup.shingle_table(_t(spark, sf_dir, "documents"), k=3)
-        pairs = dedup.candidate_pairs(dedup.lsh_band_table(dedup.minhash_signatures(sh)))
-        _TRIGRAM_CAND_MEMO[key] = (sh, pairs)
-    sh, pairs = _TRIGRAM_CAND_MEMO[key]
+        # r11 (guide §5): persist the BAND table too — candidate_pairs
+        # self-joins it, and with only sh cached each join side re-ran the
+        # md5 signature aggregate (the pipeline's most expensive stage,
+        # ~1.2 s at sf0.1) once per side on every cold build.
+        bands = dedup.lsh_band_table(dedup.minhash_signatures(sh))
+        pairs = dedup.candidate_pairs(bands)
+        _TRIGRAM_CAND_MEMO[key] = (sh, bands, pairs)
+    sh, bands, pairs = _TRIGRAM_CAND_MEMO[key]
+    _scoped_memo_cache(bands)
     return _scoped_memo_cache(sh), _scoped_memo_cache(pairs)
 
 
@@ -291,9 +297,14 @@ def _ngram_candidates(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key not in _NGRAM_CAND_MEMO:
         sh = dedup.shingle_table(_t(spark, sf_dir, "documents"), k=2)
-        pairs = dedup.candidate_pairs(dedup.lsh_band_table(dedup.minhash_signatures(sh)))
-        _NGRAM_CAND_MEMO[key] = (sh, pairs)
-    sh, pairs = _NGRAM_CAND_MEMO[key]
+        # r11: persist the band table (see _trigram_candidates) — the
+        # candidate self-join otherwise re-runs the signature aggregate
+        # once per join side on every cold build.
+        bands = dedup.lsh_band_table(dedup.minhash_signatures(sh))
+        pairs = dedup.candidate_pairs(bands)
+        _NGRAM_CAND_MEMO[key] = (sh, bands, pairs)
+    sh, bands, pairs = _NGRAM_CAND_MEMO[key]
+    _scoped_memo_cache(bands)
     return _scoped_memo_cache(sh), _scoped_memo_cache(pairs)
 
 @query(

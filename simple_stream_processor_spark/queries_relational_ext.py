@@ -4451,11 +4451,15 @@ def q_bisect_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # r11: LAZY checkpoints + the gap witness — each round's one-row
+    # max(hi−lo) collect scans every state partition, so it materializes
+    # that round's checkpoint in the SAME job (the graph_bfs/k_core count
+    # fusion): one job per round instead of checkpoint-job + witness-job.
     state = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("cents").alias("lo"),
         F.max("cents").alias("hi"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     state = state.select("l_returnflag", "n", F.expr("(n + 1) div 2").alias("k"), "lo", "hi")
     # r10 optimization: base-4096 histogram rounds (radix select) instead of
     # base-4 split points — same counting-pass idea, log4096(range) ≈ 2
@@ -4476,7 +4480,7 @@ def q_bisect_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         if gap == 0:
             break
         mid_state = state.select(
-            "l_returnflag", "k", "lo", "hi",
+            "l_returnflag", "n", "k", "lo", "hi",
             F.expr(f"(hi - lo) div {B} + 1").alias("w"),
         )
         hist = (
@@ -4485,7 +4489,7 @@ def q_bisect_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             # below lo only matter through their count — bucket them at -1
             .where(F.col("cents") <= F.col("hi"))
             .groupBy(
-                "l_returnflag", "k", "lo", "hi", "w",
+                "l_returnflag", "n", "k", "lo", "hi", "w",
                 F.when(F.col("cents") < F.col("lo"), F.lit(-1).cast("long"))
                 .otherwise(F.expr("(cents - lo) div w"))
                 .alias("bucket"),
@@ -4500,16 +4504,19 @@ def q_bisect_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             h.where((F.col("cum") >= F.col("k")) & (F.col("cum") - F.col("c") < F.col("k")))
             .select(
                 "l_returnflag",
+                "n",
                 "k",
                 (F.col("lo") + F.col("bucket") * F.col("w")).alias("lo"),
                 F.least(
                     F.col("hi"), F.col("lo") + (F.col("bucket") + 1) * F.col("w") - 1
                 ).alias("hi"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by the next gap witness
         )
-    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
-    out = n.join(state.select("l_returnflag", F.col("lo").alias("median_cents")), "l_returnflag")
+    # r11: n rode the state through every round (it came from the SAME
+    # initial aggregate), so the old final count-join re-scanned the
+    # just-unpersisted projection for a number state already holds.
+    out = state.select("l_returnflag", "n", F.col("lo").alias("median_cents"))
     li.unpersist()
     return out.select(
         "l_returnflag",
