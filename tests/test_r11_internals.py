@@ -99,16 +99,21 @@ def test_bpe_merges_frees_old_round_checkpoints(spark):
     from simple_stream_processor_spark.operators.text import bpe_merges
     from simple_stream_processor_spark.registry import release_scoped_caches
 
+    def n_cached():
+        sc = spark.sparkContext
+        return sum(
+            1 for i in sc._jsc.sc().getRDDStorageInfo() if i.memSize() + i.diskSize() > 0
+        )
+
+    release_scoped_caches()
+    before = n_cached()  # whatever earlier suite fixtures left behind
     docs = spark.createDataFrame(
         [(i, "abcdef abcde abcd abc ab xyz xy " * 3) for i in range(20)],
         "doc_id long, text string",
     )
     out = bpe_merges(docs, rounds=6)
     assert out.count() >= 4  # the corpus supports several merges
-    sc = spark.sparkContext
-    rdd_infos = sc._jsc.sc().getRDDStorageInfo()
-    cached_ckpts = [i for i in rdd_infos if i.memSize() + i.diskSize() > 0]
-    # scoped word persist + at most 2 live round checkpoints (+ the memory
-    # sink bookkeeping of other fixtures is excluded by a fresh count)
-    assert len(cached_ckpts) <= 4, [str(i.name()) for i in cached_ckpts]
+    # the DELTA this query adds: the scoped word persist + at most TWO live
+    # round checkpoints (pre-r11: one cached checkpoint PER round, 6 here)
+    assert n_cached() - before <= 3, (before, n_cached())
     release_scoped_caches()
